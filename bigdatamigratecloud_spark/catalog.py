@@ -1,0 +1,136 @@
+"""Table catalog: the Spark-side equivalent of the reference's reflective
+table access + field metadata catalog.
+
+The reference opens any table by integer ID via RecordRef
+(Codeunit 60000:193 `RecRef.OPEN(ConfigPackageTable."Table ID")`) and reads
+per-field metadata from the `Field` virtual table 2000000041
+(Codeunit 60000:676-699).  Here, a table is a named parquet file under a
+scale-factor directory, and the metadata catalog is derived from the
+DataFrame schema (`fields_catalog`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The ten driver-provided tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Primary keys per table (FIXTURES.md §A) — drives dedup/upsert/FK ops.
+PRIMARY_KEYS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+# FK graph: child table -> [(child_col, parent_table, parent_col)].
+# Mirrors the reference's Parent Table ID / table-relation metadata
+# (Codeunit 60000:88-92, 690-692) for dependency ordering and
+# create-missing-codes.
+FOREIGN_KEYS: dict[str, list[tuple[str, str, str]]] = {
+    "nation": [("n_regionkey", "region", "r_regionkey")],
+    "customer": [("c_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_nationkey", "nation", "n_nationkey")],
+    "orders": [("o_custkey", "customer", "c_custkey")],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.
+    # Convert to a microsecond timestamp (floor), matching how DuckDB
+    # truncates nanos to its µs TIMESTAMP — keeps oracle comparisons exact.
+    for f in df.schema.fields:
+        if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # re-order to original column order (withColumn keeps order; no-op)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so SQL entry points work."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+@dataclass(frozen=True)
+class FieldInfo:
+    """One row of the fields catalog (≈ virtual table 2000000041 'Field':
+    number, name, type, length, ObsoleteState — Codeunit 60000:676-699)."""
+
+    table_name: str
+    field_id: int  # 1-based position, ≈ NAV field number
+    field_name: str
+    data_type: str  # Spark simpleString, e.g. 'bigint', 'string'
+    nullable: bool
+    is_primary_key: bool
+    obsolete: bool = False  # hook for ExcludeRemovedFields (XML:800-814)
+
+
+def fields_catalog(df: DataFrame, table_name: str) -> list[FieldInfo]:
+    pks = set(PRIMARY_KEYS.get(table_name, ()))
+    return [
+        FieldInfo(
+            table_name=table_name,
+            field_id=i + 1,
+            field_name=f.name,
+            data_type=f.dataType.simpleString(),
+            nullable=f.nullable,
+            is_primary_key=f.name in pks,
+        )
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def fields_catalog_df(spark: SparkSession, df: DataFrame, table_name: str) -> DataFrame:
+    """Catalog as a DataFrame, so metadata joins (J3 in SURVEY §2.3) are
+    expressible as broadcast joins rather than driver loops."""
+    schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("field_id", T.IntegerType(), False),
+            T.StructField("field_name", T.StringType(), False),
+            T.StructField("data_type", T.StringType(), False),
+            T.StructField("nullable", T.BooleanType(), False),
+            T.StructField("is_primary_key", T.BooleanType(), False),
+            T.StructField("obsolete", T.BooleanType(), False),
+        ]
+    )
+    rows = [
+        (f.table_name, f.field_id, f.field_name, f.data_type, f.nullable, f.is_primary_key, f.obsolete)
+        for f in fields_catalog(df, table_name)
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,231 @@
+"""Scalar function library (SURVEY §2.8): the reference's string/type/codec
+helpers re-expressed as Spark Column expressions (JVM-side; no Python UDFs)
+plus the driver-side pure-Python helpers (name math, DateFormula).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F1: XML element-name sanitization (GetElementName, Codeunit 60000:925-939)
+# Rules, in reference order:
+#   1. first char not letter/underscore -> prefix '_'
+#   2. delete  ? ' `
+#   3. map  < > , . / \ + & ( ) % :  -> space
+#   4. '-' -> '_'
+#   5. delete all spaces
+_DELETE_CHARS = "?'`"
+_SPACE_CHARS = "<>,./\\+&()%:"
+
+
+def sanitize_xml_name(name: str) -> str:
+    """Driver-side variant (column *names* live on the driver)."""
+    out = name
+    for ch in _DELETE_CHARS:
+        out = out.replace(ch, "")
+    for ch in _SPACE_CHARS:
+        out = out.replace(ch, " ")
+    out = out.replace("-", "_")
+    out = out.replace(" ", "")
+    if not out or not (out[0].isalpha() or out[0] == "_"):
+        out = "_" + out
+    return out
+
+
+def sanitize_xml_name_col(col: Column) -> Column:
+    """Same rules as a Catalyst expression, for sanitizing name *data*."""
+    out = F.translate(col, _DELETE_CHARS, "")
+    out = F.translate(out, _SPACE_CHARS, " " * len(_SPACE_CHARS))
+    out = F.translate(out, "-", "_")
+    out = F.replace(out, F.lit(" "), F.lit(""))
+    bad_start = ~out.rlike("^[A-Za-z_]")
+    return F.when(bad_start | (F.length(out) == 0), F.concat(F.lit("_"), out)).otherwise(out)
+
+
+# F2: Field_/Table_ prefixing in Excel mode (Codeunit 60000:942-957)
+def prefix_field(name: str) -> str:
+    return f"Field_{name}"
+
+
+def prefix_table(name: str) -> str:
+    return f"Table_{name}"
+
+
+# F3: bounded-string truncation (COPYSTR(v,1,MAXSTRLEN), e.g. XML:459-461)
+def truncate(col: Column, max_len: int) -> Column:
+    return F.substring(col, 1, max_len)
+
+
+# P4: zero-FK suppression (Codeunit 60000:831-834): FK-typed zero exported
+# as empty
+def suppress_zero_fk(col: Column) -> Column:
+    return F.when(col == 0, F.lit(None)).otherwise(col)
+
+
+# F9/F10: BLOB codecs (Codeunit 60000:1135-1142 base64; 1280-1291 utf-8)
+def blob_to_base64(col: Column) -> Column:
+    return F.base64(col)
+
+
+def base64_to_blob(col: Column) -> Column:
+    return F.unbase64(col)
+
+
+def blob_to_text(col: Column) -> Column:
+    return F.decode(col, "UTF-8")
+
+
+def text_to_blob(col: Column) -> Column:
+    return F.encode(col, "UTF-8")
+
+
+# F12: Spark type -> XSD type (GetXSDType, Codeunit 60000:1030-1051)
+_XSD = {
+    "tinyint": "xsd:integer",
+    "smallint": "xsd:integer",
+    "int": "xsd:integer",
+    "bigint": "xsd:integer",
+    "date": "xsd:date",
+    "timestamp": "xsd:dateTime",
+    "boolean": "xsd:boolean",
+}
+
+
+def xsd_type(spark_type: str) -> str:
+    if spark_type.startswith("decimal"):
+        return "xsd:string"  # reference exports decimals as formatted text
+    return _XSD.get(spark_type, "xsd:string")
+
+
+# F13: Excel A1-reference math (Codeunit 60001:720-737, GetXLColumnID)
+def a1_col_letters(index: int) -> str:
+    """1-based column index -> letters (1->A, 27->AA)."""
+    if index < 1:
+        raise ValueError("column index is 1-based")
+    out = ""
+    while index:
+        index, rem = divmod(index - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def a1_col_index(letters: str) -> int:
+    out = 0
+    for ch in letters.upper():
+        if not "A" <= ch <= "Z":
+            raise ValueError(f"bad column letters {letters!r}")
+        out = out * 26 + (ord(ch) - ord("A") + 1)
+    return out
+
+
+_A1_RE = re.compile(r"^([A-Za-z]+)(\d+)$")
+
+
+def parse_a1(ref: str) -> tuple[int, int]:
+    """'B7' -> (row 7, col 2)."""
+    m = _A1_RE.match(ref)
+    if not m:
+        raise ValueError(f"bad A1 ref {ref!r}")
+    return int(m.group(2)), a1_col_index(m.group(1))
+
+
+def parse_a1_range(ref: str) -> tuple[tuple[int, int], tuple[int, int]]:
+    """'A3:E6' -> ((3,1),(6,5))."""
+    lo, _, hi = ref.partition(":")
+    return parse_a1(lo), parse_a1(hi if hi else lo)
+
+
+# F15: worksheet-name clamp: Excel's 31-char limit; fallback to id+caption
+# (Codeunit 60001:758-767)
+def clamp_sheet_name(name: str, table_id: int | None = None) -> str:
+    bad = set('[]:*?/\\')
+    clean = "".join(ch for ch in name if ch not in bad)
+    if len(clean) <= 31:
+        return clean
+    if table_id is not None:
+        prefix = f"{table_id} "
+        return (prefix + clean)[:31]
+    return clean[:31]
+
+
+# F8: datetime -> filename stamp (Codeunit 60001:190-192)
+def filename_stamp(dt: _dt.datetime | None = None) -> str:
+    dt = dt or _dt.datetime.now()
+    return dt.strftime("%d_%m_%y_%H_%M_%S")
+
+
+# DateFormula (§1.2): NAV relative-date intervals like '<1M+CM>' — no Spark
+# equivalent; a small exact parser/evaluator.
+_DF_TOKEN = re.compile(r"([+-]?)(\d*)(C?)(D|WD|W|M|Q|Y)", re.IGNORECASE)
+
+
+def eval_dateformula(formula: str, base: _dt.date) -> _dt.date:
+    """Evaluate a NAV DateFormula against a base date.
+
+    Supported units: D(ay), W(eek), M(onth), Q(uarter), Y(ear), WD(weekday),
+    C prefix = 'current' (snap to period end, e.g. CM = end of month).
+    Examples: '<1M>' +1 month; '<CM>' end of current month; '<-1W>' -7 days;
+    '<1M+CM>' end of next month.
+    """
+    s = formula.strip().strip("<>").replace(" ", "")
+    if not s:
+        return base
+    d = base
+    pos = 0
+    while pos < len(s):
+        m = _DF_TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
+        sign, num, cur, unit = m.groups()
+        unit = unit.upper()
+        n = int(num) if num else (0 if cur else 1)
+        if sign == "-":
+            n = -n
+        if cur:  # snap to current-period boundary
+            if unit == "D":
+                pass
+            elif unit == "W":
+                d = d + _dt.timedelta(days=6 - d.weekday())
+            elif unit == "M":
+                d = _month_end(d)
+            elif unit == "Q":
+                qm = ((d.month - 1) // 3) * 3 + 3
+                d = _month_end(d.replace(month=qm, day=1))
+            elif unit == "Y":
+                d = d.replace(month=12, day=31)
+        elif unit == "D":
+            d = d + _dt.timedelta(days=n)
+        elif unit == "WD":
+            # next weekday n (1=Mon..7=Sun)
+            target = (abs(n) - 1) % 7
+            delta = (target - d.weekday()) % 7 or 7
+            d = d + _dt.timedelta(days=delta if n > 0 else delta - 7)
+        elif unit == "W":
+            d = d + _dt.timedelta(weeks=n)
+        elif unit == "M":
+            d = _add_months(d, n)
+        elif unit == "Q":
+            d = _add_months(d, 3 * n)
+        elif unit == "Y":
+            d = _add_months(d, 12 * n)
+        pos = m.end()
+    return d
+
+
+def _add_months(d: _dt.date, n: int) -> _dt.date:
+    month_index = d.month - 1 + n
+    year = d.year + month_index // 12
+    month = month_index % 12 + 1
+    last = _month_end(_dt.date(year, month, 1)).day
+    return _dt.date(year, month, min(d.day, last))
+
+
+def _month_end(d: _dt.date) -> _dt.date:
+    if d.month == 12:
+        return _dt.date(d.year, 12, 31)
+    return _dt.date(d.year, d.month + 1, 1) - _dt.timedelta(days=1)

@@ -1,0 +1,142 @@
+"""Long (EAV) staging: melt wide tables to one row per (record, field), and
+pivot staged data back to wide records.
+
+This is the heart of the reference's data model: Config. Package Data
+(table 8615) holds one row per (Package Code, Table ID, Record No.,
+Field ID) with a Text[250] `Value` (Codeunit 60000:763-772, 1216-1218);
+import melts XML records into it (`FillPackageDataFromXML`,
+Codeunit 60000:706-798) and apply pivots it back into physical tables
+(Codeunit 60000:527).
+
+Scale notes (100 TB):
+- melt is a narrow map (explode), no shuffle;
+- pivot uses groupBy(record key) + map_from_entries(collect_list(...)),
+  ONE shuffle keyed by record id, and — critically — never
+  ``DataFrame.pivot()``, whose distinct-values scan on the pivot column is
+  a driver-side bottleneck at scale (SURVEY §4);
+- cells per record are bounded by the field count, so per-key skew is
+  structurally bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Staging schema (≈ tables 8613/8614/8615 flattened):
+# (package_code, table_name, record_no, field_name, value, error)
+STAGING_COLS = ("package_code", "table_name", "record_no", "field_name", "value", "error")
+
+
+def serialize_cell(col: F.Column, data_type: T.DataType) -> F.Column:
+    """Render a typed value to its canonical staging string, mirroring
+    FormatFieldValue (Codeunit 60000:826-862): exact decimal text for
+    numerics, ISO text for dates/timestamps, '0'/'1' for booleans
+    (XML mode, Codeunit 60000:837-838)."""
+    if isinstance(data_type, T.BooleanType):
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(col, F.lit("1")).otherwise(F.lit("0"))
+        )
+    if isinstance(data_type, T.DoubleType) or isinstance(data_type, T.FloatType):
+        # pin a decimal rendering so round-trips are exact for 2-dp money
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            col.cast(T.DecimalType(28, 6)).cast("string")
+        )
+    if isinstance(data_type, T.TimestampType):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if isinstance(data_type, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    if isinstance(data_type, T.BinaryType):
+        return F.base64(col)  # BLOB -> Base64 (Codeunit 60000:1135-1142)
+    return col.cast("string")
+
+
+def melt_to_staging(
+    df: DataFrame,
+    table_name: str,
+    package_code: str = "PKG",
+    key_cols: tuple[str, ...] | None = None,
+    include_fields: list[str] | None = None,
+) -> DataFrame:
+    """Wide -> long EAV staging (A4 in SURVEY §2.4).
+
+    record_no: composed from the key columns when given (stable across
+    partitions — the reference's sequential InitPackageRecord numbering,
+    Codeunit 60000:757, is replaced by a key-derived id because sequential
+    counters don't distribute); else a monotonic id.  Only pass ``key_cols``
+    when they are genuinely unique (the driver's synthetic lineitem is NOT
+    unique on its TPC-H PK) — duplicate record ids would merge records in
+    the pivot.
+    """
+    fields = include_fields or [f.name for f in df.schema.fields]
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+    if key_cols:
+        record_no = F.xxhash64(*[F.col(c) for c in key_cols])
+    else:
+        record_no = F.monotonically_increasing_id()
+
+    base = df.withColumn("__record_no", record_no)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field_name"),
+                serialize_cell(F.col(name), dtypes[name]).alias("value"),
+            )
+            for name in fields
+        ]
+    )
+    return (
+        base.select(
+            F.lit(package_code).alias("package_code"),
+            F.lit(table_name).alias("table_name"),
+            F.col("__record_no").alias("record_no"),
+            F.explode(pairs).alias("cell"),
+        )
+        .select(
+            "package_code",
+            "table_name",
+            "record_no",
+            F.col("cell.field_name").alias("field_name"),
+            F.col("cell.value").alias("value"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+
+
+def pivot_from_staging(staging: DataFrame, schema: T.StructType, drop_errors: bool = True) -> DataFrame:
+    """Long EAV -> wide records (A5), with typed parse back per §1.2.
+
+    groupBy(record_no) + map_from_entries(collect_list(struct(...))) — one
+    shuffle, no driver-side distinct scan (never ``pivot()``; SURVEY §4).
+    """
+    src = staging
+    if drop_errors:
+        src = src.filter(F.col("error").isNull())
+    cells = src.groupBy("package_code", "table_name", "record_no").agg(
+        F.map_from_entries(F.collect_list(F.struct("field_name", "value"))).alias("m")
+    )
+    out_cols = []
+    for f in schema.fields:
+        raw = cells["m"].getItem(f.name)
+        out_cols.append(deserialize_cell(raw, f.dataType).alias(f.name))
+    return cells.select(*out_cols)
+
+
+def deserialize_cell(raw: F.Column, data_type: T.DataType) -> F.Column:
+    """Typed parse of a staging string (EvaluateValue, Codeunit 60000:777).
+    Inverse of serialize_cell."""
+    if isinstance(data_type, T.BooleanType):
+        return F.when(raw == "1", F.lit(True)).when(raw == "0", F.lit(False)).otherwise(
+            raw.cast("boolean")
+        )
+    if isinstance(data_type, T.BinaryType):
+        return F.unbase64(raw)
+    if isinstance(data_type, (T.DoubleType, T.FloatType)):
+        return raw.cast(data_type)
+    if isinstance(data_type, T.TimestampType):
+        return F.to_timestamp(raw, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if isinstance(data_type, T.DateType):
+        return F.to_date(raw, "yyyy-MM-dd")
+    return raw.cast(data_type)

@@ -1,0 +1,100 @@
+"""PK dedup, overwrite/upsert, FK checks and Create Missing Codes.
+
+Reference semantics:
+- primary-key fields are flagged in the package manifest
+  (Codeunit 60000:681-686); apply replaces matching-PK rows;
+- `Delete Recs Before Processing` wipes the target first
+  (Codeunit 60000:93-97) — overwrite mode;
+- `Create Missing Codes` auto-inserts missing FK parent codes during
+  validation instead of erroring (Codeunit 60000:112-113, 690-692);
+  without it a missing relation is a TableRelation field error
+  (Codeunit 60000:17).
+
+Scale notes: FK violation checks are left_anti joins (shuffle on the FK,
+broadcast when the parent is dimension-sized); upsert is anti-join +
+union — on a real lakehouse this becomes Delta/Iceberg MERGE, which the
+writer interface leaves pluggable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_by_pk(df: DataFrame, pk_cols: Sequence[str], order_col: str | None = None) -> DataFrame:
+    """Keep one row per PK (A7).  With `order_col`, keep the row with the
+    smallest order value (deterministic); else an arbitrary row
+    (`dropDuplicates` — cheaper: partial aggregation map-side)."""
+    if order_col is None:
+        return df.dropDuplicates(list(pk_cols))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(order_col).asc_nulls_last())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def fk_violations(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str, broadcast_parent: bool = True
+) -> DataFrame:
+    """Child rows whose FK has no parent (J5 check): left_anti join."""
+    p = parent.select(parent_col).dropDuplicates([parent_col])
+    if broadcast_parent:
+        p = F.broadcast(p)
+    return child.join(p, child[child_col] == p[parent_col], "left_anti")
+
+
+def create_missing_codes(
+    parent: DataFrame, parent_col: str, child: DataFrame, child_col: str, defaults: dict | None = None
+) -> DataFrame:
+    """Upsert missing FK parents (J5 action): distinct child keys not in
+    parent become new parent rows with NULL/default attributes."""
+    missing = (
+        child.select(F.col(child_col).alias(parent_col))
+        .dropDuplicates([parent_col])
+        .join(F.broadcast(parent.select(parent_col)), parent_col, "left_anti")
+    )
+    defaults = defaults or {}
+    new_rows = missing.select(
+        *[
+            F.col(parent_col).cast(dict(parent.dtypes)[c]).alias(c)
+            if c == parent_col
+            else F.lit(defaults.get(c)).cast(dict(parent.dtypes)[c]).alias(c)
+            for c in parent.columns
+        ]
+    )
+    return parent.unionByName(new_rows)
+
+
+def apply_to_target(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    pk_cols: Sequence[str] | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Apply-to-target sink (S13).  overwrite ≈ Delete Recs Before
+    Processing; 'upsert' reads existing, anti-joins on PK, unions, rewrites
+    (MERGE stand-in for plain parquet)."""
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "upsert":
+        if not pk_cols:
+            raise ValueError("upsert requires pk_cols")
+        spark = df.sparkSession
+        try:
+            existing = spark.read.parquet(path)
+            keep = existing.join(df.select(*pk_cols).dropDuplicates(list(pk_cols)), list(pk_cols), "left_anti")
+            merged = keep.unionByName(df)
+        except Exception:
+            merged = df
+        merged.write.mode("overwrite").parquet(path + "__tmp")
+        out = spark.read.parquet(path + "__tmp")
+        out.write.mode("overwrite").parquet(path)
+        return
+    writer.mode(mode).parquet(path)
