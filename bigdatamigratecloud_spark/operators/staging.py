@@ -43,7 +43,7 @@ def serialize_cell(col: F.Column, data_type: T.DataType) -> F.Column:
         return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
             col.cast(T.DecimalType(28, 6)).cast("string")
         )
-    if isinstance(data_type, T.TimestampType):
+    if isinstance(data_type, (T.TimestampType, T.TimestampNTZType)):
         return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     if isinstance(data_type, T.DateType):
         return F.date_format(col, "yyyy-MM-dd")
@@ -58,6 +58,7 @@ def melt_to_staging(
     package_code: str = "PKG",
     key_cols: tuple[str, ...] | None = None,
     include_fields: list[str] | None = None,
+    record_key_col: str | None = None,
 ) -> DataFrame:
     """Wide -> long EAV staging (A4 in SURVEY §2.4).
 
@@ -72,7 +73,11 @@ def melt_to_staging(
     fields = include_fields or [f.name for f in df.schema.fields]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
 
-    if key_cols:
+    if record_key_col:
+        # use a natural key column verbatim as the record id (oracle-friendly:
+        # an external system can reproduce it without knowing xxhash64)
+        record_no = F.col(record_key_col).cast("long")
+    elif key_cols:
         record_no = F.xxhash64(*[F.col(c) for c in key_cols])
     else:
         record_no = F.monotonically_increasing_id()
@@ -135,6 +140,10 @@ def deserialize_cell(raw: F.Column, data_type: T.DataType) -> F.Column:
         return F.unbase64(raw)
     if isinstance(data_type, (T.DoubleType, T.FloatType)):
         return raw.cast(data_type)
+    if isinstance(data_type, T.TimestampNTZType):
+        # parquet ms-precision timestamps surface as NTZ in Spark 4; keep
+        # the exact type so roundtrips are schema-identical
+        return F.to_timestamp_ntz(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     if isinstance(data_type, T.TimestampType):
         return F.to_timestamp(raw, "yyyy-MM-dd HH:mm:ss.SSSSSS")
     if isinstance(data_type, T.DateType):

@@ -1,0 +1,391 @@
+"""Oracle-checkable query suite: one entry per implemented operator from
+SURVEY.md §2 (+ north-star ops), each paired with ANSI SQL that DuckDB can
+run over the same parquet tables.
+
+Two registries:
+- ``QUERIES``: name -> (spark, sf_dir) -> DataFrame  (the Spark impl)
+- ``ORACLES``: name -> SQL string                    (the DuckDB oracle)
+
+Queries whose semantics are pure ANSI SQL are declared ONCE in
+``SHARED_SQL`` and executed verbatim by both engines — the Spark side goes
+through ``spark.sql`` so Catalyst plans it (idiomatic: declare the logical
+plan, let the optimizer pick the physical strategy).  Operator-shaped
+queries (melt/pivot/dedup/anti-join/NAV filters) use the DataFrame API and
+get a hand-written oracle.
+
+Numeric policy for cross-engine equality: aggregates are computed over
+per-row DOUBLE arithmetic (IEEE-exact and identical in both engines), cast
+to DECIMAL(38,6) *before* summing so the sums are exact and order-
+independent.  Averages are expressed as decimal sum / count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import FOREIGN_KEYS, TABLES, load_table, register_views
+from .operators.navfilter import nav_filter
+from .operators.staging import melt_to_staging, pivot_from_staging
+from .operators.upsert import fk_violations
+from .functions.scalars import suppress_zero_fk
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+SHARED_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def shared_sql(name: str, sql: str) -> None:
+    """Register a query whose Spark impl and DuckDB oracle are the same
+    SQL text (ANSI subset both engines parse identically)."""
+    SHARED_SQL[name] = sql
+    ORACLES[name] = sql
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    QUERIES[name] = fn
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.2 — scans, projection, predicate pushdown
+# ---------------------------------------------------------------------------
+
+@query(
+    "s1_scan_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_quantity < 10""",
+)
+def s1_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1+P2: projection + predicates reach the parquet scan
+    (ref: CreateRecordNodes XML:158-251, ApplyPackageFilter XML:141-156)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_quantity") < 10)
+        ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "p2_nav_filter",
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+       FROM customer
+       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+         AND c_custkey BETWEEN 100 AND 900""",
+)
+def p2_nav_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: NAV SETFILTER grammar compiled to Catalyst predicates
+    (ref: XML:141-156)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        nav_filter("c_mktsegment", "BUILDING|AUTOMOBILE") & nav_filter("c_custkey", "100..900")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "p4_zero_fk_suppression",
+    """SELECT o_orderkey,
+              CASE WHEN o_custkey = 0 THEN NULL ELSE o_custkey END AS o_custkey_fk
+       FROM orders WHERE o_orderkey <= 1000""",
+)
+def p4_zero_fk_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: FK-typed zero exported as empty (ref: XML:831-834)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select("o_orderkey", suppress_zero_fk(F.col("o_custkey")).alias("o_custkey_fk"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 — joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "j1_dim_lookup",
+    """SELECT c.c_custkey, n.n_name AS nation_name, r.r_name AS region_name
+       FROM customer c
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def j1_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: dimension lookup flattened to columns via broadcast joins
+    (ref: GetDimValueFromTable XML:894-922) — dims are tiny, so broadcast
+    avoids shuffling the fact side at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@query(
+    "j4_anti_customers_without_orders",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def j4_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: existence anti-join (ref: missing-table error path XML:543-547,
+    1095-1100, generalized to data rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j5_fk_violation_counts",
+    """SELECT 'nation.n_regionkey' AS relation,
+              (SELECT count(*) FROM nation x WHERE NOT EXISTS
+                 (SELECT 1 FROM region p WHERE p.r_regionkey = x.n_regionkey)) AS violations
+       UNION ALL
+       SELECT 'customer.c_nationkey',
+              (SELECT count(*) FROM customer x WHERE NOT EXISTS
+                 (SELECT 1 FROM nation p WHERE p.n_nationkey = x.c_nationkey))
+       UNION ALL
+       SELECT 'supplier.s_nationkey',
+              (SELECT count(*) FROM supplier x WHERE NOT EXISTS
+                 (SELECT 1 FROM nation p WHERE p.n_nationkey = x.s_nationkey))
+       UNION ALL
+       SELECT 'orders.o_custkey',
+              (SELECT count(*) FROM orders x WHERE NOT EXISTS
+                 (SELECT 1 FROM customer p WHERE p.c_custkey = x.o_custkey))
+       UNION ALL
+       SELECT 'lineitem.l_orderkey',
+              (SELECT count(*) FROM lineitem x WHERE NOT EXISTS
+                 (SELECT 1 FROM orders p WHERE p.o_orderkey = x.l_orderkey))
+       UNION ALL
+       SELECT 'lineitem.l_partkey',
+              (SELECT count(*) FROM lineitem x WHERE NOT EXISTS
+                 (SELECT 1 FROM part p WHERE p.p_partkey = x.l_partkey))
+       UNION ALL
+       SELECT 'lineitem.l_suppkey',
+              (SELECT count(*) FROM lineitem x WHERE NOT EXISTS
+                 (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey))""",
+)
+def j5_fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: FK integrity sweep over the whole catalog FK graph — left_anti
+    joins, parent side broadcast (ref: TableRelation validation XML:17,
+    112-113, 690-692)."""
+    rows = []
+    for child_name, fks in FOREIGN_KEYS.items():
+        child = load_table(spark, sf_dir, child_name)
+        for child_col, parent_name, parent_col in fks:
+            parent = load_table(spark, sf_dir, parent_name)
+            n = fk_violations(child, child_col, parent, parent_col)
+            rows.append(
+                n.agg(F.count(F.lit(1)).alias("violations")).select(
+                    F.lit(f"{child_name}.{child_col}").alias("relation"), "violations"
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — counts, melt, pivot, dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "a2_record_counts",
+    """SELECT 'region' AS table_name, count(*) AS n FROM region
+       UNION ALL SELECT 'nation', count(*) FROM nation
+       UNION ALL SELECT 'customer', count(*) FROM customer
+       UNION ALL SELECT 'supplier', count(*) FROM supplier
+       UNION ALL SELECT 'part', count(*) FROM part
+       UNION ALL SELECT 'orders', count(*) FROM orders
+       UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+       UNION ALL SELECT 'events', count(*) FROM events
+       UNION ALL SELECT 'documents', count(*) FROM documents
+       UNION ALL SELECT 'embeddings', count(*) FROM embeddings""",
+)
+def a2_record_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A3: per-table record counts, the package manifest numbers
+    (ref: No. of Records flowfields XML:441-444, 726-728)."""
+    out = None
+    for t in TABLES:
+        c = (
+            load_table(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("table_name"), "n")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+_MELT_SERIALIZE_SQL = {
+    "c_custkey": "CAST(c_custkey AS VARCHAR)",
+    "c_name": "c_name",
+    "c_nationkey": "CAST(c_nationkey AS VARCHAR)",
+    "c_acctbal": "CAST(CAST(c_acctbal AS DECIMAL(28,6)) AS VARCHAR)",
+    "c_mktsegment": "c_mktsegment",
+}
+
+@query(
+    "a4_melt_customer",
+    "\nUNION ALL ".join(
+        f"SELECT c_custkey AS record_key, '{f}' AS field_name, {expr} AS value FROM customer"
+        for f, expr in _MELT_SERIALIZE_SQL.items()
+    ),
+)
+def a4_melt_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: wide->long EAV melt, the staging model
+    (ref: FillPackageDataFromXML XML:706-798, EAV insert XML:763-772)."""
+    c = load_table(spark, sf_dir, "customer")
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey")
+    return staged.select(
+        F.col("record_no").alias("record_key"), "field_name", "value"
+    )
+
+
+@query("a5_pivot_roundtrip_orders", "SELECT * FROM orders")
+def a5_pivot_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5 composed: melt orders into EAV staging then pivot back — must
+    be a fixed point (ref: staging XML:763-772, apply XML:527).  The pivot
+    is groupBy + map_from_entries, never DataFrame.pivot() (SURVEY §4)."""
+    o = load_table(spark, sf_dir, "orders")
+    staged = melt_to_staging(o, "orders", key_cols=("o_orderkey",))
+    return pivot_from_staging(staged, o.schema)
+
+
+shared_sql(
+    "a6_row_number_orders",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3""",
+)
+
+shared_sql(
+    "a7_dedup_pk_lineitem",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM (
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+                ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_linenumber
+                                   ORDER BY l_partkey, l_suppkey, l_quantity,
+                                            l_extendedprice, l_shipdate) AS rn
+         FROM lineitem) t
+       WHERE rn = 1""",
+)
+
+shared_sql(
+    "n1_dedup_exact_lineitem",
+    "SELECT DISTINCT * FROM lineitem",
+)
+
+shared_sql(
+    "o3_topk_orders",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 10""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Analytics (engine capabilities per SURVEY §2.4/§2.6 'free in Spark';
+# these are also the bench headline queries)
+# ---------------------------------------------------------------------------
+
+shared_sql(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+              SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+              SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+
+shared_sql(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+              o_orderdate, o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10""",
+)
+
+shared_sql(
+    "q5_regional_revenue",
+    """SELECT n_name,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey
+         AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey
+         AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY n_name""",
+)
+
+shared_sql(
+    "q6_revenue_forecast",
+    """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+
+shared_sql(
+    "events_hourly_rollup",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+              COUNT(*) AS n_events,
+              SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       FROM events
+       GROUP BY date_trunc('hour', ts), event_type""",
+)
+
+
+@query(
+    "events_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
+       FROM events GROUP BY 1""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON path extraction JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
