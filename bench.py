@@ -1,0 +1,71 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full physical
+execution, no driver collect bottleneck), matching how a cluster job would
+materialize results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: scan-heavy agg, join-heavy, shuffle-heavy reshape, dedup,
+# FK sweep, window rollup — the engine's load-bearing shapes
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "q6_revenue_forecast",
+    "a5_pivot_roundtrip_orders",
+    "a7_dedup_pk_lineitem",
+    "j5_fk_violation_counts",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    from bigdatamigratecloud_spark import queries as q
+    from bigdatamigratecloud_spark.session import get_spark
+
+    spark = get_spark("bdmc-bench")
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plan, not first-touch costs
+    q.QUERIES["q6_revenue_forecast"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -81,9 +81,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
-    """Register every table as a temp view so SQL entry points work."""
+    """Register every table as a temp view so SQL entry points work.
+
+    Idempotent per (session, sf_dir): repeated calls skip the parquet
+    footer re-reads (10 tables × every shared-SQL query adds up).
+    """
+    tag = spark.conf.get("spark.bdmc.registered_sf_dir", "")
+    if tag == sf_dir:
+        return
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set("spark.bdmc.registered_sf_dir", sf_dir)
 
 
 @dataclass(frozen=True)
