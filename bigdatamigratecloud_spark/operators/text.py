@@ -1,0 +1,165 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star N4,
+SURVEY §2.12): tokenization, token/quality statistics, language-ID
+heuristic, content hashing, rolling-hash document fingerprinting.
+
+All hot-path expressions are JVM-side Catalyst (split / higher-order array
+functions / sha2) — no Python UDFs — so they whole-stage-codegen and scale
+linearly with executors.  The only driver-side artifacts are the small
+stopword lexicons (broadcast as literals inside the plan).
+
+Generalizes the reference's per-cell text handling (value formatting and
+validation over Text[250] staging cells, Codeunit 60000:826-862, 774-785)
+to corpus-level statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons for the heuristic classifier.
+# Deterministic and public-knowledge word lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "en"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization: collapse runs of whitespace, trim, split.
+    Produces an empty array (not ['']) for empty/blank text."""
+    if isinstance(text, str):
+        text = F.col(text)
+    norm = F.trim(F.regexp_replace(text, r"\s+", sep))
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, sep if sep != " " else r" ")
+    )
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """A BPE-style pre-tokenization: split on word/number/punct boundaries
+    (the GPT-2 pre-tokenizer regex family, simplified to what Spark's
+    Java-regex supports).  Counts approximate LLM token counts ~1.3-1.5×."""
+    if isinstance(text, str):
+        text = F.col(text)
+    # mark each token start with a \x01 sentinel, split on it, trim
+    marked = F.regexp_replace(text, r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+)", "\u0001$1")
+    parts = F.transform(F.split(marked, "\u0001"), lambda t: F.trim(t))
+    return F.filter(parts, lambda t: F.length(t) > 0)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: counts, uniqueness, mean token
+    length, stopword ratio — the building blocks of quality filters."""
+    toks = tokens(text_col)
+    stop = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n = F.size(toks)
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        # ratio math in IEEE doubles (bit-identical across engines), ONE
+        # final decimal cast — chained decimal ops round differently per
+        # engine's intermediate-scale rules
+        F.when(n == 0, F.lit(None))
+        .otherwise(
+            (
+                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+                .cast("double")
+                / n.cast("double")
+            ).cast("decimal(38,6)")
+        )
+        .alias("avg_token_len"),
+        F.when(n == 0, F.lit(None))
+        .otherwise(
+            (
+                F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+                / n.cast("double")
+            ).cast("decimal(38,6)")
+        )
+        .alias("stopword_ratio"),
+    )
+    return out
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards mid-length docs, lexical
+    diversity, and a natural stopword rate.  Deterministic decimal math so
+    scores are reproducible across engines."""
+    toks = tokens(text_col)
+    stop = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    # all-double expression tree (identical IEEE result in any engine),
+    # one final cast
+    len_term = F.least(n, F.lit(100.0)) / F.lit(100.0)
+    uniq_term = n_uniq / n
+    stop_term = F.least(n_stop / n * F.lit(5.0), F.lit(1.0))
+    score = (
+        (len_term * F.lit(4.0) + uniq_term * F.lit(4.0) + stop_term * F.lit(2.0)) / F.lit(10.0)
+    ).cast("decimal(38,6)")
+    return df.select(
+        F.col(id_col), F.when(F.size(toks) == 0, F.lit(None)).otherwise(score).alias("quality")
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language function-word hit counts over
+    the token array, argmax with deterministic tiebreak (language code
+    order); 'und' (undetermined) when no lexicon hits at all."""
+    toks = tokens(text_col)
+    hit_cols = []
+    for code in sorted(LANG_STOPWORDS):
+        lex = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(lex, t))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # argmax: sort (hits desc, code asc) -> first.  array_sort on structs
+    # sorts ascending by field order, so negate hits.
+    ranked = F.sort_array(
+        F.array(*[F.struct((-c["hits"]).alias("neg"), c["code"].alias("code"), c["hits"].alias("hits")) for c in hit_cols])
+    )
+    best = ranked.getItem(0)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"]).alias("detected_lang"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SHA-256 content fingerprint (exact-dup key, north-star N1)."""
+    return df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("fingerprint"))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, keep: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    every k-token shingle, keep the `keep` smallest hashes as the doc's
+    fingerprint set.  Robust to local edits (unlike sha2 of the whole doc).
+
+    JVM-side: shingles via transform over an index sequence; hash =
+    xxhash64 of the shingle string; min-k via sort+slice.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shingles = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    fp = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    return df.select(F.col(id_col), fp.alias("fingerprint_set"))

@@ -389,3 +389,214 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         F.get_json_object("props", "$.k").cast("int").alias("k")
     ).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# North-star N1/N2/N4 — dedup, similarity search, text analysis
+# (SURVEY §2.12; LLM training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+from .operators import dedup as _dedup  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import text as _text  # noqa: E402
+
+_STOP_EN_SQL = "('the','a','of','and','to','in','is','that')"
+
+
+@query(
+    "n4_token_stats",
+    f"""WITH t AS (SELECT doc_id, length(text) AS n_chars_measured,
+                          string_split(text, ' ') AS sp FROM documents)
+       SELECT doc_id,
+              len(sp) AS n_tokens,
+              len(list_distinct(sp)) AS n_uniq_tokens,
+              n_chars_measured,
+              CAST(CAST(list_sum(list_transform(sp, t -> length(t))) AS DOUBLE)
+                   / CAST(len(sp) AS DOUBLE) AS DECIMAL(38,6)) AS avg_token_len,
+              CAST(CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE)
+                   / CAST(len(sp) AS DOUBLE) AS DECIMAL(38,6)) AS stopword_ratio
+       FROM t""",
+)
+def n4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: per-document token statistics (counts, uniqueness, mean token
+    length, stopword ratio) — all JVM-side higher-order array functions."""
+    return _text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n4_quality_score",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       x AS (SELECT doc_id,
+                    CAST(len(sp) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(sp)) AS DOUBLE) AS nu,
+                    CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE) AS ns
+             FROM t)
+       SELECT doc_id,
+              CAST((least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                    + least(ns/n*5.0, 1.0)*2.0)/10.0 AS DECIMAL(38,6)) AS quality
+       FROM x""",
+)
+def n4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: composite quality score (length/diversity/stopword terms)."""
+    return _text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n4_lang_id",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       h AS (SELECT doc_id,
+               len(list_filter(sp, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+               len(list_filter(sp, t -> t IN ('the','a','of','and','to','in','is','that'))) AS en,
+               len(list_filter(sp, t -> t IN ('el','la','los','y','es','un','una','en'))) AS es,
+               len(list_filter(sp, t -> t IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+               len(list_filter(sp, t -> t IN ('的','是','了','在','和','有','我','不'))) AS zh
+             FROM t)
+       SELECT doc_id,
+              CASE WHEN greatest(de,en,es,fr,zh) <= 0 THEN 'und'
+                   WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+                   WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                   WHEN es >= fr AND es >= zh THEN 'es'
+                   WHEN fr >= zh THEN 'fr'
+                   ELSE 'zh' END AS detected_lang,
+              greatest(de,en,es,fr,zh) AS lang_hits
+       FROM h""",
+)
+def n4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: heuristic language ID (function-word hit argmax, deterministic
+    tiebreak by language code)."""
+    return _text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n4_fingerprint",
+    "SELECT doc_id, sha256(text) AS fingerprint FROM documents",
+)
+def n4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N4: SHA-256 content fingerprint per document."""
+    return _text.content_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n1_dedup_exact_documents",
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+       FROM documents GROUP BY sha256(text)""",
+)
+def n1_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: exact dedup by content hash — keep smallest id per group."""
+    return _dedup.exact_dedup(load_table(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "n2_jaccard_neardup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(0, len(sp)-2),
+                            i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]))) AS shingle
+              FROM toks WHERE len(sp) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b,
+                CAST(CAST(inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS DECIMAL(28,7)) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b) t
+       WHERE jaccard >= 0.2""",
+)
+def n2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: n-gram-Jaccard near-duplicate pairs (3-token shingles,
+    threshold 0.2) — explode-join-aggregate, no cross product."""
+    return _dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+_UNIT_SQL = """
+  u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+  nrm AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+          FROM u)
+"""
+
+
+@query(
+    "n2_cosine_neardup",
+    f"""WITH {_UNIT_SQL}
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b, cosine FROM (
+         SELECT a.vec_id, b.vec_id,
+                CAST(list_reduce(list_transform(list_zip(a.uv, b.uv),
+                         p -> p[1] * p[2]), (x, y) -> x + y)
+                     AS DECIMAL(28,9)) AS cosine
+         FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t(vec_id_a, vec_id_b, cosine)
+       JOIN nrm a ON a.vec_id = t.vec_id_a JOIN nrm b ON b.vec_id = t.vec_id_b
+       WHERE cosine >= 0.4""",
+)
+def n2_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: embedding-cosine near-dup pairs (threshold 0.4)."""
+    return _sim.cosine_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""WITH {_UNIT_SQL},
+       q AS (SELECT vec_id AS query_id, uv AS qv FROM nrm WHERE vec_id < 5),
+       s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qv, c.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       SELECT query_id, nbr_id, rank, CAST(cos AS DECIMAL(28,9)) AS cosine FROM (
+         SELECT query_id, nbr_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr_id) AS rank
+         FROM s) r
+       WHERE rank <= 10""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: brute-force cosine top-10 for 5 query vectors — the exactness
+    baseline for ANN (query side broadcast; corpus scanned once)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.cosine_topk(emb, queries_df, k=10, query_id_col="query_id")
+
+
+# --- rows-only (no SQL-expressible oracle; driver records weaker check) ---
+
+@query("n2_minhash_neardup")
+def n2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path: MinHash(32) -> LSH(8 bands x 4) candidates ->
+    exact-Jaccard rerank.  Probabilistic recall; verified against full
+    Jaccard in tests, so no SQL oracle."""
+    return _dedup.minhash_neardup(load_table(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+@query("n2_simhash_neardup")
+def n2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: SimHash-64 near-dup pairs (hamming <= 3) via 16-bit band
+    pigeonhole join."""
+    return _dedup.simhash_neardup(load_table(spark, sf_dir, "documents"))
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path: random-hyperplane LSH bucketed cosine top-k with
+    1-bit multiprobe (recall measured against ann_cosine_topk in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.lsh_cosine_topk(
+        emb, queries_df, dim=64, k=10, n_planes=4, multiprobe_bits=2, query_id_col="query_id"
+    )
+
+
+@query("n4_rolling_fingerprint")
+def n4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: winnowing-style rolling-hash fingerprint set per document
+    (xxhash64 shingle mins — xxhash64 has no DuckDB equivalent, so
+    rows-only)."""
+    return _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,113 @@
+"""North-star operator tests (N1/N2/N4): recall of probabilistic paths
+against their exact baselines, plus shape/determinism checks that the
+DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.operators import dedup, similarity, text
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, min_jaccard=0.2).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_neardup(docs, min_jaccard=0.2).collect()
+    }
+    # no false positives (candidates are reranked by exact jaccard)
+    assert approx <= exact
+    # recall: 32 hashes / 8 bands x 4 rows catches >= 80% at j >= 0.2
+    if exact:
+        assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    ann = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.lsh_cosine_topk(emb, q, dim=64, k=10, n_planes=4, multiprobe_bits=2).collect()
+    }
+    # 4 planes + 2-bit multiprobe: ~0.72 recall on these uniform vectors
+    # (uniform random embeddings are the LSH worst case; clustered real
+    # embeddings do far better)
+    assert len(ann & brute) / len(brute) >= 0.6, len(ann & brute) / len(brute)
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.id: r.simhash for r in dedup.simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = dedup.simhash_neardup(df, max_hamming=3).collect()
+    assert any(p.id_a == 1 and p.id_b == 2 and p.hamming == 0 for p in pairs)
+
+
+def test_exact_dedup_collapses_duplicates(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (11, "same text"), (12, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_dups for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {10: 2, 12: 1}
+
+
+def test_rolling_fingerprint_robust_to_suffix_edit(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprint_set) for r in text.rolling_hash_fingerprint(df).collect()}
+    # near-identical docs share most of their min-hash fingerprints
+    overlap_near = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    overlap_far = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
+    assert overlap_near >= 0.5
+    assert overlap_far == 0.0
+
+
+def test_tokens_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a  b\t c\nd"), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.toks for r in df.select("doc_id", text.tokens("text").alias("toks")).collect()}
+    assert out[1] == []
+    assert out[2] == []
+    assert out[3] == ["a", "b", "c", "d"]
+    assert out[4] is None
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2 = 42")], "doc_id long, text string")
+    toks = df.select(text.bpe_ish_tokens("text").alias("t")).first().t
+    assert toks == ["Hello", ",", "world", "!", "x", "2", "=", "4", "2"]
+
+
+def test_lang_id_on_real_language_samples(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked at that dog"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et le chien est dans la maison"),
+            (4, "el perro y el gato es un animal"),
+            (5, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.detected_lang for r in text.lang_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
