@@ -124,7 +124,7 @@ def pivot_from_staging(staging: DataFrame, schema: T.StructType, drop_errors: bo
     )
     out_cols = []
     for f in schema.fields:
-        raw = cells["m"].getItem(f.name)
+        raw = cells["m"][f.name]
         out_cols.append(deserialize_cell(raw, f.dataType).alias(f.name))
     return cells.select(*out_cols)
 

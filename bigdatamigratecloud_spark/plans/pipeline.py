@@ -1,0 +1,162 @@
+"""Migration pipeline orchestration — the reference's import lifecycle
+(ImportPackageXMLDocument, Codeunit 60000:419-530) as a Spark job graph:
+
+    package file -> staging (per table) -> validate -> [quarantine]
+       -> pivot -> FK handling (create-missing-codes / violation report)
+       -> apply (write parquet), tables in dependency order,
+       independent tables in parallel driver threads with a barrier
+       before the next dependency rank (WaitForAllToFinish, XML:521-522).
+
+The reference's background-session fan-out (XML:482-493) maps to Spark's
+own executor parallelism *within* a table plus driver-thread concurrency
+*across* independent tables (Spark's scheduler interleaves their stages).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog import FOREIGN_KEYS, PRIMARY_KEYS
+from ..operators.staging import pivot_from_staging
+from ..operators.upsert import apply_to_target, create_missing_codes, fk_violations
+from ..operators.validation import split_quarantine, validate_staging
+from .spec import PackageSpec
+from .toposort import toposort_tables
+
+
+@dataclass
+class TableResult:
+    table_name: str
+    rows_applied: int
+    rows_quarantined: int
+    fk_violations: int
+    target_path: str
+
+
+@dataclass
+class MigrationReport:
+    package_code: str
+    order: list[list[str]] = field(default_factory=list)  # dependency ranks
+    tables: dict[str, TableResult] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)  # table -> error record (XML:543-547)
+
+
+def dependency_ranks(tables: list[str], priority: dict[str, int] | None = None) -> list[list[str]]:
+    """Kahn ranks over the catalog FK graph: tables in the same rank have
+    no dependency between them and can run concurrently; a barrier sits
+    between ranks (X2)."""
+    edges = []
+    tset = set(tables)
+    for child, fks in FOREIGN_KEYS.items():
+        if child not in tset:
+            continue
+        for _, parent, _ in fks:
+            if parent in tset:
+                edges.append((parent, child))
+    ordered = toposort_tables(tables, edges, priority)
+    # assign ranks: a table's rank = 1 + max(rank of parents in set)
+    rank: dict[str, int] = {}
+    for t in ordered:
+        parents = [p for (p, c) in edges if c == t]
+        rank[t] = 1 + max((rank[p] for p in parents), default=-1)
+    out: list[list[str]] = []
+    for t in ordered:
+        while len(out) <= rank[t]:
+            out.append([])
+        out[rank[t]].append(t)
+    return out
+
+
+def apply_staged_table(
+    spark: SparkSession,
+    staging: DataFrame,
+    schema: T.StructType,
+    table_name: str,
+    target_dir: str,
+    spec: PackageSpec | None = None,
+    parents: dict[str, DataFrame] | None = None,
+    skip_validation: bool = False,
+) -> TableResult:
+    """Validate -> quarantine split -> pivot -> FK pass -> write.
+    Mirrors ApplyConfigTables (XML:527) + validation (XML:774-785)."""
+    ts = None
+    if spec is not None:
+        try:
+            ts = spec.table(table_name)
+        except KeyError:
+            ts = None
+    if skip_validation or (ts is not None and ts.skip_validation):  # X6, XML:83-87
+        valid, quar = staging, staging.limit(0)
+    else:
+        validated = validate_staging(staging, schema, max_len=None)
+        valid, quar = split_quarantine(validated)
+    wide = pivot_from_staging(valid, schema)
+
+    n_viol = 0
+    parents = parents or {}
+    for child_col, parent_table, parent_col in FOREIGN_KEYS.get(table_name, []):
+        if parent_table not in parents:
+            continue
+        cmc = False
+        if ts is not None:
+            cmc = any(f.field_name == child_col and f.create_missing_codes for f in ts.fields)
+        if cmc:
+            # J5 action: upsert missing parents (XML:112-113, 690-692)
+            parents[parent_table] = create_missing_codes(
+                parents[parent_table], parent_col, wide, child_col
+            )
+        else:
+            n_viol += fk_violations(wide, child_col, parents[parent_table], parent_col).count()
+
+    path = os.path.join(target_dir, table_name)
+    mode = "overwrite"  # X5: Delete Recs Before Processing parity
+    pk = list(PRIMARY_KEYS.get(table_name, ())) or None
+    apply_to_target(wide, path, mode=mode, pk_cols=pk)
+    n_quar = quar.count()
+    n_rows = spark.read.parquet(path).count()
+    return TableResult(table_name, n_rows, n_quar, n_viol, path)
+
+
+def run_import(
+    spark: SparkSession,
+    package_path: str,
+    target_dir: str,
+    schemas: dict[str, T.StructType],
+    spec: PackageSpec | None = None,
+    expected_package_code: str | None = None,
+    max_workers: int = 4,
+) -> MigrationReport:
+    """Full §3.1: package -> staging -> per-rank parallel apply with
+    barriers.  Unknown tables become error records, not exceptions
+    (TableObjectExists guard, XML:543-547, 1095-1100)."""
+    from ..sources.xml_package import import_package_to_staging
+
+    header, staged = import_package_to_staging(spark, package_path, expected_package_code)
+    report = MigrationReport(package_code=header.package_code)
+
+    known = {t: s for t, s in staged.items() if t in schemas}
+    for t in staged:
+        if t not in schemas:
+            report.errors[t] = f"table {t!r} does not exist in the target catalog"
+
+    ranks = dependency_ranks(list(known))
+    report.order = ranks
+    applied: dict[str, DataFrame] = {}
+    for rank_tables in ranks:
+        def run_one(t: str) -> TableResult:
+            return apply_staged_table(
+                spark, known[t], schemas[t], t, target_dir, spec, parents=applied
+            )
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:  # X1 fan-out
+            results = list(ex.map(run_one, rank_tables))
+        # barrier (X2): rank fully applied before children start
+        for r in results:
+            report.tables[r.table_name] = r
+            applied[r.table_name] = spark.read.parquet(r.target_path)
+    return report

@@ -600,3 +600,43 @@ def n4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xxhash64 shingle mins — xxhash64 has no DuckDB equivalent, so
     rows-only)."""
     return _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§3 — the migration-package spine as an oracle-checked query:
+# export customer to a gzipped XML package, import it back through
+# staging -> validate -> pivot; result must equal the source table.
+# ---------------------------------------------------------------------------
+
+@query("s3_s2_package_roundtrip", "SELECT * FROM customer")
+def s3_s2_package_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 export -> S2 import -> A4 staging -> F11 validate -> A5 pivot
+    (the reference's §3.1/§3.2 lifecycle, Codeunit 60000:267-302/419-530).
+    Row serialization and parsing are distributed; only the gzip stream
+    touches the driver."""
+    import tempfile
+
+    from .operators.staging import pivot_from_staging
+    from .operators.validation import split_quarantine, validate_staging
+    from .plans.spec import FieldSpec, PackageSpec, TableSpec
+    from .sources.xml_package import export_package_xml, import_package_to_staging
+
+    cust = load_table(spark, sf_dir, "customer")
+    spec = PackageSpec(
+        package_code="RT",
+        tables=[
+            TableSpec(
+                table_name="customer",
+                fields=[
+                    FieldSpec(field_name=c, primary_key=(c == "c_custkey"), processing_order=j)
+                    for j, c in enumerate(cust.columns)
+                ],
+            )
+        ],
+    )
+    path = tempfile.mktemp(suffix=".rapidstart", prefix="bdmc_rt_")
+    export_package_xml(spark, spec, sf_dir, path)
+    _, staged = import_package_to_staging(spark, path, expected_package_code="RT")
+    validated = validate_staging(staged["customer"], cust.schema)
+    valid, _quar = split_quarantine(validated)
+    return pivot_from_staging(valid, cust.schema)
