@@ -51,7 +51,7 @@ def validate_staging(staging: DataFrame, schema: T.StructType, max_len: int | No
         F.array(*[F.lit(f.name) for f in schema.fields]),
         F.array(*[F.lit(f.dataType.simpleString()) for f in schema.fields]),
     )
-    df = staging.withColumn("__dt", type_map.getItem(F.col("field_name")))
+    df = staging.withColumn("__dt", type_map[F.col("field_name")])
 
     err = F.lit(None).cast("string")
     # chain per-type checks: a field's declared type picks its branch

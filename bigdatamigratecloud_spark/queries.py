@@ -640,3 +640,32 @@ def s3_s2_package_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated = validate_staging(staged["customer"], cust.schema)
     valid, _quar = split_quarantine(validated)
     return pivot_from_staging(valid, cust.schema)
+
+
+@query("s5_s6_excel_roundtrip", "SELECT * FROM nation")
+def s5_s6_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 Excel export -> S6 import -> shared staging/validate/pivot path
+    (the reference's §3.3 bridge: workbook normalizes into the same ingest
+    pipeline as XML, Codeunit 60001:359-363)."""
+    import tempfile
+
+    from .operators.staging import pivot_from_staging
+    from .operators.validation import split_quarantine, validate_staging
+    from .plans.spec import FieldSpec, PackageSpec, TableSpec
+    from .sources.excel_package import export_package_excel, import_package_excel
+
+    nat = load_table(spark, sf_dir, "nation")
+    spec = PackageSpec(
+        package_code="XLRT",
+        tables=[
+            TableSpec(
+                table_name="nation",
+                fields=[FieldSpec(field_name=c, processing_order=j) for j, c in enumerate(nat.columns)],
+            )
+        ],
+    )
+    path = tempfile.mktemp(suffix=".xlsx", prefix="bdmc_xl_")
+    export_package_excel(spark, spec, sf_dir, path)
+    _, staged = import_package_excel(spark, path, expected_package_code="XLRT")
+    valid, _ = split_quarantine(validate_staging(staged["nation"], nat.schema))
+    return pivot_from_staging(valid, nat.schema)

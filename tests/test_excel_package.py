@@ -1,0 +1,119 @@
+"""Excel bridge tests: xlsx codec roundtrip, worksheet layout parity,
+preview manifest, one-ingest-path staging equality with the XML path, and
+the reference's Excel error paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+from bigdatamigratecloud_spark.operators.validation import split_quarantine, validate_staging
+from bigdatamigratecloud_spark.plans.spec import FieldSpec, PackageSpec, TableSpec
+from bigdatamigratecloud_spark.sources.excel_package import (
+    export_package_excel,
+    import_package_excel,
+    preview_workbook,
+)
+from bigdatamigratecloud_spark.sources.xlsx import Sheet, read_xlsx, write_xlsx
+
+
+def test_xlsx_codec_roundtrip(tmp_path):
+    s = Sheet(name="t1")
+    s.set_row(1, ["PKG", None, "customer"])
+    s.set_row(3, ["a", "b"])
+    s.set_row(4, ["x & <y>", 42])
+    s.set_row(5, [3.5, True])
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, [s])
+    back = read_xlsx(path)
+    assert len(back) == 1 and back[0].name == "t1"
+    assert back[0].cells[(1, 1)] == "PKG"
+    assert back[0].cells[(1, 3)] == "customer"
+    assert back[0].cells[(4, 1)] == "x & <y>"
+    assert back[0].cells[(4, 2)] == 42
+    assert back[0].cells[(5, 1)] == 3.5
+    assert back[0].cells[(5, 2)] is True
+
+
+def _spec(spark, sf_dir, tables):
+    out = []
+    for i, t in enumerate(tables):
+        df = load_table(spark, sf_dir, t)
+        out.append(
+            TableSpec(
+                table_name=t,
+                processing_order=i,
+                fields=[FieldSpec(field_name=c, processing_order=j) for j, c in enumerate(df.columns)],
+            )
+        )
+    return PackageSpec(package_code="XL1", tables=out)
+
+
+@pytest.fixture(scope="module")
+def wb_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xl") / "pkg.xlsx")
+    export_package_excel(spark, _spec(spark, sf_dir, ["region", "nation"]), sf_dir, path)
+    return path
+
+
+def test_preview_manifest(wb_path):
+    pv = preview_workbook(wb_path)
+    assert [(p["sheet"], p["package_code"], p["table_name"]) for p in pv] == [
+        ("region", "XL1", "region"),
+        ("nation", "XL1", "nation"),
+    ]
+    assert pv[0]["n_rows"] == 5
+    assert pv[1]["n_rows"] == 25
+
+
+def test_excel_roundtrip_fixed_point(spark, sf_dir, wb_path):
+    _spec_out, staged = import_package_excel(spark, wb_path, expected_package_code="XL1")
+    for t in ["region", "nation"]:
+        src = load_table(spark, sf_dir, t)
+        validated = validate_staging(staged[t], src.schema)
+        valid, quar = split_quarantine(validated)
+        assert quar.count() == 0
+        back = pivot_from_staging(valid, src.schema)
+        assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_sheet_selection_filter(spark, wb_path):
+    # P7: import only confirmed sheets (Codeunit 60001:251-256)
+    _s, staged = import_package_excel(spark, wb_path, selected_tables={"nation"})
+    assert set(staged) == {"nation"}
+
+
+def test_code_mismatch_and_missing_header(spark, tmp_path, wb_path):
+    with pytest.raises(ValueError, match="package code mismatch"):
+        import_package_excel(spark, wb_path, expected_package_code="OTHER")
+    # missing A1/C1 -> hard error (Codeunit 60000:648-657)
+    bad = Sheet(name="bad")
+    bad.set_row(3, ["a"])
+    bad.set_row(4, ["1"])
+    path = str(tmp_path / "bad.xlsx")
+    write_xlsx(path, [bad])
+    with pytest.raises(ValueError, match="missing Package Code"):
+        import_package_excel(spark, path)
+
+
+def test_blob_as_utf8_text_delta(spark, tmp_path):
+    # the reference's custom delta: BLOB cells travel as UTF-8 text
+    # (Codeunit 60000:855-858, 1280-1291), not Base64
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello blob")), (2, bytearray("unicode éß".encode()))],
+        "id long, payload binary",
+    )
+    df.createOrReplaceTempView("blobtab")
+    from bigdatamigratecloud_spark.sources.excel_package import excel_cell
+
+    rendered = df.select(excel_cell(F.col("payload"), df.schema["payload"].dataType).alias("v")).collect()
+    assert [r.v for r in rendered] == ["hello blob", "unicode éß"]
+    # and back: encode on apply (S11 Excel mode)
+    back = (
+        df.select("id", excel_cell(F.col("payload"), df.schema["payload"].dataType).alias("v"))
+        .select("id", F.encode("v", "UTF-8").alias("payload"))
+    )
+    assert back.exceptAll(df).count() == 0
