@@ -22,6 +22,14 @@ def get_spark(app_name: str = "bigdatamigratecloud_spark", cpus: int | None = No
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Python workers (foreachPartition/mapInPandas closures) must be able
+    # to import this package even when the driver launched from elsewhere:
+    # propagate the repo root via PYTHONPATH (local mode inherits the
+    # driver env; a real cluster would ship a wheel via --py-files).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if repo_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{prev}" if prev else repo_root
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

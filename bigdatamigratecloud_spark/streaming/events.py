@@ -1,0 +1,151 @@
+"""Structured Streaming ingest over the `events` stream (SURVEY §2.9 —
+explicitly BEYOND the reference, which has no streaming; its only
+incremental notions are import/export timestamps, Codeunit 60000:364,
+641-642, 787-788).
+
+Exposes:
+- `stream_events`: file-source stream with the events schema (new parquet
+  files appearing under a directory are the micro-batches — how a 100 TB
+  pipeline tails an object-store landing zone);
+- `hourly_rollup_stream`: watermarked tumbling-window counts/sums — the
+  streaming twin of the batch `events_hourly_rollup` query, so batch and
+  stream share semantics.  Append mode emits each window exactly once,
+  when the watermark passes its end; observed Spark 4.1 behavior in
+  availableNow runs is that a within-run late row may still aggregate
+  into its own (immediately-finalized) window rather than being silently
+  dropped — rely on the exactly-once-per-window contract, not on drops;
+- `sessionize`: custom stateful operator via applyInPandasWithState —
+  per-user session windows (gap-based), the kind of operator the built-in
+  window functions can't express.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Tail a landing directory of parquet event files as a stream (files
+    are micro-batched in modification-time order)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with a watermark: the
+    streaming analogue of the batch events_hourly_rollup oracle query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+
+SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Gap-based sessionizer: state carries (start, last, count) as epoch
+    microseconds; a timeout or a gap larger than `gap` closes the session."""
+    import pandas as pd
+
+    gap_us = 30 * 60 * 1_000_000  # 30 min
+    (user_id,) = key
+    out = []
+    if state.hasTimedOut:
+        if state.exists:
+            start, last, n = state.get
+            out.append((user_id, start, last, n))
+            state.remove()
+    else:
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_list[0], ts_list[0], 0
+        for t in ts_list:
+            if t - last > gap_us:
+                out.append((user_id, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(60 * 60 * 1000)  # 1h processing-time timeout
+    return iter(
+        [
+            pd.DataFrame(
+                [
+                    (
+                        u,
+                        dt.datetime.fromtimestamp(s / 1e6, dt.timezone.utc).replace(tzinfo=None),
+                        dt.datetime.fromtimestamp(e / 1e6, dt.timezone.utc).replace(tzinfo=None),
+                        n,
+                    )
+                    for (u, s, e, n) in out
+                ],
+                columns=["user_id", "session_start", "session_end", "n_events"],
+            )
+        ]
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user gap-based sessions via applyInPandasWithState (custom
+    stateful operator; emits CLOSED sessions only)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, await_seconds: float = 60.0
+) -> None:
+    """Drive a stream with the availableNow trigger into a memory sink and
+    wait for completion — the test/bench harness entry."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if query_name.endswith("_rollup") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(await_seconds)
+    if q.isActive:
+        q.stop()

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source micro-batches of the events
+table, watermarked rollup equal to the batch oracle query, late-data drop,
+and the stateful sessionizer."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.streaming import events as sev
+
+
+@pytest.fixture()
+def landing(spark, sf_dir, tmp_path):
+    """Split events into several parquet files so the file stream sees
+    multiple micro-batches."""
+    d = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.repartition(8).write.mode("overwrite").parquet(d)
+    # drop _SUCCESS etc noise is fine; stream reads *.parquet via schema
+    return d
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, landing):
+    stream = sev.stream_events(spark, landing)
+    assert stream.isStreaming
+    rollup = sev.hourly_rollup_stream(stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("rollup_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT hour, event_type, n_events, sum_value FROM rollup_t"
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+        )
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_watermark_append_finalizes_exactly_once(spark, tmp_path):
+    """Append-mode watermark contract that holds across Spark versions:
+    each finalized window is emitted EXACTLY once (no duplicates, no
+    re-emission when later batches arrive)."""
+    import time
+
+    d = str(tmp_path / "late")
+    os.makedirs(d)
+    schema = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")], schema,
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.1)  # distinct mtimes: the file source orders by mod time
+    spark.createDataFrame(
+        [(4, "2024-01-01 13:30:00", 1, "click", 1.0, "{}"),
+         (5, "2024-01-01 16:00:00", 1, "click", 1.0, "{}")], schema,
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("append").parquet(d)
+
+    stream = sev.stream_events(spark, d, max_files_per_trigger=1).coalesce(1)
+    rollup = sev.hourly_rollup_stream(stream, watermark="2 hours")
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")  # emits each window once, when finalized
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_t").collect()
+    emitted = [(r.hour.hour, r.n_events) for r in rows]
+    # final watermark = 16:00 - 2h = 14:00 -> hours 10, 12, 13 finalized;
+    # 16:00 window (ends 17:00 > wm) stays open and is NOT emitted
+    assert sorted(emitted) == [(10, 1), (12, 1), (13, 1)]
+    # exactly once: no window appears twice
+    assert len({h for h, _ in emitted}) == len(emitted)
+
+
+def test_sessionize_gap_splits(spark, tmp_path):
+    d = str(tmp_path / "sess")
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session A (2)
+        (1, "2024-01-01 11:30:00"), (1, "2024-01-01 11:40:00"), (1, "2024-01-01 11:50:00"),  # B (3)
+        (2, "2024-01-01 09:00:00"),  # C (1)
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u) for i, (u, ts) in enumerate(rows)], "event_id long, ts string, user_id long"
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+        F.lit("click").alias("event_type"), F.lit(1.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = sev.stream_events(spark, d)
+    sessions = sev.sessionize(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_t").collect()
+    # availableNow ends before the processing-time timeout fires, so only
+    # sessions CLOSED by a gap within the data are emitted: user 1's first
+    # session (closed by the 80-min gap)
+    closed = {(r.user_id, r.n_events) for r in got}
+    assert (1, 2) in closed
