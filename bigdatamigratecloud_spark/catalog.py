@@ -67,8 +67,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(table_path(sf_dir, name))
+def _scan_parallelism_deficit(path: str) -> bool:
+    """True when the parquet layout cannot parallelize: a SINGLE file with
+    very few row groups (Spark's split unit).  Cheap driver-side footer
+    check, cached per path.  At real scale data arrives as many files /
+    many row groups and this never fires — it exists because a 10 MB
+    single-row-group file would otherwise pin a whole query to one task."""
+    if path in _PARALLELISM_CACHE:
+        return _PARALLELISM_CACHE[path]
+    deficit = False
+    try:
+        if os.path.isfile(path) and 5_000_000 < os.path.getsize(path) < 512_000_000:
+            import pyarrow.parquet as pq
+
+            deficit = pq.ParquetFile(path).metadata.num_row_groups < 4
+    except Exception:
+        deficit = False
+    _PARALLELISM_CACHE[path] = deficit
+    return deficit
+
+
+_PARALLELISM_CACHE: dict[str, bool] = {}
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize_small: bool = True
+) -> DataFrame:
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.
     # Convert to a microsecond timestamp (floor), matching how DuckDB
@@ -76,7 +102,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for f in df.schema.fields:
         if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    # re-order to original column order (withColumn keeps order; no-op)
+    if parallelize_small and _scan_parallelism_deficit(path):
+        # one mid-size file, ~one row group: pay one small shuffle to
+        # unlock N-way aggregation/join parallelism (filters still push
+        # through the repartition to the scan).  Never fires on real
+        # multi-file/multi-row-group datasets.
+        df = df.repartition(min(8, int(spark.sparkContext.defaultParallelism)))
     return df
 
 

@@ -669,3 +669,99 @@ def s5_s6_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, staged = import_package_excel(spark, path, expected_package_code="XLRT")
     valid, _ = split_quarantine(validate_staging(staged["nation"], nat.schema))
     return pivot_from_staging(valid, nat.schema)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — dimension-set lookup with default-dimension fallback
+# (GetDimValueFromTable, Codeunit 60000:894-922).  Synthetic dim tables are
+# derived deterministically from orders so the oracle can rebuild them.
+# ---------------------------------------------------------------------------
+
+@query(
+    "j2_dim_fallback",
+    """WITH fact AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                     ELSE o_orderkey % 97 END AS dim_set_id
+         FROM orders WHERE o_orderkey <= 5000),
+       dse AS (
+         SELECT DISTINCT dim_set_id, 'DEPT' AS dim_code,
+                'D' || CAST(dim_set_id % 5 AS VARCHAR) AS dim_value_code
+         FROM fact WHERE dim_set_id IS NOT NULL),
+       dd AS (
+         SELECT DISTINCT 'orders' AS table_name, o_custkey AS master_no,
+                'DEPT' AS dim_code,
+                'DFLT' || CAST(o_custkey % 3 AS VARCHAR) AS dim_value_code
+         FROM fact)
+       SELECT f.o_orderkey,
+              coalesce(s.dim_value_code, d.dim_value_code) AS dept
+       FROM fact f
+       LEFT JOIN dse s ON s.dim_set_id = f.dim_set_id
+       LEFT JOIN dd d ON d.master_no = f.o_custkey""",
+)
+def j2_dim_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: dimension value resolved from the dim-set entry, falling
+    back to the (table, master no.) default dimension when the record has
+    no set — broadcast joins on both lookup tables."""
+    from .operators.dimensions import dim_value_with_fallback
+
+    fact = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 5000)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 97)
+            .alias("dim_set_id"),
+        )
+    )
+    dse = (
+        fact.filter(F.col("dim_set_id").isNotNull())
+        .select(
+            "dim_set_id",
+            F.lit("DEPT").alias("dim_code"),
+            F.concat(F.lit("D"), (F.col("dim_set_id") % 5).cast("string")).alias("dim_value_code"),
+        )
+        .dropDuplicates()
+    )
+    dd = fact.select(
+        F.lit("orders").alias("table_name"),
+        F.col("o_custkey").alias("master_no"),
+        F.lit("DEPT").alias("dim_code"),
+        F.concat(F.lit("DFLT"), (F.col("o_custkey") % 3).cast("string")).alias("dim_value_code"),
+    ).dropDuplicates()
+    out = dim_value_with_fallback(
+        fact, dse, dd, "DEPT", "orders", master_no_col="o_custkey", out_col="dept"
+    )
+    return out.select("o_orderkey", "dept")
+
+
+@query(
+    "f_option_duality",
+    """SELECT o_orderkey,
+              CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                   WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+                   WHEN '5-LOW' THEN 4 END AS priority_idx,
+              CAST(CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+                   WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3
+                   WHEN '5-LOW' THEN 4 END AS VARCHAR) AS xml_render,
+              o_orderpriority AS excel_render
+       FROM orders WHERE o_orderkey <= 2000""",
+)
+def f_option_duality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 Option duality: label -> index (storage), index rendered as
+    the INDEX in XML mode (Codeunit 60000:837-838) and as the display
+    TEXT in Excel mode (XML:848-849); both roundtrip."""
+    from .functions.enums import ORDER_PRIORITY as P
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    idx = P.to_index("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        idx.alias("priority_idx"),
+        P.render(idx, "xml").alias("xml_render"),
+        P.render(idx, "excel").alias("excel_render"),
+    )

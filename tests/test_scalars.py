@@ -1,0 +1,103 @@
+"""Unit tests for the scalar function library (SURVEY §5 item 3): name
+sanitization rule table, A1-ref math, sheet-name clamp, DateFormula
+evaluation, XSD mapping, toposort."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from bigdatamigratecloud_spark.functions import scalars as S
+from bigdatamigratecloud_spark.plans.toposort import toposort_tables
+
+
+# GetElementName rule table (Codeunit 60000:925-939)
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Customer", "Customer"),
+        ("No.", "No"),                      # '.' -> space -> stripped
+        ("Bill-to Name", "Bill_toName"),     # '-' -> '_', spaces deleted last
+        ("Amount (LCY)", "AmountLCY"),       # parens -> space -> deleted
+        ("2nd Field", "_2ndField"),          # bad start char -> '_' prefix
+        ("What?", "What"),                   # '?' deleted
+        ("a<b>c", "abc"),
+        ("100%", "_100"),
+        ("", "_"),
+    ],
+)
+def test_sanitize_xml_name(raw, expected):
+    assert S.sanitize_xml_name(raw) == expected
+
+
+def test_a1_math_roundtrip():
+    # Codeunit 60001:720-737
+    for i in [1, 2, 26, 27, 28, 52, 53, 702, 703, 16384]:
+        assert S.a1_col_index(S.a1_col_letters(i)) == i
+    assert S.a1_col_letters(1) == "A"
+    assert S.a1_col_letters(27) == "AA"
+    assert S.parse_a1("B7") == (7, 2)
+    assert S.parse_a1_range("A3:E6") == ((3, 1), (6, 5))
+    assert S.parse_a1_range("C2") == ((2, 3), (2, 3))
+    with pytest.raises(ValueError):
+        S.a1_col_index("A1")
+    with pytest.raises(ValueError):
+        S.parse_a1("7B")
+
+
+def test_sheet_name_clamp():
+    # Codeunit 60001:758-767: 31-char cap, invalid chars stripped
+    assert S.clamp_sheet_name("Short") == "Short"
+    assert S.clamp_sheet_name("Inva[l]id:Na*me?/\\") == "InvalidName"
+    long = "A Very Long Configuration Table Name Indeed"
+    out = S.clamp_sheet_name(long, table_id=27)
+    assert len(out) <= 31 and out.startswith("27 ")
+
+
+@pytest.mark.parametrize(
+    "formula,base,expected",
+    [
+        ("<1M>", dt.date(2024, 1, 15), dt.date(2024, 2, 15)),
+        ("<-1W>", dt.date(2024, 1, 15), dt.date(2024, 1, 8)),
+        ("<CM>", dt.date(2024, 2, 10), dt.date(2024, 2, 29)),   # leap month end
+        ("<1M+CM>", dt.date(2024, 1, 15), dt.date(2024, 2, 29)),
+        ("<2D>", dt.date(2024, 12, 30), dt.date(2025, 1, 1)),
+        ("<1Y>", dt.date(2024, 2, 29), dt.date(2025, 2, 28)),   # leap clamp
+        ("<CQ>", dt.date(2024, 5, 5), dt.date(2024, 6, 30)),
+        ("<CY>", dt.date(2024, 5, 5), dt.date(2024, 12, 31)),
+        ("<3M>", dt.date(2024, 1, 31), dt.date(2024, 4, 30)),   # month-end clamp
+        ("", dt.date(2024, 1, 1), dt.date(2024, 1, 1)),
+    ],
+)
+def test_dateformula(formula, base, expected):
+    assert S.eval_dateformula(formula, base) == expected
+
+
+def test_dateformula_bad_input():
+    with pytest.raises(ValueError):
+        S.eval_dateformula("<1X>", dt.date(2024, 1, 1))
+
+
+def test_xsd_mapping():
+    # GetXSDType (Codeunit 60000:1030-1051)
+    assert S.xsd_type("bigint") == "xsd:integer"
+    assert S.xsd_type("timestamp") == "xsd:dateTime"
+    assert S.xsd_type("boolean") == "xsd:boolean"
+    assert S.xsd_type("string") == "xsd:string"
+    assert S.xsd_type("decimal(38,6)") == "xsd:string"
+
+
+def test_toposort_cycle_detection():
+    with pytest.raises(ValueError, match="cycle"):
+        toposort_tables(["a", "b"], [("a", "b"), ("b", "a")])
+
+
+def test_toposort_priority_tiebreak():
+    out = toposort_tables(["z", "a", "m"], [], priority={"z": 0, "a": 1, "m": 2})
+    assert out == ["z", "a", "m"]
+
+
+def test_filename_stamp_shape():
+    s = S.filename_stamp(dt.datetime(2024, 3, 5, 7, 9, 11))
+    assert s == "05_03_24_07_09_11"
