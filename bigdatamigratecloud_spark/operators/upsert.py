@@ -48,6 +48,42 @@ def fk_violations(
     return child.join(p, child[child_col] == p[parent_col], "left_anti")
 
 
+def fk_violation_counts_fused(
+    child: DataFrame, fks: Sequence[tuple[str, DataFrame, str]], child_name: str
+) -> DataFrame:
+    """Violation counts for ALL of a child table's FK relations in ONE pass
+    (J5 sweep).  Instead of one left_anti + count per relation (which scans
+    the child once per FK — lineitem has 3), left-join every broadcast
+    parent key set onto a single child scan and count unmatched keys with
+    conditional aggregation; then unpivot the one result row to
+    (relation, violations) rows.  At 100 TB this is the difference between
+    one fact-table scan and |FK| scans."""
+    probe = child
+    markers: list[tuple[str, str]] = []  # (relation, marker_col)
+    for child_col, parent, parent_col in fks:
+        marker = f"__hit_{child_col}"
+        keys = (
+            parent.select(F.col(parent_col).alias(child_col))
+            .dropDuplicates([child_col])
+            .withColumn(marker, F.lit(1))
+        )
+        probe = probe.join(F.broadcast(keys), on=child_col, how="left")
+        markers.append((f"{child_name}.{child_col}", marker))
+    counted = probe.agg(
+        *[
+            F.count(F.when(F.col(marker).isNull(), F.lit(1))).alias(marker)
+            for _, marker in markers
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(rel).alias("relation"), F.col(marker).alias("violations"))
+            for rel, marker in markers
+        ]
+    )
+    return counted.select(F.explode(pairs).alias("kv")).select("kv.relation", "kv.violations")
+
+
 def create_missing_codes(
     parent: DataFrame, parent_col: str, child: DataFrame, child_col: str, defaults: dict | None = None
 ) -> DataFrame:

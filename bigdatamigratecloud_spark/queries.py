@@ -186,23 +186,21 @@ def j4_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFr
                  (SELECT 1 FROM supplier p WHERE p.s_suppkey = x.l_suppkey))""",
 )
 def j5_fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: FK integrity sweep over the whole catalog FK graph — left_anti
-    joins, parent side broadcast (ref: TableRelation validation XML:17,
-    112-113, 690-692)."""
-    rows = []
+    """J5: FK integrity sweep over the whole catalog FK graph (ref:
+    TableRelation validation XML:17, 112-113, 690-692).  Fused per child
+    table: ONE scan of each child probes every broadcast parent key set
+    (see fk_violation_counts_fused) — lineitem's 3 FKs cost 1 scan, not 3."""
+    from .operators.upsert import fk_violation_counts_fused
+
+    out = None
     for child_name, fks in FOREIGN_KEYS.items():
         child = load_table(spark, sf_dir, child_name)
-        for child_col, parent_name, parent_col in fks:
-            parent = load_table(spark, sf_dir, parent_name)
-            n = fk_violations(child, child_col, parent, parent_col)
-            rows.append(
-                n.agg(F.count(F.lit(1)).alias("violations")).select(
-                    F.lit(f"{child_name}.{child_col}").alias("relation"), "violations"
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        triples = [
+            (child_col, load_table(spark, sf_dir, parent_name), parent_col)
+            for child_col, parent_name, parent_col in fks
+        ]
+        part = fk_violation_counts_fused(child, triples, child_name)
+        out = part if out is None else out.unionByName(part)
     return out
 
 
@@ -765,3 +763,320 @@ def f_option_duality(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.render(idx, "xml").alias("xml_render"),
         P.render(idx, "excel").alias("excel_render"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2 coverage completion: P3/P8/J3/J5-upsert/O2/F11/F12 + engine
+# capabilities (window analytics, rollup, set ops) + S7/S8 media round-trip
+# ---------------------------------------------------------------------------
+
+@query(
+    "p3_obsolete_prune",
+    """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+       FROM customer WHERE c_custkey <= 500""",
+)
+def p3_obsolete_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: obsolete/removed fields forcibly excluded from the projection
+    (ref: ExcludeRemovedFields XML:800-814).  The package manifest marks
+    c_acctbal ObsoleteState=Removed; reconcile keeps only live catalog
+    fields — column pruning reaches the parquet scan."""
+    from .catalog import fields_catalog
+
+    c = load_table(spark, sf_dir, "customer")
+    removed = {"c_acctbal"}
+    live = [f.field_name for f in fields_catalog(c, "customer") if f.field_name not in removed]
+    return c.filter(F.col("c_custkey") <= 500).select(*live)
+
+
+_GATE_PAYLOAD = {
+    "region": "r_name",
+    "nation": "n_name",
+    "customer": "c_name",
+    "supplier": "s_name",
+    "part": "p_name",
+    "orders": "o_orderstatus",
+    "lineitem": "l_returnflag",
+    "events": "event_type",
+    "documents": "text",
+    "embeddings": "embedding",
+}
+
+@query(
+    "p8_nonempty_gate",
+    "\nUNION ALL ".join(
+        (
+            f"SELECT '{t}' AS table_name, EXISTS(SELECT 1 FROM {t} "
+            f"WHERE {c} IS NOT NULL AND len({c}) > 0) AS has_data"
+        )
+        if t == "embeddings"
+        else (
+            f"SELECT '{t}' AS table_name, EXISTS(SELECT 1 FROM {t} "
+            f"WHERE {c} IS NOT NULL AND {c} <> '') AS has_data"
+        )
+        for t, c in _GATE_PAYLOAD.items()
+    ),
+)
+def p8_nonempty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: a table is imported only if ≥1 included field carries a
+    non-empty value in some record (ref: PackageDataExistsInXML
+    XML:553-588).  limit(1) short-circuits the scan — the gate costs one
+    row per table no matter the table size."""
+    out = None
+    for t, c in _GATE_PAYLOAD.items():
+        col = F.col(c)
+        cond = col.isNotNull() & (
+            (F.size(col) > 0) if t == "embeddings" else (col != "")
+        )
+        gate = (
+            load_table(spark, sf_dir, t)
+            .select(c)
+            .filter(cond)
+            .limit(1)
+            .agg((F.count(F.lit(1)) > 0).alias("has_data"))
+            .select(F.lit(t).alias("table_name"), "has_data")
+        )
+        out = gate if out is None else out.unionByName(gate)
+    return out
+
+
+@query(
+    "j3_catalog_join",
+    """SELECT v.field_id, v.field_name, v.data_type, v.xsd_type,
+              v.is_primary_key, c.n_cells
+       FROM (VALUES (1, 'c_custkey',    'bigint', 'xsd:integer', TRUE),
+                    (2, 'c_name',       'string', 'xsd:string',  FALSE),
+                    (3, 'c_nationkey',  'int',    'xsd:integer', FALSE),
+                    (4, 'c_acctbal',    'double', 'xsd:string',  FALSE),
+                    (5, 'c_mktsegment', 'string', 'xsd:string',  FALSE))
+            AS v(field_id, field_name, data_type, xsd_type, is_primary_key),
+            (SELECT count(*) AS n_cells FROM customer) c""",
+)
+def j3_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+F12: staged cells joined to the fields catalog (≈ virtual table
+    2000000041 'Field', ref: XML:676-699) — broadcast metadata join, with
+    the NAV→XSD type render of GetXSDType (XML:1030-1051)."""
+    from .catalog import fields_catalog_df
+    from .functions.scalars import xsd_type
+
+    c = load_table(spark, sf_dir, "customer")
+    cat = fields_catalog_df(spark, c, "customer")
+    xsd_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in ("bigint", "string", "int", "double")]),
+        F.array(*[F.lit(xsd_type(t)) for t in ("bigint", "string", "int", "double")]),
+    )
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey")
+    counts = staged.groupBy("field_name").agg(F.count(F.lit(1)).alias("n_cells"))
+    return (
+        counts.join(F.broadcast(cat), "field_name")
+        .select(
+            "field_id",
+            "field_name",
+            "data_type",
+            xsd_map[F.col("data_type")].alias("xsd_type"),
+            "is_primary_key",
+            "n_cells",
+        )
+    )
+
+
+@query(
+    "j5b_create_missing_codes",
+    """SELECT DISTINCT CAST(o_custkey + 1000000 AS BIGINT) AS c_custkey,
+              CAST(NULL AS VARCHAR) AS c_name,
+              CAST(NULL AS VARCHAR) AS c_mktsegment
+       FROM orders WHERE o_orderkey % 1000 = 0""",
+)
+def j5b_create_missing_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 action half: Create Missing Codes auto-inserts absent FK parents
+    instead of erroring (ref: XML:112-113, 690-692).  Orphans are injected
+    deterministically (the fixtures are FK-clean); the query returns the
+    parent rows the upsert created — key populated, attributes defaulted."""
+    from .operators.upsert import create_missing_codes
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 1000 == 0, F.col("o_custkey") + 1000000).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    repaired = create_missing_codes(c, "c_custkey", o, "o_custkey")
+    created = repaired.join(F.broadcast(c.select("c_custkey")), "c_custkey", "left_anti")
+    return created.select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "o2_toposort_stages",
+    """WITH RECURSIVE
+         edges(parent, child) AS (
+           VALUES ('region','nation'), ('nation','customer'),
+                  ('nation','supplier'), ('customer','orders'),
+                  ('orders','lineitem'), ('part','lineitem'),
+                  ('supplier','lineitem')),
+         tabs(t) AS (
+           VALUES ('region'), ('nation'), ('customer'), ('supplier'),
+                  ('part'), ('orders'), ('lineitem'), ('events'),
+                  ('documents'), ('embeddings')),
+         d(t, depth) AS (
+           SELECT t, 0 FROM tabs
+           UNION ALL
+           SELECT e.child, d.depth + 1 FROM edges e JOIN d ON e.parent = d.t)
+       SELECT t AS table_name, MAX(depth) AS stage FROM d GROUP BY t""",
+)
+def o2_toposort_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: FK-dependency-ordered execution stages (ref: Processing Order /
+    Parent Table ID ordering XML:58-67, 88-92, 612-626).  Stage k tables
+    depend only on stages < k (parents first; barrier between stages, the
+    reference's WaitForAllToFinish).  Oracle recomputes the same levels as
+    longest-path depth via a recursive CTE — a true differential check."""
+    from pyspark.sql import types as T
+
+    from .plans.toposort import stages
+
+    edges = [
+        (parent, child)
+        for child, fks in FOREIGN_KEYS.items()
+        for (_cc, parent, _pc) in fks
+    ]
+    levels = stages(TABLES, edges)
+    rows = [(t, i) for i, names in enumerate(levels) for t in names]
+    schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType(), False),
+            T.StructField("stage", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "f11_parse_matrix",
+    """WITH cells AS (
+         SELECT 'o_totalprice' AS field_name,
+                CASE WHEN o_orderkey % 97 = 0
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(28,6)) AS VARCHAR) || 'X'
+                     ELSE CAST(CAST(o_totalprice AS DECIMAL(28,6)) AS VARCHAR) END AS value,
+                'double' AS dt
+         FROM orders
+         UNION ALL
+         SELECT 'o_orderdate',
+                CASE WHEN o_orderkey % 101 = 0 THEN 'not-a-date'
+                     ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END,
+                'timestamp'
+         FROM orders)
+       SELECT field_name,
+              COUNT(CASE WHEN (dt = 'double' AND TRY_CAST(value AS DOUBLE) IS NULL)
+                           OR (dt = 'timestamp' AND TRY_CAST(value AS TIMESTAMP) IS NULL)
+                         THEN 1 END) AS n_errors,
+              COUNT(*) AS n_cells
+       FROM cells GROUP BY field_name""",
+)
+def f11_parse_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: EVALUATE-style typed parse with error CAPTURE, never abort
+    (ref: EvaluateValue XML:777-784; FieldError recorded XML:779).  Cells
+    are corrupted deterministically, parsed with try_cast semantics, and
+    failures counted per field — row counts preserved."""
+    from .operators.validation import parse_error_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    price_raw = F.col("o_totalprice").cast("decimal(28,6)").cast("string")
+    price_val = F.when(
+        F.col("o_orderkey") % 97 == 0, F.concat(price_raw, F.lit("X"))
+    ).otherwise(price_raw)
+    date_raw = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    date_val = F.when(F.col("o_orderkey") % 101 == 0, F.lit("not-a-date")).otherwise(date_raw)
+    cells = o.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_totalprice").alias("field_name"),
+                    price_val.alias("value"),
+                    F.lit("double").alias("dt"),
+                ),
+                F.struct(
+                    F.lit("o_orderdate").alias("field_name"),
+                    date_val.alias("value"),
+                    F.lit("timestamp").alias("dt"),
+                ),
+            )
+        ).alias("cell")
+    ).select("cell.*")
+    err = F.when(
+        F.col("dt") == "double",
+        parse_error_expr(F.col("value"), "double", F.col("field_name")),
+    ).otherwise(parse_error_expr(F.col("value"), "timestamp", F.col("field_name")))
+    return (
+        cells.withColumn("error", err)
+        .groupBy("field_name")
+        .agg(
+            F.count(F.col("error")).alias("n_errors"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )
+
+
+shared_sql(
+    "w1_running_total",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DECIMAL(38,6)) AS running_spend,
+              LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+       FROM orders""",
+)
+
+shared_sql(
+    "a8_rollup_pricing",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+
+shared_sql(
+    "u1_set_ops",
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_acctbal < 0""",
+)
+
+
+@query("s7_s8_media_roundtrip")
+def s7_s8_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+S8: media sink/source round-trip (ref: ExportMediaSet
+    XML:1144-1169, media import XML:1221-1270).  Document payloads are
+    written one file per row under a Media/ dir (executor-side, GUID-named
+    — the reference's GUID manifest) and re-imported via the distributed
+    binaryFile source; content equality is verified per GUID.  Filesystem
+    side effects → rows-only check, no SQL oracle."""
+    import shutil
+    import tempfile
+
+    from .sources.media import export_media, import_media
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    )
+    media_dir = tempfile.mkdtemp(prefix="bdmc_media_rt_")
+    try:
+        manifest = export_media(docs, media_dir, content_col="content", id_col="doc_id")
+        back = import_media(spark, media_dir)
+        joined = manifest.join(back.withColumnRenamed("size", "size_back"), "guid")
+        out = joined.select(
+            "id",
+            "guid",
+            F.col("size").cast("long").alias("n_bytes"),
+            (F.col("size").cast("long") == F.col("size_back")).alias("size_match"),
+        ).orderBy("id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(media_dir, ignore_errors=True)
+    return out

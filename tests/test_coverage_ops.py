@@ -1,0 +1,64 @@
+"""Unit tests for the §2 coverage-completion operators: the fused
+single-pass FK violation sweep and the stage-leveled toposort."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.operators.upsert import (
+    fk_violation_counts_fused,
+    fk_violations,
+)
+from bigdatamigratecloud_spark.plans.toposort import stages
+
+
+def test_fused_fk_counts_match_per_relation_anti_joins(spark):
+    child = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 999), (3, 77, 100), (4, 77, 999), (5, None, 100)],
+        "id INT, fk_a INT, fk_b INT",
+    )
+    parent_a = spark.createDataFrame([(10,), (20,)], "pk INT")
+    parent_b = spark.createDataFrame([(100,), (200,)], "pk INT")
+
+    fused = {
+        r["relation"]: r["violations"]
+        for r in fk_violation_counts_fused(
+            child, [("fk_a", parent_a, "pk"), ("fk_b", parent_b, "pk")], "child"
+        ).collect()
+    }
+    # per-relation anti-joins (the reference's one-check-per-relation shape)
+    expect = {
+        "child.fk_a": fk_violations(child, "fk_a", parent_a, "pk").count(),
+        "child.fk_b": fk_violations(child, "fk_b", parent_b, "pk").count(),
+    }
+    assert fused == expect == {"child.fk_a": 3, "child.fk_b": 2}
+
+
+def test_fused_fk_counts_single_child_scan(spark):
+    """The whole point of the fusion: ONE scan of the child feeds every
+    relation check (broadcast hash joins stacked on one probe side)."""
+    child = spark.createDataFrame([(1, 10, 100)], "id INT, fk_a INT, fk_b INT")
+    pa = spark.createDataFrame([(10,)], "pk INT")
+    pb = spark.createDataFrame([(100,)], "pk INT")
+    plan = fk_violation_counts_fused(
+        child, [("fk_a", pa, "pk"), ("fk_b", pb, "pk")], "child"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_stages_levels_are_longest_path_depth():
+    edges = [("region", "nation"), ("nation", "customer"), ("customer", "orders"),
+             ("orders", "lineitem"), ("part", "lineitem")]
+    tabs = ["region", "nation", "customer", "part", "orders", "lineitem", "events"]
+    lv = stages(tabs, edges)
+    level_of = {t: i for i, names in enumerate(lv) for t in names}
+    assert level_of == {
+        "region": 0, "part": 0, "events": 0,
+        "nation": 1, "customer": 2, "orders": 3, "lineitem": 4,
+    }
+    for parent, child in edges:
+        assert level_of[parent] < level_of[child]
+
+
+def test_stages_cycle_raises():
+    with pytest.raises(ValueError, match="cycle"):
+        stages(["a", "b"], [("a", "b"), ("b", "a")])
