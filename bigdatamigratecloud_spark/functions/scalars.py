@@ -6,6 +6,7 @@ plus the driver-side pure-Python helpers (name math, DateFormula).
 from __future__ import annotations
 
 import datetime as _dt
+import functools as _functools
 import re
 
 from pyspark.sql import Column
@@ -23,8 +24,56 @@ _DELETE_CHARS = "?'`"
 _SPACE_CHARS = "<>,./\\+&()%:"
 
 
+# XML 1.0 (5th ed) NameStartChar / NameChar ranges (':' excluded — the
+# reference emits unprefixed element names)
+_NAME_START_RANGES = (
+    (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+    (0xF8, 0x2FF), (0x370, 0x37D), (0x37F, 0x1FFF), (0x200C, 0x200D),
+    (0x2070, 0x218F), (0x2C00, 0x2FEF), (0x3001, 0xD7FF), (0xF900, 0xFDCF),
+    (0xFDF0, 0xFFFD), (0x10000, 0xEFFFF),
+)
+_NAME_EXTRA_RANGES = (
+    (0x2D, 0x2E), (0x30, 0x39), (0xB7, 0xB7), (0x300, 0x36F), (0x203F, 0x2040),
+)
+
+
+@_functools.lru_cache(maxsize=4096)
+def _expat_accepts(fragment: str) -> bool:
+    """True when the stdlib XML parser (expat — the same engine that writes
+    and re-reads our packages) accepts `fragment` as a document.  expat
+    implements XML 1.0 4th-edition name rules, slightly stricter than the
+    5th-edition ranges; the parser itself is the authoritative oracle."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        ET.fromstring(fragment)
+        return True
+    except ET.ParseError:
+        return False
+
+
+def _is_name_start(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _NAME_START_RANGES) and _expat_accepts(f"<{ch}/>")
+
+
+def _is_name_char(ch: str) -> bool:
+    cp = ord(ch)
+    if not (
+        any(lo <= cp <= hi for lo, hi in _NAME_START_RANGES)
+        or any(lo <= cp <= hi for lo, hi in _NAME_EXTRA_RANGES)
+    ):
+        return False
+    return _expat_accepts(f"<_{ch}/>")
+
+
 def sanitize_xml_name(name: str) -> str:
-    """Driver-side variant (column *names* live on the driver)."""
+    """Driver-side variant (column *names* live on the driver).
+
+    After the reference's mapping chain, any character that is still not
+    an XML NameChar is dropped — the reference never hits these (NAV field
+    names are already near-valid), but this engine accepts arbitrary
+    schema names, so the output must be a VALID XML name unconditionally."""
     out = name
     for ch in _DELETE_CHARS:
         out = out.replace(ch, "")
@@ -32,7 +81,8 @@ def sanitize_xml_name(name: str) -> str:
         out = out.replace(ch, " ")
     out = out.replace("-", "_")
     out = out.replace(" ", "")
-    if not out or not (out[0].isalpha() or out[0] == "_"):
+    out = "".join(ch for ch in out if _is_name_char(ch))
+    if not out or not _is_name_start(out[0]):
         out = "_" + out
     return out
 
@@ -151,6 +201,28 @@ def clamp_sheet_name(name: str, table_id: int | None = None) -> str:
         prefix = f"{table_id} "
         return (prefix + clean)[:31]
     return clean[:31]
+
+
+# F7: locale-aware date render for Excel export (Codeunit 60000:850-853:
+# `TypeHelper.FormatDate(DATE2DMY(...), ConfigPackage."Language ID")`).
+# The package's Windows Language ID picks the date shape; rendering stays
+# JVM-side (date_format pattern per locale — no Python in the row path).
+LOCALE_DATE_PATTERNS: dict[int, str] = {
+    1033: "M/d/yyyy",    # en-US
+    2057: "dd/MM/yyyy",  # en-GB
+    1049: "dd.MM.yyyy",  # ru-RU (the reference ships ru-RU translations)
+    1031: "dd.MM.yyyy",  # de-DE
+    1036: "dd/MM/yyyy",  # fr-FR
+}
+
+
+def localized_date(col: Column, language_id: int) -> Column:
+    """Render a date/timestamp column in the package language's date shape;
+    unknown Language IDs fall back to ISO-8601 (the XML-mode rendering)."""
+    from pyspark.sql import functions as F
+
+    pattern = LOCALE_DATE_PATTERNS.get(language_id, "yyyy-MM-dd")
+    return F.date_format(col, pattern)
 
 
 # F8: datetime -> filename stamp (Codeunit 60001:190-192)

@@ -1080,3 +1080,59 @@ def s7_s8_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(media_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "f7_locale_dates",
+    """SELECT o_orderkey,
+              strftime(o_orderdate, '%d/%m/%Y') AS date_en_gb,
+              strftime(o_orderdate, '%d.%m.%Y') AS date_ru_ru,
+              strftime(o_orderdate, '%Y-%m-%d') AS date_iso
+       FROM orders WHERE o_orderkey <= 1000""",
+)
+def f7_locale_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: Excel-mode locale date render driven by the package Language ID
+    (ref: TypeHelper.FormatDate, XML:850-853; the extension ships ru-RU
+    translations).  Pure date_format — JVM-side, no Python in the row
+    path; unknown Language ID falls back to the ISO XML rendering."""
+    from .functions.scalars import localized_date
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        localized_date(F.col("o_orderdate"), 2057).alias("date_en_gb"),
+        localized_date(F.col("o_orderdate"), 1049).alias("date_ru_ru"),
+        localized_date(F.col("o_orderdate"), -1).alias("date_iso"),
+    )
+
+
+shared_sql(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority""",
+)
+
+shared_sql(
+    "q10_returned_revenue",
+    """SELECT c_custkey, c_name,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_custkey = o_custkey
+         AND l_orderkey = o_orderkey
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20""",
+)
+
+shared_sql(
+    "a9_cube_counts",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)

@@ -1,0 +1,123 @@
+"""Property-based tests (SURVEY §5 item 5, hypothesis): random values
+through the format→parse round trip, scalar-function laws, and a
+melt→pivot inverse property on generated typed rows.
+
+Pure-Python properties run at full hypothesis example counts; the Spark
+round-trip property batches ALL generated rows into one DataFrame per
+example and uses few examples (each example is several Spark jobs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bigdatamigratecloud_spark.functions.scalars import (
+    a1_col_index,
+    a1_col_letters,
+    clamp_sheet_name,
+    eval_dateformula,
+    sanitize_xml_name,
+)
+
+@given(st.integers(min_value=1, max_value=1_000_000))
+def test_a1_letters_index_roundtrip(i):
+    assert a1_col_index(a1_col_letters(i)) == i
+
+
+@given(st.text(min_size=1, max_size=64))
+def test_sanitize_xml_name_valid_and_idempotent(name):
+    import xml.etree.ElementTree as ET
+
+    out = sanitize_xml_name(name)
+    assert out, (name, out)  # always non-empty (prefixed if needed)
+    ET.fromstring(f"<{out}/>")  # a real XML parser accepts it as a name
+    assert sanitize_xml_name(out) == out  # fixed point
+
+
+@given(st.text(min_size=1, max_size=80), st.integers(min_value=0, max_value=99999))
+def test_clamp_sheet_name_bounds(name, table_id):
+    assert len(clamp_sheet_name(name)) <= 31
+    assert len(clamp_sheet_name(name, table_id)) <= 31
+
+
+_DATES = st.dates(min_value=dt.date(1900, 1, 2), max_value=dt.date(2200, 12, 30))
+
+
+@given(_DATES, st.integers(min_value=0, max_value=3650))
+def test_dateformula_day_addition_inverts(base, n):
+    assert eval_dateformula(f"<+{n}D>", base) == base + dt.timedelta(days=n)
+    assert eval_dateformula(f"<-{n}D>", eval_dateformula(f"<+{n}D>", base)) == base
+
+
+@given(_DATES)
+def test_dateformula_current_month_end(base):
+    cm = eval_dateformula("<CM>", base)
+    assert cm.month == base.month and cm.year == base.year
+    assert cm >= base
+    assert (cm + dt.timedelta(days=1)).day == 1  # last day of the month
+
+
+@given(_DATES, st.integers(min_value=1, max_value=24))
+def test_dateformula_month_then_month_end(base, n):
+    d = eval_dateformula(f"<{n}M+CM>", base)
+    assert (d + dt.timedelta(days=1)).day == 1
+    months = base.year * 12 + (base.month - 1) + n
+    assert (d.year, d.month) == (months // 12, months % 12 + 1)
+
+
+# --- Spark round-trip property: serialize_cell ∘ parse == identity -------
+
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",), exclude_characters="\x00"
+                ),
+                max_size=40,
+            ),
+        ),
+        st.one_of(st.none(), st.booleans()),
+        st.one_of(st.none(), st.dates(min_value=dt.date(1583, 1, 1), max_value=dt.date(9999, 12, 31))),
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=-(10**18), max_value=10**18, places=4, allow_nan=False, allow_infinity=False
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None)
+@given(_ROWS)
+def test_melt_pivot_inverse_on_generated_rows(spark, rows):
+    from pyspark.sql import types as T
+
+    from bigdatamigratecloud_spark.operators.staging import (
+        melt_to_staging,
+        pivot_from_staging,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType(), False),
+            T.StructField("txt", T.StringType(), True),
+            T.StructField("flag", T.BooleanType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("amount", T.DecimalType(28, 4), True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    staged = melt_to_staging(df, "prop_table", record_key_col="pk")
+    back = pivot_from_staging(staged, schema)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
