@@ -219,3 +219,97 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
     )
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
+
+def _kmeans_fit(samples, k: int, iters: int = 10, seed: int = 42):
+    """Spherical k-means on a driver-side SAMPLE (numpy).  Training an IVF
+    coarse quantizer on a bounded sample is the standard recipe: the
+    sample size, not the corpus size, bounds driver memory."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cents)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else cents[c]
+        n = np.linalg.norm(new, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cents = new / n
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame, centroids, vec_col: str = "embedding", out_col: str = "cluster"
+) -> DataFrame:
+    """Assign every vector to its nearest centroid — JVM-side: one dot
+    product per centroid (zip_with/aggregate), argmax via array_position.
+    The centroid list is a plan literal (broadcast by value); assignment
+    is a narrow map, no shuffle."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sims = F.array(
+        *[_dot(v, F.array(*[F.lit(float(c)) for c in cent])) for cent in centroids]
+    )
+    return df.withColumn(out_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (driver-fit on a sample) buckets
+    the corpus into inverted lists; each query probes only its n_probe
+    nearest lists and brute-forces within them.  Scan fraction ≈
+    n_probe/n_centroids — at 100 TB with 4096 lists and 8 probes that is
+    ~0.2% of the corpus per query, and the per-list scan parallelizes
+    like any filtered columnar read (cluster id is a partition-prunable
+    column when the index is written out partitioned by it)."""
+    sample = [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()]
+    cents = _kmeans_fit(sample, n_centroids, seed=seed)
+
+    c = ivf_assign(with_unit_vector(corpus, vec_col, "cu"), cents, vec_col, "cluster").select(
+        F.col(id_col).alias("nbr_id"), "cu", "cluster"
+    )
+
+    import numpy as np
+
+    q_local = queries.select(query_id_col, vec_col).collect()
+    probe_rows = []
+    for row in q_local:
+        qv = np.asarray(row[vec_col], dtype=np.float64)
+        n = np.linalg.norm(qv)
+        qu = qv / n if n else qv
+        order = np.argsort(-(cents @ qu))[:n_probe]
+        probe_rows.append((row[query_id_col], [float(x) for x in qu], [int(x) for x in order]))
+    q = corpus.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, qu array<double>, probed array<int>"
+    )
+
+    sim = (
+        c.join(F.broadcast(q), F.array_contains(F.col("probed"), F.col("cluster")))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+    )

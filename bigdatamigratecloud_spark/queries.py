@@ -26,7 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import FOREIGN_KEYS, TABLES, load_table, register_views
+from .catalog import FOREIGN_KEYS, PRIMARY_KEYS as PRIMARY_KEYS_LOCAL, TABLES, load_table, register_views
 from .operators.navfilter import nav_filter
 from .operators.staging import melt_to_staging, pivot_from_staging
 from .operators.upsert import fk_violations
@@ -1136,3 +1136,116 @@ shared_sql(
        FROM lineitem
        GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path #2: IVF (inverted-file) ANN — k-means coarse
+    quantizer fit on a driver-side sample, corpus bucketed into inverted
+    lists (narrow map, no shuffle), queries probe their n_probe nearest
+    lists only.  Recall measured against ann_cosine_topk in tests;
+    approximate by construction, so rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.ivf_cosine_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=6, query_id_col="query_id"
+    )
+
+
+@query(
+    "x1_x5_pipeline_apply",
+    """SELECT 'region' AS table_name, count(*) AS rows_applied FROM region
+       UNION ALL SELECT 'nation', count(*) FROM nation
+       UNION ALL SELECT 'customer', count(*) FROM customer""",
+)
+def x1_x5_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+X2+X4+X5+O2 composed: export a 3-table package, then the full
+    import lifecycle — staging, validate, pivot, FK pass, dependency-
+    ranked apply with parallel driver threads and a barrier per rank
+    (ref: ImportPackageXMLDocument XML:419-530, fan-out XML:482-493,
+    WaitForAllToFinish XML:521-522, Delete Recs Before Processing
+    XML:93-97).  Result: per-table applied row counts read back from the
+    overwritten targets — equal to the source counts iff every stage
+    preserved every record."""
+    import shutil
+    import tempfile
+
+    from .plans.pipeline import run_import
+    from .plans.spec import FieldSpec, PackageSpec, TableSpec
+
+    from .sources.xml_package import export_package_xml
+
+    names = ("region", "nation", "customer")
+    dfs = {t: load_table(spark, sf_dir, t) for t in names}
+    spec = PackageSpec(
+        package_code="PIPE",
+        tables=[
+            TableSpec(
+                table_name=t,
+                fields=[
+                    FieldSpec(field_name=c, primary_key=(c in PRIMARY_KEYS_LOCAL[t]))
+                    for c in dfs[t].columns
+                ],
+            )
+            for t in names
+        ],
+    )
+    pkg = tempfile.mktemp(suffix=".rapidstart", prefix="bdmc_pipe_")
+    target = tempfile.mkdtemp(prefix="bdmc_pipe_tgt_")
+    try:
+        export_package_xml(spark, spec, sf_dir, pkg)
+        report = run_import(
+            spark, pkg, target, {t: dfs[t].schema for t in names}, spec,
+            expected_package_code="PIPE",
+        )
+        rows = [(t, report.tables[t].rows_applied) for t in names]
+        out = spark.createDataFrame(rows, "table_name string, rows_applied long")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+        import os as _os
+
+        if _os.path.exists(pkg):
+            _os.remove(pkg)
+    return out
+
+
+@query(
+    "stream_hourly_rollup",
+    ORACLES["events_hourly_rollup"],
+)
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: the hourly rollup executed as a STRUCTURED STREAM —
+    events land as parquet files, readStream micro-batches them
+    (availableNow), tumbling 1-hour windows with a watermark aggregate
+    into a memory sink.  The finished stream must equal the batch oracle
+    exactly (one availableNow pass drops nothing)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import hourly_rollup_stream, run_stream_to_memory, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_rollup"  # suffix picks complete output mode
+    try:
+        # land files in CHRONOLOGICAL order (how a real ingest arrives):
+        # micro-batches then see time-ordered files, so the 2-hour
+        # watermark advances without ever classifying in-order data late
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 4
+        for i in range(4):
+            a = lo + i * span
+            b = hi if i == 3 else lo + (i + 1) * span
+            cond = (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 3 else (F.col("ts") < b))
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        stream = stream_events(spark, landing, max_files_per_trigger=1)
+        run_stream_to_memory(hourly_rollup_stream(stream), qname)
+        out = spark.table(qname)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out

@@ -111,3 +111,39 @@ def test_lang_id_on_real_language_samples(spark):
     )
     out = {r.doc_id: r.detected_lang for r in text.lang_id(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    ann = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.ivf_cosine_topk(
+            emb, q, k=10, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    # probing 6/16 inverted lists: near-neighbors concentrate in the
+    # query's nearest lists, so recall stays high while scanning ~3/8
+    # of the corpus; uniform vectors are again the worst case
+    assert len(ann & brute) / len(brute) >= 0.6, len(ann & brute) / len(brute)
+
+
+def test_ivf_assignment_is_argmax_of_centroid_dots(spark):
+    import numpy as np
+
+    cents = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.2, 0.8]), (3, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.cluster
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1}  # -1,0: dot c0=-1 < dot c1=0
