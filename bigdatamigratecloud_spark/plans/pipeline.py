@@ -130,10 +130,13 @@ def run_import(
     spec: PackageSpec | None = None,
     expected_package_code: str | None = None,
     max_workers: int = 4,
+    reporter=None,
 ) -> MigrationReport:
     """Full §3.1: package -> staging -> per-rank parallel apply with
     barriers.  Unknown tables become error records, not exceptions
-    (TableObjectExists guard, XML:543-547, 1095-1100)."""
+    (TableObjectExists guard, XML:543-547, 1095-1100).  `reporter` (a
+    plans.progress.ProgressReporter or duck-typed equivalent) observes
+    per-table milestones — X3, the ConfigProgressBar analogue."""
     from ..sources.xml_package import import_package_to_staging
 
     header, staged = import_package_to_staging(spark, package_path, expected_package_code)
@@ -144,14 +147,21 @@ def run_import(
         if t not in schemas:
             report.errors[t] = f"table {t!r} does not exist in the target catalog"
 
+    if reporter is not None:
+        reporter.on_package_start(header.package_code, len(known))
     ranks = dependency_ranks(list(known))
     report.order = ranks
     applied: dict[str, DataFrame] = {}
-    for rank_tables in ranks:
+    for rank_no, rank_tables in enumerate(ranks):
         def run_one(t: str) -> TableResult:
-            return apply_staged_table(
+            if reporter is not None:
+                reporter.on_table_start(t, rank_no)
+            res = apply_staged_table(
                 spark, known[t], schemas[t], t, target_dir, spec, parents=applied
             )
+            if reporter is not None:
+                reporter.on_table_finish(t, res.rows_applied)
+            return res
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:  # X1 fan-out
             results = list(ex.map(run_one, rank_tables))
@@ -159,4 +169,6 @@ def run_import(
         for r in results:
             report.tables[r.table_name] = r
             applied[r.table_name] = spark.read.parquet(r.target_path)
+    if reporter is not None:
+        reporter.on_package_finish()
     return report

@@ -62,3 +62,36 @@ def test_stages_levels_are_longest_path_depth():
 def test_stages_cycle_raises():
     with pytest.raises(ValueError, match="cycle"):
         stages(["a", "b"], [("a", "b"), ("b", "a")])
+
+
+def test_progress_reporter_observes_pipeline(spark, sf_dir, tmp_path):
+    """X3: the ProgressReporter sees package/table start+finish milestones
+    in dependency order with correct row counts."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.plans.pipeline import run_import
+    from bigdatamigratecloud_spark.plans.progress import ProgressReporter
+    from bigdatamigratecloud_spark.plans.spec import FieldSpec, PackageSpec, TableSpec
+    from bigdatamigratecloud_spark.sources.xml_package import export_package_xml
+
+    names = ("region", "nation")
+    dfs = {t: load_table(spark, sf_dir, t) for t in names}
+    spec = PackageSpec(
+        package_code="PROG",
+        tables=[
+            TableSpec(table_name=t, fields=[FieldSpec(field_name=c) for c in dfs[t].columns])
+            for t in names
+        ],
+    )
+    pkg = str(tmp_path / "prog.rapidstart")
+    export_package_xml(spark, spec, sf_dir, pkg)
+    rep = ProgressReporter()
+    run_import(
+        spark, pkg, str(tmp_path / "tgt"), {t: dfs[t].schema for t in names},
+        spec, expected_package_code="PROG", reporter=rep,
+    )
+    assert rep.package_code == "PROG"
+    assert set(rep.tables) == {"region", "nation"}
+    assert rep.tables["region"].rank < rep.tables["nation"].rank  # dependency order
+    for t in names:
+        assert rep.tables[t].finished_at is not None
+        assert rep.tables[t].rows_applied == dfs[t].count()

@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale-critical plan properties the
+engine depends on at 100 TB, asserted against the actual executed plan so
+a refactor can't silently regress them.
+
+- filters/projections reach the parquet scan (pushdown + pruning)
+- dimension joins broadcast (no fact-side shuffle)
+- the EAV melt is narrow (zero shuffles)
+- the EAV pivot is exactly ONE shuffle (keyed by record id)
+- PK dedup uses the WindowGroupLimit pushdown (partial top-1 before
+  the shuffle)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.operators.staging import (
+    melt_to_staging,
+    pivot_from_staging,
+)
+from bigdatamigratecloud_spark.operators.upsert import dedup_by_pk
+from bigdatamigratecloud_spark import queries as q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_filter_projection_pushdown(spark, sf_dir):
+    df = q.QUERIES["s1_scan_filter_project"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:400]
+    # column pruning: the FileScan's column list carries ONLY the 5
+    # referenced columns (toString truncates ReadSchema, so assert on the
+    # scan's bracketed output list instead)
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scan_cols, plan
+    cols = {c.split("#")[0] for c in scan_cols.group(1).split(",")}
+    assert cols == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"
+    }
+
+
+def test_dim_lookup_broadcasts_no_fact_shuffle(spark, sf_dir):
+    plan = _plan(q.QUERIES["j1_dim_lookup"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are broadcast-side; the fact (customer) side
+    # reaches the joins without a hash-partition shuffle
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_melt_is_narrow(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer", parallelize_small=False)
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey")
+    plan = _plan(staged)
+    assert "Exchange" not in plan  # explode + project only: zero shuffles
+
+
+def test_pivot_is_single_shuffle(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer", parallelize_small=False)
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey")
+    wide = pivot_from_staging(staged, c.schema)
+    plan = _plan(wide)
+    assert plan.count("Exchange hashpartitioning") == 1  # groupBy(record_no) only
+    assert "DataFrame.pivot" not in plan  # by construction, but keep explicit
+
+
+def test_pk_dedup_uses_window_group_limit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem", parallelize_small=False)
+    deduped = dedup_by_pk(li, ["l_orderkey", "l_linenumber"], order_col="l_shipdate")
+    assert "WindowGroupLimit" in _plan(deduped)  # partial top-1 pre-shuffle
+
+
+def test_fused_fk_sweep_lineitem_scans_once(spark, sf_dir):
+    df = q.QUERIES["j5_fk_violation_counts"](spark, sf_dir)
+    plan = _plan(df)
+    # one scan of lineitem feeds all 3 of its FK checks
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 8
+
+
+def test_q5_joins_broadcast_dimensions(spark, sf_dir):
+    df = q.QUERIES["q5_regional_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, supplier at least
