@@ -137,21 +137,28 @@ def pivot_from_staging(staging: DataFrame, schema: T.StructType, drop_errors: bo
 
 def deserialize_cell(raw: F.Column, data_type: T.DataType) -> F.Column:
     """Typed parse of a staging string (EvaluateValue, Codeunit 60000:777).
-    Inverse of serialize_cell."""
+    Inverse of serialize_cell.
+
+    All parses are try_-variants: with ANSI mode on (Spark 4 default) a
+    plain cast THROWS on bad input, but the reference records cell errors
+    and never aborts (XML:774-785) — a bad cell that bypassed validation
+    (Skip Table Triggers, X6) must degrade to NULL, not kill the job."""
     if isinstance(data_type, T.BooleanType):
         return F.when(raw == "1", F.lit(True)).when(raw == "0", F.lit(False)).otherwise(
-            raw.cast("boolean")
+            raw.try_cast("boolean")
         )
     if isinstance(data_type, T.BinaryType):
         return F.unbase64(raw)
     if isinstance(data_type, (T.DoubleType, T.FloatType)):
-        return raw.cast(data_type)
+        return raw.try_cast(data_type)
     if isinstance(data_type, T.TimestampNTZType):
         # parquet ms-precision timestamps surface as NTZ in Spark 4; keep
-        # the exact type so roundtrips are schema-identical
-        return F.to_timestamp_ntz(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        # the exact type so roundtrips are schema-identical (CASE guards
+        # the strict parse — CaseWhen evaluates branches lazily per row)
+        ok = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")).isNotNull()
+        return F.when(ok, F.to_timestamp_ntz(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
     if isinstance(data_type, T.TimestampType):
-        return F.to_timestamp(raw, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
     if isinstance(data_type, T.DateType):
-        return F.to_date(raw, "yyyy-MM-dd")
-    return raw.cast(data_type)
+        return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")).cast("date")
+    return raw.try_cast(data_type)

@@ -95,3 +95,33 @@ def test_progress_reporter_observes_pipeline(spark, sf_dir, tmp_path):
     for t in names:
         assert rep.tables[t].finished_at is not None
         assert rep.tables[t].rows_applied == dfs[t].count()
+
+
+def test_skip_validation_flag_bypasses_quarantine(spark, sf_dir, tmp_path):
+    """X6: Skip Table Triggers — the validation stage is gated off, bad
+    cells flow through (typed-parse nulls) instead of quarantining."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.staging import melt_to_staging
+    from bigdatamigratecloud_spark.plans.pipeline import apply_staged_table
+
+    c = load_table(spark, sf_dir, "customer")
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey")
+    corrupt = staged.withColumn(
+        "value",
+        F.when(
+            (F.col("field_name") == "c_acctbal") & (F.col("record_no") == 1),
+            F.lit("not-a-number"),
+        ).otherwise(F.col("value")),
+    )
+    n = c.count()
+    validated = apply_staged_table(
+        spark, corrupt, c.schema, "customer", str(tmp_path / "v"), skip_validation=False
+    )
+    skipped = apply_staged_table(
+        spark, corrupt, c.schema, "customer", str(tmp_path / "s"), skip_validation=True
+    )
+    assert validated.rows_quarantined == 1
+    assert skipped.rows_quarantined == 0
+    assert skipped.rows_applied == n  # rows survive; the bad cell parses to NULL
