@@ -1249,3 +1249,23 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@query(
+    "n4_bpe_token_count",
+    r"""SELECT doc_id,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n]+'))
+                  AS n_bpe_tokens
+       FROM documents""",
+)
+def n4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: BPE-style pre-tokenization count (word/number/punct boundary
+    regex, the GPT-2 pre-tokenizer family) — the LLM-token estimator that
+    complements whitespace counting in n4_token_stats.  Oracle recomputes
+    the same boundaries with DuckDB's RE2."""
+    from .operators.text import bpe_ish_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
+    )
