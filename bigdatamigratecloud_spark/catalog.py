@@ -99,9 +99,12 @@ def load_table(
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.
     # Convert to a microsecond timestamp (floor), matching how DuckDB
     # truncates nanos to its µs TIMESTAMP — keeps oracle comparisons exact.
+    # Must be integer division (`div`): `col / 1000` is DOUBLE division,
+    # and epoch nanos (~1.7e18) exceed double's 53-bit mantissa, which
+    # silently lands ±1 µs off after the cast.
     for f in df.schema.fields:
         if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if parallelize_small and _scan_parallelism_deficit(path):
         # one mid-size file, ~one row group: pay one small shuffle to
         # unlock N-way aggregation/join parallelism (filters still push

@@ -1,0 +1,63 @@
+"""Skew-safe aggregation: salted two-phase exact COUNT(DISTINCT) and sums.
+
+Not in the reference (its only aggregates are record counts, SURVEY §2.4
+A1-A3) — this is a scale op for the 100 TB target.  The problem: a plain
+``GROUP BY k, COUNT(DISTINCT v)`` on a low-cardinality / skewed ``k``
+funnels every distinct (k, v) pair of the hottest key through ONE reducer
+partition.  At 100 TB a single hot key (think ``lang='en'`` over a web
+corpus) is a straggler that AQE cannot split because the dedup must see
+all values of the key together.
+
+The fix is two-phase: dedup on the FULL (k, v) pair first — hash
+partitioning on the pair is the perfect salt, spreading the hot key's
+values over every reducer — then count per key, which is sum-decomposable
+so the map-side partial aggregation reduces each partition to |k| tiny
+rows before the (trivial) final shuffle:
+
+  phase 1: distinct over (k, v)    -- shuffle keyed by the pair, no hot key
+  phase 2: groupBy(k).count()      -- partial counts map-side, tiny shuffle
+
+Exactly 2 exchanges, every stage bounded by |distinct pairs|/n_partitions.
+(A plain COUNT(DISTINCT) plans 3 exchanges and its per-key final dedup
+cannot be split by AQE.)  ``salted_sum`` below keeps an explicit-salt
+variant for aggregates where the grouping itself is the skew and no
+distinct column is available to spread on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def skew_safe_count_distinct(
+    df: DataFrame,
+    keys: list[str] | str,
+    value: str,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, skew-spread by partitioning on
+    the (key, value) pair.  NULL values are not counted (SQL semantics)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    pairs = df.where(F.col(value).isNotNull()).select(*keys, value).distinct()
+    return pairs.groupBy(*keys).agg(F.count(value).cast("long").alias(out))
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str] | str,
+    sums: dict[str, Column],
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exact per-key sums with an explicit salt stage, for pipelines where
+    map-side partial aggregation is defeated (e.g. immediately after a
+    wide shuffle that clustered the hot key).  ``sums`` maps output name
+    -> column expression; each must be a sum-decomposable aggregate."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("__salt")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[expr.alias(f"__p_{name}") for name, expr in sums.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__p_{name}").alias(name) for name in sums]
+    )

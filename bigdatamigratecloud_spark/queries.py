@@ -1269,3 +1269,188 @@ def n4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.size(bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§2.4 free capabilities, widened: TPC-H-style multi-join / correlated /
+# semi-join queries over the fixture tables (no partsupp in the fixtures, so
+# q2/q9/q11/q16/q20 are out of scope).  Shared ANSI text: Catalyst and DuckDB
+# plan the identical logical query — the point is the PLAN (broadcast dims,
+# partial aggs, semi-join pushdown), not the SQL.
+# ---------------------------------------------------------------------------
+
+shared_sql(
+    "q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+              SUM(volume) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+
+shared_sql(
+    "q8_market_share",
+    """SELECT o_year,
+              CAST(COALESCE(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume END) AS DOUBLE), 0.0)
+                   / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+       FROM (SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                    CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+                    n2.n_name AS nation
+             FROM part p
+             JOIN lineitem l ON p.p_partkey = l.l_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             JOIN region r ON n1.n_regionkey = r.r_regionkey
+             JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') all_nations
+       GROUP BY o_year""",
+)
+
+shared_sql(
+    "q13_cust_order_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             GROUP BY c.c_custkey) c_orders
+       GROUP BY c_count""",
+)
+
+shared_sql(
+    "q14_promo_revenue",
+    """SELECT CAST(CAST(100 AS DOUBLE)
+                   * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                              END) AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+              AS DOUBLE) AS promo_revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'""",
+)
+
+shared_sql(
+    "q15_top_supplier",
+    """WITH revenue0 AS (
+           SELECT l_suppkey AS supplier_no,
+                  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""",
+)
+
+shared_sql(
+    "q17_small_qty_revenue",
+    """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(7 AS DOUBLE) AS DOUBLE) AS avg_yearly
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#1'
+         AND l.l_quantity < (SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                                           / COUNT(*))
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = l.l_partkey)""",
+)
+
+shared_sql(
+    "q18_large_volume_customers",
+    """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+              CAST(o.o_totalprice AS DECIMAL(38,6)) AS o_totalprice,
+              SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS sum_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 300)
+       GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (operators/temporal.py) and skew-safe aggregation
+# (operators/skew.py) — engine scale ops beyond the reference surface.
+# ---------------------------------------------------------------------------
+
+@query(
+    "t1_asof_last_purchase",
+    """SELECT c.event_id, c.user_id, c.ts,
+              p.ts AS purchase_ts, p.value AS purchase_value
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN
+            (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       ON c.user_id = p.user_id AND p.ts <= c.ts""",
+)
+def t1_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event annotated with the user's most recent
+    purchase at-or-before the click.  Spark side is the union-tag +
+    running-last window implementation (one shuffle, no per-key cross
+    product); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="user_id", right_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+@query(
+    "t2_range_join_pairs",
+    """SELECT a.event_id AS l_event, a.user_id AS user_id,
+              b.event_id AS r_event,
+              date_diff('microsecond', a.ts, b.ts) AS delta_us
+       FROM events a JOIN events b ON a.user_id = b.user_id
+       WHERE b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR""",
+)
+def t2_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval self-join: same-user event pairs within the hour
+    after each event.  Spark side is the time-bucketed equi-join (work
+    bounded by pairs-in-window); oracle is the naive inequality join,
+    affordable at sf0.01."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = range_join(ev, ev, on="user_id", lower_us=0, upper_us=3_600_000_000)
+    return pairs.select(
+        F.col("event_id").alias("l_event"),
+        "user_id",
+        F.col("event_id_r").alias("r_event"),
+        "delta_us",
+    )
+
+
+@query(
+    "x7_skew_salted_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def x7_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per skewed low-cardinality key via two-phase
+    pair-dedup + partial-counted rollup (2 exchanges; a plain distinct-agg
+    plans 3 and funnels each key's final dedup through one partition).
+    The 3-value l_returnflag key is exactly the shape that straggles at
+    100 TB."""
+    from .operators.skew import skew_safe_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    return skew_safe_count_distinct(li, "l_returnflag", "l_suppkey", out="n_suppliers")

@@ -1,0 +1,181 @@
+"""Temporal joins (as-of, bounded-range) and skew-safe aggregation:
+result equivalence vs the naive formulation, edge semantics (ties,
+tolerance, bounds), and the physical-plan properties that make them scale
+(as-of = one shuffle + window, NO join node; range = pure equi-join on
+(key, bucket), never a nested-loop; count-distinct = exactly 2 exchanges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.operators.skew import skew_safe_count_distinct
+from bigdatamigratecloud_spark.operators.temporal import asof_join, range_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_matches_naive(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+
+    got = asof_join(clicks, buys, on="user_id", right_cols=["value"])
+
+    # naive: left join on key + range, keep max right ts per left row
+    j = clicks.alias("c").join(
+        buys.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id")) & (F.col("p.ts") <= F.col("c.ts")),
+        "left",
+    )
+    naive = (
+        j.groupBy("c.event_id", "c.user_id", "c.ts")
+        .agg(F.max(F.col("p.ts")).alias("ts_asof"))
+        .alias("m")
+        .join(
+            buys.alias("p2"),
+            (F.col("m.user_id") == F.col("p2.user_id"))
+            & (F.col("m.ts_asof") == F.col("p2.ts")),
+            "left",
+        )
+        .select("m.event_id", "m.user_id", "m.ts", "m.ts_asof",
+                F.col("p2.value").alias("value_asof"))
+    )
+    assert got.count() == clicks.count()  # left-outer: every left row once
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_asof_inclusive_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c")], "k int, t long, lbl string"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "lbl")
+    right = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 150, 20.0), (2, 60, 30.0)], "k int, t long, v double"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "v")
+
+    out = {
+        r["lbl"]: r
+        for r in asof_join(left, right, on="k", right_cols=["v"]).collect()
+    }
+    assert out["a"]["v_asof"] == 10.0  # equal timestamps match (inclusive)
+    assert out["b"]["v_asof"] == 20.0  # latest prior, not first
+    assert out["c"]["v_asof"] is None  # right is strictly later -> no match
+
+    tol = {
+        r["lbl"]: r
+        for r in asof_join(
+            left, right, on="k", right_cols=["v"], tolerance_us=40
+        ).collect()
+    }
+    assert tol["a"]["v_asof"] == 10.0  # delta 0 <= 40
+    assert tol["b"]["v_asof"] is None  # delta 50 > 40 -> masked
+
+
+def test_asof_plan_one_shuffle_no_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = _plan(asof_join(clicks, buys, on="user_id", right_cols=["value"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # matching is the window sweep, not a join
+    assert plan.count("Window") == 1
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_naive(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    cols = ["event_id", "user_id", "ts", "event_id_r", "ts_r", "delta_us"]
+    got = range_join(ev, ev, on="user_id", lower_us=0, upper_us=3_600_000_000).select(cols)
+
+    a, b = ev.alias("a"), ev.alias("b")
+    delta = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    naive = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .where((delta > 0) & (delta <= 3_600_000_000))
+        .select(
+            F.col("a.event_id"), F.col("a.user_id"), F.col("a.ts"),
+            F.col("b.event_id").alias("event_id_r"), F.col("b.ts").alias("ts_r"),
+            delta.alias("delta_us"),
+        )
+        .select(cols)
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_range_join_bounds(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 1000), (3, 1, 2000)], "event_id int, user_id int, t long"
+    ).select("event_id", "user_id", F.timestamp_micros("t").alias("ts"))
+
+    def pairs(**kw):
+        return {
+            (r["event_id"], r["event_id_r"])
+            for r in range_join(ev, ev, on="user_id", **kw).collect()
+        }
+
+    # default (lower exclusive, upper inclusive): (0,1000] from each row
+    assert pairs(lower_us=0, upper_us=1000) == {(1, 2), (2, 3)}
+    # inclusive lower picks up the self-pairs at delta 0
+    assert pairs(lower_us=0, upper_us=1000, lower_inclusive=True) == {
+        (1, 1), (2, 2), (3, 3), (1, 2), (2, 3)
+    }
+    # window spanning multiple buckets
+    assert pairs(lower_us=0, upper_us=2000) == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    plan = _plan(range_join(ev, ev, on="user_id", lower_us=0, upper_us=3_600_000_000))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the join is an equi-join on (user_id, bucket); strategy may be
+    # broadcast (small fixture) or shuffled at scale — either is fine
+    assert any(k in plan for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+# ---------------------------------------------------------------------------
+# skew-safe count distinct
+# ---------------------------------------------------------------------------
+
+def test_skew_safe_count_distinct_exact(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    got = {
+        r["l_returnflag"]: r["n"]
+        for r in skew_safe_count_distinct(li, "l_returnflag", "l_suppkey", out="n").collect()
+    }
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_skew_safe_count_distinct_ignores_nulls_and_plan(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None)], "k string, v int"
+    )
+    rows = {r["k"]: r["n_distinct"] for r in skew_safe_count_distinct(df, "k", "v").collect()}
+    assert rows == {"a": 1}  # all-NULL group yields no row, like COUNT(DISTINCT)
+
+    plan = _plan(skew_safe_count_distinct(df, "k", "v"))
+    assert plan.count("Exchange hashpartitioning") == 2
