@@ -106,6 +106,22 @@ def create_missing_codes(
     return parent.unionByName(new_rows)
 
 
+def merge_upsert(
+    base: DataFrame, delta: DataFrame, pk_cols: Sequence[str]
+) -> DataFrame:
+    """PK merge as a pure DataFrame op (the reference's re-import
+    semantics, Codeunit 60000:440-451, done as MERGE instead of
+    delete-before-load): delta rows replace matching-PK base rows,
+    unmatched delta rows insert.  The anti-join probes only the delta's
+    PK projection — for the typical small-delta case Catalyst/AQE
+    broadcasts it, so the 100 TB base never shuffles."""
+    keys = list(pk_cols)
+    keep = base.join(
+        delta.select(*keys).dropDuplicates(keys), keys, "left_anti"
+    )
+    return keep.unionByName(delta)
+
+
 def apply_to_target(
     df: DataFrame,
     path: str,

@@ -1454,3 +1454,92 @@ def x7_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
     return skew_safe_count_distinct(li, "l_returnflag", "l_suppkey", out="n_suppliers")
+
+
+@query(
+    "s13_merge_upsert",
+    """WITH delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice * 2 AS o_totalprice,
+                             o_orderdate, o_orderpriority
+                      FROM orders WHERE o_orderkey % 100 = 0)
+       SELECT * FROM delta
+       UNION ALL
+       SELECT o.* FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM delta d
+                         WHERE d.o_orderkey = o.o_orderkey)""",
+)
+def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/A7 upsert semantics as a pure DataFrame MERGE: a delta batch
+    (every 100th order, repriced) replaces matching-PK rows and would
+    insert unmatched ones.  The base side anti-joins only the delta's PK
+    projection (broadcast for small deltas — the base never shuffles)."""
+    from .operators.upsert import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    delta = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    return merge_upsert(o, delta, ["o_orderkey"])
+
+
+@query(
+    "n2_embedding_dedup",
+    f"""WITH {_UNIT_SQL},
+       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+                 WHERE list_reduce(list_transform(list_zip(a.uv, b.uv),
+                           p -> p[1] * p[2]), (x, y) -> x + y) >= 0.4)
+       SELECT e.vec_id, e.label FROM embeddings e
+       WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)""",
+)
+def n2_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 completion: embedding-space near-dup REMOVAL (not just pair
+    listing) with greedy keep-first semantics — a row is dropped iff a
+    lower-id row sits within cosine >= 0.4.  Deterministic and
+    SQL-expressible (unlike transitive-closure clustering), so the oracle
+    checks it exactly; at scale the pair join swaps to the LSH/IVF
+    bucketed candidates from operators/similarity."""
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drops = (
+        cosine_neardup_pairs(emb, threshold=0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+@query(
+    "stream_dedup_events",
+    """SELECT event_id, user_id, event_type FROM events""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: streaming exactly-once dedup.  Every event file
+    lands TWICE (at-least-once delivery); ``dropDuplicates(event_id)``
+    state dedups across micro-batches, so the finished stream equals the
+    batch DISTINCT exactly.  The availableNow replay here keeps unbounded
+    dedup state for exactness; a 24/7 pipeline would bound it with
+    ``dropDuplicatesWithinWatermark`` at the delivery-delay SLA."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_stream_to_memory, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_dedup_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_dedup"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        for _ in range(2):  # duplicate delivery of the whole feed
+            ev.coalesce(1).write.mode("append").parquet(landing)
+        stream = stream_events(spark, landing, max_files_per_trigger=1)
+        deduped = stream.dropDuplicates(["event_id"]).select(
+            "event_id", "user_id", "event_type"
+        )
+        run_stream_to_memory(deduped, qname)
+        out = spark.table(qname)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
