@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: scan-heavy agg, join-heavy, shuffle-heavy reshape, dedup,
-# FK sweep, window rollup — the engine's load-bearing shapes
+# FK sweep, window rollup, 7-way broadcast join, as-of join, skew-safe
+# distinct — the engine's load-bearing shapes
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -29,6 +30,9 @@ HEADLINE = [
     "a7_dedup_pk_lineitem",
     "j5_fk_violation_counts",
     "events_hourly_rollup",
+    "q8_market_share",
+    "t1_asof_last_purchase",
+    "x7_skew_salted_distinct",
 ]
 
 

@@ -301,3 +301,55 @@ def _month_end(d: _dt.date) -> _dt.date:
     if d.month == 12:
         return _dt.date(d.year, 12, 31)
     return _dt.date(d.year, d.month + 1, 1) - _dt.timedelta(days=1)
+
+
+def dateformula_expr(formula: str, base: Column) -> Column:
+    """Compile a NAV DateFormula to a Spark Column expression (JVM-side,
+    no UDF): the formula is package CONFIG (a literal, known driver-side),
+    so each token becomes a native date function — ``add_months`` /
+    ``date_add`` / ``last_day`` / ``trunc`` — and the whole evaluation
+    stays inside whole-stage codegen.  ``eval_dateformula`` above is the
+    reference evaluator; a property test pins the two to each other.
+
+    ``base`` must be a DATE column (use ``F.to_date`` first).
+    """
+    s = formula.strip().strip("<>").replace(" ", "")
+    d = base
+    pos = 0
+    while pos < len(s):
+        m = _DF_TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
+        sign, num, cur, unit = m.groups()
+        unit = unit.upper()
+        n = int(num) if num else (0 if cur else 1)
+        if sign == "-":
+            n = -n
+        if cur:  # snap to current-period end
+            if unit == "D":
+                pass
+            elif unit == "W":
+                d = F.date_add(d, F.lit(6) - F.weekday(d))  # -> Sunday
+            elif unit == "M":
+                d = F.last_day(d)
+            elif unit == "Q":
+                d = F.date_sub(F.add_months(F.trunc(d, "quarter"), 3), 1)
+            elif unit == "Y":
+                d = F.date_sub(F.add_months(F.trunc(d, "year"), 12), 1)
+        elif unit == "D":
+            d = F.date_add(d, n)
+        elif unit == "WD":
+            target = (abs(n) - 1) % 7
+            delta = F.pmod(F.lit(target) - F.weekday(d), F.lit(7))
+            delta = F.when(delta == 0, F.lit(7)).otherwise(delta)
+            d = F.date_add(d, delta if n > 0 else delta - 7)
+        elif unit == "W":
+            d = F.date_add(d, 7 * n)
+        elif unit == "M":
+            d = F.add_months(d, n)
+        elif unit == "Q":
+            d = F.add_months(d, 3 * n)
+        elif unit == "Y":
+            d = F.add_months(d, 12 * n)
+        pos = m.end()
+    return d

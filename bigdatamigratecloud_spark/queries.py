@@ -1543,3 +1543,29 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+@query(
+    "f_dateformula_eval",
+    """SELECT o_orderkey,
+              CAST(last_day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE) AS eom_next,
+              CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS DATE) AS minus_week,
+              CAST(last_day(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                            + INTERVAL 2 MONTH) AS DATE) AS quarter_end
+       FROM orders WHERE o_orderkey <= 2000""",
+)
+def f_dateformula_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateFormula (§1.2) evaluated DISTRIBUTED: each formula is config
+    (a literal), so it compiles driver-side to native date expressions
+    (add_months/last_day/trunc — whole-stage codegen, no UDF).  Oracle
+    recomputes '<1M+CM>', '<-1W>', '<CQ>' with DuckDB interval math."""
+    from .functions.scalars import dateformula_expr
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        dateformula_expr("<1M+CM>", d).alias("eom_next"),
+        dateformula_expr("<-1W>", d).alias("minus_week"),
+        dateformula_expr("<CQ>", d).alias("quarter_end"),
+    )

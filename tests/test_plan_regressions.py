@@ -91,3 +91,16 @@ def test_q5_joins_broadcast_dimensions(spark, sf_dir):
     df = q.QUERIES["q5_regional_revenue"](spark, sf_dir)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3  # nation, region, supplier at least
+
+
+def test_q8_all_dims_broadcast_filters_pushed(spark, sf_dir):
+    """The 7-way market-share join must plan as: every dim broadcast (no
+    fact-side shuffle for any join), the two selective predicates pushed
+    into their parquet scans, and exactly ONE hash exchange (the final
+    year aggregation)."""
+    plan = _plan(q.QUERIES["q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

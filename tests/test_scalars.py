@@ -101,3 +101,32 @@ def test_toposort_priority_tiebreak():
 def test_filename_stamp_shape():
     s = S.filename_stamp(dt.datetime(2024, 3, 5, 7, 9, 11))
     assert s == "05_03_24_07_09_11"
+
+
+def test_dateformula_expr_matches_python_eval(spark):
+    """The Catalyst-compiled DateFormula must agree with the reference
+    Python evaluator on a grid of formulas x dates (month ends, leap
+    days, year/quarter boundaries)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.functions.scalars import (
+        dateformula_expr,
+        eval_dateformula,
+    )
+
+    dates = [dt.date(2023, 12, 15) + dt.timedelta(days=i * 13) for i in range(40)]
+    dates += [dt.date(2024, 1, 31), dt.date(2024, 2, 29), dt.date(2023, 2, 28),
+              dt.date(2024, 12, 31), dt.date(2024, 3, 31)]
+    formulas = ["<1M>", "<CM>", "<-1W>", "<1M+CM>", "<CQ>", "<CY>", "<2D>",
+                "<-3M>", "<1Q>", "<3WD>", "<-1Y>", "<CW>", "<1Y+CQ>", "<-2Q+CM>"]
+
+    df = spark.createDataFrame([(d,) for d in dates], "d date")
+    out = df.select(
+        "d", *[dateformula_expr(f, F.col("d")).alias(f"f{i}") for i, f in enumerate(formulas)]
+    ).collect()
+    for row in out:
+        for i, f in enumerate(formulas):
+            want = eval_dateformula(f, row["d"])
+            assert row[f"f{i}"] == want, (f, row["d"], row[f"f{i}"], want)
