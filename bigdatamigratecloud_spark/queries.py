@@ -1569,3 +1569,44 @@ def f_dateformula_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dateformula_expr("<-1W>", d).alias("minus_week"),
         dateformula_expr("<CQ>", d).alias("quarter_end"),
     )
+
+
+@query(
+    "stream_interval_join",
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+              p.ts AS purchase_ts, p.value AS purchase_value
+       FROM events c JOIN events p ON c.user_id = p.user_id
+       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: STREAM-STREAM interval join — clicks joined to
+    same-user purchases within the preceding hour, both sides watermarked
+    so join state stays bounded.  Events land chronologically (as a real
+    ingest arrives); the finished stream must equal the batch interval
+    join exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import interval_join_stream, run_stream_to_memory, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_sjoin_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_ivjoin"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 4
+        for i in range(4):
+            a = lo + i * span
+            b = hi if i == 3 else lo + (i + 1) * span
+            cond = (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 3 else (F.col("ts") < b))
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        clicks = stream_events(spark, landing, max_files_per_trigger=1)
+        purchases = stream_events(spark, landing, max_files_per_trigger=1)
+        run_stream_to_memory(interval_join_stream(clicks, purchases), qname)
+        out = spark.table(qname)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out

@@ -149,3 +149,52 @@ def run_stream_to_memory(
     q.awaitTermination(await_seconds)
     if q.isActive:
         q.stop()
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to every purchase
+    by the same user within ``window`` BEFORE it (inclusive both ends).
+
+    Both sides carry a watermark so Spark can bound the join state: a
+    buffered purchase can be evicted once the click-side watermark passes
+    ``purchase_ts + window``, and vice versa.  With ``watermark`` >=
+    ``window`` and (approximately) time-ordered arrival, no within-window
+    pair is lost — the finished stream equals the batch interval join
+    exactly, which is what the oracle checks.
+    """
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts <= click_ts "
+            f"AND purchase_ts >= click_ts - interval {window}"
+        ),
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
