@@ -147,3 +147,32 @@ def test_ivf_assignment_is_argmax_of_centroid_dots(spark):
         for r in similarity.ivf_assign(df, cents).collect()
     }
     assert got == {1: 0, 2: 1, 3: 1}  # -1,0: dot c0=-1 < dot c1=0
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF scale path made concrete: materialize the inverted-file
+    index partitioned by cluster id; a probe read filtered to the probed
+    lists must hit the parquet PARTITION filters (directory pruning — the
+    scan never opens unprobed lists), and return exactly those lists."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.similarity import (
+        _kmeans_fit,
+        ivf_assign,
+        with_unit_vector,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [r[0] for r in emb.select("embedding").limit(256).collect()]
+    cents = _kmeans_fit(sample, k=8)
+    idx = ivf_assign(with_unit_vector(emb, "embedding", "cu"), cents, "embedding", "cluster")
+
+    path = str(tmp_path / "ivf_index")
+    idx.select("vec_id", "cu", "cluster").write.partitionBy("cluster").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("cluster").isin(0, 3))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1][:160]
+    assert "cluster" in pf and "IN (0,3)" in pf.replace(" ", "").replace("IN(", "IN (")
+    assert probe.count() == idx.where(F.col("cluster").isin(0, 3)).count()
