@@ -1610,3 +1610,14 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
+
+
+shared_sql(
+    "a10_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())""",
+)
