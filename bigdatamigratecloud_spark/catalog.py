@@ -90,10 +90,24 @@ def _scan_parallelism_deficit(path: str) -> bool:
 _PARALLELISM_CACHE: dict[str, bool] = {}
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """events.parquet carries INT64 TIMESTAMP(NANOS); without this legacy
+    flag Spark raises PARQUET_TYPE_ILLEGAL at scan time.  The flag is
+    runtime-settable, so set it here rather than relying on the session
+    builder — callers (e.g. the correctness driver) hand us plain
+    sessions built without our `session.py`."""
+    try:
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (never on OSS Spark); scan will raise clearly
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize_small: bool = True
 ) -> DataFrame:
     path = table_path(sf_dir, name)
+    _ensure_nanos_readable(spark)
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.

@@ -205,15 +205,63 @@ def clamp_sheet_name(name: str, table_id: int | None = None) -> str:
 
 # F7: locale-aware date render for Excel export (Codeunit 60000:850-853:
 # `TypeHelper.FormatDate(DATE2DMY(...), ConfigPackage."Language ID")`).
-# The package's Windows Language ID picks the date shape; rendering stays
-# JVM-side (date_format pattern per locale — no Python in the row path).
+# The package's Windows Language ID (LCID) picks the date shape; rendering
+# stays JVM-side (date_format pattern per locale — no Python in the row
+# path).  Coverage is two-tier: exact LCID overrides below, then a
+# primary-language fallback (LCID & 0x3FF — the published Windows LCID
+# structure), so ANY Language ID of a known language renders correctly
+# and truly unknown ones fall back to ISO-8601 (the XML-mode rendering).
 LOCALE_DATE_PATTERNS: dict[int, str] = {
-    1033: "M/d/yyyy",    # en-US
+    1033: "M/d/yyyy",    # en-US (the one English that leads with month)
     2057: "dd/MM/yyyy",  # en-GB
+    3081: "d/MM/yyyy",   # en-AU
+    4105: "yyyy-MM-dd",  # en-CA
     1049: "dd.MM.yyyy",  # ru-RU (the reference ships ru-RU translations)
     1031: "dd.MM.yyyy",  # de-DE
+    2055: "dd.MM.yyyy",  # de-CH
     1036: "dd/MM/yyyy",  # fr-FR
+    3084: "yyyy-MM-dd",  # fr-CA
+    1053: "yyyy-MM-dd",  # sv-SE
 }
+
+# Primary language (low 10 bits of the LCID) -> short-date pattern.
+# Public-knowledge Windows/CLDR short-date conventions.
+PRIMARY_LANG_DATE_PATTERNS: dict[int, str] = {
+    0x09: "dd/MM/yyyy",  # English (non-US variants)
+    0x19: "dd.MM.yyyy",  # Russian
+    0x07: "dd.MM.yyyy",  # German
+    0x0C: "dd/MM/yyyy",  # French
+    0x0A: "dd/MM/yyyy",  # Spanish
+    0x10: "dd/MM/yyyy",  # Italian
+    0x16: "dd/MM/yyyy",  # Portuguese
+    0x13: "dd-MM-yyyy",  # Dutch
+    0x15: "dd.MM.yyyy",  # Polish
+    0x05: "dd.MM.yyyy",  # Czech
+    0x0E: "yyyy. MM. dd.",  # Hungarian
+    0x06: "dd-MM-yyyy",  # Danish
+    0x14: "dd.MM.yyyy",  # Norwegian
+    0x0B: "d.M.yyyy",    # Finnish
+    0x1D: "yyyy-MM-dd",  # Swedish
+    0x11: "yyyy/MM/dd",  # Japanese
+    0x04: "yyyy/M/d",    # Chinese
+    0x12: "yyyy-MM-dd",  # Korean
+    0x1F: "d.MM.yyyy",   # Turkish
+    0x08: "d/M/yyyy",    # Greek
+    0x01: "dd/MM/yyyy",  # Arabic
+    0x0D: "dd/MM/yyyy",  # Hebrew
+    0x39: "dd-MM-yyyy",  # Hindi
+    0x2A: "dd/MM/yyyy",  # Vietnamese
+    0x1E: "d/M/yyyy",    # Thai
+    0x22: "dd.MM.yyyy",  # Ukrainian
+}
+
+
+def locale_date_pattern(language_id: int) -> str:
+    """Short-date pattern for a Windows Language ID: exact LCID override,
+    else primary-language fallback, else ISO-8601."""
+    if language_id in LOCALE_DATE_PATTERNS:
+        return LOCALE_DATE_PATTERNS[language_id]
+    return PRIMARY_LANG_DATE_PATTERNS.get(language_id & 0x3FF, "yyyy-MM-dd")
 
 
 def localized_date(col: Column, language_id: int) -> Column:
@@ -221,8 +269,7 @@ def localized_date(col: Column, language_id: int) -> Column:
     unknown Language IDs fall back to ISO-8601 (the XML-mode rendering)."""
     from pyspark.sql import functions as F
 
-    pattern = LOCALE_DATE_PATTERNS.get(language_id, "yyyy-MM-dd")
-    return F.date_format(col, pattern)
+    return F.date_format(col, locale_date_pattern(language_id))
 
 
 # F8: datetime -> filename stamp (Codeunit 60001:190-192)

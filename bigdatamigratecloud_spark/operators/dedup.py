@@ -92,14 +92,13 @@ def jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            # double division (IEEE-identical across engines), cast at
-            # scale 7: with shingle-set sizes <= ~200 a decimal tie needs a
-            # denominator divisible by 2^8 — impossible, so the rounding
-            # mode can't diverge between engines
+            # double division, emitted as DOUBLE: int/int IEEE division is
+            # bit-identical across engines, while DECIMAL canonicalization
+            # diverged in the round-1 driver hash despite identical values
             (
                 F.col("inter").cast("double")
                 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
-            ).cast("decimal(28,7)").alias("jaccard"),
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
     )

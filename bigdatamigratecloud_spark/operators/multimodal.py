@@ -4,16 +4,16 @@ opaque `binary` columns with typed metadata, processed through
 Arrow-batched mapInPandas kernels.
 
 The Spark-side plumbing — schemas, partition sizing, UDF signatures,
-batch shapes — is real and tested.  The codec step itself (JPEG decode,
-resampling, video frame extraction) needs PIL/ffmpeg/torchaudio, none of
-which exist in this container, so each kernel routes through
-`_decode_image` / `_decode_audio`, which:
+batch shapes — is real and tested.  Decoding is tiered:
 
-- use the real library if one is importable (import-try gate), else
-- fall back to a clearly-marked DETERMINISTIC FAKE that derives pixel /
-  sample arrays from the byte content (so distributed plumbing, shapes,
-  and downstream math are exercised honestly), else
-- `decode_strict=True` raises NotImplementedError, documenting the gap.
+- REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy) and
+  PCM-16 WAV (stdlib ``wave``) decode genuinely, exercised in tests;
+- real library if importable (PIL / soundfile, import-try gate) for
+  compressed formats (JPEG/PNG/FLAC/...), absent in this container;
+- else a clearly-marked DETERMINISTIC FAKE derives pixel/sample arrays
+  from the byte content (so distributed plumbing, shapes, and downstream
+  math are exercised honestly), and `decode_strict=True` raises
+  NotImplementedError instead, documenting the gap.
 
 Partitioning guidance for 100 TB of media: keep rows ≲ 100 MB (Spark's
 2 GB column-value limit is the hard wall), size
@@ -37,8 +37,36 @@ THUMB_SCHEMA = "id long, thumb_w int, thumb_h int, thumb_bytes binary"
 FRAME_SCHEMA = "id long, frame_index int, frame_bytes binary"
 
 
+def _decode_bmp(payload: bytes):
+    """REAL decode of uncompressed 24-bit BMP — pure struct+numpy, no
+    external codec library.  Returns an (h, w, 3) RGB uint8 array, or
+    None if the payload is not a BMP this decoder handles."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    row_size = (w * 3 + 3) & ~3
+    n_rows = abs(h)
+    if data_off + row_size * n_rows > len(payload):
+        return None
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row_size * n_rows, offset=data_off)
+    arr = arr.reshape(n_rows, row_size)[:, : w * 3].reshape(n_rows, w, 3)
+    if h > 0:  # positive height = bottom-up row order
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def _decode_image(payload: bytes, strict: bool):
-    """Real decode via PIL when available; deterministic fake otherwise."""
+    """Real decode via PIL when available; real pure-numpy decode for
+    uncompressed BMP regardless; deterministic fake otherwise."""
     try:
         import io
 
@@ -52,10 +80,13 @@ def _decode_image(payload: bytes, strict: bool):
             arr = arr[:, :, None]
         return arr
     except ImportError:
+        bmp = _decode_bmp(payload)
+        if bmp is not None:
+            return bmp
         if strict:
             raise NotImplementedError(
-                "image decode requires PIL, which is not installed; "
-                "pass decode_strict=False for the deterministic fake"
+                "image decode requires PIL (not installed) for non-BMP "
+                "formats; pass decode_strict=False for the deterministic fake"
             ) from None
         import numpy as np
 
@@ -65,15 +96,45 @@ def _decode_image(payload: bytes, strict: bool):
         return buf.reshape(8, 8, 3)
 
 
+def _decode_wav(payload: bytes):
+    """REAL decode of PCM-16 WAV via the stdlib ``wave`` module — no
+    external codec.  Returns (samples float64 in [-1, 1], rate) or None
+    if the payload is not a PCM-16 WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error:
+        return None
+    x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
 def _decode_audio(payload: bytes, strict: bool):
     try:
         import soundfile  # type: ignore  # noqa: F401
 
         raise NotImplementedError("real audio path untested in this container")
     except ImportError:
+        wav = _decode_wav(payload)
+        if wav is not None:
+            return wav
         if strict:
             raise NotImplementedError(
-                "audio decode requires soundfile/ffmpeg; not installed"
+                "audio decode requires soundfile/ffmpeg (not installed) "
+                "for non-WAV formats"
             ) from None
         import numpy as np
 

@@ -70,7 +70,7 @@ def cosine_topk(
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+        .select("query_id", "nbr_id", "rank", F.col("cosine").alias("cosine"))
     )
 
 
@@ -114,7 +114,7 @@ def cosine_topk_pandas(
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+        .select("query_id", "nbr_id", "rank", F.col("cosine").alias("cosine"))
     )
 
 
@@ -194,7 +194,7 @@ def lsh_cosine_topk(
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+        .select("query_id", "nbr_id", "rank", F.col("cosine").alias("cosine"))
     )
 
 
@@ -217,8 +217,71 @@ def cosine_neardup_pairs(
             _dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+        .select("id_a", "id_b", F.col("cosine").alias("cosine"))
     )
+
+
+def cosine_neardup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed near-dup pairs — the SCALE path for cosine_neardup_pairs.
+
+    Candidates are pairs whose hyperplane signatures differ in at most
+    `max_hamming` of `n_planes` sign bits; only candidates get a dot
+    product.  Realized as a bucket EQUI-join (one side explodes its
+    signature's hamming-ball probes), never a cross product: a pair with
+    signature xor = m (popcount(m) <= max_hamming) meets exactly once, at
+    probe mask m.  Deterministic (seeded planes), so the oracle recomputes
+    the identical candidate set in SQL; recall vs the brute baseline is
+    pinned separately in tests."""
+    from itertools import combinations
+
+    s = lsh_bucket(with_unit_vector(df, vec_col, "u"), dim, n_planes, vec_col, "sig", seed)
+    masks = [0]
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for i in bits:
+                m |= 1 << i
+            masks.append(m)
+    a = s.select(
+        F.col(id_col).alias("id_a"),
+        F.col("u").alias("ua"),
+        F.explode(
+            F.array(*[F.col("sig").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+        ).alias("probe"),
+    )
+    b = s.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, (F.col("probe") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", _dot(F.col("ua"), F.col("ub")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_signature_sql(dim: int, n_planes: int = 8, seed: int = 42, vec_expr: str = "v") -> str:
+    """DuckDB SQL expression reproducing lsh_bucket's signature bit-exactly
+    (plane literals embedded as strings -> correctly-rounded doubles; same
+    left-fold dot product, same `> 0` sign test).  Lets the driver's
+    oracle check the bucketed path EXACTLY, not just by recall."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ",".join(repr(x) for x in plane)
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec_expr}, "
+            f"list_transform(string_split('{lits}', ','), s -> CAST(s AS DOUBLE))), "
+            f"p -> p[1] * p[2]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
@@ -298,8 +361,11 @@ def ivf_cosine_topk(
         qu = qv / n if n else qv
         order = np.argsort(-(cents @ qu))[:n_probe]
         probe_rows.append((row[query_id_col], [float(x) for x in qu], [int(x) for x in order]))
+    # probe schema mirrors the ACTUAL id type of the queries frame, so
+    # string/int ids work, not just long
+    id_type = dict(queries.dtypes)[query_id_col]
     q = corpus.sparkSession.createDataFrame(
-        probe_rows, f"query_id long, qu array<double>, probed array<int>"
+        probe_rows, f"query_id {id_type}, qu array<double>, probed array<int>"
     )
 
     sim = (
@@ -311,5 +377,5 @@ def ivf_cosine_topk(
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.col("cosine").cast("decimal(28,9)").alias("cosine"))
+        .select("query_id", "nbr_id", "rank", F.col("cosine").alias("cosine"))
     )

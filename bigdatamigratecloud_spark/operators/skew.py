@@ -39,7 +39,12 @@ def skew_safe_count_distinct(
     """Exact COUNT(DISTINCT value) per key, skew-spread by partitioning on
     the (key, value) pair.  NULL values are not counted (SQL semantics)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    pairs = df.where(F.col(value).isNotNull()).select(*keys, value).distinct()
+    # NULL values stay through the pair-distinct (collapsing to one
+    # (key, NULL) row per key) and are then skipped by count(value) —
+    # this keeps a key whose values are ALL NULL in the output with
+    # count 0, exactly like SQL GROUP BY k COUNT(DISTINCT v), without
+    # adding a third exchange to restore empty groups.
+    pairs = df.select(*keys, value).distinct()
     return pairs.groupBy(*keys).agg(F.count(value).cast("long").alias(out))
 
 
@@ -54,7 +59,11 @@ def salted_sum(
     wide shuffle that clustered the hot key).  ``sums`` maps output name
     -> column expression; each must be a sum-decomposable aggregate."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("__salt")
+    # Salt derived from row CONTENT, not monotonically_increasing_id():
+    # a nondeterministic salt re-assigns rows to different (key, salt)
+    # groups when a failed task replays, double-counting or dropping rows
+    # exactly in the fault-recovery scenario this op exists for.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
         *[expr.alias(f"__p_{name}") for name, expr in sums.items()]
     )

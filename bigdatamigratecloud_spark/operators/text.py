@@ -64,24 +64,21 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
         F.length(text_col).alias("n_chars_measured"),
-        # ratio math in IEEE doubles (bit-identical across engines), ONE
-        # final decimal cast — chained decimal ops round differently per
-        # engine's intermediate-scale rules
-        F.when(n == 0, F.lit(None))
+        # ratio math in IEEE doubles, emitted AS doubles: int/int double
+        # division is bit-identical across engines, whereas a final DECIMAL
+        # cast renders differently per engine's canonicalization (verified
+        # driver hash mismatch in round 1 despite row-identical values)
+        F.when(n == 0, F.lit(None).cast("double"))
         .otherwise(
-            (
-                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-                .cast("double")
-                / n.cast("double")
-            ).cast("decimal(38,6)")
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            .cast("double")
+            / n.cast("double")
         )
         .alias("avg_token_len"),
-        F.when(n == 0, F.lit(None))
+        F.when(n == 0, F.lit(None).cast("double"))
         .otherwise(
-            (
-                F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
-                / n.cast("double")
-            ).cast("decimal(38,6)")
+            F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+            / n.cast("double")
         )
         .alias("stopword_ratio"),
     )
@@ -97,16 +94,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n = F.size(toks).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
-    # all-double expression tree (identical IEEE result in any engine),
-    # one final cast
+    # all-double expression tree, emitted as DOUBLE (identical IEEE result
+    # in any engine; DECIMAL rendering is what diverges cross-engine)
     len_term = F.least(n, F.lit(100.0)) / F.lit(100.0)
     uniq_term = n_uniq / n
     stop_term = F.least(n_stop / n * F.lit(5.0), F.lit(1.0))
     score = (
-        (len_term * F.lit(4.0) + uniq_term * F.lit(4.0) + stop_term * F.lit(2.0)) / F.lit(10.0)
-    ).cast("decimal(38,6)")
+        len_term * F.lit(4.0) + uniq_term * F.lit(4.0) + stop_term * F.lit(2.0)
+    ) / F.lit(10.0)
     return df.select(
-        F.col(id_col), F.when(F.size(toks) == 0, F.lit(None)).otherwise(score).alias("quality")
+        F.col(id_col),
+        F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(score).alias("quality"),
     )
 
 

@@ -60,8 +60,10 @@ def fk_violation_counts_fused(
     one fact-table scan and |FK| scans."""
     probe = child
     markers: list[tuple[str, str]] = []  # (relation, marker_col)
-    for child_col, parent, parent_col in fks:
-        marker = f"__hit_{child_col}"
+    for i, (child_col, parent, parent_col) in enumerate(fks):
+        # index in the marker keeps it unique if one child column ever
+        # declares two relations (same column referencing two parents)
+        marker = f"__hit_{i}_{child_col}"
         keys = (
             parent.select(F.col(parent_col).alias(child_col))
             .dropDuplicates([child_col])
@@ -138,15 +140,56 @@ def apply_to_target(
     if mode == "upsert":
         if not pk_cols:
             raise ValueError("upsert requires pk_cols")
+        from pyspark.errors import AnalysisException
+
         spark = df.sparkSession
         try:
             existing = spark.read.parquet(path)
-            keep = existing.join(df.select(*pk_cols).dropDuplicates(list(pk_cols)), list(pk_cols), "left_anti")
-            merged = keep.unionByName(df)
-        except Exception:
-            merged = df
-        merged.write.mode("overwrite").parquet(path + "__tmp")
-        out = spark.read.parquet(path + "__tmp")
-        out.write.mode("overwrite").parquet(path)
+            target_exists = True
+        except AnalysisException as e:
+            # only a missing target is a fresh-load; any other read
+            # failure (corrupt footer, permission) must surface
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            target_exists = False
+        if not target_exists:
+            writer.mode("overwrite").parquet(path)
+            return
+        keys = list(pk_cols)
+        delta_keys = df.select(*keys).dropDuplicates(keys)
+        if partition_by:
+            # Scale path: MERGE via dynamic partition overwrite — rewrite
+            # ONLY the partitions the delta touches (the plain-parquet
+            # stand-in for Delta/Iceberg MERGE).  The untouched bulk of a
+            # 100 TB table is never read or written.
+            parts = list(partition_by)
+            touched = df.select(*parts).dropDuplicates(parts)
+            affected = existing.join(F.broadcast(touched), parts, "left_semi")
+            # delta_keys deliberately NOT force-broadcast: a backfill delta
+            # can be huge; AQE picks broadcast when it is actually small
+            merged = affected.join(delta_keys, keys, "left_anti").unionByName(df)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                # localCheckpoint cuts the lineage back to the files being
+                # overwritten (reading and dynamically overwriting the same
+                # partitions in one job is not safe on plain parquet)
+                merged.localCheckpoint().write.partitionBy(*parts).mode(
+                    "overwrite"
+                ).parquet(path)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            return
+        # Unpartitioned plain parquet cannot overwrite in place while being
+        # read: stage to a tmp dir, then swap.  (Delta/Iceberg MERGE is the
+        # production answer; the writer interface keeps it pluggable.)
+        keep = existing.join(delta_keys, keys, "left_anti")
+        merged = keep.unionByName(df)
+        tmp = path + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         return
     writer.mode(mode).parquet(path)

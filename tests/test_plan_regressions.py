@@ -104,3 +104,20 @@ def test_q8_all_dims_broadcast_filters_pushed(spark, sf_dir):
     assert "EqualTo(p_type,PROMO)" in plan
     assert "EqualTo(r_name,ASIA)" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lsh_neardup_is_bucket_equijoin_no_cross_product(spark, sf_dir):
+    """The oracle-checked embedding near-dup scale path must pair via a
+    bucket equi-join on the hyperplane signature — never a cross product
+    (the brute baseline's crossJoin is the 100 TB scale-killer)."""
+    plan = _plan(q.QUERIES["n2_cosine_neardup_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the probe==sig pairing is a hash-key equality join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_embedding_dedup_consumes_lsh_candidates(spark, sf_dir):
+    plan = _plan(q.QUERIES["n2_embedding_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

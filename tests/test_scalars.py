@@ -130,3 +130,33 @@ def test_dateformula_expr_matches_python_eval(spark):
         for i, f in enumerate(formulas):
             want = eval_dateformula(f, row["d"])
             assert row[f"f{i}"] == want, (f, row["d"], row[f"f{i}"], want)
+
+
+def test_locale_date_pattern_lcid_and_primary_fallback():
+    # exact LCID overrides
+    assert S.locale_date_pattern(1033) == "M/d/yyyy"     # en-US
+    assert S.locale_date_pattern(2057) == "dd/MM/yyyy"   # en-GB
+    # ANY LCID of a known primary language resolves via the low 10 bits
+    assert S.locale_date_pattern(3082) == "dd/MM/yyyy"   # es-ES (modern sort)
+    assert S.locale_date_pattern(11274) == "dd/MM/yyyy"  # es-AR
+    assert S.locale_date_pattern(1041) == "yyyy/MM/dd"   # ja-JP
+    assert S.locale_date_pattern(2052) == "yyyy/M/d"     # zh-CN
+    assert S.locale_date_pattern(4108) == "dd/MM/yyyy"   # fr-CH via primary French
+    # truly unknown language -> ISO-8601 (XML-mode rendering)
+    assert S.locale_date_pattern(0x3FF) == "yyyy-MM-dd"
+
+
+def test_localized_date_renders(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(F.lit("2024-03-07").cast("date").alias("d"))
+    row = df.select(
+        S.localized_date(F.col("d"), 1033).alias("us"),
+        S.localized_date(F.col("d"), 1049).alias("ru"),
+        S.localized_date(F.col("d"), 11274).alias("es_ar"),
+        S.localized_date(F.col("d"), 999999).alias("unknown"),
+    ).collect()[0]
+    assert row.us == "3/7/2024"
+    assert row.ru == "07.03.2024"
+    assert row.es_ar == "07/03/2024"
+    assert row.unknown == "2024-03-07"

@@ -175,7 +175,28 @@ def test_skew_safe_count_distinct_ignores_nulls_and_plan(spark):
         [("a", 1), ("a", 1), ("a", None), ("b", None)], "k string, v int"
     )
     rows = {r["k"]: r["n_distinct"] for r in skew_safe_count_distinct(df, "k", "v").collect()}
-    assert rows == {"a": 1}  # all-NULL group yields no row, like COUNT(DISTINCT)
+    # all-NULL group is KEPT with count 0, matching GROUP BY k COUNT(DISTINCT v)
+    assert rows == {"a": 1, "b": 0}
 
     plan = _plan(skew_safe_count_distinct(df, "k", "v"))
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_salted_sum_exact_and_deterministic(spark, sf_dir):
+    from bigdatamigratecloud_spark.operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    sums = {"s": F.sum(F.col("l_quantity").cast("decimal(38,6)"))}
+    got = {r["l_returnflag"]: r["s"] for r in salted_sum(li, "l_returnflag", sums).collect()}
+    want = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("s"))
+        .collect()
+    }
+    assert got == want
+    # content-derived salt: a second run assigns identical groups
+    again = {r["l_returnflag"]: r["s"] for r in salted_sum(li, "l_returnflag", sums).collect()}
+    assert again == got
+    plan = _plan(salted_sum(li, "l_returnflag", sums))
+    assert "monotonically_increasing_id" not in plan
