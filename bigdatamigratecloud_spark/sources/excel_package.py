@@ -56,11 +56,24 @@ def excel_cell(col: F.Column, data_type: T.DataType) -> F.Column:
 
 
 def export_package_excel(
-    spark: SparkSession, spec: PackageSpec, sf_dir: str, out_path: str
+    spark: SparkSession,
+    spec: PackageSpec,
+    sf_dir: str,
+    out_path: str,
+    cell_comments: dict[str, dict[tuple[int, str], str]] | None = None,
 ) -> list[str]:
-    """One worksheet per package table; returns the sheet names written."""
-    from ..operators.navfilter import nav_filter
+    """One worksheet per package table; returns the sheet names written.
 
+    Fidelity extras matching the reference's workbook decoration
+    (XLS:528-598, 641-679): a header AUTOFILTER over the caption row, a
+    structured TABLE part spanning the data region (one named column per
+    caption — the XSD-mapped table-part analogue), and optional
+    validation CELL COMMENTS via ``cell_comments``:
+    {table_name: {(0-based data row, field name): comment text}}."""
+    from ..operators.navfilter import nav_filter
+    from .xlsx import col_letters
+
+    cell_comments = cell_comments or {}
     sheets: list[Sheet] = []
     for idx, ts in enumerate(spec.tables):
         df = load_table(spark, sf_dir, ts.table_name)
@@ -78,6 +91,14 @@ def export_package_excel(
         for row in ser.toLocalIterator():
             sheet.set_row(r, [row[c] for c in fields])
             r += 1
+        region = f"A{CAPTION_ROW}:{col_letters(len(fields))}{max(r - 1, CAPTION_ROW)}"
+        sheet.autofilter = region
+        sheet.table_range = region
+        sheet.table_columns = list(fields)
+        col_of = {c: i + 1 for i, c in enumerate(fields)}
+        for (data_row, fname), text in cell_comments.get(ts.table_name, {}).items():
+            if fname in col_of:
+                sheet.comments[(DATA_START_ROW + data_row, col_of[fname])] = text
         sheets.append(sheet)
     write_xlsx(out_path, sheets)
     return [s.name for s in sheets]

@@ -50,6 +50,17 @@ class Sheet:
     name: str
     # sparse cell map: (row, col) 1-based -> value (str | int | float | None)
     cells: dict[tuple[int, int], object] = field(default_factory=dict)
+    # A1-style range the header autofilter covers, e.g. "A3:H120"
+    # (the reference sets an autofilter over the caption row, XLS:641-679)
+    autofilter: str | None = None
+    # validation cell comments: (row, col) -> text (XLS:528-598 writes the
+    # per-cell validation error as a comment)
+    comments: dict[tuple[int, int], str] = field(default_factory=dict)
+    # structured table over the data region (A1 range); rendered as an
+    # Excel table part with one typed column per caption — the XSD-mapped
+    # table-part analogue (XLS:528-598)
+    table_range: str | None = None
+    table_columns: list[str] = field(default_factory=list)
 
     def set_row(self, row: int, values: list[object], start_col: int = 1) -> None:
         for i, v in enumerate(values):
@@ -74,6 +85,17 @@ def write_xlsx(path: str, sheets: list[Sheet]) -> None:
             f'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
             for i in range(len(sheets))
         )
+        for i, s in enumerate(sheets):
+            if s.comments:
+                overrides += (
+                    f'<Override PartName="/xl/comments{i+1}.xml" '
+                    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.comments+xml"/>'
+                )
+            if s.table_range:
+                overrides += (
+                    f'<Override PartName="/xl/tables/table{i+1}.xml" '
+                    'ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.table+xml"/>'
+                )
         z.writestr(
             "[Content_Types].xml",
             '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -114,7 +136,62 @@ def write_xlsx(path: str, sheets: list[Sheet]) -> None:
             f'<Relationships xmlns="{_NS_PKG_REL}">{rels}</Relationships>',
         )
         for i, s in enumerate(sheets):
-            z.writestr(f"xl/worksheets/sheet{i+1}.xml", _sheet_xml(s))
+            n = i + 1
+            z.writestr(f"xl/worksheets/sheet{n}.xml", _sheet_xml(s))
+            sheet_rels = ""
+            if s.comments:
+                sheet_rels += (
+                    '<Relationship Id="rIdComments" '
+                    'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/comments" '
+                    f'Target="../comments{n}.xml"/>'
+                )
+                z.writestr(f"xl/comments{n}.xml", _comments_xml(s))
+            if s.table_range:
+                sheet_rels += (
+                    '<Relationship Id="rIdTable" '
+                    'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/table" '
+                    f'Target="../tables/table{n}.xml"/>'
+                )
+                z.writestr(f"xl/tables/table{n}.xml", _table_xml(s, n))
+            if sheet_rels:
+                z.writestr(
+                    f"xl/worksheets/_rels/sheet{n}.xml.rels",
+                    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                    f'<Relationships xmlns="{_NS_PKG_REL}">{sheet_rels}</Relationships>',
+                )
+
+
+def _comments_xml(s: Sheet) -> str:
+    """Validation-error cell comments (XLS:528-598 attaches the error text
+    to the offending cell).  Standards-valid comments part; the legacy VML
+    needed for Excel's floating-box RENDERING is a declared simplification
+    — the comment data round-trips through any OpenXML reader."""
+    items = "".join(
+        f'<comment ref="{col_letters(c)}{r}" authorId="0">'
+        f'<text><t xml:space="preserve">{_esc(text)}</t></text></comment>'
+        for (r, c), text in sorted(s.comments.items())
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<comments xmlns="{_NS}"><authors><author>bdmc</author></authors>'
+        f"<commentList>{items}</commentList></comments>"
+    )
+
+
+def _table_xml(s: Sheet, n: int) -> str:
+    """Structured table over the data region — one typed tableColumn per
+    caption (the XSD-mapped table-part analogue, XLS:528-598)."""
+    cols = "".join(
+        f'<tableColumn id="{i+1}" name="{_esc(c)}"/>' for i, c in enumerate(s.table_columns)
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<table xmlns="{_NS}" id="{n}" name="Table{n}" displayName="Table{n}" '
+        f'ref="{s.table_range}" headerRowCount="1">'
+        f'<autoFilter ref="{s.table_range}"/>'
+        f'<tableColumns count="{len(s.table_columns)}">{cols}</tableColumns>'
+        "</table>"
+    )
 
 
 def _sheet_xml(s: Sheet) -> str:
@@ -138,7 +215,15 @@ def _sheet_xml(s: Sheet) -> str:
                     f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(str(v))}</t></is></c>'
                 )
         parts.append("</row>")
-    parts.append("</sheetData></worksheet>")
+    parts.append("</sheetData>")
+    if s.autofilter:
+        parts.append(f'<autoFilter ref="{s.autofilter}"/>')
+    if s.table_range:
+        parts.append(
+            '<tableParts count="1"><tablePart '
+            f'xmlns:r="{_NS_REL}" r:id="rIdTable"/></tableParts>'
+        )
+    parts.append("</worksheet>")
     return "".join(parts)
 
 
@@ -201,5 +286,42 @@ def read_xlsx(path: str) -> list[Sheet]:
                             f = float(v_el.text)
                             val = int(f) if f.is_integer() else f
                     sheet.cells[(r, col)] = val
+            af = root.find(f"{{{_NS}}}autoFilter")
+            if af is not None:
+                sheet.autofilter = af.attrib.get("ref")
+            _read_sheet_extras(z, target, sheet)
             sheets.append(sheet)
         return sheets
+
+
+def _parse_ref(ref: str) -> tuple[int, int]:
+    m = _CELL_REF.match(ref)
+    col = 0
+    for ch in m.group(1):
+        col = col * 26 + ord(ch) - ord("A") + 1
+    return int(m.group(2)), col
+
+
+def _read_sheet_extras(z: zipfile.ZipFile, sheet_target: str, sheet: Sheet) -> None:
+    """Round-trip comments and table parts via the worksheet's rels."""
+    import posixpath
+
+    base = posixpath.dirname(sheet_target)
+    rels_path = posixpath.join(base, "_rels", posixpath.basename(sheet_target) + ".rels")
+    if rels_path not in z.namelist():
+        return
+    rels = ET.fromstring(z.read(rels_path))
+    for rel in rels.findall(f"{{{_NS_PKG_REL}}}Relationship"):
+        target = posixpath.normpath(posixpath.join(base, rel.attrib["Target"]))
+        rtype = rel.attrib["Type"]
+        if rtype.endswith("/comments") and target in z.namelist():
+            com = ET.fromstring(z.read(target))
+            for c_el in com.iter(f"{{{_NS}}}comment"):
+                text = "".join(t.text or "" for t in c_el.iter(f"{{{_NS}}}t"))
+                sheet.comments[_parse_ref(c_el.attrib["ref"])] = text
+        elif rtype.endswith("/table") and target in z.namelist():
+            tbl = ET.fromstring(z.read(target))
+            sheet.table_range = tbl.attrib.get("ref")
+            sheet.table_columns = [
+                tc.attrib["name"] for tc in tbl.iter(f"{{{_NS}}}tableColumn")
+            ]

@@ -117,3 +117,55 @@ def test_blob_as_utf8_text_delta(spark, tmp_path):
         .select("id", F.encode("v", "UTF-8").alias("payload"))
     )
     assert back.exceptAll(df).count() == 0
+
+
+def test_xlsx_autofilter_table_and_comments_roundtrip(tmp_path):
+    from bigdatamigratecloud_spark.sources.xlsx import Sheet, read_xlsx, write_xlsx
+
+    s = Sheet(name="t")
+    s.set_row(3, ["a", "b"])
+    s.set_row(4, ["x", 1])
+    s.set_row(5, ["y", 2])
+    s.autofilter = "A3:B5"
+    s.table_range = "A3:B5"
+    s.table_columns = ["a", "b"]
+    s.comments[(4, 2)] = "value out of range"
+    path = str(tmp_path / "deco.xlsx")
+    write_xlsx(path, [s])
+    back = read_xlsx(path)[0]
+    assert back.autofilter == "A3:B5"
+    assert back.table_range == "A3:B5"
+    assert back.table_columns == ["a", "b"]
+    assert back.comments == {(4, 2): "value out of range"}
+    assert back.cells[(5, 2)] == 2
+
+
+def test_export_package_excel_decorations(spark, sf_dir, tmp_path):
+    from bigdatamigratecloud_spark.plans.spec import FieldSpec, PackageSpec, TableSpec
+    from bigdatamigratecloud_spark.sources.excel_package import export_package_excel
+    from bigdatamigratecloud_spark.sources.xlsx import read_xlsx
+
+    spec = PackageSpec(
+        package_code="DECO",
+        tables=[
+            TableSpec(
+                table_name="region",
+                fields=[
+                    FieldSpec(field_name="r_regionkey", processing_order=0),
+                    FieldSpec(field_name="r_name", processing_order=1),
+                ],
+            )
+        ],
+    )
+    path = str(tmp_path / "deco_pkg.xlsx")
+    export_package_excel(
+        spark, spec, sf_dir, path,
+        cell_comments={"region": {(0, "r_name"): "checked against dim set"}},
+    )
+    sheet = read_xlsx(path)[0]
+    # autofilter + table over caption row .. last data row (5 regions)
+    assert sheet.autofilter == "A3:B8"
+    assert sheet.table_range == "A3:B8"
+    assert sheet.table_columns == ["r_regionkey", "r_name"]
+    # comment landed on data row 0 of r_name (= row 4, col 2)
+    assert sheet.comments == {(4, 2): "checked against dim set"}
