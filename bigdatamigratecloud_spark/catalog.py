@@ -129,17 +129,20 @@ def load_table(
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
-    """Register every table as a temp view so SQL entry points work.
+    """Register the given tables as temp views so SQL entry points work.
 
-    Idempotent per (session, sf_dir): repeated calls skip the parquet
-    footer re-reads (10 tables × every shared-SQL query adds up).
-    """
+    Idempotent per (session, sf_dir, table): repeated calls skip the
+    parquet footer re-reads (every shared-SQL query calls this), and a
+    different sf_dir invalidates everything previously registered."""
     tag = spark.conf.get("spark.bdmc.registered_sf_dir", "")
-    if tag == sf_dir:
+    done = set(spark.conf.get("spark.bdmc.registered_tables", "").split(",")) if tag == sf_dir else set()
+    todo = [t for t in tables if t not in done]
+    if not todo:
         return
-    for name in tables:
+    for name in todo:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
     spark.conf.set("spark.bdmc.registered_sf_dir", sf_dir)
+    spark.conf.set("spark.bdmc.registered_tables", ",".join(sorted(done | set(todo))))
 
 
 @dataclass(frozen=True)

@@ -266,6 +266,27 @@ def cosine_neardup_pairs_lsh(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage scale path for
+    embedding corpora (4x smaller than float32, 8x than float64; recall
+    loss at int8 is typically <1% for cosine ANN).  scale = max|x|/127,
+    q_i = round(x_i/scale).  Narrow map, no shuffle; quantized codes are
+    emitted comma-joined so downstream (and the driver's row hash) see a
+    scalar column."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.concat_ws(",", q.cast("array<string>")).alias("q_csv"),
+    )
+
+
 def lsh_signature_sql(dim: int, n_planes: int = 8, seed: int = 42, vec_expr: str = "v") -> str:
     """DuckDB SQL expression reproducing lsh_bucket's signature bit-exactly
     (plane literals embedded as strings -> correctly-rounded doubles; same

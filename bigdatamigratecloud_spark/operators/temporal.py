@@ -147,3 +147,32 @@ def range_join(
     lo_ok = delta >= F.lit(lower_us) if lower_inclusive else delta > F.lit(lower_us)
     hi_ok = delta <= F.lit(upper_us) if upper_inclusive else delta < F.lit(upper_us)
     return joined.where(lo_ok & hi_ok).withColumn("delta_us", delta)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Gap-based sessionization: events of one user separated by more than
+    ``gap_us`` start a new session (the classic clickstream/session-window
+    semantics; the streaming twin is ``F.session_window`` in
+    streaming/events.py).
+
+    One shuffle total: the lag and the running sum share the same
+    (user) partitioning, so Catalyst plans a single exchange + one sort —
+    the formulation that scales to 100 TB of events.  ``order_cols``
+    breaks timestamp ties deterministically."""
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    t = F.unix_micros(F.col(ts_col))
+    prev = F.lag(t).over(w)
+    new_session = F.when(prev.isNull() | ((t - prev) > gap_us), 1).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("__new_session", new_session)
+        .withColumn("session_no", F.sum("__new_session").over(running).cast("long"))
+        .drop("__new_session")
+    )

@@ -161,3 +161,43 @@ def rolling_hash_fingerprint(
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     fp = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
     return df.select(F.col(id_col), fp.alias("fingerprint_set"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    training-sample chunking step (context-window packing).  Pure Catalyst:
+    tokens -> stride sequence -> transform -> posexplode; a narrow
+    operation (zero shuffles), so at 100 TB it scales like the scan.
+
+    Output: (id, chunk_idx, chunk_text, n_tokens).  The final window may
+    be shorter; empty documents yield no chunks."""
+    if not (0 <= overlap < window):
+        raise ValueError("need 0 <= overlap < window")
+    step = window - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n - 1, F.lit(step))
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, window)).alias("txt"),
+            F.least(F.lit(window), n - s).alias("n"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.txt").alias("chunk_text"),
+            F.col("c.n").cast("int").alias("n_tokens"),
+        )
+    )

@@ -49,12 +49,21 @@ def query(name: str, oracle: str | None = None):
 
 def shared_sql(name: str, sql: str) -> None:
     """Register a query whose Spark impl and DuckDB oracle are the same
-    SQL text (ANSI subset both engines parse identically)."""
+    SQL text (ANSI subset both engines parse identically).
+
+    Only the tables the SQL actually references are registered as views —
+    a query that never touches a table must not pay (or fail on) its
+    scan setup (round-1 lesson: one unreadable table took down every
+    shared-SQL query through the eager 10-table registration)."""
     SHARED_SQL[name] = sql
     ORACLES[name] = sql
+    import re as _re
+
+    words = set(_re.findall(r"[a-z_]+", sql.lower()))
+    referenced = tuple(t for t in TABLES if t in words) or TABLES
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, referenced)
         return spark.sql(sql)
 
     QUERIES[name] = fn
@@ -596,6 +605,71 @@ def n2_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the brute baseline is pinned in test_northstar."""
     return _sim.cosine_neardup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+@query(
+    "n4_chunk_documents",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       s AS (SELECT doc_id, sp, unnest(range(0, len(sp), 48)) AS st
+             FROM t WHERE len(sp) > 0)
+       SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
+              array_to_string(list_slice(sp, st + 1, st + 64), ' ') AS chunk_text,
+              CAST(least(64, len(sp) - st) AS INT) AS n_tokens
+       FROM s""",
+)
+def n4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: context-window chunking for training-sample prep — 64-token
+    windows with 16-token overlap (stride 48).  Narrow Catalyst pipeline
+    (tokens -> stride sequence -> posexplode), zero shuffles."""
+    return _text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), window=64, overlap=16
+    )
+
+
+@query(
+    "n2_quantize_embeddings",
+    """WITH u AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+       s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             FROM u)
+       SELECT vec_id, scale,
+              array_to_string(list_transform(v,
+                  x -> CAST(CAST(round(x / scale) AS INT) AS VARCHAR)), ',') AS q_csv
+       FROM s""",
+)
+def n2_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 storage scale path: symmetric per-vector int8 quantization
+    (scale = max|x|/127).  8x smaller than float64 at <1% typical recall
+    loss; a narrow map the oracle recomputes exactly."""
+    return _sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "e1_sessionize",
+    """WITH m AS (SELECT user_id, event_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                   > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT user_id, event_id,
+              CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+       FROM m""",
+)
+def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap): lag + running sum sharing
+    ONE user-partitioned exchange — the batch twin of the streaming
+    session_window rollup."""
+    from .operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return sessionize(ev, gap_us=1_800_000_000).select(
+        "user_id", "event_id", "session_no"
     )
 
 

@@ -196,3 +196,43 @@ def test_lsh_neardup_pairs_recall_vs_brute(spark, sf_dir):
         # hamming<=2 of 8 sign bits at cosine>=0.4: high collision odds;
         # uniform random vectors are the worst case for hyperplane LSH
         assert len(bucketed) / len(exact) >= 0.3, (len(bucketed), len(exact))
+
+
+def test_chunk_documents_semantics(spark):
+    from bigdatamigratecloud_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, window=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    # doc 1: 10 tokens, window 4 stride 3 -> starts 0,3,6,9
+    assert by_doc[1] == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+        (3, "w9", 1),
+    ]
+    assert by_doc[2] == [(0, "a b", 2)]
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.similarity import quantize_int8
+
+    vecs = [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in quantize_int8(df).collect()}
+    r1 = out[1]
+    q = np.array([int(x) for x in r1.q_csv.split(",")], dtype="int64")
+    deq = q * r1.scale
+    orig = np.array(vecs[0][1])
+    assert np.abs(deq - orig).max() <= r1.scale / 2 + 1e-12  # half-ulp bound
+    assert np.abs(q).max() <= 127
+    # zero vector: scale 0, all-zero codes, no division blowup
+    assert out[2].scale == 0.0 and out[2].q_csv == "0,0,0,0"

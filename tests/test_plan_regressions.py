@@ -121,3 +121,22 @@ def test_embedding_dedup_consumes_lsh_candidates(spark, sf_dir):
     plan = _plan(q.QUERIES["n2_embedding_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir):
+    from bigdatamigratecloud_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents", parallelize_small=False)
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan  # tokens -> stride -> posexplode only
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    from bigdatamigratecloud_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events", parallelize_small=False).select(
+        "user_id", "event_id", "ts"
+    )
+    plan = _plan(sessionize(ev))
+    # lag + running sum share one user-partitioned exchange
+    assert plan.count("Exchange hashpartitioning") == 1
