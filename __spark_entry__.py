@@ -14,7 +14,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Python workers (mapInPandas/foreachPartition) inherit the driver's env,
+# not its sys.path — export PYTHONPATH so closures that reference package
+# globals import cleanly even under a plain (driver-built) session.
+if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}{os.pathsep}{os.environ['PYTHONPATH']}"
+        if os.environ.get("PYTHONPATH")
+        else _REPO_ROOT
+    )
 
 from bigdatamigratecloud_spark import queries as _q  # noqa: E402
 

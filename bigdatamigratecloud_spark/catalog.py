@@ -123,8 +123,10 @@ def load_table(
         # one mid-size file, ~one row group: pay one small shuffle to
         # unlock N-way aggregation/join parallelism (filters still push
         # through the repartition to the scan).  Never fires on real
-        # multi-file/multi-row-group datasets.
-        df = df.repartition(min(8, int(spark.sparkContext.defaultParallelism)))
+        # multi-file/multi-row-group datasets.  Match the executor count
+        # so downstream aggs use every core (8 partitions left 3/4 of a
+        # 32-core box idle on the cached-scan bench path).
+        df = df.repartition(min(32, int(spark.sparkContext.defaultParallelism)))
     return df
 
 

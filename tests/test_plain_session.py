@@ -26,7 +26,8 @@ spark = SparkSession.builder.master("local[4]").getOrCreate()
 import __spark_entry__ as entry
 
 qs = entry.queries()
-for name in ["events_json_extract", "u1_set_ops", "q1_pricing_summary"]:
+for name in ["events_json_extract", "u1_set_ops", "q1_pricing_summary",
+             "s7_s8_media_roundtrip", "stream_dedup_events"]:
     n = qs[name](spark, {sf!r}).count()
     assert n > 0, f"{{name}} returned 0 rows"
     print(f"OK {{name}} {{n}}")
@@ -45,5 +46,11 @@ def test_queries_run_on_config_free_session():
         env={**os.environ, "PYTHONPATH": repo},
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
-    for name in ("events_json_extract", "u1_set_ops", "q1_pricing_summary"):
+    for name in (
+        "events_json_extract",
+        "u1_set_ops",
+        "q1_pricing_summary",
+        "s7_s8_media_roundtrip",
+        "stream_dedup_events",
+    ):
         assert f"OK {name}" in proc.stdout
