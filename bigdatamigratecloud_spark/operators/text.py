@@ -163,6 +163,58 @@ def rolling_hash_fingerprint(
     return df.select(F.col(id_col), fp.alias("fingerprint_set"))
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, no
+# backrefs/lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data PII redaction: emails and phone-shaped numbers are
+    replaced with typed placeholders, and the redaction counts are kept
+    per document (audit trail).  All-JVM regexp — narrow, zero shuffles,
+    scales like the scan."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(f"({PII_EMAIL_RE})"), 1))
+    scrubbed1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(f"({PII_PHONE_RE})"), 1))
+    scrubbed2 = F.regexp_replace(scrubbed1, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        scrubbed2.alias("scrubbed_text"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of n-gram occurrences
+    that are repeats of an earlier n-gram, 1 - distinct/total.  High
+    values flag boilerplate/spam for corpus filtering.  NULL for
+    documents with no n-grams."""
+    toks = tokens(text_col)
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
+        )
+    )
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("int").alias("n_grams"),
+        F.when(total == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - distinct.cast("double") / total.cast("double"))
+        .alias("repetition"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -628,6 +628,62 @@ def n4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_pii_scrub",
+    r"""SELECT doc_id,
+              regexp_replace(
+                  regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                  '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+              CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+              CAST(len(regexp_extract_all(
+                  regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                  '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS INT) AS n_phones
+       FROM documents""",
+)
+def n4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: PII redaction (emails, phone-shaped numbers) with per-doc
+    audit counts; patterns restricted to the Java/RE2-common regex
+    subset so the oracle replays them verbatim."""
+    return _text.pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n4_repetition_ratio",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       g AS (SELECT doc_id,
+                    CASE WHEN len(sp) < 2 THEN []
+                         ELSE list_transform(range(0, len(sp) - 1),
+                              i -> sp[i+1] || chr(31) || sp[i+2]) END AS grams
+             FROM t)
+       SELECT doc_id,
+              CAST(len(grams) AS INT) AS n_grams,
+              CASE WHEN len(grams) = 0 THEN NULL
+                   ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / CAST(len(grams) AS DOUBLE) END AS repetition
+       FROM g""",
+)
+def n4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: Gopher-style 2-gram repetition fraction (boilerplate/spam
+    filter signal)."""
+    return _text.repetition_ratio(load_table(spark, sf_dir, "documents"))
+
+
+shared_sql(
+    "n4_corpus_report",
+    """SELECT lang, source,
+              COUNT(*) AS n_docs,
+              SUM(n_chars) AS total_chars,
+              MIN(doc_id) AS first_doc
+       FROM documents
+       GROUP BY ROLLUP (lang, source)""",
+)
+
+
+@query(
     "n2_quantize_embeddings",
     """WITH u AS (SELECT vec_id,
                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

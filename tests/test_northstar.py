@@ -236,3 +236,36 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     assert np.abs(q).max() <= 127
     # zero vector: scale 0, all-zero codes, no division blowup
     assert out[2].scale == 0.0 and out[2].q_csv == "0,0,0,0"
+
+
+def test_pii_scrub_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call +1 (415) 555-0123 now"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.co and digits 12345678901"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert "<EMAIL>" in out[1].scrubbed_text and "<PHONE>" in out[1].scrubbed_text
+    assert "jane" not in out[1].scrubbed_text and "555" not in out[1].scrubbed_text
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert out[2].scrubbed_text == "no pii here"
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert (out[3].n_emails, out[3].n_phones) == (2, 1)
+
+
+def test_repetition_ratio_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "all words differ here"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_ratio(df).collect()}
+    assert out[1].n_grams == 5 and abs(out[1].repetition - (1 - 2 / 5)) < 1e-12
+    assert out[2].repetition == 0.0
+    assert out[3].n_grams == 0 and out[3].repetition is None
