@@ -1499,6 +1499,61 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize",
+    """WITH m AS (SELECT user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                   > 1800000000
+                              THEN 1 ELSE 0 END AS ns
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       s AS (SELECT user_id, ts,
+                    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sn
+             FROM m),
+       agg AS (SELECT user_id, sn,
+                      min(ts) AS session_start, max(ts) AS session_end,
+                      CAST(count(*) AS INT) AS n_events
+               FROM s GROUP BY user_id, sn)
+       SELECT user_id, session_start, session_end, n_events
+       FROM agg
+       WHERE sn < (SELECT max(sn) FROM agg a2 WHERE a2.user_id = agg.user_id)""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: the applyInPandasWithState custom stateful sessionizer run as
+    a real stream over a chronologically-landed feed.  The operator emits
+    CLOSED sessions only (a session closes when a later event proves the
+    gap) — exactly the sessions that are NOT each user's last, which is
+    what the batch oracle computes via lag/run-sum + anti-max filter.
+    Matching the streaming state machine against an independent batch
+    formulation is the strongest check this operator can get."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_stream_to_memory, sessionize, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_sess_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_sessions"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 4
+        for i in range(4):
+            a = lo + i * span
+            b = hi if i == 3 else lo + (i + 1) * span
+            cond = (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 3 else (F.col("ts") < b))
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        stream = stream_events(spark, landing, max_files_per_trigger=1)
+        run_stream_to_memory(sessionize(stream), qname)
+        out = spark.table(qname)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
+@query(
     "n4_bpe_token_count",
     r"""SELECT doc_id,
               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n]+'))

@@ -100,14 +100,17 @@ def _session_fn(key, pdfs, state: GroupState):
             n += 1
         state.update((start, last, n))
         state.setTimeoutDuration(60 * 60 * 1000)  # 1h processing-time timeout
+    # integer timedelta arithmetic: s/1e6 float seconds can land ±1 µs off
+    # (epoch µs needs ~51 of float64's 53 mantissa bits)
+    epoch = dt.datetime(1970, 1, 1)
     return iter(
         [
             pd.DataFrame(
                 [
                     (
                         u,
-                        dt.datetime.fromtimestamp(s / 1e6, dt.timezone.utc).replace(tzinfo=None),
-                        dt.datetime.fromtimestamp(e / 1e6, dt.timezone.utc).replace(tzinfo=None),
+                        epoch + dt.timedelta(microseconds=s),
+                        epoch + dt.timedelta(microseconds=e),
                         n,
                     )
                     for (u, s, e, n) in out
