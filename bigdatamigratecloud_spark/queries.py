@@ -1499,6 +1499,59 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b1_bucketed_join_revenue",
+    """SELECT o_orderpriority,
+              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+              COUNT(*) AS n_items
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority""",
+)
+def b1_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-to-fact join: orders and lineitem are
+    written bucketed (and bucket-sorted) by order key, then joined with
+    ZERO exchanges on either side (plan-asserted in
+    test_plan_regressions) — the layout investment that stops a 100 TB
+    pipeline re-shuffling both fact tables on every join.  Result equals
+    the plain shuffled join, which is what the oracle computes."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.bucketed import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    warehouse = tempfile.mkdtemp(prefix="bdmc_buckets_")
+    t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders, ["o_orderkey"], n_buckets=8, path=f"{warehouse}/orders",
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_lineitem, ["l_orderkey"], n_buckets=8, path=f"{warehouse}/lineitem",
+        )
+        joined = bucketed_join(
+            spark, t_lineitem, t_orders,
+            on=[F.col("l_orderkey") == F.col("o_orderkey")],  # type: ignore[list-item]
+        )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+        shutil.rmtree(warehouse, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_sessionize",
     """WITH m AS (SELECT user_id, ts,
                          CASE WHEN lag(ts) OVER w IS NULL

@@ -140,3 +140,41 @@ def test_sessionize_single_exchange(spark, sf_dir):
     plan = _plan(sessionize(ev))
     # lag + running sum share one user-partitioned exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_zero_exchanges(spark, sf_dir, tmp_path):
+    """Same-bucketed tables joined on the bucket key: no Exchange on
+    either side, and the bucket-sorted single-file-per-bucket layout lets
+    the sort-merge join skip its per-task sorts too."""
+    import uuid
+
+    from bigdatamigratecloud_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    t_o, t_l = f"tb_orders_{tag}", f"tb_lineitem_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders", parallelize_small=False).select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        t_o, ["o_orderkey"], n_buckets=4, path=str(tmp_path / "o"),
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem", parallelize_small=False).select(
+            "l_orderkey", "l_quantity"
+        ),
+        t_l, ["l_orderkey"], n_buckets=4, path=str(tmp_path / "l"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, t_l, t_o, on=[F.col("l_orderkey") == F.col("o_orderkey")]
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located buckets: zero shuffles
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_l}")
