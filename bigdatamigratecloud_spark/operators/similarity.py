@@ -365,7 +365,13 @@ def ivf_cosine_topk(
     ~0.2% of the corpus per query, and the per-list scan parallelizes
     like any filtered columnar read (cluster id is a partition-prunable
     column when the index is written out partitioned by it)."""
-    sample = [r[0] for r in corpus.select(vec_col).limit(sample_size).collect()]
+    # sample ordered by id: a bare limit() samples in PARTITION order,
+    # which changes with the session's parallelism — the quantizer (and
+    # the pinned recall) must not depend on who runs the query
+    sample = [
+        r[1]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    ]
     cents = _kmeans_fit(sample, n_centroids, seed=seed)
 
     c = ivf_assign(with_unit_vector(corpus, vec_col, "cu"), cents, vec_col, "cluster").select(

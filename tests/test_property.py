@@ -121,3 +121,32 @@ def test_melt_pivot_inverse_on_generated_rows(spark, rows):
     staged = melt_to_staging(df, "prop_table", record_key_col="pk")
     back = pivot_from_staging(staged, schema)
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4), min_size=0, max_size=40),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_chunking_reconstructs_token_stream(spark, words, window, overlap):
+    """Invariant: dropping each chunk's first `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the original token stream —
+    no token lost, none invented, chunk sizes consistent."""
+    from bigdatamigratecloud_spark.operators.text import chunk_documents
+
+    if overlap >= window:
+        overlap = window - 1
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, window=window, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    rebuilt = []
+    for r in rows:
+        toks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(toks) == r.n_tokens
+        rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
+    assert rebuilt[: len(words)] == words  # stream reconstructed in order
+    assert set(rebuilt) <= set(words)  # trailing overlap re-emits, never invents
