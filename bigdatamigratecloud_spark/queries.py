@@ -1499,6 +1499,30 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w2_exact_percentiles",
+    """SELECT l_returnflag,
+              median(l_quantity) AS median_qty,
+              quantile_cont(l_quantity, 0.9) AS p90_qty,
+              quantile_cont(l_extendedprice, 0.5) AS median_price
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def w2_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (median, p90) per group via Spark's
+    ``percentile`` aggregate — both engines sort-and-interpolate in IEEE
+    doubles, so values match bit-for-bit.  Scale note: exact percentile
+    buffers each group's values; at 100 TB switch to
+    ``approx_percentile`` (t-digest, mergeable map-side) and accept the
+    documented error bound — the exact form here is the oracle-checkable
+    baseline of that scale path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+@query(
     "b1_bucketed_join_revenue",
     """SELECT o_orderpriority,
               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
