@@ -840,6 +840,47 @@ def s3_s2_package_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_from_staging(valid, cust.schema)
 
 
+@query("s2b_sharded_roundtrip", "SELECT * FROM customer")
+def s2b_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARDED package lifecycle (the 100 TB path): fully parallel
+    gzip-text export per table, then fully distributed import — record
+    parse via from_xml, no driver-side XML pass at all — through the same
+    staging/validate/pivot spine.  Must equal the source exactly, like
+    the single-file roundtrip."""
+    import shutil
+    import tempfile
+
+    from .operators.staging import pivot_from_staging
+    from .operators.validation import split_quarantine, validate_staging
+    from .plans.spec import FieldSpec, PackageSpec, TableSpec
+    from .sources.xml_package import export_package_sharded, import_sharded_to_staging
+
+    cust = load_table(spark, sf_dir, "customer")
+    spec = PackageSpec(
+        package_code="RTS",
+        tables=[
+            TableSpec(
+                table_name="customer",
+                fields=[
+                    FieldSpec(field_name=c, primary_key=(c == "c_custkey"), processing_order=j)
+                    for j, c in enumerate(cust.columns)
+                ],
+            )
+        ],
+    )
+    out_dir = tempfile.mkdtemp(prefix="bdmc_rts_")
+    try:
+        export_package_sharded(spark, spec, sf_dir, out_dir)
+        _, staged = import_sharded_to_staging(spark, out_dir, expected_package_code="RTS")
+        validated = validate_staging(staged["customer"], cust.schema)
+        valid, _quar = split_quarantine(validated)
+        wide = pivot_from_staging(valid, cust.schema)
+        wide = spark.createDataFrame(wide.collect(), wide.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return wide
+
+
 @query("s5_s6_excel_roundtrip", "SELECT * FROM nation")
 def s5_s6_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 Excel export -> S6 import -> shared staging/validate/pivot path

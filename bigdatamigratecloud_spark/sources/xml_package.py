@@ -54,7 +54,7 @@ from pyspark.sql import types as T
 from ..catalog import load_table
 from ..functions.scalars import sanitize_xml_name, suppress_zero_fk, xsd_type
 from ..operators.staging import serialize_cell
-from ..plans.spec import PackageSpec, TableSpec
+from ..plans.spec import FieldSpec, PackageSpec, TableSpec
 
 
 def _xml_escape(col):
@@ -208,6 +208,68 @@ def export_package_sharded(
         )
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2)
+
+
+def import_sharded_to_staging(
+    spark: SparkSession, package_dir: str, expected_package_code: str | None = None
+) -> tuple[dict, dict[str, DataFrame]]:
+    """Distributed import of a SHARDED package (the 100 TB read path,
+    inverse of export_package_sharded): the manifest carries the header +
+    field metadata, each table is a gzip text directory of one
+    `<Record>...</Record>` string per line, parsed JVM-side with
+    ``from_xml`` — no driver-side XML pass at all, unlike the single-file
+    path whose header peek streams the file once.
+
+    Returns (manifest dict, {table_name: staging DataFrame}) with the
+    same staging contract as import_package_to_staging."""
+    with open(os.path.join(package_dir, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    if (
+        expected_package_code is not None
+        and manifest["package_code"] != expected_package_code
+    ):
+        raise ValueError(
+            f"package code mismatch: manifest has {manifest['package_code']!r}, "
+            f"expected {expected_package_code!r}"
+        )
+    out: dict[str, DataFrame] = {}
+    for t in manifest["tables"]:
+        ts = TableSpec(
+            table_name=t["table_name"],
+            processing_order=t.get("processing_order", 0),
+            fields=[FieldSpec(**f) for f in t.get("fields", [])],
+        )
+        fields = ts.included_fields()
+        sanitized = [sanitize_xml_name(f) for f in fields]
+        lines = spark.read.text(os.path.join(package_dir, ts.table_name))
+        schema_str = ", ".join(f"`{s}` string" for s in sanitized)
+        wide = lines.select(F.from_xml(F.col("value"), schema_str).alias("r")).select(
+            *[F.col(f"r.`{s}`").alias(orig) for s, orig in zip(sanitized, fields)]
+        )
+        cells = F.array(
+            *[
+                F.struct(F.lit(f).alias("field_name"), F.col(f).alias("value"))
+                for f in fields
+            ]
+        )
+        out[ts.table_name] = (
+            wide.withColumn("__record_no", F.monotonically_increasing_id())
+            .select(
+                F.lit(manifest["package_code"]).alias("package_code"),
+                F.lit(ts.table_name).alias("table_name"),
+                F.col("__record_no").alias("record_no"),
+                F.explode(cells).alias("cell"),
+            )
+            .select(
+                "package_code",
+                "table_name",
+                "record_no",
+                F.col("cell.field_name").alias("field_name"),
+                F.col("cell.value").alias("value"),
+                F.lit(None).cast("string").alias("error"),
+            )
+        )
+    return manifest, out
 
 
 # ---------------------------------------------------------------------------

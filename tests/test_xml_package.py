@@ -134,3 +134,23 @@ def test_dependency_ranks_parallel_groups():
     assert flat["customer"] == flat["supplier"]
     # part has no parents -> rank 0
     assert flat["part"] == 0
+
+
+def test_sharded_import_roundtrip(spark, sf_dir, tmp_path):
+    """Sharded export -> DISTRIBUTED sharded import (from_xml, no driver
+    XML pass) -> pivot: equals the source table exactly."""
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+    from bigdatamigratecloud_spark.sources.xml_package import import_sharded_to_staging
+
+    out = str(tmp_path / "sharded_rt")
+    spec = make_spec(spark, sf_dir, ["customer"])
+    export_package_sharded(spark, spec, sf_dir, out)
+
+    manifest, staged = import_sharded_to_staging(spark, out, expected_package_code="PKG1")
+    assert [t["table_name"] for t in manifest["tables"]] == ["customer"]
+
+    src = load_table(spark, sf_dir, "customer")
+    wide = pivot_from_staging(staged["customer"], src.schema)
+    cols = src.columns
+    assert wide.select(cols).exceptAll(src.select(cols)).count() == 0
+    assert src.select(cols).exceptAll(wide.select(cols)).count() == 0
