@@ -1799,6 +1799,69 @@ shared_sql(
        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""",
 )
 
+# q12/q19/q21/q22 below are the TPC-H patterns RESHAPED onto the slimmed
+# testdata schema (no shipmode/commitdate/receiptdate/phone columns):
+# the operator shapes — conditional-count join, multi-OR pushdown join,
+# correlated EXISTS/NOT-EXISTS pair, scalar-subquery filter + anti-join —
+# are preserved on the available columns.
+
+shared_sql(
+    "q12_priority_linecounts",
+    """SELECT l_returnflag,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
+       GROUP BY l_returnflag""",
+)
+
+shared_sql(
+    "q19_discounted_revenue",
+    """SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+              COUNT(*) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+              AND l_quantity BETWEEN 10 AND 20)""",
+)
+
+shared_sql(
+    "q21_exists_antiexists",
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name""",
+)
+
+shared_sql(
+    "q22_sales_opportunity",
+    """WITH avg_bal AS (
+         SELECT AVG(CAST(c_acctbal AS DECIMAL(38,6))) AS a
+         FROM customer WHERE c_acctbal > 0.0
+       )
+       SELECT c_nationkey,
+              COUNT(*) AS numcust,
+              SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS totacctbal
+       FROM customer, avg_bal
+       WHERE c_acctbal > a
+         AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) < 6
+       GROUP BY c_nationkey""",
+)
+
 
 # ---------------------------------------------------------------------------
 # Temporal joins (operators/temporal.py) and skew-safe aggregation
