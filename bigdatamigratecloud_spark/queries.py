@@ -672,6 +672,75 @@ def n4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.repetition_ratio(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "n5_curation_pipeline",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       x AS (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(sp)) AS DOUBLE) AS nu,
+                    CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE) AS ns
+             FROM t),
+       qual AS (SELECT doc_id, (least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                                + least(ns/n*5.0, 1.0)*2.0)/10.0 AS quality FROM x),
+       h AS (SELECT doc_id,
+               len(list_filter(sp, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+               len(list_filter(sp, t -> t IN ('the','a','of','and','to','in','is','that'))) AS en,
+               len(list_filter(sp, t -> t IN ('el','la','los','y','es','un','una','en'))) AS es,
+               len(list_filter(sp, t -> t IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+               len(list_filter(sp, t -> t IN ('的','是','了','在','和','有','我','不'))) AS zh
+             FROM t),
+       lng AS (SELECT doc_id,
+                 CASE WHEN greatest(de,en,es,fr,zh) <= 0 THEN 'und'
+                      WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+                      WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                      WHEN es >= fr AND es >= zh THEN 'es'
+                      WHEN fr >= zh THEN 'fr'
+                      ELSE 'zh' END AS detected_lang FROM h),
+       g AS (SELECT doc_id,
+                    CASE WHEN len(sp) < 2 THEN []
+                         ELSE list_transform(range(0, len(sp) - 1),
+                              i -> sp[i+1] || chr(31) || sp[i+2]) END AS grams
+             FROM t),
+       rep AS (SELECT doc_id,
+                      CASE WHEN len(grams) = 0 THEN NULL
+                           ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                    / CAST(len(grams) AS DOUBLE) END AS repetition
+               FROM g),
+       keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+       SELECT d.doc_id, q.quality, r.repetition
+       FROM documents d
+       JOIN qual q USING (doc_id)
+       JOIN lng l USING (doc_id)
+       JOIN rep r USING (doc_id)
+       JOIN keep k USING (doc_id)
+       WHERE q.quality >= 0.45 AND l.detected_lang = 'en' AND r.repetition <= 0.2""",
+)
+def n5_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The N-ops composed into the realistic training-data curation run:
+    quality gate + language gate + repetition gate + exact-dedup
+    keep-first, in ONE Spark job.  Every signal is a narrow map; the only
+    shuffles are the dedup groupBy and the final joins (all on doc_id, so
+    AQE coalesces them onto one partitioning).  Oracle recomputes the
+    identical pipeline as SQL CTEs."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _text.quality_score(docs)
+    l = _text.lang_id(docs).select("doc_id", "detected_lang")
+    r = _text.repetition_ratio(docs).select("doc_id", "repetition")
+    keep = _dedup.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(l, "doc_id")
+        .join(r, "doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .filter(
+            (F.col("quality") >= 0.45)
+            & (F.col("detected_lang") == "en")
+            & (F.col("repetition") <= 0.2)
+        )
+        .select("doc_id", "quality", "repetition")
+    )
+
+
 shared_sql(
     "n4_corpus_report",
     """SELECT lang, source,
