@@ -1609,6 +1609,47 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e2_partition_pruned_scan",
+    """SELECT CAST(ts AS DATE) AS event_date, event_type,
+              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+       FROM events
+       WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) + 3 FROM events)
+       GROUP BY CAST(ts AS DATE), event_type""",
+)
+def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout op: events re-written PARTITIONED BY event_date, then a
+    single-day query reads back through partition pruning — only that
+    day's directory is scanned (plan-asserted in test_plan_regressions).
+    At 100 TB this is the difference between scanning one day and
+    scanning three years.  Oracle computes the same day's rollup off the
+    unpartitioned source."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    target_day = ev.agg((F.min("event_date") + F.expr("INTERVAL 3 DAY")).cast("date")).first()[0]
+    out = tempfile.mkdtemp(prefix="bdmc_events_part_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        part = spark.read.parquet(out)
+        res = (
+            part.filter(F.col("event_date") == F.lit(target_day))
+            .groupBy("event_date", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            )
+            .select(F.col("event_date").alias("event_date"), "event_type", "n", "sum_value")
+        )
+        res = spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+@query(
     "w2_exact_percentiles",
     """SELECT l_returnflag,
               median(l_quantity) AS median_qty,

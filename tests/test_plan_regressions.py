@@ -178,3 +178,21 @@ def test_bucketed_join_zero_exchanges(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
         spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+
+
+def test_partitioned_events_scan_prunes(spark, sf_dir, tmp_path):
+    """Single-day read of a date-partitioned layout must prune to one
+    partition directory (PartitionFilters on event_date, not a full scan
+    + post-filter)."""
+    ev = load_table(spark, sf_dir, "events", parallelize_small=False).withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    out = str(tmp_path / "events_by_day")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    part = spark.read.parquet(out)
+    day = part.agg(F.min("event_date")).first()[0]
+    q = part.filter(F.col("event_date") == F.lit(day)).groupBy("event_type").count()
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() > 0
