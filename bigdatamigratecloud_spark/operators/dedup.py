@@ -27,7 +27,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from .text import tokens
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash from the md5 hex prefix — identical in every engine
+    with a standard md5 (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT).
+    ~3-4× the per-row cost of xxhash64; use it when cross-engine
+    reproducibility matters more than hash throughput (the scan still
+    dominates both at scale)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hash(i: int, portable: bool) -> "Column":
+    salted = F.concat(F.lit(f"mh{i}:"), F.col("shingle"))
+    return portable_hash60(salted) if portable else F.xxhash64(salted)
+
+
+def _pt_hash_sql(expr: str) -> str:
+    """DuckDB SQL mirroring portable_hash60."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -105,41 +126,87 @@ def jaccard_pairs(
     return out
 
 
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus doc sharing ANY
+    n-token shingle with the benchmark set (the published n-gram-overlap
+    decontamination rule used for pre-training corpora, typically
+    n = 8..13).
+
+    Scale design: benchmark shingles are a SMALL distinct set (benchmarks
+    are thousands of docs, not billions) — broadcast them; the corpus
+    shingle stream left_anti-probes the broadcast, then a semi-join-free
+    groupBy keeps docs with zero hits.  One shuffle on doc id, corpus
+    scanned once, no pairwise blowup.  (At extreme benchmark sizes the
+    broadcast becomes a bloom filter — same plan shape.)
+    """
+    bench_sh = F.broadcast(
+        shingles_df(benchmark, id_col, text_col, n).select("shingle").distinct()
+    )
+    corpus_sh = shingles_df(corpus, id_col, text_col, n)
+    hits = (
+        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — k independent min-hashes per doc,
     computed in ONE pass: explode shingles, per-row k hashes, groupBy(id)
     with k min() aggregates (map-side partial agg keeps the shuffle tiny:
-    k longs per doc per partition)."""
+    k longs per doc per partition).  `portable=True` swaps xxhash64 for
+    the md5-prefix hash so an external engine can recompute the exact
+    signatures (oracle checking); default stays xxhash64 for the hot
+    path."""
     sh = shingles_df(df, id_col, text_col, n)
     hashed = sh.select(
-        "id", *[F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+        "id", *[_shingle_hash(i, portable).alias(f"h{i}") for i in range(num_hashes)]
     )
     aggd = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)])
     return aggd.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, portable: bool = False
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` bands of
     `rows_per_band` hashes; docs sharing any (band_id, band_hash) bucket
     become candidate pairs (id_a < id_b, distinct)."""
     assert bands * rows_per_band <= 1 << 10
+
+    def bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        # portable: the md5 hex string itself is the bucket key (string
+        # equality joins identically everywhere); fast path: xxhash64
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -167,12 +234,13 @@ def minhash_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.2,
+    portable: bool = False,
 ) -> DataFrame:
     """Full scale-path near-dup: minhash -> LSH candidates -> exact
     Jaccard rerank of candidates only.  At 100 TB the rerank join touches
     candidate docs only, not the full corpus cross-product."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, portable)
     # rerank: exact jaccard on candidate pairs only
     exact = jaccard_pairs(df, id_col, text_col, n, min_jaccard=0.0)
     return (
@@ -182,33 +250,139 @@ def minhash_neardup(
     )
 
 
+def minhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.2,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_neardup(portable=True)`` EXACTLY:
+    the same md5-prefix hashes, the same 32 per-doc minima, the same band
+    buckets and candidate join, the same exact-Jaccard rerank.  Lets the
+    driver hash-check the approximate scale path, not just the brute one."""
+    rows_per_band = num_hashes // bands
+    grams = " || ' ' || ".join(f"sp[i+{j+1}]" for j in range(n))
+    min_cols = ",\n                 ".join(
+        "min({h}) AS h{i}".format(h=_pt_hash_sql(f"'mh{i}:' || shingle"), i=i)
+        for i in range(num_hashes)
+    )
+    band_selects = "\n         UNION ALL ".join(
+        "SELECT {id}, {b} AS band, md5(concat_ws(',', {cols})) AS bucket FROM mins".format(
+            id=id_col,
+            b=b,
+            cols=", ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS sp FROM {table}),
+       sh AS (SELECT {id_col},
+                     unnest(list_distinct(list_transform(range(0, len(sp)-{n - 1}),
+                            i -> {grams}))) AS shingle
+              FROM toks WHERE len(sp) >= {n}),
+       mins AS (SELECT {id_col},
+                 {min_cols}
+                FROM sh GROUP BY {id_col}),
+       bnd AS ({band_selects}),
+       cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+                FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.{id_col} < b.{id_col}),
+       sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
+       shared AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+                  GROUP BY 1, 2),
+       jac AS (SELECT id_a, id_b,
+                      CAST(inter AS DOUBLE)
+                           / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+               FROM shared
+               JOIN sizes sa ON sa.{id_col} = id_a
+               JOIN sizes sb ON sb.{id_col} = id_b)
+       SELECT j.id_a, j.id_b, j.jaccard
+       FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+       WHERE j.jaccard >= {min_jaccard}"""
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB SQL reproducing ``simhash_neardup(portable=True)`` (60-bit
+    md5-prefix token hash, 4×15-bit band pigeonhole, hamming rerank)."""
+    bits = 60
+    band_bits = 15
+    mask = (1 << band_bits) - 1
+    bit_sums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    band_selects = "\n         UNION ALL ".join(
+        f"SELECT {id_col}, sig, {b} AS band, (sig >> {band_bits * b}) & {mask} AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""WITH toks AS (SELECT {id_col},
+                     unnest(list_distinct(string_split({text_col}, ' '))) AS tok
+              FROM {table}),
+       h AS (SELECT {id_col}, {_pt_hash_sql('tok')} AS h FROM toks),
+       bs AS (SELECT {id_col},
+                 {bit_sums}
+              FROM h GROUP BY {id_col}),
+       sigs AS (SELECT {id_col}, {sig_sum} AS sig FROM bs),
+       bnd AS ({band_selects}),
+       cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.{id_col} < b.{id_col})
+       SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}"""
+
+
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", portable: bool = False
 ) -> DataFrame:
-    """64-bit SimHash per doc: each distinct token hashes to 64 bits; bit i
+    """SimHash per doc: each distinct token hashes to 64 bits (60 when
+    `portable` — md5-prefix hash an external engine can recompute); bit i
     of the signature is the sign of sum(±1 over tokens) at position i.
-    JVM-side: explode tokens, aggregate 64 conditional sums, reassemble."""
+    JVM-side: explode tokens, aggregate the conditional sums, reassemble."""
+    bits = 60 if portable else 64
     toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
-    h = toks.select("id", F.xxhash64("tok").alias("h"))
+    hash_col = portable_hash60(F.col("tok")) if portable else F.xxhash64("tok")
+    h = toks.select("id", hash_col.alias("h"))
     bit_sums = h.groupBy("id").agg(
         *[
             F.sum(F.when(F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(64)
+            for i in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         sig = sig + F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("id", sig.alias("simhash"))
 
 
 def simhash_neardup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= r, using the 4-band
-    pigeonhole: any two 64-bit signatures within hamming 3 agree exactly on
-    at least one of four 16-bit bands — join per band, then verify."""
-    sigs = simhash64(df, id_col, text_col)
+    pigeonhole: any two signatures within hamming 3 agree exactly on at
+    least one of four 16-bit (15-bit portable) bands — join per band,
+    then verify."""
+    band_bits = 15 if portable else 16
+    mask = (1 << band_bits) - 1
+    sigs = simhash64(df, id_col, text_col, portable)
     bands = sigs.select(
         "id",
         "simhash",
@@ -217,7 +391,7 @@ def simhash_neardup(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("simhash", band_bits * b).bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for b in range(4)
                 ]

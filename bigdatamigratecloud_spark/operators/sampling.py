@@ -1,0 +1,166 @@
+"""Training-corpus sampling ops (north-star, beyond the reference):
+deterministic train/val/test splits, weighted per-source mixture
+sampling, and concat-and-chunk sequence packing.
+
+Every op here must be (a) deterministic — re-running the pipeline
+yesterday, today, or after a task retry yields byte-identical splits —
+and (b) cross-engine checkable.  Both follow from one building block:
+a PORTABLE content hash.  ``xxhash64`` is Spark-only, so these ops hash
+with ``md5(id || salt)`` and compare the leading hex digits
+lexicographically against a precomputed threshold literal — md5 yields
+identical lowercase hex in every engine, and a k-hex-digit prefix
+compare is a uniform draw from 16^k buckets.  (md5 costs more than
+xxhash64 per row, but both are single-pass narrow maps; at 100 TB the
+scan dominates either.)
+
+Scale design:
+- split/mixture: pure narrow maps — no shuffle at all, any filter on the
+  assigned split pushes into the same stage as the scan;
+- packing: a distributed two-phase prefix sum (per-shard window + one
+  tiny broadcast of shard offsets) — NO global single-partition window,
+  which is the classic scale-killer in naive cumsum formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_hex_prefix(col: Column, salt: str, k: int = 6) -> Column:
+    """First k hex chars of md5(col || salt) — a portable uniform draw
+    from 16^k buckets, identical in Spark / DuckDB / any engine with
+    standard md5."""
+    return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, k)
+
+
+def rate_threshold_hex(rate: float, k: int = 6) -> str:
+    """Hex literal t such that P(hash_hex_prefix < t) == round(rate*16^k)/16^k.
+    rate >= 1 returns 'g', which lexicographically exceeds every k-digit
+    hex string (a k+1-digit numeric literal like '1000000' would NOT —
+    string compare is not numeric compare)."""
+    n = 16**k
+    v = min(n, max(0, round(rate * n)))
+    if v >= n:
+        return "g"
+    return format(v, f"0{k}x")
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given probabilities,
+    deterministically from the id: same id -> same split, forever, on
+    any engine and any cluster size.  Narrow map, no shuffle."""
+    total = sum(weights.values())
+    h = hash_hex_prefix(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < F.lit(rate_threshold_hex(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out, expr)
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row with its group's sampling rate (corpus mixture
+    weighting: e.g. keep 100% of books, 10% of common-crawl).
+    Deterministic per id; a group absent from `rates` gets
+    `default_rate`.  Narrow map, no shuffle, no sampleBy() (whose
+    Bernoulli draws are seed- and partitioning-dependent)."""
+    h = hash_hex_prefix(F.col(id_col), salt)
+    # CASE-on-group semantics: a row whose group is listed gets EXACTLY
+    # its group's threshold (no fallthrough to the default when the draw
+    # fails — `when(group & draw)` chains would re-test failed rows
+    # against the default rate, inflating the sample)
+    expr = None
+    for g, r in rates.items():
+        pred = h < F.lit(rate_threshold_hex(r))
+        expr = (
+            F.when(F.col(group_col) == g, pred)
+            if expr is None
+            else expr.when(F.col(group_col) == g, pred)
+        )
+    default_pred = h < F.lit(rate_threshold_hex(default_rate))
+    expr = default_pred if expr is None else expr.otherwise(default_pred)
+    return df.filter(expr)
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "running",
+    shard_size: int = 4096,
+) -> DataFrame:
+    """Exclusive prefix sum of `value_col` in `order_col` order, computed
+    DISTRIBUTED: a window inside each contiguous shard of the key space
+    plus one broadcast join of cumulative shard offsets.  Equivalent to
+    ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)``
+    but without the single-partition global window that formulation
+    plans."""
+    shard = (F.col(order_col).cast("long") / F.lit(shard_size)).cast("long")
+    w_in = (
+        Window.partitionBy("__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = df.withColumn("__shard", shard).withColumn(
+        "__local", F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long")
+    )
+    shard_totals = (
+        local.groupBy("__shard").agg(F.sum(value_col).cast("long").alias("__tot"))
+    )
+    w_sh = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    # the offsets table has ONE ROW PER SHARD (corpus_size/shard_size —
+    # thousands, not billions), so its global window is trivially small
+    offsets = shard_totals.withColumn(
+        "__off", F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)).cast("long")
+    ).select("__shard", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__shard")
+        .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__shard", "__local")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column,
+    chunk_tokens: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents are
+    concatenated in `id_col` order into one token stream cut into fixed
+    windows of `chunk_tokens`; each doc reports the chunk range it lands
+    in.  Built on the distributed prefix sum above — deterministic and
+    shuffle-light at any scale."""
+    toks = df.select(F.col(id_col), n_tokens_col.cast("long").alias("n_tokens"))
+    offs = global_running_sum(toks, id_col, "n_tokens", out="start_offset")
+    return offs.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / chunk_tokens).cast("long").alias("first_chunk"),
+        (
+            F.when(F.col("n_tokens") > 0, (F.col("start_offset") + F.col("n_tokens") - 1))
+            .otherwise(F.col("start_offset"))
+            / chunk_tokens
+        )
+        .cast("long")
+        .alias("last_chunk"),
+    )

@@ -141,14 +141,21 @@ def content_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def rolling_hash_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, keep: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    keep: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: polynomial rolling hash over
-    every k-token shingle, keep the `keep` smallest hashes as the doc's
-    fingerprint set.  Robust to local edits (unlike sha2 of the whole doc).
+    """Winnowing-style document fingerprint: hash every k-token shingle,
+    keep the `keep` smallest hashes as the doc's fingerprint set.  Robust
+    to local edits (unlike sha2 of the whole doc).
 
     JVM-side: shingles via transform over an index sequence; hash =
-    xxhash64 of the shingle string; min-k via sort+slice.
+    xxhash64 of the shingle string (or the engine-portable md5-prefix
+    hash when `portable`, so an external oracle can recompute the exact
+    sets); min-k via sort+slice.
     """
     toks = tokens(text_col)
     n = F.size(toks)
@@ -158,7 +165,12 @@ def rolling_hash_fingerprint(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    if portable:
+        from .dedup import portable_hash60
+
+        hashes = F.transform(shingles, portable_hash60)
+    else:
+        hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     fp = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
     return df.select(F.col(id_col), fp.alias("fingerprint_set"))
 

@@ -798,21 +798,28 @@ def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rows-only (no SQL-expressible oracle; driver records weaker check) ---
+# --- approximate scale paths, oracle-checked EXACTLY via a portable
+#     md5-prefix hash (DuckDB recomputes the same signatures/buckets;
+#     the hot-path default stays xxhash64, same plan shape) ---
 
-@query("n2_minhash_neardup")
+@query("n2_minhash_neardup", _dedup.minhash_pairs_sql())
 def n2_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N2 scale path: MinHash(32) -> LSH(8 bands x 4) candidates ->
-    exact-Jaccard rerank.  Probabilistic recall; verified against full
-    Jaccard in tests, so no SQL oracle."""
-    return _dedup.minhash_neardup(load_table(spark, sf_dir, "documents"), min_jaccard=0.2)
+    exact-Jaccard rerank.  With the portable hash the whole approximate
+    pipeline — signatures, band buckets, candidate set, rerank — is
+    reproduced bit-for-bit by the DuckDB oracle; recall vs brute Jaccard
+    is additionally pinned in tests."""
+    return _dedup.minhash_neardup(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.2, portable=True
+    )
 
 
-@query("n2_simhash_neardup")
+@query("n2_simhash_neardup", _dedup.simhash_pairs_sql())
 def n2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N2: SimHash-64 near-dup pairs (hamming <= 3) via 16-bit band
-    pigeonhole join."""
-    return _dedup.simhash_neardup(load_table(spark, sf_dir, "documents"))
+    """N2: SimHash near-dup pairs (hamming <= 3) via 15-bit band
+    pigeonhole join — portable 60-bit signature, so the oracle recomputes
+    the identical pair set and hamming distances in SQL."""
+    return _dedup.simhash_neardup(load_table(spark, sf_dir, "documents"), portable=True)
 
 
 _LSH4_SIG_SQL = _sim.lsh_signature_sql(dim=64, n_planes=4, seed=42, vec_expr="v")
@@ -857,13 +864,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("n4_rolling_fingerprint")
+@query(
+    "n4_rolling_fingerprint",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       sh AS (SELECT doc_id,
+                     CASE WHEN len(sp) < 5 THEN []
+                          ELSE list_transform(range(0, len(sp)-4),
+                               i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]
+                                    || ' ' || sp[i+4] || ' ' || sp[i+5]) END AS shingles
+              FROM toks)
+       SELECT doc_id,
+              array_to_string(
+                list_slice(list_sort(list_distinct(list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))), 1, 8),
+                ',') AS fingerprint_set
+       FROM sh""",
+)
 def n4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4: winnowing-style rolling-hash fingerprint set per document
-    (xxhash64 shingle mins — xxhash64 has no DuckDB equivalent, so
-    rows-only).  The set is emitted comma-joined so the driver's row
-    hasher (which can't hash arrays) gets a scalar column."""
-    fp = _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+    """N4: winnowing-style fingerprint set per document (8 smallest
+    shingle hashes; portable md5-prefix hash, so the oracle recomputes
+    the identical sets).  The set is emitted comma-joined so the driver's
+    row hasher (which can't hash arrays) gets a scalar column."""
+    fp = _text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"), portable=True)
     return fp.select(
         "doc_id", F.concat_ws(",", F.col("fingerprint_set").cast("array<string>")).alias("fingerprint_set")
     )
@@ -2232,6 +2254,108 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.3 free joins, remaining TPC-H shapes reshaped onto the slimmed schema
+# (no partsupp table: supply facts derive from lineitem).  Shared ANSI text,
+# planned by Catalyst on the Spark side.
+# ---------------------------------------------------------------------------
+
+shared_sql(
+    "q2_min_unit_price_supplier",
+    # q2 pattern: min-per-group via CORRELATED scalar subquery — for each
+    # qualifying part, the EUROPE supplier(s) with the lowest observed
+    # unit price (unit price derived from lineitem; the slim schema has
+    # no partsupp.ps_supplycost)
+    """WITH offers AS (
+         SELECT l_partkey, l_suppkey,
+                MIN(CAST(l_extendedprice AS DOUBLE)
+                    / CAST(l_quantity AS DOUBLE)) AS unit_price
+         FROM lineitem
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND l_quantity > 0
+         GROUP BY l_partkey, l_suppkey)
+       SELECT p.p_partkey, p.p_name, s.s_name, o.unit_price
+       FROM part p
+       JOIN offers o ON p.p_partkey = o.l_partkey
+       JOIN supplier s ON s.s_suppkey = o.l_suppkey
+       WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+         AND o.unit_price = (SELECT MIN(o2.unit_price) FROM offers o2
+                             WHERE o2.l_partkey = p.p_partkey)""",
+)
+
+shared_sql(
+    "q9_product_profit",
+    # q9 pattern: multi-join profit rollup by supplier nation and year;
+    # cost term uses p_retailprice in place of the absent ps_supplycost
+    """SELECT nation, o_year, SUM(amount) AS sum_profit
+       FROM (SELECT n_name AS nation,
+                    EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                    CAST(l_extendedprice * (1 - l_discount)
+                         - 0.01 * l_quantity * p_retailprice
+                         AS DECIMAL(38,6)) AS amount
+             FROM lineitem
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN part ON p_partkey = l_partkey
+             JOIN orders ON o_orderkey = l_orderkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE p_name LIKE '%gear%') profit
+       GROUP BY nation, o_year""",
+)
+
+shared_sql(
+    "q11_important_parts",
+    # q11 pattern: GROUP BY + HAVING against a scalar subquery over the
+    # same aggregate (per-part stock value vs a fraction of the total)
+    """SELECT l_partkey,
+              SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS value
+       FROM lineitem
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name = 'NATION_3'
+       GROUP BY l_partkey
+       HAVING CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+              > (SELECT CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) * 0.002
+                 FROM lineitem
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 WHERE n_name = 'NATION_3')""",
+)
+
+shared_sql(
+    "q16_supplier_cnt",
+    # q16 pattern: COUNT(DISTINCT) per attribute group with a NOT IN
+    # anti-subquery (suppliers in bad standing excluded)
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part
+       JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#3'
+         AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size""",
+)
+
+shared_sql(
+    "q20_excess_stock_suppliers",
+    # q20 pattern: nested IN subquery with HAVING — suppliers that moved
+    # more than a threshold quantity of pattern-matched parts in a year
+    """SELECT s_name, n_name
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE n_name IN ('NATION_7', 'NATION_8')
+         AND s_suppkey IN (
+           SELECT l_suppkey
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%widget%'
+             AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           GROUP BY l_suppkey
+           HAVING SUM(l_quantity) > 50)""",
+)
+
+
+# ---------------------------------------------------------------------------
 # N1/N2 closure — duplicate CLUSTERS (connected components over the
 # near-dup pair graph) and the per-cluster keep/drop decision.  The oracle
 # recomputes the same Jaccard pair graph in DuckDB SQL and closes it with a
@@ -2283,6 +2407,164 @@ def n1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup.jaccard_pairs(docs, min_jaccard=0.2)
     return dedup_clusters(docs, pairs, id_col="doc_id").select(
         "doc_id", "component", "is_kept"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N5 — training-corpus assembly ops: deterministic split, mixture
+# sampling, sequence packing, benchmark decontamination, vocabulary.
+# All keyed on a PORTABLE md5 prefix hash (see operators/sampling.py), so
+# the oracles recompute the identical assignment in DuckDB.
+# ---------------------------------------------------------------------------
+
+from .operators.sampling import rate_threshold_hex as _rth  # noqa: E402
+
+_T80 = _rth(0.8)
+_T90 = _rth(0.9)
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+@query(
+    "n5_train_split",
+    f"""SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6) < '{_T80}'
+                        THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6) < '{_T90}'
+                        THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def n5_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: deterministic 80/10/10 train/val/test assignment from a
+    portable md5 prefix of the doc id — same id => same split on any
+    engine, any cluster size, any day.  Pure narrow map (no shuffle);
+    the oracle recomputes the identical hash in DuckDB."""
+    from .operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@query(
+    "n5_mixture_sample",
+    f"""SELECT doc_id, source FROM documents
+       WHERE CASE source
+               WHEN 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < '{_rth(1.0)}'
+               WHEN 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < '{_rth(0.5)}'
+               WHEN 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < '{_rth(0.25)}'
+               ELSE substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 6) < '{_rth(0.1)}'
+             END""",
+)
+def n5_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: weighted corpus mixture — keep 100% of src0, 50% of src1, 25%
+    of src2, 10% of everything else, deterministically per doc id (no
+    Bernoulli sampleBy, whose draws depend on seed and partitioning).
+    Narrow map; the filter pushes to the scan."""
+    from .operators.sampling import weighted_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mixture_sample(
+        docs, "doc_id", "source", _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select("doc_id", "source")
+
+
+@query(
+    "n5_pack_chunks",
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents),
+       c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS start_offset
+             FROM t)
+       SELECT doc_id, n_tokens, start_offset,
+              start_offset // 512 AS first_chunk,
+              (CASE WHEN n_tokens > 0 THEN start_offset + n_tokens - 1
+                    ELSE start_offset END) // 512 AS last_chunk
+       FROM c""",
+)
+def n5_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: concat-and-chunk sequence packing — documents concatenated in
+    doc_id order into one token stream cut into 512-token training
+    windows; each doc reports its chunk span.  The running offset is a
+    DISTRIBUTED two-phase prefix sum (per-shard window + broadcast shard
+    offsets — operators/sampling.py), not the single-partition global
+    window the naive formulation plans; the oracle states the same thing
+    as the global window, which is fine for DuckDB."""
+    from .operators.sampling import pack_chunks
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_chunks(
+        docs, "doc_id", F.size(tokens("text")), chunk_tokens=512
+    ).select("doc_id", "n_tokens", "start_offset", "first_chunk", "last_chunk")
+
+
+@query(
+    "n5_decontaminate",
+    """WITH bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
+       corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+       bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT string_split(text, ' ') AS sp FROM bench)
+              WHERE len(sp) >= 8),
+       csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus)
+              WHERE len(sp) >= 8),
+       hit AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shingle = b.shingle)
+       SELECT doc_id, source FROM corpus
+       WHERE doc_id NOT IN (SELECT doc_id FROM hit)""",
+)
+def n5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: benchmark decontamination — drop every corpus doc sharing any
+    8-token shingle with the held-out benchmark subset (here: doc_id
+    divisible by 53).  Benchmark shingles broadcast; corpus scanned once;
+    no pairwise blowup (operators/dedup.py ngram_decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return _dedup.ngram_decontaminate(corpus, bench, n=8).select("doc_id", "source")
+
+
+@query(
+    "n5_vocab_topk",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       cnt AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+       r AS (SELECT token, n,
+                    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+             FROM cnt)
+       SELECT CAST(rank AS INT) AS rank, token, n FROM r WHERE rank <= 100""",
+)
+def n5_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: corpus vocabulary — top-100 tokens by frequency (ties broken
+    by token).  explode -> count (one shuffle with map-side partials) ->
+    orderBy+limit, which Spark plans as TakeOrderedAndProject: each
+    partition keeps its local top-100, the driver merges — no global
+    sort at any scale.  The rank column is re-derived over the final 100
+    rows only."""
+    from .operators.text import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "token", "n"
     )
 
 

@@ -1,0 +1,186 @@
+"""Tests for the training-corpus assembly ops: connected-component dedup
+clustering, deterministic splits/mixtures, distributed prefix-sum packing,
+n-gram decontamination, and the portable md5-prefix hash that makes the
+approximate dedup paths oracle-checkable."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.catalog import load_table
+from bigdatamigratecloud_spark.operators.cluster import connected_components, dedup_clusters
+from bigdatamigratecloud_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_neardup,
+    ngram_decontaminate,
+    portable_hash60,
+)
+from bigdatamigratecloud_spark.operators.sampling import (
+    deterministic_split,
+    global_running_sum,
+    pack_chunks,
+    rate_threshold_hex,
+    weighted_mixture_sample,
+)
+
+
+# ---------------------------------------------------------------- cluster
+
+def test_connected_components_chain_clique_singleton(spark):
+    # chain 1-2-3-4, clique {10,11,12}, pair {20,21}: 3 components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeps_min_per_component(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, min_jaccard=0.2)
+    out = dedup_clusters(docs, pairs, id_col="doc_id")
+    rows = out.select("doc_id", "component", "is_kept").collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r["component"], []).append(r)
+    for c, members in comp.items():
+        ids = sorted(m["doc_id"] for m in members)
+        assert c == ids[0]  # component label is the min member id
+        kept = [m["doc_id"] for m in members if m["is_kept"] == 1]
+        assert kept == [ids[0]]  # exactly the representative survives
+    # every doc appears exactly once
+    assert len(rows) == docs.count()
+
+
+def test_dedup_clusters_closes_transitively(spark):
+    # a~b and b~c but NOT a~c: all three must share one component
+    docs = spark.createDataFrame([(1, "x"), (2, "x"), (3, "x")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_rate_threshold_hex_edges():
+    assert rate_threshold_hex(0.0) == "000000"
+    assert rate_threshold_hex(1.0) == "g"  # > every hex string
+    assert rate_threshold_hex(0.5) == "800000"
+
+
+def test_split_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id", w).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs.repartition(13), "doc_id", w).collect()
+    }
+    assert a == b  # same assignment under any partitioning
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert c["train"] > 0.6 * n  # loose: hash is uniform, n is small
+
+
+def test_mixture_rates_zero_and_one(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    kept = weighted_mixture_sample(
+        docs, "doc_id", "source", {"src0": 1.0}, default_rate=0.0
+    )
+    assert kept.count() == n_src0  # rate 1.0 keeps all, default 0.0 drops all
+    assert kept.filter(F.col("source") != "src0").count() == 0
+
+
+def test_global_running_sum_matches_global_window(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("v")
+    )
+    got = global_running_sum(docs, "doc_id", "v", out="run", shard_size=64)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = docs.withColumn("run", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long"))
+    assert {(r["doc_id"], r["run"]) for r in got.collect()} == {
+        (r["doc_id"], r["run"]) for r in want.collect()
+    }
+
+
+def test_global_running_sum_plan_has_no_global_window(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("v")
+    )
+    plan = (
+        global_running_sum(docs, "doc_id", "v", shard_size=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # shard-local windows partition by __shard; the only unpartitioned
+    # window runs over the tiny per-shard offsets table
+    assert "__shard" in plan
+
+
+def test_pack_chunks_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdatamigratecloud_spark.operators.text import tokens
+
+    out = pack_chunks(docs, "doc_id", F.size(tokens("text")), chunk_tokens=128).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    offset = 0
+    for r in rows:
+        assert r["start_offset"] == offset
+        assert r["first_chunk"] == offset // 128
+        end = offset + max(r["n_tokens"] - 1, 0)
+        assert r["last_chunk"] == end // 128
+        offset += r["n_tokens"]
+
+
+# ---------------------------------------------------------- decontamination
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d e f g h y"),  # contains benchmark 8-gram a..h
+            (2, "totally different words here with no overlap at all"),
+            (3, "short text"),  # < 8 tokens: can never overlap
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in ngram_decontaminate(corpus, bench, n=8).collect())
+    assert kept == [2, 3]
+
+
+# ------------------------------------------------------------ portable hash
+
+def test_portable_hash60_matches_duckdb(spark):
+    vals = ["hello", "a b c", "", "Ünïcode ☃"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_minhash_portable_same_pairs_as_fast_path(spark, sf_dir):
+    # different hash families -> same reranked output when recall is full
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {(r["id_a"], r["id_b"]) for r in minhash_neardup(docs, min_jaccard=0.2).collect()}
+    port = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup(docs, min_jaccard=0.2, portable=True).collect()
+    }
+    true = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, min_jaccard=0.2).collect()}
+    assert fast <= true and port <= true  # rerank guarantees no false positives
+    assert len(port) >= 0.9 * len(true)  # recall stays high with portable hash
