@@ -59,6 +59,7 @@ def melt_to_staging(
     key_cols: tuple[str, ...] | None = None,
     include_fields: list[str] | None = None,
     record_key_col: str | None = None,
+    colocate: bool = False,
 ) -> DataFrame:
     """Wide -> long EAV staging (A4 in SURVEY §2.4).
 
@@ -69,6 +70,15 @@ def melt_to_staging(
     when they are genuinely unique (the driver's synthetic lineitem is NOT
     unique on its TPC-H PK) — duplicate record ids would merge records in
     the pivot.
+
+    ``colocate=True`` hash-partitions the WIDE rows by record id before
+    the explode.  When a pivot follows (the melt->validate->pivot spine),
+    its groupBy then needs NO exchange and no map-side partials — the
+    alternative shuffles the exploded cell stream (≈|fields|× the row
+    count, each cell paying row overhead) into mostly-singleton partial
+    hash tables.  Measured 2.2× on the sf0.1 roundtrip; the advantage
+    grows with field count.  Leave False when staging is the terminal
+    output (export paths), where the extra shuffle buys nothing.
     """
     fields = include_fields or [f.name for f in df.schema.fields]
     dtypes = {f.name: f.dataType for f in df.schema.fields}
@@ -83,6 +93,8 @@ def melt_to_staging(
         record_no = F.monotonically_increasing_id()
 
     base = df.withColumn("__record_no", record_no)
+    if colocate:
+        base = base.repartition(F.col("__record_no"))
     pairs = F.array(
         *[
             F.struct(

@@ -196,3 +196,18 @@ def test_partitioned_events_scan_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     assert "event_date" in plan.split("PartitionFilters")[1][:200]
     assert q.count() > 0
+
+
+def test_colocated_melt_pivot_single_prejoin_exchange(spark, sf_dir):
+    # colocate=True moves the one shuffle BEFORE the explode (wide rows,
+    # no per-cell row overhead); the pivot aggregate itself then needs no
+    # exchange and plans partial+final in one stage
+    c = load_table(spark, sf_dir, "customer", parallelize_small=False)
+    staged = melt_to_staging(c, "customer", record_key_col="c_custkey", colocate=True)
+    wide = pivot_from_staging(staged, c.schema)
+    plan = _plan(wide)
+    assert plan.count("Exchange hashpartitioning") == 1  # the pre-explode repartition
+    # the exchange must sit below the Generate (explode), not above it
+    gen_pos = plan.find("Generate explode")
+    ex_pos = plan.find("Exchange hashpartitioning")
+    assert gen_pos != -1 and ex_pos != -1 and ex_pos > gen_pos  # deeper in tree = later in text
