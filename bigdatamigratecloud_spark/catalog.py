@@ -106,6 +106,13 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize_small: bool = True
 ) -> DataFrame:
+    # serve from the session's registered view when one exists for this
+    # exact sf_dir (the local analogue of a metastore table): DataFrame-API
+    # queries then share whatever caching the session has applied instead
+    # of re-planning a cold parquet scan per call
+    tag = spark.conf.get("spark.bdmc.registered_sf_dir", "")
+    if tag == sf_dir and name in spark.conf.get("spark.bdmc.registered_tables", "").split(","):
+        return spark.table(name)
     path = table_path(sf_dir, name)
     _ensure_nanos_readable(spark)
     df = spark.read.parquet(path)

@@ -2570,6 +2570,96 @@ def n5_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n5_tfidf_topterms",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (SELECT tf.doc_id, tf.token,
+                         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dft.df AS DOUBLE) AS tfidf
+                  FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN n)
+       SELECT doc_id, token, tfidf, CAST(rank AS INT) AS rank FROM (
+         SELECT doc_id, token, tfidf,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS rank
+         FROM scored) r
+       WHERE rank <= 3""",
+)
+def n5_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: top-3 characteristic terms per document by TF-IDF.  The idf is
+    the RATIONAL form tf·N/df — integer-derived IEEE division, so both
+    engines produce bit-identical scores (ln() is libm-dependent and
+    engine-specific; the ranking it induces is identical).  Two shuffles
+    (tf and df aggregations), df side joined back on token; the 1-row
+    corpus count broadcasts."""
+    from .operators.text import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dft = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dft, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df").cast("double")).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+@query(
+    "n2_label_centroids",
+    """SELECT label, CAST(i AS INT) AS dim,
+              CAST(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_val
+       FROM (SELECT label,
+                    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+                    unnest(range(0, len(embedding))) AS i
+             FROM embeddings)
+       GROUP BY label, i""",
+)
+def n2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: per-label embedding centroid, computed DISTRIBUTED as an
+    element-wise aggregation: posexplode the vectors, aggregate each
+    (label, dim) cell — one shuffle with map-side partials, never a
+    collect of vectors to the driver.  Sums go through DECIMAL(38,6) so
+    they are order-independent and cross-engine exact; the mean is then
+    one IEEE division.  (Long/narrow output: the driver's row hasher
+    can't hash array columns.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return cells.groupBy("label", F.col("pos").cast("int").alias("dim")).agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+
+
+shared_sql(
+    "w4_lag_lead_ntile",
+    """SELECT o_custkey, o_orderkey,
+              lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_price,
+              lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS next_price,
+              CAST(NTILE(4) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+       FROM orders""",
+)
+
+
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
