@@ -2647,6 +2647,63 @@ def n2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Shared S-family round-trip driver: documents -> <fmt> files in a
+    temp dir -> read back with the declared schema -> must equal source."""
+    import shutil
+    import tempfile
+
+    from .sources import textfiles as tf
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    schema = docs.schema
+    d = tempfile.mkdtemp(prefix=f"bdmc_{fmt}_rt_")
+    try:
+        if fmt == "jsonl":
+            tf.write_jsonl(docs, d)
+            back = tf.read_jsonl(spark, d, schema).drop("_corrupt_record")
+        elif fmt == "csv":
+            tf.write_csv(docs, d)
+            back = tf.read_csv(spark, d, schema)
+        else:
+            tf.write_orc(docs, d)
+            back = tf.read_orc(spark, d, schema)
+        out = back.select("doc_id", "text", "lang", "source", "n_chars")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+_DOCS_RT_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+@query("s9_jsonl_roundtrip", _DOCS_RT_SQL)
+def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: gzipped JSON-Lines corpus sink/source — the
+    interchange format of public LLM corpora — distributed write + schema-
+    enforced read (no inference pass; malformed lines quarantine into
+    _corrupt_record rather than failing the job).  Round-trip must equal
+    the source table exactly."""
+    return _roundtrip_docs(spark, sf_dir, "jsonl")
+
+
+@query("s10_orc_roundtrip", _DOCS_RT_SQL)
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: ORC columnar sink/source (Spark-native reader
+    with predicate pushdown/column pruning, like parquet)."""
+    return _roundtrip_docs(spark, sf_dir, "orc")
+
+
+@query("s11_csv_roundtrip", _DOCS_RT_SQL)
+def s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension: fully-quoted CSV sink/source (multiLine quoted
+    newlines survive; declared schema, no inference)."""
+    return _roundtrip_docs(spark, sf_dir, "csv")
+
+
 shared_sql(
     "w4_lag_lead_ntile",
     """SELECT o_custkey, o_orderkey,
@@ -2658,6 +2715,40 @@ shared_sql(
                                   ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
        FROM orders""",
 )
+
+
+@query(
+    "n1_dedup_clusters_minhash",
+    f"""WITH RECURSIVE pairs AS (
+         {_dedup.minhash_pairs_sql()}
+       ),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(src, dst) AS (SELECT a, b FROM edges
+                           UNION
+                           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src)
+       SELECT d.doc_id,
+              CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+              CAST(CASE WHEN COALESCE(c.component, d.doc_id) = d.doc_id
+                        THEN 1 ELSE 0 END AS INT) AS is_kept
+       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""",
+)
+def n1_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE scale-path dedup pipeline in one job: MinHash
+    signatures -> LSH band candidates -> exact-Jaccard rerank ->
+    connected components -> one representative kept per cluster.  This is
+    the shape a 100 TB corpus dedup actually runs (no all-pairs stage
+    anywhere); with the portable hash the oracle replays every step in
+    SQL, closing the pair graph with a recursive CTE."""
+    from .operators.cluster import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_neardup(docs, min_jaccard=0.2, portable=True)
+    return dedup_clusters(docs, pairs, id_col="doc_id").select(
+        "doc_id", "component", "is_kept"
+    )
 
 
 shared_sql(
