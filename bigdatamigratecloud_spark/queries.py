@@ -2751,6 +2751,70 @@ def n1_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n5_training_corpus",
+    f"""WITH RECURSIVE
+       bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
+       corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+       bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT string_split(text, ' ') AS sp FROM bench)
+              WHERE len(sp) >= 8),
+       csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus)
+              WHERE len(sp) >= 8),
+       hit AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shingle = b.shingle),
+       clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+       pairs AS (
+         {_dedup.minhash_pairs_sql(table="clean")}
+       ),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(src, dst) AS (SELECT a, b FROM edges
+                           UNION
+                           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src),
+       kept AS (SELECT c.doc_id, c.text
+                FROM clean c LEFT JOIN comp k ON k.doc_id = c.doc_id
+                WHERE COALESCE(k.component, c.doc_id) = c.doc_id)
+       SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 6) < '{_rth(0.9)}'
+                   THEN 'train' ELSE 'val' END AS split,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       FROM kept""",
+)
+def n5_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus ASSEMBLY pipeline end-to-end in one Spark job:
+    benchmark decontamination (8-gram broadcast probe) -> near-dup
+    removal via the full MinHash/LSH scale path closed into clusters
+    (connected components, keep the representative) -> deterministic
+    90/10 train/val split -> per-doc token counts.  No all-pairs stage,
+    no driver loop, no nondeterminism: the oracle replays every stage in
+    SQL, including the recursive-CTE closure, and hash-matches."""
+    from .operators.cluster import dedup_clusters
+    from .operators.sampling import deterministic_split
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    clean = _dedup.ngram_decontaminate(corpus, bench, n=8)
+    pairs = _dedup.minhash_neardup(clean, min_jaccard=0.2, portable=True)
+    kept = dedup_clusters(clean, pairs, id_col="doc_id").filter(F.col("is_kept") == 1)
+    split = deterministic_split(kept, "doc_id", {"train": 0.9, "val": 0.1})
+    return split.select(
+        "doc_id", "split", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+
+
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,

@@ -200,3 +200,40 @@ def test_salted_sum_exact_and_deterministic(spark, sf_dir):
     assert again == got
     plan = _plan(salted_sum(li, "l_returnflag", sums))
     assert "monotonically_increasing_id" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's sessions run with AQE skew-join on; verify it actually
+    fires: a join where one key holds ~90% of the rows must have its hot
+    partition split at runtime (final adaptive plan tags the SMJ with
+    isSkew=true) and still produce exact results."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's own QueryExecution (count() would plan a
+        # separate query and leave joined's adaptive plan unexecuted)
+        n = len(joined.collect())
+        # exact: key 7 matches (180k rows x 1), plus ids 0,10,20,30,40 self-matches
+        assert n == 180_000 + 5
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
