@@ -47,7 +47,7 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, landing):
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
         )
     )
     assert got.count() == batch.count()

@@ -186,12 +186,12 @@ def test_salted_sum_exact_and_deterministic(spark, sf_dir):
     from bigdatamigratecloud_spark.operators.skew import salted_sum
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    sums = {"s": F.sum(F.col("l_quantity").cast("decimal(38,6)"))}
+    sums = {"s": F.sum(F.col("l_quantity").cast("decimal(18,6)"))}
     got = {r["l_returnflag"]: r["s"] for r in salted_sum(li, "l_returnflag", sums).collect()}
     want = {
         r["l_returnflag"]: r["s"]
         for r in li.groupBy("l_returnflag")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("s"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"))
         .collect()
     }
     assert got == want
