@@ -2892,6 +2892,71 @@ def p5_p6_p7_selection_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "stream_upsert_apply",
+    """SELECT event_id, user_id, event_type, value FROM events
+       WHERE event_id < 4000""",
+)
+def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + S13 composed: a stream drives the MERGE sink — each
+    micro-batch upserts into a date-partitioned parquet target via
+    foreachBatch + dynamic partition overwrite (apply_to_target), the
+    streaming analogue of the reference's apply step (Codeunit
+    60000:440-451).  Batches overlap on event_id (at-least-once
+    delivery), so the upsert's PK semantics are what make the final
+    table exact: it must equal the plain batch SELECT."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.upsert import apply_to_target
+    from .streaming.events import stream_events
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type", "value", F.to_date("ts").alias("event_date"))
+    )
+    landing = tempfile.mkdtemp(prefix="bdmc_supsert_landing_")
+    target = tempfile.mkdtemp(prefix="bdmc_supsert_target_") + "/t"
+    try:
+        # 3 overlapping id-range files: replayed rows exercise PK dedup
+        for lo, hi in ((0, 2000), (1500, 3000), (2500, 4000)):
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            apply_to_target(
+                batch_df,
+                target,
+                mode="upsert",
+                pk_cols=["event_id"],
+                partition_by=["event_date"],
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(300)
+        out = spark.read.parquet(target).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
+    return out
+
+
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,

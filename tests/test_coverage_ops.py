@@ -125,3 +125,18 @@ def test_skip_validation_flag_bypasses_quarantine(spark, sf_dir, tmp_path):
     assert validated.rows_quarantined == 1
     assert skipped.rows_quarantined == 0
     assert skipped.rows_applied == n  # rows survive; the bad cell parses to NULL
+
+
+def test_schema_drift_merge_read(spark, tmp_path):
+    """Corpus batches drift (a later batch adds a column): mergeSchema
+    reads the union schema, earlier rows surface NULL for the new column —
+    the S1-scan behavior a long-lived 100 TB table actually needs."""
+    p1, p2 = f"{tmp_path}/drift/b1", f"{tmp_path}/drift/b2"
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 5.0)], "id long, x string, y double"
+    ).write.parquet(p2)
+    df = spark.read.option("mergeSchema", True).parquet(p1, p2)
+    assert {f.name for f in df.schema.fields} == {"id", "x", "y"}
+    rows = {r["id"]: (r["x"], r["y"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 5.0)}
