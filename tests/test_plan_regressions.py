@@ -211,3 +211,23 @@ def test_colocated_melt_pivot_single_prejoin_exchange(spark, sf_dir):
     gen_pos = plan.find("Generate explode")
     ex_pos = plan.find("Exchange hashpartitioning")
     assert gen_pos != -1 and ex_pos != -1 and ex_pos > gen_pos  # deeper in tree = later in text
+
+
+def test_decontaminate_broadcasts_benchmark_no_cross_product(spark, sf_dir):
+    from bigdatamigratecloud_spark.operators.dedup import ngram_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents", parallelize_small=False)
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    plan = _plan(ngram_decontaminate(corpus, bench, n=8))
+    assert "BroadcastHashJoin" in plan      # benchmark shingle set broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_corpus_pipeline_no_cartesian(spark, sf_dir):
+    plan = _plan(q.QUERIES["n5_training_corpus"](spark, sf_dir))
+    # the whole assembly (decontaminate + minhash/LSH + components join +
+    # split) must stay equi-join only: no all-pairs stage anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
