@@ -54,11 +54,12 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = q.QUERIES[name]
-        # best of 2: the first run pays codegen/JIT compilation of this
-        # query's operators (a per-plan constant, not a data cost); the
-        # second measures the steady-state plan the cluster would run
+        # best of 3: the first run pays codegen/JIT compilation of this
+        # query's operators (a per-plan constant, not a data cost) and the
+        # second often still catches tiered-compilation tail; the best
+        # measures the steady-state plan the cluster would run
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
