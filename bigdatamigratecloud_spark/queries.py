@@ -2957,6 +2957,70 @@ def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "w3_approx_distinct_bounded",
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_partkey) AS exact_nd,
+              TRUE AS approx_within_5pct
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def w3_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 scale extension: HyperLogLog++ approximate distinct per group
+    next to the exact count.  The sketch value itself is engine-specific,
+    so the hard-checked contract is the HLL ERROR BOUND: the oracle pins
+    `approx_within_5pct` TRUE and recomputes the exact counts.  At 100 TB
+    the approx path is one narrow pass + tiny sketch merge (no
+    per-group value dedup shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_nd"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_nd"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("approx_within_5pct"),
+    )
+
+
+shared_sql(
+    "w5_price_histogram",
+    # fixed-width value histogram: bucket = floor((v - lo) / width); all
+    # arithmetic integer-exact in both engines
+    """SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bucket,
+              COUNT(*) AS n,
+              MIN(o_totalprice) AS lo,
+              MAX(o_totalprice) AS hi
+       FROM orders
+       GROUP BY 1""",
+)
+
+shared_sql(
+    "w6_corr_stats",
+    # correlation from decimal-exact moment sums (corr()/covar() built-ins
+    # sum doubles in engine-specific order — not reproducible; the moment
+    # sums ARE, and the final formula is a handful of IEEE ops on exact
+    # inputs)
+    """SELECT l_returnflag,
+              CAST(n AS BIGINT) AS n,
+              CAST(round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        * (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+                   9) AS DOUBLE) AS corr_qty_price
+       FROM (SELECT l_returnflag,
+                    COUNT(*) AS n,
+                    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                    SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS sxy,
+                    SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS sx2,
+                    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,6))) AS sy2
+             FROM lineitem GROUP BY l_returnflag) m""",
+)
+
+
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
