@@ -37,6 +37,12 @@ def _norm(a):
 
 
 def with_unit_vector(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    from .dedup import spread_for_cpu
+
+    # vector math (normalization, downstream dot-product joins) is the
+    # CPU-heavy path; a small embeddings file that fits one scan partition
+    # must not pin it to one core (see spread_for_cpu)
+    df = spread_for_cpu(df)
     """Pre-normalize: cosine becomes a plain dot product, and norms are
     computed once per corpus row instead of once per (query, row) pair."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
