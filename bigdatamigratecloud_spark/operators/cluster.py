@@ -45,7 +45,15 @@ def connected_components(
     `rounds * 2` shuffles for however many rounds the diameter needs.
     """
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize the edge list ONCE: its lineage is typically a whole
+    # near-dup pipeline (shingles -> signatures -> LSH join -> rerank),
+    # and every propagation round joins against it — without the
+    # checkpoint each round would re-execute that pipeline from the scan
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)

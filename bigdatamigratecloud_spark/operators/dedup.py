@@ -51,20 +51,7 @@ def _pt_hash_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def spread_for_cpu(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's core count when the input arrives
-    in fewer partitions.  The shingle/hash operators below do heavy
-    per-row CPU work (n-gram explosion, k hash functions per shingle); a
-    small corpus file that fits one scan partition would otherwise pin
-    ALL of that work to one core — measured 3x end-to-end on the sf0.1
-    corpus pipeline.  One tiny shuffle of the narrow input buys full-width
-    execution; at real scale inputs arrive in many partitions and this is
-    a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .parallelism import spread_for_cpu  # noqa: F401  (re-exported; used below)
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -85,16 +72,19 @@ def shingles_df(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Distinct n-token shingles per doc: (id, shingle)."""
-    df = spread_for_cpu(df)
-    toks = tokens(text_col)
-    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    """Distinct n-token shingles per doc: (id, shingle).
+
+    The token array is materialized as an attribute in its own projection
+    BEFORE the shingle lambda: embedding ``tokens(text)`` directly would
+    re-run the tokenizer regex once per shingle (the lambda body re-
+    evaluates its free expressions per element) — O(n_tokens²) per row."""
+    from .text import zip_shingles
+
+    base = spread_for_cpu(df).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    sh = zip_shingles(F.col("__toks"), n)
+    return base.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def jaccard_pairs(

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import spread_for_cpu
+
 # Tiny per-language function-word lexicons for the heuristic classifier.
 # Deterministic and public-knowledge word lists.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -41,6 +43,22 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
     )
 
 
+def zip_shingles(toks: Column, n: int, sep: str = " ") -> Column:
+    """n-token shingles built by zipping n shifted slices of the token
+    array.  Crucially LINEAR even when `toks` is an inlined expression:
+    every slice is a lambda ARGUMENT (evaluated once per row), unlike the
+    index-lambda formulation ``transform(sequence(...), i -> slice(toks,
+    i+1, n))`` whose body re-evaluates `toks` once PER ELEMENT — O(rowlen²)
+    per row the moment the optimizer substitutes the tokenizer expression
+    into a pushed-down predicate or collapsed projection."""
+    m = F.size(toks) - (n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, 1 + j, m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(sep), b))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(acc)
+
+
 def bpe_ish_tokens(text: Column | str) -> Column:
     """A BPE-style pre-tokenization: split on word/number/punct boundaries
     (the GPT-2 pre-tokenizer regex family, simplified to what Spark's
@@ -56,7 +74,8 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token statistics: counts, uniqueness, mean token
     length, stopword ratio — the building blocks of quality filters."""
-    toks = tokens(text_col)
+    df = with_tokens(df, text_col)
+    toks = F.col("__toks")
     stop = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n = F.size(toks)
     out = df.select(
@@ -85,11 +104,17 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Composite quality score in [0,1]: rewards mid-length docs, lexical
-    diversity, and a natural stopword rate.  Deterministic decimal math so
-    scores are reproducible across engines."""
-    toks = tokens(text_col)
+def quality_col(text_col: str = "text", toks: Column | None = None) -> Column:
+    """Column form of the composite quality score (see quality_score) —
+    usable inside a single multi-signal projection so composed pipelines
+    pay ONE corpus scan instead of one per signal.
+
+    Pass `toks` as a MATERIALIZED column attribute when composing: a raw
+    ``tokens(text)`` expression embedded here is re-evaluated at every
+    reference (and, inside higher-order lambdas, once PER ELEMENT — the
+    tokenizer regex runs O(n_tokens) times per row, measured 10×+ on the
+    corpus signals).  The DataFrame wrappers below do this hoisting."""
+    toks = tokens(text_col) if toks is None else toks
     stop = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n = F.size(toks).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
@@ -102,17 +127,32 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score = (
         len_term * F.lit(4.0) + uniq_term * F.lit(4.0) + stop_term * F.lit(2.0)
     ) / F.lit(10.0)
-    return df.select(
-        F.col(id_col),
-        F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(score).alias("quality"),
+    return F.when(F.size(toks) == 0, F.lit(None).cast("double")).otherwise(score)
+
+
+def with_tokens(
+    df: DataFrame, text_col: str = "text", out: str = "__toks"
+) -> DataFrame:
+    """Materialize the token array as a column attribute in its own
+    projection.  Downstream signal expressions then reference a cheap
+    attribute instead of inlining the tokenizer; Catalyst's
+    CollapseProject keeps the boundary because the expression is
+    non-cheap and multiply-referenced."""
+    return spread_for_cpu(df).withColumn(out, tokens(text_col))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1]: rewards mid-length docs, lexical
+    diversity, and a natural stopword rate.  Deterministic decimal math so
+    scores are reproducible across engines."""
+    base = with_tokens(df, text_col)
+    return base.select(
+        F.col(id_col), quality_col(text_col, F.col("__toks")).alias("quality")
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: per-language function-word hit counts over
-    the token array, argmax with deterministic tiebreak (language code
-    order); 'und' (undetermined) when no lexicon hits at all."""
-    toks = tokens(text_col)
+def _lang_best(text_col: str, toks: Column | None = None) -> Column:
+    toks = tokens(text_col) if toks is None else toks
     hit_cols = []
     for code in sorted(LANG_STOPWORDS):
         lex = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
@@ -127,10 +167,24 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     ranked = F.sort_array(
         F.array(*[F.struct((-c["hits"]).alias("neg"), c["code"].alias("code"), c["hits"].alias("hits")) for c in hit_cols])
     )
-    best = ranked.getItem(0)
-    return df.select(
+    return ranked.getItem(0)
+
+
+def detected_lang_col(text_col: str = "text", toks: Column | None = None) -> Column:
+    """Column form of the language-ID argmax (see lang_id)."""
+    best = _lang_best(text_col, toks)
+    return F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"])
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language function-word hit counts over
+    the token array, argmax with deterministic tiebreak (language code
+    order); 'und' (undetermined) when no lexicon hits at all."""
+    base = with_tokens(df, text_col)
+    best = _lang_best(text_col, F.col("__toks"))
+    return base.select(
         F.col(id_col),
-        F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["code"]).alias("detected_lang"),
+        detected_lang_col(text_col, F.col("__toks")).alias("detected_lang"),
         best["hits"].alias("lang_hits"),
     )
 
@@ -157,14 +211,9 @@ def rolling_hash_fingerprint(
     hash when `portable`, so an external oracle can recompute the exact
     sets); min-k via sort+slice.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    shingles = F.when(n < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        )
-    )
+    df = with_tokens(df, text_col)
+    toks = F.col("__toks")
+    shingles = zip_shingles(toks, k)
     if portable:
         from .dedup import portable_hash60
 
@@ -202,6 +251,22 @@ def pii_scrub(
     )
 
 
+def _grams(text_col: str, n: int, toks: Column | None = None) -> Column:
+    toks = tokens(text_col) if toks is None else toks
+    return zip_shingles(toks, n, sep="\x1f")
+
+
+def repetition_col(text_col: str = "text", n: int = 2, toks: Column | None = None) -> Column:
+    """Column form of the repetition fraction (see repetition_ratio)."""
+    grams = _grams(text_col, n, toks)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(1.0) - distinct.cast("double") / total.cast("double"))
+    )
+
+
 def repetition_ratio(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
 ) -> DataFrame:
@@ -209,21 +274,12 @@ def repetition_ratio(
     that are repeats of an earlier n-gram, 1 - distinct/total.  High
     values flag boilerplate/spam for corpus filtering.  NULL for
     documents with no n-grams."""
-    toks = tokens(text_col)
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws("\x1f", F.slice(toks, i + 1, n)),
-        )
-    )
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return df.select(
+    base = with_tokens(df, text_col)
+    grams = _grams(text_col, n, F.col("__toks"))
+    return base.select(
         F.col(id_col),
-        total.cast("int").alias("n_grams"),
-        F.when(total == 0, F.lit(None).cast("double"))
-        .otherwise(F.lit(1.0) - distinct.cast("double") / total.cast("double"))
-        .alias("repetition"),
+        F.size(grams).cast("int").alias("n_grams"),
+        repetition_col(text_col, n, F.col("__toks")).alias("repetition"),
     )
 
 

@@ -725,21 +725,23 @@ def n4_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n5_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The N-ops composed into the realistic training-data curation run:
     quality gate + language gate + repetition gate + exact-dedup
-    keep-first, in ONE Spark job.  Every signal is a narrow map; the only
-    shuffles are the dedup groupBy and the final joins (all on doc_id, so
-    AQE coalesces them onto one partitioning).  Oracle recomputes the
-    identical pipeline as SQL CTEs."""
+    keep-first, in ONE Spark job.  All three signals are column
+    expressions evaluated in a SINGLE projection over ONE corpus scan
+    (not one scan per signal joined back — the naive composition); the
+    only shuffles are the dedup groupBy and one semi-join.  Oracle
+    recomputes the identical pipeline as SQL CTEs."""
     docs = load_table(spark, sf_dir, "documents")
-    q = _text.quality_score(docs)
-    l = _text.lang_id(docs).select("doc_id", "detected_lang")
-    r = _text.repetition_ratio(docs).select("doc_id", "repetition")
+    base = _text.with_tokens(docs)  # tokenizer runs ONCE per row
+    toks = F.col("__toks")
+    sig = base.select(
+        "doc_id",
+        _text.quality_col("text", toks).alias("quality"),
+        _text.detected_lang_col("text", toks).alias("detected_lang"),
+        _text.repetition_col("text", toks=toks).alias("repetition"),
+    )
     keep = _dedup.exact_dedup(docs, ["text"], "doc_id").select("doc_id")
     return (
-        docs.select("doc_id")
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .join(r, "doc_id")
-        .join(keep, "doc_id", "left_semi")
+        sig.join(keep, "doc_id", "left_semi")
         .filter(
             (F.col("quality") >= 0.45)
             & (F.col("detected_lang") == "en")
