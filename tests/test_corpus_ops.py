@@ -184,3 +184,29 @@ def test_minhash_portable_same_pairs_as_fast_path(spark, sf_dir):
     true = {(r["id_a"], r["id_b"]) for r in jaccard_pairs(docs, min_jaccard=0.2).collect()}
     assert fast <= true and port <= true  # rerank guarantees no false positives
     assert len(port) >= 0.9 * len(true)  # recall stays high with portable hash
+
+
+def test_zip_shingles_equals_index_formulation(spark):
+    """zip_shingles (linear even when inlined) must produce exactly the
+    index-lambda formulation's output for every n and edge case."""
+    from bigdatamigratecloud_spark.operators.text import tokens, zip_shingles
+
+    rows = [
+        ("a b c d e",),
+        ("a",),
+        ("",),
+        ("x y",),
+        ("one two three four five six seven eight nine",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (2, 3, 5, 8):
+        toks = tokens("text")
+        naive = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+        got = df.select(zip_shingles(tokens("text"), n).alias("z"), naive.alias("w")).collect()
+        for r in got:
+            assert r["z"] == r["w"], (n, r)
