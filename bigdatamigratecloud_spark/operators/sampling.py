@@ -138,6 +138,71 @@ def global_running_sum(
     )
 
 
+def pack_bins(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: Column,
+    capacity: int = 512,
+    shard_size: int = 128,
+) -> DataFrame:
+    """Greedy no-split sequence packing: documents fill a bin in id order
+    until the next one would overflow `capacity`, then a new bin opens
+    (docs larger than capacity occupy their own bin).  Unlike
+    ``pack_chunks`` (concat-and-cut, docs may straddle windows), bins
+    here never split a document — the packing used when example
+    boundaries must be respected.
+
+    Scale design: greedy packing is inherently sequential, so it runs
+    per SHARD of the id space (`id // shard_size`) as an Arrow-batched
+    ``applyInPandas`` kernel — each shard's recursion is a few hundred
+    rows of driver-free pandas — and shard-local bin numbers flatten to
+    global ones with the same broadcast prefix-sum used by
+    ``global_running_sum``.  Bins never span shards by construction,
+    which is exactly what makes the op parallel; the oracle replays the
+    identical per-shard recursion."""
+    shard = (F.col(id_col).cast("long") / F.lit(shard_size)).cast("long")
+    toks = df.select(
+        F.col(id_col),
+        n_tokens_col.cast("long").alias("n_tokens"),
+        shard.alias("__shard"),
+    )
+
+    def kernel(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        b, fill, first = 0, 0, True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                first = False
+                fill = n
+            elif fill + n <= capacity:
+                fill += n
+            else:
+                b += 1
+                fill = n
+            bins.append(b)
+        pdf["local_bin"] = bins
+        return pdf[[id_col, "n_tokens", "__shard", "local_bin"]]
+
+    packed = toks.groupBy("__shard").applyInPandas(
+        kernel, f"{id_col} long, n_tokens long, __shard long, local_bin long"
+    )
+    counts = packed.groupBy("__shard").agg((F.max("local_bin") + 1).alias("__nb"))
+    w = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__nb").over(w), F.lit(0)).cast("long")
+    ).select("__shard", "__off")
+    return (
+        packed.join(F.broadcast(offs), "__shard")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("local_bin") + F.col("__off")).cast("long").alias("bin"),
+        )
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

@@ -2514,6 +2514,46 @@ def n5_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_pack_bins",
+    """WITH RECURSIVE
+       t AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    doc_id // 128 AS shard
+             FROM documents),
+       d AS (SELECT doc_id, n_tokens, shard,
+                    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+             FROM t),
+       s(shard, rn, doc_id, n_tokens, bin, fill) AS (
+         SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+         FROM d WHERE rn = 1
+         UNION ALL
+         SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+                CASE WHEN s.fill + d.n_tokens <= 512 THEN s.bin ELSE s.bin + 1 END,
+                CASE WHEN s.fill + d.n_tokens <= 512 THEN s.fill + d.n_tokens
+                     ELSE d.n_tokens END
+         FROM s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1),
+       counts AS (SELECT shard, MAX(bin) + 1 AS nb FROM s GROUP BY shard),
+       offs AS (SELECT shard,
+                       CAST(COALESCE(SUM(nb) OVER (ORDER BY shard
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS off
+                FROM counts)
+       SELECT s.doc_id, s.n_tokens, s.bin + o.off AS bin
+       FROM s JOIN offs o ON o.shard = s.shard""",
+)
+def n5_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: greedy NO-SPLIT sequence packing (512-token bins, docs never
+    straddle) — per-shard stateful Arrow kernel (applyInPandas) + the
+    broadcast prefix-sum bin renumbering; the oracle replays the exact
+    greedy recursion per shard with a recursive CTE."""
+    from .operators.sampling import pack_bins
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins(docs, "doc_id", F.size(tokens("text")), capacity=512, shard_size=128)
+
+
+@query(
     "n5_decontaminate",
     """WITH bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
        corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),

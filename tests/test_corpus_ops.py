@@ -210,3 +210,29 @@ def test_zip_shingles_equals_index_formulation(spark):
         got = df.select(zip_shingles(tokens("text"), n).alias("z"), naive.alias("w")).collect()
         for r in got:
             assert r["z"] == r["w"], (n, r)
+
+
+def test_pack_bins_invariants(spark, sf_dir):
+    from bigdatamigratecloud_spark.operators.sampling import pack_bins
+    from bigdatamigratecloud_spark.operators.text import tokens
+
+    cap = 128
+    out = sorted(
+        pack_bins(
+            load_table(spark, sf_dir, "documents"), "doc_id", F.size(tokens("text")),
+            capacity=cap, shard_size=64,
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # bins are contiguous, monotone in doc order, and never overfilled
+    # (except by a single oversize doc alone in its bin)
+    fills = {}
+    for r in out:
+        fills.setdefault(r["bin"], []).append(r["n_tokens"])
+    assert set(fills) == set(range(len(fills)))  # dense global numbering
+    prev_bin = -1
+    for r in out:
+        assert r["bin"] >= prev_bin  # doc order never revisits a bin
+        prev_bin = r["bin"]
+    for b, sizes in fills.items():
+        assert sum(sizes) <= cap or len(sizes) == 1
