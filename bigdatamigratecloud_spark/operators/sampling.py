@@ -112,7 +112,13 @@ def global_running_sum(
     plus one broadcast join of cumulative shard offsets.  Equivalent to
     ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)``
     but without the single-partition global window that formulation
-    plans."""
+    plans.
+
+    Sizing note: the offsets table has one row per OCCUPIED shard, i.e.
+    ~n_rows/shard_size for dense keys.  For sparse keys (hash-derived
+    ids) pick shard_size so that (key_range / shard_size) stays
+    broadcast-sized, or densify with a rank first — a shard per row
+    degenerates the broadcast into the full table."""
     shard = (F.col(order_col).cast("long") / F.lit(shard_size)).cast("long")
     w_in = (
         Window.partitionBy("__shard")
