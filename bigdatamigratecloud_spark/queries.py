@@ -2554,6 +2554,41 @@ def n5_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_length_buckets",
+    """WITH t AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents)
+       SELECT CAST(length(bin(n_tokens + 1)) - 1 AS INT) AS bucket,
+              COUNT(*) AS n_docs,
+              SUM(n_tokens) AS total_tokens,
+              MIN(n_tokens) AS min_tokens,
+              MAX(n_tokens) AS max_tokens
+       FROM t GROUP BY 1""",
+)
+def n5_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: power-of-two length bucketing — batch documents of similar
+    token count together so fixed-shape training batches waste minimal
+    padding.  Bucket = bit_length(n+1)-1 == floor(log2(n+1)) computed
+    via the binary-string length, which is INTEGER-exact in both engines
+    (libm log2 is not guaranteed correctly rounded at power-of-two
+    boundaries).  One narrow map + one aggregation."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return t.groupBy(
+        (F.length(F.bin(F.col("n_tokens") + 1)) - 1).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+@query(
     "n5_decontaminate",
     """WITH bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
        corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
