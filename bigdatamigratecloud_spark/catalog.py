@@ -90,6 +90,24 @@ def _scan_parallelism_deficit(path: str) -> bool:
 _PARALLELISM_CACHE: dict[str, bool] = {}
 
 
+def _ensure_utc_session(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (runtime-settable).  The fixtures'
+    timestamps are parquet `timestamp[us]` with isAdjustedToUTC=false —
+    Spark 4 reads them as TIMESTAMP_NTZ.  We keep them NTZ end-to-end
+    (naive wall values render identically to the DuckDB oracle's naive
+    TIMESTAMP with zero timezone dependence), but any site that needs
+    epoch arithmetic casts NTZ -> TIMESTAMP, and THAT cast interprets the
+    wall clock in the session timezone.  Pinning UTC makes the cast
+    instant-preserving, so `unix_micros(ts.cast('timestamp'))` equals
+    DuckDB's `epoch_us(ts)` everywhere, even on a host with a non-UTC
+    default timezone."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down; epoch call sites still agree on local tz
+
+
 def _ensure_nanos_readable(spark: SparkSession) -> None:
     """events.parquet carries INT64 TIMESTAMP(NANOS); without this legacy
     flag Spark raises PARQUET_TYPE_ILLEGAL at scan time.  The flag is
@@ -115,6 +133,7 @@ def load_table(
         return spark.table(name)
     path = table_path(sf_dir, name)
     _ensure_nanos_readable(spark)
+    _ensure_utc_session(spark)
     df = spark.read.parquet(path)
     # events.ts is parquet TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanoseconds.

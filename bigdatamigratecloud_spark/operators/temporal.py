@@ -27,6 +27,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(c: Column) -> Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    The driver fixtures are parquet `timestamp[us]` (isAdjustedToUTC=false)
+    which Spark 4 scans as TIMESTAMP_NTZ, and `unix_micros` rejects NTZ
+    outright.  Casting to TIMESTAMP first is a no-op for TIMESTAMP input
+    and interprets NTZ wall time in the session timezone — which
+    catalog.load_table pins to UTC, making the cast instant-preserving and
+    equal to DuckDB's `epoch_us` on the same naive values.  Even under a
+    non-UTC fixed-offset timezone the temporal operators stay correct:
+    they only consume *differences* of this value."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -84,7 +98,7 @@ def asof_join(
     )
     if tolerance_us is not None:
         in_tol = (
-            F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__m.__rts"))
+            _epoch_us(F.col("__t")) - _epoch_us(F.col("__m.__rts"))
         ) <= F.lit(tolerance_us)
         matched = matched.withColumn(
             "__m", F.when(F.col("__m").isNotNull() & in_tol, F.col("__m"))
@@ -125,12 +139,12 @@ def range_join(
     keys = [on] if isinstance(on, str) else list(on)
     width = max(upper_us - lower_us, 1)
 
-    lo_b = F.floor((F.unix_micros(F.col(left_ts)) + F.lit(lower_us)) / F.lit(width))
-    hi_b = F.floor((F.unix_micros(F.col(left_ts)) + F.lit(upper_us)) / F.lit(width))
+    lo_b = F.floor((_epoch_us(F.col(left_ts)) + F.lit(lower_us)) / F.lit(width))
+    hi_b = F.floor((_epoch_us(F.col(left_ts)) + F.lit(upper_us)) / F.lit(width))
     l2 = left.withColumn("__bucket", F.explode(F.sequence(lo_b, hi_b)))
 
     r2 = right.withColumn(
-        "__bucket", F.floor(F.unix_micros(F.col(right_ts)) / F.lit(width))
+        "__bucket", F.floor(_epoch_us(F.col(right_ts)) / F.lit(width))
     )
     r2 = r2.select(
         "__bucket",
@@ -143,7 +157,7 @@ def range_join(
     )
 
     joined = l2.join(r2, keys + ["__bucket"]).drop("__bucket")
-    delta = F.unix_micros(F.col(right_ts + "_r")) - F.unix_micros(F.col(left_ts))
+    delta = _epoch_us(F.col(right_ts + "_r")) - _epoch_us(F.col(left_ts))
     lo_ok = delta >= F.lit(lower_us) if lower_inclusive else delta > F.lit(lower_us)
     hi_ok = delta <= F.lit(upper_us) if upper_inclusive else delta < F.lit(upper_us)
     return joined.where(lo_ok & hi_ok).withColumn("delta_us", delta)
@@ -167,7 +181,7 @@ def sessionize(
     breaks timestamp ties deterministically."""
     order = [F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]]
     w = Window.partitionBy(user_col).orderBy(*order)
-    t = F.unix_micros(F.col(ts_col))
+    t = _epoch_us(F.col(ts_col))
     prev = F.lag(t).over(w)
     new_session = F.when(prev.isNull() | ((t - prev) > gap_us), 1).otherwise(0)
     running = w.rowsBetween(Window.unboundedPreceding, 0)

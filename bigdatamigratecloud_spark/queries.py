@@ -330,10 +330,10 @@ shared_sql(
 shared_sql(
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-              SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
-              SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
               COUNT(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -343,7 +343,7 @@ shared_sql(
 shared_sql(
     "q3_shipping_priority",
     """SELECT l_orderkey,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
               o_orderdate, o_orderpriority
        FROM customer, orders, lineitem
        WHERE c_mktsegment = 'BUILDING'
@@ -359,7 +359,7 @@ shared_sql(
 shared_sql(
     "q5_regional_revenue",
     """SELECT n_name,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
        FROM customer, orders, lineitem, supplier, nation, region
        WHERE c_custkey = o_custkey
          AND l_orderkey = o_orderkey
@@ -375,7 +375,7 @@ shared_sql(
 
 shared_sql(
     "q6_revenue_forecast",
-    """SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS revenue
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -387,7 +387,7 @@ shared_sql(
     "events_hourly_rollup",
     """SELECT date_trunc('hour', ts) AS hour, event_type,
               COUNT(*) AS n_events,
-              SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        FROM events
        GROUP BY date_trunc('hour', ts), event_type""",
 )
@@ -755,7 +755,7 @@ shared_sql(
     "n4_corpus_report",
     """SELECT lang, source,
               COUNT(*) AS n_docs,
-              SUM(n_chars) AS total_chars,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
               MIN(doc_id) AS first_doc
        FROM documents
        GROUP BY ROLLUP (lang, source)""",
@@ -1364,7 +1364,7 @@ shared_sql(
                    OVER (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS DECIMAL(18,6)) AS running_spend,
+                   AS DOUBLE) AS running_spend,
               LAG(o_orderkey) OVER (PARTITION BY o_custkey
                                     ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
        FROM orders""",
@@ -1373,7 +1373,7 @@ shared_sql(
 shared_sql(
     "a8_rollup_pricing",
     """SELECT l_returnflag, l_linestatus,
-              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
               COUNT(*) AS n
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
@@ -1476,7 +1476,7 @@ shared_sql(
 shared_sql(
     "q10_returned_revenue",
     """SELECT c_custkey, c_name,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
        FROM customer, orders, lineitem
        WHERE c_custkey = o_custkey
          AND l_orderkey = o_orderkey
@@ -1643,7 +1643,8 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e2_partition_pruned_scan",
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
-              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS sum_value
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        FROM events
        WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) + 3 FROM events)
        GROUP BY CAST(ts AS DATE), event_type""",
@@ -1671,7 +1672,7 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_date", "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
             )
             .select(F.col("event_date").alias("event_date"), "event_type", "n", "sum_value")
         )
@@ -1708,7 +1709,7 @@ def w2_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b1_bucketed_join_revenue",
     """SELECT o_orderpriority,
-              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
               COUNT(*) AS n_items
        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
        GROUP BY o_orderpriority""",
@@ -1747,7 +1748,7 @@ def b1_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = joined.groupBy("o_orderpriority").agg(
             F.sum(
                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         out = spark.createDataFrame(out.collect(), out.schema)
@@ -1844,7 +1845,7 @@ def n4_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 shared_sql(
     "q7_volume_shipping",
     """SELECT supp_nation, cust_nation, l_year,
-              SUM(volume) AS revenue
+              CAST(SUM(volume) AS DOUBLE) AS revenue
        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                     EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
                     CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume
@@ -1910,7 +1911,8 @@ shared_sql(
            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
            GROUP BY l_suppkey)
-       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       SELECT s.s_suppkey, s.s_name,
+              CAST(r.total_revenue AS DOUBLE) AS total_revenue
        FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)""",
 )
@@ -1930,8 +1932,8 @@ shared_sql(
 shared_sql(
     "q18_large_volume_customers",
     """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
-              CAST(o.o_totalprice AS DECIMAL(18,6)) AS o_totalprice,
-              SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS sum_qty
+              CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+              CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
        FROM customer c
        JOIN orders o ON c.c_custkey = o.o_custkey
        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1950,10 +1952,10 @@ shared_sql(
 shared_sql(
     "q12_priority_linecounts",
     """SELECT l_returnflag,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE l_shipdate < o_orderdate + INTERVAL 90 DAY
        GROUP BY l_returnflag""",
@@ -1961,7 +1963,7 @@ shared_sql(
 
 shared_sql(
     "q19_discounted_revenue",
-    """SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
               COUNT(*) AS n_lines
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1997,7 +1999,7 @@ shared_sql(
        )
        SELECT c_nationkey,
               COUNT(*) AS numcust,
-              SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS totacctbal
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
        FROM customer, avg_bal
        WHERE c_acctbal > a
          AND (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) < 6
@@ -2084,8 +2086,8 @@ def x7_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x8_salted_sum",
     """SELECT l_returnflag,
-              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-              SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_price
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
        FROM lineitem GROUP BY l_returnflag""",
 )
 def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2098,13 +2100,19 @@ def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_sum
 
     li = load_table(spark, sf_dir, "lineitem")
-    return salted_sum(
+    out = salted_sum(
         li.select("l_returnflag", "l_quantity", "l_extendedprice"),
         "l_returnflag",
         {
             "sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,6)")),
             "sum_price": F.sum(F.col("l_extendedprice").cast("decimal(18,6)")),
         },
+    )
+    # DecimalRenderPolicy: exact decimal inside, DOUBLE at the edge
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
     )
 
 
@@ -2298,7 +2306,7 @@ shared_sql(
     "q9_product_profit",
     # q9 pattern: multi-join profit rollup by supplier nation and year;
     # cost term uses p_retailprice in place of the absent ps_supplycost
-    """SELECT nation, o_year, SUM(amount) AS sum_profit
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
        FROM (SELECT n_name AS nation,
                     EXTRACT(YEAR FROM o_orderdate) AS o_year,
                     CAST(l_extendedprice * (1 - l_discount)
@@ -2318,7 +2326,7 @@ shared_sql(
     # q11 pattern: GROUP BY + HAVING against a scalar subquery over the
     # same aggregate (per-part stock value vs a fraction of the total)
     """SELECT l_partkey,
-              SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS value
+              CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS value
        FROM lineitem
        JOIN supplier ON s_suppkey = l_suppkey
        JOIN nation ON s_nationkey = n_nationkey
@@ -2560,7 +2568,7 @@ def n5_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents)
        SELECT CAST(length(bin(n_tokens + 1)) - 1 AS INT) AS bucket,
               COUNT(*) AS n_docs,
-              SUM(n_tokens) AS total_tokens,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
               MIN(n_tokens) AS min_tokens,
               MAX(n_tokens) AS max_tokens
        FROM t GROUP BY 1""",
@@ -3101,7 +3109,7 @@ shared_sql(
 shared_sql(
     "a10_grouping_sets",
     """SELECT l_returnflag, l_linestatus,
-              SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
               COUNT(*) AS n
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),

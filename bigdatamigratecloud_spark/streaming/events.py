@@ -60,7 +60,9 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            # exact order-independent decimal aggregation internally,
+            # DOUBLE at the edge (DecimalRenderPolicy, README)
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value")
     )

@@ -105,7 +105,10 @@ def test_range_join_matches_naive(spark, sf_dir):
     got = range_join(ev, ev, on="user_id", lower_us=0, upper_us=3_600_000_000).select(cols)
 
     a, b = ev.alias("a"), ev.alias("b")
-    delta = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    # cast: fixtures' ts is TIMESTAMP_NTZ, which raw unix_micros rejects
+    delta = F.unix_micros(F.col("b.ts").cast("timestamp")) - F.unix_micros(
+        F.col("a.ts").cast("timestamp")
+    )
     naive = (
         a.join(b, F.col("a.user_id") == F.col("b.user_id"))
         .where((delta > 0) & (delta <= 3_600_000_000))
