@@ -384,21 +384,24 @@ def ivf_cosine_topk(
         F.col(id_col).alias("nbr_id"), "cu", "cluster"
     )
 
-    import numpy as np
-
-    q_local = queries.select(query_id_col, vec_col).collect()
-    probe_rows = []
-    for row in q_local:
-        qv = np.asarray(row[vec_col], dtype=np.float64)
-        n = np.linalg.norm(qv)
-        qu = qv / n if n else qv
-        order = np.argsort(-(cents @ qu))[:n_probe]
-        probe_rows.append((row[query_id_col], [float(x) for x in qu], [int(x) for x in order]))
-    # probe schema mirrors the ACTUAL id type of the queries frame, so
-    # string/int ids work, not just long
-    id_type = dict(queries.dtypes)[query_id_col]
-    q = corpus.sparkSession.createDataFrame(
-        probe_rows, f"query_id {id_type}, qu array<double>, probed array<int>"
+    # per-query probe assignment runs DISTRIBUTED, JVM-side: the centroid
+    # matrix is a plan literal (n_centroids × dim doubles, broadcast by
+    # value), each query row computes its centroid sims and keeps the
+    # n_probe best via an array sort over (−sim, idx) structs — no
+    # driver-side collect of the query frame, so a query-set-as-dataset
+    # (millions of queries) scales like any narrow map.  Struct sort
+    # breaks float ties by centroid index, deterministically.
+    sims = F.array(
+        *[_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
+    )
+    pairs = F.transform(sims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("idx")))
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
+    )
+    q = (
+        with_unit_vector(queries, vec_col, "qu")
+        .select(F.col(query_id_col).alias("query_id"), "qu")
+        .withColumn("probed", probed)
     )
 
     sim = (

@@ -231,3 +231,21 @@ def test_training_corpus_pipeline_no_cartesian(spark, sf_dir):
     # split) must stay equi-join only: no all-pairs stage anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probe_assignment_is_distributed(spark, sf_dir):
+    """ivf_cosine_topk must not collect the QUERY frame to the driver for
+    probe assignment (round-3 verdict item 4): the per-query probe list is
+    computed as a narrow map with the centroid matrix as a plan literal.
+    The only driver-side collect allowed is the bounded k-means SAMPLE.
+    A collected query frame would surface as a LocalTableScan feeding the
+    probe join; the distributed form keeps both join inputs on the scan."""
+    from bigdatamigratecloud_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings", parallelize_small=False)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=3))
+    assert "LocalTableScan" not in plan
+    assert "CartesianProduct" not in plan
