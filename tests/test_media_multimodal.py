@@ -174,3 +174,143 @@ def test_real_wav_decode_in_audio_features(spark):
 
     x = np.array(samples, dtype="float64") / 32768.0
     assert abs(out.rms - float(np.sqrt((x ** 2).mean()))) < 1e-12
+
+
+def _make_png(arr, color_type, row_filters=None, palette=None):
+    """Minimal PNG encoder (test-side): 8-bit depth, non-interlaced, with a
+    CHOSEN filter applied per scanline (exercises the decoder's unfilter
+    paths, which a filter-0-only encoder would leave dead)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    c = 1 if arr.ndim == 2 else arr.shape[2]
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    row_filters = row_filters or [0] * h
+    raw = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line, f = flat[y], row_filters[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = line - pred
+        raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_rgb():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) must reconstruct
+    the identical RGB pixels."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    for f in range(5):
+        png = _make_png(arr, color_type=2, row_filters=[f] * 5)
+        got = _decode_png(png)
+        assert got is not None and got.shape == (5, 9, 3), f"filter {f}"
+        assert (got == arr).all(), f"filter {f} mismatch"
+    # mixed filters across rows
+    png = _make_png(arr, color_type=2, row_filters=[0, 1, 2, 3, 4])
+    assert (_decode_png(png) == arr).all()
+
+
+def test_png_decode_gray_rgba_palette():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 7), dtype=np.uint8)
+    got = _decode_png(_make_png(gray, color_type=0, row_filters=[0, 1, 2, 4]))
+    assert got.shape == (4, 7, 1) and (got[:, :, 0] == gray).all()
+
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    got = _decode_png(_make_png(rgba, color_type=6, row_filters=[4, 3, 1]))
+    assert got.shape == (3, 4, 4) and (got == rgba).all()
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    got = _decode_png(_make_png(idx, color_type=3, palette=palette))
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert got.shape == (2, 4, 3) and (got == want).all()
+
+
+def test_png_decode_rejects_unsupported():
+    """16-bit and interlaced PNGs (and non-PNG bytes) fall through to the
+    PIL/strict gate as None, never a wrong array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    assert _decode_png(b"not a png at all") is None
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    ok = _make_png(arr, color_type=2)
+    # corrupt the IHDR depth byte (8 -> 16): offset = 8 sig + 8 hdr + 8 w/h
+    bad_depth = ok[:24] + b"\x10" + ok[25:]
+    assert _decode_png(bad_depth) is None
+    # interlace byte on (Adam7)
+    bad_inter = ok[:28] + b"\x01" + ok[29:]
+    assert _decode_png(bad_inter) is None
+    # truncated IDAT: valid zlib but too few scanline bytes
+    import struct as _s
+    short = zlib.compress(b"\x00\x01\x02")
+    png = ok[:33] + _s.pack(">I", len(short)) + b"IDAT" + short + _s.pack(
+        ">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF
+    ) + ok[len(ok) - 12 :]
+    assert _decode_png(png) is None
+
+
+def test_real_png_decode_in_image_features(spark):
+    """PIL is absent, but 8-bit PNG decodes for REAL (stdlib zlib+numpy)
+    through the strict mapInPandas path — dims and mean come from actual
+    pixels."""
+    import numpy as np
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[0, :, 0] = 255
+    arr[1, :, 1] = 255
+    arr[2, :, 2] = 255
+    arr[3, :] = (10, 20, 30)
+    png = _make_png(arr, color_type=2, row_filters=[0, 1, 2, 4])
+    df = spark.createDataFrame([(1, png)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=True).collect()[0]
+    assert (out.width, out.height, out.channels) == (6, 4, 3)
+    assert abs(out.mean_pixel - float(arr.mean())) < 1e-9
+    assert out.payload_size == len(png)
