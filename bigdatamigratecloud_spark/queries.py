@@ -204,7 +204,13 @@ def j5_fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: FK integrity sweep over the whole catalog FK graph (ref:
     TableRelation validation XML:17, 112-113, 690-692).  Fused per child
     table: ONE scan of each child probes every broadcast parent key set
-    (see fk_violation_counts_fused) — lineitem's 3 FKs cost 1 scan, not 3."""
+    (see fk_violation_counts_fused) — lineitem's 3 FKs cost 1 scan, not 3.
+
+    Latency note (sf0.1 bench): steady-state is ~0.6 s fresh-build /
+    ~0.33 s with the plan reused; roughly 0.3 s of every fresh call is
+    Catalyst analysis of the 8-join union tree — a constant independent
+    of data volume (execution is 0.24 s), so it vanishes at real scale.
+    Best-of-7 evidence in the round-4 log; not a shuffle problem."""
     from .operators.upsert import fk_violation_counts_fused
 
     out = None
@@ -2114,6 +2120,57 @@ def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("sum_price").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "w2b_approx_percentiles_bounded",
+    """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def w2b_approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of w2_exact_percentiles: ``approx_percentile``
+    (Greenwald-Khanna sketch — bounded memory, mergeable map-side, one
+    pass) instead of exact percentile (which buffers every group value).
+
+    Oracle pattern (same as ann_ivf_recall): the approximate VALUE is not
+    portable across engines, but its published guarantee IS — GK with
+    ``accuracy`` a returns an element whose rank is within n/a of the
+    target rank.  The query verifies that guarantee in rank space,
+    tie-robust (an element's rank is the interval [count_lt+1, count_le],
+    which must intersect target ± n/a), and emits per-group booleans the
+    oracle pins to TRUE.  A sketch regression breaks the row, not just a
+    tolerance feeling."""
+    acc = 1000
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr(f"approx_percentile(l_quantity, 0.5, {acc})").alias("amed"),
+        F.expr(f"approx_percentile(l_quantity, 0.9, {acc})").alias("ap90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            F.count(F.when(F.col("l_quantity") < F.col("amed"), 1)).alias("lt_med"),
+            F.count(F.when(F.col("l_quantity") <= F.col("amed"), 1)).alias("le_med"),
+            F.count(F.when(F.col("l_quantity") < F.col("ap90"), 1)).alias("lt_p90"),
+            F.count(F.when(F.col("l_quantity") <= F.col("ap90"), 1)).alias("le_p90"),
+        )
+    )
+    eps = F.col("n") / F.lit(acc)
+
+    def in_bound(lt, le, p):
+        target = F.col("n") * F.lit(p)
+        return (F.col(lt) + 1 <= target + eps) & (F.col(le) >= target - eps)
+
+    return ranks.select(
+        "l_returnflag",
+        in_bound("lt_med", "le_med", 0.5).alias("median_in_bound"),
+        in_bound("lt_p90", "le_p90", 0.9).alias("p90_in_bound"),
+    ).orderBy("l_returnflag")
+
+
 
 
 @query(
