@@ -235,3 +235,29 @@ def pack_chunks(
         .cast("long")
         .alias("last_chunk"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 1000,
+    order_cols: list[Column] | None = None,
+    id_col: str = "doc_id",
+    rank_col: str = "domain_rank",
+) -> DataFrame:
+    """Per-domain contribution cap (the Gopher/FineWeb-style curation op):
+    keep at most ``cap`` documents per ``domain_col``, best-first by
+    ``order_cols`` (tie-broken by ``id_col`` so the kept set is
+    deterministic).  Stops one over-crawled domain from dominating the
+    training mixture.
+
+    Scale: ROW_NUMBER + rank filter compiles to Spark's WindowGroupLimit —
+    each map task pre-prunes every group to its top ``cap`` BEFORE the
+    shuffle, so the exchange moves O(domains × cap) rows, not the corpus.
+    One shuffle total, skew-bounded by the cap itself."""
+    order = list(order_cols) if order_cols else []
+    w = Window.partitionBy(domain_col).orderBy(*order, F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= cap)
+    )

@@ -2123,6 +2123,54 @@ def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_domain_cap",
+    f"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
+                   FROM documents),
+       x AS (SELECT doc_id, source,
+                    CAST(len(sp) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(sp)) AS DOUBLE) AS nu,
+                    CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE) AS ns
+             FROM t),
+       q AS (SELECT doc_id, source,
+                    (least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                         + least(ns/n*5.0, 1.0)*2.0)/10.0 AS quality
+             FROM x),
+       r AS (SELECT doc_id, source, quality,
+                    CAST(ROW_NUMBER() OVER (
+                        PARTITION BY source
+                        ORDER BY COALESCE(quality, -1.0) DESC, doc_id) AS INT)
+                        AS domain_rank
+             FROM q)
+       SELECT doc_id, source, quality, domain_rank
+       FROM r WHERE domain_rank <= 10""",
+)
+def n5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: per-domain contribution cap (Gopher/FineWeb curation) — keep
+    the 10 highest-quality documents per source so one over-crawled
+    domain can't dominate the training mixture.  ROW_NUMBER + rank filter
+    compiles to WindowGroupLimit: map tasks pre-prune each domain to its
+    top 10 BEFORE the shuffle, so the exchange moves O(domains × cap)
+    rows, not the corpus.  Quality is the shared all-double formula the
+    oracle replays exactly (n4_quality_score)."""
+    from .operators.sampling import domain_cap
+    from .operators.text import quality_col, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id", "source", quality_col("text", toks=toks).alias("quality")
+    )
+    capped = domain_cap(
+        scored,
+        domain_col="source",
+        cap=10,
+        order_cols=[F.coalesce(F.col("quality"), F.lit(-1.0)).desc()],
+        id_col="doc_id",
+    )
+    return capped.select("doc_id", "source", "quality", "domain_rank")
+
+
+@query(
     "w2b_approx_percentiles_bounded",
     """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -249,3 +249,17 @@ def test_ivf_probe_assignment_is_distributed(spark, sf_dir):
     plan = _plan(ivf_cosine_topk(emb, queries, k=10, n_centroids=8, n_probe=3))
     assert "LocalTableScan" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_cap_window_group_limit(spark, sf_dir):
+    """n5_domain_cap must compile to WindowGroupLimit with a PARTIAL pass
+    BEFORE the exchange: map tasks prune every domain to its top-N first,
+    so the shuffle moves O(domains x cap) rows, not the corpus."""
+    plan = _plan(q.QUERIES["n5_domain_cap"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    partial_pos = plan.find("Partial")
+    exchange_pos = plan.find("Exchange hashpartitioning")
+    assert partial_pos != -1 and exchange_pos != -1
+    # text order: Final ... Exchange ... Partial (deeper = later in text)
+    assert plan.find("Final") < exchange_pos < partial_pos
+    assert plan.count("Exchange hashpartitioning") == 1
