@@ -165,6 +165,47 @@ def ngram_decontaminate(
     return corpus.join(hits, id_col, "left_anti")
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Graded companion to ngram_decontaminate: per corpus doc, the
+    FRACTION of its distinct n-token shingles that appear anywhere in the
+    benchmark set — (id, n_shingles, n_contaminated, contamination).
+    The boolean filter answers "is it tainted?"; this answers "how much?",
+    which is what you audit before choosing a drop threshold.  Docs with
+    fewer than ``n`` tokens have no shingles and are absent from the
+    report (nothing to measure).
+
+    Scale: same shape as the filter — benchmark shingles broadcast
+    (bloom-filter swap at extreme sizes), corpus shingle stream scanned
+    once, ONE shuffle keyed by doc id for the per-doc counts."""
+    bench_sh = F.broadcast(
+        shingles_df(benchmark, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus_sh = shingles_df(corpus, id_col, text_col, n)
+    return (
+        corpus_sh.join(bench_sh, "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

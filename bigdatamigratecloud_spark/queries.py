@@ -1518,17 +1518,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf_recall",
-    """SELECT 10 AS k, 5 AS n_queries,
-              CAST(34 AS DOUBLE) / CAST(50 AS DOUBLE) AS recall_at_k""",
+    """SELECT 10 AS k, 5 AS n_queries, TRUE AS recall_ok""",
 )
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path against the exact brute-force top-k,
     computed end-to-end in Spark.  The IVF candidate set is fully
-    deterministic (seeded k-means on a fixed scan-order sample), so the
-    measured recall at the driver's sf0.01 is a stable scalar — the
-    oracle pins it (34 of 50 neighbors recovered with 16 lists / 6
-    probes).  This turns the otherwise rows-only ANN entry into a hard
-    cross-checked number."""
+    deterministic (seeded k-means on a fixed scan-order sample), but the
+    measured recall is a property of the DATA, so pinning its exact value
+    in the oracle only holds at one scale factor (0.68 at sf0.01, 0.74 at
+    sf0.1).  The oracle therefore pins the scale-independent contract —
+    recall >= 0.6 with 6/16 probes — and the exact sf0.01 scalar (34/50)
+    stays pinned in tests/test_northstar.py against the oracle fixtures,
+    so a quantizer regression still breaks a hard number."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1543,9 +1544,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.lit(10).alias("k"),
         F.count_distinct("query_id").cast("int").alias("n_queries"),
-        (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "recall_at_k"
-        ),
+        (
+            (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double"))
+            >= F.lit(0.6)
+        ).alias("recall_ok"),
     )
 
 
@@ -2732,6 +2734,44 @@ def n5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 53 == 0)
     corpus = docs.filter(F.col("doc_id") % 53 != 0)
     return _dedup.ngram_decontaminate(corpus, bench, n=8).select("doc_id", "source")
+
+
+@query(
+    "n5_contamination_report",
+    """WITH bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
+       corpus AS (SELECT * FROM documents WHERE doc_id % 53 <> 0),
+       bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT string_split(text, ' ') AS sp FROM bench)
+              WHERE len(sp) >= 8),
+       csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                     range(0, len(sp) - 7),
+                     i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3] || ' ' ||
+                          sp[i+4] || ' ' || sp[i+5] || ' ' || sp[i+6] || ' ' ||
+                          sp[i+7] || ' ' || sp[i+8]))) AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus)
+              WHERE len(sp) >= 8)
+       SELECT c.doc_id,
+              COUNT(*) AS n_shingles,
+              COUNT(b.shingle) AS n_contaminated,
+              CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS contamination
+       FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+       GROUP BY c.doc_id""",
+)
+def n5_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: graded contamination audit — per corpus doc, the fraction of
+    its distinct 8-token shingles found in the benchmark subset.  The
+    boolean decontaminate filter (n5_decontaminate) drops on ANY overlap;
+    this measures HOW MUCH, which is what you inspect before choosing a
+    threshold.  Same scale shape: broadcast benchmark shingles, one
+    corpus shingle scan, one doc-id shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+    return _dedup.contamination_report(corpus, bench, n=8)
 
 
 @query(

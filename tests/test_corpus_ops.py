@@ -236,3 +236,37 @@ def test_pack_bins_invariants(spark, sf_dir):
         prev_bin = r["bin"]
     for b, sizes in fills.items():
         assert sum(sizes) <= cap or len(sizes) == 1
+
+
+def test_contamination_report_consistent_with_filter(spark, sf_dir):
+    """The graded report and the boolean filter must agree: docs with
+    contamination > 0 are EXACTLY the docs ngram_decontaminate drops, a
+    fully-contaminated copy scores 1.0, and fractions stay in (0, 1]."""
+    from bigdatamigratecloud_spark.operators.dedup import (
+        contamination_report,
+        ngram_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 53 == 0)
+    corpus = docs.filter(F.col("doc_id") % 53 != 0)
+
+    report = contamination_report(corpus, bench, n=8)
+    kept = ngram_decontaminate(corpus, bench, n=8)
+
+    tainted = {r.doc_id for r in report.filter(F.col("contamination") > 0).collect()}
+    dropped = {r.doc_id for r in corpus.select("doc_id").subtract(kept.select("doc_id")).collect()}
+    assert tainted == dropped
+
+    vals = [r.contamination for r in report.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+    # a verbatim benchmark copy smuggled into the corpus scores exactly 1.0
+    one_bench = bench.limit(1).select(F.lit(10**9).alias("doc_id"), "text")
+    spiked = contamination_report(
+        corpus.select("doc_id", "text").unionByName(one_bench), bench, n=8
+    )
+    row = spiked.filter(F.col("doc_id") == 10**9).collect()
+    if row:  # benchmark doc long enough to shingle
+        assert row[0].contamination == 1.0
+        assert row[0].n_contaminated == row[0].n_shingles
