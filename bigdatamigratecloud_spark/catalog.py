@@ -105,7 +105,11 @@ def _ensure_utc_session(spark: SparkSession) -> None:
         if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # conf locked down; epoch call sites still agree on local tz
+        # conf locked down (never happens on OSS Spark — this conf is
+        # runtime-settable).  If it ever does AND the locked zone observes
+        # DST, epoch differences spanning a transition would be off by the
+        # DST shift; fixed-offset zones remain difference-preserving.
+        pass
 
 
 def _ensure_nanos_readable(spark: SparkSession) -> None:

@@ -75,10 +75,11 @@ def _decode_png(payload: bytes):
     None if the payload is not a PNG this decoder handles (16-bit,
     interlaced, and sub-byte depths fall through to the PIL/strict gate).
 
-    Sub/Up/Average unfilter vectorize per row (Sub is a per-channel
-    running sum mod 256); Paeth falls back to a per-pixel sweep on the
-    rows that use it — rare in practice, and per-blob work in the
-    mapInPandas kernel stays embarrassingly parallel either way."""
+    None/Sub/Up unfilter vectorize per row (Sub is a per-channel running
+    sum mod 256); Average and Paeth depend on the already-reconstructed
+    left neighbor, so rows using them take a per-pixel sweep — per-blob
+    work in the mapInPandas kernel stays embarrassingly parallel either
+    way, but size kernels expecting Python-loop speed for those rows."""
     import struct
     import zlib
 
@@ -150,6 +151,11 @@ def _decode_png(payload: bytes):
             return None
     img = out.reshape(h, w, channels)
     if color == 3:
+        # a corrupt palette image can index past PLTE; that is an
+        # unhandled input (fall through to the PIL/strict gate), not a
+        # task-killing IndexError inside the mapInPandas kernel
+        if int(img.max(initial=0)) >= len(plte):
+            return None
         img = plte[img[:, :, 0]]
     return img.copy()
 

@@ -388,9 +388,8 @@ def ivf_cosine_topk(
     # matrix is a plan literal (n_centroids × dim doubles, broadcast by
     # value), each query row computes its centroid sims and keeps the
     # n_probe best via an array sort over (−sim, idx) structs — no
-    # driver-side collect of the query frame, so a query-set-as-dataset
-    # (millions of queries) scales like any narrow map.  Struct sort
-    # breaks float ties by centroid index, deterministically.
+    # driver-side collect of the query frame.  Struct sort breaks float
+    # ties by centroid index, deterministically.
     sims = F.array(
         *[_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
     )
@@ -398,14 +397,21 @@ def ivf_cosine_topk(
     probed = F.transform(
         F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
     )
+    # probe lists explode to (query, cluster) rows and the probe is a
+    # plain EQUI-join on cluster — shuffle-partitionable, AQE-broadcast
+    # when the query set is small, and skew-splittable when it is not.
+    # Together with the distributed assignment above, a query-set-as-
+    # dataset (millions of queries) runs without any driver or broadcast
+    # bottleneck; candidates are identical to the array_contains form
+    # (each corpus row has ONE cluster and probe lists are distinct).
     q = (
         with_unit_vector(queries, vec_col, "qu")
         .select(F.col(query_id_col).alias("query_id"), "qu")
-        .withColumn("probed", probed)
+        .withColumn("cluster", F.explode(probed))
     )
 
     sim = (
-        c.join(F.broadcast(q), F.array_contains(F.col("probed"), F.col("cluster")))
+        c.join(q, "cluster")
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select("query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine"))
     )

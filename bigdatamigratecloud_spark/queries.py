@@ -2155,12 +2155,14 @@ def n5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, not the corpus.  Quality is the shared all-double formula the
     oracle replays exactly (n4_quality_score)."""
     from .operators.sampling import domain_cap
-    from .operators.text import quality_col, tokens
+    from .operators.text import quality_col, with_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
+    # hoist the token array as a materialized attribute (with_tokens):
+    # passing a raw tokens() expression re-runs the tokenizer regex at
+    # every reference inside quality_col (see its docstring)
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     scored = docs.select(
-        "doc_id", "source", quality_col("text", toks=toks).alias("quality")
+        "doc_id", "source", quality_col("text", toks=F.col("__toks")).alias("quality")
     )
     capped = domain_cap(
         scored,
@@ -2208,7 +2210,13 @@ def w2b_approx_percentiles_bounded(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.when(F.col("l_quantity") <= F.col("ap90"), 1)).alias("le_p90"),
         )
     )
-    eps = F.col("n") / F.lit(acc)
+    # rank tolerance: n/acc from the GK guarantee PLUS 1 for the
+    # rank-rounding ambiguity of the target itself (the p-th percentile
+    # "rank" p*n is fractional; an exactly-correct answer sits at
+    # ceil(p*n), up to 1 above p*n — without the +1, a group with
+    # odd n (e.g. n=101, p=0.5: exact median has lt=50, bound 50.601)
+    # flags a perfect sketch as out-of-bound)
+    eps = F.col("n") / F.lit(acc) + F.lit(1.0)
 
     def in_bound(lt, le, p):
         target = F.col("n") * F.lit(p)

@@ -53,6 +53,7 @@ def test_temporal_ops_analyze_and_run_on_real_fixture(spark, sf_dir):
     rj = range_join(ev, ev, on="user_id", lower_us=0, upper_us=3_600_000_000)
     _ = rj.schema
     sample = rj.limit(20).collect()
+    assert sample  # fixtures guarantee same-user events within the hour
     assert all(0 < r["delta_us"] <= 3_600_000_000 for r in sample)
 
     aj = asof_join(

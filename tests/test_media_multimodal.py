@@ -314,3 +314,16 @@ def test_real_png_decode_in_image_features(spark):
     assert (out.width, out.height, out.channels) == (6, 4, 3)
     assert abs(out.mean_pixel - float(arr.mean())) < 1e-9
     assert out.payload_size == len(png)
+
+
+def test_png_palette_index_overflow_returns_none():
+    """A corrupt palette PNG whose pixel indices exceed the PLTE size must
+    fall through to the gate as None — never an IndexError that kills the
+    whole Spark task on one bad blob."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    idx = np.array([[0, 5], [1, 0]], dtype=np.uint8)  # index 5, 2-entry PLTE
+    bad = _make_png(idx, color_type=3, palette=[(1, 2, 3), (4, 5, 6)])
+    assert _decode_png(bad) is None

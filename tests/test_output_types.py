@@ -10,7 +10,7 @@ makes a regression impossible even if the driver rotates its query sample.
 
 Two layers:
 - DuckDB `DESCRIBE` of every oracle (binding only, no execution) — covers
-  the oracle side of all 112 oracle-checked entries cheaply.
+  the oracle side of every oracle-checked entry cheaply.
 - Spark output schema for every query whose construction is lazy (no
   side-effectful write/collect inside the builder) — covers the Spark
   side.  The side-effectful entries (package/Excel/media roundtrips,
