@@ -282,9 +282,14 @@ def read_xlsx(path: str) -> list[Sheet]:
                             val = v_el.text == "1"
                         elif ctype == "str":
                             val = v_el.text
-                        else:  # numeric
-                            f = float(v_el.text)
-                            val = int(f) if f.is_integer() else f
+                        else:  # numeric (or unknown type, e.g. t="e" error
+                            # cells from real Excel: '#DIV/0!' — degrade to
+                            # the raw text rather than crash the import)
+                            try:
+                                f = float(v_el.text)
+                                val = int(f) if f.is_integer() else f
+                            except ValueError:
+                                val = v_el.text
                     sheet.cells[(r, col)] = val
             af = root.find(f"{{{_NS}}}autoFilter")
             if af is not None:

@@ -169,3 +169,33 @@ def test_export_package_excel_decorations(spark, sf_dir, tmp_path):
     assert sheet.table_columns == ["r_regionkey", "r_name"]
     # comment landed on data row 0 of r_name (= row 4, col 2)
     assert sheet.comments == {(4, 2): "checked against dim set"}
+
+
+def test_read_xlsx_tolerates_error_cells(tmp_path):
+    """Workbooks from real Excel can carry error cells (t="e", value like
+    '#DIV/0!'); the reader must degrade them to their raw text instead of
+    crashing the whole import on float()."""
+    import zipfile
+
+    from bigdatamigratecloud_spark.sources.xlsx import Sheet, read_xlsx, write_xlsx
+
+    path = str(tmp_path / "err.xlsx")
+    s = Sheet(name="S1")
+    s.set_row(1, ["ok", 2])
+    write_xlsx(path, [s])
+    # splice an error cell into the sheet XML the way Excel writes it
+    with zipfile.ZipFile(path) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    xml = names["xl/worksheets/sheet1.xml"].decode()
+    xml = xml.replace(
+        "</row>", '<c r="C1" t="e"><v>#DIV/0!</v></c></row>', 1
+    )
+    names["xl/worksheets/sheet1.xml"] = xml.encode()
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+
+    (back,) = read_xlsx(path)
+    assert back.cells[(1, 1)] == "ok"
+    assert back.cells[(1, 2)] == 2
+    assert back.cells[(1, 3)] == "#DIV/0!"
