@@ -14,6 +14,10 @@ Grammar (the practically-used NAV subset):
     range   := lit '..' lit | lit '..' | '..' lit
     relop   := ('<>' | '<=' | '>=' | '<' | '>' | '=') lit
     literal := bare token (equality); '*' wildcard -> LIKE; '@' -> case-insensitive
+
+Quoting: single-quoted literals protect the structural characters
+(``'R&D'``, ``'A|B'``, ``'1..2'`` are VALUES, not operators), matching
+NAV's quoting rule — the tokenizer splits on | & .. only OUTSIDE quotes.
 """
 
 from __future__ import annotations
@@ -22,15 +26,50 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _split_outside_quotes(s: str, sep: str) -> list[str]:
+    """Split on a single-char separator, ignoring separators inside
+    single-quoted segments (quotes toggle; NAV escapes a literal quote by
+    doubling it, which toggles twice and stays balanced)."""
+    parts, buf, inq = [], [], False
+    for ch in s:
+        if ch == "'":
+            inq = not inq
+            buf.append(ch)
+        elif not inq and ch == sep:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _find_range_sep(s: str) -> int:
+    """Index of the first '..' outside quotes, or -1."""
+    inq = False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            inq = not inq
+        elif not inq and s.startswith("..", i):
+            return i
+    return -1
+
+
+def _unquote(tok: str) -> str:
+    tok = tok.strip()
+    if tok.startswith("''") and tok.endswith("''") and len(tok) >= 4:
+        return tok[2:-2]
+    if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+        return tok[1:-1]
+    return tok
+
+
 def _lit_predicate(col: Column, tok: str) -> Column:
     tok = tok.strip()
     ci = tok.startswith("@")
     if ci:
         tok = tok[1:]
-    if tok.startswith("''") and tok.endswith("''") and len(tok) >= 4:
-        tok = tok[2:-2]
-    elif tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
-        tok = tok[1:-1]
+    tok = _unquote(tok)
     target = F.lower(col) if ci else col
     if ci:
         tok = tok.lower()
@@ -44,9 +83,9 @@ def _atom_predicate(col: Column, atom: str) -> Column:
     atom = atom.strip()
     if atom == "''" or atom == "":
         return col.isNull() | (col.cast("string") == "")
-    if ".." in atom:
-        lo, _, hi = atom.partition("..")
-        lo, hi = lo.strip(), hi.strip()
+    sep = _find_range_sep(atom)
+    if sep != -1:
+        lo, hi = _unquote(atom[:sep]), _unquote(atom[sep + 2 :])
         if lo and hi:
             return (col >= lo) & (col <= hi)
         if lo:
@@ -54,7 +93,7 @@ def _atom_predicate(col: Column, atom: str) -> Column:
         return col <= hi
     for op in ("<>", "<=", ">=", "<", ">", "="):
         if atom.startswith(op):
-            v = atom[len(op):].strip().strip("'")
+            v = _unquote(atom[len(op):])
             if op == "<>":
                 return col != v
             if op == "<=":
@@ -71,12 +110,13 @@ def _atom_predicate(col: Column, atom: str) -> Column:
 
 def nav_filter(col: Column | str, expression: str) -> Column:
     """Compile a NAV filter expression (e.g. ``1000..2000``,
-    ``BUILDING|AUTOMOBILE``, ``<>0&<100``, ``@a*``) against a column."""
+    ``BUILDING|AUTOMOBILE``, ``<>0&<100``, ``@a*``, ``'R&D'``) against a
+    column."""
     if isinstance(col, str):
         col = F.col(col)
     or_terms = []
-    for term in expression.split("|"):
-        and_atoms = [a for a in term.split("&") if a.strip() != ""] or [term]
+    for term in _split_outside_quotes(expression, "|"):
+        and_atoms = [a for a in _split_outside_quotes(term, "&") if a.strip() != ""] or [term]
         pred = _atom_predicate(col, and_atoms[0])
         for a in and_atoms[1:]:
             pred = pred & _atom_predicate(col, a)

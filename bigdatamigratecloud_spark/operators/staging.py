@@ -29,6 +29,14 @@ from pyspark.sql import types as T
 STAGING_COLS = ("package_code", "table_name", "record_no", "field_name", "value", "error")
 
 
+def quoted_col(name: str) -> F.Column:
+    """Column reference that treats ``name`` LITERALLY: `F.col('No.')` (and
+    `df['No.']`) parse the dot as a struct accessor; backtick-quoting makes
+    field names like 'No.' resolve as plain columns.  Backticks inside the
+    name are escaped by doubling, per the SQL identifier rule."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def serialize_cell(col: F.Column, data_type: T.DataType) -> F.Column:
     """Render a typed value to its canonical staging string, mirroring
     FormatFieldValue (Codeunit 60000:826-862): exact decimal text for
@@ -99,7 +107,7 @@ def melt_to_staging(
         *[
             F.struct(
                 F.lit(name).alias("field_name"),
-                serialize_cell(F.col(name), dtypes[name]).alias("value"),
+                serialize_cell(quoted_col(name), dtypes[name]).alias("value"),
             )
             for name in fields
         ]
@@ -110,6 +118,38 @@ def melt_to_staging(
             F.lit(table_name).alias("table_name"),
             F.col("__record_no").alias("record_no"),
             F.explode(pairs).alias("cell"),
+        )
+        .select(
+            "package_code",
+            "table_name",
+            "record_no",
+            F.col("cell.field_name").alias("field_name"),
+            F.col("cell.value").alias("value"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+
+
+def wide_to_staging(
+    wide: DataFrame, package_code: str, table_name: str, fields: list[str]
+) -> DataFrame:
+    """Wide string-typed rows -> the long EAV staging contract
+    (STAGING_COLS).  Shared by the XML import paths (single-file and
+    sharded) so the staging schema is defined in exactly one place —
+    `melt_to_staging` is its typed-source twin."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(f).alias("field_name"), quoted_col(f).alias("value"))
+            for f in fields
+        ]
+    )
+    return (
+        wide.withColumn("__record_no", F.monotonically_increasing_id())
+        .select(
+            F.lit(package_code).alias("package_code"),
+            F.lit(table_name).alias("table_name"),
+            F.col("__record_no").alias("record_no"),
+            F.explode(cells).alias("cell"),
         )
         .select(
             "package_code",
@@ -143,7 +183,7 @@ def pivot_from_staging(staging: DataFrame, schema: T.StructType, drop_errors: bo
         ]
     )
     return cells.select(
-        *[deserialize_cell(F.col(f.name), f.dataType).alias(f.name) for f in schema.fields]
+        *[deserialize_cell(quoted_col(f.name), f.dataType).alias(f.name) for f in schema.fields]
     )
 
 
@@ -166,11 +206,25 @@ def deserialize_cell(raw: F.Column, data_type: T.DataType) -> F.Column:
     if isinstance(data_type, T.TimestampNTZType):
         # parquet ms-precision timestamps surface as NTZ in Spark 4; keep
         # the exact type so roundtrips are schema-identical (CASE guards
-        # the strict parse — CaseWhen evaluates branches lazily per row)
+        # the strict parse — CaseWhen evaluates branches lazily per row).
+        # try_cast FALLBACK keeps the parse domain a superset of what
+        # validation accepts: a cell that passed validate_staging (lenient
+        # try_cast) must never silently become NULL here — e.g.
+        # '2020-05-01 12:00:00' without fractional seconds from the Excel
+        # bridge or a foreign package.
         ok = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")).isNotNull()
-        return F.when(ok, F.to_timestamp_ntz(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+        return F.coalesce(
+            F.when(ok, F.to_timestamp_ntz(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+            raw.try_cast(data_type),
+        )
     if isinstance(data_type, T.TimestampType):
-        return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        return F.coalesce(
+            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            raw.try_cast(data_type),
+        )
     if isinstance(data_type, T.DateType):
-        return F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")).cast("date")
+        return F.coalesce(
+            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")).cast("date"),
+            raw.try_cast(data_type),
+        )
     return raw.try_cast(data_type)

@@ -32,8 +32,10 @@ def parse_error_expr(value: Column, data_type: str, field_name: Column | str) ->
         ok = value.isin("0", "1", "true", "false", "TRUE", "FALSE") | value.try_cast("boolean").isNotNull()
     elif dt in ("date",):
         ok = value.try_cast("date").isNotNull()
-    elif dt in ("timestamp",):
-        ok = value.try_cast("timestamp").isNotNull()
+    elif dt in ("timestamp", "timestamp_ntz"):
+        # same lenient domain as deserialize_cell's try_cast FALLBACK:
+        # a value passing here is guaranteed to land non-NULL at pivot
+        ok = value.try_cast(dt).isNotNull()
     else:
         ok = F.lit(True)  # strings/binary always evaluate
     return F.when(value.isNull() | ok, F.lit(None).cast("string")).otherwise(

@@ -53,15 +53,37 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..functions.scalars import sanitize_xml_name, suppress_zero_fk, xsd_type
-from ..operators.staging import serialize_cell
+from ..operators.staging import quoted_col, serialize_cell, wide_to_staging
 from ..plans.spec import FieldSpec, PackageSpec, TableSpec
 
 
 def _xml_escape(col):
+    # & first, then entities (so the entity ampersands are not re-escaped);
+    # newlines become character references because a record string must
+    # stay ONE physical line — the sharded path writes one record per text
+    # line, and a raw \n would split the record into two unparseable
+    # fragments that silently stage as all-NULL rows
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
     out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit("\r"), F.lit("&#13;"))
+    out = F.replace(out, F.lit("\n"), F.lit("&#10;"))
     return out
+
+
+def _attr_escape(s: str) -> str:
+    """Python-side escape for attribute values written via f-strings
+    (header/table attrs): a package named 'Q&A' must not emit a malformed
+    PackageName attribute."""
+    return (
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("\r", "&#13;")
+        .replace("\n", "&#10;")
+    )
 
 
 def record_xml_col(df: DataFrame, table_spec: TableSpec, record_tag: str, fk_cols: set[str] | None = None):
@@ -73,7 +95,7 @@ def record_xml_col(df: DataFrame, table_spec: TableSpec, record_tag: str, fk_col
     parts = [F.lit(f"<{record_tag}>")]
     for name in table_spec.included_fields():
         el = sanitize_xml_name(name)
-        col = F.col(name)
+        col = quoted_col(name)  # dot-safe: F.col('No.') parses the dot
         if name in fk_cols:
             col = suppress_zero_fk(col)  # P4, XML:831-834
         val = serialize_cell(col, dtypes[name])
@@ -95,6 +117,19 @@ def _names(table_name: str) -> _TableNames:
     return _TableNames(table_name, base, base + "List")
 
 
+def _names_for(ts: TableSpec) -> _TableNames:
+    """Record/list tags for a table, dodging the record tag when a FIELD
+    element would collide with it (XML rowTag splitters do not handle
+    same-name nesting): table 'currency' with a field literally named
+    'Currency' gets record tag 'CurrencyRecord'.  The import side never
+    assumes the tag — peek_package/manifest read it from the artifact."""
+    nm = _names(ts.table_name)
+    field_els = {sanitize_xml_name(f) for f in ts.included_fields()}
+    while nm.record_tag in field_els:
+        nm.record_tag += "Record"
+    return nm
+
+
 def _field_metadata_attrs(ts: TableSpec, field_name: str) -> str:
     """PrimaryKey / ValidateField / CreateMissingCodes attributes, emitted
     on the first record only (ExportMetadata flag, XML:192, 215-216)."""
@@ -107,6 +142,11 @@ def _field_metadata_attrs(ts: TableSpec, field_name: str) -> str:
                 attrs.append('ValidateField="1"')
             if f.create_missing_codes:
                 attrs.append('CreateMissingCodes="1"')
+    # element names are sanitized (XML can't carry 'No.'); the ORIGINAL
+    # field name rides an attribute on the first record so the import
+    # side can stage/validate/pivot under the real schema name
+    if sanitize_xml_name(field_name) != field_name:
+        attrs.append(f'FieldName="{_attr_escape(field_name)}"')
     return (" " + " ".join(attrs)) if attrs else ""
 
 
@@ -128,37 +168,45 @@ def export_package_xml(
     with gzip.open(out_path, "wt", encoding="utf-8") as out:
         out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
         out.write(
-            f'<DataList PackageCode="{spec.package_code}" PackageName="{spec.package_name}" '
-            f'LanguageID="{spec.language_id}" ProductVersion="{spec.product_version}" '
+            f'<DataList PackageCode="{_attr_escape(spec.package_code)}" '
+            f'PackageName="{_attr_escape(spec.package_name)}" '
+            f'LanguageID="{spec.language_id}" ProductVersion="{_attr_escape(spec.product_version)}" '
             f'ProcessingOrder="{spec.processing_order}" '
             f'ExcludeConfigTables="{1 if spec.exclude_config_tables else 0}">'
         )
         for ts in spec.tables:
-            nm = _names(ts.table_name)
+            nm = _names_for(ts)
             df = load_table(spark, sf_dir, ts.table_name)
             for fld, expr in ts.filters.items():  # P2 pushdown, XML:141-156
                 df = df.filter(nav_filter(fld, expr))
-            df = df.select(*[c for c in df.columns if c in set(ts.included_fields())])
-            out.write(f'<{nm.list_tag} TableName="{ts.table_name}" ProcessingOrder="{ts.processing_order}">')
+            df = df.select(*[quoted_col(c) for c in df.columns if c in set(ts.included_fields())])
+            out.write(f'<{nm.list_tag} TableName="{_attr_escape(ts.table_name)}" ProcessingOrder="{ts.processing_order}">')
             xml_col = record_xml_col(df, ts, nm.record_tag, fk_map.get(ts.table_name))
             first = True
             for row in df.select(xml_col.alias("x")).toLocalIterator():
                 rec = row.x
                 if first:
-                    # inject metadata attrs into the first record's fields
+                    # inject metadata attrs into the first record's fields;
+                    # search AFTER the opening record tag so a field element
+                    # spelled like the record tag can't hijack the injection
+                    head = f"<{nm.record_tag}>"
+                    body = rec[len(head):] if rec.startswith(head) else rec
                     for fname in ts.included_fields():
                         el = sanitize_xml_name(fname)
                         attrs = _field_metadata_attrs(ts, fname)
                         if attrs:
-                            rec = rec.replace(f"<{el}>", f"<{el}{attrs}>", 1)
+                            body = body.replace(f"<{el}>", f"<{el}{attrs}>", 1)
+                    rec = (head + body) if rec.startswith(head) else body
                     first = False
                 out.write(rec)
             if first:
-                # empty table: template record of empty fields (XML:229-250)
+                # empty table: template record of empty fields (XML:229-250),
+                # marked template="1" so import drops it instead of staging
+                # a phantom all-null row
                 tmpl = "".join(
                     f"<{sanitize_xml_name(f)}{_field_metadata_attrs(ts, f)}/>" for f in ts.included_fields()
                 )
-                out.write(f"<{nm.record_tag}>{tmpl}</{nm.record_tag}>")
+                out.write(f'<{nm.record_tag} template="1">{tmpl}</{nm.record_tag}>')
             out.write(f"</{nm.list_tag}>")
         out.write("</DataList>")
 
@@ -187,7 +235,7 @@ def export_package_sharded(
         "tables": [],
     }
     for ts in spec.tables:
-        nm = _names(ts.table_name)
+        nm = _names_for(ts)
         df = load_table(spark, sf_dir, ts.table_name)
         for fld, expr in ts.filters.items():
             df = df.filter(nav_filter(fld, expr))
@@ -246,28 +294,8 @@ def import_sharded_to_staging(
         wide = lines.select(F.from_xml(F.col("value"), schema_str).alias("r")).select(
             *[F.col(f"r.`{s}`").alias(orig) for s, orig in zip(sanitized, fields)]
         )
-        cells = F.array(
-            *[
-                F.struct(F.lit(f).alias("field_name"), F.col(f).alias("value"))
-                for f in fields
-            ]
-        )
-        out[ts.table_name] = (
-            wide.withColumn("__record_no", F.monotonically_increasing_id())
-            .select(
-                F.lit(manifest["package_code"]).alias("package_code"),
-                F.lit(ts.table_name).alias("table_name"),
-                F.col("__record_no").alias("record_no"),
-                F.explode(cells).alias("cell"),
-            )
-            .select(
-                "package_code",
-                "table_name",
-                "record_no",
-                F.col("cell.field_name").alias("field_name"),
-                F.col("cell.value").alias("value"),
-                F.lit(None).cast("string").alias("error"),
-            )
+        out[ts.table_name] = wide_to_staging(
+            wide, manifest["package_code"], ts.table_name, fields
         )
     return manifest, out
 
@@ -320,7 +348,10 @@ def peek_package(path: str) -> PackageHeader:
                 elif depth == 4 and in_first_record and current is not None:
                     current["fields"].append(
                         {
-                            "field_name": el.tag,
+                            # element tags are sanitized; FieldName carries
+                            # the original schema name when they differ
+                            "field_name": el.attrib.get("FieldName", el.tag),
+                            "element": el.tag,
                             "primary_key": el.attrib.get("PrimaryKey") == "1",
                             "validate": el.attrib.get("ValidateField") == "1",
                             "create_missing_codes": el.attrib.get("CreateMissingCodes") == "1",
@@ -348,17 +379,34 @@ def peek_package(path: str) -> PackageHeader:
 
 
 def read_package_table(
-    spark: SparkSession, path: str, record_tag: str, field_names: list[str]
+    spark: SparkSession,
+    path: str,
+    record_tag: str,
+    field_names: list[str],
+    elements: list[str] | None = None,
 ) -> DataFrame:
     """Distributed parse of one table's records from the (decompressed)
     package via Spark's native XML source — all columns read as strings
-    (typed parse happens in the validation stage, EvaluateValue XML:777)."""
-    schema = T.StructType([T.StructField(f, T.StringType(), True) for f in field_names])
-    return (
+    (typed parse happens in the validation stage, EvaluateValue XML:777).
+
+    ``elements`` are the XML element tags to read when they differ from
+    the target field names (sanitization); columns come back under
+    ``field_names``.  The empty-table template record (record-tag
+    attribute template="1") is dropped here — it carries field METADATA,
+    not data, and would otherwise stage a phantom all-null row."""
+    elements = elements or field_names
+    schema = T.StructType(
+        [T.StructField(e, T.StringType(), True) for e in elements]
+        + [T.StructField("_template", T.StringType(), True)]
+    )
+    wide = (
         spark.read.format("xml")
         .option("rowTag", record_tag)
         .schema(schema)
         .load(path)
+    )
+    return wide.filter(F.col("_template").isNull()).select(
+        *[F.col(f"`{e}`").alias(f) for e, f in zip(elements, field_names)]
     )
 
 
@@ -388,31 +436,11 @@ def import_package_to_staging(
     out: dict[str, DataFrame] = {}
     for t in header.tables:
         fields = [f["field_name"] for f in t["fields"]]
-        wide = read_package_table(spark, xml_path, t["record_tag"], fields)
-        cells = F.array(
-            *[
-                F.struct(F.lit(f).alias("field_name"), F.col(f).alias("value"))
-                for f in fields
-            ]
+        elements = [f.get("element", f["field_name"]) for f in t["fields"]]
+        wide = read_package_table(spark, xml_path, t["record_tag"], fields, elements)
+        out[t["table_name"]] = wide_to_staging(
+            wide, header.package_code, t["table_name"], fields
         )
-        staged = (
-            wide.withColumn("__record_no", F.monotonically_increasing_id())
-            .select(
-                F.lit(header.package_code).alias("package_code"),
-                F.lit(t["table_name"]).alias("table_name"),
-                F.col("__record_no").alias("record_no"),
-                F.explode(cells).alias("cell"),
-            )
-            .select(
-                "package_code",
-                "table_name",
-                "record_no",
-                F.col("cell.field_name").alias("field_name"),
-                F.col("cell.value").alias("value"),
-                F.lit(None).cast("string").alias("error"),
-            )
-        )
-        out[t["table_name"]] = staged
     return header, out
 
 

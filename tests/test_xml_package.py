@@ -154,3 +154,145 @@ def test_sharded_import_roundtrip(spark, sf_dir, tmp_path):
     cols = src.columns
     assert wide.select(cols).exceptAll(src.select(cols)).count() == 0
     assert src.select(cols).exceptAll(wide.select(cols)).count() == 0
+
+
+# --- robustness round-trips: values/names the TPC-H fixtures never hit ----
+
+def _write_weird_table(spark, tmp_path, name="weird", field2="No."):
+    """A tiny table with XML-hostile VALUES (newlines, &, <, quotes) and an
+    XML-hostile FIELD NAME (sanitization changes it)."""
+    df = spark.createDataFrame(
+        [
+            (1, "line1\nline2", "A&B <tag>"),
+            (2, "quote'dq\"x", "plain"),
+            (3, None, "r\r\nn"),
+        ],
+        f"id long, txt string, `{field2}` string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+    return df
+
+
+def _spec_for(df, table_name, pk=("id",)):
+    fields = [
+        FieldSpec(field_name=c, primary_key=(c in pk), processing_order=j)
+        for j, c in enumerate(df.columns)
+    ]
+    return PackageSpec(
+        package_code="WEIRD",
+        package_name='Q&A "migration" <v1>',
+        tables=[TableSpec(table_name=table_name, fields=fields)],
+    )
+
+
+def test_single_file_roundtrip_with_hostile_values_and_names(spark, tmp_path):
+    """Newlines/&/< in values and a sanitized field name ('No.') must
+    round-trip EXACTLY through export -> peek -> import -> validate ->
+    pivot; before the FieldName-attribute fix the whole 'No.' column
+    silently quarantined and landed NULL."""
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+    from bigdatamigratecloud_spark.operators.validation import split_quarantine, validate_staging
+
+    src = _write_weird_table(spark, tmp_path)
+    spec = _spec_for(src, "weird")
+    pkg = str(tmp_path / "weird.rapidstart")
+    export_package_xml(spark, spec, str(tmp_path), pkg)
+
+    header = peek_package(pkg)
+    assert header.package_name == 'Q&A "migration" <v1>'  # attr escaping
+    assert [f["field_name"] for f in header.tables[0]["fields"]] == ["id", "txt", "No."]
+
+    _, staged = import_package_to_staging(spark, pkg, expected_package_code="WEIRD")
+    validated = validate_staging(staged["weird"], src.schema)
+    good, quarantined = split_quarantine(validated)
+    assert quarantined.count() == 0
+    back = pivot_from_staging(good, src.schema)
+    # NAV-has-no-NULL semantic (record_xml_col docstring): a NULL string
+    # exports as an empty element and re-imports as '' — coerce the
+    # expectation the same way the reference would
+    want = {
+        tuple("" if v is None else v for v in r) for r in src.collect()
+    }
+    got = {tuple(r) for r in back.collect()}
+    assert got == want
+
+
+def test_sharded_roundtrip_with_newlines(spark, tmp_path):
+    """One record per text line: a value containing \\n used to split its
+    record into two unparseable fragments that staged as all-NULL rows."""
+    from bigdatamigratecloud_spark.sources.xml_package import import_sharded_to_staging
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+
+    src = _write_weird_table(spark, tmp_path, name="weirdsh")
+    spec = _spec_for(src, "weirdsh")
+    out_dir = str(tmp_path / "sharded_pkg")
+    export_package_sharded(spark, spec, str(tmp_path), out_dir)
+    _, staged = import_sharded_to_staging(spark, out_dir, expected_package_code="WEIRD")
+    back = pivot_from_staging(staged["weirdsh"], src.schema)
+    want = {
+        tuple("" if v is None else v for v in r) for r in src.collect()
+    }
+    assert {tuple(r) for r in back.collect()} == want
+
+
+def test_empty_table_roundtrip_has_zero_rows(spark, sf_dir, tmp_path):
+    """The empty-table template record carries field METADATA only; before
+    the template='1' marker it re-imported as one phantom all-null row."""
+    spec = make_spec(spark, sf_dir, ["region"], filters={"region": {"r_regionkey": ">9999"}})
+    pkg = str(tmp_path / "empty.rapidstart")
+    export_package_xml(spark, spec, sf_dir, pkg)
+    header = peek_package(pkg)
+    # metadata still inferred from the template
+    assert [f["field_name"] for f in header.tables[0]["fields"]][0] == "r_regionkey"
+    assert header.tables[0]["fields"][0]["primary_key"]
+    _, staged = import_package_to_staging(spark, pkg)
+    assert staged["region"].count() == 0
+
+
+def test_record_tag_collision_with_field_name(spark, tmp_path):
+    """Table 'currency' with a field literally named 'Currency' would nest
+    <Currency> inside <Currency>; the exporter dodges to CurrencyRecord
+    and the importer follows the artifact's own tag."""
+    df = spark.createDataFrame(
+        [(1, "USD"), (2, "EUR")], "id long, Currency string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "currency.parquet"))
+    spec = _spec_for(df, "currency")
+    pkg = str(tmp_path / "cur.rapidstart")
+    export_package_xml(spark, spec, str(tmp_path), pkg)
+    header = peek_package(pkg)
+    assert header.tables[0]["record_tag"] == "CurrencyRecord"
+    _, staged = import_package_to_staging(spark, pkg)
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+
+    back = pivot_from_staging(staged["currency"], df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_validation_and_pivot_agree_on_fractionless_timestamps(spark):
+    """A cell that PASSES validation must never silently become NULL at
+    pivot: '2020-05-01 12:00:00' (no fractional seconds, as the Excel
+    bridge or a foreign package writes) parses in both stages."""
+    from pyspark.sql import types as T
+
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+    from bigdatamigratecloud_spark.operators.validation import split_quarantine, validate_staging
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    staged = spark.createDataFrame(
+        [
+            ("P", "t", 1, "id", "7", None),
+            ("P", "t", 1, "ts", "2020-05-01 12:00:00", None),
+        ],
+        "package_code string, table_name string, record_no long, "
+        "field_name string, value string, error string",
+    )
+    good, quarantined = split_quarantine(validate_staging(staged, schema))
+    assert quarantined.count() == 0
+    (row,) = pivot_from_staging(good, schema).collect()
+    assert row.ts is not None and row.ts.hour == 12
