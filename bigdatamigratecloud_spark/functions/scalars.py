@@ -88,12 +88,20 @@ def sanitize_xml_name(name: str) -> str:
 
 
 def sanitize_xml_name_col(col: Column) -> Column:
-    """Same rules as a Catalyst expression, for sanitizing name *data*."""
+    """Same rules as a Catalyst expression, for sanitizing name *data*.
+
+    Parity with the driver version for all ASCII inputs: after the
+    mapping chain, remaining ASCII non-NameChars are DROPPED (``a*b`` ->
+    ``ab``, as the driver does) and only an ASCII non-start first char
+    forces the ``_`` prefix.  Non-ASCII characters are kept and accepted
+    as starts — the practical XML 1.0 5th-ed behavior; the driver's exact
+    codepoint-range check is authoritative for exotic planes."""
     out = F.translate(col, _DELETE_CHARS, "")
     out = F.translate(out, _SPACE_CHARS, " " * len(_SPACE_CHARS))
     out = F.translate(out, "-", "_")
     out = F.replace(out, F.lit(" "), F.lit(""))
-    bad_start = ~out.rlike("^[A-Za-z_]")
+    out = F.regexp_replace(out, r"[\x00-\x2C\x2F\x3A-\x40\x5B-\x5E\x60\x7B-\x7F]", "")
+    bad_start = out.rlike("^[0-9.]")
     return F.when(bad_start | (F.length(out) == 0), F.concat(F.lit("_"), out)).otherwise(out)
 
 
@@ -280,7 +288,10 @@ def filename_stamp(dt: _dt.datetime | None = None) -> str:
 
 # DateFormula (§1.2): NAV relative-date intervals like '<1M+CM>' — no Spark
 # equivalent; a small exact parser/evaluator.
+# two token shapes: count-before-unit (<3W>, <-1M>, <CM>) and NAV's
+# canonical weekday digit-AFTER form (<WD4> = the coming Thursday)
 _DF_TOKEN = re.compile(r"([+-]?)(\d*)(C?)(D|WD|W|M|Q|Y)", re.IGNORECASE)
+_DF_WD_TOKEN = re.compile(r"([+-]?)WD(\d)", re.IGNORECASE)
 
 
 def eval_dateformula(formula: str, base: _dt.date) -> _dt.date:
@@ -297,10 +308,14 @@ def eval_dateformula(formula: str, base: _dt.date) -> _dt.date:
     d = base
     pos = 0
     while pos < len(s):
-        m = _DF_TOKEN.match(s, pos)
-        if not m:
-            raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
-        sign, num, cur, unit = m.groups()
+        wd = _DF_WD_TOKEN.match(s, pos)
+        if wd:
+            m, (sign, num, cur, unit) = wd, (wd.group(1), wd.group(2), "", "WD")
+        else:
+            m = _DF_TOKEN.match(s, pos)
+            if not m:
+                raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
+            sign, num, cur, unit = m.groups()
         unit = unit.upper()
         n = int(num) if num else (0 if cur else 1)
         if sign == "-":
@@ -364,10 +379,14 @@ def dateformula_expr(formula: str, base: Column) -> Column:
     d = base
     pos = 0
     while pos < len(s):
-        m = _DF_TOKEN.match(s, pos)
-        if not m:
-            raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
-        sign, num, cur, unit = m.groups()
+        wd = _DF_WD_TOKEN.match(s, pos)
+        if wd:
+            m, (sign, num, cur, unit) = wd, (wd.group(1), wd.group(2), "", "WD")
+        else:
+            m = _DF_TOKEN.match(s, pos)
+            if not m:
+                raise ValueError(f"bad DateFormula {formula!r} at {s[pos:]!r}")
+            sign, num, cur, unit = m.groups()
         unit = unit.upper()
         n = int(num) if num else (0 if cur else 1)
         if sign == "-":

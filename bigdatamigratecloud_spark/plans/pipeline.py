@@ -23,7 +23,11 @@ from pyspark.sql import types as T
 
 from ..catalog import FOREIGN_KEYS, PRIMARY_KEYS
 from ..operators.staging import pivot_from_staging
-from ..operators.upsert import apply_to_target, create_missing_codes, fk_violations
+from ..operators.upsert import (
+    apply_to_target,
+    create_missing_codes,
+    fk_violation_counts_fused,
+)
 from ..operators.validation import split_quarantine, validate_staging
 from .spec import PackageSpec
 from .toposort import toposort_tables
@@ -36,6 +40,13 @@ class TableResult:
     rows_quarantined: int
     fk_violations: int
     target_path: str
+    # create-missing-codes requests discovered while applying this table:
+    # [(parent_table, parent_col, child_keys DataFrame)] — resolved by the
+    # orchestrator AFTER the rank barrier (single-threaded), so concurrent
+    # same-rank children can't race on a shared parent, and the new parent
+    # rows are persisted back to the parent's parquet (XML:112-113 inserts
+    # into the real target table, not a transient frame)
+    missing_code_requests: list = field(default_factory=list)
 
 
 @dataclass
@@ -97,29 +108,43 @@ def apply_staged_table(
         valid, quar = split_quarantine(validated)
     wide = pivot_from_staging(valid, schema)
 
-    n_viol = 0
-    parents = parents or {}
-    for child_col, parent_table, parent_col in FOREIGN_KEYS.get(table_name, []):
-        if parent_table not in parents:
-            continue
-        cmc = False
-        if ts is not None:
-            cmc = any(f.field_name == child_col and f.create_missing_codes for f in ts.fields)
-        if cmc:
-            # J5 action: upsert missing parents (XML:112-113, 690-692)
-            parents[parent_table] = create_missing_codes(
-                parents[parent_table], parent_col, wide, child_col
-            )
-        else:
-            n_viol += fk_violations(wide, child_col, parents[parent_table], parent_col).count()
+    # persist the pivot: the FK sweep, the target write, and the row count
+    # would otherwise each recompute validate+pivot from the staging scan
+    wide = wide.persist()
+    try:
+        n_viol = 0
+        parents = parents or {}
+        mc_requests: list = []
+        probe_fks: list = []
+        for child_col, parent_table, parent_col in FOREIGN_KEYS.get(table_name, []):
+            if parent_table not in parents:
+                continue
+            cmc = False
+            if ts is not None:
+                cmc = any(
+                    f.field_name == child_col and f.create_missing_codes for f in ts.fields
+                )
+            if cmc:
+                # J5 action (XML:112-113, 690-692): record the request; the
+                # orchestrator resolves it after the rank barrier so the
+                # parent update is race-free and persisted
+                mc_requests.append((parent_table, parent_col, wide.select(child_col)))
+            else:
+                probe_fks.append((child_col, parents[parent_table], parent_col))
+        if probe_fks:
+            # ONE child scan probes every parent key set (fused J5 sweep)
+            counts = fk_violation_counts_fused(wide, probe_fks, table_name).collect()
+            n_viol = int(sum(r["violations"] for r in counts))
 
-    path = os.path.join(target_dir, table_name)
-    mode = "overwrite"  # X5: Delete Recs Before Processing parity
-    pk = list(PRIMARY_KEYS.get(table_name, ())) or None
-    apply_to_target(wide, path, mode=mode, pk_cols=pk)
-    n_quar = quar.count()
-    n_rows = spark.read.parquet(path).count()
-    return TableResult(table_name, n_rows, n_quar, n_viol, path)
+        path = os.path.join(target_dir, table_name)
+        mode = "overwrite"  # X5: Delete Recs Before Processing parity
+        pk = list(PRIMARY_KEYS.get(table_name, ())) or None
+        apply_to_target(wide, path, mode=mode, pk_cols=pk)
+        n_quar = quar.count()
+        n_rows = spark.read.parquet(path).count()
+        return TableResult(table_name, n_rows, n_quar, n_viol, path, mc_requests)
+    finally:
+        wide.unpersist()
 
 
 def run_import(
@@ -153,22 +178,54 @@ def run_import(
     report.order = ranks
     applied: dict[str, DataFrame] = {}
     for rank_no, rank_tables in enumerate(ranks):
-        def run_one(t: str) -> TableResult:
+        def run_one(t: str) -> TableResult | None:
             if reporter is not None:
                 reporter.on_table_start(t, rank_no)
-            res = apply_staged_table(
-                spark, known[t], schemas[t], t, target_dir, spec, parents=applied
-            )
+            try:
+                res = apply_staged_table(
+                    spark, known[t], schemas[t], t, target_dir, spec, parents=applied
+                )
+            except Exception as e:  # noqa: BLE001
+                # one failing table becomes an error RECORD, not an aborted
+                # import (XML:543-547) — siblings and later ranks continue
+                report.errors[t] = f"apply failed: {e}"
+                return None
             if reporter is not None:
                 reporter.on_table_finish(t, res.rows_applied)
             return res
 
         with ThreadPoolExecutor(max_workers=max_workers) as ex:  # X1 fan-out
-            results = list(ex.map(run_one, rank_tables))
+            results = [r for r in ex.map(run_one, rank_tables) if r is not None]
         # barrier (X2): rank fully applied before children start
         for r in results:
             report.tables[r.table_name] = r
             applied[r.table_name] = spark.read.parquet(r.target_path)
+        # resolve create-missing-codes AFTER the barrier, single-threaded:
+        # two same-rank children adding codes to the same parent chain
+        # sequentially instead of racing, and the new parent rows are
+        # PERSISTED back to the parent's parquet + report (the reference
+        # inserts into the real target table, XML:112-113, 690-692)
+        touched_parents: set[str] = set()
+        for r in results:
+            for parent_table, parent_col, child_keys in r.missing_code_requests:
+                if parent_table not in applied:
+                    continue
+                applied[parent_table] = create_missing_codes(
+                    applied[parent_table],
+                    parent_col,
+                    child_keys,
+                    child_keys.columns[0],  # the single projected child FK col
+                )
+                touched_parents.add(parent_table)
+        for pt in touched_parents:
+            prev = report.tables.get(pt)
+            if prev is None:
+                continue  # parent not part of this import run
+            # lineage of the updated frame reads the file being overwritten
+            updated = applied[pt].localCheckpoint()
+            updated.write.mode("overwrite").parquet(prev.target_path)
+            applied[pt] = spark.read.parquet(prev.target_path)
+            prev.rows_applied = applied[pt].count()
     if reporter is not None:
         reporter.on_package_finish()
     return report

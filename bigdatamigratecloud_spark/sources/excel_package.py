@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 
 from ..catalog import load_table
 from ..functions.scalars import clamp_sheet_name
-from ..operators.staging import serialize_cell
+from ..operators.staging import serialize_cell, wide_to_staging
 from ..plans.spec import FieldSpec, PackageSpec, TableSpec
 from .xlsx import Sheet, read_xlsx, write_xlsx
 
@@ -159,33 +159,31 @@ def import_package_excel(
             pkg_code = code
         if selected_tables is not None and tname not in selected_tables:
             continue  # P7 worksheet-selection filter
-        captions = [str(c) for c in s.row_values(CAPTION_ROW) if c is not None]
+        # keep each caption WITH its column index: a workbook authored in
+        # Excel can have a gap in the caption row, and positional reads
+        # would silently shift every later column's data one field left
+        cap_cells = sorted(
+            (c, v) for (r, c), v in s.cells.items()
+            if r == CAPTION_ROW and v is not None
+        )
+        captions = [str(v) for _c, v in cap_cells]
+        cap_cols = [c for c, _v in cap_cells]
         rows = []
         for r in range(DATA_START_ROW, s.n_rows + 1):
-            vals = s.row_values(r, len(captions))
+            vals = [s.cells.get((r, c)) for c in cap_cols]
             rows.append(tuple(None if v is None else str(v) for v in vals))
         schema = T.StructType([T.StructField(c, T.StringType(), True) for c in captions])
         wide = spark.createDataFrame(rows, schema)
-        cells = F.array(
-            *[F.struct(F.lit(c).alias("field_name"), F.col(c).alias("value")) for c in captions]
-        )
-        staged[tname] = (
-            wide.withColumn("__record_no", F.monotonically_increasing_id())
-            .select(
-                F.lit(code).alias("package_code"),
-                F.lit(tname).alias("table_name"),
-                F.col("__record_no").alias("record_no"),
-                F.explode(cells).alias("cell"),
-            )
-            .select(
-                "package_code",
-                "table_name",
-                "record_no",
-                F.col("cell.field_name").alias("field_name"),
-                F.col("cell.value").alias("value"),
-                F.lit(None).cast("string").alias("error"),
-            )
-        )
+        # S11 Excel mode: BLOB columns were exported as UTF-8 TEXT (the
+        # reference's custom delta); re-encode them to the Base64 staging
+        # rendering here so the SHARED validate/pivot path (which decodes
+        # BinaryType via unbase64) round-trips the bytes
+        for b in binary_fields.get(tname, set()):
+            if b in captions:
+                wide = wide.withColumn(
+                    b, F.base64(F.encode(F.col(f"`{b}`"), "UTF-8"))
+                )
+        staged[tname] = wide_to_staging(wide, code, tname, captions)
         tables.append(
             TableSpec(
                 table_name=tname,

@@ -229,12 +229,71 @@ def _sheet_xml(s: Sheet) -> str:
 
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 
+# builtin numFmtIds Excel renders as dates/times (ECMA-376 §18.8.30)
+_DATE_NUMFMT_IDS = set(range(14, 23)) | set(range(27, 37)) | set(range(45, 48)) | set(range(50, 59))
+
+
+def _is_date_format(code: str) -> bool:
+    """Heuristic for CUSTOM format codes: date/time token outside quoted
+    literals and [] sections (e.g. 'yyyy-mm-dd', 'h:mm AM/PM')."""
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]', "", code)
+    return bool(re.search(r"[ymdhs]", bare, re.IGNORECASE))
+
+
+def _date_style_ids(z: zipfile.ZipFile) -> set[int]:
+    """Style (xf) indexes whose number format renders as a date — real
+    Excel stores dates as raw serial NUMBERS plus a format; without this,
+    a date column re-imports as '45306' instead of '2024-01-15'."""
+    if "xl/styles.xml" not in z.namelist():
+        return set()
+    try:
+        st = ET.fromstring(z.read("xl/styles.xml"))
+    except ET.ParseError:
+        return set()
+    custom_date = {
+        int(nf.attrib["numFmtId"])
+        for nf in st.iter(f"{{{_NS}}}numFmt")
+        if _is_date_format(nf.attrib.get("formatCode", ""))
+    }
+    ids: set[int] = set()
+    xfs = st.find(f"{{{_NS}}}cellXfs")
+    if xfs is None:
+        return set()
+    for i, xf in enumerate(xfs.findall(f"{{{_NS}}}xf")):
+        fmt = int(xf.attrib.get("numFmtId", "0"))
+        if fmt in _DATE_NUMFMT_IDS or fmt in custom_date:
+            ids.add(i)
+    return ids
+
+
+_EXCEL_EPOCH = None  # lazily built datetime(1899, 12, 30)
+
+
+def _serial_to_datetime(serial: float):
+    """Excel date serial -> datetime (1900 date system; the epoch is
+    1899-12-30 because Excel's serial 60 is the fictitious 1900-02-29).
+    Integral serials come back as date, fractional as datetime."""
+    import datetime as dt
+
+    global _EXCEL_EPOCH
+    if _EXCEL_EPOCH is None:
+        _EXCEL_EPOCH = dt.datetime(1899, 12, 30)
+    out = _EXCEL_EPOCH + dt.timedelta(days=serial)
+    # round sub-second float fuzz to the nearest second (Excel's own
+    # resolution in date formats)
+    if out.microsecond:
+        out = (out + dt.timedelta(seconds=0.5)).replace(microsecond=0)
+    if out.hour == 0 and out.minute == 0 and out.second == 0:
+        return out.date()
+    return out
+
 
 def read_xlsx(path: str) -> list[Sheet]:
     """Parse workbook -> sheets with 1-based (row, col) cell maps.
     Numeric cells come back as int when integral else float; strings as
     str (inline or shared)."""
     with zipfile.ZipFile(path) as z:
+        date_styles = _date_style_ids(z)
         wb = ET.fromstring(z.read("xl/workbook.xml"))
         rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
         rel_target = {
@@ -287,7 +346,11 @@ def read_xlsx(path: str) -> list[Sheet]:
                             # the raw text rather than crash the import)
                             try:
                                 f = float(v_el.text)
-                                val = int(f) if f.is_integer() else f
+                                style = int(c_el.attrib.get("s", "-1"))
+                                if style in date_styles:
+                                    val = _serial_to_datetime(f)
+                                else:
+                                    val = int(f) if f.is_integer() else f
                             except ValueError:
                                 val = v_el.text
                     sheet.cells[(r, col)] = val

@@ -199,3 +199,99 @@ def test_read_xlsx_tolerates_error_cells(tmp_path):
     assert back.cells[(1, 1)] == "ok"
     assert back.cells[(1, 2)] == 2
     assert back.cells[(1, 3)] == "#DIV/0!"
+
+
+def test_read_xlsx_converts_date_serials(tmp_path):
+    """Real Excel stores dates as raw serial NUMBERS plus a number format;
+    the reader must convert styled numeric cells to dates/datetimes so an
+    Excel-edited date column re-imports as '2024-01-15', not '45306'."""
+    import datetime as dt
+    import zipfile
+
+    from bigdatamigratecloud_spark.sources.xlsx import Sheet, read_xlsx, write_xlsx
+
+    path = str(tmp_path / "dates.xlsx")
+    s = Sheet(name="S1")
+    s.set_row(1, ["plain", 45306])  # un-styled number must STAY a number
+    write_xlsx(path, [s])
+
+    with zipfile.ZipFile(path) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    # styles: xf 0 = general, xf 1 = builtin date 14 (m/d/yyyy),
+    # xf 2 = custom datetime format
+    names["xl/styles.xml"] = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy-mm-dd hh:mm"/></numFmts>'
+        '<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>'
+        "</styleSheet>"
+    ).encode()
+    xml = names["xl/worksheets/sheet1.xml"].decode()
+    # C1: serial 45306 styled as date; D1: serial with time fraction
+    xml = xml.replace(
+        "</row>",
+        '<c r="C1" s="1" t="n"><v>45306</v></c>'
+        '<c r="D1" s="2" t="n"><v>45306.5</v></c></row>',
+        1,
+    )
+    names["xl/worksheets/sheet1.xml"] = xml.encode()
+    with zipfile.ZipFile(path, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+
+    (back,) = read_xlsx(path)
+    assert back.cells[(1, 2)] == 45306  # un-styled stays numeric
+    assert back.cells[(1, 3)] == dt.date(2024, 1, 15)
+    assert back.cells[(1, 4)] == dt.datetime(2024, 1, 15, 12, 0, 0)
+
+
+def test_import_excel_caption_gap_keeps_alignment(spark, tmp_path):
+    """A workbook authored in Excel can have a BLANK caption cell; data
+    under later captions must still map to the right fields (a positional
+    read would shift everything one column left)."""
+    from bigdatamigratecloud_spark.sources.excel_package import import_package_excel
+    from bigdatamigratecloud_spark.sources.xlsx import Sheet, write_xlsx
+
+    path = str(tmp_path / "gap.xlsx")
+    s = Sheet(name="t1")
+    s.set_row(1, ["PKGG", None, "gappy"])
+    # captions in columns A and C; B is blank
+    s.cells[(3, 1)] = "alpha"
+    s.cells[(3, 3)] = "gamma"
+    s.cells[(4, 1)] = "a1"
+    s.cells[(4, 2)] = "IGNORED"  # data under the blank caption
+    s.cells[(4, 3)] = "g1"
+    write_xlsx(path, [s])
+
+    spec, staged = import_package_excel(spark, path)
+    cells = {
+        (r.field_name): r.value for r in staged["gappy"].collect()
+    }
+    assert cells == {"alpha": "a1", "gamma": "g1"}
+
+
+def test_import_excel_binary_fields_roundtrip_bytes(spark, tmp_path):
+    """S11 Excel mode: BLOB columns exported as UTF-8 text must re-encode
+    to BYTES through the shared validate/pivot path when declared in
+    binary_fields (previously the parameter was accepted and ignored)."""
+    from pyspark.sql import types as T
+
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+    from bigdatamigratecloud_spark.sources.excel_package import import_package_excel
+    from bigdatamigratecloud_spark.sources.xlsx import Sheet, write_xlsx
+
+    path = str(tmp_path / "blob.xlsx")
+    s = Sheet(name="t1")
+    s.set_row(1, ["PKGB", None, "blobby"])
+    s.set_row(3, ["id", "payload"])
+    s.set_row(4, ["1", "hello bytes"])
+    write_xlsx(path, [s])
+
+    _, staged = import_package_excel(
+        spark, path, binary_fields={"blobby": {"payload"}}
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    (row,) = pivot_from_staging(staged["blobby"], schema).collect()
+    assert bytes(row.payload) == b"hello bytes"

@@ -160,3 +160,56 @@ def test_localized_date_renders(spark):
     assert row.ru == "07.03.2024"
     assert row.es_ar == "07/03/2024"
     assert row.unknown == "2024-03-07"
+
+
+def test_dateformula_wd_digit_after_unit():
+    """NAV's canonical weekday form puts the digit AFTER the unit:
+    <WD4> = the coming Thursday (previously raised ValueError; only the
+    nonstandard digit-first '4WD' parsed)."""
+    import datetime as dt
+
+    from bigdatamigratecloud_spark.functions.scalars import eval_dateformula
+
+    fri = dt.date(2026, 8, 14)  # a Friday
+    assert eval_dateformula("<WD4>", fri) == dt.date(2026, 8, 20)  # next Thu
+    assert eval_dateformula("<WD5>", fri) == dt.date(2026, 8, 21)  # next Fri, not today
+    assert eval_dateformula("<WD4>", fri) == eval_dateformula("<4WD>", fri)
+    assert eval_dateformula("<CM+WD1>", fri) == dt.date(2026, 9, 7)
+
+
+def test_dateformula_expr_wd_digit_matches_eval(spark):
+    import datetime as dt
+
+    from bigdatamigratecloud_spark.functions.scalars import (
+        dateformula_expr,
+        eval_dateformula,
+    )
+
+    base = dt.date(2026, 8, 14)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(base,)], "d date")
+    (row,) = df.select(dateformula_expr("<WD3>", F.col("d")).alias("r")).collect()
+    assert row.r == eval_dateformula("<WD3>", base)
+
+
+def test_sanitize_xml_name_col_matches_driver_for_ascii(spark):
+    """The column variant must agree with the driver variant on ASCII
+    names (it previously kept invalid NameChars like '*' and prefixed
+    valid non-ASCII starts)."""
+    from bigdatamigratecloud_spark.functions.scalars import (
+        sanitize_xml_name,
+        sanitize_xml_name_col,
+    )
+
+    from pyspark.sql import functions as F
+
+    cases = ["a*b", "No.", "3field", "field name", "a&b", "x=y!z",
+             "-lead", "", "Field_1", "a.b-c", "?que", "x:y"]
+    df = spark.createDataFrame([(c,) for c in cases], "v string")
+    got = {
+        r.v: r.s
+        for r in df.select("v", sanitize_xml_name_col(F.col("v")).alias("s")).collect()
+    }
+    for c in cases:
+        assert got[c] == sanitize_xml_name(c), c

@@ -296,3 +296,51 @@ def test_validation_and_pivot_agree_on_fractionless_timestamps(spark):
     assert quarantined.count() == 0
     (row,) = pivot_from_staging(good, schema).collect()
     assert row.ts is not None and row.ts.hour == 12
+
+
+def test_create_missing_codes_persists_to_parent_target(spark, sf_dir, tmp_path):
+    """J5 create-missing-codes must land in the PARENT's written target
+    (the reference inserts into the real table, XML:112-113, 690-692) —
+    not just a transient in-memory frame.  Export region FILTERED (some
+    region keys missing) + full nation with create_missing_codes on the
+    FK: after run_import, the region parquet contains the auto-created
+    parent keys and the report row count includes them."""
+    spec = make_spec(
+        spark, sf_dir, ["region", "nation"],
+        filters={"region": {"r_regionkey": "0..2"}},  # drop regions 3,4
+    )
+    for f in spec.table("nation").fields:
+        if f.field_name == "n_regionkey":
+            f.create_missing_codes = True
+    pkg = str(tmp_path / "cmc.rapidstart")
+    export_package_xml(spark, spec, sf_dir, pkg)
+    target = str(tmp_path / "cmc_target")
+    schemas = {t: load_table(spark, sf_dir, t).schema for t in ("region", "nation")}
+    report = run_import(spark, pkg, target, schemas, spec)
+    back = spark.read.parquet(os.path.join(target, "region"))
+    keys = {r.r_regionkey for r in back.select("r_regionkey").collect()}
+    assert {0, 1, 2, 3, 4} <= keys  # 3,4 auto-created from nation FKs
+    assert report.tables["region"].rows_applied == back.count()
+    # auto-created parents carry NULL attributes
+    created = back.filter(F.col("r_regionkey") == 3).collect()
+    assert len(created) == 1 and created[0].r_name is None
+
+
+def test_one_failing_table_becomes_error_record(spark, sf_dir, tmp_path):
+    """A table whose apply throws must become a per-table error record
+    (XML:543-547) while siblings still apply — not an aborted import."""
+    from pyspark.sql import types as T
+
+    spec = make_spec(spark, sf_dir, ["region", "nation"])
+    pkg = str(tmp_path / "err.rapidstart")
+    export_package_xml(spark, spec, sf_dir, pkg)
+    target = str(tmp_path / "err_target")
+    schemas = {
+        "region": load_table(spark, sf_dir, "region").schema,
+        # a schema referencing a column the staging never carries makes
+        # nation's pivot/apply fail at execution
+        "nation": T.StructType([T.StructField("definitely_missing", T.LongType())]),
+    }
+    report = run_import(spark, pkg, target, schemas, spec)
+    assert "region" in report.tables and report.tables["region"].rows_applied == 5
+    assert "nation" in report.errors and "apply failed" in report.errors["nation"]
