@@ -44,6 +44,16 @@ def connected_components(
     Pure DataFrame min-label propagation; deterministic; exactly
     `rounds * 2` shuffles for however many rounds the diameter needs.
     """
+    numeric = {"tinyint", "smallint", "int", "bigint"}
+    dt = dict(edges.dtypes)
+    for c in (src, dst):
+        if dt.get(c) not in numeric:
+            # a silent cast of string/UUID ids to NULL would make every
+            # edge (NULL, NULL) and the label join a no-op — fail loudly
+            raise ValueError(
+                f"connected_components needs integral node ids; {c!r} is "
+                f"{dt.get(c)!r} — hash or dictionary-encode ids to long first"
+            )
     e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     # materialize the edge list ONCE: its lineage is typically a whole
     # near-dup pipeline (shingles -> signatures -> LSH join -> rerank),
@@ -75,6 +85,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # unconverged labels are silently WRONG (a component would come
+        # back split); the caller must raise max_iter for graphs whose
+        # diameter exceeds it (e.g. long similarity chains)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (label needs one round per hop of graph diameter)"
+        )
     return labels
 
 

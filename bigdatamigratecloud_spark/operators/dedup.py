@@ -56,8 +56,24 @@ from .parallelism import spread_for_cpu  # noqa: F401  (re-exported; used below)
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the smallest id per exact content group (N1).  Hash first so
-    the shuffle key is a fixed-width string, not a megabyte of text."""
-    key = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    the shuffle key is a fixed-width string, not a megabyte of text.
+
+    NULL-safe key: concat_ws SKIPS null arguments, so without the
+    per-column encoding (NULL vs 'v'+value) rows like (NULL,'x') and
+    ('x',NULL) would collide on the same key and a non-duplicate row
+    would be silently dropped."""
+    key = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("\x00")
+                )
+                for c in content_cols
+            ],
+        ),
+        256,
+    )
     return (
         df.withColumn("__key", key)
         .groupBy("__key")
@@ -289,12 +305,43 @@ def minhash_neardup(
     candidate docs only, not the full corpus cross-product."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, portable)
-    # rerank: exact jaccard on candidate pairs only
-    exact = jaccard_pairs(df, id_col, text_col, n, min_jaccard=0.0)
+    # rerank restricted to CANDIDATES: semi-join the shingle stream down
+    # to docs appearing in some candidate pair, then count intersections
+    # per candidate pair.  (Calling jaccard_pairs over the whole corpus
+    # here would materialize the full shingle self-join — the exact
+    # all-pairs blowup the LSH stage exists to avoid.)
+    ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = shingles_df(df, id_col, text_col, n).join(ids, "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        cands.join(exact, ["id_a", "id_b"])
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # same IEEE double division as jaccard_pairs (oracle-identical)
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -429,6 +476,12 @@ def simhash_neardup(
     pigeonhole: any two signatures within hamming 3 agree exactly on at
     least one of four 16-bit (15-bit portable) bands — join per band,
     then verify."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-band pigeonhole only "
+            "guarantees recall for hamming <= 3 (r+1 bands cover radius r); "
+            "larger radii would silently miss qualifying pairs"
+        )
     band_bits = 15 if portable else 16
     mask = (1 << band_bits) - 1
     sigs = simhash64(df, id_col, text_col, portable)

@@ -119,6 +119,14 @@ def global_running_sum(
     ids) pick shard_size so that (key_range / shard_size) stays
     broadcast-sized, or densify with a rank first — a shard per row
     degenerates the broadcast into the full table."""
+    numeric = {"tinyint", "smallint", "int", "bigint"}
+    if dict(df.dtypes).get(order_col) not in numeric:
+        # a NULL __shard (string id cast to long) silently drops rows at
+        # the offsets join — fail loudly instead
+        raise ValueError(
+            f"global_running_sum needs an integral order column; "
+            f"{order_col!r} is {dict(df.dtypes).get(order_col)!r}"
+        )
     shard = (F.col(order_col).cast("long") / F.lit(shard_size)).cast("long")
     w_in = (
         Window.partitionBy("__shard")

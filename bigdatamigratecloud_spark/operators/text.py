@@ -181,11 +181,16 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     the token array, argmax with deterministic tiebreak (language code
     order); 'und' (undetermined) when no lexicon hits at all."""
     base = with_tokens(df, text_col)
-    best = _lang_best(text_col, F.col("__toks"))
-    return base.select(
+    # materialize the argmax struct ONCE and derive both outputs from it
+    # (building the _lang_best tree per output column duplicates all five
+    # lexicon filter scans in one projection)
+    best = base.withColumn("__best", _lang_best(text_col, F.col("__toks")))
+    return best.select(
         F.col(id_col),
-        detected_lang_col(text_col, F.col("__toks")).alias("detected_lang"),
-        best["hits"].alias("lang_hits"),
+        F.when(F.col("__best")["hits"] <= 0, F.lit("und"))
+        .otherwise(F.col("__best")["code"])
+        .alias("detected_lang"),
+        F.col("__best")["hits"].alias("lang_hits"),
     )
 
 
@@ -296,14 +301,21 @@ def chunk_documents(
     operation (zero shuffles), so at 100 TB it scales like the scan.
 
     Output: (id, chunk_idx, chunk_text, n_tokens).  The final window may
-    be shorter; empty documents yield no chunks."""
+    be shorter; empty documents yield no chunks.  A trailing start whose
+    window would add NO new tokens (start >= n - overlap, i.e. the
+    previous window already reached the document end) is dropped — it
+    would re-emit a pure suffix of the previous chunk, over-weighting
+    that text in the training mixture."""
     if not (0 <= overlap < window):
         raise ValueError("need 0 <= overlap < window")
     step = window - overlap
     toks = tokens(text_col)
     n = F.size(toks)
     starts = F.when(n == 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n - 1, F.lit(step))
+        F.filter(
+            F.sequence(F.lit(0), n - 1, F.lit(step)),
+            lambda st: (st == 0) | (st < n - F.lit(overlap)),
+        )
     )
     chunks = F.transform(
         starts,

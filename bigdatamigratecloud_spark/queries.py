@@ -630,7 +630,8 @@ def n2_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT doc_id, CAST(st // 48 AS INT) AS chunk_idx,
               array_to_string(list_slice(sp, st + 1, st + 64), ' ') AS chunk_text,
               CAST(least(64, len(sp) - st) AS INT) AS n_tokens
-       FROM s""",
+       FROM s
+       WHERE st = 0 OR st < len(sp) - 16""",
 )
 def n4_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4: context-window chunking for training-sample prep — 64-token

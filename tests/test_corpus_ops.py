@@ -270,3 +270,60 @@ def test_contamination_report_consistent_with_filter(spark, sf_dir):
     if row:  # benchmark doc long enough to shingle
         assert row[0].contamination == 1.0
         assert row[0].n_contaminated == row[0].n_shingles
+
+
+def test_chunking_never_emits_redundant_tail(spark):
+    """Every chunk after the first must ADD tokens: a doc of exactly
+    `window` tokens yields ONE chunk, and no chunk is a pure suffix of
+    its predecessor (previously a 64-token doc emitted a second 16-token
+    chunk fully contained in the first, over-weighting that text)."""
+    from bigdatamigratecloud_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(64))),    # exactly one window
+            (2, " ".join(f"t{i}" for i in range(65))),    # one extra token
+            (3, " ".join(f"t{i}" for i in range(112))),   # 2 windows, flush end
+            (4, " ".join(f"t{i}" for i in range(10))),    # sub-window doc
+            (5, ""),                                       # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=64, overlap=16)
+    per_doc = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc == {1: 1, 2: 2, 3: 2, 4: 1}
+    # full coverage retained: last chunk of doc 2 ends at token 65
+    last = out.filter((F.col("doc_id") == 2) & (F.col("chunk_idx") == 1)).collect()[0]
+    assert last.chunk_text.split(" ")[-1] == "t64"
+    # and every non-first chunk adds tokens beyond its predecessor
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_tokens) for r in out.collect())
+    )
+    for (d, i, n) in rows:
+        if i > 0:
+            assert n > 16, (d, i, n)  # strictly more than the overlap
+
+
+def test_fixture_text_is_single_space_tokenizable(sf_dir):
+    """ORACLE TOKENIZATION CONTRACT: the text-analysis oracles split on a
+    single space (DuckDB string_split) while the Spark tokenizer collapses
+    \\s+ and trims.  The two agree exactly iff fixture text contains no
+    whitespace runs, tabs/newlines, or leading/trailing whitespace — this
+    test makes a fixture regeneration that breaks the contract fail
+    LOUDLY here instead of as silent oracle drift."""
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    (n_bad,) = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE text LIKE '%  %' OR text LIKE '%' || chr(9) || '%'
+               OR text LIKE '%' || chr(10) || '%' OR text LIKE '%' || chr(13) || '%'
+               OR text <> trim(text)"""
+    ).fetchone()
+    assert n_bad == 0, (
+        f"{n_bad} fixture docs violate the single-space tokenization "
+        "contract; the string_split-based oracles must be rewritten to "
+        "mirror operators/text.tokens (regexp split on \\s+, trimmed)"
+    )

@@ -209,12 +209,13 @@ def test_chunk_documents_semantics(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
-    # doc 1: 10 tokens, window 4 stride 3 -> starts 0,3,6,9
+    # doc 1: 10 tokens, window 4 stride 3 -> starts 0,3,6 (start 9 is
+    # dropped: its chunk 'w9' would be a pure suffix of the previous
+    # window, which already reached the document end)
     assert by_doc[1] == [
         (0, "w0 w1 w2 w3", 4),
         (1, "w3 w4 w5 w6", 4),
         (2, "w6 w7 w8 w9", 4),
-        (3, "w9", 1),
     ]
     assert by_doc[2] == [(0, "a b", 2)]
     assert 3 not in by_doc  # empty doc -> no chunks
