@@ -2259,6 +2259,68 @@ def s13_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13c_acid_merge_timetravel",
+    """WITH delta AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+                      FROM orders WHERE o_orderkey % 100 = 0),
+       v1 AS (SELECT o.o_orderkey,
+                     COALESCE(d.o_totalprice, o.o_totalprice) AS p
+              FROM orders o LEFT JOIN delta d ON d.o_orderkey = o.o_orderkey)
+       SELECT CAST(0 AS INT) AS version,
+              COUNT(*) AS num_rows,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+       FROM orders
+       UNION ALL
+       SELECT CAST(1 AS INT), COUNT(*),
+              CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+       FROM v1
+       ORDER BY version""",
+)
+def s13c_acid_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 with REAL transactional semantics: orders lands as an
+    :class:`AcidTable` (manifest-log snapshots, atomic put-if-absent
+    commits), a repriced delta MERGEs copy-on-write (only data files
+    whose PK [min,max] stats can contain a delta key are rewritten —
+    the untouched bulk of a 100 TB table is never read), and BOTH
+    versions stay readable: the result is the per-version (count, sum)
+    pair via time travel.  The oracle replays version 1 as a
+    left-join reprice.  Reference parity: apply commits a package
+    import as one transaction (Codeunit 60000:440-451); this adds the
+    reader-isolation/time-travel the reference gets from SQL Server."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_acid_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        t = AcidTable.create(spark, root + "/orders", o, key_cols=["o_orderkey"])
+        delta = o.where(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        t.merge(delta, ["o_orderkey"])
+        per_version = []
+        for v in (0, 1):
+            per_version.append(
+                t.snapshot(v).agg(
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).alias("num_rows"),
+                    # per-value decimal cast BEFORE the sum: exact,
+                    # order-independent aggregation; DOUBLE only at the edge
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("total_price"),
+                )
+            )
+        out = per_version[0].unionByName(per_version[1]).orderBy("version")
+        # materialize before the temp table directory disappears
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

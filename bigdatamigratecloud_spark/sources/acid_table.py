@@ -1,0 +1,391 @@
+"""ACID versioned parquet table: snapshots, atomic commits, COW merge.
+
+The reference applies packages to its target tables transactionally —
+the whole import either commits or rolls back (apply codeunit wraps the
+record loop in one write transaction, Codeunit 60000:440-451), and a
+re-import replaces matching-PK rows without readers ever observing a
+half-applied state.  Plain ``df.write.parquet`` cannot give that on a
+shared path: overwrite deletes before it writes, and a concurrent
+reader sees a torn directory.  This module supplies the missing
+transactional layer as a minimal Delta/Iceberg-style log, pure stdlib +
+PySpark:
+
+Layout::
+
+    <root>/_log/00000000000.json     # manifest for version 0
+    <root>/_log/00000000001.json     # version 1, ...
+    <root>/data/<commit-uuid>/part-*.parquet   # immutable data files
+
+A manifest lists the *exact* data files making up that snapshot (with
+row counts and per-file min/max stats for the table's key columns), so:
+
+- **Atomic commit / isolation**: readers resolve the latest manifest,
+  then read only the files it names.  Data files are immutable and a
+  manifest is published with ``os.link`` (put-if-absent on POSIX) — a
+  reader sees the old version or the new one, never a mix.
+- **Optimistic concurrency**: two writers racing to publish the same
+  version — the second ``os.link`` fails with ``FileExistsError`` and
+  surfaces as :class:`ConcurrentWriteError`.  Appends rebase and retry
+  (they commute); merges/overwrites do not auto-rebase.
+- **Time travel**: ``snapshot(version=N)`` reads any retained manifest.
+- **Copy-on-write MERGE with file pruning**: ``merge`` rewrites ONLY
+  the data files whose key [min,max] range can contain a delta key;
+  every other file is carried forward by reference.  On a 100 TB table
+  with a narrow delta this touches a handful of files instead of
+  rewriting (or even reading) the table.  The probe is one aggregation
+  over the delta against the broadcast file-range list — the base is
+  not scanned at all.
+- **Vacuum**: deletes data files no retained manifest references.
+
+What is deliberately NOT here: cross-table transactions, a catalog
+service, and manifest checkpointing/compaction (at millions of commits
+the JSON log itself needs compaction — Delta's checkpoint files); the
+log format keeps that evolution open.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first."""
+
+
+class AcidTable:
+    """Handle on a versioned table rooted at a local/DBFS-style path."""
+
+    _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string", "date"}
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._log_dir = os.path.join(root, "_log")
+
+    # ---------------------------------------------------------------- log
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:011d}.json")
+
+    def latest_version(self) -> int | None:
+        """Highest committed version, or None for a nonexistent table."""
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return None
+        versions = [int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()]
+        return max(versions) if versions else None
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _publish(self, manifest: dict) -> int:
+        """Atomically publish a manifest as the next version.
+
+        ``os.link(tmp, final)`` is an atomic put-if-absent: if another
+        writer already published this version the link fails and the
+        caller decides whether the operation rebases (append) or aborts
+        (merge/overwrite).
+        """
+        os.makedirs(self._log_dir, exist_ok=True)
+        version = manifest["version"]
+        tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"version {version} was committed by another writer"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # --------------------------------------------------------------- data
+
+    def _write_data_files(self, df: DataFrame, stats_cols: Sequence[str]) -> list[dict]:
+        """Write df as immutable files under a fresh commit dir; return
+        file entries ``{path, rows, stats:{col:{min,max}}}``.
+
+        Stats come from ONE scan of the newly written files grouped by
+        ``input_file_name`` — the delta-sized data just written, never
+        the table.
+        """
+        commit_dir = f"data/{uuid.uuid4().hex}"
+        out = os.path.join(self.root, commit_dir)
+        df.write.mode("errorifexists").parquet(out)
+        written = self.spark.read.parquet(out)
+        typed = dict(written.dtypes)
+        cols = [c for c in stats_cols if typed.get(c) in self._STATS_TYPES]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        rows = (
+            written.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()  # one row per data file — bounded by file count, not data
+        )
+        entries = []
+        for r in rows:
+            # input_file_name is a file: URI; keep paths log-relative so the
+            # table directory is relocatable
+            rel = os.path.join(commit_dir, os.path.basename(r["__file"]))
+            stats = {
+                c: {"min": _json_scalar(r[f"__min_{c}"]), "max": _json_scalar(r[f"__max_{c}"])}
+                for c in cols
+            }
+            entries.append({"path": rel, "rows": r["__rows"], "stats": stats})
+        return sorted(entries, key=lambda e: e["path"])
+
+    def _files_df(self, version: int | None = None) -> list[str]:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._read_manifest(v)
+        return [os.path.join(self.root, e["path"]) for e in m["files"]]
+
+    # ---------------------------------------------------------------- api
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        key_cols: Sequence[str] = (),
+    ) -> "AcidTable":
+        """Create version 0 from df.  ``key_cols`` drive per-file stats
+        (and therefore merge-time file pruning)."""
+        t = cls(spark, root)
+        files = t._write_data_files(df, key_cols)
+        t._publish(
+            {
+                "version": 0,
+                "operation": "create",
+                "schema": df.schema.jsonValue(),
+                "key_cols": list(key_cols),
+                "files": files,
+            }
+        )
+        return t
+
+    def snapshot(self, version: int | None = None) -> DataFrame:
+        """The table as of ``version`` (default: latest).  Reads exactly
+        the manifest's files — a concurrent commit cannot tear it."""
+        return self.spark.read.parquet(*self._files_df(version))
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first: version/operation/file and row counts."""
+        last = self.latest_version()
+        out = []
+        for v in range((last if last is not None else -1) + 1):
+            m = self._read_manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "num_files": len(m["files"]),
+                    "num_rows": sum(e["rows"] for e in m["files"]),
+                }
+            )
+        return out
+
+    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+        """Append-only commit.  Commutes with concurrent appends, so a
+        lost race rebases on the new head and retries."""
+        base = self.latest_version()
+        if base is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        key_cols = self._read_manifest(base)["key_cols"]
+        new_files = self._write_data_files(df, key_cols)
+        for _ in range(max_retries):
+            head = self.latest_version()
+            m = self._read_manifest(head)
+            try:
+                return self._publish(
+                    {
+                        "version": head + 1,
+                        "operation": "append",
+                        "schema": m["schema"],
+                        "key_cols": m["key_cols"],
+                        "files": m["files"] + new_files,
+                    }
+                )
+            except ConcurrentWriteError:
+                continue
+        raise ConcurrentWriteError(f"append lost {max_retries} straight races")
+
+    def overwrite(self, df: DataFrame) -> int:
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        files = self._write_data_files(df, m["key_cols"])
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "overwrite",
+                "schema": df.schema.jsonValue(),
+                "key_cols": m["key_cols"],
+                "files": files,
+            }
+        )
+
+    def merge(self, delta: DataFrame, pk_cols: Sequence[str]) -> int:
+        """Copy-on-write MERGE: delta rows replace matching-PK rows,
+        unmatched delta rows insert.
+
+        File pruning: a data file must be rewritten only if its stats
+        range on ``pk_cols[0]`` can contain some delta key.  The probe
+        broadcasts the (small, driver-resident) file-range list against
+        the delta and asks, per file, "does any delta key fall in
+        [min,max]?" — one delta aggregation, zero base-table I/O for
+        skipped files.  Files without stats are conservatively rewritten.
+        """
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        keys = list(pk_cols)
+        probe_col = keys[0]
+
+        ranged, unranged = [], []
+        for e in m["files"]:
+            s = e["stats"].get(probe_col)
+            if s is not None and s["min"] is not None:
+                ranged.append(e)
+            else:
+                unranged.append(e)
+        touched_paths: set[str] = set()
+        if ranged:
+            ranges = self.spark.createDataFrame(
+                [(e["path"], e["stats"][probe_col]["min"], e["stats"][probe_col]["max"]) for e in ranged],
+                ["__path", "__min", "__max"],
+            )
+            key_type = dict(delta.dtypes)[probe_col]
+            hits = (
+                delta.select(F.col(probe_col).alias("__k"))
+                .join(
+                    F.broadcast(
+                        ranges.select(
+                            "__path",
+                            F.col("__min").cast(key_type).alias("__min"),
+                            F.col("__max").cast(key_type).alias("__max"),
+                        )
+                    ),
+                    (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+                    "inner",
+                )
+                .select("__path")
+                .distinct()
+                .collect()
+            )
+            touched_paths = {r["__path"] for r in hits}
+        rewrite = [e for e in ranged if e["path"] in touched_paths] + unranged
+        carry = [e for e in ranged if e["path"] not in touched_paths]
+
+        delta_keys = delta.select(*keys).dropDuplicates(keys)
+        if rewrite:
+            affected = self.spark.read.parquet(
+                *[os.path.join(self.root, e["path"]) for e in rewrite]
+            )
+            merged = affected.join(delta_keys, keys, "left_anti").unionByName(delta)
+        else:
+            merged = delta
+        new_files = self._write_data_files(merged, m["key_cols"])
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "merge",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "files": carry + new_files,
+            }
+        )
+
+    def delete(self, predicate: str) -> int:
+        """COW delete: files are first FILTERED to those containing any
+        matching row (one pruned scan flags files via input_file_name);
+        only those are rewritten without the matching rows."""
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        by_rel = {e["path"]: e for e in m["files"]}
+        if by_rel:
+            hit_rows = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.root, rel) for rel in by_rel]
+                )
+                .where(predicate)
+                .select(F.input_file_name().alias("__file"))
+                .distinct()
+                .collect()
+            )
+        else:
+            hit_rows = []
+        # input_file_name returns file: URIs; manifest paths are
+        # log-relative data/<commit>/<file> — match on that suffix
+        hit = {"/".join(r["__file"].split("/")[-3:]) for r in hit_rows}
+        rewrite = [
+            os.path.join(self.root, rel) for rel in by_rel if rel in hit
+        ]
+        carry = [e for rel, e in by_rel.items() if rel not in hit]
+        new_files = []
+        if rewrite:
+            kept = self.spark.read.parquet(*rewrite).where(f"NOT ({predicate})")
+            new_files = self._write_data_files(kept, m["key_cols"])
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "delete",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "files": carry + new_files,
+            }
+        )
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop data files referenced by NO retained manifest (the last
+        ``keep_last`` versions) and prune older manifests.  Returns the
+        deleted file paths.  Irreversible: time travel past the horizon
+        stops working, which is the point."""
+        head = self.latest_version()
+        if head is None:
+            return []
+        horizon = max(0, head - keep_last + 1)
+        live: set[str] = set()
+        for v in range(horizon, head + 1):
+            live |= {e["path"] for e in self._read_manifest(v)["files"]}
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        for commit_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            full_dir = os.path.join(data_root, commit_dir)
+            for name in os.listdir(full_dir):
+                rel = os.path.join("data", commit_dir, name)
+                if name.endswith(".parquet") and rel not in live:
+                    os.unlink(os.path.join(full_dir, name))
+                    deleted.append(rel)
+            if not any(n.endswith(".parquet") for n in os.listdir(full_dir)):
+                shutil.rmtree(full_dir, ignore_errors=True)
+        for v in range(horizon):
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass
+        return sorted(deleted)
+
+
+def _json_scalar(v):
+    """Stats values must survive a JSON round-trip (dates → ISO strings;
+    the reader casts back through the column's Spark type)."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
