@@ -8,11 +8,13 @@ batch shapes — is real and tested.  Decoding is tiered:
 
 - REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy),
   8-bit PNG (stdlib ``zlib`` + numpy, all five scanline filters,
-  gray/RGB/palette/alpha), and PCM-16 WAV (stdlib ``wave``) decode
+  gray/RGB/palette/alpha), baseline JPEG (full SOF0 Huffman decoder in
+  ``operators/jpeg.py`` — any sampling factors, restart intervals,
+  stream-supplied tables), and PCM-16 WAV (stdlib ``wave``) decode
   genuinely, exercised in tests;
 - real library if importable (PIL / soundfile, import-try gate) for
-  the remaining compressed formats (JPEG/FLAC/...), absent in this
-  container;
+  the remaining formats (progressive JPEG/WebP/FLAC/...), absent in
+  this container;
 - else a clearly-marked DETERMINISTIC FAKE derives pixel/sample arrays
   from the byte content (so distributed plumbing, shapes, and downstream
   math are exercised honestly), and `decode_strict=True` raises
@@ -162,8 +164,8 @@ def _decode_png(payload: bytes):
 
 def _decode_image(payload: bytes, strict: bool):
     """Real decode via PIL when available; real pure-numpy decode for
-    uncompressed BMP and 8-bit PNG regardless; deterministic fake
-    otherwise."""
+    uncompressed BMP, 8-bit PNG, and baseline JPEG regardless;
+    deterministic fake otherwise."""
     try:
         import io
 
@@ -183,11 +185,16 @@ def _decode_image(payload: bytes, strict: bool):
         png = _decode_png(payload)
         if png is not None:
             return png
+        from .jpeg import decode_jpeg
+
+        jpg = decode_jpeg(payload)
+        if jpg is not None:
+            return jpg
         if strict:
             raise NotImplementedError(
                 "image decode requires PIL (not installed) for formats "
-                "beyond uncompressed BMP and 8-bit PNG; pass "
-                "decode_strict=False for the deterministic fake"
+                "beyond uncompressed BMP, 8-bit PNG, and baseline JPEG; "
+                "pass decode_strict=False for the deterministic fake"
             ) from None
         import numpy as np
 

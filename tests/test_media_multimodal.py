@@ -327,3 +327,82 @@ def test_png_palette_index_overflow_returns_none():
     idx = np.array([[0, 5], [1, 0]], dtype=np.uint8)  # index 5, 2-entry PLTE
     bad = _make_png(idx, color_type=3, palette=[(1, 2, 3), (4, 5, 6)])
     assert _decode_png(bad) is None
+
+
+# ------------------------------------------------------------------ JPEG
+
+
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], axis=-1)
+    return (img.astype(float) * 0.3 + 100).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG encode→decode round-trips within quantization error
+    for 4:4:4 and 4:2:0 chroma subsampling, including non-multiple-of-8
+    (and for 4:2:0, non-multiple-of-16) dimensions."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(37, 51)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+        assert dec is not None and dec.shape == (37, 51, 3)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 4, f"{sub}: max err {err.max()}"
+        assert err.mean() < 1.0
+
+
+def test_jpeg_restart_intervals_and_gray():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb(40, 56)
+    blob = encode_jpeg(img, quality=90, restart_interval=2, subsampling="420")
+    assert b"\xff\xdd" in blob and b"\xff\xd0" in blob  # DRI + RST0 present
+    dec = decode_jpeg(blob)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    gray = ((np.add.outer(np.arange(24) * 3, np.arange(40) * 2)) % 250).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert dec.shape == (24, 40, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_jpeg_uniform_lossless_and_rejects():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    u = np.full((24, 24, 3), 130, dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(u, quality=85))
+    assert np.abs(dec.astype(int) - 130).max() == 0
+    # non-JPEG, truncated stream, progressive marker → None (fall to gate)
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(encode_jpeg(u)[:40]) is None
+    prog = bytearray(encode_jpeg(u))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # pretend progressive
+    assert decode_jpeg(bytes(prog)) is None
+
+
+def test_real_jpeg_decode_in_image_features(spark):
+    """PIL is absent, but baseline JPEG decodes for REAL through the
+    strict mapInPandas path — dims come from the SOF0 header, mean from
+    actual IDCT output pixels."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import encode_jpeg
+
+    img = _gradient_rgb(32, 48)
+    blob = encode_jpeg(img, quality=95, subsampling="420")
+    df = spark.createDataFrame([(1, blob)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=True).collect()[0]
+    assert (out.width, out.height, out.channels) == (48, 32, 3)
+    assert abs(out.mean_pixel - float(img.mean())) < 2.0  # lossy, but real
+    assert out.payload_size == len(blob)
