@@ -333,3 +333,114 @@ def chunk_documents(
             F.col("c.n").cast("int").alias("n_tokens"),
         )
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-LM quality proxy (CCNet-style filtering, rational form):
+    train a bigram frequency model on the corpus itself, then score each
+    document by (a) the fraction of its bigrams that are corpus-rare
+    (freq <= ``rare_max_count``) and (b) its mean corpus bigram
+    frequency.  High rare-fraction ~ high perplexity under the corpus LM
+    — the same signal CCNet thresholds — but kept as integer-derived
+    IEEE divisions so any engine reproduces it bit-exactly (a log-space
+    perplexity is libm-dependent; see n5_tfidf's rational-idf note).
+
+    Scale shape: one shuffle to count bigrams (map-side partials), one
+    bigram-key shuffle join scoring docs against the model (the model
+    stays distributed — never collected or broadcast, so a 100 TB corpus
+    with billions of distinct bigrams works), one doc-id aggregation.
+    Docs with < 2 tokens surface with n_bigrams = 0 and NULL scores."""
+    big = df.select(
+        F.col(id_col), F.explode(zip_shingles(tokens(text_col), 2)).alias("bigram")
+    )
+    model = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        big.join(model, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("freq") <= rare_max_count, 1)).alias("__n_rare"),
+            F.sum("freq").alias("__sum_freq"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            (F.col("__n_rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "rare_frac"
+            ),
+            (F.col("__sum_freq").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "mean_bigram_freq"
+            ),
+        )
+    )
+
+
+def hot_span_scrub(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Repeated-span removal — the n-gram approximation of exact-
+    substring training-data dedup (Lee et al. 2022's ExactSubstr,
+    arXiv:2107.06499): any n-token span occurring >= ``min_count`` times
+    across the corpus is boilerplate/duplication; every token covered by
+    such a span is dropped from every document, and the survivors are
+    reassembled in order.
+
+    Scale shape: one shingle count (map-side partials), one shingle-key
+    shuffle join back to spans (the hot set stays distributed — with a
+    low threshold it can be a large fraction of all spans, so no
+    broadcast assumption), a positional explode bounded by n per hit,
+    and one doc-id aggregation to rebuild text.  No step is driver-side
+    and nothing is quadratic in document count."""
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    spans = toks_df.select(
+        id_col, F.posexplode(zip_shingles(F.col("__toks"), n)).alias("pos", "span")
+    )
+    hot = (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("span")
+    )
+    covered = (
+        spans.join(hot, "span")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_pos = toks_df.select(id_col, F.posexplode("__toks").alias("tpos", "tok"))
+    kept = tok_pos.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        toks_df.select(id_col, F.size("__toks").alias("__n_orig"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            (F.col("__n_orig") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_tokens_removed"),
+        )
+    )

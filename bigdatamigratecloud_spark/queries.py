@@ -2927,6 +2927,69 @@ def n5_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_bigram_rarity",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+               FROM toks, UNNEST(range(1, len(t))) r(i)),
+       cnt AS (SELECT bigram, count(*) AS freq FROM big GROUP BY bigram),
+       per AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                      count(*) FILTER (freq <= 2) AS n_rare,
+                      sum(freq) AS sum_freq
+               FROM big b JOIN cnt USING (bigram) GROUP BY b.doc_id)
+       SELECT d.doc_id,
+              COALESCE(p.n_bigrams, 0) AS n_bigrams,
+              CAST(p.n_rare AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS rare_frac,
+              CAST(p.sum_freq AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS mean_bigram_freq
+       FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
+)
+def n4_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4/N5: corpus-LM quality scoring — rare-bigram fraction + mean
+    corpus bigram frequency per document (the rational-form CCNet
+    perplexity filter; see operators/text.bigram_rarity for the scale
+    shape: model never collected, one bigram-key shuffle join)."""
+    from .operators.text import bigram_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_rarity(docs)
+
+
+@query(
+    "n5_hot_span_scrub",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       tp AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) r(i)),
+       sh AS (SELECT doc_id, i - 1 AS pos,
+                     list_aggregate(t[i:i+7], 'string_agg', ' ') AS span
+              FROM toks, UNNEST(range(1, len(t) - 6)) r(i)),
+       hot AS (SELECT span FROM sh GROUP BY span HAVING count(*) >= 2),
+       cov AS (SELECT DISTINCT sh.doc_id, sh.pos + k AS tpos
+               FROM sh JOIN hot USING (span), UNNEST(range(0, 8)) rk(k)),
+       kept AS (SELECT tp.doc_id, tp.tpos, tp.tok
+                FROM tp LEFT JOIN cov
+                  ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+                WHERE cov.doc_id IS NULL),
+       re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS scrubbed_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+       SELECT t.doc_id,
+              COALESCE(re.scrubbed_text, '') AS scrubbed_text,
+              CAST(len(t.t) - COALESCE(re.n_kept, 0) AS INT) AS n_tokens_removed
+       FROM toks t LEFT JOIN re ON t.doc_id = re.doc_id""",
+)
+def n5_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: repeated-span removal — n-gram approximation of exact-
+    substring dedup (Lee et al., arXiv:2107.06499): every token covered
+    by an 8-token span that occurs >= 2 times anywhere in the corpus is
+    scrubbed; documents reassemble from the surviving tokens in order.
+    Catches the planted near-dup documents' shared spans without any
+    all-pairs comparison (see operators/text.hot_span_scrub)."""
+    from .operators.text import hot_span_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hot_span_scrub(docs, n=8, min_count=2)
+
+
+@query(
     "n2_label_centroids",
     """SELECT label, CAST(i AS INT) AS dim,
               CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_val

@@ -327,3 +327,68 @@ def test_fixture_text_is_single_space_tokenizable(sf_dir):
         "contract; the string_split-based oracles must be rewritten to "
         "mirror operators/text.tokens (regexp split on \\s+, trimmed)"
     )
+
+
+def test_bigram_rarity_semantics(spark):
+    from bigdatamigratecloud_spark.operators.text import bigram_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),        # bigrams: a-b x2, b-a x1
+            (2, "a b c"),          # a-b, b-c
+            (3, "x"),              # no bigrams
+            (4, ""),               # no tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_rarity(docs, rare_max_count=1).collect()}
+    # corpus freqs: "a b"=3, "b a"=1, "b c"=1
+    r1 = out[1]
+    assert r1["n_bigrams"] == 3
+    assert abs(r1["mean_bigram_freq"] - (3 + 1 + 3) / 3) < 1e-12
+    assert abs(r1["rare_frac"] - 1 / 3) < 1e-12  # only "b a" is rare
+    assert out[2]["n_bigrams"] == 2 and abs(out[2]["rare_frac"] - 0.5) < 1e-12
+    assert out[3]["n_bigrams"] == 0 and out[3]["rare_frac"] is None
+    assert out[4]["n_bigrams"] == 0
+
+
+def test_hot_span_scrub_removes_shared_spans(spark):
+    from bigdatamigratecloud_spark.operators.text import hot_span_scrub
+
+    shared = "one two three four"  # 4-token span shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma {shared}"),
+            (3, "entirely unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hot_span_scrub(docs, n=4, min_count=2).collect()
+    }
+    assert out[1]["scrubbed_text"] == "alpha beta"
+    assert out[1]["n_tokens_removed"] == 4
+    assert out[2]["scrubbed_text"] == "gamma"
+    assert out[3]["scrubbed_text"] == "entirely unique content here"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_hot_span_scrub_full_doc_removal_and_plan(spark):
+    from bigdatamigratecloud_spark.operators.text import hot_span_scrub
+
+    # doc 2 is an exact copy of doc 1: with n = doc length, the whole
+    # doc is one hot span -> both scrub to empty
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s"), (3, "u v w z")],
+        "doc_id long, text string",
+    )
+    out = hot_span_scrub(docs, n=4, min_count=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["scrubbed_text"] == "" and rows[1]["n_tokens_removed"] == 4
+    assert rows[2]["scrubbed_text"] == ""
+    assert rows[3]["scrubbed_text"] == "u v w z"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
