@@ -245,6 +245,33 @@ def pack_chunks(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+    rank_col: str = "strat_rank",
+) -> DataFrame:
+    """Exact-size uniform sample per stratum: exactly ``min(n, |stratum|)``
+    rows from every stratum, chosen uniformly (order by a portable content
+    hash) and deterministically (same ids selected on any engine, any
+    cluster size, any day).  The balanced-eval-set builder: 'give me 100
+    docs per (source, lang) cell' — where Bernoulli `sampleBy` can only
+    promise an EXPECTED count and changes with seed/partitioning.
+
+    Scale: ROW_NUMBER over (strata, hash-order) compiles to Spark's
+    WindowGroupLimit — map tasks pre-prune each stratum to its top n
+    BEFORE the shuffle, so the exchange moves O(strata × n) rows, not the
+    table.  One shuffle, skew-bounded by n itself; the md5 draw is a
+    narrow map folded into the scan stage."""
+    draw = hash_hex_prefix(F.col(id_col), salt)
+    w = Window.partitionBy(*strata_cols).orderBy(draw.asc(), F.col(id_col).asc())
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= n_per_stratum
+    )
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str = "source",

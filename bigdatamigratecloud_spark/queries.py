@@ -2176,6 +2176,39 @@ def n5_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_stratified_sample",
+    """WITH r AS (
+         SELECT doc_id, source, lang,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source, lang
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 6),
+                             doc_id) AS INT) AS strat_rank
+         FROM documents)
+       SELECT doc_id, source, lang, strat_rank
+       FROM r WHERE strat_rank <= 5""",
+)
+def n5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: exact-size stratified sample — exactly min(5, |cell|) documents
+    per (source, lang) cell, chosen uniformly by a portable md5 draw and
+    deterministic across engines/cluster sizes/reruns (the balanced
+    eval-set builder; Bernoulli sampleBy can only promise an EXPECTED
+    count and shifts with seed and partitioning).  ROW_NUMBER over the
+    hash order compiles to WindowGroupLimit: map tasks pre-prune every
+    cell to its top 5 before the shuffle, so the exchange moves
+    O(cells x 5) rows, not the corpus."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs.select("doc_id", "source", "lang"),
+        strata_cols=["source", "lang"],
+        n_per_stratum=5,
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "source", "lang", "strat_rank")
+
+
+@query(
     "w2b_approx_percentiles_bounded",
     """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -263,3 +263,32 @@ def test_domain_cap_window_group_limit(spark, sf_dir):
     # text order: Final ... Exchange ... Partial (deeper = later in text)
     assert plan.find("Final") < exchange_pos < partial_pos
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_exact_counts_and_plan(spark, sf_dir):
+    """n5_stratified_sample: exactly min(n, |cell|) rows per stratum, the
+    same ids regardless of input partitioning, and the WindowGroupLimit
+    partial prune before the single shuffle (the domain_cap scale shape
+    with a hash draw instead of a quality order)."""
+    from bigdatamigratecloud_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = stratified_sample(docs, ["source", "lang"], 5, id_col="doc_id")
+    plan = _plan(out)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    got = out.groupBy("source", "lang").count()
+    cells = docs.groupBy("source", "lang").count().withColumnRenamed("count", "n")
+    joined = got.join(cells, ["source", "lang"]).collect()
+    assert joined, "no strata produced"
+    for r in joined:
+        assert r["count"] == min(5, r["n"]), (r["source"], r["lang"], r["count"], r["n"])
+
+    # partition invariance: a different physical layout selects the same ids
+    reshuffled = stratified_sample(
+        docs.repartition(7, "doc_id"), ["source", "lang"], 5, id_col="doc_id"
+    )
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in reshuffled.select("doc_id").collect()}
+    assert a == b
