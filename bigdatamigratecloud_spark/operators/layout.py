@@ -1,0 +1,94 @@
+"""Multi-dimensional data layout: Z-order (Morton) interleaving keys.
+
+Min/max file skipping (AcidTable stats, parquet row-group stats) prunes
+on the SORT column only: sorting 100 TB of orders by customer makes
+customer-range scans cheap and date-range scans full scans.  A Z-order
+key interleaves the bits of several normalized columns, so sorting by
+the single key gives every participating column locality — each file
+covers a small hyper-rectangle, and a range predicate on ANY of the
+columns prunes most files (the Delta/Iceberg OPTIMIZE ZORDER design).
+
+Everything here is integer-exact and engine-portable:
+
+- normalization is pure integer math (``(v - lo) * (2^bits - 1) div
+  (hi - lo)`` with clamping), no floats, so DuckDB replays it exactly;
+- interleaving is an unrolled shift/mask OR chain over ``bits``
+  positions — built-in JVM expressions inside whole-stage codegen, no
+  UDF, no shuffle (a narrow map folded into the scan);
+- the total key width is ``bits * len(cols)`` and must fit 63 bits.
+
+At 100 TB the write path is: compute the key (narrow), then
+``repartitionByRange(zkey).sortWithinPartitions(zkey)`` — one range
+shuffle, the same cost as any global sort layout — and commit the files
+with per-file min/max stats on the ORIGINAL columns; reads never need
+the key again.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _floor_div(num: Column, den: int) -> Column:
+    # pyspark's `/` is fractional; decimal(38,0) division truncates
+    # toward zero, which equals floor division on the nonnegative
+    # operands produced by the clamp below
+    return (num.cast("decimal(38,0)") / F.lit(den)).cast("long")
+
+
+def normalize_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map an integer column into [0, 2^bits) by exact integer scaling.
+
+    Values are clamped to [lo, hi] first (out-of-range rows land on the
+    edge cells rather than corrupting the interleave).  Integer-only
+    math: ``(v - lo) * (2^bits - 1) DIV (hi - lo)`` — portable to any
+    engine with floor division."""
+    if hi <= lo:
+        raise ValueError(f"empty normalization range [{lo}, {hi}]")
+    top = (1 << bits) - 1
+    clamped = F.greatest(F.least(col.cast("long"), F.lit(int(hi))), F.lit(int(lo)))
+    return _floor_div((clamped - F.lit(int(lo))) * F.lit(top), int(hi - lo))
+
+
+def zorder_key(cols: list[tuple[Column, int, int]], bits: int = 16) -> Column:
+    """Morton-interleaved key over ``cols`` = [(col, lo, hi), ...].
+
+    Bit i of each normalized column j lands at position ``i*n + j`` of
+    the key, giving the classic Z-curve.  Unrolled to ``bits * n``
+    shift/mask terms OR-ed together — all built-in expressions, fully
+    inside whole-stage codegen."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols exceeds a signed 64-bit key")
+    terms: list[Column] = []
+    for j, (col, lo, hi) in enumerate(cols):
+        scaled = normalize_to_bits(col, lo, hi, bits)
+        for i in range(bits):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * n + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms).alias("zkey")
+
+
+def zorder_key_sql(cols: list[tuple[str, int, int]], bits: int = 16) -> str:
+    """The exact same key as ``zorder_key`` as an ANSI-SQL expression
+    string (for the DuckDB oracle): identical clamp, identical integer
+    scale, identical unrolled interleave."""
+    n = len(cols)
+    terms = []
+    for j, (name, lo, hi) in enumerate(cols):
+        top = (1 << bits) - 1
+        scaled = (
+            f"(CAST(GREATEST(LEAST(CAST({name} AS BIGINT), {hi}), {lo}) - {lo} AS BIGINT)"
+            f" * {top}) // {hi - lo}"
+        )
+        for i in range(bits):
+            # full parens per term: Postgres-family grammars give <<, >>,
+            # &, | ONE precedence level (left-assoc), so an unfenced
+            # `a << 2 | b << 4` parses as `((a << 2) | b) << 4`
+            terms.append(f"(((({scaled}) >> {i}) & 1) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"

@@ -1691,6 +1691,40 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _e3_zorder_oracle() -> str:
+    from .operators.layout import zorder_key_sql
+
+    zsql = zorder_key_sql(
+        [
+            ("o_custkey", 0, 150000),
+            ("(CAST(o_orderdate AS DATE) - DATE '1970-01-01')", 9100, 11600),
+        ],
+        bits=16,
+    )
+    return f"SELECT o_orderkey, {zsql} AS zkey FROM orders"
+
+
+@query("e3_zorder_key", _e3_zorder_oracle())
+def e3_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout op: the Morton (Z-order) clustering key over
+    (o_custkey, order day) — the Delta/Iceberg OPTIMIZE ZORDER layout.
+    Sorting files by this ONE key gives BOTH columns file-level
+    locality, so min/max skipping (AcidTable.scan, parquet row-group
+    stats) prunes a customer-range AND a date-range predicate; a linear
+    sort only ever prunes its leading column.  Key construction is an
+    unrolled shift/mask OR chain of built-in expressions — integer-exact,
+    engine-portable (the oracle replays the identical bit math), narrow,
+    inside whole-stage codegen.  Pruning effectiveness is asserted in
+    test_acid_table (Z layout prunes both dimensions; linear layout
+    fails the non-leading one)."""
+    from .operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    key = zorder_key([(F.col("o_custkey"), 0, 150000), (days, 9100, 11600)], bits=16)
+    return orders.select("o_orderkey", key.alias("zkey"))
+
+
 @query(
     "w2_exact_percentiles",
     """SELECT l_returnflag,

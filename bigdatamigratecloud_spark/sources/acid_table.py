@@ -62,7 +62,18 @@ class ConcurrentWriteError(RuntimeError):
 class AcidTable:
     """Handle on a versioned table rooted at a local/DBFS-style path."""
 
-    _STATS_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double", "string", "date"}
+    _STATS_TYPES = {
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+        "float",
+        "double",
+        "string",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -184,6 +195,59 @@ class AcidTable:
         """The table as of ``version`` (default: latest).  Reads exactly
         the manifest's files — a concurrent commit cannot tear it."""
         return self.spark.read.parquet(*self._files_df(version))
+
+    def scan(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Stats-pruned snapshot read: open ONLY the data files whose
+        per-file [min,max] on every ``ranges`` column intersects the
+        requested interval, then re-apply the exact predicate to the
+        surviving rows (pruning is conservative — a file without stats
+        on a column is always read).
+
+        ``ranges`` maps column -> (lo, hi); either bound may be None
+        (open).  Returns (DataFrame, info) where info reports
+        ``files_total`` / ``files_read`` — the data-skipping ratio a
+        Z-order layout exists to maximize.  The prune is a driver-side
+        sweep of the manifest (bounded by file count, like merge's);
+        file I/O is where the savings land: a hyper-rectangle predicate
+        over a Z-ordered 100 TB table opens a handful of files, while
+        the same predicate on a linearly-sorted layout reads everything
+        for any non-leading column."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._read_manifest(v)
+        kept = []
+        for e in m["files"]:
+            hit = True
+            for col, (lo, hi) in ranges.items():
+                s = e["stats"].get(col)
+                if s is None or s["min"] is None:
+                    continue  # no stats: cannot exclude
+                smin, smax = _range_scalar(s["min"]), _range_scalar(s["max"])
+                if lo is not None and smax < _range_scalar(lo):
+                    hit = False
+                    break
+                if hi is not None and smin > _range_scalar(hi):
+                    hit = False
+                    break
+            if hit:
+                kept.append(e["path"])
+        info = {"files_total": len(m["files"]), "files_read": len(kept), "version": v}
+        if not kept:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
+        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in kept])
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        return df, info
 
     def history(self) -> list[dict]:
         """Commit log, oldest first: version/operation/file and row counts."""
@@ -379,6 +443,17 @@ class AcidTable:
             except FileNotFoundError:
                 pass
         return sorted(deleted)
+
+
+def _range_scalar(v):
+    """Coerce a stats/predicate value to a comparable form: dates and
+    datetimes to their ISO string (how the manifest stores them — ISO
+    order == chronological order); everything else as-is."""
+    import datetime
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return v
 
 
 def _json_scalar(v):

@@ -135,3 +135,99 @@ def test_reader_never_sees_torn_state(spark, tmp_path):
     t.merge(spark.range(0, 1000).withColumn("v", F.lit(1)), ["id"])
     assert old.where("v = 1").count() == 0  # immutable files: unaffected
     assert t.snapshot().where("v = 1").count() == 1000
+
+
+def _zorder_orders(orders):
+    """Z-key with data-derived normalization bounds — the stats pass a
+    real OPTIMIZE ZORDER does first, so both dimensions use their full
+    bit range regardless of fixture scale."""
+    from bigdatamigratecloud_spark.operators.layout import zorder_key
+
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    )
+    b = orders.agg(
+        F.min("o_custkey").alias("c0"),
+        F.max("o_custkey").alias("c1"),
+        F.min(days).alias("d0"),
+        F.max(days).alias("d1"),
+    ).first()
+    key = zorder_key(
+        [(F.col("o_custkey"), b["c0"], b["c1"]), (days, b["d0"], b["d1"])], bits=16
+    )
+    return orders.withColumn("zkey", key)
+
+
+def test_zorder_scan_prunes_both_dimensions(spark, orders, tmp_path):
+    """Write orders twice — linearly sorted by o_custkey, and Z-ordered on
+    (o_custkey, order day) — into 16-file AcidTables with stats on both
+    columns.  A hyper-rectangle predicate (custkey range AND date range)
+    must (a) return exactly the same rows as a full-scan filter on both
+    layouts, (b) prune files on BOTH dimensions under the Z layout, and
+    (c) show the linear layout failing to prune on the non-leading
+    column alone — the reason Z-ordering exists."""
+    import datetime
+
+    lo_d, hi_d = datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    n_cust = orders.agg(F.max("o_custkey")).first()[0]
+    cust_rect = (int(n_cust * 0.4), int(n_cust * 0.6))
+
+    zdf = (
+        _zorder_orders(orders)
+        .repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )
+    lin = (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+    )
+    tz = AcidTable.create(
+        spark, str(tmp_path / "z"), zdf, key_cols=["o_custkey", "o_orderdate"]
+    )
+    tl = AcidTable.create(
+        spark, str(tmp_path / "lin"), lin, key_cols=["o_custkey", "o_orderdate"]
+    )
+
+    ranges = {
+        "o_custkey": cust_rect,
+        "o_orderdate": (
+            datetime.datetime.combine(lo_d, datetime.time()),
+            datetime.datetime.combine(hi_d, datetime.time(23, 59, 59)),
+        ),
+    }
+    expect = (
+        orders.filter(
+            (F.col("o_custkey") >= cust_rect[0])
+            & (F.col("o_custkey") <= cust_rect[1])
+            & (F.col("o_orderdate") >= F.lit(ranges["o_orderdate"][0]))
+            & (F.col("o_orderdate") <= F.lit(ranges["o_orderdate"][1]))
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    expect_keys = sorted(r["o_orderkey"] for r in expect)
+    assert expect_keys, "rectangle unexpectedly empty"
+
+    zdf_out, zinfo = tz.scan(ranges)
+    lin_out, lininfo = tl.scan(ranges)
+    assert sorted(r["o_orderkey"] for r in zdf_out.select("o_orderkey").collect()) == expect_keys
+    assert sorted(r["o_orderkey"] for r in lin_out.select("o_orderkey").collect()) == expect_keys
+
+    # Z layout skips files on the combined rectangle
+    assert zinfo["files_total"] == 16
+    assert zinfo["files_read"] < zinfo["files_total"] / 2, zinfo
+
+    # the non-leading column ALONE: linear layout reads everything,
+    # Z layout still prunes
+    date_only = {"o_orderdate": ranges["o_orderdate"]}
+    _, lin_date = tl.scan(date_only)
+    _, z_date = tz.scan(date_only)
+    assert lin_date["files_read"] == lin_date["files_total"], lin_date
+    assert z_date["files_read"] < z_date["files_total"], z_date
+
+    # empty rectangle: zero files opened, empty result, schema preserved
+    none_df, none_info = tz.scan({"o_custkey": (10**9, 2 * 10**9)})
+    assert none_info["files_read"] == 0
+    assert none_df.count() == 0
+    assert set(none_df.columns) == set(orders.columns)
