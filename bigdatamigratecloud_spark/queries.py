@@ -2388,6 +2388,64 @@ def s13c_acid_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13d_change_feed",
+    """WITH upd AS (SELECT * FROM customer WHERE c_custkey % 50 = 0),
+       del AS (SELECT * FROM customer
+               WHERE c_custkey % 97 = 3 AND c_custkey % 50 <> 0)
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+              'update_preimage' AS _change_type FROM upd
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0,
+              c_mktsegment, 'update_postimage' FROM upd
+       UNION ALL
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+              'delete' FROM del
+       UNION ALL
+       SELECT CAST(9000001 AS BIGINT), 'New Customer #1', CAST(7 AS INTEGER),
+              CAST(123.45 AS DOUBLE), 'BUILDING', 'insert'
+       UNION ALL
+       SELECT CAST(9000002 AS BIGINT), 'New Customer #2', CAST(11 AS INTEGER),
+              CAST(678.9 AS DOUBLE), 'MACHINERY', 'insert'""",
+)
+def s13d_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 change-data-feed: customer lands as an AcidTable, version 1
+    MERGEs a reprice + two inserts, version 2 COW-DELETEs a slice, and
+    ``changes(0, 2)`` emits the row-level logical diff tagged insert /
+    update_preimage / update_postimage / delete (the Delta CDF read).
+    Scale: files carried unchanged between the manifests are never
+    opened — the diff job reads only files the two commits touched —
+    and COW rewrite noise (unchanged rows sharing a rewritten file) is
+    cancelled by a null-safe whole-row compare.  The oracle replays the
+    same logical diff from the fixture."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_cdf_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        t = AcidTable.create(spark, root + "/customer", cust, key_cols=["c_custkey"])
+        upd = cust.filter("c_custkey % 50 = 0").withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        ins = spark.createDataFrame(
+            [
+                (9000001, "New Customer #1", 7, 123.45, "BUILDING"),
+                (9000002, "New Customer #2", 11, 678.9, "MACHINERY"),
+            ],
+            cust.schema,
+        )
+        t.merge(upd.unionByName(ins), ["c_custkey"])
+        t.delete("c_custkey % 97 = 3 AND c_custkey % 50 <> 0")
+        out = t.changes(0, 2)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

@@ -231,3 +231,76 @@ def test_zorder_scan_prunes_both_dimensions(spark, orders, tmp_path):
     assert none_info["files_read"] == 0
     assert none_df.count() == 0
     assert set(none_df.columns) == set(orders.columns)
+
+
+def test_change_feed_semantics_and_pruning(spark, tmp_path):
+    """changes(): the logical row diff between snapshots — inserts after
+    an append, update pre/post pairs + inserts after a merge, deletes
+    after a COW delete; empty for identical versions; COW rewrite noise
+    (unchanged rows in rewritten files) excluded.  Pruning: the diff job
+    must not OPEN files carried unchanged between the two manifests
+    (asserted on inputFiles)."""
+    base = spark.range(0, 1000).withColumn("v", F.col("id") * 10)
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        key_cols=["id"],
+    )
+    # v1: append 100 new ids
+    t.append(spark.range(1000, 1100).withColumn("v", F.lit(-1).cast("bigint")))
+    c01 = t.changes(0, 1)
+    rows = c01.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r["id"] for r in rows) == list(range(1000, 1100))
+    # append adds files, carries ALL of v0: none of v0's files opened
+    v0_files = {os.path.basename(p) for p in t.snapshot(0).inputFiles()}
+    assert not ({os.path.basename(p) for p in c01.inputFiles()} & v0_files)
+
+    # v2: merge touching a narrow key range — updates + one insert
+    delta = (
+        spark.range(10, 20)
+        .withColumn("v", F.lit(777).cast("bigint"))
+        .unionByName(
+            spark.createDataFrame([(5000, 1)], "id: long, v: long")
+        )
+    )
+    t.merge(delta, ["id"])
+    c12 = t.changes(1, 2)
+    by_type = {}
+    for r in c12.collect():
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert sorted(r["id"] for r in by_type["insert"]) == [5000]
+    assert sorted(r["id"] for r in by_type["update_preimage"]) == list(range(10, 20))
+    assert sorted(r["id"] for r in by_type["update_postimage"]) == list(range(10, 20))
+    assert all(r["v"] == r["id"] * 10 for r in by_type["update_preimage"])
+    assert all(r["v"] == 777 for r in by_type["update_postimage"])
+    assert "delete" not in by_type
+    # COW rewrite noise: the rewritten file held ~125 rows, only 10 changed
+    assert c12.count() == 1 + 10 + 10
+    # pruning: files carried from v1 to v2 are not opened
+    m1 = {os.path.basename(p) for p in t.snapshot(1).inputFiles()}
+    m2 = {os.path.basename(p) for p in t.snapshot(2).inputFiles()}
+    carried = m1 & m2
+    assert carried, "merge should carry most files"
+    assert not ({os.path.basename(p) for p in c12.inputFiles()} & carried)
+
+    # v3: delete a slice
+    t.delete("id >= 100 AND id < 110")
+    c23 = t.changes(2, 3)
+    drows = c23.collect()
+    assert {r["_change_type"] for r in drows} == {"delete"}
+    assert sorted(r["id"] for r in drows) == list(range(100, 110))
+
+    # identical versions -> empty, schema intact
+    same = t.changes(3, 3)
+    assert same.count() == 0
+    assert same.columns == ["id", "v", "_change_type"]
+
+    # full span: composition of all three commits
+    c03 = t.changes(0, 3)
+    got = {(r["id"], r["_change_type"]) for r in c03.collect()}
+    assert (5000, "insert") in got
+    assert (105, "delete") in got
+    assert (15, "update_preimage") in got and (15, "update_postimage") in got
+    assert (1005, "insert") in got
