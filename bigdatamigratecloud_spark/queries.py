@@ -1650,6 +1650,70 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_topk",
+    """WITH ex AS (SELECT date_trunc('hour', ts) AS s0, event_type, value
+                   FROM events),
+       wins AS (SELECT s0 AS wstart, event_type, value FROM ex
+                UNION ALL
+                SELECT s0 - INTERVAL 1 HOUR, event_type, value FROM ex),
+       agg AS (SELECT wstart, event_type,
+                      COUNT(*) AS n_events,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                          AS sum_value
+               FROM wins GROUP BY wstart, event_type),
+       r AS (SELECT wstart, event_type, n_events, sum_value,
+                    CAST(ROW_NUMBER() OVER (
+                        PARTITION BY wstart
+                        ORDER BY n_events DESC, event_type) AS INT) AS rk
+             FROM agg)
+       SELECT wstart, event_type, n_events, sum_value, rk
+       FROM r WHERE rk <= 3""",
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: SLIDING 2h/1h windows per event_type as a
+    structured stream (each event feeds two overlapping windows;
+    watermark bounds state to open windows only), then top-3 types per
+    window ranked as a tiny batch over the closed aggregates — rank
+    inside the streaming agg would force complete-mode recomputation of
+    every window each micro-batch, while the post-pass ranks
+    windows x types rows, not events.  Oracle replays the overlap by
+    exploding each event into its two windows."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from .streaming.events import run_stream_to_memory, sliding_rollup_stream, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_rollup"  # suffix picks complete output mode
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / 4
+        for i in range(4):
+            a = lo + i * span
+            b = hi if i == 3 else lo + (i + 1) * span
+            cond = (F.col("ts") >= a) & ((F.col("ts") <= b) if i == 3 else (F.col("ts") < b))
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        stream = stream_events(spark, landing, max_files_per_trigger=1)
+        run_stream_to_memory(sliding_rollup_stream(stream), qname)
+        agg = spark.table(qname)
+        w = Window.partitionBy("wstart").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        out = (
+            agg.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 3)
+            .select("wstart", "event_type", "n_events", "sum_value", "rk")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
+@query(
     "e2_partition_pruned_scan",
     """SELECT CAST(ts AS DATE) AS event_date, event_type,
               COUNT(*) AS n,

@@ -139,6 +139,33 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window rollup per event_type: every event contributes to
+    window/slide overlapping windows (here 2), each [start, start+window)
+    aligned to the slide.  The watermark bounds state — a window's
+    partials are dropped once the watermark passes its end — so state is
+    O(open windows × types), independent of stream length.  Ranking
+    top-k WITHIN a window is deliberately NOT done in the stream: it
+    runs as a tiny batch over the closed aggregates (cardinality =
+    windows × types, not events), because a rank inside the streaming
+    agg would force complete-mode recomputation of every window per
+    micro-batch."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, await_seconds: float = 60.0
 ) -> None:

@@ -123,3 +123,61 @@ def test_sessionize_gap_splits(spark, tmp_path):
     # session (closed by the 80-min gap)
     closed = {(r.user_id, r.n_events) for r in got}
     assert (1, 2) in closed
+
+
+def test_sliding_rollup_matches_batch_overlap(spark, sf_dir, landing):
+    """Sliding 2h/1h windows: the finished stream must equal the batch
+    computation where every event is exploded into its two overlapping
+    windows — and each window's count must equal the sum of its two
+    tumbling-hour halves (the overlap invariant)."""
+    stream = sev.stream_events(spark, landing)
+    rollup = sev.sliding_rollup_stream(stream)
+    q = (
+        rollup.writeStream.format("memory")
+        .queryName("slide_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT wstart, event_type, n_events, sum_value FROM slide_t")
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("s0", F.date_trunc("hour", "ts"))
+    )
+    exploded = ev.select(
+        F.explode(
+            F.array(F.col("s0"), F.col("s0") - F.expr("INTERVAL 1 HOUR"))
+        ).alias("wstart"),
+        "event_type",
+        "value",
+    )
+    batch = exploded.groupBy("wstart", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+    # overlap invariant: sliding(2h) count == sum of its two 1h buckets
+    hourly = ev.groupBy(F.col("s0").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    joined = (
+        got.join(
+            hourly.select(F.col("h").alias("wstart"), "event_type",
+                          F.col("n1").alias("n_first")),
+            ["wstart", "event_type"], "left")
+        .join(
+            hourly.select((F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("wstart"),
+                          "event_type", F.col("n1").alias("n_second")),
+            ["wstart", "event_type"], "left")
+    )
+    bad = joined.filter(
+        F.col("n_events")
+        != F.coalesce("n_first", F.lit(0)) + F.coalesce("n_second", F.lit(0))
+    )
+    assert bad.count() == 0
