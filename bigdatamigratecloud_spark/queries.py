@@ -1553,6 +1553,42 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_recall",
+    """SELECT 10 AS k, 5 AS n_queries, TRUE AS recall_ok""",
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the product-quantization ANN path (16 subspaces x 32
+    codes, ADC lookup-table scoring over 16-byte codes, exact rerank of
+    the 10x shortlist) against brute force, end-to-end in Spark.  Like
+    ann_ivf_recall, the candidate pipeline is fully deterministic
+    (seeded per-subspace k-means on a fixed scan-order sample) but the
+    achieved recall is a data property, so the oracle pins the scale-
+    independent contract (>= 0.8: measured 0.92-0.96 at sf0.001/0.01/
+    0.1) and tests/test_northstar.py pins the exact sf0.01 scalar.
+    Scale: codes are a 16x memory compression of the corpus scan; the
+    rerank fetches full vectors for k*factor rows per query only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = _sim.cosine_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id"
+    )
+    pq = _sim.pq_cosine_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id"
+    )
+    joined = brute.join(pq.withColumn("__hit", F.lit(1)), ["query_id", "nbr_id"], "left")
+    return joined.agg(
+        F.lit(10).alias("k"),
+        F.count_distinct("query_id").cast("int").alias("n_queries"),
+        (
+            (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double"))
+            >= F.lit(0.8)
+        ).alias("recall_ok"),
+    )
+
+
+@query(
     "x1_x5_pipeline_apply",
     """SELECT 'region' AS table_name, count(*) AS rows_applied FROM region
        UNION ALL SELECT 'nation', count(*) FROM nation

@@ -298,3 +298,56 @@ def test_ivf_recall_exact_pin_at_oracle_sf(spark):
     }
     assert len(brute) == 50
     assert len(ann & brute) == 34
+
+
+def test_pq_recall_exact_pin_at_oracle_sf(spark):
+    """Hard-number pin of PQ recall@10 on the ORACLE fixtures (sf0.01):
+    all 50 of 50 brute-force neighbors recovered with 16 subspaces x
+    32 codes and a 10x exact rerank.  The queries() entry pins only the
+    scale-independent >= 0.8 contract; this test keeps the codebooks +
+    ADC + rerank pinned to a precise value so a silent regression cannot
+    hide inside the bound.  Also pins that ADC-only ordering (no rerank)
+    is strictly worse — the rerank is doing real work."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    pq = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.pq_cosine_topk(emb, q, k=10).collect()
+    }
+    assert len(brute) == 50
+    assert len(pq & brute) == 50
+    adc_only = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.pq_cosine_topk(emb, q, k=10, rerank_factor=1).collect()
+    }
+    assert len(adc_only & brute) < len(pq & brute)
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """pq_encode: every vector gets exactly m codes in [0, k_codes);
+    encoding is partition-layout-invariant (same codes after an
+    arbitrary repartition) because codebooks come from a scan-order-
+    independent sample."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = similarity.pq_fit(emb, m=16, k_codes=32)
+    assert len(books) == 16 and all(len(b) == 32 for b in books)
+    enc = similarity.pq_encode(emb, books).select("vec_id", "codes").collect()
+    for r in enc:
+        assert len(r["codes"]) == 16
+        assert all(0 <= c < 32 for c in r["codes"])
+    enc2 = similarity.pq_encode(emb.repartition(13), books).select("vec_id", "codes").collect()
+    assert {r["vec_id"]: list(r["codes"]) for r in enc} == {
+        r["vec_id"]: list(r["codes"]) for r in enc2
+    }
