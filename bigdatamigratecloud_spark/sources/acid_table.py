@@ -499,6 +499,97 @@ class AcidTable:
             }
         )
 
+    def compact(self, target_files: int) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``target_files``
+        range-partitioned files (ranged on the first key column so the
+        per-file min/max stats stay tight and merge/scan pruning keeps
+        working).  Pure metadata swap for readers: the new manifest is
+        one atomic commit, time travel to the pre-compact version still
+        resolves the old files until vacuum.
+
+        The small-files problem is THE operational cost at 100 TB — a
+        streaming MERGE sink or many narrow deltas leave thousands of
+        KB-sized files whose open/footer overhead dominates scans;
+        periodic compaction restores scan bandwidth without blocking
+        readers or writers (an optimistic-concurrency conflict on the
+        version simply retries the compaction later)."""
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        snap = self.snapshot(head)
+        key_cols = m["key_cols"]
+        if key_cols:
+            snap = snap.repartitionByRange(target_files, key_cols[0]).sortWithinPartitions(
+                key_cols[0]
+            )
+        else:
+            snap = snap.repartition(target_files)
+        files = self._write_data_files(snap, key_cols)
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "optimize",
+                "schema": m["schema"],
+                "key_cols": key_cols,
+                "files": files,
+            }
+        )
+
+    def optimize_zorder(
+        self,
+        zcols: Sequence[str],
+        target_files: int,
+        bits: int = 16,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the snapshot clustered on the
+        Morton interleave of ``zcols`` (integer/date/timestamp columns),
+        so per-file min/max stats become tight on EVERY listed column
+        and ``scan`` prunes hyper-rectangle predicates (see
+        operators/layout.py).  Normalization bounds come from one
+        min/max aggregation over the snapshot — the stats pass a real
+        OPTIMIZE does first.  One range shuffle, same cost as any global
+        sort; the key is dropped before write."""
+        from ..operators.layout import zorder_key
+
+        head = self.latest_version()
+        m = self._read_manifest(head)
+        snap = self.snapshot(head)
+        typed = dict(snap.dtypes)
+
+        def _as_long(c: str):
+            t = typed[c]
+            if t in ("date", "timestamp", "timestamp_ntz"):
+                return F.datediff(F.col(c).cast("date"), F.to_date(F.lit("1970-01-01")))
+            return F.col(c).cast("long")
+
+        aggs = []
+        for c in zcols:
+            aggs += [F.min(_as_long(c)).alias(f"__lo_{c}"), F.max(_as_long(c)).alias(f"__hi_{c}")]
+        b = snap.agg(*aggs).first()
+        specs = []
+        for c in zcols:
+            lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+            if hi == lo:
+                hi = lo + 1  # constant column: degenerate but valid range
+            specs.append((_as_long(c), int(lo), int(hi)))
+        clustered = (
+            snap.withColumn("__zkey", zorder_key(specs, bits=bits))
+            .repartitionByRange(target_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        # stats must cover the z columns too, or scan() cannot prune on them
+        stats_cols = list(dict.fromkeys([*m["key_cols"], *zcols]))
+        files = self._write_data_files(clustered, stats_cols)
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "optimize-zorder",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "files": files,
+            }
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop data files referenced by NO retained manifest (the last
         ``keep_last`` versions) and prune older manifests.  Returns the

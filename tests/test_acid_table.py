@@ -304,3 +304,79 @@ def test_change_feed_semantics_and_pruning(spark, tmp_path):
     assert (105, "delete") in got
     assert (15, "update_preimage") in got and (15, "update_postimage") in got
     assert (1005, "insert") in got
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many narrow appends leave many small files; compact() rewrites the
+    snapshot into the target file count as one atomic commit with data
+    and stats preserved, and the pre-compact version still time-travels
+    until vacuum."""
+    base = spark.range(0, 200).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base.coalesce(1), key_cols=["id"])
+    for i in range(6):
+        t.append(
+            spark.range(200 + i * 50, 250 + i * 50).withColumn("v", F.col("id") * 2).coalesce(1)
+        )
+    pre_version = t.latest_version()
+    pre_files = len(t._read_manifest(pre_version)["files"])
+    assert pre_files >= 7
+    total = t.snapshot().count()
+
+    v = t.compact(target_files=2)
+    m = t._read_manifest(v)
+    assert m["operation"] == "optimize"
+    assert len(m["files"]) == 2
+    assert t.snapshot().count() == total
+    assert t.snapshot().agg(F.sum("v")).first()[0] == base.unionByName(
+        spark.range(200, 500).withColumn("v", F.col("id") * 2)
+    ).agg(F.sum("v")).first()[0]
+    # range-partitioned on the key: per-file id ranges are disjoint,
+    # so merge pruning still works after compaction
+    ranges = sorted((e["stats"]["id"]["min"], e["stats"]["id"]["max"]) for e in m["files"])
+    assert ranges[0][1] < ranges[1][0]
+    # time travel to the pre-compact version still reads the old files
+    assert t.snapshot(pre_version).count() == total
+    # changes across a pure compaction: the logical diff is empty
+    assert t.changes(pre_version, v).count() == 0
+
+
+def test_optimize_zorder_enables_multi_dim_pruning(spark, orders, tmp_path):
+    """OPTIMIZE ZORDER BY (o_custkey, o_orderdate): after the rewrite, a
+    hyper-rectangle scan prunes files on BOTH columns (stats are
+    collected for the z columns automatically), and the data survives
+    byte-identical."""
+    import datetime
+
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        orders.repartition(16),
+        key_cols=["o_orderkey"],
+    )
+    total = t.snapshot().count()
+    v = t.optimize_zorder(["o_custkey", "o_orderdate"], target_files=16)
+    m = t._read_manifest(v)
+    assert m["operation"] == "optimize-zorder"
+    assert t.snapshot().count() == total
+    # every file now carries stats on both z columns
+    assert all(
+        "o_custkey" in e["stats"] and "o_orderdate" in e["stats"] for e in m["files"]
+    )
+
+    n_cust = orders.agg(F.max("o_custkey")).first()[0]
+    ranges = {
+        "o_custkey": (int(n_cust * 0.4), int(n_cust * 0.6)),
+        "o_orderdate": (
+            datetime.datetime(1997, 1, 1),
+            datetime.datetime(1997, 12, 31, 23, 59, 59),
+        ),
+    }
+    out, info = t.scan(ranges)
+    assert info["files_read"] < info["files_total"], info
+    expect = orders.filter(
+        (F.col("o_custkey") >= ranges["o_custkey"][0])
+        & (F.col("o_custkey") <= ranges["o_custkey"][1])
+        & (F.col("o_orderdate") >= F.lit(ranges["o_orderdate"][0]))
+        & (F.col("o_orderdate") <= F.lit(ranges["o_orderdate"][1]))
+    ).count()
+    assert out.count() == expect
