@@ -613,3 +613,118 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cosine")
     )
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 6,
+    m: int = 16,
+    k_codes: int = 32,
+    sample_size: int = 2048,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composition that serves 100 TB ANN in practice
+    (FAISS's IVFx,PQy).  The IVF coarse quantizer prunes the scan to
+    ~n_probe/n_centroids of the corpus (cluster id is the partition
+    key of the stored index); WITHIN the probed lists candidates are
+    scored from their 16-byte PQ codes via the query's ADC lookup
+    table, so the probed fraction is read as codes, not vectors; the
+    top k*rerank_factor then fetch full vectors for an exact cosine
+    rerank.  Every stage reuses the audited pieces: distributed probe
+    assignment (no driver collect of queries), plan-literal codebooks,
+    equi-join on cluster (AQE-broadcast/skew-splittable), shortlist-
+    sized rerank join."""
+    # coarse quantizer + corpus assignment (same recipe as ivf_cosine_topk)
+    sample = [
+        r[1]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    ]
+    cents = _kmeans_fit(sample, n_centroids, seed=seed)
+    books = pq_fit(corpus, m, k_codes, sample_size, id_col, vec_col, seed)
+    dsub = len(books[0][0])
+
+    enc = pq_encode(corpus, books, id_col, vec_col, "codes")
+    c = ivf_assign(enc, cents, vec_col, "cluster").select(
+        F.col(id_col).alias("nbr_id"), "cluster", "codes"
+    )
+
+    # query side: probe lists + ADC lookup table, both JVM-side
+    sims = F.array(
+        *[_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
+    )
+    pairs = F.transform(sims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("idx")))
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
+    )
+    qu = F.col("qu")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(
+                        F.slice(qu, j * dsub + 1, dsub),
+                        F.array(*[F.lit(float(x)) for x in cent]),
+                    )
+                    for cent in book
+                ]
+            )
+            for j, book in enumerate(books)
+        ]
+    )
+    q = (
+        with_unit_vector(queries, vec_col, "qu")
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            probed.alias("__probes"),
+            lut.alias("__lut"),
+        )
+        .withColumn("cluster", F.explode("__probes"))
+        .select("query_id", "cluster", "__lut")
+    )
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda cc, row: F.element_at(row, (cc + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        c.join(q, "cluster")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", score.alias("adc_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank_factor))
+        .select("query_id", "nbr_id")
+    )
+    cu = with_unit_vector(corpus, vec_col, "cu").select(
+        F.col(id_col).alias("nbr_id"), "cu"
+    )
+    qu2 = with_unit_vector(queries, vec_col, "qu2").select(
+        F.col(query_id_col).alias("query_id"), "qu2"
+    )
+    exact = (
+        shortlist.join(cu, "nbr_id")
+        .join(F.broadcast(qu2), "query_id")
+        .select("query_id", "nbr_id", _dot(F.col("qu2"), F.col("cu")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )

@@ -351,3 +351,51 @@ def test_pq_encode_shape_and_determinism(spark):
     assert {r["vec_id"]: list(r["codes"]) for r in enc} == {
         r["vec_id"]: list(r["codes"]) for r in enc2
     }
+
+
+def test_ivfpq_recall_exact_pin_at_oracle_sf(spark):
+    """Hard-number pin of IVF-PQ recall@10 on the ORACLE fixtures
+    (sf0.01): exactly 34 of 50 — identical to pure IVF with the same
+    lists/probes, proving ADC scoring + exact rerank recover the full
+    candidate ordering (the composition loses nothing inside the probed
+    lists; the IVF candidate set is the only recall bound)."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.ivfpq_cosine_topk(emb, q, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.nbr_id)
+        for r in similarity.ivf_cosine_topk(
+            emb, q, k=10, n_centroids=16, n_probe=6
+        ).collect()
+    }
+    assert len(ivfpq & brute) == 34
+    assert len(ivfpq & brute) == len(ivf & brute)
+
+
+def test_ivfpq_no_driver_collect_and_equi_join(spark, sf_dir):
+    """IVF-PQ plan hygiene: the query frame is never collected to the
+    driver (no LocalTableScan feeding the probe join) and candidate
+    probing is an equi-join, never a cartesian product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        similarity.ivfpq_cosine_topk(emb, q, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
