@@ -2581,6 +2581,80 @@ def s13d_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13e_incremental_rollup",
+    """WITH delta AS (SELECT o_orderkey, o_totalprice * 2 AS p
+                      FROM orders WHERE o_orderkey % 100 = 0),
+       v1 AS (SELECT o.o_orderkey, o.o_orderpriority,
+                     COALESCE(d.p, o.o_totalprice) AS p
+              FROM orders o LEFT JOIN delta d ON d.o_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 9000001, '1-URGENT', CAST(100.5 AS DOUBLE)
+              UNION ALL
+              SELECT 9000003, '5-LOW', CAST(7.25 AS DOUBLE)),
+       v2 AS (SELECT * FROM v1 WHERE o_orderkey % 97 <> 5)
+       SELECT o_orderpriority,
+              COUNT(*) AS cnt,
+              CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) AS total
+       FROM v2 GROUP BY o_orderpriority""",
+)
+def s13e_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 incremental view maintenance: a per-priority SUM/COUNT rollup
+    is maintained from the base table's CHANGE FEED instead of being
+    recomputed — signed contributions (+post/+insert, −pre/−delete)
+    aggregate over the feed (sized by what the commits touched, never
+    the base), then MERGE into the stored rollup with COW file pruning.
+    DECIMAL contributions make old+delta bit-equal to a full recompute,
+    which is exactly what the oracle computes from scratch.  The base
+    history replayed: a reprice+insert MERGE, then a COW DELETE."""
+    import shutil
+    import tempfile
+
+    from .operators.incremental import refresh_rollup
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_ivm_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        base = AcidTable.create(spark, root + "/orders", o, key_cols=["o_orderkey"])
+        rollup0 = o.groupBy("o_orderpriority").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        rollup = AcidTable.create(
+            spark, root + "/rollup", rollup0, key_cols=["o_orderpriority"]
+        )
+        upd = o.filter("o_orderkey % 100 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        ins = spark.createDataFrame(
+            [
+                (9000001, 1, "O", 100.5, None, "1-URGENT"),
+                (9000003, 1, "O", 7.25, None, "5-LOW"),
+            ],
+            o.schema,
+        )
+        base.merge(upd.unionByName(ins), ["o_orderkey"])
+        base.delete("o_orderkey % 97 = 5")
+        refresh_rollup(
+            rollup,
+            base.changes(0, 2),
+            ["o_orderpriority"],
+            "o_totalprice",
+            sum_col="total",
+            cnt_col="cnt",
+        )
+        out = rollup.snapshot().select(
+            "o_orderpriority",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("total").cast("double").alias("total"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

@@ -380,3 +380,52 @@ def test_optimize_zorder_enables_multi_dim_pruning(spark, orders, tmp_path):
         & (F.col("o_orderdate") <= F.lit(ranges["o_orderdate"][1]))
     ).count()
     assert out.count() == expect
+
+
+def test_incremental_rollup_equals_recompute_and_drops_empty_groups(spark, tmp_path):
+    """refresh_rollup: folding the change feed into the stored rollup is
+    bit-equal to recomputing the GROUP BY from the new snapshot (decimal
+    arithmetic, no float drift), and a group whose last row is deleted
+    disappears from the rollup like it would from a fresh GROUP BY."""
+    from bigdatamigratecloud_spark.operators.incremental import refresh_rollup
+
+    base_df = spark.createDataFrame(
+        [(i, "g%d" % (i % 4), float(i)) for i in range(1, 101)]
+        + [(500, "solo", 42.0)],
+        "id: long, grp: string, val: double",
+    )
+    base = AcidTable.create(spark, str(tmp_path / "base"), base_df, key_cols=["id"])
+    rollup = AcidTable.create(
+        spark,
+        str(tmp_path / "roll"),
+        base_df.groupBy("grp").agg(
+            F.sum(F.col("val").cast("decimal(18,6)")).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        ),
+        key_cols=["grp"],
+    )
+    # commit 1: reprice a slice + insert a new group; commit 2: kill 'solo'
+    upd = base_df.filter("id % 10 = 0").withColumn("val", F.col("val") * 3)
+    ins = spark.createDataFrame([(600, "new", 1.5)], base_df.schema)
+    base.merge(upd.unionByName(ins), ["id"])
+    base.delete("grp = 'solo'")
+
+    refresh_rollup(rollup, base.changes(0, 2), ["grp"], "val")
+
+    got = {
+        r["grp"]: (r["cnt"], float(r["total"]))
+        for r in rollup.snapshot().collect()
+    }
+    want = {
+        r["grp"]: (r["cnt"], float(r["total"]))
+        for r in base.snapshot()
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,6)")).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert "solo" not in got
+    assert got["new"] == (1, 1.5)
