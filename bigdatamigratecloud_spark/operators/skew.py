@@ -70,3 +70,47 @@ def salted_sum(
     return partial.groupBy(*keys).agg(
         *[F.sum(f"__p_{name}").alias(name) for name in sums]
     )
+
+
+def frequent_keys(
+    df: DataFrame,
+    key_col: str,
+    min_frac: float,
+    out_cnt: str = "cnt",
+) -> DataFrame:
+    """EXACT heavy hitters: every key holding >= ``min_frac`` of the rows,
+    with its exact count — by sketch-then-verify, never a full-key
+    shuffle.
+
+    Pass 1 runs Spark's Karp-frequent-items sketch (`stat.freqItems`):
+    one scan, driver state bounded by 1/min_frac items, and the
+    guarantee that matters — a SUPERSET of the true heavies (false
+    positives possible, false NEGATIVES impossible).  Pass 2 recounts
+    only the candidate keys through a pushed-down `isin` filter and
+    drops the false positives against the exact ceil(frac·N) threshold,
+    so the aggregation shuffle carries at most 1/min_frac keys.
+
+    Why it exists at 100 TB: groupBy-all-keys makes the shuffle carry
+    every distinct key (trillions, under a long-tail web distribution)
+    to answer a question about the top dozen; this is also the hot-key
+    DIAGNOSIS step that picks salting candidates for the ops above."""
+    import math
+
+    total = df.count()
+    if total == 0:
+        return (
+            df.select(F.col(key_col), F.lit(0).cast("long").alias(out_cnt)).limit(0)
+        )
+    threshold = math.ceil(min_frac * total)
+    support = min(0.99, max(min_frac, 1e-4))
+    items = list(df.stat.freqItems([key_col], support=support).first()[0])
+    if not items:
+        return (
+            df.select(F.col(key_col), F.lit(0).cast("long").alias(out_cnt)).limit(0)
+        )
+    return (
+        df.filter(F.col(key_col).isin(items))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias(out_cnt))
+        .filter(F.col(out_cnt) >= threshold)
+    )

@@ -2295,6 +2295,35 @@ def x8_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x9_heavy_hitters",
+    """WITH t AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN -1
+                              ELSE l_suppkey END AS skey
+              FROM lineitem),
+       tot AS (SELECT COUNT(*) AS n FROM t),
+       g AS (SELECT skey, COUNT(*) AS cnt FROM t GROUP BY skey)
+       SELECT skey, cnt FROM g, tot WHERE cnt >= CEIL(0.05 * n)""",
+)
+def x9_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale op: EXACT heavy hitters by sketch-then-verify.  A synthetic
+    hot key (-1 absorbs ~30% of lineitem) stands in for the web-scale
+    long tail; `frequent_keys` finds every key holding >= 5% of rows
+    WITHOUT a full-key shuffle — Karp frequent-items sketch (superset
+    guarantee, driver state <= 1/frac items) then an exact pushed-down
+    recount of the candidates only.  The oracle computes the same set
+    the expensive way (full GROUP BY + HAVING), proving the two-pass
+    answer exact.  This is also the hot-key diagnosis that nominates
+    salting candidates for x7/x8."""
+    from .operators.skew import frequent_keys
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(-1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("skey")
+    )
+    return frequent_keys(li, "skey", 0.05).select("skey", "cnt")
+
+
+@query(
     "n5_domain_cap",
     f"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
                    FROM documents),

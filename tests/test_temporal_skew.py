@@ -240,3 +240,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_frequent_keys_exact_vs_full_groupby(spark):
+    """frequent_keys: exactly the keys at/above the threshold with exact
+    counts (sketch candidates recounted; false positives dropped), on a
+    distribution with two heavies, a just-below-threshold key, and a
+    long tail; empty result when nothing qualifies."""
+    import math
+
+    from bigdatamigratecloud_spark.operators.skew import frequent_keys
+
+    rows = (
+        [("hot1",)] * 400
+        + [("hot2",)] * 250
+        + [("warm",)] * 99      # 9.9% — just below the 10% threshold
+        + [(f"tail{i}",) for i in range(251)]
+    )
+    df = spark.createDataFrame(rows, "k: string").repartition(16)
+    total = len(rows)
+    got = {(r["k"], r["cnt"]) for r in frequent_keys(df, "k", 0.10).collect()}
+    thresh = math.ceil(0.10 * total)
+    want = {
+        (r["k"], r["count"])
+        for r in df.groupBy("k").count().filter(F.col("count") >= thresh).collect()
+    }
+    assert got == want
+    assert {k for k, _ in got} == {"hot1", "hot2"}
+
+    none = frequent_keys(df, "k", 0.9)
+    assert none.count() == 0
+    assert none.columns == ["k", "cnt"]
