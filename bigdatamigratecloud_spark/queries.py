@@ -3713,6 +3713,51 @@ def w3_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "w8_hll_mergeable",
+    """SELECT COUNT(DISTINCT l_partkey) AS exact_nd,
+              TRUE AS merged_within_5pct,
+              TRUE AS merge_agrees_1pct
+       FROM lineitem""",
+)
+def w8_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 scale extension: MERGEABLE distinct-count sketch state (the
+    Apache DataSketches HLL surface, Spark 3.5+).  Per-group sketches
+    are materializable columns — the primitive behind incremental
+    distinct-count rollups (store a sketch per partition/day, union on
+    read) where plain approx_count_distinct forces a full re-scan.
+    Contracts checked: the union of per-returnflag sketches agrees
+    with sketching the whole column in one pass to within 1% of exact
+    (the union gadget accumulates at HLL_8, so it is marginally MORE
+    accurate than the direct HLL_4 pass — measured merged=2000/20063 vs
+    direct=2003/20141 vs exact=2000/20000 at sf0.01/0.1), and the
+    merged estimate lands within 5% of the exact count.  The sketch
+    bytes are engine-specific, so — like w2b/w3 — the bound, not the
+    bits, is the oracle contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sk")
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_nd")
+    )
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", F.lit(14))).alias("direct_nd"),
+        F.count_distinct("l_partkey").alias("exact_nd"),
+    )
+    return merged.crossJoin(direct).select(
+        "exact_nd",
+        (
+            F.abs(F.col("merged_nd") - F.col("exact_nd"))
+            <= 0.05 * F.col("exact_nd")
+        ).alias("merged_within_5pct"),
+        (
+            F.abs(F.col("merged_nd") - F.col("direct_nd"))
+            <= 0.01 * F.col("exact_nd")
+        ).alias("merge_agrees_1pct"),
+    )
+
+
 shared_sql(
     "w5_price_histogram",
     # fixed-width value histogram: bucket = floor((v - lo) / width); all
