@@ -49,7 +49,11 @@ def normalize_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
     if hi <= lo:
         raise ValueError(f"empty normalization range [{lo}, {hi}]")
     top = (1 << bits) - 1
-    clamped = F.greatest(F.least(col.cast("long"), F.lit(int(hi))), F.lit(int(lo)))
+    # NULL -> lo edge cell: a null dimension must not null the whole key
+    # (a null Morton key would escape every file's min/max range and
+    # break scan pruning soundness for the OTHER columns)
+    filled = F.coalesce(col.cast("long"), F.lit(int(lo)))
+    clamped = F.greatest(F.least(filled, F.lit(int(hi))), F.lit(int(lo)))
     return _floor_div((clamped - F.lit(int(lo))) * F.lit(top), int(hi - lo))
 
 
@@ -83,8 +87,8 @@ def zorder_key_sql(cols: list[tuple[str, int, int]], bits: int = 16) -> str:
     for j, (name, lo, hi) in enumerate(cols):
         top = (1 << bits) - 1
         scaled = (
-            f"(CAST(GREATEST(LEAST(CAST({name} AS BIGINT), {hi}), {lo}) - {lo} AS BIGINT)"
-            f" * {top}) // {hi - lo}"
+            f"(CAST(GREATEST(LEAST(COALESCE(CAST({name} AS BIGINT), {lo}), {hi}), {lo})"
+            f" - {lo} AS BIGINT) * {top}) // {hi - lo}"
         )
         for i in range(bits):
             # full parens per term: Postgres-family grammars give <<, >>,
