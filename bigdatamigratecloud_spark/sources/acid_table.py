@@ -547,7 +547,16 @@ class AcidTable:
         operators/layout.py).  Normalization bounds come from one
         min/max aggregation over the snapshot — the stats pass a real
         OPTIMIZE does first.  One range shuffle, same cost as any global
-        sort; the key is dropped before write."""
+        sort; the key is dropped before write.
+
+        Measured trade-off (BASELINE.md round-4b probe): clustering on
+        non-PK columns scrambles each file's PK range, so MERGE-on-PK
+        file pruning stops skipping files on a z-ordered table.  Rule
+        of thumb: z-order the read-optimized copy; keep tables that
+        receive narrow PK deltas range-partitioned on the PK
+        (``compact``), and expect ``changes``/COW pruning to degrade to
+        full rewrites when a delta's keys spread uniformly over the key
+        space — recompute beats incremental there."""
         from ..operators.layout import zorder_key
 
         head = self.latest_version()
