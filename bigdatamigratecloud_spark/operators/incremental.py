@@ -58,12 +58,14 @@ def refresh_rollup(
 ) -> int:
     """Fold a change feed into a stored SUM/COUNT rollup table.
 
-    The delta frame (groups × 2 numbers) joins LEFT against the current
-    rollup to pick up prior values — the join probe broadcasts the
-    delta, so the rollup is read but never shuffled — then MERGEs on the
-    group key (COW file pruning applies) and groups whose count reached
-    zero are deleted, so the table stays identical to a from-scratch
-    GROUP BY.  Returns the new version."""
+    The delta frame (changed groups × 2 numbers) joins against the
+    current rollup on the group key to pick up prior values (a keyed
+    join — both sides shuffle at most once on the group key; the rollup
+    side is groups-sized, never base-table-sized), then MERGEs on the
+    group key (COW file pruning applies).  Emptied groups are detected
+    from the delta-sized merged frame BEFORE committing — never by
+    rescanning the stored rollup — and deleted so the table stays
+    identical to a from-scratch GROUP BY.  Returns the new version."""
     deltas = signed_contributions(feed, group_cols, value_col, sum_col, cnt_col)
     keys = list(group_cols)
     current = rollup.snapshot().select(
@@ -72,8 +74,7 @@ def refresh_rollup(
         F.col(cnt_col).alias("__old_cnt"),
     )
     merged = (
-        F.broadcast(deltas)
-        .join(current, keys, "left")
+        deltas.join(current, keys, "left")
         .select(
             *keys,
             (
@@ -86,10 +87,11 @@ def refresh_rollup(
             .cast("long")
             .alias(cnt_col),
         )
+        .localCheckpoint(eager=True)  # the feed diff is expensive; evaluate once
     )
     rollup.merge(merged, keys)
     v = rollup.latest_version()
-    emptied = rollup.snapshot().where(F.col(cnt_col) == 0).limit(1).count()
+    emptied = merged.where(F.col(cnt_col) == 0).limit(1).count()
     if emptied:
         v = rollup.delete(f"{cnt_col} = 0")
     return v

@@ -32,20 +32,16 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _floor_div(num: Column, den: int) -> Column:
-    # pyspark's `/` is fractional; decimal(38,0) division truncates
-    # toward zero, which equals floor division on the nonnegative
-    # operands produced by the clamp below
-    return (num.cast("decimal(38,0)") / F.lit(den)).cast("long")
-
-
 def normalize_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
     """Map an integer column into [0, 2^bits) by exact integer scaling.
 
     Values are clamped to [lo, hi] first (out-of-range rows land on the
     edge cells rather than corrupting the interleave).  Integer-only
     math: ``(v - lo) * (2^bits - 1) DIV (hi - lo)`` — portable to any
-    engine with floor division."""
+    engine with floor division.  The multiply runs in DECIMAL(38,0):
+    (hi-lo) * (2^bits - 1) overflows a signed 64-bit long for ranges
+    wider than ~1.4e14 (e.g. microsecond-epoch timestamps spanning a
+    few years), and a silent wrap would scramble the clustering."""
     if hi <= lo:
         raise ValueError(f"empty normalization range [{lo}, {hi}]")
     top = (1 << bits) - 1
@@ -54,7 +50,13 @@ def normalize_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
     # break scan pruning soundness for the OTHER columns)
     filled = F.coalesce(col.cast("long"), F.lit(int(lo)))
     clamped = F.greatest(F.least(filled, F.lit(int(hi))), F.lit(int(lo)))
-    return _floor_div((clamped - F.lit(int(lo))) * F.lit(top), int(hi - lo))
+    prod = (clamped - F.lit(int(lo))).cast("decimal(38,0)") * F.lit(top)
+    # decimal division ROUNDS to the result scale (65534.99999 -> 65535
+    # at scale 6 — not a floor!), so make the division exact first by
+    # subtracting the remainder; the quotient is then a representable
+    # integer < 2^bits and the long cast is lossless
+    d = F.lit(int(hi - lo))
+    return ((prod - prod % d) / d).cast("long")
 
 
 def zorder_key(cols: list[tuple[Column, int, int]], bits: int = 16) -> Column:
@@ -86,9 +88,12 @@ def zorder_key_sql(cols: list[tuple[str, int, int]], bits: int = 16) -> str:
     terms = []
     for j, (name, lo, hi) in enumerate(cols):
         top = (1 << bits) - 1
+        # HUGEINT multiply mirrors the Spark side's decimal(38,0): the
+        # span*top product overflows BIGINT for wide ranges; the final
+        # quotient is < 2^bits so the BIGINT cast back is exact
         scaled = (
-            f"(CAST(GREATEST(LEAST(COALESCE(CAST({name} AS BIGINT), {lo}), {hi}), {lo})"
-            f" - {lo} AS BIGINT) * {top}) // {hi - lo}"
+            f"CAST((CAST(GREATEST(LEAST(COALESCE(CAST({name} AS BIGINT), {lo}), {hi}), {lo})"
+            f" - {lo} AS HUGEINT) * {top}) // {hi - lo} AS BIGINT)"
         )
         for i in range(bits):
             # full parens per term: Postgres-family grammars give <<, >>,

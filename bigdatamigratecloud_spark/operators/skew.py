@@ -102,7 +102,21 @@ def frequent_keys(
             df.select(F.col(key_col), F.lit(0).cast("long").alias(out_cnt)).limit(0)
         )
     threshold = math.ceil(min_frac * total)
-    support = min(0.99, max(min_frac, 1e-4))
+    # the Karp sketch only guarantees survival for keys with count
+    # STRICTLY GREATER than support*N — a key holding exactly the
+    # threshold count is a possible false negative at support=min_frac.
+    # Run the sketch strictly below the threshold fraction; if that
+    # undershoots freqItems' 1e-4 support floor, the sketch cannot give
+    # the no-false-negative guarantee at all, so fall back to the plain
+    # exact aggregation (correctness over the shuffle saving).
+    support_needed = (threshold - 1) / total
+    if support_needed < 1e-4:
+        return (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias(out_cnt))
+            .filter(F.col(out_cnt) >= threshold)
+        )
+    support = min(0.99, support_needed)
     items = list(df.stat.freqItems([key_col], support=support).first()[0])
     if not items:
         return (

@@ -98,6 +98,26 @@ class AcidTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
+    def _head(self) -> int:
+        """Latest version, or a clean FileNotFoundError for a
+        nonexistent table (so every mutator fails the same way the read
+        paths do, not with a confusing NoneType format error)."""
+        head = self.latest_version()
+        if head is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return head
+
+    def _versions_on_disk(self) -> list[int]:
+        """Ascending list of manifest versions actually present (after a
+        vacuum the log no longer starts at 0)."""
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
+        )
+
     def _publish(self, manifest: dict) -> int:
         """Atomically publish a manifest as the next version.
 
@@ -193,8 +213,17 @@ class AcidTable:
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  Reads exactly
-        the manifest's files — a concurrent commit cannot tear it."""
-        return self.spark.read.parquet(*self._files_df(version))
+        the manifest's files — a concurrent commit cannot tear it.  A
+        version whose commits deleted every row has an empty file list;
+        that is a valid (empty) table, not a read error."""
+        files = self._files_df(version)
+        if not files:
+            from pyspark.sql.types import StructType
+
+            v = self.latest_version() if version is None else version
+            schema = StructType.fromJson(self._read_manifest(v)["schema"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*files)
 
     def scan(
         self,
@@ -271,7 +300,7 @@ class AcidTable:
         changes) are filtered out by a null-safe whole-row compare, so
         the feed is the LOGICAL diff.  Assumes ``pk_cols`` (default:
         the table's ``key_cols``) are unique per snapshot."""
-        head = self.latest_version()
+        head = self._head()
         to_v = head if to_version is None else to_version
         mo = self._read_manifest(from_version)
         mn = self._read_manifest(to_v)
@@ -335,10 +364,11 @@ class AcidTable:
         )
 
     def history(self) -> list[dict]:
-        """Commit log, oldest first: version/operation/file and row counts."""
-        last = self.latest_version()
+        """Commit log, oldest RETAINED first: version/operation/file and
+        row counts.  After a vacuum the log no longer starts at version
+        0, so this walks the manifests actually on disk."""
         out = []
-        for v in range((last if last is not None else -1) + 1):
+        for v in self._versions_on_disk():
             m = self._read_manifest(v)
             out.append(
                 {
@@ -376,7 +406,7 @@ class AcidTable:
         raise ConcurrentWriteError(f"append lost {max_retries} straight races")
 
     def overwrite(self, df: DataFrame) -> int:
-        head = self.latest_version()
+        head = self._head()
         m = self._read_manifest(head)
         files = self._write_data_files(df, m["key_cols"])
         return self._publish(
@@ -400,10 +430,22 @@ class AcidTable:
         [min,max]?" — one delta aggregation, zero base-table I/O for
         skipped files.  Files without stats are conservatively rewritten.
         """
-        head = self.latest_version()
+        head = self._head()
         m = self._read_manifest(head)
         keys = list(pk_cols)
         probe_col = keys[0]
+        # a delta with duplicate PK rows would write ALL copies (the
+        # anti-join removes the base row once, the union appends the
+        # raw delta), silently breaking the PK-uniqueness invariant
+        # changes() relies on — fail loudly like Delta's MERGE does
+        dup = (
+            delta.groupBy(*keys).count().where("count > 1").limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge delta contains duplicate rows for pk {keys}; "
+                "dedupe the delta (e.g. keep latest) before merging"
+            )
 
         ranged, unranged = [], []
         for e in m["files"]:
@@ -463,7 +505,7 @@ class AcidTable:
         """COW delete: files are first FILTERED to those containing any
         matching row (one pruned scan flags files via input_file_name);
         only those are rewritten without the matching rows."""
-        head = self.latest_version()
+        head = self._head()
         m = self._read_manifest(head)
         by_rel = {e["path"]: e for e in m["files"]}
         if by_rel:
@@ -487,7 +529,13 @@ class AcidTable:
         carry = [e for rel, e in by_rel.items() if rel not in hit]
         new_files = []
         if rewrite:
-            kept = self.spark.read.parquet(*rewrite).where(f"NOT ({predicate})")
+            # IS NOT TRUE, not NOT(...): under three-valued logic a row
+            # where the predicate evaluates to NULL matches neither the
+            # delete nor its bare negation — it must be KEPT, not
+            # silently dropped from the rewrite
+            kept = self.spark.read.parquet(*rewrite).where(
+                f"({predicate}) IS NOT TRUE"
+            )
             new_files = self._write_data_files(kept, m["key_cols"])
         return self._publish(
             {
@@ -513,7 +561,7 @@ class AcidTable:
         periodic compaction restores scan bandwidth without blocking
         readers or writers (an optimistic-concurrency conflict on the
         version simply retries the compaction later)."""
-        head = self.latest_version()
+        head = self._head()
         m = self._read_manifest(head)
         snap = self.snapshot(head)
         key_cols = m["key_cols"]
@@ -559,7 +607,7 @@ class AcidTable:
         space — recompute beats incremental there."""
         from ..operators.layout import zorder_key
 
-        head = self.latest_version()
+        head = self._head()
         m = self._read_manifest(head)
         snap = self.snapshot(head)
         typed = dict(snap.dtypes)
@@ -574,6 +622,11 @@ class AcidTable:
         for c in zcols:
             aggs += [F.min(_as_long(c)).alias(f"__lo_{c}"), F.max(_as_long(c)).alias(f"__hi_{c}")]
         b = snap.agg(*aggs).first()
+        if any(b[f"__lo_{c}"] is None for c in zcols):
+            raise ValueError(
+                "optimize_zorder on an empty snapshot (or all-NULL z column): "
+                "nothing to cluster"
+            )
         specs = []
         for c in zcols:
             lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
@@ -599,34 +652,55 @@ class AcidTable:
             }
         )
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, retain_seconds: float = 3600.0) -> list[str]:
         """Drop data files referenced by NO retained manifest (the last
         ``keep_last`` versions) and prune older manifests.  Returns the
         deleted file paths.  Irreversible: time travel past the horizon
-        stops working, which is the point."""
+        stops working, which is the point.
+
+        ``retain_seconds`` is the in-flight-writer guard (Delta's VACUUM
+        retention window): a concurrent commit writes its data files
+        BEFORE publishing its manifest, so files younger than the window
+        are never deleted even though no manifest references them yet —
+        without it, a vacuum racing an append deletes the files the
+        about-to-publish manifest points at.  Lower it only when no
+        other writer can be active."""
+        import time
+
         head = self.latest_version()
         if head is None:
             return []
         horizon = max(0, head - keep_last + 1)
         live: set[str] = set()
-        for v in range(horizon, head + 1):
-            live |= {e["path"] for e in self._read_manifest(v)["files"]}
+        for v in self._versions_on_disk():
+            if v >= horizon:
+                live |= {e["path"] for e in self._read_manifest(v)["files"]}
+        now = time.time()
         deleted = []
         data_root = os.path.join(self.root, "data")
         for commit_dir in os.listdir(data_root) if os.path.isdir(data_root) else []:
             full_dir = os.path.join(data_root, commit_dir)
             for name in os.listdir(full_dir):
                 rel = os.path.join("data", commit_dir, name)
-                if name.endswith(".parquet") and rel not in live:
-                    os.unlink(os.path.join(full_dir, name))
-                    deleted.append(rel)
+                full = os.path.join(full_dir, name)
+                if not name.endswith(".parquet") or rel in live:
+                    continue
+                try:
+                    age = now - os.path.getmtime(full)
+                except FileNotFoundError:
+                    continue
+                if age < retain_seconds:
+                    continue  # possibly an unpublished concurrent commit
+                os.unlink(full)
+                deleted.append(rel)
             if not any(n.endswith(".parquet") for n in os.listdir(full_dir)):
                 shutil.rmtree(full_dir, ignore_errors=True)
-        for v in range(horizon):
-            try:
-                os.unlink(self._manifest_path(v))
-            except FileNotFoundError:
-                pass
+        for v in self._versions_on_disk():
+            if v < horizon:
+                try:
+                    os.unlink(self._manifest_path(v))
+                except FileNotFoundError:
+                    pass
         return sorted(deleted)
 
 

@@ -119,12 +119,17 @@ def test_vacuum_drops_unreferenced(spark, tmp_path):
     t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
     t.overwrite(spark.range(0, 50).withColumn("v", F.lit(1)))
     t.overwrite(spark.range(0, 25).withColumn("v", F.lit(2)))
-    deleted = t.vacuum(keep_last=2)
+    # files were written seconds ago: the default in-flight-writer
+    # retention window must protect them
+    assert t.vacuum(keep_last=2) == []
+    deleted = t.vacuum(keep_last=2, retain_seconds=0.0)
     assert deleted  # v0's files are gone
     assert t.snapshot(2).count() == 25
     assert t.snapshot(1).count() == 50  # within horizon
     with pytest.raises(FileNotFoundError):
         t._read_manifest(0)
+    # history() survives the pruned log (no version-0 manifest left)
+    assert [h["version"] for h in t.history()] == [1, 2]
 
 
 def test_reader_never_sees_torn_state(spark, tmp_path):
@@ -429,3 +434,75 @@ def test_incremental_rollup_equals_recompute_and_drops_empty_groups(spark, tmp_p
     assert got == want
     assert "solo" not in got
     assert got["new"] == (1, 1.5)
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: a row where the delete predicate evaluates to
+    NULL matches neither the predicate nor its bare negation — it must
+    survive the COW rewrite, not be silently dropped."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3)], "id: long, x: int"
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), df.coalesce(1), key_cols=["id"])
+    t.delete("x > 5")
+    kept = sorted(r["id"] for r in t.snapshot().collect())
+    assert kept == [2, 3]  # id=2 (x NULL) kept, id=1 deleted
+
+
+def test_merge_rejects_duplicate_pk_delta(spark, tmp_path):
+    base = spark.range(0, 10).withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    dup = spark.createDataFrame([(1, 7), (1, 8)], "id: long, v: int")
+    with pytest.raises(ValueError, match="duplicate"):
+        t.merge(dup, ["id"])
+
+
+def test_mutators_on_missing_table_raise_cleanly(spark, tmp_path):
+    t = AcidTable(spark, str(tmp_path / "nope"))
+    df = spark.range(0, 3).withColumn("v", F.lit(0))
+    for call in (
+        lambda: t.overwrite(df),
+        lambda: t.merge(df, ["id"]),
+        lambda: t.delete("id = 1"),
+        lambda: t.compact(1),
+        lambda: t.changes(0, 0),
+    ):
+        with pytest.raises(FileNotFoundError):
+            call()
+
+
+def test_optimize_zorder_empty_snapshot_raises(spark, tmp_path):
+    base = spark.range(0, 5).withColumn("v", F.col("id").cast("int"))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.delete("id >= 0")
+    with pytest.raises(ValueError, match="empty"):
+        t.optimize_zorder(["v"], target_files=2)
+
+
+def test_zorder_key_wide_range_no_overflow(spark):
+    """Ranges wider than ~1.4e14 (microsecond-epoch timestamps spanning
+    years) overflow a 64-bit multiply; the decimal/HUGEINT path must
+    produce in-range, monotone cells — and the SQL twin must agree
+    bit-for-bit."""
+    import duckdb
+
+    from bigdatamigratecloud_spark.operators.layout import zorder_key, zorder_key_sql
+
+    lo, hi = 0, 10 * 365 * 86400 * 1_000_000  # 10 years of micros ≈ 3.15e14
+    vals = [0, hi // 4, hi // 2, hi - 1, hi]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id: long, us: long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_key([(F.col("us"), lo, hi)], bits=16).alias("z")
+        ).collect()
+    }
+    assert all(0 <= z < (1 << 16) for z in got.values()), got
+    ordered = [got[i] for i in range(len(vals))]
+    assert ordered == sorted(ordered) and ordered[0] == 0 and ordered[-1] == (1 << 16) - 1
+
+    sql = zorder_key_sql([("us", lo, hi)], bits=16)
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        (zd,) = con.execute(f"SELECT {sql.replace('us', str(v))}").fetchone()
+        assert zd == got[i], (v, zd, got[i])
