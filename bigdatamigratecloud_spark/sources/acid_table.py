@@ -216,14 +216,18 @@ class AcidTable:
         the manifest's files — a concurrent commit cannot tear it.  A
         version whose commits deleted every row has an empty file list;
         that is a valid (empty) table, not a read error."""
-        files = self._files_df(version)
-        if not files:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            v = self.latest_version() if version is None else version
-            schema = StructType.fromJson(self._read_manifest(v)["schema"])
+        v = self.latest_version() if version is None else version
+        files = self._files_df(v)
+        schema = StructType.fromJson(self._read_manifest(v)["schema"])
+        if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*files)
+        # read through the MANIFEST schema, not the files': after an
+        # add-columns commit the old (unrewritten) files lack the new
+        # columns, and the explicit schema makes the parquet reader
+        # NULL-backfill them
+        return self.spark.read.schema(schema).parquet(*files)
 
     def scan(
         self,
@@ -270,7 +274,11 @@ class AcidTable:
             from pyspark.sql.types import StructType
 
             return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
-        df = self.spark.read.parquet(*[os.path.join(self.root, p) for p in kept])
+        from pyspark.sql.types import StructType
+
+        df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
+            *[os.path.join(self.root, p) for p in kept]
+        )
         for col, (lo, hi) in ranges.items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -484,9 +492,13 @@ class AcidTable:
 
         delta_keys = delta.select(*keys).dropDuplicates(keys)
         if rewrite:
-            affected = self.spark.read.parquet(
-                *[os.path.join(self.root, e["path"]) for e in rewrite]
-            )
+            from pyspark.sql.types import StructType
+
+            # manifest schema, not file schema: files predating an
+            # add-columns commit NULL-backfill the late columns
+            affected = self.spark.read.schema(
+                StructType.fromJson(m["schema"])
+            ).parquet(*[os.path.join(self.root, e["path"]) for e in rewrite])
             merged = affected.join(delta_keys, keys, "left_anti").unionByName(delta)
         else:
             merged = delta
@@ -507,10 +519,13 @@ class AcidTable:
         only those are rewritten without the matching rows."""
         head = self._head()
         m = self._read_manifest(head)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
         by_rel = {e["path"]: e for e in m["files"]}
         if by_rel:
             hit_rows = (
-                self.spark.read.parquet(
+                self.spark.read.schema(schema).parquet(
                     *[os.path.join(self.root, rel) for rel in by_rel]
                 )
                 .where(predicate)
@@ -533,7 +548,7 @@ class AcidTable:
             # where the predicate evaluates to NULL matches neither the
             # delete nor its bare negation — it must be KEPT, not
             # silently dropped from the rewrite
-            kept = self.spark.read.parquet(*rewrite).where(
+            kept = self.spark.read.schema(schema).parquet(*rewrite).where(
                 f"({predicate}) IS NOT TRUE"
             )
             new_files = self._write_data_files(kept, m["key_cols"])
@@ -544,6 +559,38 @@ class AcidTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "files": carry + new_files,
+            }
+        )
+
+    def add_columns(self, new_cols: dict[str, str]) -> int:
+        """Schema evolution: add nullable columns as a METADATA-ONLY
+        commit — no data file is rewritten (the reference's analogue is
+        obsolete-field reconcile in reverse: late-added fields NULL-
+        backfill, Codeunit 60000:800-814 drops removed ones).  Readers
+        of the new version see the old files through the widened
+        schema with NULLs for the new columns; time travel to older
+        versions still shows the old schema.  ``new_cols`` maps column
+        name -> Spark type DDL string (e.g. ``{"score": "double"}``).
+
+        At 100 TB this is the difference between an O(1) log append and
+        rewriting the table to add a column."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        head = self._head()
+        m = self._read_manifest(head)
+        schema = StructType.fromJson(m["schema"])
+        existing = {f.name for f in schema.fields}
+        for name, ddl in new_cols.items():
+            if name in existing:
+                raise ValueError(f"column {name!r} already exists")
+            schema = schema.add(name, _parse_datatype_string(ddl), True)
+        return self._publish(
+            {
+                "version": head + 1,
+                "operation": "add-columns",
+                "schema": schema.jsonValue(),
+                "key_cols": m["key_cols"],
+                "files": m["files"],
             }
         )
 

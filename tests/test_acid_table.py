@@ -506,3 +506,35 @@ def test_zorder_key_wide_range_no_overflow(spark):
     for i, v in enumerate(vals):
         (zd,) = con.execute(f"SELECT {sql.replace('us', str(v))}").fetchone()
         assert zd == got[i], (v, zd, got[i])
+
+
+def test_add_columns_metadata_only_evolution(spark, tmp_path):
+    """add_columns: O(1) metadata commit — no data file rewritten, old
+    files NULL-backfill through the widened schema, time travel shows
+    the old schema, and a subsequent merge can write the new column."""
+    base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    files_before = {e["path"] for e in t._read_manifest(0)["files"]}
+
+    v = t.add_columns({"score": "double", "tag": "string"})
+    m = t._read_manifest(v)
+    assert m["operation"] == "add-columns"
+    assert {e["path"] for e in m["files"]} == files_before  # nothing rewritten
+
+    snap = t.snapshot()
+    assert snap.columns == ["id", "v", "score", "tag"]
+    assert snap.where("score IS NOT NULL OR tag IS NOT NULL").count() == 0
+    assert snap.count() == 100
+    # time travel: v0 still has the narrow schema
+    assert t.snapshot(0).columns == ["id", "v"]
+
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns({"v": "long"})
+
+    # the new column is writable through a normal merge
+    delta = spark.createDataFrame([(5, 10, 0.9, "good")], "id: long, v: long, score: double, tag: string")
+    t.merge(delta, ["id"])
+    got = t.snapshot().where("id = 5").first()
+    assert got["score"] == 0.9 and got["tag"] == "good"
+    assert t.snapshot().where("score IS NULL").count() == 99
