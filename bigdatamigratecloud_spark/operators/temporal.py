@@ -190,3 +190,55 @@ def sessionize(
         .withColumn("session_no", F.sum("__new_session").over(running).cast("long"))
         .drop("__new_session")
     )
+
+
+def resample_gapfill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample with gap fill: aggregate ``value_col`` into
+    fixed ``step`` buckets per group, then emit EVERY bucket in the
+    group's [min, max] span — empty buckets appear with n=0 / sum=0
+    (the regularized series every downstream window/forecast op needs;
+    a naive GROUP BY silently skips empty buckets and corrupts
+    lag/rolling computations).
+
+    Scale shape: one aggregation shuffle on (group, bucket); the dense
+    axis is generated per group with ``sequence`` + ``explode`` off the
+    group's own 2-row (min,max) aggregate — never a driver-side range
+    or a global calendar table — and joined back to the sparse buckets
+    on the same key, so skew is bounded by a group's span/step.  Sums
+    aggregate in DECIMAL and exit as DOUBLE (DecimalRenderPolicy)."""
+    groups = list(group_cols or [])
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.window(
+        F.col(ts_col), step
+    )["start"]
+    sparse = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*groups, "__bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
+        )
+    )
+    span = sparse.groupBy(*groups).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    dense = span.select(
+        *groups,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    )
+    return (
+        dense.join(sparse, [*groups, "__bucket"], "left")
+        .select(
+            *groups,
+            F.col("__bucket").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)).alias("sum_value"),
+        )
+    )

@@ -1826,6 +1826,41 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@query(
+    "e4_resample_gapfill",
+    """WITH sparse AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                COUNT(*) AS n,
+                SUM(CAST(value AS DECIMAL(18,6))) AS s
+         FROM events GROUP BY event_type, date_trunc('hour', ts)),
+       span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM sparse GROUP BY event_type),
+       dense AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                            AS bucket
+                 FROM span)
+       SELECT d.event_type, d.bucket,
+              COALESCE(sp.n, 0) AS n,
+              COALESCE(CAST(sp.s AS DOUBLE), 0.0) AS sum_value
+       FROM dense d LEFT JOIN sparse sp
+         ON d.event_type = sp.event_type AND d.bucket = sp.bucket""",
+)
+def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly resample per event_type with
+    EVERY bucket of each group's span emitted — empty hours come back
+    as n=0/sum=0 instead of silently disappearing (which corrupts any
+    downstream lag/rolling-window computation).  The dense axis is
+    generated per group from its own (min,max) aggregate via
+    sequence+explode — no driver-side calendar, no global range — and
+    joined back on the same (group, bucket) key.  See
+    operators/temporal.resample_gapfill."""
+    from .operators.temporal import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_gapfill(ev, ts_col="ts", group_cols=["event_type"], value_col="value")
+    return out.select("event_type", "bucket", "n", "sum_value")
+
+
 def _e3_zorder_oracle() -> str:
     from .operators.layout import zorder_key_sql
 

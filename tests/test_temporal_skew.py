@@ -271,3 +271,38 @@ def test_frequent_keys_exact_vs_full_groupby(spark):
     none = frequent_keys(df, "k", 0.9)
     assert none.count() == 0
     assert none.columns == ["k", "cnt"]
+
+
+def test_resample_gapfill_fills_every_bucket(spark, sf_dir):
+    """Gap-fill on the REAL events parquet (NTZ fixture path): the dense
+    axis is contiguous per group (bucket deltas exactly 1 hour), filled
+    buckets are zero, and aggregating only the non-empty buckets equals
+    the plain GROUP BY."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.temporal import resample_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    out = resample_gapfill(ev, "ts", ["event_type"], "value").cache()
+
+    # contiguity: per group, count == (max-min)/1h + 1
+    spans = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        ((F.unix_timestamp(F.max("bucket").cast("timestamp"))
+          - F.unix_timestamp(F.min("bucket").cast("timestamp"))) / 3600 + 1
+         ).cast("long").alias("expected"),
+    )
+    assert spans.where("k <> expected").count() == 0
+
+    # zero-filled rows are consistent
+    assert out.where("n = 0 AND sum_value <> 0.0").count() == 0
+
+    # non-empty buckets reproduce the plain GROUP BY
+    sparse = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = out.where("n > 0").select("event_type", "bucket", "n").exceptAll(
+        sparse.select("event_type", "bucket", "n")
+    )
+    assert joined.count() == 0
+    out.unpersist()
