@@ -242,3 +242,57 @@ def resample_gapfill(
             F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Gauge-style gap fill: resample to ``step`` buckets and LINEARLY
+    interpolate the value for empty buckets between their nearest
+    observed neighbors (counts fill with zero — see resample_gapfill —
+    but a gauge's missing reading is 'between the neighbors', not 0).
+    Buckets before the first / after the last observation stay NULL.
+
+    Per observed bucket the anchor is sum/count in exact decimal cast
+    to double, so both the anchors and the lerp are deterministic IEEE
+    expressions an external engine replays bit-for-bit.  Scale: the
+    resample's one shuffle plus two ordered windows per group (forward
+    fill of the previous anchor, backward fill of the next) — window
+    state is a single row each way, skew bounded by a group's span."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    filled = resample_gapfill(df, ts_col, groups, value_col, step)
+    obs_val = F.when(
+        F.col("n") > 0, F.col("sum_value") / F.col("n").cast("double")
+    )
+    base = filled.withColumn("__obs", obs_val).withColumn(
+        "__epoch", F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("double")
+    )
+    fwd = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy(*groups)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("__obs", ignorenulls=True).over(fwd)
+    next_v = F.first("__obs", ignorenulls=True).over(bwd)
+    prev_t = F.last(F.when(F.col("__obs").isNotNull(), F.col("__epoch")), True).over(fwd)
+    next_t = F.first(F.when(F.col("__obs").isNotNull(), F.col("__epoch")), True).over(bwd)
+    lerp = F.when(F.col("__obs").isNotNull(), F.col("__obs")).otherwise(
+        prev_v + (next_v - prev_v) * ((F.col("__epoch") - prev_t) / (next_t - prev_t))
+    )
+    return base.select(
+        *groups,
+        "bucket",
+        "n",
+        lerp.alias("value_interp"),
+    )

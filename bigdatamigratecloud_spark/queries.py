@@ -1861,6 +1861,62 @@ def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "bucket", "n", "sum_value")
 
 
+@query(
+    "e5_interpolate_linear",
+    """WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
+       sparse AS (
+         SELECT event_type, date_trunc('hour', ts) AS bucket,
+                COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+         FROM ev GROUP BY event_type, date_trunc('hour', ts)),
+       span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                FROM sparse GROUP BY event_type),
+       dense AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+                 FROM span),
+       base AS (
+         SELECT d.event_type, d.bucket,
+                COALESCE(sp.n, 0) AS n,
+                CASE WHEN COALESCE(sp.n, 0) > 0
+                     THEN CAST(sp.s AS DOUBLE) / CAST(sp.n AS DOUBLE) END AS obs,
+                CAST(epoch(d.bucket) AS DOUBLE) AS ep
+         FROM dense d LEFT JOIN sparse sp
+           ON d.event_type = sp.event_type AND d.bucket = sp.bucket),
+       w AS (
+         SELECT *,
+           last_value(obs IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           first_value(obs IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           last_value(CASE WHEN obs IS NOT NULL THEN ep END IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(CASE WHEN obs IS NOT NULL THEN ep END IGNORE NULLS) OVER
+             (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         FROM base)
+       SELECT event_type, bucket, n,
+              CASE WHEN obs IS NOT NULL THEN obs
+                   ELSE pv + (nv - pv) * ((ep - pt) / (nt - pt)) END
+                  AS value_interp
+       FROM w""",
+)
+def e5_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge-series linear interpolation over a sparsified event stream
+    (1-in-7 events kept, so hourly gaps genuinely occur): empty buckets
+    take the time-weighted blend of their nearest observed neighbors;
+    edges stay NULL.  Anchors are decimal-exact sums cast to double, so
+    the lerp is a deterministic IEEE expression both engines evaluate
+    bit-for-bit.  One resample shuffle + two single-row-state ordered
+    windows per group (see operators/temporal.interpolate_linear)."""
+    from .operators.temporal import interpolate_linear
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    out = interpolate_linear(ev, "ts", ["event_type"], "value")
+    return out.select("event_type", "bucket", "n", "value_interp")
+
+
 def _e3_zorder_oracle() -> str:
     from .operators.layout import zorder_key_sql
 

@@ -306,3 +306,31 @@ def test_resample_gapfill_fills_every_bucket(spark, sf_dir):
     )
     assert joined.count() == 0
     out.unpersist()
+
+
+def test_interpolate_linear_hand_cases(spark):
+    """Hand-checkable lerp: observations at hour 0 (v=10) and hour 4
+    (v=30) -> interiors 15/20/25; a bucket with two readings anchors at
+    their mean; leading/trailing empty buckets stay NULL."""
+    from bigdatamigratecloud_spark.operators.temporal import interpolate_linear
+
+    rows = [
+        (1, "2024-01-01 00:15:00", "g", 10.0),
+        (2, "2024-01-01 04:45:00", "g", 30.0),
+        (3, "2024-01-01 04:50:00", "g", 30.0),  # same bucket: mean anchor
+        (4, "2024-01-01 02:00:00", "h", 5.0),   # single-point group
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        (r["event_type"], str(r["bucket"])): (r["n"], r["value_interp"])
+        for r in interpolate_linear(df, "ts", ["event_type"], "value").collect()
+    }
+    assert out[("g", "2024-01-01 00:00:00")] == (1, 10.0)
+    assert out[("g", "2024-01-01 01:00:00")] == (0, 15.0)
+    assert out[("g", "2024-01-01 02:00:00")] == (0, 20.0)
+    assert out[("g", "2024-01-01 03:00:00")] == (0, 25.0)
+    assert out[("g", "2024-01-01 04:00:00")] == (2, 30.0)
+    assert out[("h", "2024-01-01 02:00:00")] == (1, 5.0)
+    assert len([k for k in out if k[0] == "g"]) == 5
