@@ -728,3 +728,85 @@ def ivfpq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cosine")
     )
+
+
+# --- distributed k-means: the iterative-algorithm scale path --------------
+
+def kmeans_distributed(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+):
+    """Spherical k-means over the FULL corpus, distributed: unlike the
+    sampled `_kmeans_fit` (which trains IVF quantizers on a driver-side
+    sample), every iteration here is two corpus-wide Spark jobs —
+
+      assign:  nearest-centroid argmax with the k x d centroid matrix
+               as a plan literal (narrow map, no shuffle, codegen);
+      update:  per-(cluster, dim) DECIMAL-exact mean via posexplode —
+               one shuffle keyed by (cluster, dim), k x d result rows
+               collected to the driver (bounded by k*d, never the data).
+
+    Decimal sums make each centroid update order-independent, so the
+    whole trajectory — and the final assignment — is deterministic on
+    any cluster size, which is what the pinned tests rely on.  Empty
+    clusters keep their previous centroid (the standard fix).  Returns
+    (assignments DataFrame [id, cluster], centroids list, inertia list
+    — mean cosine to own centroid per iteration, monotone
+    non-decreasing for spherical k-means)."""
+    from decimal import Decimal
+
+    sample = [
+        r[1]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    ]
+    cents = [[float(x) for x in row] for row in _kmeans_fit(sample, k, iters=0, seed=seed)]
+    unit = with_unit_vector(corpus, vec_col, "__u").select(id_col, "__u")
+    inertia = []
+    for _ in range(iters):
+        assigned = ivf_assign(unit, cents, "__u", "cluster")
+        # decimal-exact per-(cluster, dim) sums -> deterministic means
+        cells = (
+            assigned.select(
+                "cluster", F.posexplode("__u").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(28,18)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple]] = {}
+        for r in cells:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+        new_cents = []
+        for c in range(k):
+            if c not in by_cluster:
+                new_cents.append(cents[c])  # empty cluster: keep previous
+                continue
+            dims = by_cluster[c]
+            mean = [float(Decimal(str(dims[d][0])) / dims[d][1]) for d in range(len(cents[c]))]
+            norm = sum(x * x for x in mean) ** 0.5 or 1.0
+            new_cents.append([x / norm for x in mean])
+        cents = new_cents
+        sims = F.array(
+            *[_dot(F.col("__u"), F.array(*[F.lit(float(x)) for x in cent])) for cent in cents]
+        )
+        it = (
+            unit.select(F.array_max(sims).alias("best"))
+            .agg(
+                (
+                    F.sum(F.col("best").cast("decimal(28,18)"))
+                    / F.count(F.lit(1))
+                ).cast("double")
+            )
+            .first()[0]
+        )
+        inertia.append(float(it))
+    assignments = ivf_assign(unit, cents, "__u", "cluster").select(id_col, "cluster")
+    return assignments, cents, inertia

@@ -1624,6 +1624,33 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n2_kmeans_contract",
+    """SELECT 8 AS k, COUNT(*) AS n_assigned, TRUE AS inertia_monotone
+       FROM embeddings""",
+)
+def n2_kmeans_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the FULL embedding corpus
+    (iterative algorithm: per iteration one narrow plan-literal
+    assignment pass + one (cluster, dim)-keyed decimal-exact centroid
+    update whose collect is bounded by k x d, never the data).  The
+    trajectory is deterministic on any cluster size, so the checkable
+    contract is: every vector assigned, and the mean self-similarity
+    (spherical inertia) monotone non-decreasing across iterations —
+    the convergence guarantee of Lloyd's algorithm.  Exact cluster
+    sizes at the oracle SF are pinned in tests/test_northstar.py."""
+    from .operators.similarity import kmeans_distributed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _cents, inertia = kmeans_distributed(emb, k=8, iters=4)
+    monotone = all(inertia[i + 1] >= inertia[i] - 1e-12 for i in range(len(inertia) - 1))
+    return assignments.agg(
+        F.lit(8).alias("k"),
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.lit(bool(monotone)).alias("inertia_monotone"),
+    )
+
+
+@query(
     "x1_x5_pipeline_apply",
     """SELECT 'region' AS table_name, count(*) AS rows_applied FROM region
        UNION ALL SELECT 'nation', count(*) FROM nation

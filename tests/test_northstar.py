@@ -399,3 +399,30 @@ def test_ivfpq_no_driver_collect_and_equi_join(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_distributed_pin_and_determinism(spark):
+    """Distributed k-means on the oracle fixtures: exact cluster-size
+    pin (a quantizer/update regression cannot hide), deterministic
+    assignment under a different physical partitioning (decimal-exact
+    centroid updates are order-independent), and monotone spherical
+    inertia (Lloyd's convergence)."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    a, cents, inertia = similarity.kmeans_distributed(emb, k=8, iters=5)
+    sizes = sorted(
+        (r["cluster"], r["count"]) for r in a.groupBy("cluster").count().collect()
+    )
+    assert sizes == [
+        (0, 57), (1, 66), (2, 64), (3, 59), (4, 62), (5, 56), (6, 63), (7, 73),
+    ]
+    assert all(
+        inertia[i + 1] >= inertia[i] - 1e-12 for i in range(len(inertia) - 1)
+    ), inertia
+    a2, _, inertia2 = similarity.kmeans_distributed(emb.repartition(13), k=8, iters=5)
+    m1 = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2
+    assert inertia == inertia2
