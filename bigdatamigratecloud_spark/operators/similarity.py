@@ -311,6 +311,17 @@ def lsh_signature_sql(dim: int, n_planes: int = 8, seed: int = 42, vec_expr: str
     return "(" + " + ".join(terms) + ")"
 
 
+def _ordered_sample(corpus, id_col: str, vec_col: str, n: int):
+    """Driver-side sample ordered by id: a bare limit() samples in
+    PARTITION order, which changes with the session's parallelism — a
+    quantizer (and any pinned recall/pin test built on it) must not
+    depend on who runs the query.  Bounded by n, never the corpus."""
+    return [
+        r[1]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    ]
+
+
 # --- IVF (inverted-file) ANN: the coarse-quantizer scale path -------------
 
 def _kmeans_fit(samples, k: int, iters: int = 10, seed: int = 42):
@@ -371,13 +382,7 @@ def ivf_cosine_topk(
     ~0.2% of the corpus per query, and the per-list scan parallelizes
     like any filtered columnar read (cluster id is a partition-prunable
     column when the index is written out partitioned by it)."""
-    # sample ordered by id: a bare limit() samples in PARTITION order,
-    # which changes with the session's parallelism — the quantizer (and
-    # the pinned recall) must not depend on who runs the query
-    sample = [
-        r[1]
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_size)
     cents = _kmeans_fit(sample, n_centroids, seed=seed)
 
     c = ivf_assign(with_unit_vector(corpus, vec_col, "cu"), cents, vec_col, "cluster").select(
@@ -642,10 +647,7 @@ def ivfpq_cosine_topk(
     equi-join on cluster (AQE-broadcast/skew-splittable), shortlist-
     sized rerank join."""
     # coarse quantizer + corpus assignment (same recipe as ivf_cosine_topk)
-    sample = [
-        r[1]
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_size)
     cents = _kmeans_fit(sample, n_centroids, seed=seed)
     books = pq_fit(corpus, m, k_codes, sample_size, id_col, vec_col, seed)
     dsub = len(books[0][0])
@@ -760,12 +762,16 @@ def kmeans_distributed(
     non-decreasing for spherical k-means)."""
     from decimal import Decimal
 
-    sample = [
-        r[1]
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
-    ]
+    sample = _ordered_sample(corpus, id_col, vec_col, sample_size)
+    if not sample:
+        raise ValueError("kmeans_distributed on an empty corpus")
     cents = [[float(x) for x in row] for row in _kmeans_fit(sample, k, iters=0, seed=seed)]
-    unit = with_unit_vector(corpus, vec_col, "__u").select(id_col, "__u")
+    if len(cents) < k:
+        # fewer vectors than requested clusters: shrink k instead of
+        # indexing past the centroid list in the update loop
+        k = len(cents)
+    # iterated corpus-wide: normalize once, not once per job
+    unit = with_unit_vector(corpus, vec_col, "__u").select(id_col, "__u").cache()
     inertia = []
     for _ in range(iters):
         assigned = ivf_assign(unit, cents, "__u", "cluster")
@@ -809,4 +815,7 @@ def kmeans_distributed(
         )
         inertia.append(float(it))
     assignments = ivf_assign(unit, cents, "__u", "cluster").select(id_col, "cluster")
+    # materialize before releasing the cached normalization
+    assignments = assignments.localCheckpoint(eager=True)
+    unit.unpersist()
     return assignments, cents, inertia

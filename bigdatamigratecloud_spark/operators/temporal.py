@@ -211,7 +211,15 @@ def resample_gapfill(
     group's own 2-row (min,max) aggregate — never a driver-side range
     or a global calendar table — and joined back to the sparse buckets
     on the same key, so skew is bounded by a group's span/step.  Sums
-    aggregate in DECIMAL and exit as DOUBLE (DecimalRenderPolicy)."""
+    aggregate in DECIMAL and exit as DOUBLE (DecimalRenderPolicy).
+
+    NULL handling: a NULL group key is a real group (the join is
+    null-safe, so its buckets fill like any other's); rows with a NULL
+    timestamp cannot land in any bucket and pass through as a single
+    ``bucket IS NULL`` row per group rather than silently vanishing.
+    ``n_vals`` counts the rows whose VALUE is non-null — the anchor
+    count interpolate_linear needs (an all-NULL-value bucket has
+    n>0 but no usable reading)."""
     groups = list(group_cols or [])
     bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.window(
         F.col(ts_col), step
@@ -221,10 +229,13 @@ def resample_gapfill(
         .groupBy(*groups, "__bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(F.col(value_col)).alias("n_vals"),
             F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum"),
         )
     )
-    span = sparse.groupBy(*groups).agg(
+    with_bucket = sparse.filter(F.col("__bucket").isNotNull())
+    null_bucket = sparse.filter(F.col("__bucket").isNull())
+    span = with_bucket.groupBy(*groups).agg(
         F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
     )
     dense = span.select(
@@ -233,15 +244,27 @@ def resample_gapfill(
             F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
         ).alias("__bucket"),
     )
-    return (
-        dense.join(sparse, [*groups, "__bucket"], "left")
-        .select(
-            *groups,
-            F.col("__bucket").alias("bucket"),
-            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
-            F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)).alias("sum_value"),
-        )
+    # null-safe equi-join: a NULL group key must still match its own
+    # dense axis (plain `=` drops the whole group's data as n=0)
+    cond = F.col("d.__bucket") == F.col("s.__bucket")
+    for g in groups:
+        cond = cond & F.col(f"d.{g}").eqNullSafe(F.col(f"s.{g}"))
+    joined = dense.alias("d").join(with_bucket.alias("s"), cond, "left")
+    out = joined.select(
+        *[F.col(f"d.{g}").alias(g) for g in groups],
+        F.col("d.__bucket").alias("bucket"),
+        F.coalesce("s.n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("s.n_vals", F.lit(0)).cast("long").alias("n_vals"),
+        F.coalesce(F.col("s.__sum").cast("double"), F.lit(0.0)).alias("sum_value"),
     )
+    passthrough = null_bucket.select(
+        *groups,
+        F.col("__bucket").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_vals").cast("long").alias("n_vals"),
+        F.coalesce(F.col("__sum").cast("double"), F.lit(0.0)).alias("sum_value"),
+    )
+    return out.unionByName(passthrough)
 
 
 def interpolate_linear(
@@ -266,12 +289,18 @@ def interpolate_linear(
     from pyspark.sql import Window
 
     groups = list(group_cols or [])
-    filled = resample_gapfill(df, ts_col, groups, value_col, step)
+    filled = resample_gapfill(df, ts_col, groups, value_col, step).filter(
+        F.col("bucket").isNotNull()  # NULL-ts pass-through rows have no axis position
+    )
+    # anchor on rows with an actual reading: a bucket whose rows all have
+    # NULL values is a GAP to interpolate through, not a 0.0 observation
     obs_val = F.when(
-        F.col("n") > 0, F.col("sum_value") / F.col("n").cast("double")
+        F.col("n_vals") > 0, F.col("sum_value") / F.col("n_vals").cast("double")
     )
     base = filled.withColumn("__obs", obs_val).withColumn(
-        "__epoch", F.unix_timestamp(F.col("bucket").cast("timestamp")).cast("double")
+        # micros/1e6 is exact for whole buckets; _epoch_us centralizes the
+        # NTZ/session-timezone contract (UTC pinned by catalog.load_table)
+        "__epoch", (_epoch_us(F.col("bucket")) / F.lit(1000000.0))
     )
     fwd = (
         Window.partitionBy(*groups)
@@ -294,5 +323,6 @@ def interpolate_linear(
         *groups,
         "bucket",
         "n",
+        "n_vals",
         lerp.alias("value_interp"),
     )

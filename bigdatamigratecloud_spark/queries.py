@@ -1858,6 +1858,7 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
                 COUNT(*) AS n,
+                COUNT(value) AS n_vals,
                 SUM(CAST(value AS DECIMAL(18,6))) AS s
          FROM events GROUP BY event_type, date_trunc('hour', ts)),
        span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
@@ -1868,6 +1869,7 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM span)
        SELECT d.event_type, d.bucket,
               COALESCE(sp.n, 0) AS n,
+              COALESCE(sp.n_vals, 0) AS n_vals,
               COALESCE(CAST(sp.s AS DOUBLE), 0.0) AS sum_value
        FROM dense d LEFT JOIN sparse sp
          ON d.event_type = sp.event_type AND d.bucket = sp.bucket""",
@@ -1885,7 +1887,7 @@ def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     out = resample_gapfill(ev, ts_col="ts", group_cols=["event_type"], value_col="value")
-    return out.select("event_type", "bucket", "n", "sum_value")
+    return out.select("event_type", "bucket", "n", "n_vals", "sum_value")
 
 
 @query(
@@ -1893,7 +1895,8 @@ def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ev AS (SELECT * FROM events WHERE event_id % 7 = 0),
        sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
-                COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s
+                COUNT(*) AS n, COUNT(value) AS n_vals,
+                SUM(CAST(value AS DECIMAL(18,6))) AS s
          FROM ev GROUP BY event_type, date_trunc('hour', ts)),
        span AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
                 FROM sparse GROUP BY event_type),
@@ -1903,8 +1906,9 @@ def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
        base AS (
          SELECT d.event_type, d.bucket,
                 COALESCE(sp.n, 0) AS n,
-                CASE WHEN COALESCE(sp.n, 0) > 0
-                     THEN CAST(sp.s AS DOUBLE) / CAST(sp.n AS DOUBLE) END AS obs,
+                COALESCE(sp.n_vals, 0) AS n_vals,
+                CASE WHEN COALESCE(sp.n_vals, 0) > 0
+                     THEN CAST(sp.s AS DOUBLE) / CAST(sp.n_vals AS DOUBLE) END AS obs,
                 CAST(epoch(d.bucket) AS DOUBLE) AS ep
          FROM dense d LEFT JOIN sparse sp
            ON d.event_type = sp.event_type AND d.bucket = sp.bucket),
@@ -1923,7 +1927,7 @@ def e4_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
              (PARTITION BY event_type ORDER BY bucket
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
          FROM base)
-       SELECT event_type, bucket, n,
+       SELECT event_type, bucket, n, n_vals,
               CASE WHEN obs IS NOT NULL THEN obs
                    ELSE pv + (nv - pv) * ((ep - pt) / (nt - pt)) END
                   AS value_interp
@@ -1941,7 +1945,7 @@ def e5_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
     out = interpolate_linear(ev, "ts", ["event_type"], "value")
-    return out.select("event_type", "bucket", "n", "value_interp")
+    return out.select("event_type", "bucket", "n", "n_vals", "value_interp")
 
 
 def _e3_zorder_oracle() -> str:

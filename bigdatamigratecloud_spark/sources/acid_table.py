@@ -333,7 +333,10 @@ class AcidTable:
         def _side(paths: list[str]) -> DataFrame:
             if not paths:
                 return self.spark.createDataFrame([], schema)
-            return self.spark.read.parquet(
+            # read through the from-version's schema: files predating an
+            # add-columns commit NULL-backfill, files written after it
+            # project down — the diff always compares the same columns
+            return self.spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, p) for p in paths]
             ).select(*cols)
 
@@ -499,7 +502,14 @@ class AcidTable:
             affected = self.spark.read.schema(
                 StructType.fromJson(m["schema"])
             ).parquet(*[os.path.join(self.root, e["path"]) for e in rewrite])
-            merged = affected.join(delta_keys, keys, "left_anti").unionByName(delta)
+            # allowMissingColumns: after an add-columns evolution a delta
+            # carrying the pre-evolution shape NULL-fills the late columns
+            # (Delta MERGE full-row-replace semantics) — without it the
+            # same merge would fail or succeed depending on whether file
+            # pruning happened to rewrite anything
+            merged = affected.join(delta_keys, keys, "left_anti").unionByName(
+                delta, allowMissingColumns=True
+            )
         else:
             merged = delta
         new_files = self._write_data_files(merged, m["key_cols"])

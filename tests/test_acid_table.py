@@ -538,3 +538,27 @@ def test_add_columns_metadata_only_evolution(spark, tmp_path):
     got = t.snapshot().where("id = 5").first()
     assert got["score"] == 0.9 and got["tag"] == "good"
     assert t.snapshot().where("score IS NULL").count() == 99
+
+
+def test_change_feed_spans_schema_evolution(spark, tmp_path):
+    """changes() across an add_columns commit: pre-evolution files
+    NULL-backfill through the from-version schema, and a merge whose
+    delta lacks the late column NULL-fills it (uniformly, regardless of
+    file-pruning luck)."""
+    base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.add_columns({"score": "double"})
+    # delta in the ORIGINAL shape (no score column)
+    t.merge(spark.createDataFrame([(5, -1)], "id: long, v: long"), ["id"])
+    feed = t.changes(1, 2).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert [r["id"] for r in by_type["update_preimage"]] == [5]
+    assert by_type["update_preimage"][0]["score"] is None
+    assert by_type["update_postimage"][0]["v"] == -1
+    assert by_type["update_postimage"][0]["score"] is None
+    # diff from BEFORE the evolution also works (old schema, no score)
+    pre = t.changes(0, 2)
+    assert "score" not in pre.columns
+    assert pre.where("_change_type = 'update_postimage'").first()["v"] == -1

@@ -334,3 +334,47 @@ def test_interpolate_linear_hand_cases(spark):
     assert out[("g", "2024-01-01 04:00:00")] == (2, 30.0)
     assert out[("h", "2024-01-01 02:00:00")] == (1, 5.0)
     assert len([k for k in out if k[0] == "g"]) == 5
+
+
+def test_resample_null_group_and_null_ts_not_lost(spark):
+    """NULL group keys fill like any other group (null-safe join) and
+    NULL-timestamp rows pass through as a bucket IS NULL row instead of
+    silently vanishing; an all-NULL-value bucket reports n>0 but
+    n_vals=0, and interpolate_linear bridges THROUGH it rather than
+    anchoring at a fabricated 0.0."""
+    from bigdatamigratecloud_spark.operators.temporal import (
+        interpolate_linear,
+        resample_gapfill,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", None, 4.0),
+        (2, "2024-01-01 02:10:00", None, 8.0),
+        (3, None, "g", 99.0),
+        (4, "2024-01-01 00:00:00", "g", 10.0),
+        (5, "2024-01-01 01:30:00", "g", None),   # all-NULL-value bucket
+        (6, "2024-01-01 02:30:00", "g", 30.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = resample_gapfill(df, "ts", ["event_type"], "value").collect()
+    by = {(r["event_type"], str(r["bucket"])): r for r in out}
+    # NULL group has its own filled axis
+    assert by[(None, "2024-01-01 00:00:00")]["n"] == 1
+    assert by[(None, "2024-01-01 01:00:00")]["n"] == 0
+    assert by[(None, "2024-01-01 02:00:00")]["n"] == 1
+    # NULL-ts row passes through
+    assert by[("g", "None")]["n"] == 1
+    # all-NULL-value bucket: counted, but no usable reading
+    mid = by[("g", "2024-01-01 01:00:00")]
+    assert mid["n"] == 1 and mid["n_vals"] == 0 and mid["sum_value"] == 0.0
+
+    interp = {
+        str(r["bucket"]): r["value_interp"]
+        for r in interpolate_linear(df, "ts", ["event_type"], "value")
+        .where("event_type = 'g'")
+        .collect()
+    }
+    # hour 1 bridges 10 -> 30, NOT anchored at 0.0
+    assert interp["2024-01-01 01:00:00"] == 20.0
