@@ -296,3 +296,54 @@ def domain_cap(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= cap)
     )
+
+
+def hash_unit_draw(col: Column, salt: str, k: int = 6) -> Column:
+    """Portable uniform draw in [0, 1): the leading k hex digits of
+    md5(col || salt) read as an integer over 16^k.  Numeric (unlike the
+    prefix-compare draw above), so per-row thresholds can depend on row
+    values — and still bit-reproducible in any engine with md5."""
+    hexs = F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, k)
+    return F.conv(hexs, 16, 10).cast("double") / F.lit(float(16**k))
+
+
+def hash_unit_draw_sql(expr: str, salt: str, k: int = 6) -> str:
+    """The exact same draw as an ANSI-SQL expression (DuckDB oracle):
+    digit-expansion replay of base-16 -> integer (no CONV builtin
+    needed), identical division."""
+    h = f"md5(CAST({expr} AS VARCHAR) || '{salt}')"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (k - 1 - i)}"
+        for i in range(k)
+    ]
+    return f"(CAST({' + '.join(terms)} AS DOUBLE) / {float(16 ** k)})"
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_n: float,
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Weight-proportional Poisson sample with expected size ``target_n``:
+    row i is kept iff u_i * W < target_n * w_i (u_i the portable unit
+    draw, W the total weight), i.e. inclusion probability
+    min(1, target_n * w_i / W) — importance sampling for corpus mixtures
+    where long documents (or high-quality ones) should be drawn
+    proportionally more often.  Deterministic per id: the same rows are
+    selected on any engine, any partitioning, any day.
+
+    Scale: one total-weight aggregate (broadcast as a 1-row frame) + a
+    narrow filter folded into the scan; no shuffle of the data itself.
+    The comparison multiplies instead of dividing so both sides stay in
+    the exact operand order an external engine replays bit-for-bit."""
+    tot = df.agg(
+        F.sum(F.col(weight_col).cast("decimal(18,6)")).cast("double").alias("__W")
+    )
+    u = hash_unit_draw(F.col(id_col), salt)
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .filter(u * F.col("__W") < F.lit(float(target_n)) * F.col(weight_col).cast("double"))
+        .drop("__W")
+    )

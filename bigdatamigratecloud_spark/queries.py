@@ -2528,6 +2528,33 @@ def n5_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "lang", "strat_rank")
 
 
+def _n5_weighted_sample_oracle() -> str:
+    from .operators.sampling import hash_unit_draw_sql
+
+    u = hash_unit_draw_sql("doc_id", "wsamp")
+    return f"""WITH tot AS (SELECT CAST(SUM(CAST(n_chars AS DECIMAL(18,6)))
+                                        AS DOUBLE) AS W FROM documents)
+       SELECT doc_id, source, n_chars FROM documents, tot
+       WHERE {u} * W < 50.0 * CAST(n_chars AS DOUBLE)"""
+
+
+@query("n5_weighted_sample", _n5_weighted_sample_oracle())
+def n5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: weight-proportional Poisson sample, expected 50 documents
+    drawn with probability proportional to length (importance sampling
+    for corpus mixtures — long/high-quality docs drawn more often).
+    The draw is a NUMERIC portable hash (md5 prefix as an integer), so
+    the per-row threshold can depend on the row's own weight and the
+    oracle still replays the exact selected set via digit-expansion
+    SQL.  One total-weight aggregate broadcast as a 1-row frame + a
+    narrow filter folded into the scan — the data itself never
+    shuffles."""
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", target_n=50.0)
+
+
 @query(
     "w2b_approx_percentiles_bounded",
     """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound

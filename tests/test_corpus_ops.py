@@ -392,3 +392,27 @@ def test_hot_span_scrub_full_doc_removal_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    """weighted_sample: zero-weight rows are never drawn, a dominating
+    weight is always drawn, inclusion is partition-invariant, and the
+    realized size is near the target for uniform weights."""
+    from bigdatamigratecloud_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10.0) for i in range(1000)] + [(5000, 0.0), (5001, 100000.0)]
+    df = spark.createDataFrame(rows, "doc_id: long, w: double")
+    out = weighted_sample(df, "doc_id", "w", target_n=100.0)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 5000 not in ids            # zero weight: probability 0
+    assert 5001 in ids                # ~9x the total: probability 1
+    # W = 110000, so each uniform row has p = 100*10/110000 ~= 0.0091:
+    # expected ~9.1 of 1000, binomial 3 sigma ~= 9
+    n_uniform = len(ids - {5001})
+    assert 1 <= n_uniform <= 19, n_uniform
+
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(17), "doc_id", "w", target_n=100.0).collect()
+    }
+    assert ids == ids2
