@@ -347,3 +347,40 @@ def weighted_sample(
         .filter(u * F.col("__W") < F.lit(float(target_n)) * F.col(weight_col).cast("double"))
         .drop("__W")
     )
+
+
+def standardize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score ((x - mean) / sample-std) — feature
+    normalization before mixing heterogeneous sources (a length or
+    quality threshold that is fair across sources must be relative to
+    each source's own distribution).  Groups with n < 2 or zero
+    variance yield NULL.
+
+    Cross-engine exactness: moments aggregate as DECIMAL (order-
+    independent), and mean/variance are then a FIXED sequence of IEEE
+    double ops (sqrt is correctly rounded per IEEE-754, so it is safe —
+    unlike ln/pow, which are libm-specific); the oracle replays the
+    identical expression.  One aggregation shuffle; the per-row join
+    back broadcasts the groups-sized stats frame."""
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("__s"),
+        F.sum(
+            (F.col(value_col).cast("decimal(28,6)") * F.col(value_col).cast("decimal(28,6)"))
+        ).alias("__ss"),
+    )
+    enriched = df.join(F.broadcast(stats), group_col)
+    m = F.col("__s").cast("double") / F.col("__n").cast("double")
+    var = (
+        F.col("__ss").cast("double") - F.col("__s").cast("double") * m
+    ) / (F.col("__n").cast("double") - F.lit(1.0))
+    z = F.when(
+        (F.col("__n") > 1) & (var > 0),
+        (F.col(value_col).cast("double") - m) / F.sqrt(var),
+    )
+    return enriched.withColumn(out, z).drop("__n", "__s", "__ss")

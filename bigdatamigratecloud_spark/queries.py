@@ -2556,6 +2556,44 @@ def n5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_zscore_features",
+    """WITH st AS (
+         SELECT source, COUNT(*) AS n,
+                SUM(CAST(n_chars AS DECIMAL(28,6))) AS s,
+                SUM(CAST(n_chars AS DECIMAL(28,6))
+                    * CAST(n_chars AS DECIMAL(28,6))) AS ss
+         FROM documents GROUP BY source)
+       SELECT d.doc_id, d.source,
+              CASE WHEN st.n > 1
+                        AND (CAST(st.ss AS DOUBLE)
+                             - CAST(st.s AS DOUBLE)
+                               * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                            / (CAST(st.n AS DOUBLE) - 1.0) > 0
+                   THEN (CAST(d.n_chars AS DOUBLE)
+                         - CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE))
+                        / sqrt((CAST(st.ss AS DOUBLE)
+                                - CAST(st.s AS DOUBLE)
+                                  * (CAST(st.s AS DOUBLE) / CAST(st.n AS DOUBLE)))
+                               / (CAST(st.n AS DOUBLE) - 1.0))
+              END AS zscore
+       FROM documents d JOIN st ON d.source = st.source""",
+)
+def n5_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: per-source z-score of document length — feature
+    normalization so a length/quality threshold is fair RELATIVE to
+    each source's own distribution before mixing heterogeneous
+    sources.  Moments aggregate in exact decimal; mean/variance/sqrt
+    are a fixed IEEE sequence (sqrt is correctly rounded, unlike
+    ln/pow), so the oracle replays the scores bit-for-bit.  One
+    aggregation shuffle + a broadcast of the groups-sized stats."""
+    from .operators.sampling import standardize_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = standardize_by_group(docs, "source", "n_chars")
+    return out.select("doc_id", "source", "zscore")
+
+
+@query(
     "w2b_approx_percentiles_bounded",
     """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

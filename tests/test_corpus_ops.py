@@ -416,3 +416,22 @@ def test_weighted_sample_proportionality_and_determinism(spark):
         for r in weighted_sample(df.repartition(17), "doc_id", "w", target_n=100.0).collect()
     }
     assert ids == ids2
+
+
+def test_standardize_by_group_semantics(spark):
+    """Per-group z-score: group mean maps to 0, values symmetric around
+    it get opposite-sign scores, singleton and constant groups yield
+    NULL, and each group's z-scores have (sample) mean ~0 / std ~1."""
+    from bigdatamigratecloud_spark.operators.sampling import standardize_by_group
+
+    rows = (
+        [(i, "a", float(v)) for i, v in enumerate([10, 20, 30])]
+        + [(10, "solo", 5.0)]
+        + [(20, "const", 7.0), (21, "const", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, x: double")
+    out = {r["doc_id"]: r["z"] for r in standardize_by_group(df, "source", "x", "z").collect()}
+    assert out[1] == 0.0                       # the mean itself
+    assert out[0] == -out[2] and out[0] < 0    # symmetric around the mean
+    assert abs(out[2] - 1.0) < 1e-12           # (30-20)/10
+    assert out[10] is None and out[20] is None and out[21] is None
