@@ -92,9 +92,17 @@ def apply_staged_table(
     spec: PackageSpec | None = None,
     parents: dict[str, DataFrame] | None = None,
     skip_validation: bool = False,
+    acid: bool = False,
 ) -> TableResult:
     """Validate -> quarantine split -> pivot -> FK pass -> write.
-    Mirrors ApplyConfigTables (XML:527) + validation (XML:774-785)."""
+    Mirrors ApplyConfigTables (XML:527) + validation (XML:774-785).
+
+    ``acid=True`` lands the table as an :class:`AcidTable` instead of
+    plain parquet: first import creates version 0, a RE-import MERGEs
+    on the PK (the reference's replace-matching-rows semantics,
+    XML:440-451) as one atomic commit — readers of the previous version
+    are never torn, which is the isolation the reference inherits from
+    SQL Server and plain parquet overwrite cannot give."""
     ts = None
     if spec is not None:
         try:
@@ -137,11 +145,29 @@ def apply_staged_table(
             n_viol = int(sum(r["violations"] for r in counts))
 
         path = os.path.join(target_dir, table_name)
-        mode = "overwrite"  # X5: Delete Recs Before Processing parity
         pk = list(PRIMARY_KEYS.get(table_name, ())) or None
-        apply_to_target(wide, path, mode=mode, pk_cols=pk)
+        if acid:
+            from ..sources.acid_table import AcidTable
+
+            t = AcidTable(spark, path)
+            if t.latest_version() is None:
+                AcidTable.create(spark, path, wide, key_cols=pk or [])
+            elif pk:
+                from ..operators.upsert import dedup_by_pk
+
+                # merge rejects duplicate-PK deltas; catalog PKs are not
+                # guaranteed unique in the wild (the driver's lineitem!),
+                # so apply the reference's replace-matching-rows rule:
+                # last-write-wins within the package (A7 dedup first)
+                t.merge(dedup_by_pk(wide, pk), pk)
+            else:
+                t.overwrite(wide)
+            n_rows = AcidTable(spark, path).snapshot().count()
+        else:
+            mode = "overwrite"  # X5: Delete Recs Before Processing parity
+            apply_to_target(wide, path, mode=mode, pk_cols=pk)
+            n_rows = spark.read.parquet(path).count()
         n_quar = quar.count()
-        n_rows = spark.read.parquet(path).count()
         return TableResult(table_name, n_rows, n_quar, n_viol, path, mc_requests)
     finally:
         wide.unpersist()
@@ -156,6 +182,7 @@ def run_import(
     expected_package_code: str | None = None,
     max_workers: int = 4,
     reporter=None,
+    acid: bool = False,
 ) -> MigrationReport:
     """Full §3.1: package -> staging -> per-rank parallel apply with
     barriers.  Unknown tables become error records, not exceptions
@@ -183,7 +210,8 @@ def run_import(
                 reporter.on_table_start(t, rank_no)
             try:
                 res = apply_staged_table(
-                    spark, known[t], schemas[t], t, target_dir, spec, parents=applied
+                    spark, known[t], schemas[t], t, target_dir, spec,
+                    parents=applied, acid=acid,
                 )
             except Exception as e:  # noqa: BLE001
                 # one failing table becomes an error RECORD, not an aborted
@@ -199,7 +227,12 @@ def run_import(
         # barrier (X2): rank fully applied before children start
         for r in results:
             report.tables[r.table_name] = r
-            applied[r.table_name] = spark.read.parquet(r.target_path)
+            if acid:
+                from ..sources.acid_table import AcidTable
+
+                applied[r.table_name] = AcidTable(spark, r.target_path).snapshot()
+            else:
+                applied[r.table_name] = spark.read.parquet(r.target_path)
         # resolve create-missing-codes AFTER the barrier, single-threaded:
         # two same-rank children adding codes to the same parent chain
         # sequentially instead of racing, and the new parent rows are
@@ -223,8 +256,15 @@ def run_import(
                 continue  # parent not part of this import run
             # lineage of the updated frame reads the file being overwritten
             updated = applied[pt].localCheckpoint()
-            updated.write.mode("overwrite").parquet(prev.target_path)
-            applied[pt] = spark.read.parquet(prev.target_path)
+            if acid:
+                from ..sources.acid_table import AcidTable
+
+                t = AcidTable(spark, prev.target_path)
+                t.overwrite(updated)
+                applied[pt] = t.snapshot()
+            else:
+                updated.write.mode("overwrite").parquet(prev.target_path)
+                applied[pt] = spark.read.parquet(prev.target_path)
             prev.rows_applied = applied[pt].count()
     if reporter is not None:
         reporter.on_package_finish()

@@ -140,3 +140,50 @@ def test_schema_drift_merge_read(spark, tmp_path):
     assert {f.name for f in df.schema.fields} == {"id", "x", "y"}
     rows = {r["id"]: (r["x"], r["y"]) for r in df.collect()}
     assert rows == {1: ("a", None), 2: ("b", 5.0)}
+
+
+def test_pipeline_acid_apply_and_transactional_reimport(spark, sf_dir, tmp_path):
+    """acid=True lands pipeline targets as AcidTables: first import
+    creates version 0, a RE-import of the same package MERGEs as one
+    atomic commit (version bumps, counts stable — the reference's
+    replace-matching-rows re-import, XML:440-451), and a reader that
+    resolved the pre-reimport snapshot is never torn."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.plans.pipeline import run_import
+    from bigdatamigratecloud_spark.plans.spec import FieldSpec, PackageSpec, TableSpec
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.sources.xml_package import export_package_xml
+
+    names = ("region", "nation")
+    dfs = {t: load_table(spark, sf_dir, t) for t in names}
+    spec = PackageSpec(
+        package_code="ACID",
+        tables=[
+            TableSpec(table_name=t, fields=[FieldSpec(field_name=c) for c in dfs[t].columns])
+            for t in names
+        ],
+    )
+    pkg = str(tmp_path / "acid.rapidstart")
+    export_package_xml(spark, spec, sf_dir, pkg)
+    tgt = str(tmp_path / "tgt")
+    schemas = {t: dfs[t].schema for t in names}
+
+    rep1 = run_import(spark, pkg, tgt, schemas, spec, expected_package_code="ACID", acid=True)
+    for t in names:
+        at = AcidTable(spark, f"{tgt}/{t}")
+        assert at.latest_version() == 0
+        assert at.snapshot().count() == dfs[t].count()
+        assert rep1.tables[t].rows_applied == dfs[t].count()
+
+    # reader resolves the v0 snapshot BEFORE the re-import
+    pre = AcidTable(spark, f"{tgt}/nation").snapshot()
+
+    rep2 = run_import(spark, pkg, tgt, schemas, spec, expected_package_code="ACID", acid=True)
+    for t in names:
+        at = AcidTable(spark, f"{tgt}/{t}")
+        assert at.latest_version() == 1
+        assert at._read_manifest(1)["operation"] == "merge"
+        assert at.snapshot().count() == dfs[t].count()  # replace, not append
+        assert rep2.tables[t].rows_applied == dfs[t].count()
+    # pre-reimport reader still sees a consistent v0
+    assert pre.count() == dfs["nation"].count()
