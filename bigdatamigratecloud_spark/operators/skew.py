@@ -118,12 +118,19 @@ def frequent_keys(
         )
     support = min(0.99, support_needed)
     items = list(df.stat.freqItems([key_col], support=support).first()[0])
-    if not items:
-        return (
-            df.select(F.col(key_col), F.lit(0).cast("long").alias(out_cnt)).limit(0)
-        )
+    # NULL is a countable key under GROUP BY (the fallback path reports
+    # it), but `isin(items)` never matches NULL rows — and whether the
+    # sketch surfaces a None candidate at all is an implementation
+    # detail.  Recount the NULL group unconditionally: it adds one group
+    # to the bounded recount, and the exact >= threshold filter drops it
+    # when it is not actually heavy, so the guarantee stays symmetric
+    # with the small-N fallback.
+    non_null = [i for i in items if i is not None]
+    pred = F.col(key_col).isNull()
+    if non_null:
+        pred = F.col(key_col).isin(non_null) | pred
     return (
-        df.filter(F.col(key_col).isin(items))
+        df.filter(pred)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias(out_cnt))
         .filter(F.col(out_cnt) >= threshold)

@@ -98,11 +98,15 @@ def apply_staged_table(
     Mirrors ApplyConfigTables (XML:527) + validation (XML:774-785).
 
     ``acid=True`` lands the table as an :class:`AcidTable` instead of
-    plain parquet: first import creates version 0, a RE-import MERGEs
-    on the PK (the reference's replace-matching-rows semantics,
-    XML:440-451) as one atomic commit — readers of the previous version
-    are never torn, which is the isolation the reference inherits from
-    SQL Server and plain parquet overwrite cannot give."""
+    plain parquet: first import creates version 0, a RE-import REPLACES
+    the table contents as one atomic commit — the same X5
+    delete-before-processing contents the plain-parquet path produces
+    (a row removed from a re-imported package is removed from the
+    target), but readers of the previous version are never torn, which
+    is the isolation the reference inherits from SQL Server and plain
+    parquet overwrite cannot give.  Incremental upsert-only loads (keep
+    rows absent from the delta) are :meth:`AcidTable.merge`, outside
+    the package-re-import path."""
     ts = None
     if spec is not None:
         try:
@@ -152,16 +156,20 @@ def apply_staged_table(
             t = AcidTable(spark, path)
             if t.latest_version() is None:
                 AcidTable.create(spark, path, wide, key_cols=pk or [])
-            elif pk:
-                from ..operators.upsert import dedup_by_pk
-
-                # merge rejects duplicate-PK deltas; catalog PKs are not
-                # guaranteed unique in the wild (the driver's lineitem!),
-                # so apply the reference's replace-matching-rows rule:
-                # last-write-wins within the package (A7 dedup first)
-                t.merge(dedup_by_pk(wide, pk), pk)
             else:
-                t.overwrite(wide)
+                body = wide
+                if pk:
+                    from ..operators.upsert import dedup_by_pk
+
+                    # catalog PKs are not guaranteed unique in the wild
+                    # (the driver's lineitem!), so apply the reference's
+                    # replace-matching-rows rule within the package:
+                    # last-write-wins (A7 dedup first)
+                    body = dedup_by_pk(wide, pk)
+                # atomic REPLACE, not MERGE: X5 parity with the plain
+                # path — rows absent from the re-imported package must
+                # not survive in the target
+                t.overwrite(body)
             n_rows = AcidTable(spark, path).snapshot().count()
         else:
             mode = "overwrite"  # X5: Delete Recs Before Processing parity

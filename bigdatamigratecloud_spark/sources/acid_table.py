@@ -249,22 +249,39 @@ class AcidTable:
         over a Z-ordered 100 TB table opens a handful of files, while
         the same predicate on a linearly-sorted layout reads everything
         for any non-leading column."""
+        from pyspark.sql.types import StructType as _ST
+
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._read_manifest(v)
+        # normalize each predicate bound to the COLUMN's granularity
+        # before the ISO-string compare: a datetime bound on a date
+        # column ('1997-01-01T00:00:00' vs file stat '1997-01-01') is
+        # lexically larger than a stat it chronologically equals, which
+        # would prune a file whose rows match the bound at midnight
+        col_types = {
+            f.name: f.dataType.simpleString() for f in _ST.fromJson(m["schema"]).fields
+        }
+        bounds = {
+            col: (
+                _prune_bound(lo, col_types.get(col)),
+                _prune_bound(hi, col_types.get(col)),
+            )
+            for col, (lo, hi) in ranges.items()
+        }
         kept = []
         for e in m["files"]:
             hit = True
-            for col, (lo, hi) in ranges.items():
+            for col, (lo, hi) in bounds.items():
                 s = e["stats"].get(col)
                 if s is None or s["min"] is None:
                     continue  # no stats: cannot exclude
                 smin, smax = _range_scalar(s["min"]), _range_scalar(s["max"])
-                if lo is not None and smax < _range_scalar(lo):
+                if lo is not None and smax < lo:
                     hit = False
                     break
-                if hi is not None and smin > _range_scalar(hi):
+                if hi is not None and smin > hi:
                     hit = False
                     break
             if hit:
@@ -759,6 +776,36 @@ class AcidTable:
                 except FileNotFoundError:
                     pass
         return sorted(deleted)
+
+
+def _prune_bound(v, col_type: str | None):
+    """Normalize a scan() predicate bound to the granularity its column's
+    manifest stats use, so the conservative-prune string compare stays
+    sound across date/datetime mixes:
+
+    - date column + datetime bound -> truncate the bound to the date.
+      Sound for both directions: all rows <= smax < date(lo) implies
+      every row (compared at midnight) < lo; and date rows > date(hi)
+      are, at midnight, > hi.
+    - timestamp column + date bound -> extend to 'T00:00:00' (how Spark
+      itself coerces a date literal against a timestamp column), so a
+      file whose min is exactly midnight is not pruned against an
+      equal date upper bound.
+
+    String columns are left alone — for them the full lexical compare IS
+    the predicate semantics."""
+    import re
+
+    s = _range_scalar(v)
+    if not isinstance(s, str) or col_type is None:
+        return s
+    if col_type == "date" and re.match(r"^\d{4}-\d{2}-\d{2}[T ]", s):
+        return s[:10]
+    if col_type in ("timestamp", "timestamp_ntz") and re.fullmatch(
+        r"\d{4}-\d{2}-\d{2}", s
+    ):
+        return s + "T00:00:00"
+    return s
 
 
 def _range_scalar(v):

@@ -562,3 +562,45 @@ def test_change_feed_spans_schema_evolution(spark, tmp_path):
     pre = t.changes(0, 2)
     assert "score" not in pre.columns
     assert pre.where("_change_type = 'update_postimage'").first()["v"] == -1
+
+
+def test_scan_prune_mixed_date_granularity_is_sound(spark, tmp_path):
+    """Prune bounds are normalized to the column's stats granularity:
+    a datetime bound on a DATE column ('1997-01-01T00:00:00' vs stat
+    '1997-01-01') must not lexically out-compare the stat and prune a
+    file whose rows equal the bound at midnight; symmetrically a DATE
+    bound on a TIMESTAMP column must not prune a file whose min is
+    exactly midnight of that date."""
+    import datetime
+
+    from pyspark.sql.types import StructType
+
+    # ---- date column, datetime bound
+    days = spark.sql(
+        "SELECT id, date_add(DATE'1997-01-01', CAST(id AS INT)) AS d "
+        "FROM range(0, 200)"
+    ).repartitionByRange(4, "d")
+    t = AcidTable.create(spark, str(tmp_path / "dt"), days, key_cols=["d"])
+    lo = datetime.datetime(1997, 1, 1, 0, 0, 0)  # midnight of the min date
+    df, info = t.scan({"d": (lo, None)})
+    assert df.count() == 200  # every row >= midnight of day 0
+    assert info["files_read"] == info["files_total"]  # nothing pruned
+    # upper datetime bound at midnight of the LAST date keeps that file
+    hi = datetime.datetime(1997, 7, 19, 0, 0, 0)  # == date of id 199
+    df2, info2 = t.scan({"d": (None, hi)})
+    assert df2.count() == 200
+
+    # ---- timestamp column, date bound
+    ts = spark.sql(
+        "SELECT id, timestampadd(HOUR, CAST(id AS INT) * 12, "
+        "TIMESTAMP'1997-01-01 00:00:00') AS ts FROM range(0, 200)"
+    ).repartitionByRange(4, "ts")
+    t2 = AcidTable.create(spark, str(tmp_path / "tt"), ts, key_cols=["ts"])
+    hi_d = datetime.date(1997, 1, 1)  # only id 0 (midnight) and id 1 (noon)... noon > midnight
+    df3, _ = t2.scan({"ts": (None, hi_d)})
+    # rows <= 1997-01-01T00:00:00: exactly the id-0 midnight row
+    assert df3.count() == 1
+    lo_d = datetime.date(1997, 1, 1)
+    df4, info4 = t2.scan({"ts": (lo_d, None)})
+    assert df4.count() == 200
+    assert info4["files_read"] == info4["files_total"]

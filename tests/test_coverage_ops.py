@@ -144,10 +144,11 @@ def test_schema_drift_merge_read(spark, tmp_path):
 
 def test_pipeline_acid_apply_and_transactional_reimport(spark, sf_dir, tmp_path):
     """acid=True lands pipeline targets as AcidTables: first import
-    creates version 0, a RE-import of the same package MERGEs as one
-    atomic commit (version bumps, counts stable — the reference's
-    replace-matching-rows re-import, XML:440-451), and a reader that
-    resolved the pre-reimport snapshot is never torn."""
+    creates version 0, a RE-import of the same package REPLACES the
+    contents as one atomic commit (version bumps, counts stable, stale
+    rows absent from the package dropped — X5 parity with the plain
+    path), and a reader that resolved the pre-reimport snapshot is
+    never torn."""
     from bigdatamigratecloud_spark.catalog import load_table
     from bigdatamigratecloud_spark.plans.pipeline import run_import
     from bigdatamigratecloud_spark.plans.spec import FieldSpec, PackageSpec, TableSpec
@@ -178,12 +179,19 @@ def test_pipeline_acid_apply_and_transactional_reimport(spark, sf_dir, tmp_path)
     # reader resolves the v0 snapshot BEFORE the re-import
     pre = AcidTable(spark, f"{tgt}/nation").snapshot()
 
+    # plant a stale row the re-imported package does not contain: X5
+    # delete-before-processing parity requires the re-import to drop it
+    nat = AcidTable(spark, f"{tgt}/nation")
+    stale = spark.createDataFrame([(9999, "STALEROW", 0)], dfs["nation"].schema)
+    nat.append(stale)
+
     rep2 = run_import(spark, pkg, tgt, schemas, spec, expected_package_code="ACID", acid=True)
     for t in names:
         at = AcidTable(spark, f"{tgt}/{t}")
-        assert at.latest_version() == 1
-        assert at._read_manifest(1)["operation"] == "merge"
+        assert at._read_manifest(at.latest_version())["operation"] == "overwrite"
         assert at.snapshot().count() == dfs[t].count()  # replace, not append
         assert rep2.tables[t].rows_applied == dfs[t].count()
+    post = AcidTable(spark, f"{tgt}/nation").snapshot()
+    assert post.filter("n_nationkey = 9999").count() == 0  # stale row gone
     # pre-reimport reader still sees a consistent v0
     assert pre.count() == dfs["nation"].count()

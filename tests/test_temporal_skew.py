@@ -273,6 +273,26 @@ def test_frequent_keys_exact_vs_full_groupby(spark):
     assert none.columns == ["k", "cnt"]
 
 
+def test_frequent_keys_null_heavy_hitter(spark):
+    """A NULL key holding >= min_frac of the rows must be reported by the
+    sketch path exactly like the small-N fallback reports it: isin()
+    never matches NULL rows, so the recount filter carries an explicit
+    isNull() arm.  Also pins the symmetric case — a NULL group BELOW
+    the threshold stays excluded (the exact recount drops it)."""
+    from bigdatamigratecloud_spark.operators.skew import frequent_keys
+
+    rows = [(None,)] * 600 + [(f"tail{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k: string").repartition(16)
+    got = {(r["k"], r["cnt"]) for r in frequent_keys(df, "k", 0.5).collect()}
+    assert got == {(None, 600)}
+
+    # NULL present but light: must NOT appear
+    rows2 = [("hot",)] * 600 + [(None,)] * 50 + [(f"t{i}",) for i in range(350)]
+    df2 = spark.createDataFrame(rows2, "k: string").repartition(16)
+    got2 = {(r["k"], r["cnt"]) for r in frequent_keys(df2, "k", 0.5).collect()}
+    assert got2 == {("hot", 600)}
+
+
 def test_resample_gapfill_fills_every_bucket(spark, sf_dir):
     """Gap-fill on the REAL events parquet (NTZ fixture path): the dense
     axis is contiguous per group (bucket deltas exactly 1 hour), filled
