@@ -16,9 +16,11 @@ scan dominates either.)
 Scale design:
 - split/mixture: pure narrow maps — no shuffle at all, any filter on the
   assigned split pushes into the same stage as the scan;
-- packing: a distributed two-phase prefix sum (per-shard window + one
-  tiny broadcast of shard offsets) — NO global single-partition window,
-  which is the classic scale-killer in naive cumsum formulations.
+- packing: a distributed HIERARCHICAL prefix sum (per-shard windows,
+  with the per-shard totals recursing through parent-partitioned
+  windows, log-depth) — no global single-partition window, and no
+  broadcast of any frame that grows with the corpus: the classic
+  scale-killers in naive cumsum formulations.
 """
 
 from __future__ import annotations
@@ -100,25 +102,92 @@ def weighted_mixture_sample(
     return df.filter(expr)
 
 
+def _prefix_offsets(
+    totals: DataFrame,
+    shard_col: str,
+    tot_col: str,
+    out: str,
+    fanout: int,
+    max_shard: int,
+    _level: int = 0,
+) -> DataFrame:
+    """Exclusive prefix sum over a per-shard totals frame, HIERARCHICAL:
+    each level's window partitions by the parent shard (key // fanout)
+    and the per-parent totals recurse, until the surviving frame is
+    bounded by ``fanout`` rows — only THAT window runs unpartitioned,
+    over a frame whose size is a fixed constant, never proportional to
+    the data.  Depth is ceil(log_fanout(max_shard)) — 3 levels at
+    fanout 4096 already cover ~7e10 shards — so no stage anywhere in
+    the tree exceeds ``fanout`` rows per task.
+
+    This removes the two scale hazards of the flat formulation (one
+    global unpartitioned window over n/shard_size rows, plus a forced
+    broadcast of that frame): every join here is a plain equi-join on
+    the shard key, left to AQE to broadcast when genuinely small."""
+    if max_shard < fanout:
+        # bounded base case: <= fanout rows.  Partition by the parent
+        # expression — provably single-valued here (shards are
+        # non-negative and < fanout, so shard//fanout == 0 for every
+        # row) — rather than leaving the spec empty: execution is the
+        # same single tiny partition, but the plan carries no
+        # unpartitioned window, so Spark's "No Partition Defined" scale
+        # warning never fires for a stage that is bounded by design.
+        # (A literal partition key would be constant-folded away.)
+        w = (
+            Window.partitionBy((F.col(shard_col) / F.lit(fanout)).cast("long"))
+            .orderBy(shard_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return totals.withColumn(
+            out, F.coalesce(F.sum(tot_col).over(w), F.lit(0)).cast("long")
+        )
+    p, ploc, ptot, poff = (
+        f"__p{_level}",
+        f"__ploc{_level}",
+        f"__ptot{_level}",
+        f"__poff{_level}",
+    )
+    w_in = (
+        Window.partitionBy(p)
+        .orderBy(shard_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = totals.withColumn(
+        p, (F.col(shard_col) / F.lit(fanout)).cast("long")
+    ).withColumn(ploc, F.coalesce(F.sum(tot_col).over(w_in), F.lit(0)).cast("long"))
+    parent_totals = local.groupBy(p).agg(F.sum(tot_col).cast("long").alias(ptot))
+    parent_offsets = _prefix_offsets(
+        parent_totals, p, ptot, poff, fanout, max_shard // fanout, _level + 1
+    )
+    return (
+        local.join(parent_offsets.select(p, poff), p)
+        .withColumn(out, (F.col(ploc) + F.col(poff)).cast("long"))
+        .drop(p, ploc, poff)
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     order_col: str,
     value_col: str,
     out: str = "running",
     shard_size: int = 4096,
+    max_key: int | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of `value_col` in `order_col` order, computed
     DISTRIBUTED: a window inside each contiguous shard of the key space
-    plus one broadcast join of cumulative shard offsets.  Equivalent to
+    plus a HIERARCHICAL prefix sum of the per-shard totals (see
+    :func:`_prefix_offsets`).  Equivalent to
     ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING ... 1 PRECEDING)``
-    but without the single-partition global window that formulation
-    plans.
+    but with no single-partition window (and no broadcast) over any
+    frame that grows with the data: the only unpartitioned stage is the
+    top of the offsets tree, bounded by ``shard_size`` rows regardless
+    of corpus size.
 
-    Sizing note: the offsets table has one row per OCCUPIED shard, i.e.
-    ~n_rows/shard_size for dense keys.  For sparse keys (hash-derived
-    ids) pick shard_size so that (key_range / shard_size) stays
-    broadcast-sized, or densify with a rank first — a shard per row
-    degenerates the broadcast into the full table."""
+    ``max_key`` sizes the tree depth; when None it is computed with one
+    cheap column-pruned ``max()`` job over ``df`` at plan-build time —
+    pass it explicitly to keep the builder lazy (an overestimate only
+    deepens the tree by empty levels)."""
     numeric = {"tinyint", "smallint", "int", "bigint"}
     if dict(df.dtypes).get(order_col) not in numeric:
         # a NULL __shard (string id cast to long) silently drops rows at
@@ -127,6 +196,20 @@ def global_running_sum(
             f"global_running_sum needs an integral order column; "
             f"{order_col!r} is {dict(df.dtypes).get(order_col)!r}"
         )
+    if max_key is None:
+        b = df.agg(
+            F.max(F.col(order_col).cast("long")).alias("mx"),
+            F.min(F.col(order_col).cast("long")).alias("mn"),
+        ).first()
+        if b["mn"] is not None and b["mn"] < 0:
+            # the offsets tree's bounded base case relies on shard ids
+            # being non-negative (shard // fanout == 0 there); negative
+            # keys would silently split that partition
+            raise ValueError(
+                f"global_running_sum needs non-negative keys; "
+                f"min({order_col}) = {b['mn']}"
+            )
+        max_key = 0 if b["mx"] is None else int(b["mx"])
     shard = (F.col(order_col).cast("long") / F.lit(shard_size)).cast("long")
     w_in = (
         Window.partitionBy("__shard")
@@ -139,14 +222,11 @@ def global_running_sum(
     shard_totals = (
         local.groupBy("__shard").agg(F.sum(value_col).cast("long").alias("__tot"))
     )
-    w_sh = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
-    # the offsets table has ONE ROW PER SHARD (corpus_size/shard_size —
-    # thousands, not billions), so its global window is trivially small
-    offsets = shard_totals.withColumn(
-        "__off", F.coalesce(F.sum("__tot").over(w_sh), F.lit(0)).cast("long")
+    offsets = _prefix_offsets(
+        shard_totals, "__shard", "__tot", "__off", shard_size, max_key // shard_size
     ).select("__shard", "__off")
     return (
-        local.join(F.broadcast(offsets), "__shard")
+        local.join(offsets, "__shard")
         .withColumn(out, (F.col("__local") + F.col("__off")).cast("long"))
         .drop("__shard", "__local")
     )
@@ -170,16 +250,25 @@ def pack_bins(
     per SHARD of the id space (`id // shard_size`) as an Arrow-batched
     ``applyInPandas`` kernel — each shard's recursion is a few hundred
     rows of driver-free pandas — and shard-local bin numbers flatten to
-    global ones with the same broadcast prefix-sum used by
-    ``global_running_sum``.  Bins never span shards by construction,
-    which is exactly what makes the op parallel; the oracle replays the
-    identical per-shard recursion."""
+    global ones with the hierarchical prefix sum of
+    :func:`_prefix_offsets` (the per-shard bin counts recurse through
+    parent-partitioned windows, so no unpartitioned window or broadcast
+    ever sees a frame proportional to corpus size, even though the
+    greedy kernel keeps ``shard_size`` small).  Bins never span shards
+    by construction, which is exactly what makes the op parallel; the
+    oracle replays the identical per-shard recursion.  The tree depth
+    comes from one cheap ``max(id)`` scan of the input — the kernel
+    itself is never run twice."""
     shard = (F.col(id_col).cast("long") / F.lit(shard_size)).cast("long")
     toks = df.select(
         F.col(id_col),
         n_tokens_col.cast("long").alias("n_tokens"),
         shard.alias("__shard"),
     )
+    b = toks.agg(F.max("__shard").alias("mx"), F.min("__shard").alias("mn")).first()
+    if b["mn"] is not None and b["mn"] < 0:
+        raise ValueError(f"pack_bins needs non-negative ids; min shard = {b['mn']}")
+    max_shard = 0 if b["mx"] is None else int(b["mx"])
 
     def kernel(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -202,13 +291,17 @@ def pack_bins(
     packed = toks.groupBy("__shard").applyInPandas(
         kernel, f"{id_col} long, n_tokens long, __shard long, local_bin long"
     )
-    counts = packed.groupBy("__shard").agg((F.max("local_bin") + 1).alias("__nb"))
-    w = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
-    offs = counts.withColumn(
-        "__off", F.coalesce(F.sum("__nb").over(w), F.lit(0)).cast("long")
+    counts = packed.groupBy("__shard").agg(
+        (F.max("local_bin") + 1).cast("long").alias("__nb")
+    )
+    # hierarchical offsets with a WIDE fanout: the greedy kernel wants a
+    # small shard_size, but the offsets tree can fan 4096× per level —
+    # depth stays logarithmic and every window stage is partitioned
+    offs = _prefix_offsets(
+        counts, "__shard", "__nb", "__off", 4096, max_shard
     ).select("__shard", "__off")
     return (
-        packed.join(F.broadcast(offs), "__shard")
+        packed.join(offs, "__shard")
         .select(
             id_col,
             "n_tokens",

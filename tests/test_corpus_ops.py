@@ -111,19 +111,72 @@ def test_global_running_sum_matches_global_window(spark, sf_dir):
     }
 
 
+def _window_partition_counts(df):
+    """For every windowspecdefinition in the physical plan, the number
+    of partition columns (0 = unpartitioned global window)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    counts = []
+    for mtch in re.finditer(r"windowspecdefinition\(", plan):
+        depth, i = 1, mtch.end()
+        args, start = [], mtch.end()
+        while depth and i < len(plan):
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[start:i])
+            elif c == "," and depth == 1:
+                args.append(plan[start:i])
+                start = i + 1
+            i += 1
+        n_part = sum(
+            1
+            for a in args
+            if " ASC" not in a and " DESC" not in a and "windowframe" not in a
+        )
+        counts.append(n_part)
+    return counts
+
+
 def test_global_running_sum_plan_has_no_global_window(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("long").alias("v")
     )
-    plan = (
+    parts = _window_partition_counts(
         global_running_sum(docs, "doc_id", "v", shard_size=64)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
     )
-    # shard-local windows partition by __shard; the only unpartitioned
-    # window runs over the tiny per-shard offsets table
-    assert "__shard" in plan
+    # EVERY window is partitioned: shard-local ones by __shard, the
+    # recursion levels by the parent shard, and the bounded top by an
+    # explicit constant (single tiny partition by design)
+    assert parts and parts.count(0) == 0
+
+
+def test_global_running_sum_hierarchical_depth_and_exactness(spark):
+    """With a tiny fanout the offsets recursion goes several levels deep:
+    every level's window must be PARTITIONED (by the parent shard) except
+    the constant-bounded top, and the result must still be the exact
+    exclusive prefix sum — including over sparse (gappy) key spaces."""
+    rows = [(i * 7, i % 13 + 1) for i in range(1200)]  # sparse ids, gaps of 7
+    df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+    got = global_running_sum(df, "id", "v", out="run", shard_size=4)
+    # max_key = 8393 -> max_shard = 2098 -> 5 recursion levels at fanout 4
+    parts = _window_partition_counts(got)
+    assert len(parts) >= 5  # data level + a genuinely multi-level tree
+    assert parts.count(0) == 0  # no unpartitioned window anywhere
+    acc, want = 0, {}
+    for i, v in rows:
+        want[i] = acc
+        acc += v
+    assert {(r["id"], r["run"]) for r in got.collect()} == set(want.items())
+
+    # empty input: no rows, no crash, schema intact
+    empty = spark.createDataFrame([], "id long, v long")
+    out = global_running_sum(empty, "id", "v", out="run", shard_size=4)
+    assert out.count() == 0 and "run" in out.columns
 
 
 def test_pack_chunks_invariants(spark, sf_dir):
@@ -236,6 +289,15 @@ def test_pack_bins_invariants(spark, sf_dir):
         prev_bin = r["bin"]
     for b, sizes in fills.items():
         assert sum(sizes) <= cap or len(sizes) == 1
+
+    # plan hygiene: the bin-offset flattening must not plan any
+    # unpartitioned window (the round-4 scale hazard)
+    plan_df = pack_bins(
+        load_table(spark, sf_dir, "documents"), "doc_id", F.size(tokens("text")),
+        capacity=cap, shard_size=64,
+    )
+    parts = _window_partition_counts(plan_df)
+    assert parts and parts.count(0) == 0
 
 
 def test_contamination_report_consistent_with_filter(spark, sf_dir):
