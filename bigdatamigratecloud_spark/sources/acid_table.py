@@ -12,12 +12,23 @@ PySpark:
 
 Layout::
 
-    <root>/_log/00000000000.json     # manifest for version 0
-    <root>/_log/00000000001.json     # version 1, ...
+    <root>/_log/00000000000.json        # actions for version 0
+    <root>/_log/00000000001.json        # version 1, ...
+    <root>/_log/00000000010.checkpoint/ # parquet: resolved file set @ v10
+    <root>/_log/_last_checkpoint.json   # hint {"version": 10}
     <root>/data/<commit-uuid>/part-*.parquet   # immutable data files
 
-A manifest lists the *exact* data files making up that snapshot (with
-row counts and per-file min/max stats for the table's key columns), so:
+Each manifest records the commit's ACTIONS — ``add`` (file entries with
+row counts and per-file min/max stats for the key columns) and
+``remove`` (paths), or ``reset`` for full-replace commits — so a
+commit's log record is sized by what the commit TOUCHED, never by the
+table.  Every ``checkpoint_interval`` commits the resolved file set is
+compacted into a parquet checkpoint; readers resolve a snapshot from
+the nearest checkpoint (or reset) plus the bounded manifest tail, and
+the pruning paths (``scan`` stats-skipping, ``merge`` file probing,
+``changes`` diffing) run as Spark jobs over that entries frame,
+collecting only survivors/hits — at 10^6 files the driver never
+materializes the full stats list to decide what to read.
 
 - **Atomic commit / isolation**: readers resolve the latest manifest,
   then read only the files it names.  Data files are immutable and a
@@ -27,20 +38,23 @@ row counts and per-file min/max stats for the table's key columns), so:
   version — the second ``os.link`` fails with ``FileExistsError`` and
   surfaces as :class:`ConcurrentWriteError`.  Appends rebase and retry
   (they commute); merges/overwrites do not auto-rebase.
-- **Time travel**: ``snapshot(version=N)`` reads any retained manifest.
+- **Idempotent writer transactions**: a mutator called with
+  ``txn=(app_id, batch_id)`` records the pair in the manifest (carried
+  forward cumulatively); replaying the same or an older batch for that
+  app is a NO-OP returning the current head — the exactly-once
+  contract a restarted streaming query needs (Delta's ``txn`` action).
+- **Time travel**: ``snapshot(version=N)`` reads any retained version.
 - **Copy-on-write MERGE with file pruning**: ``merge`` rewrites ONLY
   the data files whose key [min,max] range can contain a delta key;
-  every other file is carried forward by reference.  On a 100 TB table
-  with a narrow delta this touches a handful of files instead of
-  rewriting (or even reading) the table.  The probe is one aggregation
-  over the delta against the broadcast file-range list — the base is
-  not scanned at all.
-- **Vacuum**: deletes data files no retained manifest references.
-
-What is deliberately NOT here: cross-table transactions, a catalog
-service, and manifest checkpointing/compaction (at millions of commits
-the JSON log itself needs compaction — Delta's checkpoint files); the
-log format keeps that evolution open.
+  every other file is carried forward implicitly (the commit records
+  just the touched files).  When the delta's key spread would touch
+  most files anyway — where COW pruning buys nothing and its
+  fragmented rewrite loses to one clean pass (measured, BASELINE.md
+  round-4b) — merge switches automatically to a range-partitioned full
+  recompute.
+- **Vacuum**: deletes data files no retained version references (a
+  checkpoint is written at the new horizon first, so resolution never
+  needs the pruned manifests).
 """
 
 from __future__ import annotations
@@ -53,6 +67,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_ENTRY_DDL = "path string, rows long, stats string"
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_TYPES = {"float", "double"}
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -75,15 +93,19 @@ class AcidTable:
         "timestamp_ntz",
     }
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, checkpoint_interval: int = 10):
         self.spark = spark
         self.root = root
         self._log_dir = os.path.join(root, "_log")
+        self.checkpoint_interval = checkpoint_interval
 
     # ---------------------------------------------------------------- log
 
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:011d}.json")
+
+    def _checkpoint_dir(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:011d}.checkpoint")
 
     def latest_version(self) -> int | None:
         """Highest committed version, or None for a nonexistent table."""
@@ -118,6 +140,35 @@ class AcidTable:
             int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
         )
 
+    def _checkpoint_versions(self) -> list[int]:
+        """Ascending versions with a COMPLETE checkpoint on disk (the
+        Spark ``_SUCCESS`` marker guards against a crashed half-write;
+        the ``_last_checkpoint`` hint is only an optimization)."""
+        try:
+            names = os.listdir(self._log_dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.endswith(".checkpoint") and n[:-11].isdigit():
+                if os.path.exists(os.path.join(self._log_dir, n, "_SUCCESS")):
+                    out.append(int(n[:-11]))
+        return sorted(out)
+
+    def _checkpoint_at_or_before(self, version: int) -> int | None:
+        hint = os.path.join(self._log_dir, "_last_checkpoint.json")
+        try:
+            with open(hint) as f:
+                hv = int(json.load(f)["version"])
+            if hv <= version and os.path.exists(
+                os.path.join(self._checkpoint_dir(hv), "_SUCCESS")
+            ):
+                return hv
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            pass
+        below = [v for v in self._checkpoint_versions() if v <= version]
+        return max(below) if below else None
+
     def _publish(self, manifest: dict) -> int:
         """Atomically publish a manifest as the next version.
 
@@ -143,6 +194,138 @@ class AcidTable:
             os.unlink(tmp)
         return version
 
+    def _commit(self, manifest: dict) -> int:
+        """Publish, then best-effort checkpoint on the interval.  A
+        failed/raced checkpoint never fails the commit — the JSON log
+        alone is always sufficient for correctness."""
+        v = self._publish(manifest)
+        ci = self.checkpoint_interval
+        if ci and ci > 0 and v > 0 and v % ci == 0:
+            try:
+                self._write_checkpoint(v)
+            except Exception:  # noqa: BLE001 — checkpoint is an optimization
+                pass
+        return v
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Compact the resolved file set at ``version`` into a parquet
+        checkpoint (built FROM the previous checkpoint + tail, so the
+        write itself is a bounded job, not a full log replay)."""
+        ent = self._entries_frame(version)
+        out = self._checkpoint_dir(version)
+        ent.write.mode("overwrite").parquet(out)
+        hint = os.path.join(self._log_dir, "_last_checkpoint.json")
+        tmp = hint + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, hint)
+
+    # --------------------------------------------------------- resolution
+
+    def _resolve_walk(self, version: int) -> tuple[int | None, list[dict]]:
+        """Find the resolution base for ``version``: the nearest
+        checkpoint at/below it, else the nearest full-replace (reset)
+        manifest.  Returns (checkpoint_version_or_None, tail) where
+        ``tail`` is the ascending list of manifests to replay after the
+        base (the reset manifest itself included when it is the base).
+        The walk is bounded by ``checkpoint_interval`` commits once the
+        table has any checkpoint."""
+        ckpt_v = self._checkpoint_at_or_before(version)
+        tail: list[dict] = []
+        u = version
+        while u >= 0:
+            if ckpt_v is not None and u == ckpt_v:
+                return ckpt_v, tail
+            m = self._read_manifest(u)
+            tail.insert(0, m)
+            if m.get("reset") or "files" in m:  # "files": legacy full-list form
+                return None, tail
+            u -= 1
+        return None, tail  # unreachable for well-formed logs (v0 is a reset)
+
+    @staticmethod
+    def _manifest_adds(m: dict) -> list[dict]:
+        return list(m.get("add") or m.get("files") or [])
+
+    def entries(self, version: int | None = None) -> list[dict]:
+        """Resolved file entries ``{path, rows, stats}`` for a version —
+        the driver-side materialization (bounded by file count).  Read
+        paths that only PRUNE use :meth:`_entries_frame` instead and
+        never pull the full list; this accessor exists for snapshot
+        assembly, maintenance (history/vacuum), and inspection."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        ckpt_v, tail = self._resolve_walk(v)
+        by_path: dict[str, dict] = {}
+        if ckpt_v is not None:
+            for r in self.spark.read.parquet(self._checkpoint_dir(ckpt_v)).collect():
+                by_path[r["path"]] = {
+                    "path": r["path"],
+                    "rows": r["rows"],
+                    "stats": json.loads(r["stats"]) if r["stats"] else {},
+                }
+        for m in tail:
+            if m.get("reset") or "files" in m:
+                by_path = {}
+            for p in m.get("remove") or []:
+                by_path.pop(p, None)
+            for e in self._manifest_adds(m):
+                by_path[e["path"]] = e
+        return sorted(by_path.values(), key=lambda e: e["path"])
+
+    def _entries_frame(self, version: int) -> DataFrame:
+        """The resolved file set as a DataFrame ``(path, rows, stats)``
+        (stats = JSON string): checkpoint parquet (distributed read)
+        minus the tail's removes plus the tail's adds — both bounded by
+        the churn of at most ``checkpoint_interval`` commits, never by
+        table size."""
+        ckpt_v, tail = self._resolve_walk(version)
+        if ckpt_v is not None:
+            base = self.spark.read.parquet(self._checkpoint_dir(ckpt_v)).select(
+                "path", "rows", "stats"
+            )
+        else:
+            base = self.spark.createDataFrame([], _ENTRY_DDL)
+        removes: list[str] = []
+        adds: list[tuple] = []
+        for m in tail:
+            if m.get("reset") or "files" in m:
+                base = self.spark.createDataFrame([], _ENTRY_DDL)
+                removes, adds = [], []
+            removes += list(m.get("remove") or [])
+            adds += [
+                (e["path"], e["rows"], json.dumps(e.get("stats") or {}))
+                for e in self._manifest_adds(m)
+            ]
+        gone = set(removes)
+        adds = [a for a in adds if a[0] not in gone]
+        out = base
+        if removes:
+            out = out.where(~F.col("path").isin(removes))
+        if adds:
+            out = out.unionByName(self.spark.createDataFrame(adds, _ENTRY_DDL))
+        return out
+
+    def _paths(self, version: int) -> list[str]:
+        """Absolute data-file paths of a version (path column only — the
+        parquet reader API needs the concrete list on the driver)."""
+        ckpt_v, tail = self._resolve_walk(version)
+        paths: set[str] = set()
+        if ckpt_v is not None:
+            paths = {
+                r["path"]
+                for r in self.spark.read.parquet(self._checkpoint_dir(ckpt_v))
+                .select("path")
+                .collect()
+            }
+        for m in tail:
+            if m.get("reset") or "files" in m:
+                paths = set()
+            paths -= set(m.get("remove") or [])
+            paths |= {e["path"] for e in self._manifest_adds(m)}
+        return [os.path.join(self.root, p) for p in sorted(paths)]
+
     # --------------------------------------------------------------- data
 
     def _write_data_files(self, df: DataFrame, stats_cols: Sequence[str]) -> list[dict]:
@@ -151,7 +334,7 @@ class AcidTable:
 
         Stats come from ONE scan of the newly written files grouped by
         ``input_file_name`` — the delta-sized data just written, never
-        the table.
+        the table (the collect is one row per file in THIS commit).
         """
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.root, commit_dir)
@@ -165,7 +348,7 @@ class AcidTable:
         rows = (
             written.groupBy(F.input_file_name().alias("__file"))
             .agg(*aggs)
-            .collect()  # one row per data file — bounded by file count, not data
+            .collect()  # one row per data file just written — commit-sized
         )
         entries = []
         for r in rows:
@@ -179,12 +362,31 @@ class AcidTable:
             entries.append({"path": rel, "rows": r["__rows"], "stats": stats})
         return sorted(entries, key=lambda e: e["path"])
 
-    def _files_df(self, version: int | None = None) -> list[str]:
-        v = self.latest_version() if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no committed version at {self.root}")
-        m = self._read_manifest(v)
-        return [os.path.join(self.root, e["path"]) for e in m["files"]]
+    # ----------------------------------------------------------- txn gate
+
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest batch id committed for ``app_id``, or None.  Reads the
+        HEAD manifest only — txns are carried forward cumulatively, so
+        no log walk is needed."""
+        head = self.latest_version()
+        if head is None:
+            return None
+        t = self._read_manifest(head).get("txns") or {}
+        v = t.get(str(app_id))
+        return None if v is None else int(v)
+
+    @staticmethod
+    def _merged_txns(head_manifest: dict, txn: tuple[str, int] | None) -> dict:
+        txns = dict(head_manifest.get("txns") or {})
+        if txn is not None:
+            txns[str(txn[0])] = int(txn[1])
+        return txns
+
+    def _txn_already_applied(self, head_manifest: dict, txn) -> bool:
+        if txn is None:
+            return False
+        prev = (head_manifest.get("txns") or {}).get(str(txn[0]))
+        return prev is not None and int(prev) >= int(txn[1])
 
     # ---------------------------------------------------------------- api
 
@@ -195,31 +397,40 @@ class AcidTable:
         root: str,
         df: DataFrame,
         key_cols: Sequence[str] = (),
+        checkpoint_interval: int = 10,
+        txn: tuple[str, int] | None = None,
     ) -> "AcidTable":
         """Create version 0 from df.  ``key_cols`` drive per-file stats
-        (and therefore merge-time file pruning)."""
-        t = cls(spark, root)
+        (and therefore merge-time file pruning).  ``txn`` records an
+        idempotent writer transaction for the creating batch, so a
+        streaming sink whose FIRST batch creates the table is replay-
+        safe like every later batch."""
+        t = cls(spark, root, checkpoint_interval=checkpoint_interval)
         files = t._write_data_files(df, key_cols)
-        t._publish(
+        t._commit(
             {
                 "version": 0,
                 "operation": "create",
                 "schema": df.schema.jsonValue(),
                 "key_cols": list(key_cols),
-                "files": files,
+                "reset": True,
+                "add": files,
+                "txns": {} if txn is None else {str(txn[0]): int(txn[1])},
             }
         )
         return t
 
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  Reads exactly
-        the manifest's files — a concurrent commit cannot tear it.  A
+        the resolved file set — a concurrent commit cannot tear it.  A
         version whose commits deleted every row has an empty file list;
         that is a valid (empty) table, not a read error."""
         from pyspark.sql.types import StructType
 
         v = self.latest_version() if version is None else version
-        files = self._files_df(v)
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        files = self._paths(v)
         schema = StructType.fromJson(self._read_manifest(v)["schema"])
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -243,12 +454,10 @@ class AcidTable:
         ``ranges`` maps column -> (lo, hi); either bound may be None
         (open).  Returns (DataFrame, info) where info reports
         ``files_total`` / ``files_read`` — the data-skipping ratio a
-        Z-order layout exists to maximize.  The prune is a driver-side
-        sweep of the manifest (bounded by file count, like merge's);
-        file I/O is where the savings land: a hyper-rectangle predicate
-        over a Z-ordered 100 TB table opens a handful of files, while
-        the same predicate on a linearly-sorted layout reads everything
-        for any non-leading column."""
+        Z-order layout exists to maximize.  The prune runs as a SPARK
+        filter over the checkpointed entries frame — only the surviving
+        paths come back to the driver, so deciding what to read scales
+        with the answer, not with the table's file count."""
         from pyspark.sql.types import StructType as _ST
 
         v = self.latest_version() if version is None else version
@@ -256,45 +465,51 @@ class AcidTable:
             raise FileNotFoundError(f"no committed version at {self.root}")
         m = self._read_manifest(v)
         # normalize each predicate bound to the COLUMN's granularity
-        # before the ISO-string compare: a datetime bound on a date
-        # column ('1997-01-01T00:00:00' vs file stat '1997-01-01') is
-        # lexically larger than a stat it chronologically equals, which
-        # would prune a file whose rows match the bound at midnight
+        # before comparing: a datetime bound on a date column
+        # ('1997-01-01T00:00:00' vs file stat '1997-01-01') would
+        # otherwise out-compare a stat it chronologically equals and
+        # prune a file whose rows match the bound at midnight
         col_types = {
             f.name: f.dataType.simpleString() for f in _ST.fromJson(m["schema"]).fields
         }
-        bounds = {
-            col: (
-                _prune_bound(lo, col_types.get(col)),
-                _prune_bound(hi, col_types.get(col)),
-            )
-            for col, (lo, hi) in ranges.items()
-        }
-        kept = []
-        for e in m["files"]:
-            hit = True
-            for col, (lo, hi) in bounds.items():
-                s = e["stats"].get(col)
-                if s is None or s["min"] is None:
-                    continue  # no stats: cannot exclude
-                smin, smax = _range_scalar(s["min"]), _range_scalar(s["max"])
-                if lo is not None and smax < lo:
-                    hit = False
-                    break
-                if hi is not None and smin > hi:
-                    hit = False
-                    break
-            if hit:
-                kept.append(e["path"])
-        info = {"files_total": len(m["files"]), "files_read": len(kept), "version": v}
-        if not kept:
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
+        ent = self._entries_frame(v)
+        keep = F.lit(True)
+        for col, (lo, hi) in ranges.items():
+            t = col_types.get(col)
+            nlo = _prune_bound(lo, t) if lo is not None else None
+            nhi = _prune_bound(hi, t) if hi is not None else None
+            smin = F.get_json_object("stats", f"$.{col}.min")
+            smax = F.get_json_object("stats", f"$.{col}.max")
+            if t in _INT_TYPES:
+                smin_c, smax_c = smin.cast("bigint"), smax.cast("bigint")
+                lo_l = F.lit(int(nlo)) if nlo is not None else None
+                hi_l = F.lit(int(nhi)) if nhi is not None else None
+            elif t in _FLOAT_TYPES:
+                smin_c, smax_c = smin.cast("double"), smax.cast("double")
+                lo_l = F.lit(float(nlo)) if nlo is not None else None
+                hi_l = F.lit(float(nhi)) if nhi is not None else None
+            else:
+                # dates/timestamps/strings: the manifest stores ISO
+                # strings whose lexical order IS chronological order
+                smin_c, smax_c = smin, smax
+                lo_l = F.lit(str(nlo)) if nlo is not None else None
+                hi_l = F.lit(str(nhi)) if nhi is not None else None
+            cond = F.lit(True)
+            if lo_l is not None:
+                cond = cond & (smax_c >= lo_l)
+            if hi_l is not None:
+                cond = cond & (smin_c <= hi_l)
+            # no stats on this column -> cannot exclude the file
+            keep = keep & F.when(smin.isNull(), F.lit(True)).otherwise(cond)
+        total = ent.count()
+        kept = [r["path"] for r in ent.where(keep).select("path").collect()]
+        info = {"files_total": total, "files_read": len(kept), "version": v}
         from pyspark.sql.types import StructType
 
+        if not kept:
+            return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
         df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
-            *[os.path.join(self.root, p) for p in kept]
+            *[os.path.join(self.root, p) for p in sorted(kept)]
         )
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -315,20 +530,20 @@ class AcidTable:
         update_postimage, delete}.
 
         File-pruned: a data file carried unchanged between the two
-        manifests CANNOT contribute a change, so only files dropped
+        versions CANNOT contribute a change, so only files dropped
         since ``from_version`` (old side) and files added by
-        ``to_version`` (new side) are read — on a 100 TB table a narrow
-        merge yields a diff job over the touched files, not the table.
-        COW merge/delete guarantee the prune is sound: any row they
-        touch lives in a rewritten (= not carried) file.  Rows rewritten
-        with identical values (COW copies sharing a file with real
-        changes) are filtered out by a null-safe whole-row compare, so
-        the feed is the LOGICAL diff.  Assumes ``pk_cols`` (default:
-        the table's ``key_cols``) are unique per snapshot."""
+        ``to_version`` (new side) are read — the churn is computed by
+        anti-joining the two entries frames, so only the CHANGED paths
+        ever reach the driver.  COW merge/delete guarantee the prune is
+        sound: any row they touch lives in a rewritten (= not carried)
+        file.  Rows rewritten with identical values (COW copies sharing
+        a file with real changes) are filtered out by a null-safe
+        whole-row compare, so the feed is the LOGICAL diff.  Assumes
+        ``pk_cols`` (default: the table's ``key_cols``) are unique per
+        snapshot."""
         head = self._head()
         to_v = head if to_version is None else to_version
         mo = self._read_manifest(from_version)
-        mn = self._read_manifest(to_v)
         keys = list(pk_cols) if pk_cols else list(mo["key_cols"])
         if not keys:
             raise ValueError("changes() needs pk_cols (table has no key_cols)")
@@ -338,10 +553,10 @@ class AcidTable:
         # StructType.add mutates in place — build the tagged schema from
         # a fresh parse so `schema` keeps the table's own columns
         out_schema = StructType.fromJson(mo["schema"]).add("_change_type", StringType())
-        old_paths = {e["path"] for e in mo["files"]}
-        new_paths = {e["path"] for e in mn["files"]}
-        removed = sorted(old_paths - new_paths)
-        added = sorted(new_paths - old_paths)
+        fo = self._entries_frame(from_version).select("path")
+        fn = self._entries_frame(to_v).select("path")
+        removed = sorted(r["path"] for r in fo.join(fn, "path", "left_anti").collect())
+        added = sorted(r["path"] for r in fn.join(fo, "path", "left_anti").collect())
         if not removed and not added:
             return self.spark.createDataFrame([], out_schema)
         cols = [f.name for f in schema.fields]
@@ -393,73 +608,119 @@ class AcidTable:
 
     def history(self) -> list[dict]:
         """Commit log, oldest RETAINED first: version/operation/file and
-        row counts.  After a vacuum the log no longer starts at version
-        0, so this walks the manifests actually on disk."""
+        row counts.  One forward replay over the retained manifests
+        (seeded from the resolution of the earliest retained version),
+        so the cost is O(total retained actions), not
+        O(versions x files)."""
         out = []
-        for v in self._versions_on_disk():
+        state: dict[str, int] = {}
+        for i, v in enumerate(self._versions_on_disk()):
             m = self._read_manifest(v)
+            if i == 0:
+                state = {e["path"]: e["rows"] for e in self.entries(v)}
+            else:
+                if m.get("reset") or "files" in m:
+                    state = {}
+                for p in m.get("remove") or []:
+                    state.pop(p, None)
+                for e in self._manifest_adds(m):
+                    state[e["path"]] = e["rows"]
             out.append(
                 {
                     "version": v,
                     "operation": m["operation"],
-                    "num_files": len(m["files"]),
-                    "num_rows": sum(e["rows"] for e in m["files"]),
+                    "num_files": len(state),
+                    "num_rows": sum(state.values()),
                 }
             )
         return out
 
-    def append(self, df: DataFrame, max_retries: int = 10) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 10,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Append-only commit.  Commutes with concurrent appends, so a
-        lost race rebases on the new head and retries."""
+        lost race rebases on the new head and retries.  The commit
+        record is sized by THIS append's files — the table's existing
+        file list is never rewritten into the log."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        key_cols = self._read_manifest(base)["key_cols"]
-        new_files = self._write_data_files(df, key_cols)
+        m0 = self._read_manifest(base)
+        if self._txn_already_applied(m0, txn):
+            return base
+        new_files = self._write_data_files(df, m0["key_cols"])
         for _ in range(max_retries):
             head = self.latest_version()
             m = self._read_manifest(head)
+            if self._txn_already_applied(m, txn):
+                return head  # replayed batch landed concurrently
             try:
-                return self._publish(
+                return self._commit(
                     {
                         "version": head + 1,
                         "operation": "append",
                         "schema": m["schema"],
                         "key_cols": m["key_cols"],
-                        "files": m["files"] + new_files,
+                        "add": new_files,
+                        "remove": [],
+                        "txns": self._merged_txns(m, txn),
                     }
                 )
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(f"append lost {max_retries} straight races")
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         head = self._head()
         m = self._read_manifest(head)
+        if self._txn_already_applied(m, txn):
+            return head
         files = self._write_data_files(df, m["key_cols"])
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "overwrite",
                 "schema": df.schema.jsonValue(),
                 "key_cols": m["key_cols"],
-                "files": files,
+                "reset": True,
+                "add": files,
+                "txns": self._merged_txns(m, txn),
             }
         )
 
-    def merge(self, delta: DataFrame, pk_cols: Sequence[str]) -> int:
+    def merge(
+        self,
+        delta: DataFrame,
+        pk_cols: Sequence[str],
+        txn: tuple[str, int] | None = None,
+        recompute_frac: float = 0.6,
+    ) -> int:
         """Copy-on-write MERGE: delta rows replace matching-PK rows,
         unmatched delta rows insert.
 
         File pruning: a data file must be rewritten only if its stats
         range on ``pk_cols[0]`` can contain some delta key.  The probe
-        broadcasts the (small, driver-resident) file-range list against
-        the delta and asks, per file, "does any delta key fall in
-        [min,max]?" — one delta aggregation, zero base-table I/O for
-        skipped files.  Files without stats are conservatively rewritten.
+        joins the delta against the checkpointed entries frame's
+        [min,max] ranges — one delta-side aggregation, zero base-table
+        I/O for skipped files, and only the HIT paths return to the
+        driver.  Files without stats are conservatively rewritten.
+
+        Adaptive strategy: when the probe shows the delta touching more
+        than ``recompute_frac`` of the data files (a key spread uniform
+        over the key space — BASELINE.md round-4b measures COW losing
+        outright there: every file rewritten anyway, but fragmented),
+        the merge switches to a full recompute — one anti-join +
+        union, range-partitioned back into the same file count so
+        per-file stats stay tight — committed as a reset.  Set
+        ``recompute_frac=1.0`` to force pure COW.
         """
         head = self._head()
         m = self._read_manifest(head)
+        if self._txn_already_applied(m, txn):
+            return head
         keys = list(pk_cols)
         probe_col = keys[0]
         # a delta with duplicate PK rows would write ALL copies (the
@@ -475,50 +736,69 @@ class AcidTable:
                 "dedupe the delta (e.g. keep latest) before merging"
             )
 
-        ranged, unranged = [], []
-        for e in m["files"]:
-            s = e["stats"].get(probe_col)
-            if s is not None and s["min"] is not None:
-                ranged.append(e)
-            else:
-                unranged.append(e)
-        touched_paths: set[str] = set()
-        if ranged:
-            ranges = self.spark.createDataFrame(
-                [(e["path"], e["stats"][probe_col]["min"], e["stats"][probe_col]["max"]) for e in ranged],
-                ["__path", "__min", "__max"],
-            )
+        ent = self._entries_frame(head).persist()
+        try:
+            total_files = ent.count()
+            smin = F.get_json_object("stats", f"$.{probe_col}.min")
+            smax = F.get_json_object("stats", f"$.{probe_col}.max")
             key_type = dict(delta.dtypes)[probe_col]
+            unranged = [
+                r["path"] for r in ent.where(smin.isNull()).select("path").collect()
+            ]
+            ranged = ent.where(smin.isNotNull()).select(
+                "path",
+                smin.cast(key_type).alias("__min"),
+                smax.cast(key_type).alias("__max"),
+            )
             hits = (
                 delta.select(F.col(probe_col).alias("__k"))
                 .join(
-                    F.broadcast(
-                        ranges.select(
-                            "__path",
-                            F.col("__min").cast(key_type).alias("__min"),
-                            F.col("__max").cast(key_type).alias("__max"),
-                        )
-                    ),
+                    F.broadcast(ranged),
                     (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
                     "inner",
                 )
-                .select("__path")
+                .select("path")
                 .distinct()
                 .collect()
             )
-            touched_paths = {r["__path"] for r in hits}
-        rewrite = [e for e in ranged if e["path"] in touched_paths] + unranged
-        carry = [e for e in ranged if e["path"] not in touched_paths]
+            touched = sorted({r["path"] for r in hits} | set(unranged))
+        finally:
+            ent.unpersist()
 
         delta_keys = delta.select(*keys).dropDuplicates(keys)
-        if rewrite:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
+        schema = StructType.fromJson(m["schema"])
+        if total_files and len(touched) / total_files > recompute_frac:
+            # recompute: the COW path would rewrite nearly everything
+            # anyway; one clean range-partitioned pass wins (and resets
+            # the layout so the NEXT narrow delta prunes well again)
+            snap = self.spark.read.schema(schema).parquet(*self._paths(head))
+            merged = snap.join(delta_keys, keys, "left_anti").unionByName(
+                delta, allowMissingColumns=True
+            )
+            merged = merged.repartitionByRange(
+                max(total_files, 1), probe_col
+            ).sortWithinPartitions(probe_col)
+            files = self._write_data_files(merged, m["key_cols"])
+            return self._commit(
+                {
+                    "version": head + 1,
+                    "operation": "merge-recompute",
+                    "schema": m["schema"],
+                    "key_cols": m["key_cols"],
+                    "reset": True,
+                    "add": files,
+                    "txns": self._merged_txns(m, txn),
+                }
+            )
+
+        if touched:
             # manifest schema, not file schema: files predating an
             # add-columns commit NULL-backfill the late columns
-            affected = self.spark.read.schema(
-                StructType.fromJson(m["schema"])
-            ).parquet(*[os.path.join(self.root, e["path"]) for e in rewrite])
+            affected = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in touched]
+            )
             # allowMissingColumns: after an add-columns evolution a delta
             # carrying the pre-evolution shape NULL-fills the late columns
             # (Delta MERGE full-row-replace semantics) — without it the
@@ -530,13 +810,15 @@ class AcidTable:
         else:
             merged = delta
         new_files = self._write_data_files(merged, m["key_cols"])
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "merge",
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
-                "files": carry + new_files,
+                "add": new_files,
+                "remove": touched,
+                "txns": self._merged_txns(m, txn),
             }
         )
 
@@ -549,43 +831,39 @@ class AcidTable:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
-        by_rel = {e["path"]: e for e in m["files"]}
-        if by_rel:
+        all_paths = self._paths(head)
+        if all_paths:
             hit_rows = (
-                self.spark.read.schema(schema).parquet(
-                    *[os.path.join(self.root, rel) for rel in by_rel]
-                )
+                self.spark.read.schema(schema).parquet(*all_paths)
                 .where(predicate)
                 .select(F.input_file_name().alias("__file"))
                 .distinct()
-                .collect()
+                .collect()  # bounded by files CONTAINING matches
             )
         else:
             hit_rows = []
         # input_file_name returns file: URIs; manifest paths are
         # log-relative data/<commit>/<file> — match on that suffix
-        hit = {"/".join(r["__file"].split("/")[-3:]) for r in hit_rows}
-        rewrite = [
-            os.path.join(self.root, rel) for rel in by_rel if rel in hit
-        ]
-        carry = [e for rel, e in by_rel.items() if rel not in hit]
+        hit = sorted({"/".join(r["__file"].split("/")[-3:]) for r in hit_rows})
         new_files = []
-        if rewrite:
+        if hit:
             # IS NOT TRUE, not NOT(...): under three-valued logic a row
             # where the predicate evaluates to NULL matches neither the
             # delete nor its bare negation — it must be KEPT, not
             # silently dropped from the rewrite
-            kept = self.spark.read.schema(schema).parquet(*rewrite).where(
-                f"({predicate}) IS NOT TRUE"
-            )
+            kept = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in hit]
+            ).where(f"({predicate}) IS NOT TRUE")
             new_files = self._write_data_files(kept, m["key_cols"])
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "delete",
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
-                "files": carry + new_files,
+                "add": new_files,
+                "remove": hit,
+                "txns": self._merged_txns(m, None),
             }
         )
 
@@ -611,13 +889,15 @@ class AcidTable:
             if name in existing:
                 raise ValueError(f"column {name!r} already exists")
             schema = schema.add(name, _parse_datatype_string(ddl), True)
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "add-columns",
                 "schema": schema.jsonValue(),
                 "key_cols": m["key_cols"],
-                "files": m["files"],
+                "add": [],
+                "remove": [],
+                "txns": self._merged_txns(m, None),
             }
         )
 
@@ -646,13 +926,15 @@ class AcidTable:
         else:
             snap = snap.repartition(target_files)
         files = self._write_data_files(snap, key_cols)
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "optimize",
                 "schema": m["schema"],
                 "key_cols": key_cols,
-                "files": files,
+                "reset": True,
+                "add": files,
+                "txns": self._merged_txns(m, None),
             }
         )
 
@@ -676,9 +958,8 @@ class AcidTable:
         file pruning stops skipping files on a z-ordered table.  Rule
         of thumb: z-order the read-optimized copy; keep tables that
         receive narrow PK deltas range-partitioned on the PK
-        (``compact``), and expect ``changes``/COW pruning to degrade to
-        full rewrites when a delta's keys spread uniformly over the key
-        space — recompute beats incremental there."""
+        (``compact``); merge's adaptive recompute path is the safety
+        net when a delta's keys spread uniformly over the key space."""
         from ..operators.layout import zorder_key
 
         head = self._head()
@@ -716,39 +997,51 @@ class AcidTable:
         # stats must cover the z columns too, or scan() cannot prune on them
         stats_cols = list(dict.fromkeys([*m["key_cols"], *zcols]))
         files = self._write_data_files(clustered, stats_cols)
-        return self._publish(
+        return self._commit(
             {
                 "version": head + 1,
                 "operation": "optimize-zorder",
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
-                "files": files,
+                "reset": True,
+                "add": files,
+                "txns": self._merged_txns(m, None),
             }
         )
 
     def vacuum(self, keep_last: int = 2, retain_seconds: float = 3600.0) -> list[str]:
-        """Drop data files referenced by NO retained manifest (the last
-        ``keep_last`` versions) and prune older manifests.  Returns the
-        deleted file paths.  Irreversible: time travel past the horizon
-        stops working, which is the point.
+        """Drop data files referenced by NO retained version (the last
+        ``keep_last``) and prune older manifests + checkpoints.  Returns
+        the deleted file paths.  Irreversible: time travel past the
+        horizon stops working, which is the point.
 
-        ``retain_seconds`` is the in-flight-writer guard (Delta's VACUUM
-        retention window): a concurrent commit writes its data files
-        BEFORE publishing its manifest, so files younger than the window
-        are never deleted even though no manifest references them yet —
-        without it, a vacuum racing an append deletes the files the
-        about-to-publish manifest points at.  Lower it only when no
-        other writer can be active."""
+        Before any manifest is pruned, a checkpoint is written AT the
+        new horizon so later resolutions never need the deleted log
+        entries.  ``retain_seconds`` is the in-flight-writer guard
+        (Delta's VACUUM retention window): a concurrent commit writes
+        its data files BEFORE publishing its manifest, so files younger
+        than the window are never deleted even though no manifest
+        references them yet — without it, a vacuum racing an append
+        deletes the files the about-to-publish manifest points at.
+        Lower it only when no other writer can be active."""
         import time
 
         head = self.latest_version()
         if head is None:
             return []
         horizon = max(0, head - keep_last + 1)
+        will_prune_log = any(v < horizon for v in self._versions_on_disk())
+        if will_prune_log and horizon > 0:
+            # resolution anchor for every retained version — written
+            # while the about-to-be-pruned manifests still exist
+            if not os.path.exists(
+                os.path.join(self._checkpoint_dir(horizon), "_SUCCESS")
+            ):
+                self._write_checkpoint(horizon)
         live: set[str] = set()
         for v in self._versions_on_disk():
             if v >= horizon:
-                live |= {e["path"] for e in self._read_manifest(v)["files"]}
+                live |= {e["path"] for e in self.entries(v)}
         now = time.time()
         deleted = []
         data_root = os.path.join(self.root, "data")
@@ -775,6 +1068,9 @@ class AcidTable:
                     os.unlink(self._manifest_path(v))
                 except FileNotFoundError:
                     pass
+        for v in self._checkpoint_versions():
+            if v < horizon:
+                shutil.rmtree(self._checkpoint_dir(v), ignore_errors=True)
         return sorted(deleted)
 
 

@@ -64,12 +64,11 @@ def test_merge_prunes_untouched_files(spark, tmp_path):
     # carry the other files forward by reference (identical paths)
     base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
     t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
-    m0 = t._read_manifest(0)
-    assert len(m0["files"]) == 8
+    e0 = t.entries(0)
+    assert len(e0) == 8
     delta = spark.range(0, 50).withColumn("v", F.lit(1))
     t.merge(delta, ["id"])
-    m1 = t._read_manifest(1)
-    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    carried = {e["path"] for e in e0} & {e["path"] for e in t.entries(1)}
     # at least 6 of 8 range-files untouched (delta covers ids 0-49)
     assert len(carried) >= 6
     snap = t.snapshot()
@@ -90,10 +89,9 @@ def test_append_and_history(spark, tmp_path):
 def test_delete_cow(spark, tmp_path):
     base = spark.range(0, 4000).repartitionByRange(4, "id").withColumn("v", F.lit(0))
     t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
-    m0 = t._read_manifest(0)
+    e0 = t.entries(0)
     t.delete("id < 10")
-    m1 = t._read_manifest(1)
-    carried = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    carried = {e["path"] for e in e0} & {e["path"] for e in t.entries(1)}
     assert len(carried) >= 3  # only the file holding ids 0-9 rewritten
     assert t.snapshot().count() == 3990
     assert t.snapshot().where("id < 10").count() == 0
@@ -323,21 +321,22 @@ def test_compact_small_files(spark, tmp_path):
             spark.range(200 + i * 50, 250 + i * 50).withColumn("v", F.col("id") * 2).coalesce(1)
         )
     pre_version = t.latest_version()
-    pre_files = len(t._read_manifest(pre_version)["files"])
+    pre_files = len(t.entries(pre_version))
     assert pre_files >= 7
     total = t.snapshot().count()
 
     v = t.compact(target_files=2)
     m = t._read_manifest(v)
     assert m["operation"] == "optimize"
-    assert len(m["files"]) == 2
+    ents = t.entries(v)
+    assert len(ents) == 2
     assert t.snapshot().count() == total
     assert t.snapshot().agg(F.sum("v")).first()[0] == base.unionByName(
         spark.range(200, 500).withColumn("v", F.col("id") * 2)
     ).agg(F.sum("v")).first()[0]
     # range-partitioned on the key: per-file id ranges are disjoint,
     # so merge pruning still works after compaction
-    ranges = sorted((e["stats"]["id"]["min"], e["stats"]["id"]["max"]) for e in m["files"])
+    ranges = sorted((e["stats"]["id"]["min"], e["stats"]["id"]["max"]) for e in ents)
     assert ranges[0][1] < ranges[1][0]
     # time travel to the pre-compact version still reads the old files
     assert t.snapshot(pre_version).count() == total
@@ -365,7 +364,7 @@ def test_optimize_zorder_enables_multi_dim_pruning(spark, orders, tmp_path):
     assert t.snapshot().count() == total
     # every file now carries stats on both z columns
     assert all(
-        "o_custkey" in e["stats"] and "o_orderdate" in e["stats"] for e in m["files"]
+        "o_custkey" in e["stats"] and "o_orderdate" in e["stats"] for e in t.entries(v)
     )
 
     n_cust = orders.agg(F.max("o_custkey")).first()[0]
@@ -514,12 +513,12 @@ def test_add_columns_metadata_only_evolution(spark, tmp_path):
     the old schema, and a subsequent merge can write the new column."""
     base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
     t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
-    files_before = {e["path"] for e in t._read_manifest(0)["files"]}
+    files_before = {e["path"] for e in t.entries(0)}
 
     v = t.add_columns({"score": "double", "tag": "string"})
     m = t._read_manifest(v)
     assert m["operation"] == "add-columns"
-    assert {e["path"] for e in m["files"]} == files_before  # nothing rewritten
+    assert {e["path"] for e in t.entries(v)} == files_before  # nothing rewritten
 
     snap = t.snapshot()
     assert snap.columns == ["id", "v", "score", "tag"]
@@ -604,3 +603,96 @@ def test_scan_prune_mixed_date_granularity_is_sound(spark, tmp_path):
     df4, info4 = t2.scan({"ts": (lo_d, None)})
     assert df4.count() == 200
     assert info4["files_read"] == info4["files_total"]
+
+
+def test_checkpoint_written_and_resolution_uses_it(spark, tmp_path):
+    """Every checkpoint_interval commits the resolved file set compacts
+    into a parquet checkpoint; resolution reads checkpoint + bounded
+    tail (manifests record only the commit's own actions, so the log
+    entry for an append is O(append), never O(table))."""
+    import os as _os
+
+    base = spark.range(0, 40).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"], checkpoint_interval=5)
+    for i in range(7):
+        t.append(spark.range(100 + i * 10, 110 + i * 10).withColumn("v", F.lit(0)).coalesce(1))
+    assert t.latest_version() == 7
+    assert t._checkpoint_versions() == [5]
+    # snapshot resolves through the checkpoint + 2-manifest tail
+    assert t.snapshot().count() == 40 + 70
+    assert t.snapshot(4).count() == 40 + 40  # pre-checkpoint time travel
+    # an append's manifest carries only ITS file, not the table's list
+    m7 = t._read_manifest(7)
+    assert "files" not in m7 and len(m7["add"]) == 1 and m7["remove"] == []
+    # checkpoint dir is real parquet with one row per live file at v5
+    ck = spark.read.parquet(t._checkpoint_dir(5))
+    assert ck.count() == len(t.entries(5))
+
+
+def test_vacuum_past_checkpoint_keeps_resolution_sound(spark, tmp_path):
+    """vacuum writes a checkpoint at the new horizon before pruning
+    manifests, so every retained version still resolves even when the
+    earliest retained manifest is a plain (non-reset) append."""
+    base = spark.range(0, 30).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"], checkpoint_interval=100)
+    for i in range(4):
+        t.append(spark.range(100 + i * 10, 110 + i * 10).withColumn("v", F.lit(0)).coalesce(1))
+    # horizon = 3: manifests 0-2 pruned; v3 is an APPEND (not a reset)
+    t.vacuum(keep_last=2, retain_seconds=0.0)
+    assert t._versions_on_disk() == [3, 4]
+    assert 3 in t._checkpoint_versions()
+    assert t.snapshot(3).count() == 30 + 30
+    assert t.snapshot(4).count() == 30 + 40
+    hist = t.history()
+    assert [h["version"] for h in hist] == [3, 4]
+    assert hist[-1]["num_rows"] == 70
+
+
+def test_merge_adaptive_recompute_on_uniform_delta(spark, tmp_path):
+    """A delta whose keys spread over every file's range defeats COW
+    pruning; merge must detect it (touched/total > recompute_frac) and
+    switch to a range-partitioned full recompute committed as a reset —
+    same logical result, clean layout."""
+    base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    # every 100th key: hits all 8 range files
+    uniform = spark.range(0, 8000, 100).withColumn("v", F.lit(1))
+    v = t.merge(uniform, ["id"])
+    m = t._read_manifest(v)
+    assert m["operation"] == "merge-recompute"
+    assert m.get("reset") is True
+    snap = t.snapshot()
+    assert snap.count() == 8000
+    assert snap.where("v = 1").count() == 80
+    # layout stayed range-partitioned: per-file id ranges disjoint
+    ents = sorted(t.entries(v), key=lambda e: e["stats"]["id"]["min"])
+    for a, b in zip(ents, ents[1:]):
+        assert a["stats"]["id"]["max"] < b["stats"]["id"]["min"]
+    # narrow delta on the SAME table takes the COW path again
+    v2 = t.merge(spark.range(0, 50).withColumn("v", F.lit(2)), ["id"])
+    assert t._read_manifest(v2)["operation"] == "merge"
+    assert t.snapshot().where("v = 2").count() == 50
+
+
+def test_idempotent_txn_skips_replayed_batch(spark, tmp_path):
+    """A mutator called with txn=(app, batch) commits once; replaying
+    the same or an older batch is a no-op returning the current head —
+    the exactly-once contract for a restarted streaming writer."""
+    base = spark.range(0, 10).withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    d1 = spark.range(10, 20).withColumn("v", F.lit(1))
+    v1 = t.append(d1, txn=("app1", 0))
+    assert v1 == 1 and t.last_txn("app1") == 0
+    # replay batch 0: no new commit, no duplicate rows
+    assert t.append(d1, txn=("app1", 0)) == 1
+    assert t.latest_version() == 1
+    assert t.snapshot().count() == 20
+    # batch 1 commits; replaying batch 0 after it is still a no-op
+    v2 = t.merge(spark.range(10, 15).withColumn("v", F.lit(9)), ["id"], txn=("app1", 1))
+    assert v2 == 2 and t.last_txn("app1") == 1
+    assert t.merge(d1, ["id"], txn=("app1", 0)) == 2
+    assert t.latest_version() == 2
+    # a different app's txn counter is independent
+    assert t.last_txn("other") is None
+    v3 = t.overwrite(spark.range(0, 5).withColumn("v", F.lit(7)), txn=("other", 3))
+    assert v3 == 3 and t.last_txn("other") == 3 and t.last_txn("app1") == 1
