@@ -3872,6 +3872,66 @@ def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_acid_upsert",
+    """SELECT event_id, user_id, event_type, value FROM events
+       WHERE event_id < 4000""",
+)
+def stream_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + S13 + ACID composed: the stream's foreachBatch lands each
+    micro-batch in an AcidTable via the EXACTLY-ONCE sink
+    (streaming/events.acid_merge_sink): every commit carries an
+    (app, batch) txn record, so a replayed batch — simulated here by
+    re-invoking the sink with an already-committed batch id after the
+    stream finishes — is a no-op instead of a second merge.  Batches
+    overlap on event_id, so PK upsert semantics are still exercised;
+    the final snapshot must equal the plain batch SELECT."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import acid_merge_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 4000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    landing = tempfile.mkdtemp(prefix="bdmc_sacid_landing_")
+    troot = tempfile.mkdtemp(prefix="bdmc_sacid_target_")
+    target = troot + "/t"
+    try:
+        for lo, hi in ((0, 2000), (1500, 3000), (2500, 4000)):
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        sink = acid_merge_sink(target, ["event_id"], app_id="stream_acid_upsert")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination(300)
+        t = AcidTable(spark, target)
+        head = t.latest_version()
+        # replay the last batch: exactly-once means NO new commit
+        sink(ev.filter(F.col("event_id") >= 2500), t.last_txn("stream_acid_upsert"))
+        assert t.latest_version() == head, "replayed batch must be a no-op"
+        out = t.snapshot().select("event_id", "user_id", "event_type", "value")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(troot, ignore_errors=True)
+    return out
+
+
+@query(
     "w3_approx_distinct_bounded",
     """SELECT l_returnflag,
               COUNT(DISTINCT l_partkey) AS exact_nd,

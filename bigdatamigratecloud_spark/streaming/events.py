@@ -183,6 +183,48 @@ def run_stream_to_memory(
         q.stop()
 
 
+def acid_merge_sink(table_root: str, pk_cols: list[str], app_id: str):
+    """Exactly-once stream→ACID sink: a ``foreachBatch`` function that
+    lands each micro-batch into an :class:`AcidTable` via idempotent
+    MERGE.
+
+    ``foreachBatch`` alone is at-least-once: a crash between the sink
+    write and the checkpoint commit replays the batch on restart.  This
+    sink records ``(app_id, batch_id)`` in the table's commit metadata
+    (the Delta ``txn`` action) and skips any batch at or below the
+    table's recorded high-water mark for the app — the replayed batch
+    becomes a no-op, upgrading the contract to exactly-once even when
+    the batch's rows are NOT naturally idempotent under PK upsert
+    (e.g. aggregating sinks, or deltas that delete).  The first batch
+    creates the table, also txn-stamped, so a crash straddling table
+    creation replays safely too.
+
+    Within-batch duplicate PKs (overlapping at-least-once source files)
+    are deduped last-write-wins before the merge, mirroring the
+    reference's replace-matching-rows apply (Codeunit 60000:440-451).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.upsert import dedup_by_pk
+        from ..sources.acid_table import AcidTable
+
+        spark = batch_df.sparkSession
+        t = AcidTable(spark, table_root)
+        last = t.last_txn(app_id)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed batch: its commit already landed
+        body = dedup_by_pk(batch_df, list(pk_cols))
+        if t.latest_version() is None:
+            AcidTable.create(
+                spark, table_root, body, key_cols=list(pk_cols),
+                txn=(app_id, int(batch_id)),
+            )
+        else:
+            t.merge(body, list(pk_cols), txn=(app_id, int(batch_id)))
+
+    return _apply
+
+
 def interval_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

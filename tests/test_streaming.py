@@ -181,3 +181,66 @@ def test_sliding_rollup_matches_batch_overlap(spark, sf_dir, landing):
         != F.coalesce("n_first", F.lit(0)) + F.coalesce("n_second", F.lit(0))
     )
     assert bad.count() == 0
+
+
+def test_acid_stream_sink_exactly_once_replay(spark, sf_dir, tmp_path):
+    """acid_merge_sink: micro-batches land as idempotent ACID commits —
+    a REPLAYED batch (crash between sink write and stream checkpoint)
+    is a no-op, so the contract is exactly-once, not just
+    at-least-once + PK dedup.  The final snapshot equals the batch
+    query over the landed rows."""
+    import uuid
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    landing = str(tmp_path / "landing")
+    # overlapping id ranges: replayed ROWS across batches exercise upsert
+    for lo, hi in ((0, 1500), (1000, 2200), (2000, 3000)):
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    target = str(tmp_path / "acid_t")
+    sink = sev.acid_merge_sink(target, ["event_id"], app_id="test_app")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    t = AcidTable(spark, target)
+    head = t.latest_version()
+    assert head is not None and head >= 1  # create + >=1 merge commits
+    last_batch = t.last_txn("test_app")
+    assert last_batch is not None and last_batch >= 1
+
+    # exact contents vs the batch query
+    want = {tuple(r) for r in ev.collect()}
+    got = {
+        tuple(r)
+        for r in t.snapshot().select("event_id", "user_id", "event_type", "value").collect()
+    }
+    assert got == want
+
+    # --- replay the LAST batch (what a restart-after-crash does): no-op
+    replay_df = ev.filter((F.col("event_id") >= 2000) & (F.col("event_id") < 3000))
+    sink(replay_df, last_batch)
+    assert t.latest_version() == head  # no new commit
+    # --- replay an OLDER batch: also a no-op
+    sink(ev.filter(F.col("event_id") < 1500), 0)
+    assert t.latest_version() == head
+    # --- the NEXT batch still commits normally
+    sink(replay_df, last_batch + 1)
+    assert t.latest_version() == head + 1
+    assert t.snapshot().count() == ev.count()  # idempotent contents
