@@ -1,18 +1,25 @@
-"""Baseline JPEG codec — pure stdlib + numpy, no external codec library.
+"""Baseline + progressive JPEG codec — pure stdlib + numpy, no external
+codec library.
 
 North-star N3 (generalizing the reference's Media handling, Codeunit
 60000:1144-1270): a real corpus pipeline meets JPEG before anything
 else, and this container has no PIL.  This module implements
 
-- **decode**: baseline sequential JFIF (SOF0, 8-bit), arbitrary
-  quantization and Huffman tables from the stream, restart intervals,
-  1 or 3 components at any sampling factors (4:4:4 / 4:2:2 / 4:2:0
-  ...).  Progressive (SOF2), arithmetic coding, and 12-bit precision
-  return ``None`` so callers fall through to their strict/fake gate.
-- **encode**: baseline sequential, grayscale or 4:4:4 YCbCr, quality-
-  scaled Annex-K-style quantization, per-image canonical Huffman
-  tables (all codes 8 bits — a valid prefix code any conformant
-  decoder accepts; compression is traded for table simplicity).
+- **decode**: baseline sequential JFIF (SOF0, 8-bit) AND progressive
+  (SOF2: spectral selection, successive approximation — DC first/
+  refine, AC first with EOB runs, AC refine with correction bits, per
+  ITU T.81 §G.1.2/G.2), arbitrary quantization and Huffman tables from
+  the stream, restart intervals, 1 or 3 components at any sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 ...).  Arithmetic coding, lossless
+  modes, and 12-bit precision return ``None`` so callers fall through
+  to their strict/fake gate.
+- **encode**: baseline sequential (grayscale / 4:4:4 / 4:2:0) and a
+  progressive encoder with a libjpeg-style scan script (used to
+  produce progressive test vectors without any external codec),
+  quality-scaled Annex-K-style quantization, per-image canonical
+  Huffman tables (all codes 8 bits — a valid prefix code any
+  conformant decoder accepts; compression is traded for table
+  simplicity).
 
 Everything is per-blob work inside a mapInPandas kernel — no Spark
 state; the Huffman bit loop is Python (fine for thumbnails and tests,
@@ -132,6 +139,7 @@ def _decode_jpeg_inner(payload: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    coef = None  # progressive: per-component coefficients across scans
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(payload):
@@ -164,7 +172,7 @@ def _decode_jpeg_inner(payload: bytes):
                 vals = seg[i + 17 : i + 17 + n]
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8 or nc not in (1, 3):
                 return None
@@ -172,17 +180,21 @@ def _decode_jpeg_inner(payload: bytes):
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/lossless/arithmetic frame types
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan_tables = {}
+            scan_comp_ids = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tt >> 4, tt & 0xF)
+                scan_comp_ids.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
             segments, spos = [], pos
             cur = bytearray()
             while spos < len(payload):
@@ -204,7 +216,17 @@ def _decode_jpeg_inner(payload: bytes):
             segments.append(bytes(cur))
             if frame is None:
                 return None
-            return _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval)
+            if coef is None:
+                coef = _init_coef(frame)
+            _decode_progressive_scan(
+                frame, coef, scan_comp_ids, scan_tables,
+                ss, se, ah, al, huff, segments, restart_interval,
+            )
+            pos = spos  # resume header parse at the next marker
+    if frame is not None and frame.get("progressive") and coef is not None:
+        return _reconstruct(frame, coef, qt)
     return None
 
 
@@ -252,7 +274,35 @@ def _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval):
                             k += 1
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = blk
             mcu_count += 1
-    # dequantize + inverse zigzag + batched IDCT per component
+    return _reconstruct(frame, coef, qt)
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) for the frame's sampling grid."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _init_coef(frame):
+    """Per-component zigzag coefficient stores sized to the padded MCU
+    grid — progressive scans fill these incrementally."""
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    }
+
+
+def _reconstruct(frame, coef, qt):
+    """Dequantize + inverse zigzag + batched IDCT per component, then
+    upsample/crop and color-convert — shared by the baseline and
+    progressive paths."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
     planes = []
     for c in comps:
         blocks = coef[c["id"]].reshape(-1, 64) * qt[c["tq"]][None, :]
@@ -270,6 +320,159 @@ def _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval):
     if len(comps) == 3:
         out = _ycbcr_to_rgb(out)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _noninterleaved_blocks(frame, c) -> tuple[int, int]:
+    """Block rows/cols of component ``c`` in a NON-interleaved scan
+    (T.81 A.2.2: ceil over the component's own sample dimensions, not
+    the padded MCU grid)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    frame, coef, scan_comp_ids, scan_tables, ss, se, ah, al,
+    huff, segments, restart_interval,
+):
+    """One progressive scan per T.81 §G.2: DC first/refine (interleaved
+    or single-component), AC first with EOB runs, AC refine with
+    correction bits.  Restart markers reset DC predictors and the EOB
+    run and jump to the next entropy segment."""
+    comps = {c["id"]: c for c in frame["comps"]}
+    reader = _BitReader(segments)
+    scomps = [comps[cid] for cid in scan_comp_ids]
+
+    if ss == 0:
+        # ---- DC scan (se must be 0 per spec)
+        pred = {cid: 0 for cid in scan_comp_ids}
+        if len(scomps) > 1:
+            _, _, mcux, mcuy = _frame_geometry(frame)
+            units = []  # (comp, block_row, block_col) in MCU interleave order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in scomps:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                units.append((c, my * c["v"] + v, mx * c["h"] + hh))
+            per_mcu = sum(c["h"] * c["v"] for c in scomps)
+        else:
+            c = scomps[0]
+            bh, bw = _noninterleaved_blocks(frame, c)
+            units = [(c, by, bx) for by in range(bh) for bx in range(bw)]
+            per_mcu = 1
+        mcu = 0
+        for i, (c, by, bx) in enumerate(units):
+            if (
+                restart_interval
+                and i % per_mcu == 0
+                and mcu
+                and mcu % restart_interval == 0
+            ):
+                reader.next_segment()
+                pred = {cid: 0 for cid in scan_comp_ids}
+            if i % per_mcu == per_mcu - 1:
+                mcu += 1
+            blk = coef[c["id"]][by, bx]
+            if ah == 0:  # first DC pass
+                dc_t = huff[(0, scan_tables[c["id"]][0])]
+                s = _huff_decode(reader, dc_t)
+                diff = _extend(reader.receive(s), s)
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]] << al
+            else:  # DC refinement: one raw bit per block
+                if reader.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+        return
+
+    # ---- AC scan: single component, band [ss, se]
+    c = scomps[0]
+    ac_t = huff[(1, scan_tables[c["id"]][1])]
+    bh, bw = _noninterleaved_blocks(frame, c)
+    plane = coef[c["id"]]
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    blocks_seen = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if (
+                restart_interval
+                and blocks_seen
+                and blocks_seen % restart_interval == 0
+            ):
+                reader.next_segment()
+                eobrun = 0
+            blocks_seen += 1
+            blk = plane[by, bx]
+            if ah == 0:
+                # ---- AC first pass (G.1.2.2): spectral band + EOB runs
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow in progressive scan")
+                    blk[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:
+                # ---- AC refinement (G.1.2.3): corrections + new ±1<<al
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                # note: NO -1 here, unlike the first-pass
+                                # EOBn — the symbol is read at the FIRST
+                                # run block and the shared post-loop below
+                                # decrements for it (T.81 G.1.2.3 /
+                                # libjpeg's split of the run bookkeeping)
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            # r == 15: ZRL in refinement — skip 16
+                            # zero-history coefficients (with corrections)
+                        else:
+                            # s must be 1: a newly-significant coefficient
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if reader.read_bit() and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    if s:
+                                        blk[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if eobrun > 0:
+                    # end-of-band: apply correction bits to the rest
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if reader.read_bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
 
 
 def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
@@ -395,17 +598,11 @@ def _fixed_len_table(symbols: set[int]) -> tuple[list[int], bytes, dict[int, tup
     return bits, bytes(vals), enc
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 85,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """Encode an (h, w) or (h, w, 1|3) uint8 array as baseline JPEG:
-    grayscale, 4:4:4, or 4:2:0 (``subsampling="420"``, 2x2-mean chroma).
-    Per-image fixed-length Huffman tables.  ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs (what a parallel
-    encoder does so a reader can resync)."""
+def _prepare_components(img: np.ndarray, quality: int, subsampling: str = "444"):
+    """Color-convert, subsample, pad, forward-DCT and quantize: returns
+    (comps, qts, h, w, nc, mcux, mcuy) with each comp carrying its
+    zigzag ``blocks`` array — the shared front half of the baseline and
+    progressive encoders."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -452,6 +649,21 @@ def encode_jpeg(
             dct.reshape(bh // 8, bw // 8, 64) / qts[c["tq"]][q_raster_idx]
         ).astype(np.int32)
         c["blocks"] = qz[:, :, _ZIGZAG]
+    return comps, qts, h, w, nc, mcux, mcuy
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode an (h, w) or (h, w, 1|3) uint8 array as baseline JPEG:
+    grayscale, 4:4:4, or 4:2:0 (``subsampling="420"``, 2x2-mean chroma).
+    Per-image fixed-length Huffman tables.  ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs (what a parallel
+    encoder does so a reader can resync)."""
+    comps, qts, h, w, nc, mcux, mcuy = _prepare_components(img, quality, subsampling)
 
     # gather symbols per class (luma=0 for component 0, chroma=1 otherwise)
     sym_dc: dict[int, set] = {0: set(), 1: set()}
@@ -523,3 +735,203 @@ def _np_inverse_zigzag() -> np.ndarray:
     inv = np.empty(64, dtype=np.int64)
     inv[_ZIGZAG] = np.arange(64)
     return inv
+
+
+# ------------------------------------------------------- progressive encode
+
+
+def _emit_eob_events(events, cls, eobrun, pending):
+    """EOBn symbol (+ extension bits) for a pending EOB run, followed by
+    any buffered correction bits (T.81 G.1.2.2-3 / the libjpeg
+    emit_eobrun shape)."""
+    if eobrun > 0:
+        nb = eobrun.bit_length() - 1
+        events.append(("sym", ("ac", cls), nb << 4))
+        if nb:
+            events.append(("raw", eobrun - (1 << nb), nb))
+        for b in pending:
+            events.append(("raw", b, 1))
+        pending.clear()
+    return 0
+
+
+def _progressive_scan_events(kind, scomps, band, ah, al):
+    """Entropy events for one progressive scan: ('sym', (tc_name, cls),
+    symbol) and ('raw', value, nbits).  ``scomps`` is [(comp, cls,
+    units)] where units iterates (block_row, block_col) in the scan's
+    block order; for interleaved DC scans the caller passes a single
+    merged unit list tagged per component."""
+    events: list = []
+    ss, se = band
+    if kind == "dc_first":
+        pred = {}
+        for comp, cls, by, bx in scomps:
+            blk0 = int(comp["blocks"][by, bx][0]) >> al
+            diff = blk0 - pred.get(id(comp), 0)
+            pred[id(comp)] = blk0
+            size, bits = _mag(diff)
+            events.append(("sym", ("dc", cls), size))
+            if size:
+                events.append(("raw", bits, size))
+    elif kind == "dc_refine":
+        for comp, cls, by, bx in scomps:
+            events.append(("raw", (int(comp["blocks"][by, bx][0]) >> al) & 1, 1))
+    elif kind == "ac_first":
+        comp, cls = scomps[0][0], scomps[0][1]
+        eobrun = 0
+        for _, _, by, bx in scomps:
+            blk = comp["blocks"][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                c = int(blk[k])
+                mag = abs(c) >> al
+                if mag == 0:
+                    r += 1
+                    continue
+                eobrun = _emit_eob_events(events, cls, eobrun, [])
+                while r > 15:
+                    events.append(("sym", ("ac", cls), 0xF0))
+                    r -= 16
+                v = mag if c > 0 else -mag
+                size, bits = _mag(v)
+                events.append(("sym", ("ac", cls), (r << 4) | size))
+                events.append(("raw", bits, size))
+                r = 0
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eob_events(events, cls, eobrun, [])
+        _emit_eob_events(events, cls, eobrun, [])
+    elif kind == "ac_refine":
+        comp, cls = scomps[0][0], scomps[0][1]
+        eobrun = 0
+        pending: list = []  # correction bits owned by the pending EOB run
+        for _, _, by, bx in scomps:
+            blk = comp["blocks"][by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # band offset of the LAST newly-significant coef
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            br: list = []
+            r = 0
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    eobrun = _emit_eob_events(events, cls, eobrun, pending)
+                    events.append(("sym", ("ac", cls), 0xF0))
+                    r -= 16
+                    for b in br:
+                        events.append(("raw", b, 1))
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                eobrun = _emit_eob_events(events, cls, eobrun, pending)
+                events.append(("sym", ("ac", cls), (r << 4) | 1))
+                events.append(("raw", 1 if int(blk[ss + i]) > 0 else 0, 1))
+                for b in br:
+                    events.append(("raw", b, 1))
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eob_events(events, cls, eobrun, pending)
+        _emit_eob_events(events, cls, eobrun, pending)
+    else:
+        raise ValueError(kind)
+    return events
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2), grayscale or 4:4:4 color, with
+    a libjpeg-style scan script exercising every progressive mode:
+
+    1. DC, all components interleaved, Al=1
+    2. per component: AC 1..5  first pass, Al=2
+    3. per component: AC 6..63 first pass, Al=2
+    4. per component: AC 1..63 refinement Ah=2 -> Al=1
+    5. per component: AC 1..63 refinement Ah=1 -> Al=0
+    6. DC refinement, all components, Ah=1 -> Al=0
+
+    After scan 6 every coefficient is fully refined, so decoding must
+    reproduce the BASELINE encode of the same image bit-for-bit (same
+    quantized coefficients) — which is exactly what the round-trip test
+    asserts.  Test-vector generator first, reference encoder second;
+    no restart intervals."""
+    comps, qts, h, w, nc, mcux, mcuy = _prepare_components(img, quality, "444")
+    for ci, c in enumerate(comps):
+        c["id"] = ci + 1
+        c["cls"] = 0 if ci == 0 else 1
+
+    def mcu_units():
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c in comps:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            units.append((c, c["cls"], my * c["v"] + v, mx * c["h"] + hh))
+        return units
+
+    def comp_units(c):
+        # 4:4:4 / grayscale only here: non-interleaved grid == MCU grid
+        bh, bw = c["blocks"].shape[:2]
+        return [(c, c["cls"], by, bx) for by in range(bh) for bx in range(bw)]
+
+    scans = [("dc_first", mcu_units(), (0, 0), 0, 1, comps)]
+    for c in comps:
+        scans.append(("ac_first", comp_units(c), (1, 5), 0, 2, [c]))
+    for c in comps:
+        scans.append(("ac_first", comp_units(c), (6, 63), 0, 2, [c]))
+    for c in comps:
+        scans.append(("ac_refine", comp_units(c), (1, 63), 2, 1, [c]))
+    for c in comps:
+        scans.append(("ac_refine", comp_units(c), (1, 63), 1, 0, [c]))
+    scans.append(("dc_refine", mcu_units(), (0, 0), 1, 0, comps))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in sorted({c["tq"] for c in comps}):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(v) for v in qts[tq][:64]
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+
+    for kind, units, band, ah, al, scomps in scans:
+        events = _progressive_scan_events(kind, units, band, ah, al)
+        # per-scan Huffman tables for the symbol classes actually used
+        used: dict = {}
+        for ev in events:
+            if ev[0] == "sym":
+                used.setdefault(ev[1], set()).add(ev[2])
+        tabs = {key: _fixed_len_table(syms) for key, syms in used.items()}
+        for (tc_name, cls), (bits, vals, _enc) in sorted(tabs.items()):
+            tc = 0 if tc_name == "dc" else 1
+            body = bytes([(tc << 4) | cls]) + bytes(bits) + vals
+            out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+        sos = bytes([len(scomps)])
+        for c in scomps:
+            sos += bytes([c["id"], (c["cls"] << 4) | c["cls"]])
+        sos += bytes([band[0], band[1], (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        writer = _BitWriter()
+        for ev in events:
+            if ev[0] == "sym":
+                ln, code = tabs[ev[1]][2][ev[2]]
+                writer.write(code, ln)
+            else:
+                _, value, n = ev
+                if n:
+                    writer.write(value, n)
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -8,12 +8,13 @@ batch shapes — is real and tested.  Decoding is tiered:
 
 - REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy),
   8-bit PNG (stdlib ``zlib`` + numpy, all five scanline filters,
-  gray/RGB/palette/alpha), baseline JPEG (full SOF0 Huffman decoder in
-  ``operators/jpeg.py`` — any sampling factors, restart intervals,
-  stream-supplied tables), and PCM-16 WAV (stdlib ``wave``) decode
-  genuinely, exercised in tests;
+  gray/RGB/palette/alpha), baseline AND progressive JPEG (full
+  SOF0/SOF2 Huffman decoder in ``operators/jpeg.py`` — any sampling
+  factors, restart intervals, stream-supplied tables, spectral
+  selection + successive approximation), and PCM-16 WAV (stdlib
+  ``wave``) decode genuinely, exercised in tests;
 - real library if importable (PIL / soundfile, import-try gate) for
-  the remaining formats (progressive JPEG/WebP/FLAC/...), absent in
+  the remaining formats (WebP/FLAC/...), absent in
   this container;
 - else a clearly-marked DETERMINISTIC FAKE derives pixel/sample arrays
   from the byte content (so distributed plumbing, shapes, and downstream
@@ -164,8 +165,8 @@ def _decode_png(payload: bytes):
 
 def _decode_image(payload: bytes, strict: bool):
     """Real decode via PIL when available; real pure-numpy decode for
-    uncompressed BMP, 8-bit PNG, and baseline JPEG regardless;
-    deterministic fake otherwise."""
+    uncompressed BMP, 8-bit PNG, and baseline + progressive JPEG
+    regardless; deterministic fake otherwise."""
     try:
         import io
 
@@ -193,8 +194,9 @@ def _decode_image(payload: bytes, strict: bool):
         if strict:
             raise NotImplementedError(
                 "image decode requires PIL (not installed) for formats "
-                "beyond uncompressed BMP, 8-bit PNG, and baseline JPEG; "
-                "pass decode_strict=False for the deterministic fake"
+                "beyond uncompressed BMP, 8-bit PNG, and baseline/"
+                "progressive JPEG; pass decode_strict=False for the "
+                "deterministic fake"
             ) from None
         import numpy as np
 

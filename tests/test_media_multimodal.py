@@ -382,13 +382,62 @@ def test_jpeg_uniform_lossless_and_rejects():
     u = np.full((24, 24, 3), 130, dtype=np.uint8)
     dec = decode_jpeg(encode_jpeg(u, quality=85))
     assert np.abs(dec.astype(int) - 130).max() == 0
-    # non-JPEG, truncated stream, progressive marker → None (fall to gate)
+    # non-JPEG, truncated stream, arithmetic-coded marker → None (gate)
     assert decode_jpeg(b"not a jpeg") is None
     assert decode_jpeg(encode_jpeg(u)[:40]) is None
-    prog = bytearray(encode_jpeg(u))
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2  # pretend progressive
-    assert decode_jpeg(bytes(prog)) is None
+    arith = bytearray(encode_jpeg(u))
+    sof = arith.find(b"\xff\xc0")
+    arith[sof + 1] = 0xC9  # SOF9: arithmetic coding — genuinely unsupported
+    assert decode_jpeg(bytes(arith)) is None
+
+
+def test_progressive_jpeg_decodes_bit_identical_to_baseline():
+    """REAL progressive JPEG (SOF2) decode: the progressive encoder's
+    scan script (DC first + refine, AC spectral bands, two AC
+    successive-approximation refinements with EOB runs and correction
+    bits) fully refines every coefficient, so decoding the progressive
+    stream must match decoding the BASELINE stream of the same image
+    bit-for-bit — gray and color, odd dimensions, two qualities."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.integers(0, 256, size=(24, 24)).astype(np.uint8),      # gray noise
+        rng.integers(0, 256, size=(19, 27, 3)).astype(np.uint8),   # color noise, odd dims
+        _gradient_rgb(37, 51),                                     # smooth color
+        np.full((16, 16), 130, dtype=np.uint8),                    # uniform (EOB-run heavy)
+    ]
+    for img in cases:
+        for q in (85, 50):
+            prog = encode_jpeg_progressive(img, quality=q)
+            assert b"\xff\xc2" in prog  # really SOF2
+            dp = decode_jpeg(prog)
+            db = decode_jpeg(encode_jpeg(img, quality=q))
+            assert dp is not None and db is not None
+            assert np.array_equal(dp, db), (
+                f"progressive != baseline for shape {img.shape} q={q}"
+            )
+
+
+def test_progressive_jpeg_through_strict_image_features(spark):
+    """The strict multimodal gate no longer rejects progressive JPEG:
+    a SOF2 blob decodes for real inside the mapInPandas kernel."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient_rgb(32, 48)
+    blob = encode_jpeg_progressive(img, quality=95)
+    df = spark.createDataFrame([(1, blob)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=True).collect()[0]
+    assert (out.width, out.height, out.channels) == (48, 32, 3)
+    assert abs(out.mean_pixel - float(img.mean())) < 2.0
 
 
 def test_real_jpeg_decode_in_image_features(spark):
