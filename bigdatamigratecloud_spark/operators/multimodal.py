@@ -71,12 +71,15 @@ def _decode_bmp(payload: bytes):
 
 
 def _decode_png(payload: bytes):
-    """REAL decode of 8-bit non-interlaced PNG — stdlib ``zlib`` + numpy,
-    no external codec library.  Supports color types 0 (gray), 2 (RGB),
-    3 (palette), 4 (gray+alpha), 6 (RGBA) and all five scanline filters
-    (None/Sub/Up/Average/Paeth).  Returns an (h, w, c) uint8 array, or
-    None if the payload is not a PNG this decoder handles (16-bit,
-    interlaced, and sub-byte depths fall through to the PIL/strict gate).
+    """REAL decode of 8- and 16-bit non-interlaced PNG — stdlib ``zlib``
+    + numpy, no external codec library.  Supports color types 0 (gray),
+    2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA) and all five
+    scanline filters (None/Sub/Up/Average/Paeth; filtering is BYTE-wise
+    per the spec, so the same unfilter code serves both depths).
+    16-bit samples are down-converted to uint8 by taking the high byte
+    (the standard 16→8 rendering).  Returns an (h, w, c) uint8 array,
+    or None if the payload is not a PNG this decoder handles (Adam7
+    interlace and sub-byte depths fall through to the PIL/strict gate).
 
     None/Sub/Up unfilter vectorize per row (Sub is a per-channel running
     sum mod 256); Average and Paeth depend on the already-reconstructed
@@ -108,15 +111,18 @@ def _decode_png(payload: bytes):
         if ihdr is None or not idat:
             return None
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None or (color == 3 and plte is None) or w == 0 or h == 0:
             return None
+        if color == 3 and depth != 8:
+            return None  # palette indices are 8-bit max per spec
         raw = zlib.decompress(b"".join(idat))
     except Exception:
         return None
-    stride = w * channels
+    bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
+    stride = w * bpp
     if len(raw) < h * (stride + 1):
         return None
     rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
@@ -124,7 +130,6 @@ def _decode_png(payload: bytes):
     )
     filters, data = rows[:, 0], rows[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
         f, line = filters[y], data[y]
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
@@ -152,6 +157,10 @@ def _decode_png(payload: bytes):
                 row[x] = (int(line[x]) + pred) & 0xFF
         else:
             return None
+    if depth == 16:
+        # big-endian 16-bit samples: high byte == round-toward-zero 8-bit
+        out = out.reshape(h, w, channels, 2)[:, :, :, 0]
+        return out.copy()
     img = out.reshape(h, w, channels)
     if color == 3:
         # a corrupt palette image can index past PLTE; that is an
@@ -232,6 +241,66 @@ def _decode_wav(payload: bytes):
     return x, rate
 
 
+def _g711_tables():
+    """256-entry decode tables for G.711 µ-law and A-law (public spec
+    formulas) -> linear int16."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0xF
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        ulaw[b] = -mag if sign else mag
+    alaw = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 7, a & 0xF
+        if exp:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        else:
+            mag = (mant << 4) + 8
+        # A-law's sign convention is INVERTED vs µ-law: a set sign bit
+        # (after the 0x55 toggle) marks a POSITIVE sample
+        alaw[b] = mag if sign else -mag
+    return ulaw, alaw
+
+
+def _decode_wav_companded(payload: bytes):
+    """REAL decode of G.711 A-law / µ-law WAV (format tags 6 and 7 —
+    the telephony formats the stdlib ``wave`` module rejects): manual
+    RIFF chunk walk + numpy table expansion to linear.  Returns
+    (samples float64 in [-1, 1], rate) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if tag not in (6, 7) or bits != 8 or ch < 1:
+        return None
+    ulaw, alaw = _g711_tables()
+    table = alaw if tag == 6 else ulaw
+    x = table[np.frombuffer(data, dtype=np.uint8)].astype("float64") / 32768.0
+    if ch > 1:
+        x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
 def _decode_audio(payload: bytes, strict: bool):
     try:
         import soundfile  # type: ignore  # noqa: F401
@@ -241,10 +310,13 @@ def _decode_audio(payload: bytes, strict: bool):
         wav = _decode_wav(payload)
         if wav is not None:
             return wav
+        companded = _decode_wav_companded(payload)
+        if companded is not None:
+            return companded
         if strict:
             raise NotImplementedError(
                 "audio decode requires soundfile/ffmpeg (not installed) "
-                "for non-WAV formats"
+                "for formats beyond PCM-16 and G.711 A-law/u-law WAV"
             ) from None
         import numpy as np
 

@@ -176,23 +176,30 @@ def test_real_wav_decode_in_audio_features(spark):
     assert abs(out.rms - float(np.sqrt((x ** 2).mean()))) < 1e-12
 
 
-def _make_png(arr, color_type, row_filters=None, palette=None):
-    """Minimal PNG encoder (test-side): 8-bit depth, non-interlaced, with a
-    CHOSEN filter applied per scanline (exercises the decoder's unfilter
-    paths, which a filter-0-only encoder would leave dead)."""
+def _make_png(arr, color_type, row_filters=None, palette=None, depth=8):
+    """Minimal PNG encoder (test-side): 8- or 16-bit depth,
+    non-interlaced, with a CHOSEN filter applied per scanline (exercises
+    the decoder's unfilter paths, which a filter-0-only encoder would
+    leave dead).  Filtering is byte-wise per the spec, so the 16-bit
+    path just serializes big-endian sample bytes first."""
     import struct
     import zlib
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    h, w = arr.shape[:2]
-    c = 1 if arr.ndim == 2 else arr.shape[2]
-    flat = arr.reshape(h, w * c).astype(np.int32)
-    bpp = c
+    h, w = np.asarray(arr).shape[:2]
+    c = 1 if np.asarray(arr).ndim == 2 else np.asarray(arr).shape[2]
+    if depth == 8:
+        flat = np.asarray(arr, dtype=np.uint8).reshape(h, w * c).astype(np.int32)
+    else:
+        flat = np.frombuffer(
+            np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).astype(">u2").tobytes(),
+            dtype=np.uint8,
+        ).reshape(h, w * c * 2).astype(np.int32)
+    bpp = c * (depth // 8)
     row_filters = row_filters or [0] * h
     raw = b""
-    prev = np.zeros(w * c, dtype=np.int32)
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
     for y in range(h):
         line, f = flat[y], row_filters[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
@@ -221,7 +228,7 @@ def _make_png(arr, color_type, row_filters=None, palette=None):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
@@ -270,8 +277,10 @@ def test_png_decode_gray_rgba_palette():
 
 
 def test_png_decode_rejects_unsupported():
-    """16-bit and interlaced PNGs (and non-PNG bytes) fall through to the
-    PIL/strict gate as None, never a wrong array."""
+    """Interlaced PNGs, depth-corrupted streams, and non-PNG bytes fall
+    through to the PIL/strict gate as None, never a wrong array.  (The
+    depth-flip case: claiming 16-bit over 8-bit-sized scanlines is a
+    stride mismatch, caught by the length check.)"""
     import struct
     import zlib
 
@@ -295,6 +304,98 @@ def test_png_decode_rejects_unsupported():
         ">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF
     ) + ok[len(ok) - 12 :]
     assert _decode_png(png) is None
+
+
+def test_png_decode_16bit_all_filters():
+    """REAL 16-bit PNG decode: byte-wise unfiltering at bpp = 2×channels
+    for every filter type, high-byte down-conversion to uint8 — gray and
+    RGB.  A 16-bit palette image is invalid per spec and must be
+    rejected."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(23)
+    g16 = rng.integers(0, 65536, size=(5, 9), dtype=np.uint16)
+    for f in range(5):
+        got = _decode_png(_make_png(g16, color_type=0, row_filters=[f] * 5, depth=16))
+        assert got is not None and got.shape == (5, 9, 1), f"filter {f}"
+        assert (got[:, :, 0] == (g16 >> 8).astype(np.uint8)).all(), f"filter {f}"
+
+    rgb16 = rng.integers(0, 65536, size=(4, 6, 3), dtype=np.uint16)
+    got = _decode_png(_make_png(rgb16, color_type=2, row_filters=[0, 1, 2, 4], depth=16))
+    assert got.shape == (4, 6, 3) and (got == (rgb16 >> 8).astype(np.uint8)).all()
+
+    # 16-bit palette: invalid per spec -> None
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint16)
+    bad = _make_png(idx, color_type=3, palette=[(1, 2, 3), (4, 5, 6)], depth=16)
+    assert _decode_png(bad) is None
+
+
+def _make_wav_raw(data: bytes, fmt_tag: int, channels: int, rate: int, bits: int) -> bytes:
+    import struct
+
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits)
+    out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
+def test_g711_wav_decode_matches_audioop():
+    """REAL A-law/µ-law WAV decode (format tags 6/7, which the stdlib
+    ``wave`` module rejects): every one of the 256 code bytes must
+    expand to the same linear value the stdlib G.711 reference
+    (audioop) produces."""
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")  # stdlib in 3.11, gone in 3.13
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        _decode_wav_companded,
+    )
+
+    codes = bytes(range(256))
+    for tag, expand in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+        wav = _make_wav_raw(codes, fmt_tag=tag, channels=1, rate=8000, bits=8)
+        got = _decode_wav_companded(wav)
+        assert got is not None
+        x, rate = got
+        assert rate == 8000 and len(x) == 256
+        want = np.frombuffer(expand(codes, 2), dtype="<i2").astype("float64") / 32768.0
+        assert np.array_equal(x, want), "G.711 table mismatch vs stdlib reference"
+
+    # stereo µ-law mixes to mono like the PCM path
+    stereo = _make_wav_raw(bytes([0x00, 0xFF] * 10), fmt_tag=7, channels=2, rate=16000, bits=8)
+    x2, r2 = _decode_wav_companded(stereo)
+    assert r2 == 16000 and len(x2) == 10
+    # PCM tag through this path -> None (handled by _decode_wav instead)
+    assert _decode_wav_companded(_make_wav_raw(codes, 1, 1, 8000, 8)) is None
+
+
+def test_g711_wav_through_audio_features(spark):
+    """The strict audio gate accepts µ-law WAV end-to-end through the
+    mapInPandas kernel."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+
+    from bigdatamigratecloud_spark.operators import multimodal
+
+    # a 440 Hz-ish tone PCM16 -> µ-law bytes via the stdlib reference
+    t = np.arange(800) / 8000.0
+    pcm = (np.sin(2 * math.pi * 440 * t) * 20000).astype("<i2").tobytes()
+    ulaw = audioop.lin2ulaw(pcm, 2)
+    wav = _make_wav_raw(ulaw, fmt_tag=7, channels=1, rate=8000, bits=8)
+    df = spark.createDataFrame([(1, wav)], "id long, content binary")
+    out = multimodal.audio_features(df, decode_strict=True).collect()[0]
+    assert out.sample_rate == 8000
+    assert out.n_samples == 800
 
 
 def test_real_png_decode_in_image_features(spark):
