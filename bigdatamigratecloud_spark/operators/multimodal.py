@@ -70,59 +70,28 @@ def _decode_bmp(payload: bytes):
     return arr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def _decode_png(payload: bytes):
-    """REAL decode of 8- and 16-bit non-interlaced PNG — stdlib ``zlib``
-    + numpy, no external codec library.  Supports color types 0 (gray),
-    2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA) and all five
-    scanline filters (None/Sub/Up/Average/Paeth; filtering is BYTE-wise
-    per the spec, so the same unfilter code serves both depths).
-    16-bit samples are down-converted to uint8 by taking the high byte
-    (the standard 16→8 rendering).  Returns an (h, w, c) uint8 array,
-    or None if the payload is not a PNG this decoder handles (Adam7
-    interlace and sub-byte depths fall through to the PIL/strict gate).
+# Adam7 interlace grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    None/Sub/Up unfilter vectorize per row (Sub is a per-channel running
-    sum mod 256); Average and Paeth depend on the already-reconstructed
-    left neighbor, so rows using them take a per-pixel sweep — per-blob
-    work in the mapInPandas kernel stays embarrassingly parallel either
-    way, but size kernels expecting Python-loop speed for those rows."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reconstruct h scanlines of ``stride`` bytes from a PNG-filtered
+    byte stream (filter tag + bytes per line).  Returns an (h, stride)
+    uint8 array or None on truncation/unknown filter.
+
+    None/Sub/Up vectorize per row (Sub is a per-channel running sum mod
+    256); Average and Paeth depend on the already-reconstructed left
+    neighbor, so rows using them take a per-pixel sweep."""
     import numpy as np
 
-    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    pos, ihdr, idat, plte = 8, None, [], None
-    try:
-        while pos + 8 <= len(payload):
-            (length,) = struct.unpack_from(">I", payload, pos)
-            ctype = payload[pos + 4 : pos + 8]
-            data = payload[pos + 8 : pos + 8 + length]
-            if ctype == b"IHDR":
-                ihdr = struct.unpack(">IIBBBBB", data)
-            elif ctype == b"PLTE":
-                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-            elif ctype == b"IDAT":
-                idat.append(data)
-            elif ctype == b"IEND":
-                break
-            pos += 12 + length  # length + type + data + crc
-        if ihdr is None or not idat:
-            return None
-        w, h, depth, color, comp, filt, interlace = ihdr
-        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
-            return None
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-        if channels is None or (color == 3 and plte is None) or w == 0 or h == 0:
-            return None
-        if color == 3 and depth != 8:
-            return None  # palette indices are 8-bit max per spec
-        raw = zlib.decompress(b"".join(idat))
-    except Exception:
-        return None
-    bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
-    stride = w * bpp
     if len(raw) < h * (stride + 1):
         return None
     rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
@@ -157,6 +126,81 @@ def _decode_png(payload: bytes):
                 row[x] = (int(line[x]) + pred) & 0xFF
         else:
             return None
+    return out
+
+
+def _decode_png(payload: bytes):
+    """REAL decode of 8- and 16-bit non-interlaced PNG — stdlib ``zlib``
+    + numpy, no external codec library.  Supports color types 0 (gray),
+    2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA) and all five
+    scanline filters (None/Sub/Up/Average/Paeth; filtering is BYTE-wise
+    per the spec, so the same unfilter code serves both depths).
+    16-bit samples are down-converted to uint8 by taking the high byte
+    (the standard 16→8 rendering).  Adam7 INTERLACED streams decode for
+    real too: the seven filtered sub-images unfilter independently and
+    scatter back onto the pass grid.  Returns an (h, w, c) uint8 array,
+    or None if the payload is not a PNG this decoder handles (sub-byte
+    depths fall through to the PIL/strict gate).  Per-blob work in the
+    mapInPandas kernel stays embarrassingly parallel; see
+    :func:`_png_unfilter` for the per-filter cost model."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat, plte = 8, None, [], None
+    try:
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None or (color == 3 and plte is None) or w == 0 or h == 0:
+            return None
+        if color == 3 and depth != 8:
+            return None  # palette indices are 8-bit max per spec
+        raw = zlib.decompress(b"".join(idat))
+    except Exception:
+        return None
+    bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * bpp, bpp)
+        if out is None:
+            return None
+    else:
+        # Adam7: seven independently-filtered sub-images concatenated in
+        # the IDAT stream, scattered back on the (x0, y0, dx, dy) grid
+        out = np.zeros((h, w * bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            stride = wp * bpp
+            sub = _png_unfilter(raw[pos:], hp, stride, bpp)
+            if sub is None:
+                return None
+            pos += hp * (stride + 1)
+            # scatter pixel-wise: each sub pixel (bpp bytes) to its grid cell
+            grid = out.reshape(h, w, bpp)
+            grid[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
     if depth == 16:
         # big-endian 16-bit samples: high byte == round-toward-zero 8-bit
         out = out.reshape(h, w, channels, 2)[:, :, :, 0]

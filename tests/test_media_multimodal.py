@@ -176,32 +176,15 @@ def test_real_wav_decode_in_audio_features(spark):
     assert abs(out.rms - float(np.sqrt((x ** 2).mean()))) < 1e-12
 
 
-def _make_png(arr, color_type, row_filters=None, palette=None, depth=8):
-    """Minimal PNG encoder (test-side): 8- or 16-bit depth,
-    non-interlaced, with a CHOSEN filter applied per scanline (exercises
-    the decoder's unfilter paths, which a filter-0-only encoder would
-    leave dead).  Filtering is byte-wise per the spec, so the 16-bit
-    path just serializes big-endian sample bytes first."""
-    import struct
-    import zlib
-
+def _filter_rows(flat, bpp, row_filters):
+    """Apply chosen PNG filters to (h, stride) byte rows -> filtered
+    stream bytes (tag + line per row)."""
     import numpy as np
 
-    h, w = np.asarray(arr).shape[:2]
-    c = 1 if np.asarray(arr).ndim == 2 else np.asarray(arr).shape[2]
-    if depth == 8:
-        flat = np.asarray(arr, dtype=np.uint8).reshape(h, w * c).astype(np.int32)
-    else:
-        flat = np.frombuffer(
-            np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).astype(">u2").tobytes(),
-            dtype=np.uint8,
-        ).reshape(h, w * c * 2).astype(np.int32)
-    bpp = c * (depth // 8)
-    row_filters = row_filters or [0] * h
     raw = b""
     prev = np.zeros(flat.shape[1], dtype=np.int32)
-    for y in range(h):
-        line, f = flat[y], row_filters[y]
+    for y in range(flat.shape[0]):
+        line, f = flat[y], row_filters[y % len(row_filters)]
         left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
         if f == 0:
@@ -219,6 +202,51 @@ def _make_png(arr, color_type, row_filters=None, palette=None, depth=8):
             filt = line - pred
         raw += bytes([f]) + (filt % 256).astype(np.uint8).tobytes()
         prev = line
+    return raw
+
+
+_ADAM7_TEST = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _make_png(arr, color_type, row_filters=None, palette=None, depth=8, interlace=0):
+    """Minimal PNG encoder (test-side): 8- or 16-bit depth, optionally
+    Adam7-interlaced, with a CHOSEN filter applied per scanline
+    (exercises the decoder's unfilter paths, which a filter-0-only
+    encoder would leave dead).  Filtering is byte-wise per the spec, so
+    the 16-bit path just serializes big-endian sample bytes first."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = np.asarray(arr).shape[:2]
+    c = 1 if np.asarray(arr).ndim == 2 else np.asarray(arr).shape[2]
+    if depth == 8:
+        grid = np.asarray(arr, dtype=np.uint8).reshape(h, w, c)
+    else:
+        grid = np.frombuffer(
+            np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).astype(">u2").tobytes(),
+            dtype=np.uint8,
+        ).reshape(h, w, c * 2)
+    bpp = c * (depth // 8)
+    row_filters = row_filters or [0]
+    if interlace == 0:
+        raw = _filter_rows(grid.reshape(h, w * bpp).astype(np.int32), bpp, row_filters)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_TEST:
+            sub = grid[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            hp, wp = sub.shape[:2]
+            raw += _filter_rows(
+                np.ascontiguousarray(sub).reshape(hp, wp * bpp).astype(np.int32),
+                bpp,
+                row_filters,
+            )
 
     def chunk(ctype, data):
         return (
@@ -228,7 +256,7 @@ def _make_png(arr, color_type, row_filters=None, palette=None, depth=8):
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         out += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
@@ -294,7 +322,9 @@ def test_png_decode_rejects_unsupported():
     # corrupt the IHDR depth byte (8 -> 16): offset = 8 sig + 8 hdr + 8 w/h
     bad_depth = ok[:24] + b"\x10" + ok[25:]
     assert _decode_png(bad_depth) is None
-    # interlace byte on (Adam7)
+    # interlace byte flipped on over a NON-interlaced stream: Adam7 is
+    # supported now, but the pass geometry then disagrees with the
+    # actual scanline bytes — caught as truncation, never a wrong array
     bad_inter = ok[:28] + b"\x01" + ok[29:]
     assert _decode_png(bad_inter) is None
     # truncated IDAT: valid zlib but too few scanline bytes
@@ -330,6 +360,37 @@ def test_png_decode_16bit_all_filters():
     idx = np.array([[0, 1], [1, 0]], dtype=np.uint16)
     bad = _make_png(idx, color_type=3, palette=[(1, 2, 3), (4, 5, 6)], depth=16)
     assert _decode_png(bad) is None
+
+
+def test_png_decode_adam7_interlaced():
+    """REAL Adam7 decode: seven independently-filtered sub-images
+    scattered back on the pass grid — gray, RGB, RGBA, 16-bit, and
+    dimensions small enough that several passes are EMPTY (the
+    edge the pass-geometry math must get right)."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(31)
+    cases = [
+        (rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), 2, 8),
+        (rng.integers(0, 256, size=(13, 21), dtype=np.uint8), 0, 8),      # odd dims
+        (rng.integers(0, 256, size=(9, 5, 4), dtype=np.uint8), 6, 8),     # RGBA
+        (rng.integers(0, 256, size=(3, 2), dtype=np.uint8), 0, 8),        # most passes empty
+        (rng.integers(0, 256, size=(1, 1), dtype=np.uint8), 0, 8),        # single pixel (pass 1 only)
+    ]
+    for arr, ctype, depth in cases:
+        for filters in ([0], [0, 1, 2, 3, 4]):
+            png = _make_png(arr, color_type=ctype, row_filters=filters, interlace=1)
+            got = _decode_png(png)
+            assert got is not None, f"{arr.shape} filters={filters}"
+            want = arr if arr.ndim == 3 else arr[:, :, None]
+            assert (got == want).all(), f"{arr.shape} filters={filters}"
+
+    # 16-bit interlaced: high-byte down-conversion after scatter
+    g16 = rng.integers(0, 65536, size=(11, 7), dtype=np.uint16)
+    got = _decode_png(_make_png(g16, color_type=0, depth=16, interlace=1, row_filters=[2, 4]))
+    assert got is not None and (got[:, :, 0] == (g16 >> 8).astype(np.uint8)).all()
 
 
 def _make_wav_raw(data: bytes, fmt_tag: int, channels: int, rate: int, bits: int) -> bytes:
