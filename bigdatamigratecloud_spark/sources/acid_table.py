@@ -822,6 +822,29 @@ class AcidTable:
             }
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: publish a new commit whose file set
+        (and schema) is exactly that of ``version`` — a metadata-only
+        rollback, no data file read or written (Delta's RESTORE).  The
+        rolled-back history stays retained and time-travelable; the
+        restore itself is one more commit, so it is undoable the same
+        way.  Requires ``version`` to still be resolvable (not past a
+        vacuum horizon)."""
+        head = self._head()
+        target = self._read_manifest(version)
+        entries = self.entries(version)
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "restore",
+                "schema": target["schema"],
+                "key_cols": target["key_cols"],
+                "reset": True,
+                "add": entries,
+                "txns": self._merged_txns(self._read_manifest(head), None),
+            }
+        )
+
     def delete(self, predicate: str) -> int:
         """COW delete: files are first FILTERED to those containing any
         matching row (one pruned scan flags files via input_file_name);

@@ -696,3 +696,32 @@ def test_idempotent_txn_skips_replayed_batch(spark, tmp_path):
     assert t.last_txn("other") is None
     v3 = t.overwrite(spark.range(0, 5).withColumn("v", F.lit(7)), txn=("other", 3))
     assert v3 == 3 and t.last_txn("other") == 3 and t.last_txn("app1") == 1
+
+
+def test_restore_metadata_only_rollback(spark, tmp_path):
+    """restore(v): one metadata commit re-publishing an old version's
+    exact file set — no data I/O, old history intact, and a vacuum
+    after the restore keeps the restored files live."""
+    import glob
+
+    base = spark.range(0, 500).withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.merge(spark.range(0, 100).withColumn("v", F.lit(1)), ["id"])
+    t.delete("id >= 400")
+    assert t.snapshot().count() == 400
+
+    n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet")))
+    v = t.restore(0)
+    # metadata-only: not a single new data file
+    assert len(glob.glob(str(tmp_path / "t" / "data" / "*" / "*.parquet"))) == n_files_before
+    m = t._read_manifest(v)
+    assert m["operation"] == "restore" and m.get("reset") is True
+    snap = t.snapshot()
+    assert snap.count() == 500
+    assert snap.where("v = 1").count() == 0  # rolled back
+    assert {e["path"] for e in t.entries(v)} == {e["path"] for e in t.entries(0)}
+    # intermediate history still time-travels
+    assert t.snapshot(2).count() == 400
+    # vacuum keeping only the restore head must keep v0's files readable
+    t.vacuum(keep_last=1, retain_seconds=0.0)
+    assert t.snapshot().count() == 500
