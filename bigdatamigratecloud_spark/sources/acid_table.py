@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _ENTRY_DDL = "path string, rows long, stats string"
+_ISIN_MAX = 1000  # remove-sets beyond this become an anti-join, not a literal
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_TYPES = {"float", "double"}
 
@@ -302,7 +303,14 @@ class AcidTable:
         adds = [a for a in adds if a[0] not in gone]
         out = base
         if removes:
-            out = out.where(~F.col("path").isin(removes))
+            if len(removes) <= _ISIN_MAX:
+                out = out.where(~F.col("path").isin(removes))
+            else:
+                # a near-threshold COW merge can remove O(files) paths in
+                # one manifest — as an expression literal that bloats the
+                # plan, so large remove sets apply as an anti-join instead
+                rem = self.spark.createDataFrame([(p,) for p in removes], "path string")
+                out = out.join(rem, "path", "left_anti")
         if adds:
             out = out.unionByName(self.spark.createDataFrame(adds, _ENTRY_DDL))
         return out

@@ -725,3 +725,19 @@ def test_restore_metadata_only_rollback(spark, tmp_path):
     # vacuum keeping only the restore head must keep v0's files readable
     t.vacuum(keep_last=1, retain_seconds=0.0)
     assert t.snapshot().count() == 500
+
+
+def test_entries_frame_large_remove_set_uses_antijoin(spark, tmp_path, monkeypatch):
+    """A manifest whose remove list exceeds the isin threshold must
+    resolve through the anti-join path with identical results."""
+    from bigdatamigratecloud_spark.sources import acid_table as at_mod
+
+    base = spark.range(0, 800).repartitionByRange(8, "id").withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    # COW merge touching several files -> a multi-path remove list
+    t.merge(spark.range(0, 500, 7).withColumn("v", F.lit(1)), ["id"], recompute_frac=1.1)
+    want = sorted(e["path"] for e in t.entries(1))
+    monkeypatch.setattr(at_mod, "_ISIN_MAX", 1)  # force the anti-join branch
+    got = sorted(r["path"] for r in t._entries_frame(1).select("path").collect())
+    assert got == want
+    assert t.snapshot().count() == 800
