@@ -183,7 +183,13 @@ def run_stream_to_memory(
         q.stop()
 
 
-def acid_merge_sink(table_root: str, pk_cols: list[str], app_id: str):
+def acid_merge_sink(
+    table_root: str,
+    pk_cols: list[str],
+    app_id: str,
+    compact_every: int | None = None,
+    target_files: int = 32,
+):
     """Exactly-once stream→ACID sink: a ``foreachBatch`` function that
     lands each micro-batch into an :class:`AcidTable` via idempotent
     MERGE.
@@ -202,6 +208,14 @@ def acid_merge_sink(table_root: str, pk_cols: list[str], app_id: str):
     Within-batch duplicate PKs (overlapping at-least-once source files)
     are deduped last-write-wins before the merge, mirroring the
     reference's replace-matching-rows apply (Codeunit 60000:440-451).
+
+    ``compact_every``: every that many batches, run
+    ``AcidTable.compact(target_files)`` after the merge — per-batch
+    MERGE commits accumulate small files, THE operational cost of a
+    streaming sink at 100 TB, and periodic OPTIMIZE bounds it without
+    blocking readers.  Compaction is a separate (txn-less) commit: a
+    crash-replay may re-run it, which is harmless — it rewrites the
+    same snapshot — while the data-bearing merge stays exactly-once.
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -221,6 +235,8 @@ def acid_merge_sink(table_root: str, pk_cols: list[str], app_id: str):
             )
         else:
             t.merge(body, list(pk_cols), txn=(app_id, int(batch_id)))
+        if compact_every and (int(batch_id) + 1) % compact_every == 0:
+            t.compact(target_files)
 
     return _apply
 

@@ -244,3 +244,46 @@ def test_acid_stream_sink_exactly_once_replay(spark, sf_dir, tmp_path):
     sink(replay_df, last_batch + 1)
     assert t.latest_version() == head + 1
     assert t.snapshot().count() == ev.count()  # idempotent contents
+
+
+def test_acid_stream_sink_periodic_compaction(spark, sf_dir, tmp_path):
+    """compact_every: the sink bounds small-file growth by running
+    OPTIMIZE after every N batches — contents stay exact, history shows
+    the optimize commits, and the final snapshot reads few files."""
+    import uuid
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2400)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    landing = str(tmp_path / "landing")
+    for lo in range(0, 2400, 400):  # 6 micro-batches
+        ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < lo + 400)).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    target = str(tmp_path / "acid_t")
+    sink = sev.acid_merge_sink(
+        target, ["event_id"], app_id="compact_app", compact_every=3, target_files=2
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    t = AcidTable(spark, target)
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("optimize") == 2  # after batches 3 and 6
+    assert len(t.entries()) == 2  # compacted tail
+    got = {tuple(r) for r in t.snapshot().collect()}
+    assert got == {tuple(r) for r in ev.collect()}
