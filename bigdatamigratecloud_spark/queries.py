@@ -2739,6 +2739,53 @@ def s13c_acid_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13f_restore_rollback",
+    """SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey % 7 = 0""",
+)
+def s13f_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 + RESTORE: the table takes a reprice MERGE and a DELETE, then
+    rolls back to version 0 with a METADATA-ONLY restore commit (no
+    data file read or written — the old file set is republished as a
+    reset action).  The snapshot after restore must equal the original
+    load exactly, which is what the oracle checks; the intermediate
+    versions stay time-travelable."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_restore_")
+    try:
+        o = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 7 == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("double").alias("price"),
+            )
+        )
+        t = AcidTable.create(spark, root + "/t", o, key_cols=["o_orderkey"])
+        t.merge(
+            o.where(F.col("o_orderkey") % 21 == 0).withColumn(
+                "price", F.col("price") * 2
+            ),
+            ["o_orderkey"],
+        )
+        t.delete("o_custkey % 5 = 0")
+        v = t.restore(0)
+        assert t._read_manifest(v)["operation"] == "restore"
+        out = t.snapshot()
+        # materialize before the temp table directory disappears
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13d_change_feed",
     """WITH upd AS (SELECT * FROM customer WHERE c_custkey % 50 = 0),
        del AS (SELECT * FROM customer
