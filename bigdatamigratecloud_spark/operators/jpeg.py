@@ -231,11 +231,8 @@ def _decode_jpeg_inner(payload: bytes):
 
 
 def _decode_scan(frame, scan_tables, qt, huff, segments, restart_interval):
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    comps = frame["comps"]
+    _, _, mcux, mcuy = _frame_geometry(frame)
     reader = _BitReader(segments)
     pred = {c["id"]: 0 for c in comps}
     # coefficient store per component: (n_blocks_y, n_blocks_x, 64)

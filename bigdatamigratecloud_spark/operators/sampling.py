@@ -124,22 +124,40 @@ def _prefix_offsets(
     global unpartitioned window over n/shard_size rows, plus a forced
     broadcast of that frame): every join here is a plain equi-join on
     the shard key, left to AQE to broadcast when genuinely small."""
+    if fanout < 2:
+        # fanout 1 would never shrink max_shard — recursion could not
+        # terminate; fail at plan build, not with a RecursionError
+        raise ValueError(f"prefix-sum fanout must be >= 2, got {fanout}")
     if max_shard < fanout:
         # bounded base case: <= fanout rows.  Partition by the parent
         # expression — provably single-valued here (shards are
-        # non-negative and < fanout, so shard//fanout == 0 for every
+        # non-negative and < fanout, so shard div fanout == 0 for every
         # row) — rather than leaving the spec empty: execution is the
         # same single tiny partition, but the plan carries no
         # unpartitioned window, so Spark's "No Partition Defined" scale
         # warning never fires for a stage that is bounded by design.
         # (A literal partition key would be constant-folded away.)
+        # The invariant itself is RUNTIME-CHECKED: a caller-supplied
+        # max_key that underestimates the true maximum would otherwise
+        # split this partition and silently restart the prefix at 0.
         w = (
-            Window.partitionBy((F.col(shard_col) / F.lit(fanout)).cast("long"))
+            Window.partitionBy(F.expr(f"`{shard_col}` div {fanout}"))
             .orderBy(shard_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        val = F.coalesce(F.sum(tot_col).over(w), F.lit(0)).cast("long")
+        guard_ok = (F.col(shard_col) >= 0) & (F.col(shard_col) < fanout)
         return totals.withColumn(
-            out, F.coalesce(F.sum(tot_col).over(w), F.lit(0)).cast("long")
+            out,
+            F.when(guard_ok, val).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "prefix-sum invariant violated: shard id outside "
+                        "[0, fanout) at the bounded base case — max_key "
+                        "was underestimated or keys are negative"
+                    )
+                ).cast("long")
+            ),
         )
     p, ploc, ptot, poff = (
         f"__p{_level}",
@@ -152,8 +170,10 @@ def _prefix_offsets(
         .orderBy(shard_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # integral `div`, never double division: above 2^53 a double quotient
+    # can round UP across a shard boundary and split/merge parent groups
     local = totals.withColumn(
-        p, (F.col(shard_col) / F.lit(fanout)).cast("long")
+        p, F.expr(f"`{shard_col}` div {fanout}")
     ).withColumn(ploc, F.coalesce(F.sum(tot_col).over(w_in), F.lit(0)).cast("long"))
     parent_totals = local.groupBy(p).agg(F.sum(tot_col).cast("long").alias(ptot))
     parent_offsets = _prefix_offsets(
@@ -186,8 +206,11 @@ def global_running_sum(
 
     ``max_key`` sizes the tree depth; when None it is computed with one
     cheap column-pruned ``max()`` job over ``df`` at plan-build time —
-    pass it explicitly to keep the builder lazy (an overestimate only
-    deepens the tree by empty levels)."""
+    pass it explicitly to keep the builder lazy.  An OVERestimate only
+    deepens the tree by empty levels; an UNDERestimate (or negative
+    keys, whose pre-check only runs on the computed path) is caught by
+    a runtime guard at the bounded base case rather than silently
+    corrupting the sums."""
     numeric = {"tinyint", "smallint", "int", "bigint"}
     if dict(df.dtypes).get(order_col) not in numeric:
         # a NULL __shard (string id cast to long) silently drops rows at
@@ -196,6 +219,8 @@ def global_running_sum(
             f"global_running_sum needs an integral order column; "
             f"{order_col!r} is {dict(df.dtypes).get(order_col)!r}"
         )
+    if shard_size < 2:
+        raise ValueError(f"shard_size must be >= 2, got {shard_size}")
     if max_key is None:
         b = df.agg(
             F.max(F.col(order_col).cast("long")).alias("mx"),
@@ -210,7 +235,8 @@ def global_running_sum(
                 f"min({order_col}) = {b['mn']}"
             )
         max_key = 0 if b["mx"] is None else int(b["mx"])
-    shard = (F.col(order_col).cast("long") / F.lit(shard_size)).cast("long")
+    # integral `div`: double division misassigns shards above 2^53
+    shard = F.expr(f"CAST(`{order_col}` AS BIGINT) div {shard_size}")
     w_in = (
         Window.partitionBy("__shard")
         .orderBy(order_col)
@@ -259,7 +285,9 @@ def pack_bins(
     oracle replays the identical per-shard recursion.  The tree depth
     comes from one cheap ``max(id)`` scan of the input — the kernel
     itself is never run twice."""
-    shard = (F.col(id_col).cast("long") / F.lit(shard_size)).cast("long")
+    if shard_size < 2:
+        raise ValueError(f"shard_size must be >= 2, got {shard_size}")
+    shard = F.expr(f"CAST(`{id_col}` AS BIGINT) div {shard_size}")
     toks = df.select(
         F.col(id_col),
         n_tokens_col.cast("long").alias("n_tokens"),

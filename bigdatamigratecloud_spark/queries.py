@@ -3907,7 +3907,9 @@ def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
             .start()
         )
-        q.awaitTermination(300)
+        # surface a wedged stream as the real failure, not a
+        # downstream partial-table mismatch
+        assert q.awaitTermination(300), "stream did not finish in 300s"
         out = spark.read.parquet(target).select(
             "event_id", "user_id", "event_type", "value"
         )
@@ -3964,7 +3966,9 @@ def stream_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
             .start()
         )
-        q.awaitTermination(300)
+        # surface a wedged stream as the real failure, not a
+        # downstream partial-table mismatch
+        assert q.awaitTermination(300), "stream did not finish in 300s"
         t = AcidTable(spark, target)
         head = t.latest_version()
         # replay the last batch: exactly-once means NO new commit

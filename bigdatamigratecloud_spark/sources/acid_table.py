@@ -216,6 +216,15 @@ class AcidTable:
         out = self._checkpoint_dir(version)
         ent.write.mode("overwrite").parquet(out)
         hint = os.path.join(self._log_dir, "_last_checkpoint.json")
+        # never move the hint BACKWARDS: a vacuum-horizon checkpoint can
+        # be older than an existing interval checkpoint, and readers
+        # trust the hint without searching for later ones
+        try:
+            with open(hint) as f:
+                if int(json.load(f)["version"]) >= version:
+                    return
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            pass
         tmp = hint + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
@@ -509,8 +518,15 @@ class AcidTable:
                 cond = cond & (smin_c <= hi_l)
             # no stats on this column -> cannot exclude the file
             keep = keep & F.when(smin.isNull(), F.lit(True)).otherwise(cond)
-        total = ent.count()
-        kept = [r["path"] for r in ent.where(keep).select("path").collect()]
+        # one cached resolution serves both the total count and the
+        # prune — without it, the checkpoint read + tail reconstruction
+        # would run twice per scan
+        ent = ent.persist()
+        try:
+            total = ent.count()
+            kept = [r["path"] for r in ent.where(keep).select("path").collect()]
+        finally:
+            ent.unpersist()
         info = {"files_total": total, "files_read": len(kept), "version": v}
         from pyspark.sql.types import StructType
 
@@ -561,10 +577,21 @@ class AcidTable:
         # StructType.add mutates in place — build the tagged schema from
         # a fresh parse so `schema` keeps the table's own columns
         out_schema = StructType.fromJson(mo["schema"]).add("_change_type", StringType())
-        fo = self._entries_frame(from_version).select("path")
-        fn = self._entries_frame(to_v).select("path")
-        removed = sorted(r["path"] for r in fo.join(fn, "path", "left_anti").collect())
-        added = sorted(r["path"] for r in fn.join(fo, "path", "left_anti").collect())
+        # ONE full-outer join computes both diff directions, so each
+        # version's entries frame (checkpoint read + tail replay) is
+        # evaluated once, not once per anti-join
+        fo = self._entries_frame(from_version).select(
+            "path", F.lit(True).alias("__o")
+        )
+        fn = self._entries_frame(to_v).select("path", F.lit(True).alias("__n"))
+        churn = (
+            fo.join(fn, "path", "full_outer")
+            .where(F.col("__o").isNull() | F.col("__n").isNull())
+            .select("path", "__o")
+            .collect()
+        )
+        removed = sorted(r["path"] for r in churn if r["__o"] is not None)
+        added = sorted(r["path"] for r in churn if r["__o"] is None)
         if not removed and not added:
             return self.spark.createDataFrame([], out_schema)
         cols = [f.name for f in schema.fields]
@@ -770,6 +797,16 @@ class AcidTable:
                 .collect()
             )
             touched = sorted({r["path"] for r in hits} | set(unranged))
+            all_paths = None
+            if total_files and len(touched) / total_files > recompute_frac:
+                # recompute will read the full snapshot — recover the
+                # path list from the ALREADY-resolved cached frame
+                # instead of re-running the whole checkpoint+tail
+                # resolution via _paths()
+                all_paths = [
+                    os.path.join(self.root, r["path"])
+                    for r in ent.select("path").collect()
+                ]
         finally:
             ent.unpersist()
 
@@ -777,11 +814,11 @@ class AcidTable:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
-        if total_files and len(touched) / total_files > recompute_frac:
+        if all_paths is not None:
             # recompute: the COW path would rewrite nearly everything
             # anyway; one clean range-partitioned pass wins (and resets
             # the layout so the NEXT narrow delta prunes well again)
-            snap = self.spark.read.schema(schema).parquet(*self._paths(head))
+            snap = self.spark.read.schema(schema).parquet(*all_paths)
             merged = snap.join(delta_keys, keys, "left_anti").unionByName(
                 delta, allowMissingColumns=True
             )
@@ -1069,10 +1106,23 @@ class AcidTable:
                 os.path.join(self._checkpoint_dir(horizon), "_SUCCESS")
             ):
                 self._write_checkpoint(horizon)
+        # live set via ONE seeded forward replay (the history() pattern):
+        # resolve the earliest retained version once, then fold the
+        # newer manifests' actions in memory — not a full checkpoint
+        # read per retained version
         live: set[str] = set()
-        for v in self._versions_on_disk():
-            if v >= horizon:
-                live |= {e["path"] for e in self.entries(v)}
+        retained = [v for v in self._versions_on_disk() if v >= horizon]
+        state: set[str] = set()
+        for i, v in enumerate(retained):
+            if i == 0:
+                state = {e["path"] for e in self.entries(v)}
+            else:
+                mm = self._read_manifest(v)
+                if mm.get("reset") or "files" in mm:
+                    state = set()
+                state -= set(mm.get("remove") or [])
+                state |= {e["path"] for e in self._manifest_adds(mm)}
+            live |= state
         now = time.time()
         deleted = []
         data_root = os.path.join(self.root, "data")
