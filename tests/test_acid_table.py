@@ -741,3 +741,26 @@ def test_entries_frame_large_remove_set_uses_antijoin(spark, tmp_path, monkeypat
     got = sorted(r["path"] for r in t._entries_frame(1).select("path").collect())
     assert got == want
     assert t.snapshot().count() == 800
+
+
+def test_checkpoint_hint_never_moves_backwards(spark, tmp_path):
+    """A vacuum-horizon checkpoint older than an existing interval
+    checkpoint must not rewind the _last_checkpoint hint (readers trust
+    the hint without searching for later checkpoints)."""
+    import json
+    import os as _os
+
+    base = spark.range(0, 20).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"], checkpoint_interval=5)
+    for i in range(6):
+        t.append(spark.range(100 + i, 101 + i).withColumn("v", F.lit(0)).coalesce(1))
+    assert 5 in t._checkpoint_versions()
+    hint = _os.path.join(t._log_dir, "_last_checkpoint.json")
+    with open(hint) as f:
+        assert json.load(f)["version"] == 5
+    # horizon 3 < 5: vacuum writes checkpoint 3 but must keep hint at 5
+    t.vacuum(keep_last=4, retain_seconds=0.0)
+    assert 3 in t._checkpoint_versions()
+    with open(hint) as f:
+        assert json.load(f)["version"] == 5
+    assert t.snapshot().count() == 26

@@ -497,3 +497,22 @@ def test_standardize_by_group_semantics(spark):
     assert out[0] == -out[2] and out[0] < 0    # symmetric around the mean
     assert abs(out[2] - 1.0) < 1e-12           # (30-20)/10
     assert out[10] is None and out[20] is None and out[21] is None
+
+
+def test_global_running_sum_guards(spark):
+    """Review-fix pins: shard_size/fanout < 2 fails at plan build (the
+    recursion could never terminate), and a caller-supplied max_key that
+    UNDERestimates the true maximum raises at execution instead of
+    silently restarting the prefix at shard-group boundaries."""
+    import pytest
+
+    df = spark.createDataFrame([(i * 7, 1) for i in range(2000)], "id long, v long")
+    with pytest.raises(ValueError, match="shard_size"):
+        global_running_sum(df, "id", "v", shard_size=1)
+    # honest max_key: fine
+    ok = global_running_sum(df, "id", "v", out="run", shard_size=4, max_key=1999 * 7)
+    assert ok.agg(F.max("run")).first()[0] == 1999
+    # underestimated max_key: loud runtime failure, not silent corruption
+    bad = global_running_sum(df, "id", "v", out="run", shard_size=4, max_key=40)
+    with pytest.raises(Exception, match="prefix-sum invariant"):
+        bad.collect()
