@@ -399,6 +399,28 @@ shared_sql(
 )
 
 
+# §2.5 time-RANGE window frames (beyond the row-offset windows of
+# w1/w4): per-user rolling 1-hour stats where the frame is defined by
+# the ORDER-BY value, not a row count — the trailing-window feature
+# aggregation shape (fraud scoring, rate limiting, session features).
+# RANGE frames are tie-inclusive, so the result is deterministic under
+# any within-tie ordering, and the DECIMAL-inside/DOUBLE-outside cast
+# keeps both engines' sums bit-identical.  Scale: one hash exchange on
+# user_id; the frame is evaluated with a sliding aggregate state, never
+# by re-scanning the window per row.
+shared_sql(
+    "w9_rolling_interval_stats",
+    """SELECT user_id, ts,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum_1h,
+              CAST(COUNT(*) OVER w AS BIGINT) AS roll_n_1h,
+              CAST(MAX(value) OVER w AS DOUBLE) AS roll_max_1h
+       FROM events
+       WHERE event_id < 20000
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""",
+)
+
+
 @query(
     "events_json_extract",
     """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS n
