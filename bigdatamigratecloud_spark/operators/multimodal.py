@@ -11,8 +11,10 @@ batch shapes — is real and tested.  Decoding is tiered:
   gray/RGB/palette/alpha), baseline AND progressive JPEG (full
   SOF0/SOF2 Huffman decoder in ``operators/jpeg.py`` — any sampling
   factors, restart intervals, stream-supplied tables, spectral
-  selection + successive approximation), and PCM-16 WAV (stdlib
-  ``wave``) decode genuinely, exercised in tests;
+  selection + successive approximation), and WAV audio (PCM-16 via
+  stdlib ``wave``, G.711 A-law/µ-law, IMA ADPCM — the latter two
+  sample-exact vs the stdlib G.711/DVI references) decode genuinely,
+  exercised in tests;
 - real library if importable (PIL / soundfile, import-try gate) for
   the remaining formats (WebP/FLAC/...), absent in
   this container;
@@ -130,8 +132,8 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
 
 
 def _decode_png(payload: bytes):
-    """REAL decode of 8- and 16-bit non-interlaced PNG — stdlib ``zlib``
-    + numpy, no external codec library.  Supports color types 0 (gray),
+    """REAL decode of 8- and 16-bit PNG — stdlib ``zlib`` + numpy, no
+    external codec library.  Supports color types 0 (gray),
     2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA) and all five
     scanline filters (None/Sub/Up/Average/Paeth; filtering is BYTE-wise
     per the spec, so the same unfilter code serves both depths).
@@ -345,6 +347,95 @@ def _decode_wav_companded(payload: bytes):
     return x, rate
 
 
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """IMA/DVI ADPCM core (public spec): expand 4-bit codes to int16
+    starting from (predictor, index) state.  Returns (samples, state)."""
+    out = []
+    for code in nibbles:
+        step = _IMA_STEPS[index]
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        if code & 8:
+            predictor -= diff
+        else:
+            predictor += diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_ADJUST[code & 7]))
+        out.append(predictor)
+    return out, (predictor, index)
+
+
+def _decode_wav_ima_adpcm(payload: bytes):
+    """REAL decode of IMA ADPCM WAV (format tag 17, 4-bit): manual RIFF
+    walk, per-block (predictor, index) headers per channel, nibble
+    expansion via the public IMA step tables.  Returns (samples float64
+    in [-1, 1], rate) or None."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    tag, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (block_align,) = struct.unpack_from("<H", fmt, 12)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if tag != 17 or bits != 4 or ch < 1 or block_align < 4 * ch:
+        return None
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for b0 in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[b0 : b0 + block_align]
+        states = []
+        for c in range(ch):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)
+            if idx > 88:
+                return None
+            states.append((pred, idx))
+            chans[c].append(pred)  # the header predictor IS sample 0
+        body = block[4 * ch :]
+        # nibbles come in per-channel 4-byte (8-sample) groups, low first
+        for g0 in range(0, len(body) - (len(body) % (4 * ch)), 4 * ch):
+            for c in range(ch):
+                chunk = body[g0 + 4 * c : g0 + 4 * c + 4]
+                nibs = []
+                for byte in chunk:
+                    nibs += [byte & 0xF, byte >> 4]
+                samples, states[c] = _ima_decode_nibbles(nibs, *states[c])
+                chans[c].extend(samples)
+    if not chans[0]:
+        return None
+    x = np.array(chans, dtype="float64") / 32768.0
+    return x.mean(axis=0), rate
+
+
 def _decode_audio(payload: bytes, strict: bool):
     try:
         import soundfile  # type: ignore  # noqa: F401
@@ -357,10 +448,14 @@ def _decode_audio(payload: bytes, strict: bool):
         companded = _decode_wav_companded(payload)
         if companded is not None:
             return companded
+        adpcm = _decode_wav_ima_adpcm(payload)
+        if adpcm is not None:
+            return adpcm
         if strict:
             raise NotImplementedError(
                 "audio decode requires soundfile/ffmpeg (not installed) "
-                "for formats beyond PCM-16 and G.711 A-law/u-law WAV"
+                "for formats beyond PCM-16, G.711 A-law/u-law, and "
+                "IMA ADPCM WAV"
             ) from None
         import numpy as np
 
