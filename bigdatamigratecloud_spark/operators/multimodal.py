@@ -7,8 +7,8 @@ The Spark-side plumbing — schemas, partition sizing, UDF signatures,
 batch shapes — is real and tested.  Decoding is tiered:
 
 - REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy),
-  8-bit PNG (stdlib ``zlib`` + numpy, all five scanline filters,
-  gray/RGB/palette/alpha), baseline AND progressive JPEG (full
+  PNG at every legal bit depth 1-16 (stdlib ``zlib`` + numpy, all
+  five scanline filters, Adam7 interlace, gray/RGB/palette/alpha), baseline AND progressive JPEG (full
   SOF0/SOF2 Huffman decoder in ``operators/jpeg.py`` — any sampling
   factors, restart intervals, stream-supplied tables, spectral
   selection + successive approximation), and WAV audio (PCM-16 via
@@ -131,8 +131,55 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     return out
 
 
+def _unpack_subbyte(packed, w: int, depth: int):
+    """(h, stride_bytes) packed rows -> (h, w) sample values, MSB-first
+    bit order per the PNG spec."""
+    import numpy as np
+
+    h = packed.shape[0]
+    bits = np.unpackbits(packed, axis=1)  # (h, stride*8), MSB first
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (per * weights).sum(axis=2).astype(np.uint8)
+
+
+def _subbyte_to_pixels(img, depth: int, color: int, plte):
+    """(h, w) sub-byte samples -> (h, w, c) uint8 pixels: gray scales to
+    the full range (0..2^d-1 -> 0..255); palette indexes PLTE."""
+    import numpy as np
+
+    if color == 0:
+        scale = 255 // ((1 << depth) - 1)
+        return (img * np.uint16(scale)).astype(np.uint8)[:, :, None]
+    if int(img.max(initial=0)) >= len(plte):
+        return None  # corrupt palette index: unhandled input, not a crash
+    return plte[img]
+
+
+def _subbyte_interlaced(raw: bytes, w, h, depth, color, plte):
+    """Adam7 for sub-byte depths: each pass's packed scanlines unfilter
+    (filter unit 1 byte) and unpack independently, then samples scatter
+    onto the pass grid before the gray/palette expansion."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp == 0 or hp == 0:
+            continue
+        stride = (wp * depth + 7) // 8
+        packed = _png_unfilter(raw[pos:], hp, stride, 1)
+        if packed is None:
+            return None
+        pos += hp * (stride + 1)
+        out[y0::dy, x0::dx] = _unpack_subbyte(packed, wp, depth)
+    return _subbyte_to_pixels(out, depth, color, plte)
+
+
 def _decode_png(payload: bytes):
-    """REAL decode of 8- and 16-bit PNG — stdlib ``zlib`` + numpy, no
+    """REAL decode of 1/2/4/8/16-bit PNG — stdlib ``zlib`` + numpy, no
     external codec library.  Supports color types 0 (gray),
     2 (RGB), 3 (palette, 8-bit), 4 (gray+alpha), 6 (RGBA) and all five
     scanline filters (None/Sub/Up/Average/Paeth; filtering is BYTE-wise
@@ -141,8 +188,7 @@ def _decode_png(payload: bytes):
     (the standard 16→8 rendering).  Adam7 INTERLACED streams decode for
     real too: the seven filtered sub-images unfilter independently and
     scatter back onto the pass grid.  Returns an (h, w, c) uint8 array,
-    or None if the payload is not a PNG this decoder handles (sub-byte
-    depths fall through to the PIL/strict gate).  Per-blob work in the
+    or None only for malformed streams.  Per-blob work in the
     mapInPandas kernel stays embarrassingly parallel; see
     :func:`_png_unfilter` for the per-filter cost model."""
     import struct
@@ -170,16 +216,30 @@ def _decode_png(payload: bytes):
         if ihdr is None or not idat:
             return None
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+        if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None or (color == 3 and plte is None) or w == 0 or h == 0:
             return None
-        if color == 3 and depth != 8:
+        if depth < 8 and color not in (0, 3):
+            return None  # sub-byte depths are gray/palette only per spec
+        if depth == 16 and color == 3:
             return None  # palette indices are 8-bit max per spec
         raw = zlib.decompress(b"".join(idat))
     except Exception:
         return None
+    if depth < 8:
+        # sub-byte gray/palette: the filter unit is ONE byte; unfilter
+        # the packed scanlines, then unpack MSB-first bit fields and
+        # (for gray) scale to the full 0-255 range
+        if interlace != 0:
+            return _subbyte_interlaced(raw, w, h, depth, color, plte)
+        stride = (w * depth + 7) // 8
+        packed = _png_unfilter(raw, h, stride, 1)
+        if packed is None:
+            return None
+        img = _unpack_subbyte(packed, w, depth)
+        return _subbyte_to_pixels(img, depth, color, plte)
     bpp = channels * (depth // 8)  # bytes per pixel — the filter unit
     if interlace == 0:
         out = _png_unfilter(raw, h, w * bpp, bpp)

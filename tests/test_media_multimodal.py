@@ -224,29 +224,41 @@ def _make_png(arr, color_type, row_filters=None, palette=None, depth=8, interlac
 
     h, w = np.asarray(arr).shape[:2]
     c = 1 if np.asarray(arr).ndim == 2 else np.asarray(arr).shape[2]
-    if depth == 8:
+    if depth < 8:
+        grid = np.asarray(arr, dtype=np.uint8).reshape(h, w)
+    elif depth == 8:
         grid = np.asarray(arr, dtype=np.uint8).reshape(h, w, c)
     else:
         grid = np.frombuffer(
             np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).astype(">u2").tobytes(),
             dtype=np.uint8,
         ).reshape(h, w, c * 2)
-    bpp = c * (depth // 8)
+    def pack_rows(g):
+        """(hh, ww, c|samples) grid -> (hh, stride) int32 byte rows."""
+        hh, ww = g.shape[:2]
+        if depth >= 8:
+            bpp_ = c * (depth // 8)
+            return np.ascontiguousarray(g).reshape(hh, ww * bpp_).astype(np.int32), bpp_
+        # sub-byte: MSB-first bit packing, filter unit is one byte
+        vals = np.ascontiguousarray(g).reshape(hh, ww).astype(np.uint8)
+        bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(hh, ww * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros((hh, pad), dtype=bits.dtype)], axis=1)
+        return np.packbits(bits.astype(np.uint8), axis=1).astype(np.int32), 1
+
     row_filters = row_filters or [0]
     if interlace == 0:
-        raw = _filter_rows(grid.reshape(h, w * bpp).astype(np.int32), bpp, row_filters)
+        flat, bpp = pack_rows(grid)
+        raw = _filter_rows(flat, bpp, row_filters)
     else:
         raw = b""
         for x0, y0, dx, dy in _ADAM7_TEST:
             sub = grid[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            hp, wp = sub.shape[:2]
-            raw += _filter_rows(
-                np.ascontiguousarray(sub).reshape(hp, wp * bpp).astype(np.int32),
-                bpp,
-                row_filters,
-            )
+            flat, bpp = pack_rows(sub)
+            raw += _filter_rows(flat, bpp, row_filters)
 
     def chunk(ctype, data):
         return (
@@ -682,3 +694,37 @@ def test_ima_adpcm_wav_decode_matches_audioop():
     # PCM tag through this path -> None
     from tests.test_media_multimodal import _make_wav_raw  # self-import ok under pytest
     assert _decode_wav_ima_adpcm(_make_wav_raw(b"\x00" * 64, 1, 1, 8000, 8)) is None
+
+
+def test_png_decode_subbyte_depths():
+    """REAL 1/2/4-bit PNG decode (icons/fax): MSB-first bit unpacking
+    after byte-unit unfiltering, gray scaled to the full range
+    (255 / 85 / 17 steps), 4-bit palette indexing, every filter, odd
+    widths that leave padding bits in the last byte, and Adam7."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(41)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        scale = 255 // mx
+        arr = rng.integers(0, mx + 1, size=(7, 13), dtype=np.uint8)  # 13: pad bits
+        for filters in ([0], [0, 1, 2, 3, 4]):
+            got = _decode_png(_make_png(arr, color_type=0, row_filters=filters, depth=depth))
+            assert got is not None, f"depth {depth} filters {filters}"
+            assert got.shape == (7, 13, 1)
+            assert (got[:, :, 0] == arr * scale).all(), f"depth {depth} filters {filters}"
+        # Adam7 sub-byte
+        goti = _decode_png(_make_png(arr, color_type=0, depth=depth, interlace=1))
+        assert goti is not None and (goti[:, :, 0] == arr * scale).all(), f"adam7 d{depth}"
+
+    # 4-bit palette
+    palette = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    idx = rng.integers(0, 16, size=(5, 9), dtype=np.uint8)
+    got = _decode_png(_make_png(idx, color_type=3, palette=palette, depth=4, row_filters=[0, 2]))
+    want = np.array(palette, dtype=np.uint8)[idx]
+    assert got is not None and (got == want).all()
+    # out-of-palette index (2-bit image, 2-entry palette, index 3) -> None
+    bad_idx = np.full((2, 4), 3, dtype=np.uint8)
+    assert _decode_png(_make_png(bad_idx, color_type=3, palette=[(0, 0, 0), (1, 1, 1)], depth=2)) is None
