@@ -156,20 +156,35 @@ def _subbyte_to_pixels(img, depth: int, color: int, plte):
     return plte[img]
 
 
+def _adam7_passes(w: int, h: int, unit_bits: int):
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, wp, hp, stride_bytes),
+    plus the total filtered-stream bytes they require — computed BEFORE
+    any pixel allocation, so oversized IHDR dimensions on a tiny payload
+    are rejected by a length check, never by a MemoryError."""
+    passes, need = [], 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = -(-(w - x0) // dx) if w > x0 else 0
+        hp = -(-(h - y0) // dy) if h > y0 else 0
+        if wp == 0 or hp == 0:
+            continue
+        stride = (wp * unit_bits + 7) // 8
+        passes.append((x0, y0, dx, dy, wp, hp, stride))
+        need += hp * (stride + 1)
+    return passes, need
+
+
 def _subbyte_interlaced(raw: bytes, w, h, depth, color, plte):
     """Adam7 for sub-byte depths: each pass's packed scanlines unfilter
     (filter unit 1 byte) and unpack independently, then samples scatter
     onto the pass grid before the gray/palette expansion."""
     import numpy as np
 
+    passes, need = _adam7_passes(w, h, depth)
+    if len(raw) < need:
+        return None  # dims claim more scanlines than the stream carries
     out = np.zeros((h, w), dtype=np.uint8)
     pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        wp = -(-(w - x0) // dx) if w > x0 else 0
-        hp = -(-(h - y0) // dy) if h > y0 else 0
-        if wp == 0 or hp == 0:
-            continue
-        stride = (wp * depth + 7) // 8
+    for x0, y0, dx, dy, wp, hp, stride in passes:
         packed = _png_unfilter(raw[pos:], hp, stride, 1)
         if packed is None:
             return None
@@ -247,15 +262,16 @@ def _decode_png(payload: bytes):
             return None
     else:
         # Adam7: seven independently-filtered sub-images concatenated in
-        # the IDAT stream, scattered back on the (x0, y0, dx, dy) grid
+        # the IDAT stream, scattered back on the (x0, y0, dx, dy) grid;
+        # geometry and the required stream length come FIRST, so bogus
+        # IHDR dimensions are a cheap length-check rejection, never a
+        # giant allocation
+        passes, need = _adam7_passes(w, h, bpp * 8)
+        if len(raw) < need:
+            return None
         out = np.zeros((h, w * bpp), dtype=np.uint8)
         pos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            wp = -(-(w - x0) // dx) if w > x0 else 0
-            hp = -(-(h - y0) // dy) if h > y0 else 0
-            if wp == 0 or hp == 0:
-                continue
-            stride = wp * bpp
+        for x0, y0, dx, dy, wp, hp, stride in passes:
             sub = _png_unfilter(raw[pos:], hp, stride, bpp)
             if sub is None:
                 return None
@@ -280,8 +296,9 @@ def _decode_png(payload: bytes):
 
 def _decode_image(payload: bytes, strict: bool):
     """Real decode via PIL when available; real pure-numpy decode for
-    uncompressed BMP, 8-bit PNG, and baseline + progressive JPEG
-    regardless; deterministic fake otherwise."""
+    uncompressed BMP, PNG at any legal depth (1-16, incl. Adam7), and
+    baseline + progressive JPEG regardless; deterministic fake
+    otherwise."""
     try:
         import io
 
@@ -309,9 +326,9 @@ def _decode_image(payload: bytes, strict: bool):
         if strict:
             raise NotImplementedError(
                 "image decode requires PIL (not installed) for formats "
-                "beyond uncompressed BMP, 8-bit PNG, and baseline/"
-                "progressive JPEG; pass decode_strict=False for the "
-                "deterministic fake"
+                "beyond uncompressed BMP, PNG (any depth, incl. Adam7), "
+                "and baseline/progressive JPEG; pass decode_strict=False "
+                "for the deterministic fake"
             ) from None
         import numpy as np
 
@@ -372,14 +389,11 @@ def _g711_tables():
     return ulaw, alaw
 
 
-def _decode_wav_companded(payload: bytes):
-    """REAL decode of G.711 A-law / µ-law WAV (format tags 6 and 7 —
-    the telephony formats the stdlib ``wave`` module rejects): manual
-    RIFF chunk walk + numpy table expansion to linear.  Returns
-    (samples float64 in [-1, 1], rate) or None."""
+def _riff_fmt_data(payload: bytes):
+    """RIFF/WAVE chunk walk shared by the non-stdlib WAV decoders:
+    returns (fmt_bytes, data_bytes) or None (chunks are word-aligned;
+    unknown chunks are skipped)."""
     import struct
-
-    import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
@@ -392,9 +406,25 @@ def _decode_wav_companded(payload: bytes):
             fmt = body
         elif cid == b"data":
             data = body
-        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        pos += 8 + clen + (clen & 1)
     if fmt is None or data is None or len(fmt) < 16:
         return None
+    return fmt, data
+
+
+def _decode_wav_companded(payload: bytes):
+    """REAL decode of G.711 A-law / µ-law WAV (format tags 6 and 7 —
+    the telephony formats the stdlib ``wave`` module rejects): RIFF
+    chunk walk + numpy table expansion to linear.  Returns
+    (samples float64 in [-1, 1], rate) or None."""
+    import struct
+
+    import numpy as np
+
+    fd = _riff_fmt_data(payload)
+    if fd is None:
+        return None
+    fmt, data = fd
     tag, ch, rate = struct.unpack_from("<HHI", fmt, 0)
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if tag not in (6, 7) or bits != 8 or ch < 1:
@@ -443,53 +473,89 @@ def _ima_decode_nibbles(nibbles, predictor: int, index: int):
 
 
 def _decode_wav_ima_adpcm(payload: bytes):
-    """REAL decode of IMA ADPCM WAV (format tag 17, 4-bit): manual RIFF
-    walk, per-block (predictor, index) headers per channel, nibble
-    expansion via the public IMA step tables.  Returns (samples float64
-    in [-1, 1], rate) or None."""
+    """REAL decode of IMA ADPCM WAV (format tag 17, 4-bit): per-block
+    (predictor, index) headers per channel, nibble expansion via the
+    public IMA step tables.  Honors the fmt extension's
+    ``wSamplesPerBlock`` (an encoder that pads the final nibble group
+    declares fewer samples than the body could hold, and the padding
+    must NOT decode as extra samples), consumes non-group-aligned mono
+    bodies byte-exactly, and decodes a SHORT final block (mono) rather
+    than dropping it.  A stereo body that breaks the per-channel
+    4-byte-group interleave is ambiguous and rejected.  Returns
+    (samples float64 in [-1, 1], rate) or None."""
     import struct
 
     import numpy as np
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    fd = _riff_fmt_data(payload)
+    if fd is None:
         return None
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"data":
-            data = body
-        pos += 8 + clen + (clen & 1)
-    if fmt is None or data is None or len(fmt) < 16:
-        return None
+    fmt, data = fd
     tag, ch, rate = struct.unpack_from("<HHI", fmt, 0)
     (block_align,) = struct.unpack_from("<H", fmt, 12)
     (bits,) = struct.unpack_from("<H", fmt, 14)
     if tag != 17 or bits != 4 or ch < 1 or block_align < 4 * ch:
         return None
-    chans: list[list[int]] = [[] for _ in range(ch)]
-    for b0 in range(0, len(data) - (len(data) % block_align), block_align):
-        block = data[b0 : b0 + block_align]
+    body_bytes = block_align - 4 * ch
+    if ch > 1 and body_bytes % (4 * ch):
+        return None  # stereo interleave requires whole per-channel groups
+    derived_spb = 1 + (body_bytes * 2) // ch
+    spb = derived_spb
+    if len(fmt) >= 20:
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        if cb >= 2:
+            (declared,) = struct.unpack_from("<H", fmt, 18)
+            if declared < 1 or declared > derived_spb:
+                return None  # a block cannot carry the declared count
+            spb = declared
+
+    def _block_channels(block: bytes):
+        """One block -> per-channel sample lists (untruncated) or None."""
         states = []
+        samps: list[list[int]] = [[] for _ in range(ch)]
         for c in range(ch):
             pred, idx = struct.unpack_from("<hB", block, c * 4)
             if idx > 88:
                 return None
             states.append((pred, idx))
-            chans[c].append(pred)  # the header predictor IS sample 0
+            samps[c].append(pred)  # the header predictor IS sample 0
         body = block[4 * ch :]
-        # nibbles come in per-channel 4-byte (8-sample) groups, low first
-        for g0 in range(0, len(body) - (len(body) % (4 * ch)), 4 * ch):
-            for c in range(ch):
-                chunk = body[g0 + 4 * c : g0 + 4 * c + 4]
-                nibs = []
-                for byte in chunk:
-                    nibs += [byte & 0xF, byte >> 4]
-                samples, states[c] = _ima_decode_nibbles(nibs, *states[c])
-                chans[c].extend(samples)
+        if ch == 1:
+            nibs = []
+            for byte in body:
+                nibs += [byte & 0xF, byte >> 4]  # low nibble first
+            out, _ = _ima_decode_nibbles(nibs, *states[0])
+            samps[0].extend(out)
+        else:
+            if len(body) % (4 * ch):
+                return None
+            for g0 in range(0, len(body), 4 * ch):
+                for c in range(ch):
+                    chunk = body[g0 + 4 * c : g0 + 4 * c + 4]
+                    nibs = []
+                    for byte in chunk:
+                        nibs += [byte & 0xF, byte >> 4]
+                    out, states[c] = _ima_decode_nibbles(nibs, *states[c])
+                    samps[c].extend(out)
+        return samps
+
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    n_full = len(data) // block_align
+    for b in range(n_full):
+        samps = _block_channels(data[b * block_align : (b + 1) * block_align])
+        if samps is None:
+            return None
+        for c in range(ch):
+            chans[c].extend(samps[c][:spb])
+    rem = data[n_full * block_align :]
+    if rem:
+        if len(rem) < 4 * ch:
+            return None  # header itself truncated
+        samps = _block_channels(rem)
+        if samps is None:
+            return None
+        for c in range(ch):
+            chans[c].extend(samps[c][:spb])
     if not chans[0]:
         return None
     x = np.array(chans, dtype="float64") / 32768.0

@@ -245,8 +245,22 @@ def global_running_sum(
     local = df.withColumn("__shard", shard).withColumn(
         "__local", F.coalesce(F.sum(value_col).over(w_in), F.lit(0)).cast("long")
     )
-    shard_totals = (
-        local.groupBy("__shard").agg(F.sum(value_col).cast("long").alias("__tot"))
+    # negative-key runtime guard at the LEVEL-0 totals (one row per
+    # shard, so the per-row check is O(shards), not O(rows)): at tree
+    # depth >= 2 a negative shard's parent can truncate to 0 and slip
+    # past the base-case guard, so it must be caught here — this also
+    # covers the explicit-max_key path that skips the plan-time check
+    shard_totals = local.groupBy("__shard").agg(
+        F.sum(value_col).cast("long").alias("__t0")
+    ).select(
+        "__shard",
+        F.when(F.col("__shard") >= 0, F.col("__t0"))
+        .otherwise(
+            F.raise_error(
+                F.lit("global_running_sum: negative key encountered")
+            ).cast("long")
+        )
+        .alias("__tot"),
     )
     offsets = _prefix_offsets(
         shard_totals, "__shard", "__tot", "__off", shard_size, max_key // shard_size

@@ -3930,8 +3930,12 @@ def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         # surface a wedged stream as the real failure, not a
-        # downstream partial-table mismatch
-        assert q.awaitTermination(300), "stream did not finish in 300s"
+        # downstream partial-table mismatch; stop the query BEFORE the
+        # finally-block deletes its dirs (and never rely on `assert`,
+        # which -O strips)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
         out = spark.read.parquet(target).select(
             "event_id", "user_id", "event_type", "value"
         )
@@ -3989,8 +3993,12 @@ def stream_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         # surface a wedged stream as the real failure, not a
-        # downstream partial-table mismatch
-        assert q.awaitTermination(300), "stream did not finish in 300s"
+        # downstream partial-table mismatch; stop the query BEFORE the
+        # finally-block deletes its dirs (and never rely on `assert`,
+        # which -O strips)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
         t = AcidTable(spark, target)
         head = t.latest_version()
         # replay the last batch: exactly-once means NO new commit

@@ -257,6 +257,22 @@ class AcidTable:
     def _manifest_adds(m: dict) -> list[dict]:
         return list(m.get("add") or m.get("files") or [])
 
+    @classmethod
+    def _apply_manifest(cls, by_path: dict[str, dict], m: dict) -> dict[str, dict]:
+        """Fold one manifest's actions (reset -> remove -> add) into a
+        path -> entry dict — THE single definition of log-replay
+        semantics for the driver-side paths (entries/history/vacuum).
+        ``_entries_frame``/``_paths`` keep specialized DataFrame/
+        column-pruned folds; any change to manifest semantics must
+        update those two alongside this helper."""
+        if m.get("reset") or "files" in m:
+            by_path = {}
+        for p in m.get("remove") or []:
+            by_path.pop(p, None)
+        for e in cls._manifest_adds(m):
+            by_path[e["path"]] = e
+        return by_path
+
     def entries(self, version: int | None = None) -> list[dict]:
         """Resolved file entries ``{path, rows, stats}`` for a version —
         the driver-side materialization (bounded by file count).  Read
@@ -276,12 +292,7 @@ class AcidTable:
                     "stats": json.loads(r["stats"]) if r["stats"] else {},
                 }
         for m in tail:
-            if m.get("reset") or "files" in m:
-                by_path = {}
-            for p in m.get("remove") or []:
-                by_path.pop(p, None)
-            for e in self._manifest_adds(m):
-                by_path[e["path"]] = e
+            by_path = self._apply_manifest(by_path, m)
         return sorted(by_path.values(), key=lambda e: e["path"])
 
     def _entries_frame(self, version: int) -> DataFrame:
@@ -648,24 +659,19 @@ class AcidTable:
         so the cost is O(total retained actions), not
         O(versions x files)."""
         out = []
-        state: dict[str, int] = {}
+        state: dict[str, dict] = {}
         for i, v in enumerate(self._versions_on_disk()):
             m = self._read_manifest(v)
             if i == 0:
-                state = {e["path"]: e["rows"] for e in self.entries(v)}
+                state = {e["path"]: e for e in self.entries(v)}
             else:
-                if m.get("reset") or "files" in m:
-                    state = {}
-                for p in m.get("remove") or []:
-                    state.pop(p, None)
-                for e in self._manifest_adds(m):
-                    state[e["path"]] = e["rows"]
+                state = self._apply_manifest(state, m)
             out.append(
                 {
                     "version": v,
                     "operation": m["operation"],
                     "num_files": len(state),
-                    "num_rows": sum(state.values()),
+                    "num_rows": sum(e["rows"] for e in state.values()),
                 }
             )
         return out
@@ -1112,17 +1118,13 @@ class AcidTable:
         # read per retained version
         live: set[str] = set()
         retained = [v for v in self._versions_on_disk() if v >= horizon]
-        state: set[str] = set()
+        state: dict[str, dict] = {}
         for i, v in enumerate(retained):
             if i == 0:
-                state = {e["path"] for e in self.entries(v)}
+                state = {e["path"]: e for e in self.entries(v)}
             else:
-                mm = self._read_manifest(v)
-                if mm.get("reset") or "files" in mm:
-                    state = set()
-                state -= set(mm.get("remove") or [])
-                state |= {e["path"] for e in self._manifest_adds(mm)}
-            live |= state
+                state = self._apply_manifest(state, self._read_manifest(v))
+            live |= set(state)
         now = time.time()
         deleted = []
         data_root = os.path.join(self.root, "data")

@@ -728,3 +728,105 @@ def test_png_decode_subbyte_depths():
     # out-of-palette index (2-bit image, 2-entry palette, index 3) -> None
     bad_idx = np.full((2, 4), 3, dtype=np.uint8)
     assert _decode_png(_make_png(bad_idx, color_type=3, palette=[(0, 0, 0), (1, 1, 1)], depth=2)) is None
+
+
+def test_ima_adpcm_block_geometry_edge_cases():
+    """Review-fix pins: non-group-aligned mono bodies decode byte-exactly
+    (block_align=10 -> 13 samples per block, not 9), wSamplesPerBlock
+    truncates encoder padding, a SHORT final mono block still decodes,
+    and a stereo body breaking the 4-byte-per-channel interleave is
+    rejected rather than silently mis-deinterleaved."""
+    import random
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        _decode_wav_ima_adpcm,
+    )
+
+    rng = random.Random(23)
+
+    def wav(data, block_align, ch=1, spb=None):
+        if spb is None:
+            fmt = struct.pack("<HHIIHH", 17, ch, 8000, 8000, block_align, 4)
+        else:
+            fmt = struct.pack("<HHIIHHHH", 17, ch, 8000, 8000, block_align, 4, 2, spb)
+        out = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(data)) + data
+        return out
+
+    def ref_block(body, pred, idx):
+        nibs = []
+        for byte in body:
+            nibs += [byte & 0xF, byte >> 4]
+        packed_hi = bytes((nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2))
+        dec, _ = audioop.adpcm2lin(packed_hi, 2, (pred, idx))
+        return [pred] + np.frombuffer(dec, dtype="<i2").tolist()
+
+    # mono block_align=10: 4-byte header + 6 body bytes = 13 samples/block
+    blocks, want = b"", []
+    for _ in range(3):
+        pred, idx = rng.randrange(-20000, 20000), rng.randrange(0, 89)
+        body = bytes(rng.randrange(256) for _ in range(6))
+        blocks += struct.pack("<hB", pred, idx) + b"\x00" + body
+        want += ref_block(body, pred, idx)
+    got = _decode_wav_ima_adpcm(wav(blocks, 10))
+    assert got is not None
+    x, _ = got
+    assert len(x) == 39  # 3 blocks x 13 samples — nothing dropped
+    assert np.array_equal(x, np.array(want, dtype="float64") / 32768.0)
+
+    # wSamplesPerBlock=12 declares one sample of padding: truncated
+    got12 = _decode_wav_ima_adpcm(wav(blocks, 10, spb=12))
+    assert len(got12[0]) == 36
+    assert np.array_equal(got12[0][:12], np.array(want[:12], dtype="float64") / 32768.0)
+    # a declared count the block cannot carry -> rejected
+    assert _decode_wav_ima_adpcm(wav(blocks, 10, spb=14)) is None
+
+    # SHORT final mono block (header + 2 body bytes): decoded, not dropped
+    pred, idx = 123, 7
+    tail_body = b"\x5a\xa5"
+    partial = blocks + struct.pack("<hB", pred, idx) + b"\x00" + tail_body
+    gp = _decode_wav_ima_adpcm(wav(partial, 10))
+    assert gp is not None and len(gp[0]) == 39 + 5
+    assert np.array_equal(
+        gp[0][-5:], np.array(ref_block(tail_body, pred, idx), dtype="float64") / 32768.0
+    )
+
+    # stereo body not a multiple of 8 bytes: ambiguous interleave -> None
+    st = (struct.pack("<hB", 0, 0) + b"\x00") * 2 + b"\x11" * 6
+    assert _decode_wav_ima_adpcm(wav(st, len(st), ch=2)) is None
+
+
+def test_png_bogus_huge_dims_rejected_cheaply():
+    """An IHDR claiming astronomical dimensions over a tiny payload must
+    return None via the pass-geometry length check — never attempt the
+    allocation (interlaced, both sub-byte and 8-bit)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_png
+
+    def png(w, h, depth, color, interlace):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+        )
+
+    for depth, color in ((1, 0), (8, 0), (8, 2), (16, 2)):
+        for interlace in (0, 1):
+            assert _decode_png(png(0xFFFFFF, 0xFFFFFF, depth, color, interlace)) is None
