@@ -6,15 +6,15 @@ Arrow-batched mapInPandas kernels.
 The Spark-side plumbing — schemas, partition sizing, UDF signatures,
 batch shapes — is real and tested.  Decoding is tiered:
 
-- REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy),
-  PNG at every legal bit depth 1-16 (stdlib ``zlib`` + numpy, all
-  five scanline filters, Adam7 interlace, gray/RGB/palette/alpha), baseline AND progressive JPEG (full
-  SOF0/SOF2 Huffman decoder in ``operators/jpeg.py`` — any sampling
-  factors, restart intervals, stream-supplied tables, spectral
-  selection + successive approximation), and WAV audio (PCM-16 via
-  stdlib ``wave``, G.711 A-law/µ-law, IMA ADPCM — the latter two
-  sample-exact vs the stdlib G.711/DVI references) decode genuinely,
-  exercised in tests;
+- REAL, dependency-free: uncompressed 24-bit BMP (struct+numpy); PNG
+  at every legal bit depth 1-16 (stdlib ``zlib`` + numpy, all five
+  scanline filters, Adam7 interlace, gray/RGB/palette/alpha);
+  baseline AND progressive JPEG (full SOF0/SOF2 Huffman decoder in
+  ``operators/jpeg.py`` — any sampling factors, restart intervals,
+  stream-supplied tables, spectral selection + successive
+  approximation); and WAV audio (PCM-16 via stdlib ``wave``, G.711
+  A-law/µ-law, IMA ADPCM — each sample-exact vs a stdlib reference)
+  — all decode genuinely, exercised in tests;
 - real library if importable (PIL / soundfile, import-try gate) for
   the remaining formats (WebP/FLAC/...), absent in
   this container;
