@@ -484,6 +484,43 @@ def weighted_sample(
     )
 
 
+def winsorize_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to its group's
+    [lo, hi] EXACT percentiles — the outlier-capping step before mixing
+    heterogeneous sources (a 10 MB document shouldn't dominate a length
+    feature; a p99 cap per source is fair across sources the way a
+    global cap is not).
+
+    Exact (interpolated) percentiles, not a sketch, so the op is
+    cross-engine checkable; one aggregation shuffle for the per-group
+    bounds, then a broadcast join + narrow clip folded into the scan.
+    At 100 TB swap the anchor aggregate for ``approx_percentile`` if the
+    per-group exact sort-agg is too hot — the clip plumbing is
+    unchanged."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {lo})").alias("__lo"),
+        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {hi})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out,
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
+                F.col("__hi"),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
 def standardize_by_group(
     df: DataFrame,
     group_col: str,

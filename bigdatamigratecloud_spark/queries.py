@@ -2616,6 +2616,31 @@ def n5_zscore_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_winsorize",
+    """WITH b AS (SELECT source,
+                         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+                         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+                  FROM documents GROUP BY source)
+       SELECT d.doc_id, d.source,
+              CAST(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi)
+                   AS DOUBLE) AS clipped_len
+       FROM documents d JOIN b USING (source)""",
+)
+def n5_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: per-source winsorization of document length — clip each
+    source's length feature to its own [p5, p95] before mixing, so one
+    source's outliers can't dominate a shared threshold.  EXACT
+    interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, the equality w2 pins), broadcast bounds, narrow
+    clip folded into the scan."""
+    from .operators.sampling import winsorize_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = winsorize_by_group(docs, "source", "n_chars", lo=0.05, hi=0.95, out="clipped_len")
+    return out.select("doc_id", "source", "clipped_len")
+
+
+@query(
     "w2b_approx_percentiles_bounded",
     """SELECT l_returnflag, TRUE AS median_in_bound, TRUE AS p90_in_bound
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

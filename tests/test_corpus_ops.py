@@ -516,3 +516,25 @@ def test_global_running_sum_guards(spark):
     bad = global_running_sum(df, "id", "v", out="run", shard_size=4, max_key=40)
     with pytest.raises(Exception, match="prefix-sum invariant"):
         bad.collect()
+
+
+def test_winsorize_by_group_semantics(spark):
+    """Clipping anchors at each group's OWN percentiles: values inside
+    [lo, hi] pass through, tails clamp, and a group's bounds never leak
+    into another group."""
+    from bigdatamigratecloud_spark.operators.sampling import winsorize_by_group
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("b", float(v * 1000)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(8)
+    out = winsorize_by_group(df, "g", "v", lo=0.10, hi=0.90, out="c")
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["g"], []).append(r["c"])
+    for g, scale in (("a", 1.0), ("b", 1000.0)):
+        vals = sorted(by_g[g])
+        assert len(vals) == 100
+        # exact interpolated p10/p90 of 1..100: 10.9 and 90.1 (IEEE
+        # interpolation noise only — the oracle pins engine equality)
+        assert abs(vals[0] - 10.9 * scale) < 1e-9 * scale
+        assert abs(vals[-1] - 90.1 * scale) < 1e-9 * scale
+        assert vals[50] == 51 * scale  # interior untouched
