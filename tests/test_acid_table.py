@@ -764,3 +764,43 @@ def test_checkpoint_hint_never_moves_backwards(spark, tmp_path):
     with open(hint) as f:
         assert json.load(f)["version"] == 5
     assert t.snapshot().count() == 26
+
+
+def test_concurrent_appenders_stress(spark, tmp_path):
+    """8 driver threads x 4 appends race on one table: optimistic
+    concurrency must serialize them losslessly — every row lands exactly
+    once, versions are a contiguous range, and the interval checkpoints
+    written mid-race stay consistent with the JSON log."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = spark.range(0, 10).withColumn("v", F.lit(-1))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"], checkpoint_interval=5)
+
+    def worker(k: int) -> None:
+        w = AcidTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+        for j in range(4):
+            lo = 1000 + k * 1000 + j * 100
+            w.append(
+                spark.range(lo, lo + 25).withColumn("v", F.lit(k)).coalesce(1),
+                max_retries=200,
+            )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(worker, range(8)))
+
+    assert t.latest_version() == 32  # create + 8*4 appends, no holes
+    snap = t.snapshot()
+    assert snap.count() == 10 + 8 * 4 * 25
+    # every worker's every batch fully present (no lost update under races)
+    per_worker = {r["v"]: r["n"] for r in snap.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    assert per_worker.pop(-1) == 10
+    assert per_worker == {k: 100 for k in range(8)}
+    # mid-race checkpoints must equal a PURE JSON-log replay (entries()
+    # would resolve through the checkpoint itself — circular)
+    assert len(t._checkpoint_versions()) >= 1
+    for cv in t._checkpoint_versions():
+        ck_paths = {r["path"] for r in spark.read.parquet(t._checkpoint_dir(cv)).collect()}
+        state: dict = {}
+        for v in range(cv + 1):
+            state = AcidTable._apply_manifest(state, t._read_manifest(v))
+        assert ck_paths == set(state)
