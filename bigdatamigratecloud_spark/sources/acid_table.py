@@ -108,8 +108,27 @@ class AcidTable:
     def _checkpoint_dir(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:011d}.checkpoint")
 
+    def _hint_version(self) -> int | None:
+        try:
+            with open(os.path.join(self._log_dir, "_last_checkpoint.json")) as f:
+                return int(json.load(f)["version"])
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            return None
+
     def latest_version(self) -> int | None:
-        """Highest committed version, or None for a nonexistent table."""
+        """Highest committed version, or None for a nonexistent table.
+
+        Fast path: versions are contiguous from any retained manifest,
+        so probe FORWARD from the checkpoint hint — O(commits since the
+        last checkpoint), not an O(total versions) directory listing
+        (the same listing cost Delta bounds with _last_checkpoint).
+        Falls back to the listing when there is no usable hint."""
+        hint = self._hint_version()
+        if hint is not None and os.path.exists(self._manifest_path(hint)):
+            v = hint
+            while os.path.exists(self._manifest_path(v + 1)):
+                v += 1
+            return v
         try:
             names = os.listdir(self._log_dir)
         except FileNotFoundError:

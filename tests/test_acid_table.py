@@ -804,3 +804,28 @@ def test_concurrent_appenders_stress(spark, tmp_path):
         for v in range(cv + 1):
             state = AcidTable._apply_manifest(state, t._read_manifest(v))
         assert ck_paths == set(state)
+
+
+def test_latest_version_hint_probe_matches_listing(spark, tmp_path):
+    """latest_version's forward probe from the checkpoint hint must
+    agree with the directory listing at every log shape: before any
+    checkpoint, across the checkpoint, and after a vacuum prunes the
+    log below the hint."""
+    import os as _os
+
+    base = spark.range(0, 10).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"], checkpoint_interval=5)
+
+    def listing_max():
+        names = _os.listdir(t._log_dir)
+        return max(int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit())
+
+    for i in range(8):
+        t.append(spark.range(100 + i, 101 + i).withColumn("v", F.lit(0)).coalesce(1))
+        assert t.latest_version() == listing_max() == i + 1
+    # hint sits at 5; probe walks the 3-manifest tail
+    assert t._hint_version() == 5
+    # vacuum prunes below horizon; hint moves to the horizon checkpoint
+    t.vacuum(keep_last=2, retain_seconds=0.0)
+    assert t.latest_version() == listing_max() == 8
+    assert t.snapshot().count() == 18
