@@ -503,20 +503,24 @@ def winsorize_by_group(
     bounds, then a broadcast join + narrow clip folded into the scan.
     At 100 TB swap the anchor aggregate for ``approx_percentile`` if the
     per-group exact sort-agg is too hot — the clip plumbing is
-    unchanged."""
+    unchanged.
+
+    NULL semantics: a NULL value stays NULL (F.least/F.greatest skip
+    NULLs, which would otherwise FABRICATE the lower bound for missing
+    data), and a row whose group has no bounds (NULL group, or an
+    all-NULL group) passes through unclipped via the left join — the op
+    never changes the row count."""
+    v = F.col(value_col).cast("double")
     bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {lo})").alias("__lo"),
-        F.expr(f"percentile(CAST({value_col} AS DOUBLE), {hi})").alias("__hi"),
+        F.percentile(v, F.lit(float(lo))).alias("__lo"),
+        F.percentile(v, F.lit(float(hi))).alias("__hi"),
     )
+    clipped = F.when(
+        v.isNull() | F.col("__lo").isNull(), v
+    ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))
     return (
-        df.join(F.broadcast(bounds), group_col)
-        .withColumn(
-            out,
-            F.least(
-                F.greatest(F.col(value_col).cast("double"), F.col("__lo")),
-                F.col("__hi"),
-            ),
-        )
+        df.join(F.broadcast(bounds), on=group_col, how="left")
+        .withColumn(out, clipped)
         .drop("__lo", "__hi")
     )
 

@@ -109,10 +109,13 @@ class AcidTable:
         return os.path.join(self._log_dir, f"{version:011d}.checkpoint")
 
     def _hint_version(self) -> int | None:
+        # TypeError included: valid-JSON-but-wrong-shape hints (null,
+        # list, {"version": null}) must degrade to the listing fallback,
+        # not crash every read path — the hint is only an optimization
         try:
             with open(os.path.join(self._log_dir, "_last_checkpoint.json")) as f:
                 return int(json.load(f)["version"])
-        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+        except (FileNotFoundError, KeyError, ValueError, TypeError, json.JSONDecodeError):
             return None
 
     def latest_version(self) -> int | None:
@@ -128,7 +131,13 @@ class AcidTable:
             v = hint
             while os.path.exists(self._manifest_path(v + 1)):
                 v += 1
-            return v
+            # a concurrent vacuum prunes manifests in ascending order, so
+            # the walk can land on a version deleted under it (v gone by
+            # the time v+1 reads as missing); the HEAD manifest is never
+            # pruned, so re-checking v and falling back to the listing
+            # restores the old always-true-head guarantee
+            if os.path.exists(self._manifest_path(v)):
+                return v
         try:
             names = os.listdir(self._log_dir)
         except FileNotFoundError:
@@ -176,16 +185,13 @@ class AcidTable:
         return sorted(out)
 
     def _checkpoint_at_or_before(self, version: int) -> int | None:
-        hint = os.path.join(self._log_dir, "_last_checkpoint.json")
-        try:
-            with open(hint) as f:
-                hv = int(json.load(f)["version"])
-            if hv <= version and os.path.exists(
-                os.path.join(self._checkpoint_dir(hv), "_SUCCESS")
-            ):
-                return hv
-        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
-            pass
+        hv = self._hint_version()
+        if (
+            hv is not None
+            and hv <= version
+            and os.path.exists(os.path.join(self._checkpoint_dir(hv), "_SUCCESS"))
+        ):
+            return hv
         below = [v for v in self._checkpoint_versions() if v <= version]
         return max(below) if below else None
 

@@ -538,3 +538,13 @@ def test_winsorize_by_group_semantics(spark):
         assert abs(vals[0] - 10.9 * scale) < 1e-9 * scale
         assert abs(vals[-1] - 90.1 * scale) < 1e-9 * scale
         assert vals[50] == 51 * scale  # interior untouched
+
+    # NULL semantics: NULL values stay NULL (never fabricated to the
+    # lower bound), NULL-group rows pass through unclipped, and the op
+    # never changes the row count
+    rows2 = [("a", float(v)) for v in range(1, 21)] + [("a", None), (None, 5000.0)]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    out2 = winsorize_by_group(df2, "g", "v", lo=0.10, hi=0.90, out="c").collect()
+    assert len(out2) == 22
+    assert [r["c"] for r in out2 if r["v"] is None] == [None]
+    assert [r["c"] for r in out2 if r["g"] is None] == [5000.0]
