@@ -2467,6 +2467,78 @@ def x9_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_keys(li, "skey", 0.05).select("skey", "cnt")
 
 
+def _bloom_oracle_sql(m_bits: int, k: int, salt: str) -> str:
+    """DuckDB replay of the portable Bloom semi-join (see operators/bloom):
+    the set bits are DISTINCT positions over build keys x k, a candidate
+    is a probe row whose k positions all land in that set, and the exact
+    matches are re-counted among the candidates only — the same prune->
+    verify shape the Spark side runs."""
+    from .operators.bloom import hash_pair_sql, positions_sql
+
+    bh1, bh2 = hash_pair_sql("key", salt)
+    ph1, ph2 = hash_pair_sql("o_custkey", salt)
+    pos = positions_sql("h1", "h2", m_bits, k)
+    return f"""WITH bk AS (SELECT c_custkey AS key FROM customer
+                     WHERE c_mktsegment = 'BUILDING'),
+       bh AS (SELECT key, {bh1} AS h1, {bh2} AS h2 FROM bk),
+       bpos AS (SELECT DISTINCT {pos} AS pos FROM bh, range({k}) t(i)),
+       ph AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                     {ph1} AS h1, {ph2} AS h2 FROM orders),
+       pp AS (SELECT o_orderkey, {pos} AS pos FROM ph, range({k}) t(i)),
+       cand AS (SELECT o_orderkey
+                FROM pp LEFT JOIN (SELECT pos, 1 AS hit FROM bpos) b
+                     ON pp.pos = b.pos
+                GROUP BY o_orderkey
+                HAVING SUM(CASE WHEN b.hit IS NULL THEN 1 ELSE 0 END) = 0),
+       c2 AS (SELECT ph.o_orderkey, ph.o_custkey, ph.o_orderpriority
+              FROM ph JOIN cand USING (o_orderkey))
+       SELECT o_orderpriority,
+              COUNT(*) AS bloom_candidates,
+              CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM bk
+                                         WHERE bk.key = c2.o_custkey)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS exact_matches
+       FROM c2 GROUP BY o_orderpriority"""
+
+
+@query("x10_bloom_semijoin", _bloom_oracle_sql(4080, 3, "x10"))
+def x10_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale op: semi-join through a CONSTANT-size runtime filter.  j5
+    broadcasts exact parent-key sets — right while the parent fits in
+    memory; when the build side is 10^9+ keys, the Bloom bitmap caps the
+    shipped state at m_bits regardless of build cardinality, the probe
+    stays a NARROW plan-literal filter folded into the scan (no join, no
+    shuffle before the prune), and the exact verify join moves
+    candidates only.  False negatives are impossible, so prune+verify is
+    value-identical to the plain semi-join.  The filter here is sized
+    small (m=4080, k=3) so false positives are OBSERVABLE: the result
+    reports per-priority candidate counts next to exact-match counts,
+    and the oracle replays the identical double-hash bit positions from
+    portable md5 arithmetic — the candidate sets agree bit-for-bit
+    across engines."""
+    from .operators.bloom import bloom_build, bloom_member
+
+    m_bits, k, salt = 4080, 3, "x10"
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = bloom_build(cust, "c_custkey", m_bits, k, salt)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cand = orders.where(bloom_member(F.col("o_custkey"), words, m_bits, k, salt))
+    keys = cust.select("c_custkey").where(F.col("c_custkey").isNotNull())
+    return (
+        cand.join(
+            F.broadcast(keys), cand["o_custkey"] == keys["c_custkey"], "left"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_candidates"),
+            F.count("c_custkey").alias("exact_matches"),
+        )
+    )
+
+
 @query(
     "n5_domain_cap",
     f"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS sp
