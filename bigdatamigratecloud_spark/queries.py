@@ -3037,6 +3037,69 @@ def s13e_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13g_cdc_replicate",
+    """WITH v1 AS (SELECT c_custkey, c_name, c_nationkey,
+                          CASE WHEN c_custkey % 50 = 0
+                               THEN c_acctbal + 1000.0 ELSE c_acctbal END
+                              AS c_acctbal,
+                          c_mktsegment
+                   FROM customer
+                   UNION ALL
+                   SELECT CAST(9000001 AS BIGINT), 'New Customer #1',
+                          CAST(7 AS INTEGER), CAST(123.45 AS DOUBLE),
+                          'BUILDING'
+                   UNION ALL
+                   SELECT CAST(9000002 AS BIGINT), 'New Customer #2',
+                          CAST(11 AS INTEGER), CAST(678.9 AS DOUBLE),
+                          'MACHINERY')
+       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+       FROM v1 WHERE NOT (c_custkey % 97 = 3 AND c_custkey % 50 <> 0)""",
+)
+def s13g_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 replication: the change feed is not just reportable, it is
+    APPLICABLE — a replica table at the source's version 0 consumes
+    ``changes(0, 2)`` through :meth:`AcidTable.apply_cdc` (upserts +
+    deletes in ONE commit, stats-range file pruning over the union of
+    change keys, same adaptive recompute fallback as MERGE) and becomes
+    row-identical to the source head, which is exactly what the oracle
+    computes from the fixture.  At 100 TB this is the cross-region /
+    dev-mirror story: the bytes moved are sized by the feed (what the
+    commits touched), never the table, and an (app, batch) writer
+    transaction makes replays no-ops so the exactly-once chain extends
+    to downstream replicas."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_cdcrep_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        t = AcidTable.create(spark, root + "/src", cust, key_cols=["c_custkey"])
+        replica = AcidTable.create(
+            spark, root + "/replica", t.snapshot(0), key_cols=["c_custkey"]
+        )
+        upd = cust.filter("c_custkey % 50 = 0").withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(1000.0)
+        )
+        ins = spark.createDataFrame(
+            [
+                (9000001, "New Customer #1", 7, 123.45, "BUILDING"),
+                (9000002, "New Customer #2", 11, 678.9, "MACHINERY"),
+            ],
+            cust.schema,
+        )
+        t.merge(upd.unionByName(ins), ["c_custkey"])
+        t.delete("c_custkey % 97 = 3 AND c_custkey % 50 <> 0")
+        replica.apply_cdc(t.changes(0, 2), txn=("replicator", 2))
+        out = replica.snapshot()
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

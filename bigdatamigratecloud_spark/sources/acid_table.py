@@ -757,6 +757,65 @@ class AcidTable:
             }
         )
 
+    def _probe_touched(
+        self,
+        head: int,
+        keys_df: DataFrame,
+        probe_col: str,
+        key_type: str,
+        recompute_frac: float | None,
+    ) -> tuple[list[str], int, list[str] | None]:
+        """Which data files can contain any of ``keys_df``'s keys, by
+        joining the keys against the checkpointed entries frame's
+        [min,max] stats on ``probe_col`` — one keys-side aggregation,
+        zero base-table I/O for skipped files, and only the HIT paths
+        return to the driver.  Files without stats are conservatively
+        flagged.  Returns ``(touched, total_files, all_paths)`` where
+        ``all_paths`` is non-None only when ``recompute_frac`` is given
+        and exceeded (the caller should then prefer a full recompute)."""
+        ent = self._entries_frame(head).persist()
+        try:
+            total_files = ent.count()
+            smin = F.get_json_object("stats", f"$.{probe_col}.min")
+            smax = F.get_json_object("stats", f"$.{probe_col}.max")
+            unranged = [
+                r["path"] for r in ent.where(smin.isNull()).select("path").collect()
+            ]
+            ranged = ent.where(smin.isNotNull()).select(
+                "path",
+                smin.cast(key_type).alias("__min"),
+                smax.cast(key_type).alias("__max"),
+            )
+            hits = (
+                keys_df.select(F.col(probe_col).alias("__k"))
+                .join(
+                    F.broadcast(ranged),
+                    (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+                    "inner",
+                )
+                .select("path")
+                .distinct()
+                .collect()
+            )
+            touched = sorted({r["path"] for r in hits} | set(unranged))
+            all_paths = None
+            if (
+                recompute_frac is not None
+                and total_files
+                and len(touched) / total_files > recompute_frac
+            ):
+                # recompute will read the full snapshot — recover the
+                # path list from the ALREADY-resolved cached frame
+                # instead of re-running the whole checkpoint+tail
+                # resolution via _paths()
+                all_paths = [
+                    os.path.join(self.root, r["path"])
+                    for r in ent.select("path").collect()
+                ]
+        finally:
+            ent.unpersist()
+        return touched, total_files, all_paths
+
     def merge(
         self,
         delta: DataFrame,
@@ -802,44 +861,9 @@ class AcidTable:
                 "dedupe the delta (e.g. keep latest) before merging"
             )
 
-        ent = self._entries_frame(head).persist()
-        try:
-            total_files = ent.count()
-            smin = F.get_json_object("stats", f"$.{probe_col}.min")
-            smax = F.get_json_object("stats", f"$.{probe_col}.max")
-            key_type = dict(delta.dtypes)[probe_col]
-            unranged = [
-                r["path"] for r in ent.where(smin.isNull()).select("path").collect()
-            ]
-            ranged = ent.where(smin.isNotNull()).select(
-                "path",
-                smin.cast(key_type).alias("__min"),
-                smax.cast(key_type).alias("__max"),
-            )
-            hits = (
-                delta.select(F.col(probe_col).alias("__k"))
-                .join(
-                    F.broadcast(ranged),
-                    (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
-                    "inner",
-                )
-                .select("path")
-                .distinct()
-                .collect()
-            )
-            touched = sorted({r["path"] for r in hits} | set(unranged))
-            all_paths = None
-            if total_files and len(touched) / total_files > recompute_frac:
-                # recompute will read the full snapshot — recover the
-                # path list from the ALREADY-resolved cached frame
-                # instead of re-running the whole checkpoint+tail
-                # resolution via _paths()
-                all_paths = [
-                    os.path.join(self.root, r["path"])
-                    for r in ent.select("path").collect()
-                ]
-        finally:
-            ent.unpersist()
+        touched, total_files, all_paths = self._probe_touched(
+            head, delta, probe_col, dict(delta.dtypes)[probe_col], recompute_frac
+        )
 
         delta_keys = delta.select(*keys).dropDuplicates(keys)
         from pyspark.sql.types import StructType
@@ -890,6 +914,98 @@ class AcidTable:
             {
                 "version": head + 1,
                 "operation": "merge",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "add": new_files,
+                "remove": touched,
+                "txns": self._merged_txns(m, txn),
+            }
+        )
+
+    def apply_cdc(
+        self,
+        feed: DataFrame,
+        pk_cols: Sequence[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        recompute_frac: float = 0.6,
+    ) -> int:
+        """Apply a row-level change feed (the output of :meth:`changes`
+        on another table) to THIS table in ONE commit — the replication
+        consumer: inserts and update_postimages upsert, deletes remove,
+        update_preimages are ignored (their keys arrive via the
+        postimage).  Applying the feed ``changes(v_from, v_to)`` to a
+        replica at ``v_from`` makes it row-identical to the source at
+        ``v_to``.
+
+        Scale shape matches :meth:`merge`: ONE stats-range probe over
+        the union of upsert+delete keys decides which files rewrite
+        (zero I/O for the untouched bulk), the COW rewrite anti-joins
+        the change keys and unions the upserts, and the same adaptive
+        full-recompute fallback takes over when the feed's key spread
+        defeats pruning.  A single commit keeps replication atomic and
+        lets an ``(app, batch)`` writer transaction make it idempotent
+        under replays — the exactly-once chain extends from the stream
+        sink through to downstream replicas."""
+        head = self._head()
+        m = self._read_manifest(head)
+        if self._txn_already_applied(m, txn):
+            return head
+        keys = list(pk_cols) if pk_cols else list(m["key_cols"])
+        if not keys:
+            raise ValueError("apply_cdc needs pk_cols (table has no key_cols)")
+        probe_col = keys[0]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        cols = [f.name for f in schema.fields]
+        ups = feed.where(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        dup = ups.groupBy(*keys).count().where("count > 1").limit(1).count()
+        if dup:
+            raise ValueError(
+                f"apply_cdc feed contains duplicate upsert rows for pk {keys}; "
+                "a net changes() feed never does — compact the feed first"
+            )
+        change_keys = (
+            feed.where(F.col("_change_type") != "update_preimage")
+            .select(*keys)
+            .dropDuplicates(keys)
+        )
+        touched, total_files, all_paths = self._probe_touched(
+            head, change_keys, probe_col, dict(change_keys.dtypes)[probe_col],
+            recompute_frac,
+        )
+        if all_paths is not None:
+            snap = self.spark.read.schema(schema).parquet(*all_paths)
+            merged = snap.join(change_keys, keys, "left_anti").unionByName(ups)
+            merged = merged.repartitionByRange(
+                max(total_files, 1), probe_col
+            ).sortWithinPartitions(probe_col)
+            files = self._write_data_files(merged, m["key_cols"])
+            return self._commit(
+                {
+                    "version": head + 1,
+                    "operation": "apply_cdc-recompute",
+                    "schema": m["schema"],
+                    "key_cols": m["key_cols"],
+                    "reset": True,
+                    "add": files,
+                    "txns": self._merged_txns(m, txn),
+                }
+            )
+        if touched:
+            affected = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in touched]
+            )
+            merged = affected.join(change_keys, keys, "left_anti").unionByName(ups)
+        else:
+            merged = ups
+        new_files = self._write_data_files(merged, m["key_cols"])
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "apply_cdc",
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "add": new_files,

@@ -829,3 +829,53 @@ def test_latest_version_hint_probe_matches_listing(spark, tmp_path):
     t.vacuum(keep_last=2, retain_seconds=0.0)
     assert t.latest_version() == listing_max() == 8
     assert t.snapshot().count() == 18
+
+
+def test_apply_cdc_replicates_source(spark, tmp_path):
+    """apply_cdc consumes changes(v0, head) in ONE commit and makes the
+    replica row-identical to the source head: inserts land, updates
+    replace, deletes remove; preimages are ignored.  A replayed
+    (app, batch) txn is a no-op."""
+    base = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "id")
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["id"])
+    rep = AcidTable.create(
+        spark, str(tmp_path / "rep"), src.snapshot(0), key_cols=["id"]
+    )
+    src.merge(
+        spark.range(0, 40).select(F.col("id"), F.lit(99).alias("v")).unionByName(
+            spark.range(1000, 1010).select(F.col("id"), F.lit(5).alias("v"))
+        ),
+        ["id"],
+    )
+    src.delete("id >= 200 AND id < 220")
+    feed = src.changes(0, 2)
+    v = rep.apply_cdc(feed, txn=("replicator", 2))
+    assert rep._read_manifest(v)["operation"] == "apply_cdc"
+    a = {tuple(r) for r in src.snapshot().collect()}
+    b = {tuple(r) for r in rep.snapshot().collect()}
+    assert a == b and len(a) > 0
+    # replay: no new commit, contents unchanged
+    assert rep.apply_cdc(feed, txn=("replicator", 2)) == v
+    assert rep.latest_version() == v
+    assert {tuple(r) for r in rep.snapshot().collect()} == a
+
+
+def test_apply_cdc_prunes_and_recomputes_like_merge(spark, tmp_path):
+    """Narrow feeds take the COW path and rewrite only files whose key
+    range is hit; a uniform feed flips to the reset recompute."""
+    base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
+    src = AcidTable.create(spark, str(tmp_path / "s"), base, key_cols=["id"])
+    rep = AcidTable.create(spark, str(tmp_path / "r"), base, key_cols=["id"])
+    src.merge(spark.range(0, 50).withColumn("v", F.lit(1)), ["id"])
+    v = rep.apply_cdc(src.changes(0, 1))
+    m = rep._read_manifest(v)
+    assert m["operation"] == "apply_cdc"
+    assert 0 < len(m["remove"]) < 8  # narrow: only the hit range file(s)
+    src.merge(spark.range(0, 8000, 100).withColumn("v", F.lit(2)), ["id"])
+    v2 = rep.apply_cdc(src.changes(1, src.latest_version()))
+    assert rep._read_manifest(v2)["operation"] == "apply_cdc-recompute"
+    assert {tuple(r) for r in rep.snapshot().collect()} == {
+        tuple(r) for r in src.snapshot().collect()
+    }
