@@ -484,6 +484,59 @@ def weighted_sample(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n_tokens_col: Column,
+    targets: dict[str, float],
+    default_target: float = 0.0,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-source token-budget sampling — the mixture-curation op that
+    turns "I want ~2 B tokens of books and ~500 M of forums" into keep
+    decisions: each group keeps rows with probability
+    ``min(1, target_tokens / group_total_tokens)``, so the kept token
+    mass lands on the target in expectation (and exactly on the full
+    group when the target covers it).  Groups absent from ``targets``
+    get ``default_target`` (0 = drop).
+
+    Deterministic per id (portable md5 unit draw), so the same corpus
+    yields the same sample on any engine, any cluster size, any day —
+    and the draw is numeric, which is what lets the threshold depend on
+    a per-GROUP aggregate.  The comparison multiplies instead of
+    dividing (``u * T < target``) so both operand orders replay
+    bit-for-bit in an external engine.
+
+    Scale: one aggregation shuffle for the per-group token totals
+    (groups-sized frame, broadcast back), then a narrow filter folded
+    into the scan — the corpus itself never shuffles.  Rows whose group
+    total is NULL-free by construction; a NULL group falls through to
+    ``default_target`` like any unlisted group."""
+    tot = df.groupBy(group_col).agg(
+        F.sum(n_tokens_col.cast("long")).alias("__T")
+    )
+    thr = None
+    for g, t in targets.items():
+        cond = F.col(group_col) == g
+        thr = (
+            F.when(cond, F.lit(float(t)))
+            if thr is None
+            else thr.when(cond, F.lit(float(t)))
+        )
+    thr = (
+        F.lit(float(default_target))
+        if thr is None
+        else thr.otherwise(F.lit(float(default_target)))
+    )
+    u = hash_unit_draw(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(tot), group_col, "left")
+        .where(u * F.col("__T").cast("double") < thr)
+        .drop("__T")
+    )
+
+
 def winsorize_by_group(
     df: DataFrame,
     group_col: str,

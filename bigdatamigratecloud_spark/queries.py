@@ -2649,6 +2649,72 @@ def n5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", target_n=50.0)
 
 
+def _n5_token_budget_oracle() -> str:
+    from .operators.sampling import hash_unit_draw_sql
+
+    u = hash_unit_draw_sql("doc_id", "budget")
+    return f"""WITH t AS (SELECT doc_id, source,
+                                 len(string_split(text, ' ')) AS nt
+                          FROM documents),
+       tot AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS T
+               FROM t GROUP BY source),
+       j AS (SELECT t.doc_id, t.source, t.nt, tot.T,
+                    CASE t.source WHEN 'src0' THEN 2000.0
+                                  WHEN 'src1' THEN 600.0
+                                  ELSE 400.0 END AS thr
+             FROM t JOIN tot USING (source)),
+       kept AS (SELECT * FROM j WHERE {u} * CAST(T AS DOUBLE) < thr)
+       SELECT source,
+              COUNT(*) AS kept_docs,
+              CAST(SUM(nt) AS BIGINT) AS kept_tokens,
+              MIN(LEAST(1.0, thr / CAST(T AS DOUBLE))) AS rate
+       FROM kept GROUP BY source"""
+
+
+@query("n5_token_budget_sample", _n5_token_budget_oracle())
+def n5_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: per-source TOKEN-budget sampling — the mixture-curation op
+    that turns "~2000 tokens of src0, ~600 of src1, ~400 of everything
+    else" into keep decisions: each group keeps rows with probability
+    min(1, target/T_group), so kept token mass lands on the target in
+    expectation (src0's target exceeds its total, exercising the
+    keep-everything cap).  The numeric portable draw lets the per-row
+    threshold depend on a per-GROUP aggregate and still replay
+    bit-for-bit in DuckDB (u*T < target: fixed operand order).  One
+    groups-sized aggregation broadcast back + a narrow filter — the
+    corpus never shuffles."""
+    from .operators.sampling import token_budget_sample
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("nt")
+    )
+    targets = {"src0": 2000.0, "src1": 600.0}
+    kept = token_budget_sample(
+        docs, "doc_id", "source", F.col("nt"), targets, default_target=400.0
+    )
+    tot = docs.groupBy("source").agg(F.sum(F.col("nt").cast("long")).alias("T"))
+    thr = (
+        F.when(F.col("source") == "src0", F.lit(2000.0))
+        .when(F.col("source") == "src1", F.lit(600.0))
+        .otherwise(F.lit(400.0))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.col("nt").cast("long")).alias("kept_tokens"),
+        )
+        .join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "kept_docs",
+            "kept_tokens",
+            F.least(F.lit(1.0), thr / F.col("T").cast("double")).alias("rate"),
+        )
+    )
+
+
 @query(
     "n5_zscore_features",
     """WITH st AS (

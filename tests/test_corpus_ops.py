@@ -548,3 +548,34 @@ def test_winsorize_by_group_semantics(spark):
     assert len(out2) == 22
     assert [r["c"] for r in out2 if r["v"] is None] == [None]
     assert [r["c"] for r in out2 if r["g"] is None] == [5000.0]
+
+
+def test_token_budget_sample_semantics(spark):
+    """token_budget_sample: a target covering the group's total keeps
+    EVERY row (rate caps at 1), an unlisted group follows
+    default_target (0 = dropped entirely), and the kept set is
+    partitioning-independent."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a" if i < 50 else ("b" if i < 100 else "c"), 10) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, nt int")
+    kept = token_budget_sample(
+        df, "doc_id", "src", F.col("nt"), {"a": 1000.0, "b": 120.0}
+    )
+    by_src = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("a") == 50  # target 1000 >= total 500: keep all
+    assert 0 < by_src.get("b", 0) < 50  # partial rate ~0.24
+    assert "c" not in by_src  # default_target 0 drops the group
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in token_budget_sample(
+            df.repartition(13), "doc_id", "src", F.col("nt"), {"a": 1000.0, "b": 120.0}
+        ).collect()
+    )
+    assert ids1 == ids2
