@@ -46,12 +46,23 @@ from pyspark.sql import functions as F
 
 BITS_PER_WORD = 60  # < 63 so every mask is a positive BIGINT in any engine
 
+# The bitmap ships inside the PLAN as an array literal; past ~1 MiB that
+# stops being a free constant (plan serialization per task, Catalyst
+# tree size) and the filter should move to a broadcast variable or a
+# word-keyed join instead.  Guard rather than degrade silently.
+MAX_WORDS = 131_072  # 60 * 131072 bits ≈ 7.9 Mbit ≈ 1 MiB of longs
+
 
 def _check_params(m_bits: int, k: int) -> None:
     if m_bits % BITS_PER_WORD != 0 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of {BITS_PER_WORD}")
-    if m_bits >= 2**31:
-        raise ValueError("m_bits must stay below 2^31 so position math is exact")
+    if m_bits > MAX_WORDS * BITS_PER_WORD:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the plan-literal budget "
+            f"({MAX_WORDS * BITS_PER_WORD} bits ≈ 1 MiB of words); a filter "
+            "this large should be a broadcast variable or a word-keyed "
+            "join, not a plan constant"
+        )
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 

@@ -544,19 +544,26 @@ def winsorize_by_group(
     lo: float = 0.01,
     hi: float = 0.99,
     out: str = "clipped",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group winsorization: clip ``value_col`` to its group's
-    [lo, hi] EXACT percentiles — the outlier-capping step before mixing
+    [lo, hi] percentiles — the outlier-capping step before mixing
     heterogeneous sources (a 10 MB document shouldn't dominate a length
     feature; a p99 cap per source is fair across sources the way a
     global cap is not).
 
-    Exact (interpolated) percentiles, not a sketch, so the op is
-    cross-engine checkable; one aggregation shuffle for the per-group
-    bounds, then a broadcast join + narrow clip folded into the scan.
-    At 100 TB swap the anchor aggregate for ``approx_percentile`` if the
-    per-group exact sort-agg is too hot — the clip plumbing is
-    unchanged.
+    ``exact=True`` (default) anchors on exact interpolated percentiles,
+    so the op is cross-engine checkable; the per-group sort-agg is the
+    cost.  ``exact=False`` is the 100 TB path: the bounds come from the
+    KLL/GK ``approx_percentile`` sketch — a mergeable, bounded-memory
+    aggregate whose rank error is ~1/``accuracy`` — and the clip
+    plumbing is identical.  (Approx bounds are sketch-implementation-
+    specific, so only the exact path carries a value-level oracle; the
+    approx path is pinned by a rank-tolerance test instead.)
+
+    Either way: one aggregation shuffle for the per-group bounds, then
+    a broadcast join + narrow clip folded into the scan.
 
     NULL semantics: a NULL value stays NULL (F.least/F.greatest skip
     NULLs, which would otherwise FABRICATE the lower bound for missing
@@ -564,10 +571,18 @@ def winsorize_by_group(
     all-NULL group) passes through unclipped via the left join — the op
     never changes the row count."""
     v = F.col(value_col).cast("double")
-    bounds = df.groupBy(group_col).agg(
-        F.percentile(v, F.lit(float(lo))).alias("__lo"),
-        F.percentile(v, F.lit(float(hi))).alias("__hi"),
-    )
+    if exact:
+        bounds = df.groupBy(group_col).agg(
+            F.percentile(v, F.lit(float(lo))).alias("__lo"),
+            F.percentile(v, F.lit(float(hi))).alias("__hi"),
+        )
+    else:
+        pair = F.approx_percentile(
+            v, F.array(F.lit(float(lo)), F.lit(float(hi))), F.lit(int(accuracy))
+        )
+        bounds = df.groupBy(group_col).agg(
+            pair.getItem(0).alias("__lo"), pair.getItem(1).alias("__hi")
+        )
     clipped = F.when(
         v.isNull() | F.col("__lo").isNull(), v
     ).otherwise(F.least(F.greatest(v, F.col("__lo")), F.col("__hi")))

@@ -3228,6 +3228,60 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_enrich_dim",
+    """SELECT c.c_mktsegment AS segment,
+              COUNT(*) AS n_events,
+              CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c.c_mktsegment""",
+)
+def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: stream-STATIC dimension enrichment — the J1
+    lookup join in streaming form.  Each micro-batch of events joins
+    the customer dim as a broadcast hash join (the dim is read once and
+    shipped once; no stream-side shuffle and no state store — unlike a
+    stream-stream join this is stateless and latency-flat), and the
+    enriched stream lands in append mode; the per-segment totals are a
+    post-stream batch rollup the oracle recomputes relationally.  At
+    100 TB/day the same topology holds: the dim refreshes per batch via
+    broadcast, and only a dim too large to broadcast would force the
+    stateful redesign."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_stream_to_memory, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_enrich_landing_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_enrich"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.coalesce(2).write.mode("append").parquet(landing)
+        dim = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        stream = stream_events(spark, landing, max_files_per_trigger=1)
+        enriched = stream.join(
+            F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+        ).select("event_id", "value", F.col("c_mktsegment").alias("segment"))
+        run_stream_to_memory(enriched, qname)
+        out = (
+            spark.table(qname)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
+@query(
     "f_dateformula_eval",
     """SELECT o_orderkey,
               CAST(last_day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH) AS DATE) AS eom_next,

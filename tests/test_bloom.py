@@ -96,3 +96,5 @@ def test_param_validation(spark, sides):
         bloom_build(build, "key", m_bits=M, k=0)
     with pytest.raises(ValueError):
         bloom_member(F.col("key"), [0] * 3, M, K)  # wrong word count
+    with pytest.raises(ValueError, match="plan-literal budget"):
+        bloom_build(build, "key", m_bits=60 * 131_073, k=3)  # > 1 MiB literal

@@ -579,3 +579,34 @@ def test_token_budget_sample_semantics(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_winsorize_approx_path_rank_bounded(spark):
+    """exact=False anchors the clip on the approx_percentile sketch:
+    same row count and NULL semantics as the exact path, and on a
+    uniform group the approx bounds sit within rank tolerance of the
+    exact ones."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.sampling import winsorize_by_group
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit("g").alias("src"), F.col("id").cast("double").alias("v")
+    )
+    out = winsorize_by_group(df, "src", "v", lo=0.05, hi=0.95, exact=False)
+    assert out.count() == n
+    row = out.agg(F.min("clipped").alias("lo"), F.max("clipped").alias("hi")).first()
+    # accuracy=10000 -> rank error ~ n/10000 = 2 ranks; allow 20
+    assert abs(row["lo"] - 0.05 * (n - 1)) <= 20
+    assert abs(row["hi"] - 0.95 * (n - 1)) <= 20
+    # NULL value stays NULL through the approx path too
+    withnull = df.unionByName(
+        spark.createDataFrame([("g", None)], "src string, v double")
+    )
+    nulls = (
+        winsorize_by_group(withnull, "src", "v", exact=False)
+        .where(F.col("v").isNull())
+        .collect()
+    )
+    assert len(nulls) == 1 and nulls[0]["clipped"] is None
