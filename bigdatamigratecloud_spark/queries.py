@@ -2649,6 +2649,39 @@ def n5_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, "doc_id", "n_chars", target_n=50.0)
 
 
+@query(
+    "n5_leakage_safe_split",
+    """WITH s AS (SELECT doc_id, source,
+                         CASE WHEN substr(md5(CAST(source AS VARCHAR) || 'gsplit'), 1, 6)
+                                   < '0ccccd' THEN 'val'
+                              WHEN substr(md5(CAST(source AS VARCHAR) || 'gsplit'), 1, 6)
+                                   < '19999a' THEN 'test'
+                              ELSE 'train' END AS split
+                  FROM documents)
+       SELECT source, split, COUNT(*) AS n_docs
+       FROM s GROUP BY source, split""",
+)
+def n5_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: GROUP-keyed train/val/test split — the leakage guard: near-
+    duplicate documents cluster within a source/domain, so splitting on
+    doc_id would leak train material into eval; hashing the GROUP key
+    instead sends every document of a source to the same split.  The
+    invariant the oracle pins: each source maps to exactly one split
+    (every (source, split) cell is a whole source).  Same narrow
+    portable-md5 draw as deterministic_split — no shuffle for the
+    assignment; one aggregation for the report."""
+    from .operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = deterministic_split(
+        docs,
+        id_col="source",  # group key, not row key: the whole point
+        weights={"val": 0.05, "test": 0.05, "train": 0.9},
+        salt="gsplit",
+    )
+    return out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def _n5_token_budget_oracle() -> str:
     from .operators.sampling import hash_unit_draw_sql
 
