@@ -3199,6 +3199,58 @@ def s13g_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13h_shallow_clone",
+    """SELECT 'source' AS side, COUNT(*) AS num_rows,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                  AS total_price
+       FROM orders
+       UNION ALL
+       SELECT 'clone', COUNT(*),
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+       FROM orders WHERE o_orderkey % 10 <> 3
+       ORDER BY side DESC""",
+)
+def s13h_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 shallow CLONE: fork the orders table metadata-only (version 0
+    of the clone references the source's data files by absolute path —
+    zero data copied, O(files) cost at any table size), then run a
+    destructive DELETE on the fork.  The result juxtaposes both sides:
+    the source must be bit-untouched while the clone diverged — the
+    dev-sandbox / experiment-fork story at 100 TB.  The DELETE also
+    exercises the absolute-entry COW path: rows living in source-owned
+    files rewrite under the CLONE's root, never unlinking the source
+    file."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_clone_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        src = AcidTable.create(spark, root + "/src", o, key_cols=["o_orderkey"])
+        clone = src.clone_to(root + "/fork")
+        clone.delete("o_orderkey % 10 = 3")
+
+        def side(tag: str, t: AcidTable) -> DataFrame:
+            return t.snapshot().agg(
+                F.lit(tag).alias("side"),
+                F.count(F.lit(1)).alias("num_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+
+        out = side("source", src).unionByName(side("clone", clone)).orderBy(
+            F.col("side").desc()
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

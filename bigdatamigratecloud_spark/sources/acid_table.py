@@ -1037,6 +1037,60 @@ class AcidTable:
             }
         )
 
+    def clone_to(
+        self,
+        dest_root: str,
+        version: int | None = None,
+        checkpoint_interval: int | None = None,
+    ) -> "AcidTable":
+        """Shallow CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
+        table whose version 0 references this snapshot's data files by
+        ABSOLUTE path — metadata-only, zero data bytes copied, O(files)
+        regardless of table size.  The dev/test-sandbox story at 100 TB:
+        fork the production table in milliseconds, run destructive
+        experiments, throw the fork away.
+
+        The clone evolves independently afterwards: COW rewrites land
+        under the clone's own root and simply DROP references to source
+        files (never deleting them — vacuum only ever removes files
+        under its own root, so a clone cannot damage its source), and
+        ``compact`` localizes the clone entirely.  Contract shared with
+        Delta: vacuuming the SOURCE can break a clone that still
+        references the vacuumed files — localize with ``compact`` before
+        source vacuums tighter than the clone's age."""
+        v = self._head() if version is None else version
+        m = self._read_manifest(v)
+        entries = []
+        for e in self.entries(v):
+            e2 = dict(e)
+            e2["path"] = os.path.abspath(os.path.join(self.root, e["path"]))
+            entries.append(e2)
+        dest = AcidTable(
+            self.spark,
+            dest_root,
+            checkpoint_interval=(
+                self.checkpoint_interval
+                if checkpoint_interval is None
+                else checkpoint_interval
+            ),
+        )
+        if dest.latest_version() is not None:
+            raise FileExistsError(f"clone target {dest_root} already exists")
+        dest._commit(
+            {
+                "version": 0,
+                "operation": "clone",
+                "source": self.root,
+                "source_version": v,
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "reset": True,
+                "add": entries,
+                "txns": {},
+            }
+        )
+        return dest
+
     def delete(self, predicate: str) -> int:
         """COW delete: files are first FILTERED to those containing any
         matching row (one pruned scan flags files via input_file_name);
@@ -1057,9 +1111,19 @@ class AcidTable:
             )
         else:
             hit_rows = []
-        # input_file_name returns file: URIs; manifest paths are
-        # log-relative data/<commit>/<file> — match on that suffix
-        hit = sorted({"/".join(r["__file"].split("/")[-3:]) for r in hit_rows})
+        # input_file_name returns file: URIs; manifest paths are either
+        # log-relative data/<commit>/<file> or ABSOLUTE (shallow-clone
+        # entries referencing another table's files) — map each entry
+        # through its resolved filesystem path so both forms match
+        # (suffix matching alone would silently no-op on clone entries)
+        from urllib.parse import unquote, urlparse
+
+        by_abs = {
+            os.path.abspath(os.path.join(self.root, p)): p
+            for p in (e["path"] for e in self.entries(head))
+        }
+        resolved = {unquote(urlparse(r["__file"]).path) for r in hit_rows}
+        hit = sorted(by_abs[p] for p in resolved if p in by_abs)
         new_files = []
         if hit:
             # IS NOT TRUE, not NOT(...): under three-valued logic a row

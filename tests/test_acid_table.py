@@ -879,3 +879,46 @@ def test_apply_cdc_prunes_and_recomputes_like_merge(spark, tmp_path):
     assert {tuple(r) for r in rep.snapshot().collect()} == {
         tuple(r) for r in src.snapshot().collect()
     }
+
+
+def test_shallow_clone_metadata_only_and_independent(spark, tmp_path):
+    """clone_to: zero data copied (no data/ dir in the clone until it
+    writes), reads identical to the source snapshot, and mutations on
+    either side never affect the other."""
+    base = spark.range(0, 2000).repartitionByRange(4, "id").withColumn("v", F.lit(0))
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "clone"))
+    m = clone._read_manifest(0)
+    assert m["operation"] == "clone" and m["source_version"] == 0
+    assert not os.path.isdir(str(tmp_path / "clone" / "data"))  # metadata-only
+    assert clone.snapshot().count() == 2000
+    # clone mutates: COW rewrite lands under the clone, source untouched
+    clone.merge(spark.range(0, 10).withColumn("v", F.lit(1)), ["id"])
+    assert clone.snapshot().where("v = 1").count() == 10
+    assert src.snapshot().where("v = 1").count() == 0
+    # source mutates: clone still reads its pinned version-0 file set
+    src.merge(spark.range(50, 60).withColumn("v", F.lit(2)), ["id"])
+    assert clone.snapshot().where("v = 2").count() == 0
+    with pytest.raises(FileExistsError):
+        src.clone_to(str(tmp_path / "clone"))
+
+
+def test_shallow_clone_delete_hits_source_referenced_files(spark, tmp_path):
+    """delete() on a clone must rewrite rows living in ABSOLUTE-path
+    (source-owned) files — the suffix-matching pitfall — and must
+    rewrite them under the clone without unlinking the source file."""
+    base = spark.range(0, 1000).repartitionByRange(4, "id").withColumn("v", F.lit(0))
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.delete("id % 10 = 7")
+    assert clone.snapshot().where("id % 10 = 7").count() == 0
+    assert clone.snapshot().count() == 900
+    assert src.snapshot().count() == 1000  # source rows AND files intact
+    # clone vacuum never reaches outside its own root
+    clone.vacuum(keep_last=1, retain_seconds=0.0)
+    assert src.snapshot().count() == 1000
+    # compact localizes: every entry now lives under the clone's root
+    clone.compact(target_files=2)
+    ents = clone.entries(clone.latest_version())
+    assert all(not os.path.isabs(e["path"]) for e in ents)
+    assert clone.snapshot().count() == 900

@@ -98,3 +98,22 @@ def test_param_validation(spark, sides):
         bloom_member(F.col("key"), [0] * 3, M, K)  # wrong word count
     with pytest.raises(ValueError, match="plan-literal budget"):
         bloom_build(build, "key", m_bits=60 * 131_073, k=3)  # > 1 MiB literal
+
+
+def test_fast_hash_path_matches_semantics(spark, sides):
+    """portable=False (seeded xxhash64): same no-false-negative and
+    verify-equivalence guarantees, different (cheaper) hash family."""
+    build, probe = sides
+    words = bloom_build(build, "key", M, K, portable=False)
+    misses = build.where(
+        ~bloom_member(F.col("key"), words, M, K, portable=False)
+    ).count()
+    assert misses == 0
+    got = {
+        r["key"]
+        for r in bloom_semijoin(
+            probe, "key", build, "key", M, K, portable=False
+        ).collect()
+    }
+    want = {r["key"] for r in probe.join(build, "key", "left_semi").collect()}
+    assert got == want
