@@ -72,6 +72,128 @@ def _decode_bmp(payload: bytes):
     return arr[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _gif_lzw(data: bytes, min_code_size: int):
+    """Decode a GIF LZW stream (codes packed LSB-first, variable width
+    up to 12 bits, clear/EOI handling per GIF89a appendix F).  Returns
+    the palette-index bytes, or None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                out += table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = table[prev] + table[prev][:1]
+                else:
+                    return None
+                table.append(table[prev] + entry[:1])
+                out += entry
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    return bytes(out)
+
+
+# GIF interlace passes: (y_start, y_step)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes):
+    """REAL decode of GIF87a/89a (FIRST frame) — from-scratch LZW, no
+    codec library.  Handles global/local color tables and interlacing;
+    extensions (incl. animation control) are skipped, so an animated
+    GIF yields its first frame at the frame's own geometry.  Returns an
+    (h, w, 3) RGB uint8 array, or None if the payload is not a GIF this
+    decoder handles."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 9 > len(payload):
+            return None
+        _, _, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or w <= 0 or h <= 0 or pos >= len(payload):
+            return None
+        min_code_size = payload[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 8):
+            return None
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw(bytes(data), min_code_size)
+        if idx is None or len(idx) < w * h:
+            return None
+        grid = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4-pass order
+            out_rows = np.empty_like(grid)
+            src = 0
+            for y0, step in _GIF_INTERLACE:
+                for y in range(y0, h, step):
+                    out_rows[y] = grid[src]
+                    src += 1
+            grid = out_rows
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(grid.max()) >= len(palette):
+            return None
+        return palette[grid]
+    return None
+
+
 # Adam7 interlace grid: (x_start, y_start, x_step, y_step) per pass
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -318,6 +440,9 @@ def _decode_image(payload: bytes, strict: bool):
         png = _decode_png(payload)
         if png is not None:
             return png
+        gif = _decode_gif(payload)
+        if gif is not None:
+            return gif
         from .jpeg import decode_jpeg
 
         jpg = decode_jpeg(payload)
@@ -327,8 +452,9 @@ def _decode_image(payload: bytes, strict: bool):
             raise NotImplementedError(
                 "image decode requires PIL (not installed) for formats "
                 "beyond uncompressed BMP, PNG (any depth, incl. Adam7), "
-                "and baseline/progressive JPEG; pass decode_strict=False "
-                "for the deterministic fake"
+                "GIF87a/89a (first frame), and baseline/progressive "
+                "JPEG; pass decode_strict=False for the deterministic "
+                "fake"
             ) from None
         import numpy as np
 

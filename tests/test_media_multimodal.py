@@ -830,3 +830,150 @@ def test_png_bogus_huge_dims_rejected_cheaply():
     for depth, color in ((1, 0), (8, 0), (8, 2), (16, 2)):
         for interlace in (0, 1):
             assert _decode_png(png(0xFFFFFF, 0xFFFFFF, depth, color, interlace)) is None
+
+
+# --- GIF (from-scratch LZW) ------------------------------------------------
+
+
+def _gif_pack_codes(codes, m):
+    """Pack LZW codes LSB-first, growing the code width exactly as the
+    decoder's table-size rule does (so arbitrary code streams stay in
+    sync)."""
+    clear, eoi = 1 << m, (1 << m) + 1
+    width, table_len, prev_seen = m + 1, eoi + 1, False
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width, table_len, prev_seen = m + 1, eoi + 1, False
+        elif c != eoi:
+            if prev_seen:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+            prev_seen = True
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_literal_codes(indices, m):
+    """Literal-only LZW coding with periodic clears (the classic
+    'uncompressed GIF' technique): valid per spec, trivially correct."""
+    clear, eoi = 1 << m, (1 << m) + 1
+    codes, run = [clear], 0
+    for ix in indices:
+        codes.append(ix)
+        run += 1
+        if run >= (1 << m) - 2:
+            codes.append(clear)
+            run = 0
+    codes.append(eoi)
+    return codes
+
+
+def _make_gif(w, h, indices, palette, m=2, interlace=False, codes=None,
+              n89=False, extra_frame=False):
+    import struct
+
+    # global color table sized 2^(p+1) >= len(palette)
+    p = 1
+    while (2 << p) < len(palette):
+        p += 1
+    gct = bytearray()
+    for i in range(2 << p):
+        if i < len(palette):
+            gct += bytes(palette[i])
+        else:
+            gct += b"\x00\x00\x00"
+    out = bytearray(b"GIF89a" if n89 else b"GIF87a")
+    out += struct.pack("<HH", w, h) + bytes((0x80 | p, 0, 0)) + gct
+    if n89:  # graphic control extension the decoder must skip
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes(((0x40 if interlace else 0x00),))
+    out += bytes((m,))
+    data = _gif_pack_codes(codes or _gif_literal_codes(indices, m), m)
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+        i += 255
+    out += b"\x00"
+    if extra_frame:  # second frame: first-frame-only decode must ignore it
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00" + bytes((m,))
+        d2 = _gif_pack_codes(_gif_literal_codes([0] * (w * h), m), m)
+        i = 0
+        while i < len(d2):
+            chunk = d2[i : i + 255]
+            out += bytes((len(chunk),)) + chunk
+            i += 255
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_literal_and_dictionary_paths():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_gif
+
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2, 0, 3, 0, 2]
+    gif = _make_gif(4, 4, idx, palette)
+    arr = _decode_gif(gif)
+    assert arr is not None and arr.shape == (4, 4, 3)
+    want = np.array([palette[i] for i in idx], dtype=np.uint8).reshape(4, 4, 3)
+    assert (arr == want).all()
+    # hand-derived stream exercising BOTH dictionary branches at m=2:
+    # [clear, 1, 6, 6, eoi] — the first 6 is code==next (entry built
+    # from prev), the second is a plain dict hit — decodes to five 1s
+    gif2 = _make_gif(5, 1, None, palette, codes=[4, 1, 6, 6, 5])
+    arr2 = _decode_gif(gif2)
+    assert arr2 is not None and arr2.shape == (1, 5, 3)
+    assert (arr2 == np.array([palette[1]] * 5, dtype=np.uint8)).all()
+
+
+def test_gif_decode_interlaced_and_multiframe():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import _decode_gif
+
+    palette = [(i * 16, 0, 255 - i * 16) for i in range(8)]
+    w, h = 3, 8
+    grid = [[(y % 8) for _x in range(w)] for y in range(h)]
+    # rows arrive in interlace pass order 0,8..;4..;2,6..;1,3,5,7
+    order = [0] + [4] + [2, 6] + [1, 3, 5, 7]
+    shuffled = [grid[y] for y in order]
+    idx = [i for row in shuffled for i in row]
+    gif = _make_gif(w, h, idx, palette, m=3, interlace=True, n89=True,
+                    extra_frame=True)
+    arr = _decode_gif(gif)
+    assert arr is not None and arr.shape == (h, w, 3)
+    want = np.array(
+        [[palette[v] for v in row] for row in grid], dtype=np.uint8
+    )
+    assert (arr == want).all()  # de-interlaced AND first frame only
+
+
+def test_gif_decode_rejects_garbage_and_flows_into_image_features(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        _decode_gif,
+        image_features,
+    )
+
+    assert _decode_gif(b"GIF89a\x00") is None
+    assert _decode_gif(b"NOTGIF" + b"\x00" * 40) is None
+    palette = [(10, 20, 30), (200, 100, 50)]
+    gif = _make_gif(2, 2, [0, 1, 1, 0], palette, m=2)
+    df = spark.createDataFrame([(1, bytearray(gif))], "id long, content binary")
+    row = image_features(df, decode_strict=True).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+    exp = (10 + 20 + 30 + 200 + 100 + 50) * 2 / 12.0
+    assert abs(row["mean_pixel"] - exp) < 1e-9
