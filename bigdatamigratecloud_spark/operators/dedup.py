@@ -155,25 +155,44 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    via: str = "broadcast",
+    bloom_bits: int = 1_966_080,
+    bloom_k: int = 5,
 ) -> DataFrame:
     """Benchmark decontamination: drop every corpus doc sharing ANY
     n-token shingle with the benchmark set (the published n-gram-overlap
     decontamination rule used for pre-training corpora, typically
     n = 8..13).
 
-    Scale design: benchmark shingles are a SMALL distinct set (benchmarks
-    are thousands of docs, not billions) — broadcast them; the corpus
-    shingle stream left_anti-probes the broadcast, then a semi-join-free
-    groupBy keeps docs with zero hits.  One shuffle on doc id, corpus
-    scanned once, no pairwise blowup.  (At extreme benchmark sizes the
-    broadcast becomes a bloom filter — same plan shape.)
-    """
-    bench_sh = F.broadcast(
-        shingles_df(benchmark, id_col, text_col, n).select("shingle").distinct()
-    )
+    Scale design, ``via="broadcast"`` (default): benchmark shingles are
+    a SMALL distinct set (benchmarks are thousands of docs, not
+    billions) — broadcast them; the corpus shingle stream semi-probes
+    the broadcast, then docs with any hit anti-join away.  One shuffle
+    on doc id, corpus scanned once, no pairwise blowup.
+
+    ``via="bloom"``: the extreme-benchmark-size path made real — when
+    the distinct shingle set outgrows the broadcast budget, a
+    constant-size Bloom bitmap (``bloom_bits``) prunes the corpus
+    shingle stream with a NARROW filter first, and only surviving
+    candidate shingles enter the exact (shuffled) semi-join.  False
+    positives cost verify work only; the result is identical to the
+    broadcast path by construction."""
+    bench_sh = shingles_df(benchmark, id_col, text_col, n).select("shingle").distinct()
     corpus_sh = shingles_df(corpus, id_col, text_col, n)
+    if via == "bloom":
+        from .bloom import bloom_build, bloom_member
+
+        words = bloom_build(bench_sh, "shingle", bloom_bits, bloom_k, salt="decon")
+        corpus_sh = corpus_sh.where(
+            bloom_member(F.col("shingle"), words, bloom_bits, bloom_k, "decon")
+        )
+        probe = bench_sh  # exact verify: shuffled semi-join over candidates
+    elif via == "broadcast":
+        probe = F.broadcast(bench_sh)
+    else:
+        raise ValueError(f"via must be 'broadcast' or 'bloom', got {via!r}")
     hits = (
-        corpus_sh.join(bench_sh, "shingle", "left_semi")
+        corpus_sh.join(probe, "shingle", "left_semi")
         .select("id")
         .distinct()
         .withColumnRenamed("id", id_col)

@@ -3791,6 +3791,33 @@ def n5_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.ngram_decontaminate(corpus, bench, n=8).select("doc_id", "source")
 
 
+def _x11_register():
+    # identical result contract to n5_decontaminate (bloom prune + exact
+    # verify ≡ broadcast semi-join), so the oracle SQL is shared verbatim
+    oracle = ORACLES["n5_decontaminate"]
+
+    @query("x11_bloom_decontaminate", oracle)
+    def x11_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Scale op: decontamination when the BENCHMARK shingle set
+        outgrows the broadcast budget (multi-benchmark suites at n=8..13
+        reach 10^8+ distinct shingles).  A constant-size Bloom bitmap
+        prunes the corpus shingle stream with a narrow filter, and only
+        surviving candidates enter the exact shuffled semi-join — the
+        result is identical to n5_decontaminate by construction, which
+        is exactly what the shared oracle checks.  The same composition
+        x10 proves at the key level, applied to the n-gram
+        decontamination pipeline."""
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 53 == 0)
+        corpus = docs.filter(F.col("doc_id") % 53 != 0)
+        return _dedup.ngram_decontaminate(
+            corpus, bench, n=8, via="bloom", bloom_bits=61_440
+        ).select("doc_id", "source")
+
+
+_x11_register()
+
+
 @query(
     "n5_contamination_report",
     """WITH bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
