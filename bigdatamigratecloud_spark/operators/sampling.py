@@ -510,12 +510,13 @@ def token_budget_sample(
 
     Scale: one aggregation shuffle for the per-group token totals
     (groups-sized frame, broadcast back), then a narrow filter folded
-    into the scan — the corpus itself never shuffles.  Rows whose group
-    total is NULL-free by construction; a NULL group falls through to
-    ``default_target`` like any unlisted group."""
+    into the scan — the corpus itself never shuffles.  The totals join
+    is NULL-SAFE, so a NULL group is a real group: it draws against its
+    own total at ``default_target`` like any unlisted group (a plain
+    equi-join would silently drop every NULL-group row instead)."""
     tot = df.groupBy(group_col).agg(
         F.sum(n_tokens_col.cast("long")).alias("__T")
-    )
+    ).withColumnRenamed(group_col, "__g")
     thr = None
     for g, t in targets.items():
         cond = F.col(group_col) == g
@@ -531,9 +532,9 @@ def token_budget_sample(
     )
     u = hash_unit_draw(F.col(id_col), salt)
     return (
-        df.join(F.broadcast(tot), group_col, "left")
+        df.join(F.broadcast(tot), F.col(group_col).eqNullSafe(F.col("__g")), "left")
         .where(u * F.col("__T").cast("double") < thr)
-        .drop("__T")
+        .drop("__g", "__T")
     )
 
 

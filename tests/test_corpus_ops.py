@@ -579,6 +579,22 @@ def test_token_budget_sample_semantics(spark):
         ).collect()
     )
     assert ids1 == ids2
+    # NULL group: a real group (null-safe totals join) drawing against
+    # its own total at default_target — not silently dropped
+    withnull = df.unionByName(
+        spark.createDataFrame(
+            [(900 + i, None, 10) for i in range(20)],
+            "doc_id long, src string, nt int",
+        )
+    )
+    kept_null = token_budget_sample(
+        withnull, "doc_id", "src", F.col("nt"), {"a": 1000.0}, default_target=1000.0
+    )
+    assert kept_null.where(F.col("src").isNull()).count() == 20  # target >= total
+    dropped_null = token_budget_sample(
+        withnull, "doc_id", "src", F.col("nt"), {"a": 1000.0}, default_target=0.0
+    )
+    assert dropped_null.where(F.col("src").isNull()).count() == 0
 
 
 def test_winsorize_approx_path_rank_bounded(spark):
