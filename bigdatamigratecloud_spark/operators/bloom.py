@@ -168,7 +168,11 @@ def bloom_member(
         )
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     masks = _mask_array()
-    checks = []
+    # explicit NULL guard: the md5 path nulls out on NULL keys naturally,
+    # but xxhash64 SKIPS null arguments (hashing just the seed), so
+    # without the guard a NULL key could pass the fast-path prune and
+    # leak through verify=False pipelines
+    checks = [col.isNotNull()]
     for pos in _positions(col, salt, m_bits, k, portable):
         word = F.element_at(arr, F.floor(pos / BITS_PER_WORD).cast("int") + 1)
         mask = F.element_at(masks, (pos % BITS_PER_WORD).cast("int") + 1)

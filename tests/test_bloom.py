@@ -80,12 +80,24 @@ def test_probe_plan_is_narrow(spark, sides):
 
 def test_null_keys_conservative(spark):
     """NULL keys: skipped on build, never a candidate on probe — the
-    same rows an equi-join would drop."""
+    same rows an equi-join would drop.  Must hold on BOTH hash paths
+    even without verify (xxhash64 skips null args, so the fast path
+    needs its explicit guard)."""
     build = spark.createDataFrame([(1,), (None,)], "key int")
     probe = spark.createDataFrame([(1,), (2,), (None,)], "key int")
-    words = bloom_build(build, "key", M, K)
-    got = [r["key"] for r in bloom_semijoin(probe, "key", build, "key", M, K).collect()]
-    assert got == [1]
+    for portable in (True, False):
+        words = bloom_build(build, "key", M, K, portable=portable)
+        got = [
+            r["key"]
+            for r in bloom_semijoin(
+                probe, "key", build, "key", M, K, portable=portable
+            ).collect()
+        ]
+        assert got == [1]
+        cand = probe.where(
+            bloom_member(F.col("key"), words, M, K, portable=portable)
+        ).collect()
+        assert all(r["key"] is not None for r in cand)
 
 
 def test_param_validation(spark, sides):
