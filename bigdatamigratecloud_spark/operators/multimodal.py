@@ -121,6 +121,98 @@ def _gif_lzw(data: bytes, min_code_size: int):
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Encode an (h, w) palette-index array as a single-frame GIF89a —
+    REAL LZW compression (variable width, 4096-entry cap with emitted
+    clears), the inverse of :func:`_decode_gif` and the same from-
+    scratch-stdlib policy as the PNG/JPEG/WAV codecs.  ``palette`` is a
+    sequence of (r, g, b); indices must be < len(palette)."""
+    import struct
+
+    import numpy as np
+
+    grid = np.asarray(indices, dtype=np.uint8)
+    if grid.ndim != 2:
+        raise ValueError("encode_gif expects an (h, w) index array")
+    h, w = grid.shape
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must hold 1..256 colors")
+    if int(grid.max(initial=0)) >= len(palette):
+        raise ValueError("index outside palette")
+    p = 0
+    while (2 << p) < len(palette):
+        p += 1
+    m = max(2, p + 1)  # LZW min code size >= 2 per spec
+    if interlace:
+        rows = [grid[y] for y0, step in _GIF_INTERLACE for y in range(y0, h, step)]
+        stream = np.concatenate(rows).tolist() if rows else []
+    else:
+        stream = grid.reshape(-1).tolist()
+
+    clear, eoi = 1 << m, (1 << m) + 1
+    # LZW with the width rule mirroring the decoder: a code's emission
+    # width is the width BEFORE the entry its consumption will append,
+    # growing when the (simulated) decoder table reaches 1 << width
+    codes: list[int] = [clear]
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = eoi + 1
+    buf = b""
+    for ix in stream:
+        nxt = buf + bytes((ix,))
+        if nxt in table:
+            buf = nxt
+            continue
+        codes.append(table[buf])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = eoi + 1
+        buf = bytes((ix,))
+    if buf:
+        codes.append(table[buf])
+    codes.append(eoi)
+
+    width, table_len, prev_seen = m + 1, eoi + 1, False
+    acc = nbits = 0
+    packed = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width, table_len, prev_seen = m + 1, eoi + 1, False
+        elif c != eoi:
+            if prev_seen:
+                table_len += 1
+                if table_len == (1 << width) and width < 12:
+                    width += 1
+            prev_seen = True
+    if nbits:
+        packed.append(acc & 0xFF)
+
+    gct = bytearray()
+    for i in range(2 << p):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes((0x80 | p, 0, 0)) + gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes((0x40 if interlace else 0x00,)) + bytes((m,))
+    i = 0
+    while i < len(packed):
+        chunk = packed[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+        i += 255
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _decode_gif(payload: bytes):
     """REAL decode of GIF87a/89a (FIRST frame) — from-scratch LZW, no
     codec library.  Handles global/local color tables and interlacing;
