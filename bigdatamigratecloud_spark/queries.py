@@ -4028,6 +4028,153 @@ def n2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PART_SQL = """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  nrm AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+          FROM u),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i FROM u)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                 list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+            FROM cents),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM (SELECT n.vec_id, cn.cid,
+                       list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+                FROM nrm n CROSS JOIN cnorm cn)),
+  assigned AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, uv AS qu FROM nrm WHERE vec_id < 3),
+  qp AS (SELECT query_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cid) AS rn
+         FROM (SELECT q.query_id, cn.cid,
+                      list_reduce(list_transform(list_zip(q.qu, cn.uc),
+                          p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+               FROM q CROSS JOIN cnorm cn)),
+  probes AS (SELECT query_id, cid FROM qp WHERE rn <= 3),
+  scored AS (SELECT q.query_id, n.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qu, n.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+             FROM q JOIN probes p USING (query_id)
+             JOIN assigned a ON a.cluster = p.cid
+             JOIN nrm n ON n.vec_id = a.vec_id
+             WHERE n.vec_id <> q.query_id)
+  SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cosine FROM (
+    SELECT query_id, nbr_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS rank
+    FROM scored) r
+  WHERE rank <= 10"""
+
+
+@query("ann_ivf_partitioned", _IVF_PART_SQL)
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: IVF with the index WRITTEN PARTITIONED BY CLUSTER — the disk
+    layout that turns 'probe 3 of 10 lists' into static partition
+    pruning at the parquet source: only the probed cluster directories
+    are listed or read, so the per-query scan fraction is enforced by
+    the FILESYSTEM, not a post-scan filter.  The coarse quantizer here
+    is the per-label centroid set (decimal-exact means, deterministic),
+    which makes the whole pipeline — assignment argmax, probe choice,
+    pruned candidate set, rerank top-10 — bit-replayable in DuckDB,
+    unlike the sampled-k-means IVF (rows-only by design).  Driver state
+    is bounded: k x d centroid cells and n_queries x n_probe probe ids.
+    test_northstar asserts PartitionFilters actually appear in the
+    pruned scan's plan."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import _dot, _norm, with_unit_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cellrows = cells.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv")
+    ).collect()  # bounded: k labels x d dims
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cellrows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["mv"]
+    cents = [
+        (cid, [by_label[cid][i] for i in range(len(by_label[cid]))])
+        for cid in sorted(by_label)
+    ]
+
+    def unit_lit(vals):
+        arr = F.array(*[F.lit(float(x)) for x in vals])
+        n = _norm(arr)
+        return F.transform(arr, lambda x: x / n)
+
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+
+    def sims_for(ucol):
+        return F.array(*[_dot(ucol, unit_lit(c)) for _, c in cents])
+
+    uemb = with_unit_vector(emb, "embedding", "cu").select("vec_id", "cu")
+    s = sims_for(F.col("cu"))
+    assigned = uemb.withColumn(
+        "cluster",
+        F.element_at(cid_arr, (F.array_position(s, F.array_max(s))).cast("int")),
+    )
+    d = tempfile.mkdtemp(prefix="bdmc_ivfidx_")
+    try:
+        assigned.write.partitionBy("cluster").parquet(d, mode="overwrite")
+        qs = sims_for(F.col("qu"))
+        probe_pairs = F.transform(
+            qs, lambda sim, i: F.struct((-sim).alias("neg"), i.alias("idx"))
+        )
+        probes = F.transform(
+            F.slice(F.array_sort(probe_pairs), 1, 3),
+            lambda p: F.element_at(cid_arr, p["idx"].cast("int") + 1),
+        )
+        q = (
+            with_unit_vector(emb.filter(F.col("vec_id") < 3), "embedding", "qu")
+            .select(F.col("vec_id").alias("query_id"), "qu")
+            .withColumn("probes", probes)
+        )
+        # bounded collect (n_queries x n_probe ids) -> STATIC partition
+        # pruning: the scan lists only the probed cluster directories
+        probe_rows = q.select(F.explode("probes").alias("cluster"), "query_id", "qu")
+        wanted = sorted(
+            {r["cluster"] for r in probe_rows.select("cluster").distinct().collect()}
+        )
+        idx = spark.read.parquet(d).where(F.col("cluster").isin(wanted))
+        cand = idx.join(probe_rows, "cluster").filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        from pyspark.sql import Window
+
+        scored = cand.select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            _dot(F.col("qu"), F.col("cu")).alias("cosine"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("nbr_id").asc()
+        )
+        out = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "cosine")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Shared S-family round-trip driver: documents -> <fmt> files in a
     temp dir -> read back with the declared schema -> must equal source."""

@@ -150,3 +150,38 @@ def test_chunking_reconstructs_token_stream(spark, words, window, overlap):
         rebuilt.extend(toks if r.chunk_idx == 0 else toks[overlap:])
     assert rebuilt[: len(words)] == words  # stream reconstructed in order
     assert set(rebuilt) <= set(words)  # trailing overlap re-emits, never invents
+
+
+# --- GIF LZW codec properties (pure python, no Spark) ---------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 17),
+    h=st.integers(1, 17),
+    ncol=st.integers(1, 256),
+    data=st.data(),
+    interlace=st.booleans(),
+)
+def test_gif_encode_decode_roundtrip_property(w, h, ncol, data, interlace):
+    """Any (h, w) index grid over any palette size roundtrips pixel-
+    exactly through encode_gif -> _decode_gif, interlaced or not —
+    width-growth sync between encoder and decoder holds for arbitrary
+    content, not just the handcrafted cases."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+    )
+
+    idx = data.draw(
+        st.lists(st.integers(0, ncol - 1), min_size=w * h, max_size=w * h)
+    )
+    grid = np.array(idx, dtype=np.uint8).reshape(h, w)
+    palette = [(i % 256, (i * 7) % 256, (i * 131) % 256) for i in range(ncol)]
+    payload = encode_gif(grid, palette, interlace=interlace)
+    arr = _decode_gif(payload)
+    assert arr is not None and arr.shape == (h, w, 3)
+    want = np.array(palette, dtype=np.uint8)[grid]
+    assert (arr == want).all()
