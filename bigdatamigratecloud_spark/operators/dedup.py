@@ -264,13 +264,11 @@ def minhash_signatures(
     return aggd.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, portable: bool = False
+def _banded(
+    sigs: DataFrame, bands: int, rows_per_band: int, portable: bool
 ) -> DataFrame:
-    """LSH banding: split each signature into `bands` bands of
-    `rows_per_band` hashes; docs sharing any (band_id, band_hash) bucket
-    become candidate pairs (id_a < id_b, distinct)."""
-    assert bands * rows_per_band <= 1 << 10
+    """(id, band, bucket) rows: each signature split into ``bands`` bands
+    of ``rows_per_band`` hashes, bucket-keyed per band."""
 
     def bucket(b: int) -> Column:
         joined = F.concat_ws(
@@ -284,7 +282,7 @@ def minhash_lsh_candidates(
         # equality joins identically everywhere); fast path: xxhash64
         return F.md5(joined) if portable else F.xxhash64(joined)
 
-    banded = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -295,6 +293,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, portable: bool = False
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` bands of
+    `rows_per_band` hashes; docs sharing any (band_id, band_hash) bucket
+    become candidate pairs (id_a < id_b, distinct)."""
+    assert bands * rows_per_band <= 1 << 10
+    banded = _banded(sigs, bands, rows_per_band, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -362,6 +370,106 @@ def minhash_neardup(
         )
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
     )
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.2,
+    portable: bool = False,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: keep the BATCH rows that are neither a
+    near-duplicate of any CORPUS doc nor of a lower-id batch doc — the
+    growing-corpus ingestion op: each arriving batch dedups against what
+    is already indexed WITHOUT re-processing the corpus.
+
+    Scale design: corpus signatures are the INDEX — pass them
+    precomputed via ``corpus_sigs`` (stored alongside the corpus; at
+    100 TB recomputing them per batch is the cost this op exists to
+    avoid) and only the batch runs the shingle->minhash pass.  Both
+    candidate joins are band-bucket equi-joins (batch x corpus and batch
+    x batch — never corpus x corpus), and the exact-Jaccard rerank reads
+    shingles for CANDIDATE docs only on either side.  Within the batch
+    the keep rule is greedy keep-first (a doc drops iff a lower-id batch
+    doc is a near-dup — same pair-local rule as n2_embedding_dedup, not
+    transitive clustering).  Batch and corpus ids must be disjoint."""
+    rows_per_band = num_hashes // bands
+    sig_b = minhash_signatures(batch, id_col, text_col, n, num_hashes, portable)
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus, id_col, text_col, n, num_hashes, portable)
+    )
+    bb = _banded(sig_b, bands, rows_per_band, portable)
+    bc = _banded(sig_c, bands, rows_per_band, portable)
+    cross = (
+        bb.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.id").alias("bid"), F.col("b.id").alias("cid"))
+        .dropDuplicates(["bid", "cid"])
+    )
+    intra = minhash_lsh_candidates(sig_b, bands, rows_per_band, portable)
+
+    def exact_jaccard(pairs, left_key, right_key, sh_left, sh_right):
+        ids_l = pairs.select(F.col(left_key).alias("id")).distinct()
+        ids_r = pairs.select(F.col(right_key).alias("id")).distinct()
+        sl = sh_left.join(ids_l, "id", "left_semi")
+        sr = sh_right.join(ids_r, "id", "left_semi")
+        sz_l = sl.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        sz_r = sr.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            pairs.join(sl.alias("sa"), F.col(left_key) == F.col("sa.id"))
+            .join(
+                sr.alias("sb"),
+                (F.col(right_key) == F.col("sb.id"))
+                & (F.col("sa.shingle") == F.col("sb.shingle")),
+            )
+            .groupBy(left_key, right_key)
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        return (
+            inter.join(
+                sz_l.select(F.col("id").alias(left_key), F.col("sz").alias("sz_a")),
+                left_key,
+            )
+            .join(
+                sz_r.select(F.col("id").alias(right_key), F.col("sz").alias("sz_b")),
+                right_key,
+            )
+            .select(
+                left_key,
+                right_key,
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+
+    sh_b = shingles_df(batch, id_col, text_col, n)
+    sh_c = shingles_df(corpus, id_col, text_col, n)
+    cross_dup = (
+        exact_jaccard(cross, "bid", "cid", sh_b, sh_c)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select(F.col("bid").alias(id_col))
+    )
+    intra_dup = (
+        exact_jaccard(intra, "id_a", "id_b", sh_b, sh_b)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select(F.col("id_b").alias(id_col))  # keep-first: lower id wins
+    )
+    drops = cross_dup.unionByName(intra_dup).distinct()
+    return batch.join(drops, id_col, "left_anti")
 
 
 def minhash_pairs_sql(

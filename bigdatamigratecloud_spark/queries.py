@@ -4028,6 +4028,38 @@ def n2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n1_dedup_incremental",
+    f"""WITH pairs AS (SELECT * FROM ({_dedup.minhash_pairs_sql()}) fp),
+       drops AS (SELECT id_b AS did FROM pairs WHERE id_b % 5 = 0
+                 UNION
+                 SELECT id_a FROM pairs
+                 WHERE id_a % 5 = 0 AND id_b % 5 <> 0)
+       SELECT doc_id, source FROM documents
+       WHERE doc_id % 5 = 0
+         AND doc_id NOT IN (SELECT did FROM drops)""",
+)
+def n1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: INCREMENTAL near-dup dedup — an arriving batch (doc_id % 5
+    = 0) dedups against the already-indexed corpus (the rest) plus its
+    own lower ids, WITHOUT re-processing the corpus: corpus minhash
+    signatures are the stored index (precomputed here to model that),
+    only the batch runs shingle->minhash, candidate joins are
+    band-bucket equi-joins (batch x corpus, batch x batch — never
+    corpus x corpus), and exact Jaccard reranks candidates only.  The
+    oracle derives the same answer from the full-table pair list
+    restricted to pairs touching the batch — valid because per-doc
+    signatures are independent, so the incremental candidate set equals
+    the full-table one filtered to batch-touching pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_sigs = _dedup.minhash_signatures(corpus, portable=True)
+    return _dedup.minhash_dedup_incremental(
+        batch, corpus, portable=True, corpus_sigs=corpus_sigs
+    ).select("doc_id", "source")
+
+
 _IVF_PART_SQL = """WITH u AS (SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
