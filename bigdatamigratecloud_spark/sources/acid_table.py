@@ -910,17 +910,87 @@ class AcidTable:
         else:
             merged = delta
         new_files = self._write_data_files(merged, m["key_cols"])
-        return self._commit(
-            {
-                "version": head + 1,
-                "operation": "merge",
-                "schema": m["schema"],
-                "key_cols": m["key_cols"],
-                "add": new_files,
-                "remove": touched,
-                "txns": self._merged_txns(m, txn),
-            }
+        manifest = {
+            "version": head + 1,
+            "operation": "merge",
+            "schema": m["schema"],
+            "key_cols": m["key_cols"],
+            "add": new_files,
+            "remove": touched,
+            "txns": self._merged_txns(m, txn),
+        }
+        # Optimistic concurrency with LOGICAL conflict detection (the
+        # Delta model): a lost publish race rebases onto the new head
+        # when every intervening commit is an APPEND whose files cannot
+        # contain a delta key (per-key stats check) — the merge result
+        # is then still correct at the new head, because appends removed
+        # nothing and hold none of the merged PKs.  Any other
+        # intervening operation (or a key-range hit, or missing stats)
+        # aborts, preserving serializability.
+        for _ in range(10):
+            try:
+                return self._commit(manifest)
+            except ConcurrentWriteError:
+                new_head = self._head()
+                m2 = self._read_manifest(new_head)
+                if self._txn_already_applied(m2, txn):
+                    return new_head
+                if self._appends_conflict(
+                    manifest["version"] - 1, new_head, delta_keys, probe_col,
+                    dict(delta.dtypes)[probe_col],
+                ):
+                    raise
+                manifest = {
+                    **manifest,
+                    "version": new_head + 1,
+                    "txns": self._merged_txns(m2, txn),
+                }
+        raise ConcurrentWriteError("merge lost 10 straight publish races")
+
+    def _appends_conflict(
+        self,
+        base_head: int,
+        new_head: int,
+        keys_df: DataFrame,
+        probe_col: str,
+        key_type: str,
+    ) -> bool:
+        """True unless every commit in (base_head, new_head] is a pure
+        append whose files' [min,max] stats on ``probe_col`` contain NO
+        key from ``keys_df``.  Conservative: missing stats or any
+        non-append operation counts as a conflict."""
+        appended = []
+        for v in range(base_head + 1, new_head + 1):
+            try:
+                mv = self._read_manifest(v)
+            except FileNotFoundError:
+                return True
+            if mv.get("operation") != "append" or mv.get("remove") or mv.get("reset"):
+                return True
+            appended.extend(mv.get("add", []))
+        if not appended:
+            return False
+        rows = []
+        for e in appended:
+            st = (e.get("stats") or {}).get(probe_col)
+            if not st or st.get("min") is None:
+                return True  # no stats: cannot prove disjointness
+            rows.append((str(_range_scalar(st["min"])), str(_range_scalar(st["max"]))))
+        rng = self.spark.createDataFrame(rows, "mn string, mx string").select(
+            F.col("mn").cast(key_type).alias("__min"),
+            F.col("mx").cast(key_type).alias("__max"),
         )
+        hit = (
+            keys_df.select(F.col(probe_col).alias("__k"))
+            .join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
+                "inner",
+            )
+            .limit(1)
+            .count()
+        )
+        return hit > 0
 
     def apply_cdc(
         self,

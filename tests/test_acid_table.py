@@ -922,3 +922,54 @@ def test_shallow_clone_delete_hits_source_referenced_files(spark, tmp_path):
     ents = clone.entries(clone.latest_version())
     assert all(not os.path.isabs(e["path"]) for e in ents)
     assert clone.snapshot().count() == 900
+
+
+def test_merge_rebases_over_disjoint_concurrent_append(spark, tmp_path):
+    """A merge losing the publish race to a concurrent APPEND whose file
+    ranges hold none of the delta's keys must rebase and commit on the
+    new head (Delta-style logical conflict detection) — both writers'
+    effects land."""
+    base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    racer = AcidTable(spark, str(tmp_path / "t"))
+    orig_commit = t._commit
+    fired = {}
+
+    def racing_commit(manifest):
+        if manifest.get("operation") == "merge" and not fired:
+            fired["x"] = True
+            racer.append(spark.range(100000, 100500).withColumn("v", F.lit(9)))
+        return orig_commit(manifest)
+
+    t._commit = racing_commit
+    v = t.merge(spark.range(0, 50).withColumn("v", F.lit(1)), ["id"])
+    assert v == 2  # append took version 1; merge rebased onto it
+    assert t._read_manifest(1)["operation"] == "append"
+    assert t._read_manifest(2)["operation"] == "merge"
+    snap = t.snapshot()
+    assert snap.where("v = 9").count() == 500  # append survived
+    assert snap.where("v = 1").count() == 50  # merge applied
+    assert snap.count() == 8500
+
+
+def test_merge_aborts_on_overlapping_concurrent_append(spark, tmp_path):
+    """If the racing append's file ranges CAN contain a delta key, the
+    rebase would duplicate PKs — the merge must abort instead."""
+    base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    racer = AcidTable(spark, str(tmp_path / "t"))
+    orig_commit = t._commit
+    fired = {}
+
+    def racing_commit(manifest):
+        if manifest.get("operation") == "merge" and not fired:
+            fired["x"] = True
+            racer.append(spark.range(40, 60).withColumn("v", F.lit(9)))
+        return orig_commit(manifest)
+
+    t._commit = racing_commit
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(spark.range(0, 50).withColumn("v", F.lit(1)), ["id"])
+    # the append's commit is intact; no torn merge state
+    assert t.latest_version() == 1
+    assert t.snapshot().where("v = 9").count() == 20
