@@ -919,14 +919,29 @@ class AcidTable:
             "remove": touched,
             "txns": self._merged_txns(m, txn),
         }
-        # Optimistic concurrency with LOGICAL conflict detection (the
-        # Delta model): a lost publish race rebases onto the new head
-        # when every intervening commit is an APPEND whose files cannot
-        # contain a delta key (per-key stats check) — the merge result
-        # is then still correct at the new head, because appends removed
-        # nothing and hold none of the merged PKs.  Any other
-        # intervening operation (or a key-range hit, or missing stats)
-        # aborts, preserving serializability.
+        return self._commit_cow_with_rebase(
+            manifest, delta_keys, probe_col, dict(delta.dtypes)[probe_col], txn
+        )
+
+    def _commit_cow_with_rebase(
+        self,
+        manifest: dict,
+        keys_df: DataFrame,
+        probe_col: str,
+        key_type: str,
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """Publish a COW manifest with optimistic concurrency and LOGICAL
+        conflict detection (the Delta model): a lost publish race rebases
+        onto the new head when every intervening commit is an APPEND
+        whose files cannot contain any of ``keys_df``'s keys (per-key
+        stats check) — the prepared result is then still correct at the
+        new head, because appends removed nothing and hold none of the
+        written PKs.  Any other intervening operation (or a key-range
+        hit, or missing stats) aborts, preserving serializability.
+        Reset commits must NOT use this: a rebase would drop the
+        concurrent appends' files from the republished snapshot."""
+        op = manifest["operation"]
         for _ in range(10):
             try:
                 return self._commit(manifest)
@@ -936,8 +951,7 @@ class AcidTable:
                 if self._txn_already_applied(m2, txn):
                     return new_head
                 if self._appends_conflict(
-                    manifest["version"] - 1, new_head, delta_keys, probe_col,
-                    dict(delta.dtypes)[probe_col],
+                    manifest["version"] - 1, new_head, keys_df, probe_col, key_type
                 ):
                     raise
                 manifest = {
@@ -945,7 +959,7 @@ class AcidTable:
                     "version": new_head + 1,
                     "txns": self._merged_txns(m2, txn),
                 }
-        raise ConcurrentWriteError("merge lost 10 straight publish races")
+        raise ConcurrentWriteError(f"{op} lost 10 straight publish races")
 
     def _appends_conflict(
         self,
@@ -1072,7 +1086,8 @@ class AcidTable:
         else:
             merged = ups
         new_files = self._write_data_files(merged, m["key_cols"])
-        return self._commit(
+        # same rebase-over-disjoint-appends concurrency as merge
+        return self._commit_cow_with_rebase(
             {
                 "version": head + 1,
                 "operation": "apply_cdc",
@@ -1081,7 +1096,11 @@ class AcidTable:
                 "add": new_files,
                 "remove": touched,
                 "txns": self._merged_txns(m, txn),
-            }
+            },
+            change_keys,
+            probe_col,
+            dict(change_keys.dtypes)[probe_col],
+            txn,
         )
 
     def restore(self, version: int) -> int:
