@@ -50,10 +50,13 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the payload of the
-    LATEST right row with the same key and ``right.ts <= left.ts``
-    (inclusive), optionally within ``tolerance_us`` microseconds.
+    """As-of join: for every left row, attach the payload of the nearest
+    right row with the same key — ``direction="backward"`` (default)
+    picks the LATEST right row with ``right.ts <= left.ts`` (inclusive),
+    ``direction="forward"`` the EARLIEST with ``right.ts >= left.ts`` —
+    optionally within ``tolerance_us`` microseconds.
 
     Left rows with no match keep NULL payload (left-outer semantics).
     Ties on (key, right_ts) are broken deterministically by keeping the
@@ -65,43 +68,57 @@ def asof_join(
     product, no per-key quadratic blowup — a key with 10M right rows costs
     a sort, not 10M² comparisons.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    back = direction == "backward"
     keys = [on] if isinstance(on, str) else list(on)
     rcols = right_cols or [c for c in right.columns if c not in keys and c != right_ts]
 
     rpay = F.struct(F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols])
     lpay = F.struct(*[F.col(c) for c in left.columns])
+    # tag ordering makes the as-of INCLUSIVE at equal timestamps: the
+    # right row must fall inside the left row's window frame, so right
+    # sorts before left when sweeping backward and after when forward
+    rtag, ltag = (0, 1) if back else (1, 0)
     r2 = right.select(
         *keys,
         F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__tag"),
+        F.lit(rtag).alias("__tag"),
         rpay.alias("__rpay"),
     )
     l2 = left.select(
         *keys,
         F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__tag"),
+        F.lit(ltag).alias("__tag"),
         F.lit(None).cast(r2.schema["__rpay"].dataType).alias("__rpay"),
         lpay.alias("__lpay"),
     )
     r2 = r2.withColumn("__lpay", F.lit(None).cast(l2.schema["__lpay"].dataType))
-    # right rows sort BEFORE left rows at equal timestamps (__tag 0 < 1),
-    # so `right_ts == left_ts` is matched (inclusive as-of).
+    if back:
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__rpay", ignorenulls=True)
+    else:
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__rpay", ignorenulls=True)
     w = (
         Window.partitionBy(*keys)
         .orderBy("__t", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     matched = (
         r2.unionByName(l2)
-        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
-        .where(F.col("__tag") == 1)
+        .withColumn("__m", pick.over(w))
+        .where(F.col("__tag") == ltag)
     )
     if tolerance_us is not None:
-        in_tol = (
+        gap = (
             _epoch_us(F.col("__t")) - _epoch_us(F.col("__m.__rts"))
-        ) <= F.lit(tolerance_us)
+            if back
+            else _epoch_us(F.col("__m.__rts")) - _epoch_us(F.col("__t"))
+        )
         matched = matched.withColumn(
-            "__m", F.when(F.col("__m").isNotNull() & in_tol, F.col("__m"))
+            "__m",
+            F.when(F.col("__m").isNotNull() & (gap <= F.lit(tolerance_us)), F.col("__m")),
         )
 
     return matched.select(

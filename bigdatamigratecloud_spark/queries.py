@@ -2364,6 +2364,43 @@ def t1_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t3_asof_next_purchase",
+    """SELECT c.event_id, c.user_id, c.ts,
+              p.ts AS purchase_ts, p.value AS purchase_value
+       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN
+            (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+       ON c.user_id = p.user_id AND p.ts >= c.ts""",
+)
+def t3_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click annotated with the user's next
+    purchase at-or-after the click — the attribution-window direction
+    (did the click convert?).  Same union-tag single-sweep plan as t1,
+    mirrored: first-over-[current, following] window, one shuffle, no
+    per-key cross product; oracle is DuckDB's native forward ASOF
+    (p.ts >= c.ts)."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", right_cols=["value"], direction="forward"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("purchase_ts"),
+        F.col("value_asof").alias("purchase_value"),
+    )
+
+
+@query(
     "t2_range_join_pairs",
     """SELECT a.event_id AS l_event, a.user_id AS user_id,
               b.event_id AS r_event,

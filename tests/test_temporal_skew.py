@@ -398,3 +398,37 @@ def test_resample_null_group_and_null_ts_not_lost(spark):
     }
     # hour 1 bridges 10 -> 30, NOT anchored at 0.0
     assert interp["2024-01-01 01:00:00"] == 20.0
+
+
+def test_asof_forward_semantics_and_tolerance(spark):
+    """direction='forward': earliest right row at-or-after each left ts
+    (inclusive at equal timestamps), NULL when none follows, tolerance
+    measured forward."""
+    from bigdatamigratecloud_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-01 23:00:00")],
+        "id long, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), F.lit(7).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 12:00:00", 100.0), ("2024-01-01 13:30:00", 200.0)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value", F.lit(7).alias("k"))
+    out = {
+        r["id"]: (r["value_asof"])
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    assert out == {1: 100.0, 2: 100.0, 3: None}  # inclusive at 12:00; none after 23:00
+    tol = {
+        r["id"]: r["value_asof"]
+        for r in asof_join(
+            left, right, on="k", direction="forward",
+            tolerance_us=30 * 60 * 1_000_000,
+        ).collect()
+    }
+    assert tol == {1: None, 2: 100.0, 3: None}  # 10:00 -> 12:00 exceeds 30 min
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", direction="sideways")
