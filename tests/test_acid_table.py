@@ -973,3 +973,48 @@ def test_merge_aborts_on_overlapping_concurrent_append(spark, tmp_path):
     # the append's commit is intact; no torn merge state
     assert t.latest_version() == 1
     assert t.snapshot().where("v = 9").count() == 20
+
+
+def test_mixed_appenders_and_merger_stress(spark, tmp_path):
+    """Appender threads race a merger on one table: merges rebase over
+    the key-disjoint appends instead of aborting, and every writer's
+    effect lands exactly once with a contiguous version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = spark.range(0, 400).repartitionByRange(4, "id").withColumn("v", F.lit(-1))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+
+    def appender(k: int) -> None:
+        w = AcidTable(spark, str(tmp_path / "t"))
+        for j in range(2):
+            lo = 10_000 + k * 1000 + j * 100
+            w.append(
+                spark.range(lo, lo + 25).withColumn("v", F.lit(100 + k)).coalesce(1),
+                max_retries=200,
+            )
+
+    def merger() -> None:
+        w = AcidTable(spark, str(tmp_path / "t"))
+        for j in range(3):
+            delta = spark.range(j * 50, j * 50 + 50).withColumn("v", F.lit(j)).coalesce(1)
+            for _ in range(50):  # retry aborted merges; rebase handles races
+                try:
+                    w.merge(delta, ["id"])
+                    break
+                except ConcurrentWriteError:
+                    continue
+            else:
+                raise AssertionError("merge never landed")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [ex.submit(appender, k) for k in range(3)] + [ex.submit(merger)]
+        for f in futs:
+            f.result()
+
+    assert t.latest_version() == 3 * 2 + 3  # contiguous: 6 appends + 3 merges
+    snap = t.snapshot()
+    assert snap.count() == 400 + 3 * 2 * 25
+    per = {r["v"]: r["n"] for r in snap.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    for k in range(3):
+        assert per[100 + k] == 50  # appends all present
+    assert per[0] == 50 and per[1] == 50 and per[2] == 50  # merges applied
