@@ -472,19 +472,12 @@ def minhash_dedup_incremental(
     return batch.join(drops, id_col, "left_anti")
 
 
-def minhash_pairs_sql(
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    min_jaccard: float = 0.2,
+def _minhash_cte_sql(
+    table: str, id_col: str, text_col: str, n: int, num_hashes: int, bands: int
 ) -> str:
-    """DuckDB SQL reproducing ``minhash_neardup(portable=True)`` EXACTLY:
-    the same md5-prefix hashes, the same 32 per-doc minima, the same band
-    buckets and candidate join, the same exact-Jaccard rerank.  Lets the
-    driver hash-check the approximate scale path, not just the brute one."""
+    """The shared CTE chain (toks -> sh -> mins -> bnd -> cand) that
+    reproduces the portable minhash LSH candidate pairs in DuckDB —
+    composed by both the Jaccard and the edit-distance rerank oracles."""
     rows_per_band = num_hashes // bands
     grams = " || ' ' || ".join(f"sp[i+{j+1}]" for j in range(n))
     min_cols = ",\n                 ".join(
@@ -501,7 +494,7 @@ def minhash_pairs_sql(
         )
         for b in range(bands)
     )
-    return f"""WITH toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS sp FROM {table}),
+    return f"""toks AS (SELECT {id_col}, string_split({text_col}, ' ') AS sp FROM {table}),
        sh AS (SELECT {id_col},
                      unnest(list_distinct(list_transform(range(0, len(sp)-{n - 1}),
                             i -> {grams}))) AS shingle
@@ -513,7 +506,24 @@ def minhash_pairs_sql(
        cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
                 FROM bnd a JOIN bnd b
                   ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.{id_col} < b.{id_col}),
+                 AND a.{id_col} < b.{id_col})"""
+
+
+def minhash_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.2,
+) -> str:
+    """DuckDB SQL reproducing ``minhash_neardup(portable=True)`` EXACTLY:
+    the same md5-prefix hashes, the same 32 per-doc minima, the same band
+    buckets and candidate join, the same exact-Jaccard rerank.  Lets the
+    driver hash-check the approximate scale path, not just the brute one."""
+    cte = _minhash_cte_sql(table, id_col, text_col, n, num_hashes, bands)
+    return f"""WITH {cte},
        sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
        shared AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS inter
                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
@@ -527,6 +537,78 @@ def minhash_pairs_sql(
        SELECT j.id_a, j.id_b, j.jaccard
        FROM jac j JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
        WHERE j.jaccard >= {min_jaccard}"""
+
+
+def editdist_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 64,
+    max_dist: int = 16,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH candidates reranked by
+    LEVENSHTEIN distance over a ``prefix_len``-char prefix — the
+    modality Jaccard misses (small in-place edits barely move token-set
+    overlap per shingle but show directly as edit operations; and
+    conversely reordered paragraphs keep Jaccard high while edit
+    distance explodes).
+
+    Scale: candidate generation is the same band-bucket equi-join as
+    every LSH family here (never all-pairs), and the O(prefix_len²) DP
+    per pair runs JVM-side (built-in ``levenshtein``) on CANDIDATE
+    pairs only, with the prefix cap bounding the per-pair cost no
+    matter how long documents get."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, portable)
+    pref = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pref"),
+    )
+    return (
+        cands.join(
+            pref.select(F.col("id").alias("id_a"), F.col("pref").alias("__pa")),
+            "id_a",
+        )
+        .join(
+            pref.select(F.col("id").alias("id_b"), F.col("pref").alias("__pb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__pa", "__pb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= F.lit(max_dist))
+    )
+
+
+def editdist_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 64,
+    max_dist: int = 16,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """DuckDB replay of ``editdist_neardup(portable=True)``: the shared
+    minhash-LSH candidate CTEs + the identical levenshtein rerank."""
+    cte = _minhash_cte_sql(table, id_col, text_col, n, num_hashes, bands)
+    return f"""WITH {cte}
+       SELECT c.id_a, c.id_b,
+              CAST(levenshtein(substr(ta.{text_col}, 1, {prefix_len}),
+                               substr(tb.{text_col}, 1, {prefix_len})) AS INT)
+                  AS edit_dist
+       FROM cand c
+       JOIN {table} ta ON ta.{id_col} = c.id_a
+       JOIN {table} tb ON tb.{id_col} = c.id_b
+       WHERE levenshtein(substr(ta.{text_col}, 1, {prefix_len}),
+                         substr(tb.{text_col}, 1, {prefix_len})) <= {max_dist}"""
 
 
 def simhash_pairs_sql(

@@ -4065,6 +4065,24 @@ def n2_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("n2_editdist_neardup", None)
+def n2_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: character-level near-dup pairs — MinHash-LSH candidates
+    reranked by Levenshtein distance on a 64-char prefix, the modality
+    token-set Jaccard misses (in-place edits vs paragraph reorders).
+    Candidates come from the same band-bucket equi-join as every LSH
+    family (no all-pairs stage); the O(prefix²) DP runs JVM-side on
+    candidates only.  Oracle: the shared minhash CTE chain + DuckDB's
+    own levenshtein — identical pair set and distances."""
+    from .operators import dedup as _d
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _d.editdist_neardup(docs, portable=True)
+
+
+ORACLES["n2_editdist_neardup"] = _dedup.editdist_pairs_sql()
+
+
 @query(
     "n1_dedup_incremental",
     f"""WITH pairs AS (SELECT * FROM ({_dedup.minhash_pairs_sql()}) fp),
