@@ -73,3 +73,43 @@ def split_quarantine(staging: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined) — the error side-channel the reference surfaces
     in the RapidStart UI (SURVEY §5) becomes an explicit DataFrame."""
     return staging.filter(F.col("error").isNull()), staging.filter(F.col("error").isNotNull())
+
+
+def suppress_small_groups(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    sum_col: str,
+    other_keys: dict[str, object],
+    n_col: str = "n",
+    sum_out: str = "total",
+) -> DataFrame:
+    """k-anonymity small-cell suppression for released aggregates: cells
+    with fewer than ``k`` members are withheld and rolled into ONE
+    complementary 'suppressed' bucket (keyed by ``other_keys``), so the
+    release never exposes a group small enough to re-identify while the
+    grand totals still reconcile — the standard statistical-disclosure
+    rule (e.g. census small-cell suppression), and the aggregate-level
+    sibling of the reference's zero-FK blanking (P4: hide values that
+    would leak through a report).
+
+    Scale: ONE aggregation over the data (decimal sums, map-side
+    partials); the k-filter and the complementary roll-up operate on the
+    groups-sized frame, never the input."""
+    g = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(n_col),
+        F.sum(F.col(sum_col).cast("decimal(18,6)")).alias("__s"),
+    )
+    kept = g.where(F.col(n_col) >= k).select(
+        *group_cols, n_col, F.col("__s").cast("double").alias(sum_out)
+    )
+    small = g.where(F.col(n_col) < k)
+    suppressed = small.agg(
+        *[
+            F.lit(v).cast(dict(g.dtypes)[c]).alias(c)
+            for c, v in other_keys.items()
+        ],
+        F.sum(n_col).cast("long").alias(n_col),
+        F.sum("__s").cast("double").alias(sum_out),
+    ).where(F.col(n_col).isNotNull())  # emit the bucket only if non-empty
+    return kept.unionByName(suppressed)

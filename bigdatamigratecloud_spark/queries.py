@@ -2401,6 +2401,109 @@ def t3_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p9_small_cell_suppression",
+    """WITH g AS (SELECT CAST(c_nationkey AS INT) AS nationkey,
+                         c_mktsegment AS segment, COUNT(*) AS n,
+                         SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s
+                  FROM customer GROUP BY 1, 2)
+       SELECT nationkey, segment, CAST(n AS BIGINT) AS n_customers,
+              CAST(s AS DOUBLE) AS total_acctbal
+       FROM g WHERE n >= 10
+       UNION ALL
+       SELECT CAST(-1 AS INT), 'SUPPRESSED', CAST(SUM(n) AS BIGINT),
+              CAST(SUM(s) AS DOUBLE)
+       FROM g WHERE n < 10 HAVING COUNT(*) > 0""",
+)
+def p9_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 extended to aggregates: k-anonymity small-cell suppression —
+    released (nation, segment) cells with fewer than 10 customers are
+    withheld and rolled into one complementary SUPPRESSED bucket, so no
+    re-identifiable group leaks through the report while grand totals
+    still reconcile (the census small-cell rule; the reference's
+    zero-FK blanking P4 is the row-level sibling).  One aggregation
+    over the data; the k-filter and roll-up touch only the groups-sized
+    frame."""
+    from .operators.validation import suppress_small_groups
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+    )
+    return suppress_small_groups(
+        cust,
+        group_cols=["nationkey", "segment"],
+        k=10,
+        sum_col="c_acctbal",
+        other_keys={"nationkey": -1, "segment": "SUPPRESSED"},
+        n_col="n_customers",
+        sum_out="total_acctbal",
+    )
+
+
+@query(
+    "j7_scd2_dimension_lookup",
+    """WITH dimv AS (
+         SELECT c_custkey, c_mktsegment AS segment,
+                CAST('1992-01-01 00:00:00' AS TIMESTAMP) AS eff_from
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, 'UPGRADED',
+                CAST('1995-01-01 00:00:00' AS TIMESTAMP)
+         FROM customer WHERE c_custkey % 3 = 0),
+       f AS (SELECT o_orderkey, o_custkey,
+                    CAST(o_orderdate AS TIMESTAMP) AS ots
+             FROM orders)
+       SELECT f.o_orderkey, f.o_custkey, d.segment AS segment_at_order
+       FROM f ASOF LEFT JOIN dimv d
+         ON f.o_custkey = d.c_custkey AND d.eff_from <= f.ots""",
+)
+def j7_scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension lookup: facts join the dimension VERSION in
+    effect at the fact's own date — the temporal upgrade of the
+    reference's J1 lookup (Codeunit 60000:894-922 always reads the
+    current row, which silently rewrites history when a dimension
+    changes).  The versioned dim here gives every customer a base
+    version and upgrades a third of them in 1995; each order picks the
+    version live at its order date via the as-of sweep (one shuffle, no
+    per-key cross product, no effective-range blowup join).  Oracle:
+    DuckDB native ASOF over the same versioned dim."""
+    from .operators.temporal import asof_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    base_v = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01 00:00:00").cast("timestamp").alias("eff_from"),
+    )
+    upg_v = (
+        cust.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.lit("UPGRADED").alias("segment"),
+            F.lit("1995-01-01 00:00:00").cast("timestamp").alias("eff_from"),
+        )
+    )
+    dimv = base_v.unionByName(upg_v)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("ots"),
+    )
+    out = asof_join(
+        facts,
+        dimv.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        left_ts="ots",
+        right_ts="eff_from",
+        right_cols=["segment"],
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("segment_asof").alias("segment_at_order")
+    )
+
+
+@query(
     "t2_range_join_pairs",
     """SELECT a.event_id AS l_event, a.user_id AS user_id,
               b.event_id AS r_event,
