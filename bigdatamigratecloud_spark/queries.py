@@ -4859,3 +4859,76 @@ shared_sql(
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                (l_returnflag), ())""",
 )
+
+
+_BM25_TERMS = ["join", "vector", "slow"]
+
+from .operators import retrieval as _retrieval  # noqa: E402
+
+
+@query("n6_bm25_search", _retrieval.bm25_topk_sql(_BM25_TERMS))
+def n6_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (beyond-reference retrieval): BM25 top-10 documents for a
+    fixed query-term bag — the lexical retriever behind targeted data
+    selection ("pull the docs about X out of the corpus").  One
+    token-scan shuffle produces (dl, tf per term) per document via
+    conditional aggregation; the 1-row corpus-stats frame broadcasts;
+    top-k plans as TakeOrderedAndProject.  Rational Robertson idf and a
+    fixed-order term sum make the scores bit-equal to the DuckDB
+    oracle (see operators/retrieval.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _retrieval.bm25_topk(docs, _BM25_TERMS)
+
+
+@query(
+    "n6_pagerank_links",
+    """WITH b AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                         CAST(1000000 + l_partkey AS BIGINT) AS p
+                  FROM lineitem),
+       """
+    + _retrieval.pagerank_sql_steps(
+        "SELECT s AS src, p AS dst FROM b UNION ALL SELECT p AS src, s AS dst FROM b"
+    )
+    + """,
+       top AS (SELECT node, rank_scaled FROM prfinal
+               ORDER BY rank_scaled DESC, node ASC LIMIT 20)
+       SELECT node, rank_scaled,
+              CASE WHEN node >= 1000000 THEN 'part' ELSE 'supplier' END AS node_type,
+              CAST(ROW_NUMBER() OVER (ORDER BY rank_scaled DESC, node ASC) AS INT)
+                  AS rank_pos
+       FROM top""",
+)
+def n6_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (beyond-reference graph scoring): 5-iteration fixed-point
+    PageRank over the undirected supplier<->part co-occurrence graph
+    from lineitem (parts namespaced at +1e6), top-20 nodes.  All
+    arithmetic is scaled-integer (see operators/retrieval.pagerank), so
+    the DuckDB unrolled-CTE oracle replays every iteration bit-for-bit
+    — an iterative algorithm with a value-exact oracle, not a
+    rows-only check.  Each round: one join keyed on the rank frame +
+    one dst-keyed integer sum; rank frames localCheckpoint-ed so plan
+    depth stays O(1)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.col("l_suppkey").cast("long").alias("s"),
+            (F.col("l_partkey") + 1000000).cast("long").alias("p"),
+        )
+        .distinct()
+    )
+    edges = b.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionAll(
+        b.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    pr = _retrieval.pagerank(edges, iters=5)
+    top = pr.orderBy(F.col("rank_scaled").desc(), F.col("node").asc()).limit(20)
+    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+    return top.select(
+        "node",
+        "rank_scaled",
+        F.when(F.col("node") >= 1000000, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.row_number().over(w).cast("int").alias("rank_pos"),
+    )
