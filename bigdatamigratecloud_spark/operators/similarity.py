@@ -819,3 +819,52 @@ def kmeans_distributed(
     assignments = assignments.localCheckpoint(eager=True)
     unit.unpersist()
     return assignments, cents, inertia
+
+
+# --- Johnson-Lindenstrauss random projection (dimensionality reduction) ---
+
+def jl_project(
+    df: DataFrame,
+    dim: int,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss):
+    each output coordinate is the dot product with a seeded pseudo-random
+    unit direction (the same LCG family as the LSH hyperplanes, so the
+    matrix is a plan literal and an external engine replays every
+    coordinate bit-for-bit).  Pairwise angles are approximately preserved
+    at d_out = O(log n / eps^2); downstream cosine work re-normalizes in
+    the projected space, so the (constant) JL scale factor cancels and is
+    omitted.
+
+    The 4x-16x narrower vectors are the cheap first pass for ANN /
+    near-dup at 100 TB: project once (narrow map, zero shuffle, the
+    matrix lives in the plan), shortlist in the small space, rerank the
+    shortlist with full-width vectors — the full-width corpus is only
+    touched for candidates.
+    """
+    planes = _hyperplanes(dim, d_out, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    coords = [_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes]
+    return df.withColumn(out_col, F.array(*coords))
+
+
+def jl_project_sql(
+    dim: int, d_out: int = 16, seed: int = 7, vec_expr: str = "embedding"
+) -> list[str]:
+    """DuckDB SQL expressions (one per output coordinate) replaying
+    :func:`jl_project` bit-exactly — same literal directions, same
+    left-fold dot product as `lsh_signature_sql`."""
+    planes = _hyperplanes(dim, d_out, seed)
+    out = []
+    for p in planes:
+        lits = ",".join(repr(x) for x in p)
+        out.append(
+            f"list_reduce(list_transform(list_zip({vec_expr}, "
+            f"list_transform(string_split('{lits}', ','), s -> CAST(s AS DOUBLE))), "
+            f"p -> p[1] * p[2]), (x, y) -> x + y)"
+        )
+    return out
