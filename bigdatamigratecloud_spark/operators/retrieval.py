@@ -100,26 +100,11 @@ def bm25_topk(
     ]
     stats = per.agg(*stat_aggs)
 
-    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
-
-    def contrib(i: int):
-        tf = F.col(f"tf{i}").cast("double")
-        df = F.col(f"df{i}")
-        idf = ((F.col("n_docs") - df).cast("double") + F.lit(0.5)) / (
-            df.cast("double") + F.lit(0.5)
-        )
-        denom = tf + F.lit(_K1) * (
-            F.lit(_ONE_MINUS_B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
-        )
-        return F.when(
-            F.col(f"tf{i}") > 0, idf * ((tf * F.lit(_K1P1)) / denom)
-        ).otherwise(F.lit(0.0))
-
     # FIXED-ORDER sum: term 0 + term 1 + ... — never an engine-ordered
     # aggregate over doubles
-    score = contrib(0)
+    score = _bm25_contrib(0)
     for i in range(1, len(terms)):
-        score = score + contrib(i)
+        score = score + _bm25_contrib(i)
 
     matched = None
     for i in range(len(terms)):
@@ -161,8 +146,14 @@ def bm25_topk_sql(
         )
     score = " + ".join(contrib(i) for i in range(m))
     matched = " OR ".join(f"tf{i} > 0" for i in range(m))
-    return f"""WITH toks AS (SELECT {id_col}, unnest(string_split(text, ' ')) AS token
-                     FROM {table}),
+    # Tokenization must mirror text.tokens() exactly: collapse whitespace
+    # runs, trim, and EXCLUDE blank documents — a bare string_split(text,
+    # ' ') would yield [''] for an empty doc (counted with dl=1), while
+    # Spark yields an empty array (doc excluded from N/avgdl/df).
+    return f"""WITH toks AS (SELECT {id_col},
+                            unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+                     FROM {table}
+                     WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
        per AS (SELECT {id_col}, count(*) AS dl,
                {tf_cols}
                FROM toks GROUP BY {id_col}),
@@ -182,6 +173,172 @@ def bm25_topk_sql(
        FROM top"""
 
 
+def _bm25_contrib(i: int):
+    """Per-term BM25 contribution column over the (dl, tf{i}, df{i},
+    n_docs, total_tokens) frame — the single fixed IEEE-double expression
+    both bm25_topk and bm25_topk_multi evaluate."""
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    tf = F.col(f"tf{i}").cast("double")
+    df = F.col(f"df{i}")
+    idf = ((F.col("n_docs") - df).cast("double") + F.lit(0.5)) / (
+        df.cast("double") + F.lit(0.5)
+    )
+    denom = tf + F.lit(_K1) * (
+        F.lit(_ONE_MINUS_B) + F.lit(_B) * (F.col("dl").cast("double") / avgdl)
+    )
+    return F.when(
+        F.col(f"tf{i}") > 0, idf * ((tf * F.lit(_K1P1)) / denom)
+    ).otherwise(F.lit(0.0))
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Batch BM25: top-k documents for EVERY query in `queries`
+    ({query_id: [terms...]}) out of ONE corpus scan — the shape a
+    benchmark-decontamination sweep needs (hundreds of queries against
+    a 100 TB corpus must not mean hundreds of corpus scans).
+
+    Returns (query_id, doc_id, score, rank), rank 1..k per query, ties
+    by doc_id — per-query results identical to bm25_topk(terms) bit for
+    bit: the per-(doc, term) contribution is the same fixed double
+    expression and each query's score is the same fixed-order chain of
+    `+` over ITS terms (never an engine-ordered aggregate).
+
+    Plan shape: the union of all query terms drives one conditional-agg
+    token scan producing (dl, tf per union-term) per document; that
+    frame is localCheckpoint-ed (materialized ONCE — the corpus scan
+    happens exactly once, asserted in tests) and every query scores off
+    it with a docs-sized projection; per-query top-k runs as ONE
+    rank-window over the unioned scored frame, which Spark executes as
+    WindowGroupLimit (per-partition partial top-k per query — no global
+    sort, no full materialization)."""
+    if not queries:
+        raise ValueError("bm25_topk_multi needs at least one query")
+    union_terms: list[str] = []
+    seen = set()
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        if len(set(terms)) != len(terms):
+            raise ValueError(f"query {qid!r} terms must be distinct")
+        for t in terms:
+            if t not in seen:
+                seen.add(t)
+                union_terms.append(t)
+    idx = {t: i for i, t in enumerate(union_terms)}
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf{i}")
+        for i, t in enumerate(union_terms)
+    ]
+    # materialize ONCE: every query branch below reads this frame, not
+    # the corpus — one token-scan shuffle total, regardless of |queries|
+    per = toks.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ] + [
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(union_terms))
+    ]
+    stats = per.agg(*stat_aggs)
+    wide = per.crossJoin(F.broadcast(stats))
+
+    scored = None
+    for qid, terms in queries.items():
+        score = _bm25_contrib(idx[terms[0]])
+        for t in terms[1:]:
+            score = score + _bm25_contrib(idx[t])
+        matched = None
+        for t in terms:
+            cond = F.col(f"tf{idx[t]}") > 0
+            matched = cond if matched is None else (matched | cond)
+        branch = wide.where(matched).select(
+            F.lit(qid).alias("query_id"), F.col(id_col), score.alias("score")
+        )
+        scored = branch if scored is None else scored.unionAll(branch)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def bm25_topk_multi_sql(
+    queries: dict[str, list[str]],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk_multi` — same union-term
+    conditional-agg pass, same per-query fixed-order score chains, so
+    every score is bit-equal."""
+    union_terms: list[str] = []
+    seen = set()
+    for terms in queries.values():
+        for t in terms:
+            if t not in seen:
+                seen.add(t)
+                union_terms.append(t)
+    idx = {t: i for i, t in enumerate(union_terms)}
+    m = len(union_terms)
+    tf_cols = ",\n               ".join(
+        f"count(*) FILTER (token = '{t}') AS tf{i}" for i, t in enumerate(union_terms)
+    )
+    df_cols = ",\n              ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(m)
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"(CASE WHEN tf{i} > 0 THEN "
+            f"((CAST(n_docs - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5))"
+            f" * ((CAST(tf{i} AS DOUBLE) * 2.2) / (CAST(tf{i} AS DOUBLE)"
+            f" + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+            f" ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+
+    branches = []
+    for qid, terms in queries.items():
+        score = " + ".join(contrib(idx[t]) for t in terms)
+        matched = " OR ".join(f"tf{idx[t]} > 0" for t in terms)
+        branches.append(
+            f"SELECT '{qid}' AS query_id, {id_col}, {score} AS score "
+            f"FROM wide WHERE {matched}"
+        )
+    union = "\n                  UNION ALL ".join(branches)
+    return f"""WITH toks AS (SELECT {id_col},
+                            unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+                     FROM {table}
+                     WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       per AS (SELECT {id_col}, count(*) AS dl,
+               {tf_cols}
+               FROM toks GROUP BY {id_col}),
+       stats AS (SELECT count(*) AS n_docs, SUM(dl) AS total_tokens,
+              {df_cols}
+              FROM per),
+       wide AS (SELECT * FROM per CROSS JOIN
+                (SELECT *, CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                 FROM stats) s),
+       scored AS ({union})
+       SELECT query_id, {id_col}, score, rank FROM (
+         SELECT query_id, {id_col}, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, {id_col} ASC) AS INT) AS rank
+         FROM scored) r
+       WHERE rank <= {k}"""
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -193,66 +350,125 @@ def pagerank(
     checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-point PageRank: `iters` synchronous iterations of
-    rank(v) <- (1-d)/N + d * sum_{u->v} rank(u)/outdeg(u) with d =
-    damping_num/damping_den, ALL arithmetic in scaled 64-bit integers
-    (micro-units of `scale`), so the result is bit-identical on any
-    engine and any partitioning:
+    rank(v) <- (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N) with
+    d = damping_num/damping_den and D the total rank mass sitting on
+    DANGLING nodes (no out-edges) — redistributed uniformly, the
+    standard web-graph treatment.  ALL arithmetic is scaled 64-bit
+    integer (micro-units of `scale`), so the result is bit-identical on
+    any engine and any partitioning:
 
         init      = scale div N
         contrib   = rank(u) div outdeg(u)
+        D         = sum of rank over nodes with outdeg = 0
         rank'(v)  = ((scale div N) * (den-num)) div den
-                    + (num * sum(contrib)) div den
+                    + (num * (sum(contrib) + D div N)) div den
 
     Floor-division remainders mean total mass decays slightly per round
     — deterministically, identically everywhere; the op ranks nodes, it
-    does not promise a stochastic-matrix invariant.  Directed edges;
-    every node is assumed to appear as a source (feed an undirected
-    graph as both directions — dangling nodes would otherwise leak rank
-    and vanish from the output).
+    does not promise a stochastic-matrix invariant.  The node set is
+    src UNION dst: nodes with no in-edges stay in the output at the
+    base term (+ dangling share) every round, and dangling nodes both
+    keep receiving rank and donate theirs back through D.
 
-    Returns (node, rank_scaled) for every node, rank in micro-units.
+    Returns (node, rank_scaled) for EVERY node of the graph.
+
+    Scale shape: edges are repartitioned by src ONCE and PERSISTED —
+    a cached plan keeps its outputPartitioning (a localCheckpoint does
+    not under AQE: LogicalRDD comes back with unknown partitioning and
+    every iteration would re-shuffle the edge list), so each round
+    shuffles only the nodes-sized rank frame plus the map-side-combined
+    contribution sum; the edge frame is scanned from cache already
+    co-partitioned (asserted in tests).  At real 100 TB scale the same
+    layout persists across jobs as a bucketed table.  The dangling mass
+    is a 1-row aggregate broadcast into the update.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    if checkpoint:
-        deg = deg.localCheckpoint(eager=True)
+    # bucket the big frame once; every iteration's src-join reuses this
+    # partitioning straight out of the cache
+    e = e.repartition(F.col("src")).persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("outdeg"))
+        .repartition(F.col("node"))
+        .persist()
+    )
     n_nodes = deg.count()  # one tiny action; deg is nodes-sized
     if n_nodes == 0:
         return deg.select(
-            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_scaled")
+            F.col("node"), F.lit(0).cast("long").alias("rank_scaled")
         )
     init = scale // n_nodes
     base = (init * (damping_den - damping_num)) // damping_den
     ranks = deg.select(
-        F.col("src").alias("node"), F.lit(init).cast("long").alias("rank_scaled")
+        "node", F.lit(init).cast("long").alias("rank_scaled")
     )
-    deg_n = deg.withColumnRenamed("src", "node")
     e_n = e.withColumnRenamed("src", "node")
     for _ in range(iters):
-        contribs = (
-            ranks.join(deg_n, "node")
-            .join(e_n, "node")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_scaled div outdeg").cast("long").alias("c"),
-            )
-        )
-        ranks = contribs.groupBy("node").agg(
-            (
-                F.lit(base)
-                + F.expr(f"({damping_num} * sum(c)) div {damping_den}")
-            )
-            .cast("long")
-            .alias("rank_scaled")
+        ranks = _pagerank_iteration(
+            ranks, deg, e_n, n_nodes, base, damping_num, damping_den
         )
         if checkpoint:
             # nodes-sized frame; without this the plan doubles per round
             ranks = ranks.localCheckpoint(eager=True)
+    if checkpoint:
+        # the result is materialized; release the cached edge/degree
+        # frames instead of leaking them for the session's lifetime
+        e.unpersist()
+        deg.unpersist()
     return ranks
+
+
+def _pagerank_iteration(
+    ranks: DataFrame,
+    deg: DataFrame,
+    e_n: DataFrame,
+    n_nodes: int,
+    base: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """One synchronous PageRank round (see :func:`pagerank`).  Exposed
+    so tests can inspect a single iteration's executed plan: with
+    checkpointed node-partitioned `ranks`/`deg` and src-partitioned
+    `e_n`, the round introduces NO Exchange above the edge scan."""
+    rd = ranks.join(deg, "node")
+    dsum = rd.where(F.col("outdeg") == 0).agg(
+        F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("long").alias("dsum")
+    )
+    contribs = (
+        rd.where(F.col("outdeg") > 0)
+        .join(e_n, "node")
+        .select(
+            F.col("dst").alias("node"),
+            F.expr("rank_scaled div outdeg").cast("long").alias("c"),
+        )
+    )
+    sums = contribs.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+    return (
+        deg.select("node")
+        .join(sums, "node", "left")
+        .crossJoin(F.broadcast(dsum))
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * (coalesce(s, 0L)"
+                    f" + (dsum div {n_nodes}))) div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+    )
 
 
 def pagerank_sql_steps(
@@ -271,21 +487,38 @@ def pagerank_sql_steps(
     rest = damping_den - damping_num
     parts = [
         f"edges AS ({edges_cte})",
-        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "odeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "vnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT v.node, COALESCE(o.outdeg, 0) AS outdeg "
+        "FROM vnodes v LEFT JOIN odeg o ON v.node = o.src)",
         "nn AS (SELECT count(*) AS n_nodes FROM deg)",
-        f"it0 AS (SELECT src AS node, {scale} // n_nodes AS rank_scaled "
+        f"it0 AS (SELECT node, {scale} // n_nodes AS rank_scaled "
         "FROM deg CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         parts.append(
+            f"dg{i} AS (SELECT COALESCE(SUM(p.rank_scaled), 0) AS dsum "
+            f"FROM it{i-1} p JOIN deg d ON p.node = d.node AND d.outdeg = 0)"
+        )
+        parts.append(
             f"s{i} AS (SELECT e.dst AS node, SUM(p.rank_scaled // d.outdeg) AS s "
-            f"FROM it{i-1} p JOIN deg d ON p.node = d.src "
+            f"FROM it{i-1} p JOIN deg d ON p.node = d.node AND d.outdeg > 0 "
             f"JOIN edges e ON p.node = e.src GROUP BY e.dst)"
         )
         parts.append(
-            f"it{i} AS (SELECT node, (({scale} // n_nodes) * {rest}) // {damping_den}"
-            f" + ({damping_num} * s) // {damping_den} AS rank_scaled "
-            f"FROM s{i} CROSS JOIN nn)"
+            f"it{i} AS (SELECT d.node,"
+            f" (({scale} // n_nodes) * {rest}) // {damping_den}"
+            f" + ({damping_num} * (COALESCE(s.s, 0) + dg.dsum // n_nodes))"
+            f" // {damping_den} AS rank_scaled "
+            f"FROM deg d LEFT JOIN s{i} s ON d.node = s.node "
+            f"CROSS JOIN nn CROSS JOIN dg{i} dg)"
         )
-    parts.append(f"prfinal AS (SELECT node, rank_scaled FROM it{iters})")
+    parts.append(
+        # DuckDB SUM over BIGINT widens to HUGEINT and the width sticks to
+        # every downstream expression; cast back at the edge so consumers
+        # honor the DOUBLE/BIGINT-at-the-boundary type policy (values are
+        # exact either way — rank mass is bounded by `scale`).
+        f"prfinal AS (SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled "
+        f"FROM it{iters})"
+    )
     return ",\n       ".join(parts)

@@ -852,6 +852,70 @@ def jl_project(
     return df.withColumn(out_col, F.array(*coords))
 
 
+def jl_shortlist_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist_factor: int = 4,
+    d_out: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage ANN: JL-project both sides to `d_out` dims, shortlist the
+    top k*shortlist_factor per query by cosine in the projected space,
+    then rerank the shortlist with FULL-width exact cosine and keep the
+    top k.  Deterministic end-to-end (plan-literal projection matrix,
+    row_number ties broken by nbr_id), so a DuckDB oracle replays it
+    bit-for-bit — see `n2_jl_shortlist` in queries.py.
+
+    100 TB shape: stage 1 touches only the d_out-wide projections (a
+    narrow map over the corpus — 4-16x less data moved than full-width
+    brute force), stage 2 touches full vectors for candidates only
+    (k*shortlist_factor rows per query, joined by id).  The corpus is
+    scanned once per stage; the query side broadcasts in both.
+    """
+    m = k * shortlist_factor
+    c_jl = jl_project(corpus, dim, d_out, vec_col, "jl", seed)
+    q_jl = jl_project(queries, dim, d_out, vec_col, "jl", seed)
+    cu = with_unit_vector(c_jl, "jl", "cju").select(F.col(id_col).alias("nbr_id"), "cju")
+    qu = with_unit_vector(q_jl, "jl", "qju").select(
+        F.col(query_id_col).alias("query_id"), "qju"
+    )
+    sim = (
+        cu.crossJoin(F.broadcast(qu))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", _dot(F.col("qju"), F.col("cju")).alias("jcos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("jcos").desc(), F.col("nbr_id").asc())
+    cand = (
+        sim.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= m)
+        .select("query_id", "nbr_id")
+    )
+    cfull = with_unit_vector(corpus, vec_col, "cu").select(
+        F.col(id_col).alias("nbr_id"), "cu"
+    )
+    qfull = with_unit_vector(queries, vec_col, "qu").select(
+        F.col(query_id_col).alias("query_id"), "qu"
+    )
+    rer = (
+        cand.join(cfull, "nbr_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select("query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
 def jl_project_sql(
     dim: int, d_out: int = 16, seed: int = 7, vec_expr: str = "embedding"
 ) -> list[str]:

@@ -86,25 +86,56 @@ def suppress_small_groups(
 ) -> DataFrame:
     """k-anonymity small-cell suppression for released aggregates: cells
     with fewer than ``k`` members are withheld and rolled into ONE
-    complementary 'suppressed' bucket (keyed by ``other_keys``), so the
-    release never exposes a group small enough to re-identify while the
-    grand totals still reconcile — the standard statistical-disclosure
-    rule (e.g. census small-cell suppression), and the aggregate-level
+    'suppressed' bucket (keyed by ``other_keys``) so grand totals still
+    reconcile — the census small-cell rule, and the aggregate-level
     sibling of the reference's zero-FK blanking (P4: hide values that
     would leak through a report).
 
+    COMPLEMENTARY suppression closes the differencing hole: a bucket
+    holding a single cell publishes that cell's exact n/total under a
+    different label, and a bucket whose member count is still < k is
+    itself a small group — in either case the smallest kept cell is
+    ALSO withheld into the bucket (deterministic victim: lexicographic
+    min of (n, *group_cols)), so every released bucket mixes >= 2 cells
+    and >= k members whenever a kept cell exists to mix in.  Residual
+    caveat, by construction: when NO cell reaches k the release is the
+    bucket alone, which discloses only the domain total.
+
     Scale: ONE aggregation over the data (decimal sums, map-side
-    partials); the k-filter and the complementary roll-up operate on the
-    groups-sized frame, never the input."""
+    partials); the trigger and victim are 1-row aggregates of the
+    groups-sized frame, broadcast into the k-filter — never a second
+    pass over the input and no unpartitioned window."""
     g = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(n_col),
         F.sum(F.col(sum_col).cast("decimal(18,6)")).alias("__s"),
     )
-    kept = g.where(F.col(n_col) >= k).select(
+    kept_pre = g.where(F.col(n_col) >= k)
+    small = g.where(F.col(n_col) < k)
+    trig = small.agg(
+        (
+            (F.count(F.lit(1)) > 0)
+            & (
+                (F.count(F.lit(1)) == 1)
+                | (F.coalesce(F.sum(n_col), F.lit(0)) < k)
+            )
+        ).alias("__trig")
+    )
+    victim = kept_pre.agg(
+        F.min(F.struct(F.col(n_col), *[F.col(c) for c in group_cols])).alias(
+            "__victim"
+        )
+    )
+    decide = trig.crossJoin(victim)  # 1 row
+    cell = F.struct(F.col(n_col), *[F.col(c) for c in group_cols])
+    is_victim = F.col("__trig") & cell.eqNullSafe(F.col("__victim"))
+    marked = kept_pre.crossJoin(F.broadcast(decide))
+    kept = marked.where(~is_victim).select(
         *group_cols, n_col, F.col("__s").cast("double").alias(sum_out)
     )
-    small = g.where(F.col(n_col) < k)
-    suppressed = small.agg(
+    bucket_src = small.select(*group_cols, n_col, "__s").unionByName(
+        marked.where(is_victim).select(*group_cols, n_col, "__s")
+    )
+    suppressed = bucket_src.agg(
         *[
             F.lit(v).cast(dict(g.dtypes)[c]).alias(c)
             for c, v in other_keys.items()

@@ -606,6 +606,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.cosine_topk(emb, queries_df, k=10, query_id_col="query_id")
 
 
+# JL shortlist ANN: project to 16 dims with a plan-literal seeded matrix,
+# shortlist top-40 per query by projected cosine, exact full-width rerank
+# to top-10.  Every stage is deterministic (literal matrix, fixed fold
+# order, row_number ties on nbr_id), so the oracle replays it bit-exactly.
+_JL_EXPRS = _sim.jl_project_sql(dim=64, d_out=16, seed=7, vec_expr="v")
+_JL_LIST = "list_value(" + ", ".join(_JL_EXPRS) + ")"
+
+
+@query(
+    "n2_jl_shortlist",
+    f"""WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+       jl AS (SELECT vec_id, {_JL_LIST} AS j FROM u),
+       jn AS (SELECT vec_id,
+                     list_transform(j, x -> x / sqrt(list_reduce(
+                         list_transform(j, y -> y * y), (a, b) -> a + b))) AS ju
+              FROM jl),
+       qj AS (SELECT vec_id AS query_id, ju AS qju FROM jn WHERE vec_id < 5),
+       sj AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                     list_reduce(list_transform(list_zip(q.qju, c.ju),
+                         p -> p[1] * p[2]), (x, y) -> x + y) AS jcos
+              FROM jn c CROSS JOIN qj q WHERE c.vec_id <> q.query_id),
+       cand AS (SELECT query_id, nbr_id FROM (
+                  SELECT query_id, nbr_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY jcos DESC, nbr_id) AS r
+                  FROM sj) t
+                WHERE r <= 40),
+       nrm AS (SELECT vec_id,
+                      list_transform(v, x -> x / sqrt(list_reduce(
+                          list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+               FROM u),
+       qf AS (SELECT vec_id AS query_id, uv AS qv FROM nrm WHERE vec_id < 5),
+       rer AS (SELECT c.query_id, c.nbr_id,
+                      list_reduce(list_transform(list_zip(q.qv, n.uv),
+                          p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+               FROM cand c JOIN nrm n ON n.vec_id = c.nbr_id
+               JOIN qf q ON q.query_id = c.query_id)
+       SELECT query_id, nbr_id, rank, cos AS cosine FROM (
+         SELECT query_id, nbr_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr_id) AS rank
+         FROM rer) r
+       WHERE rank <= 10""",
+)
+def n2_jl_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale path: Johnson-Lindenstrauss shortlist ANN — project the
+    64-dim embeddings to 16 dims with a seeded plan-literal matrix
+    (similarity.jl_project), shortlist top-40 per query by projected
+    cosine, then rerank the shortlist with full-width exact cosine and
+    keep the top-10.  At 100 TB the first pass moves 4x less vector
+    data and the full-width corpus is touched only for ~40 candidate
+    rows per query.  Bit-exact vs the DuckDB oracle (literal matrix,
+    fixed fold order, deterministic tie-breaks)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.jl_shortlist_topk(emb, queries_df, dim=64, k=10)
+
+
 # LSH-bucketed near-dup: the SCALE path, oracle-checked EXACTLY.  The
 # hyperplanes are deterministic (seeded LCG), so the oracle embeds the
 # same plane literals and recomputes the same signature bits; the
@@ -2405,14 +2466,30 @@ def t3_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH g AS (SELECT CAST(c_nationkey AS INT) AS nationkey,
                          c_mktsegment AS segment, COUNT(*) AS n,
                          SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS s
-                  FROM customer GROUP BY 1, 2)
+                  FROM customer GROUP BY 1, 2),
+       kept_pre AS (SELECT * FROM g WHERE n >= 10),
+       small AS (SELECT * FROM g WHERE n < 10),
+       trig AS (SELECT COUNT(*) > 0
+                       AND (COUNT(*) = 1 OR COALESCE(SUM(n), 0) < 10) AS t
+                FROM small),
+       victim AS (SELECT n AS vn, nationkey AS vkey, segment AS vseg
+                  FROM kept_pre ORDER BY n, nationkey, segment LIMIT 1),
+       dec AS (SELECT t.t, v.vn, v.vkey, v.vseg
+               FROM trig t LEFT JOIN victim v ON TRUE),
+       kept AS (SELECT k.* FROM kept_pre k CROSS JOIN dec d
+                WHERE NOT (d.t AND k.n = d.vn AND k.nationkey = d.vkey
+                           AND k.segment = d.vseg)),
+       moved AS (SELECT k.* FROM kept_pre k CROSS JOIN dec d
+                 WHERE d.t AND k.n = d.vn AND k.nationkey = d.vkey
+                       AND k.segment = d.vseg),
+       bucket_src AS (SELECT * FROM small UNION ALL SELECT * FROM moved)
        SELECT nationkey, segment, CAST(n AS BIGINT) AS n_customers,
               CAST(s AS DOUBLE) AS total_acctbal
-       FROM g WHERE n >= 10
+       FROM kept
        UNION ALL
        SELECT CAST(-1 AS INT), 'SUPPRESSED', CAST(SUM(n) AS BIGINT),
               CAST(SUM(s) AS DOUBLE)
-       FROM g WHERE n < 10 HAVING COUNT(*) > 0""",
+       FROM bucket_src HAVING COUNT(*) > 0""",
 )
 def p9_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4 extended to aggregates: k-anonymity small-cell suppression —
@@ -4878,6 +4955,27 @@ def n6_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (see operators/retrieval.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return _retrieval.bm25_topk(docs, _BM25_TERMS)
+
+
+_BM25_BATCH = {
+    "q_join": ["join", "broadcast", "shuffle"],
+    "q_vec": ["vector", "embedding"],
+    "q_slow": ["slow", "join", "vector"],
+}
+
+
+@query("n6_bm25_batch", _retrieval.bm25_topk_multi_sql(_BM25_BATCH))
+def n6_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: batch BM25 — top-10 docs for THREE queries out of ONE corpus
+    scan (the decontamination-sweep shape: hundreds of benchmark queries
+    against a 100 TB corpus must not mean hundreds of corpus scans).
+    The union of all query terms drives a single conditional-agg token
+    scan; the per-doc frame is materialized once and every query scores
+    off it with a fixed-order chain over its own terms, so each query's
+    scores are bit-equal to bm25_topk run alone (and to the DuckDB
+    oracle).  Per-query top-k is one rank window -> WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _retrieval.bm25_topk_multi(docs, _BM25_BATCH)
 
 
 @query(

@@ -473,25 +473,67 @@ class AcidTable:
         )
         return t
 
+    # Above this many resolved files, snapshot() stops materializing the
+    # path list in the Python driver and switches to the distributed
+    # read (glob scan + semi-join against the entries frame).  Class
+    # attribute so tests force the distributed path with a tiny value.
+    DISTRIBUTED_READ_THRESHOLD = 10_000
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  Reads exactly
         the resolved file set — a concurrent commit cannot tear it.  A
         version whose commits deleted every row has an empty file list;
-        that is a valid (empty) table, not a read error."""
+        that is a valid (empty) table, not a read error.
+
+        Scale path: past ``DISTRIBUTED_READ_THRESHOLD`` resolved files
+        the Python driver no longer builds the 10^6-element path list
+        (`spark.read.parquet(*paths)` ships every path through py4j).
+        Instead the scan globs ``data/*/*.parquet`` and keeps only rows
+        whose ``input_file_name()`` appears in the checkpoint-backed
+        entries frame — deciding what to KEEP is a distributed semi-join
+        against table metadata, exactly how Delta feeds its scans from
+        the checkpoint's file index.  (Spark's own file listing for the
+        glob is the JVM-side scalable path — driver-held, but never a
+        Python list.)  Clone snapshots reference files OUTSIDE this
+        table's root by absolute path; those fall back to the explicit
+        list, as does any table below the threshold."""
         from pyspark.sql.types import StructType
 
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
-        files = self._paths(v)
         schema = StructType.fromJson(self._read_manifest(v)["schema"])
-        if not files:
+        ent = self._entries_frame(v).select("path")
+        counts = ent.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("path").startswith("data/"), 0).otherwise(1)).alias(
+                "ext"
+            ),
+        ).first()
+        n_files, n_external = counts["n"], counts["ext"] or 0
+        if n_files == 0:
             return self.spark.createDataFrame([], schema)
-        # read through the MANIFEST schema, not the files': after an
-        # add-columns commit the old (unrewritten) files lack the new
-        # columns, and the explicit schema makes the parquet reader
-        # NULL-backfill them
-        return self.spark.read.schema(schema).parquet(*files)
+        if n_files <= self.DISTRIBUTED_READ_THRESHOLD or n_external > 0:
+            files = self._paths(v)
+            # read through the MANIFEST schema, not the files': after an
+            # add-columns commit the old (unrewritten) files lack the new
+            # columns, and the explicit schema makes the parquet reader
+            # NULL-backfill them
+            return self.spark.read.schema(schema).parquet(*files)
+        raw = self.spark.read.schema(schema).parquet(
+            os.path.join(self.root, "data", "*", "*.parquet")
+        )
+        # key = the last two path components ("data/<commitdir>/<file>")
+        # — exactly the relative form the log stores; the glob may match
+        # files from removed versions or concurrent commits, which the
+        # semi-join drops
+        key = F.regexp_extract(F.input_file_name(), r"(data/[^/]+/[^/]+)$", 1)
+        live = ent.withColumnRenamed("path", "__path")
+        return (
+            raw.withColumn("__path", key)
+            .join(live, "__path", "left_semi")
+            .drop("__path")
+        )
 
     def scan(
         self,

@@ -1018,3 +1018,51 @@ def test_mixed_appenders_and_merger_stress(spark, tmp_path):
     for k in range(3):
         assert per[100 + k] == 50  # appends all present
     assert per[0] == 50 and per[1] == 50 and per[2] == 50  # merges applied
+
+
+def test_snapshot_distributed_read_matches_driver_list(spark, tmp_path, monkeypatch):
+    """Past DISTRIBUTED_READ_THRESHOLD files, snapshot() must stop
+    building the Python-side path list (py4j-shipping 10^6 strings is
+    the driver bottleneck Delta's checkpoint file-index exists to
+    avoid) and switch to the glob + entries-frame semi-join — with
+    IDENTICAL rows, including after deletes that leave removed files on
+    disk (the glob matches them; the semi-join must drop them)."""
+    base = spark.range(0, 200).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartition(8), key_cols=["id"]
+    )
+    # COW delete rewrites files; the originals stay on disk until vacuum
+    t.delete("id >= 150")
+    expected = sorted((r["id"], r["v"]) for r in t.snapshot().collect())
+
+    calls = {"n": 0}
+    orig = AcidTable._paths
+
+    def counting_paths(self, version):
+        calls["n"] += 1
+        return orig(self, version)
+
+    monkeypatch.setattr(AcidTable, "_paths", counting_paths)
+    monkeypatch.setattr(AcidTable, "DISTRIBUTED_READ_THRESHOLD", 2)
+    got = sorted((r["id"], r["v"]) for r in t.snapshot().collect())
+    assert got == expected
+    # the distributed path never materialized the list in Python
+    assert calls["n"] == 0
+    # and time travel through the distributed path still works
+    got_v0 = sorted((r["id"], r["v"]) for r in t.snapshot(0).collect())
+    assert got_v0 == [(i, i * 2) for i in range(200)]
+    assert calls["n"] == 0
+
+
+def test_snapshot_distributed_read_clone_falls_back(spark, tmp_path, monkeypatch):
+    """A shallow clone references ABSOLUTE paths outside its own root —
+    the glob can't see them, so the clone must keep using the explicit
+    path list even above the threshold."""
+    base = spark.range(0, 50).withColumn("v", F.col("id") + 1)
+    src = AcidTable.create(
+        spark, str(tmp_path / "src"), base.repartition(4), key_cols=["id"]
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    monkeypatch.setattr(AcidTable, "DISTRIBUTED_READ_THRESHOLD", 1)
+    got = sorted(r["id"] for r in clone.snapshot().collect())
+    assert got == list(range(50))

@@ -195,3 +195,47 @@ def test_pipeline_acid_apply_and_transactional_reimport(spark, sf_dir, tmp_path)
     assert post.filter("n_nationkey = 9999").count() == 0  # stale row gone
     # pre-reimport reader still sees a consistent v0
     assert pre.count() == dfs["nation"].count()
+
+
+def test_suppress_small_groups_complementary(spark):
+    """Single small cell: its n/total must NOT be published under the
+    SUPPRESSED label (differencing recovers it) — the smallest kept
+    cell is withheld too, so the bucket mixes two cells and >= k
+    members."""
+    from bigdatamigratecloud_spark.operators.validation import suppress_small_groups
+
+    rows = (
+        [("a", float(i)) for i in range(10)]      # kept, n=10 (victim: smallest kept)
+        + [("b", float(i)) for i in range(20)]    # kept, n=20
+        + [("c", 7.0)]                            # the ONE small cell
+    )
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = {
+        r["grp"]: (r["n"], r["total"])
+        for r in suppress_small_groups(
+            df, ["grp"], k=5, sum_col="val",
+            other_keys={"grp": "SUPPRESSED"},
+        ).collect()
+    }
+    # 'c' never appears alone; bucket = c + victim 'a'
+    assert set(out) == {"b", "SUPPRESSED"}
+    assert out["SUPPRESSED"] == (11, sum(range(10)) + 7.0)
+    assert out["b"] == (20, float(sum(range(20))))
+
+
+def test_suppress_small_groups_no_trigger_unchanged(spark):
+    """Two small cells whose union reaches k: plain roll-up, no victim."""
+    from bigdatamigratecloud_spark.operators.validation import suppress_small_groups
+
+    rows = (
+        [("a", 1.0)] * 10 + [("b", 1.0)] * 3 + [("c", 1.0)] * 4
+    )
+    df = spark.createDataFrame(rows, "grp string, val double")
+    out = {
+        r["grp"]: (r["n"], r["total"])
+        for r in suppress_small_groups(
+            df, ["grp"], k=5, sum_col="val",
+            other_keys={"grp": "SUPPRESSED"},
+        ).collect()
+    }
+    assert out == {"a": (10, 10.0), "SUPPRESSED": (7, 7.0)}

@@ -453,3 +453,51 @@ def test_ivf_partitioned_index_prunes_partitions(spark, tmp_path):
     }
     assert files and all("cluster=1" in f or "cluster=3" in f for f in files)
     assert pruned.count() == 40
+
+
+def test_jl_shortlist_recall_vs_brute_force(spark, sf_dir):
+    """JL shortlist (project 64->16, shortlist 4k, full-width rerank):
+    uniform random embeddings are the JL worst case (all cosines near 0,
+    so the gaps JL must preserve are tiny) — measured recall@10 is 0.30
+    at (d_out=16, 4x) and 0.70 at (d_out=32, 8x); pin the stronger
+    setting at >= 0.6 and verify every returned cosine is the EXACT
+    full-width value (rerank is brute force over candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id): r.cosine
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    jl = {
+        (r.query_id, r.nbr_id): r.cosine
+        for r in similarity.jl_shortlist_topk(
+            emb, q, dim=64, k=10, shortlist_factor=8, d_out=32
+        ).collect()
+    }
+    hit = set(jl) & set(brute)
+    assert len(hit) / len(brute) >= 0.6, len(hit) / len(brute)
+    # reranked cosines are exact — identical bits to brute force
+    for key in hit:
+        assert jl[key] == brute[key], key
+
+
+def test_jl_shortlist_partitioning_invariant(spark, sf_dir):
+    """Same rows regardless of input partitioning: the projection matrix
+    is a plan literal, folds are per-row, and both row_number windows
+    break ties deterministically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        map(tuple, similarity.jl_shortlist_topk(emb, q, dim=64, k=10).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.jl_shortlist_topk(emb.repartition(13), q, dim=64, k=10).collect(),
+        )
+    )
+    assert a == b

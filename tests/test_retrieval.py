@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from bigdatamigratecloud_spark.operators.retrieval import (
     PAGERANK_SCALE,
     bm25_topk,
+    bm25_topk_multi,
     pagerank,
 )
 
@@ -91,20 +92,79 @@ def test_bm25_input_validation(spark):
         bm25_topk(docs, ["a", "a"])
 
 
+BATCH = {
+    "qa": ["join", "vector"],
+    "qb": ["slow"],
+    "qc": ["vector", "slow", "join"],
+}
+
+
+def test_bm25_batch_matches_single_query_bit_for_bit(spark):
+    """Each query's rows out of the batch path must be IDENTICAL (score
+    bits included) to bm25_topk run alone with that query's terms —
+    the union-term scan must not perturb any per-query expression."""
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], "doc_id long, text string"
+    )
+    batch = bm25_topk_multi(docs, BATCH, k=5)
+    rows = batch.collect()
+    for qid, terms in BATCH.items():
+        got = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in sorted(
+                (r for r in rows if r["query_id"] == qid), key=lambda r: r["rank"]
+            )
+        ]
+        single = [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in bm25_topk(docs, terms, k=5).collect()
+        ]
+        assert got == single, qid
+
+
+def test_bm25_batch_one_corpus_scan(spark, sf_dir):
+    """The decontamination-sweep contract: |queries| corpus scans would
+    be the 100 TB killer.  The per-doc tf frame is checkpointed, so the
+    executed plan downstream of it must contain ZERO parquet scans —
+    the corpus was read exactly once, during the checkpoint."""
+    from bigdatamigratecloud_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_topk_multi(docs, BATCH, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), plan
+
+
+def test_bm25_batch_input_validation(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {"q": []})
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {"q": ["a", "a"]})
+
+
 def _pagerank_expected(edges, iters=5, scale=PAGERANK_SCALE, num=85, den=100):
-    """Pure-Python integer replay of the recurrence."""
+    """Pure-Python integer replay of the recurrence (full node set,
+    dangling mass redistributed uniformly)."""
+    nodes = set()
     outdeg = {}
-    for s, _ in edges:
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
         outdeg[s] = outdeg.get(s, 0) + 1
-    n = len(outdeg)
+    n = len(nodes)
     init = scale // n
     base = (init * (den - num)) // den
-    rank = {v: init for v in outdeg}
+    rank = {v: init for v in nodes}
     for _ in range(iters):
-        acc = {}
+        acc = {v: 0 for v in nodes}
+        dsum = sum(rank[v] for v in nodes if v not in outdeg)
         for s, d in edges:
-            acc[d] = acc.get(d, 0) + rank[s] // outdeg[s]
-        rank = {v: base + (num * s) // den for v, s in acc.items()}
+            acc[d] += rank[s] // outdeg[s]
+        share = dsum // n
+        rank = {v: base + (num * (acc[v] + share)) // den for v in nodes}
     return rank
 
 
@@ -134,6 +194,125 @@ def test_pagerank_partitioning_invariant(spark):
     a = {tuple(r) for r in pagerank(df.repartition(1), iters=4).collect()}
     b = {tuple(r) for r in pagerank(df.repartition(5, "src"), iters=4).collect()}
     assert a == b == set(_pagerank_expected(edges, iters=4).items())
+
+
+def test_pagerank_dangling_node_mass_redistributed(spark):
+    """Node 4 has no out-edges: it must stay in the output, keep
+    receiving rank, and donate its mass back uniformly each round —
+    bit-exact vs the integer replay."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=5).collect()}
+    exp = _pagerank_expected(edges)
+    assert got == exp
+    assert set(got) == {1, 2, 3, 4}
+    # with redistribution the total mass stays near `scale` instead of
+    # decaying by ~the dangling share each round
+    assert sum(got.values()) > PAGERANK_SCALE * 9 // 10
+
+
+def test_pagerank_zero_indegree_node_kept(spark):
+    """Node 1 has no in-edges: standard PageRank gives it the base term
+    every round; it must not vanish from the output (regression for the
+    contribs-only rebuild that dropped it)."""
+    edges = [(1, 2), (1, 3), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=4).collect()}
+    exp = _pagerank_expected(edges, iters=4)
+    assert got == exp
+    assert 1 in got and got[1] > 0
+    assert got[2] > got[1] and got[3] > got[1]
+
+
+def test_pagerank_iteration_does_not_reshuffle_edges(spark):
+    """The 100 TB contract: edges are bucketed by src once and cached
+    (a cached plan KEEPS its outputPartitioning; a localCheckpoint
+    under AQE does not), so ONE iteration's executed plan carries only
+    the nodes-sized rank-frame alignments and the dst-sum shuffle — the
+    edge cache is scanned with no Exchange on top."""
+    from pyspark.sql import functions as SF
+
+    from bigdatamigratecloud_spark.operators.retrieval import _pagerank_iteration
+
+    edges = _undirected([(i, (i + 1) % 50) for i in range(50)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    e = df.repartition(SF.col("src")).persist()
+    outdeg = e.groupBy("src").agg(SF.count(SF.lit(1)).alias("od"))
+    nodes = (
+        e.select(SF.col("src").alias("node"))
+        .union(e.select(SF.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", SF.coalesce(SF.col("od"), SF.lit(0)).cast("long").alias("outdeg"))
+        .repartition(SF.col("node"))
+        .persist()
+    )
+    n = deg.count()
+    init = PAGERANK_SCALE // n
+    base = (init * 15) // 100
+    ranks = deg.select(
+        "node", SF.lit(init).cast("long").alias("rank_scaled")
+    ).localCheckpoint(eager=True)
+    try:
+        out = _pagerank_iteration(
+            ranks, deg, e.withColumnRenamed("src", "node"), n, base, 85, 100
+        )
+        # traverse the ACTUAL physical tree (children() skips the cached
+        # relations' innerChildren, which the text dump echoes and which
+        # made substring counting lie)
+        def nodes_of(p):
+            stack, out_nodes = [(p, ())], []
+            while stack:
+                nd, path = stack.pop()
+                name = nd.getClass().getSimpleName()
+                out_nodes.append((nd, name, path))
+                kids = []
+                if name == "AdaptiveSparkPlanExec":
+                    kids = [nd.executedPlan()]
+                else:
+                    ch = nd.children()
+                    kids = [ch.apply(i) for i in range(ch.size())]
+                    if name.endswith("QueryStageExec"):
+                        kids.append(nd.plan())
+                for k in kids:
+                    stack.append((k, path + (name,)))
+            return out_nodes
+
+        plan_nodes = nodes_of(out._jdf.queryExecution().executedPlan())
+        hash_shuffles = [
+            nd
+            for nd, name, _ in plan_nodes
+            if name == "ShuffleExchangeExec"
+            and "hashpartitioning" in nd.simpleString(200)
+        ]
+        # the only hash shuffle of a round is the map-side-combined dst
+        # contribution sum (plus, at scale, a nodes-sized rank alignment)
+        assert len(hash_shuffles) <= 2, [s.simpleString(120) for s in hash_shuffles]
+        # and NO shuffle sits narrowly above the edge cache: an edge scan
+        # reachable from an Exchange through only narrow ops would mean
+        # the edge list re-shuffles every iteration
+        NARROW = {"SortExec", "FilterExec", "ProjectExec", "InputAdapter",
+                  "WholeStageCodegenExec", "InMemoryTableScanExec"}
+        for sh in hash_shuffles:
+            stack = [sh.children().apply(i) for i in range(sh.children().size())]
+            while stack:
+                nd = stack.pop()
+                name = nd.getClass().getSimpleName()
+                if name == "InMemoryTableScanExec":
+                    assert "dst#" not in nd.simpleString(300), (
+                        "edge cache scanned under a hash Exchange"
+                    )
+                if name in NARROW:
+                    ch = nd.children()
+                    stack += [ch.apply(i) for i in range(ch.size())]
+        # and the result is the replayed iteration, bit-exact
+        got = {r["node"]: r["rank_scaled"] for r in out.collect()}
+        assert got == _pagerank_expected(edges, iters=1)
+    finally:
+        e.unpersist()
+        deg.unpersist()
 
 
 def test_pagerank_plan_depth_constant(spark):
