@@ -540,13 +540,18 @@ def _decode_image(payload: bytes, strict: bool):
         jpg = decode_jpeg(payload)
         if jpg is not None:
             return jpg
+        from .webp import decode_webp
+
+        wbp = decode_webp(payload)  # raises on lossy-VP8 containers
+        if wbp is not None:
+            return wbp
         if strict:
             raise NotImplementedError(
                 "image decode requires PIL (not installed) for formats "
                 "beyond uncompressed BMP, PNG (any depth, incl. Adam7), "
-                "GIF87a/89a (first frame), and baseline/progressive "
-                "JPEG; pass decode_strict=False for the deterministic "
-                "fake"
+                "GIF87a/89a (first frame), baseline/progressive JPEG, "
+                "and lossless WebP (VP8L); pass decode_strict=False for "
+                "the deterministic fake"
             ) from None
         import numpy as np
 

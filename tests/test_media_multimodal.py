@@ -1010,3 +1010,120 @@ def test_gif_encoder_roundtrips_through_decoder():
     arr2 = _decode_gif(small)
     assert arr2 is not None and arr2.shape == (2, 2, 3)
     assert (arr2[0, 0] == (0, 0, 0)).all() and (arr2[0, 1] == (255, 255, 255)).all()
+
+
+# ------------------------------ WebP lossless (VP8L) -----------------------
+
+
+def test_webp_distance_table_matches_spec_prefix():
+    """The 120-entry close-neighborhood table is generated by rule; its
+    first 40 entries are pinned verbatim against the table printed in
+    the WebP Lossless Bitstream Specification."""
+    from bigdatamigratecloud_spark.operators.webp import _DIST_TABLE
+
+    spec40 = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    ]
+    assert _DIST_TABLE[:40] == spec40
+    assert len(_DIST_TABLE) == 120
+
+
+def test_webp_header_bit_layout_hand_computed():
+    """Pin the exact bit layout of the stream head for a 17x5 image:
+    0x2f signature, then LSB-first 14-bit width-1 = 16, 14-bit
+    height-1 = 4, alpha bit, 3 version zeros — byte0 = 0b00010000,
+    byte1 = (width>>8)=0 | (height-1)<<6 → 0x00, byte2 = 4>>2 = 1."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.webp import encode_webp_lossless
+
+    img = np.full((5, 17, 3), 9, dtype=np.uint8)
+    buf = encode_webp_lossless(img)
+    assert buf[:4] == b"RIFF" and buf[8:16] == b"WEBPVP8L"
+    payload = buf[20:]
+    assert payload[0] == 0x2F
+    # width-1 = 16 → bits 0..13 LSB-first: byte1 = 16, byte2 low 6 bits 0
+    assert payload[1] == 16
+    # height-1 = 4: its low 2 bits land in byte2's top bits (4&3 = 0),
+    # remaining bits 2..13 of height-1 (= 1) start byte3
+    assert payload[2] == 0
+    assert payload[3] & 0b1 == 1
+
+
+def test_webp_roundtrip_full_matrix():
+    """Every decoder path against independently-encoded streams: plain
+    literals, LZ77 runs, color cache, SUBTRACT_GREEN, all 14 predictor
+    modes, bundled (<=16 color) and wide palettes, combined
+    transforms, 1x1."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 17, 4), dtype=np.uint8)
+    assert (decode_webp(encode_webp_lossless(img, use_lz77_runs=False)) == img).all()
+    runs = np.repeat(rng.randint(0, 256, (5, 4, 4), dtype=np.uint8), 5, axis=1)
+    assert (decode_webp(encode_webp_lossless(runs)) == runs).all()
+    few = rng.randint(0, 3, (9, 9, 4), dtype=np.uint8) * 80
+    assert (decode_webp(encode_webp_lossless(few, cache_bits=4)) == few).all()
+    assert (
+        decode_webp(encode_webp_lossless(img, subtract_green=True, use_lz77_runs=False))
+        == img
+    ).all()
+    for mode in range(14):
+        assert (
+            decode_webp(
+                encode_webp_lossless(img, predictor_mode=mode, use_lz77_runs=False)
+            )
+            == img
+        ).all(), f"predictor {mode}"
+    pal = rng.randint(0, 3, (10, 21, 3), dtype=np.uint8) * 100
+    got = decode_webp(encode_webp_lossless(pal, palette=True))
+    assert (got[:, :, :3] == pal).all() and (got[:, :, 3] == 255).all()
+    vals = rng.randint(0, 256, (30, 3), dtype=np.uint8)
+    wide = vals[rng.randint(0, 30, (8, 9))]
+    assert (decode_webp(encode_webp_lossless(wide, palette=True))[:, :, :3] == wide).all()
+    assert (
+        decode_webp(encode_webp_lossless(img, subtract_green=True, predictor_mode=7))
+        == img
+    ).all()
+    one = np.array([[[200, 10, 30, 255]]], dtype=np.uint8)
+    assert (decode_webp(encode_webp_lossless(one)) == one).all()
+
+
+def test_webp_rejects_lossy_and_garbage():
+    import struct
+
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.webp import decode_webp
+
+    assert decode_webp(b"not a webp at all, nope") is None
+    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    with _pytest.raises(NotImplementedError):
+        decode_webp(lossy)
+
+
+def test_real_webp_decode_in_image_features(spark):
+    """Lossless WebP decodes for REAL through the strict mapInPandas
+    path — the round-5 'web corpora hit WebP often' gap closed."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.webp import encode_webp_lossless
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+    wbp = encode_webp_lossless(arr, subtract_green=True)
+    df = spark.createDataFrame([(1, wbp)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=True).collect()[0]
+    assert (out.width, out.height, out.channels) == (8, 6, 4)
+    rgba = np.dstack([arr, np.full((6, 8), 255, np.uint8)])
+    assert abs(out.mean_pixel - float(rgba.mean())) < 1e-9
+    assert out.payload_size == len(wbp)

@@ -185,3 +185,75 @@ def test_gif_encode_decode_roundtrip_property(w, h, ncol, data, interlace):
     assert arr is not None and arr.shape == (h, w, 3)
     want = np.array(palette, dtype=np.uint8)[grid]
     assert (arr == want).all()
+
+
+# ---- ACID log: arbitrary op sequences keep snapshot == replayed model ----
+
+_ACID_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("merge"), st.integers(0, 999)),
+        st.tuples(st.just("delete"), st.integers(0, 30)),
+        st.tuples(st.just("restore"), st.integers(0, 99)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(1, 2)),
+    ),
+    min_size=3,
+    max_size=6,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None)
+@given(ops=_ACID_OPS)
+def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
+    """Any (merge|delete|restore|vacuum|compact)* sequence keeps
+    snapshot() readable and equal to a pure-Python replay of the same
+    semantics — the log-replay contract that every maintenance op must
+    preserve.  Restores only target still-resolvable versions (vacuum
+    moves that horizon, which the generator respects, mirroring the
+    documented contract)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="acid_prop_")
+    base = {i: i * 10 for i in range(12)}
+    df = spark.createDataFrame(sorted(base.items()), "id long, v long")
+    t = AcidTable.create(spark, root + "/t", df.repartition(3), key_cols=["id"])
+    states = {0: dict(base)}  # committed version -> expected rows
+    model = dict(base)
+    min_restorable = 0
+
+    def check():
+        got = sorted((r["id"], r["v"]) for r in t.snapshot().collect())
+        assert got == sorted(model.items()), (got, sorted(model.items()))
+
+    for op, arg in ops:
+        if op == "merge":
+            delta = {(arg * 7 + k) % 30: arg * 100 + k for k in range(5)}
+            ddf = spark.createDataFrame(sorted(delta.items()), "id long, v long")
+            v = t.merge(ddf, pk_cols=["id"])
+            model.update(delta)
+            states[v] = dict(model)
+        elif op == "delete":
+            v = t.delete(f"id >= {arg}")
+            model = {i: x for i, x in model.items() if not i >= arg}
+            states[v] = dict(model)
+        elif op == "restore":
+            candidates = sorted(v for v in states if v >= min_restorable)
+            target = candidates[arg % len(candidates)]
+            v = t.restore(target)
+            model = dict(states[target])
+            states[v] = dict(model)
+        elif op == "compact":
+            if not model:
+                continue
+            v = t.compact(target_files=2)
+            states[v] = dict(model)
+        else:  # vacuum
+            t.vacuum(keep_last=arg, retain_seconds=0.0)
+            head = max(states)
+            min_restorable = max(min_restorable, head - arg + 1)
+        check()
