@@ -1,0 +1,257 @@
+"""Distributed BPE tokenizer training (north-star N4/N5 extension —
+beyond the reference, which has no text pipeline at all).
+
+Training a byte-pair-encoding vocabulary on the corpus is the one
+tokenizer-side job a 100 TB training-data engine owes its users: the
+published algorithm (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units") is an ITERATIVE argmax loop — count
+adjacent symbol pairs, merge the most frequent pair, repeat — and this
+module runs it Spark-shaped:
+
+- ONE corpus pass builds the (word, count) frequency table; every
+  merge round thereafter touches only the VOCAB-sized frame (distinct
+  words), never the corpus — the classic word-frequency formulation.
+- Per round: one vocab-sized aggregation (map-side combined) finds the
+  best pair; the greedy left-to-right merge is applied with a single
+  ``aggregate`` fold per word (JVM-side higher-order function, no
+  Python UDF); the frame is localCheckpoint-ed so plan depth stays
+  O(1) across rounds, exactly like operators/retrieval.pagerank.
+- Everything is DETERMINISTIC: ties on pair count break by (lhs, rhs)
+  lexicographic order, so any engine replays the identical merge
+  sequence — :func:`bpe_sql_steps` generates an unrolled DuckDB oracle
+  (the second iterative algorithm in the package with a value-exact
+  oracle, after PageRank).
+
+Cross-engine equivalence of the merge application: the Spark side is a
+left fold (merge when the accumulator ends with lhs and the next
+symbol is rhs), the SQL side is the gaps-and-islands formulation (mark
+match starts, group consecutive starts into islands, keep odd ranks).
+These coincide because two match starts can only be adjacent when
+lhs == rhs (a run of identical symbols), where greedy left-to-right
+merging takes the 1st, 3rd, ... start of the run — the odd ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+_MERGES_DDL = "rank int, lhs string, rhs string, merged string, pair_count long"
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_fold(lhs_col, rhs_col):
+    """Greedy left-to-right merge of (lhs, rhs) runs inside a symbol
+    array, as one JVM-side fold: replace a trailing lhs with lhs||rhs
+    when the incoming symbol is rhs.  Chains of identical symbols come
+    out exactly like the sequential scan (see module docstring)."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lhs_col)
+            & (s == rhs_col),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(lhs_col, rhs_col)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Learn up to ``num_merges`` BPE merge rules from the corpus.
+
+    Returns (rank, lhs, rhs, merged, pair_count), rank 1..n in merge
+    order — fewer than ``num_merges`` rows when no remaining pair
+    reaches ``min_pair_count`` (the oracle mirrors this: later
+    unrolled rounds re-select the same sub-threshold argmax and filter
+    it out, so stopping early is value-identical to running on).
+
+    The merge table itself is tiny (``num_merges`` rows) and builds on
+    the driver; all counting and merging is distributed."""
+    spark = docs.sparkSession
+    w = _word_counts(docs, text_col).withColumn("syms", F.split(F.col("word"), ""))
+    if checkpoint:
+        w = w.localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            w.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                "syms",
+                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+            )
+            .select(
+                F.element_at("syms", F.col("i")).alias("lhs"),
+                F.element_at("syms", F.col("i") + 1).alias("rhs"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["total"] < min_pair_count:
+            break
+        b = best[0]
+        merges.append((rank, b["lhs"], b["rhs"], b["lhs"] + b["rhs"], int(b["total"])))
+        bf = spark.createDataFrame([(b["lhs"], b["rhs"])], "l string, r string")
+        w = w.crossJoin(F.broadcast(bf)).select(
+            "word", "cnt", _merge_fold(F.col("l"), F.col("r")).alias("syms")
+        )
+        if checkpoint:
+            # vocab-sized; keeps the plan O(1) deep across rounds
+            w = w.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, _MERGES_DDL)
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned merge rules (in rank order) to tokenize text: per
+    word, start from characters and fold each rule through the symbol
+    array — ``len(merges)`` chained JVM folds, no Python UDF.  Returns
+    the input plus ``out_col: array<string>`` of subword units."""
+    toks = tokens(text_col)
+    word_syms = F.transform(toks, lambda wd: F.split(wd, ""))
+
+    def one_rule(lhs: str, rhs: str):
+        def fold(acc, s):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lhs))
+                & (s == F.lit(rhs)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(lhs + rhs))
+                ),
+            ).otherwise(F.concat(acc, F.array(s)))
+
+        return fold
+
+    def apply_rules(syms_col):
+        out = syms_col
+        for lhs, rhs in merges:
+            out = F.aggregate(out, F.array().cast("array<string>"), one_rule(lhs, rhs))
+        return out
+
+    return df.withColumn(
+        out_col, F.flatten(F.transform(word_syms, apply_rules))
+    )
+
+
+def bpe_sql_steps(
+    docs_table: str = "documents",
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> str:
+    """Unrolled DuckDB CTE chain replaying :func:`bpe_train` exactly.
+    Exposes the merge table as CTE ``bpe_merges(rank, lhs, rhs,
+    merged, pair_count)``.  Tokenization mirrors text.tokens()
+    (whitespace collapse, blank-doc exclusion); greedy merge
+    application is the gaps-and-islands window formulation (see module
+    docstring for why it equals the Spark fold)."""
+    norm = f"trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))"
+    parts = [
+        f"""bpe_words AS MATERIALIZED (
+          SELECT token AS word, count(*) AS cnt
+          FROM (SELECT unnest(string_split({norm}, ' ')) AS token
+                FROM {docs_table} WHERE length({norm}) > 0)
+          GROUP BY 1)""",
+        """bw0 AS MATERIALIZED (SELECT word, cnt,
+                 list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+          FROM bpe_words)""",
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""bp{i} AS MATERIALIZED (
+          SELECT w.syms[i.i] AS lhs, w.syms[i.i + 1] AS rhs, SUM(w.cnt) AS total
+          FROM bw{p} w, UNNEST(range(1, len(w.syms))) AS i(i)
+          GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""bb{i} AS MATERIALIZED (
+          SELECT lhs, rhs, total FROM bp{i}
+          WHERE total >= {min_pair_count}
+          ORDER BY total DESC, lhs, rhs LIMIT 1)"""
+        )
+        parts.append(
+            f"""bbx{i} AS MATERIALIZED (
+          SELECT lhs, rhs FROM bb{i}
+          UNION ALL
+          SELECT NULL, NULL WHERE NOT EXISTS (SELECT 1 FROM bb{i}))"""
+        )
+        parts.append(
+            f"""be{i} AS MATERIALIZED (
+          SELECT w.word, w.cnt, i.i AS pos, w.syms[i.i] AS sym, b.lhs, b.rhs
+          FROM bw{p} w CROSS JOIN bbx{i} b,
+               UNNEST(range(1, len(w.syms) + 1)) AS i(i))"""
+        )
+        parts.append(
+            f"""bm{i} AS MATERIALIZED (
+          SELECT *, COALESCE(sym = lhs
+                 AND lead(sym) OVER (PARTITION BY word ORDER BY pos) = rhs,
+                 FALSE) AS mst
+          FROM be{i})"""
+        )
+        parts.append(
+            f"""bg{i} AS MATERIALIZED (
+          SELECT word, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS isl
+          FROM bm{i} WHERE mst)"""
+        )
+        parts.append(
+            f"""bk{i} AS MATERIALIZED (
+          SELECT word, pos FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS rn
+            FROM bg{i}) t
+          WHERE rn % 2 = 1)"""
+        )
+        parts.append(
+            f"""bw{i} AS MATERIALIZED (
+          SELECT m.word, m.cnt,
+                 list(CASE WHEN k.pos IS NOT NULL THEN m.lhs || m.rhs
+                           ELSE m.sym END ORDER BY m.pos) AS syms
+          FROM bm{i} m
+          LEFT JOIN bk{i} k ON m.word = k.word AND m.pos = k.pos
+          LEFT JOIN bk{i} kc ON m.word = kc.word AND m.pos = kc.pos + 1
+          WHERE kc.pos IS NULL
+          GROUP BY m.word, m.cnt)"""
+        )
+    union = "\n          UNION ALL ".join(
+        f"SELECT {i} AS rank, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(total AS BIGINT) AS pair_count FROM bb{i}"
+        for i in range(1, num_merges + 1)
+    )
+    parts.append(
+        f"""bpe_merges AS (
+          SELECT * FROM ({union}) u
+          WHERE lhs IS NOT NULL)"""
+    )
+    return ",\n       ".join(parts)

@@ -4957,6 +4957,29 @@ def n6_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _retrieval.bm25_topk(docs, _BM25_TERMS)
 
 
+from .operators import bpe as _bpe  # noqa: E402
+
+
+@query(
+    "n5_bpe_train",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2)
+    + "\n       SELECT rank, lhs, rhs, merged, pair_count FROM bpe_merges",
+)
+def n5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (beyond reference): distributed BPE tokenizer training — 12
+    merge rounds of the published argmax loop (count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent, repeat)
+    over the documents corpus.  ONE corpus pass builds the word-count
+    table; every round after that touches only the vocab-sized frame.
+    Deterministic ties (count desc, pair lexicographic) make the merge
+    sequence engine-independent: the unrolled DuckDB oracle replays all
+    12 rounds value-exact — the package's second iterative algorithm
+    with an exact oracle, after PageRank (operators/bpe.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2)
+
+
 _BM25_BATCH = {
     "q_join": ["join", "broadcast", "shuffle"],
     "q_vec": ["vector", "embedding"],
