@@ -348,6 +348,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     checkpoint: bool = True,
+    until_delta: int | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank: `iters` synchronous iterations of
     rank(v) <- (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N) with
@@ -412,12 +413,35 @@ def pagerank(
     )
     e_n = e.withColumnRenamed("src", "node")
     for _ in range(iters):
+        prev = ranks
         ranks = _pagerank_iteration(
             ranks, deg, e_n, n_nodes, base, damping_num, damping_den
         )
         if checkpoint:
             # nodes-sized frame; without this the plan doubles per round
             ranks = ranks.localCheckpoint(eager=True)
+        if until_delta is not None:
+            # convergence mode: stop once no node moved more than
+            # until_delta micro-units this round — one nodes-sized join
+            # + 1-row max per round, integer-exact so the iteration
+            # count (hence the result) is engine- and partition-
+            # independent.  `iters` becomes the cap.
+            moved = (
+                ranks.join(
+                    prev.select(
+                        "node", F.col("rank_scaled").alias("__prev")
+                    ),
+                    "node",
+                )
+                .agg(
+                    F.max(
+                        F.abs(F.col("rank_scaled") - F.col("__prev"))
+                    ).alias("d")
+                )
+                .first()["d"]
+            )
+            if moved is not None and moved <= until_delta:
+                break
     if checkpoint:
         # the result is materialized; release the cached edge/degree
         # frames instead of leaking them for the session's lifetime

@@ -169,10 +169,31 @@ class AcidTable:
             int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
         )
 
+    def _checkpoint_valid(self, version: int) -> bool:
+        """A checkpoint dir is trustworthy when it is complete
+        (``_SUCCESS``) and, if it carries an ``_OWNER`` marker (written
+        BEFORE its manifest by a checkpoint-backed restore/clone
+        commit), when the manifest at the same version exists and
+        claims that owner — an orphan left by a crash between
+        checkpoint-write and publish must never serve as a resolution
+        base for someone else's later commit at that version."""
+        d = self._checkpoint_dir(version)
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            return False
+        owner_file = os.path.join(d, "_OWNER")
+        if not os.path.exists(owner_file):
+            return True
+        try:
+            with open(owner_file) as f:
+                owner = f.read().strip()
+            return self._read_manifest(version).get("checkpoint_owner") == owner
+        except (FileNotFoundError, json.JSONDecodeError):
+            return False
+
     def _checkpoint_versions(self) -> list[int]:
-        """Ascending versions with a COMPLETE checkpoint on disk (the
-        Spark ``_SUCCESS`` marker guards against a crashed half-write;
-        the ``_last_checkpoint`` hint is only an optimization)."""
+        """Ascending versions with a COMPLETE, trusted checkpoint on
+        disk (see :meth:`_checkpoint_valid`; the ``_last_checkpoint``
+        hint is only an optimization)."""
         try:
             names = os.listdir(self._log_dir)
         except FileNotFoundError:
@@ -180,17 +201,13 @@ class AcidTable:
         out = []
         for n in names:
             if n.endswith(".checkpoint") and n[:-11].isdigit():
-                if os.path.exists(os.path.join(self._log_dir, n, "_SUCCESS")):
+                if self._checkpoint_valid(int(n[:-11])):
                     out.append(int(n[:-11]))
         return sorted(out)
 
     def _checkpoint_at_or_before(self, version: int) -> int | None:
         hv = self._hint_version()
-        if (
-            hv is not None
-            and hv <= version
-            and os.path.exists(os.path.join(self._checkpoint_dir(hv), "_SUCCESS"))
-        ):
+        if hv is not None and hv <= version and self._checkpoint_valid(hv):
             return hv
         below = [v for v in self._checkpoint_versions() if v <= version]
         return max(below) if below else None
@@ -240,6 +257,9 @@ class AcidTable:
         ent = self._entries_frame(version)
         out = self._checkpoint_dir(version)
         ent.write.mode("overwrite").parquet(out)
+        self._advance_hint(version)
+
+    def _advance_hint(self, version: int) -> None:
         hint = os.path.join(self._log_dir, "_last_checkpoint.json")
         # never move the hint BACKWARDS: a vacuum-horizon checkpoint can
         # be older than an existing interval checkpoint, and readers
@@ -254,6 +274,20 @@ class AcidTable:
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, hint)
+
+    def _write_owned_checkpoint(self, version: int, ent: DataFrame, owner: str) -> None:
+        """Pre-publish write of a checkpoint-backed commit's file set:
+        the entries frame lands as the checkpoint parquet for
+        ``version`` (a DISTRIBUTED write — the paths never materialize
+        in the Python driver) plus an ``_OWNER`` marker tying it to the
+        manifest about to be published.  Until that manifest exists and
+        names this owner, :meth:`_checkpoint_valid` rejects the dir, so
+        a crash here leaves harmless garbage, never a wrong resolution
+        base.  The hint is advanced only AFTER a successful publish."""
+        out = self._checkpoint_dir(version)
+        ent.write.mode("overwrite").parquet(out)
+        with open(os.path.join(out, "_OWNER"), "w") as f:
+            f.write(owner)
 
     # --------------------------------------------------------- resolution
 
@@ -282,19 +316,40 @@ class AcidTable:
     def _manifest_adds(m: dict) -> list[dict]:
         return list(m.get("add") or m.get("files") or [])
 
-    @classmethod
-    def _apply_manifest(cls, by_path: dict[str, dict], m: dict) -> dict[str, dict]:
+    def _read_checkpoint_entries(self, version: int) -> list[dict]:
+        """Driver-side materialization of one checkpoint's entries
+        (bounded by file count — the maintenance/inspection cost class,
+        same as :meth:`entries`)."""
+        out = []
+        for r in self.spark.read.parquet(self._checkpoint_dir(version)).collect():
+            out.append(
+                {
+                    "path": r["path"],
+                    "rows": r["rows"],
+                    "stats": json.loads(r["stats"]) if r["stats"] else {},
+                }
+            )
+        return out
+
+    def _apply_manifest(self, by_path: dict[str, dict], m: dict) -> dict[str, dict]:
         """Fold one manifest's actions (reset -> remove -> add) into a
         path -> entry dict — THE single definition of log-replay
         semantics for the driver-side paths (entries/history/vacuum).
         ``_entries_frame``/``_paths`` keep specialized DataFrame/
         column-pruned folds; any change to manifest semantics must
-        update those two alongside this helper."""
+        update those two alongside this helper.
+
+        A manifest carrying ``checkpoint_owner`` is a checkpoint-backed
+        commit (restore/clone at scale): its file set lives in the
+        checkpoint parquet at its own version, not inline in the JSON —
+        replace the state with that checkpoint's entries."""
+        if m.get("checkpoint_owner"):
+            return {e["path"]: e for e in self._read_checkpoint_entries(m["version"])}
         if m.get("reset") or "files" in m:
             by_path = {}
         for p in m.get("remove") or []:
             by_path.pop(p, None)
-        for e in cls._manifest_adds(m):
+        for e in self._manifest_adds(m):
             by_path[e["path"]] = e
         return by_path
 
@@ -336,6 +391,14 @@ class AcidTable:
         removes: list[str] = []
         adds: list[tuple] = []
         for m in tail:
+            if m.get("checkpoint_owner"):
+                # checkpoint-backed commit: the file set IS that
+                # version's checkpoint parquet (distributed read)
+                base = self.spark.read.parquet(
+                    self._checkpoint_dir(m["version"])
+                ).select("path", "rows", "stats")
+                removes, adds = [], []
+                continue
             if m.get("reset") or "files" in m:
                 base = self.spark.createDataFrame([], _ENTRY_DDL)
                 removes, adds = [], []
@@ -373,6 +436,16 @@ class AcidTable:
                 .collect()
             }
         for m in tail:
+            if m.get("checkpoint_owner"):
+                paths = {
+                    r["path"]
+                    for r in self.spark.read.parquet(
+                        self._checkpoint_dir(m["version"])
+                    )
+                    .select("path")
+                    .collect()
+                }
+                continue
             if m.get("reset") or "files" in m:
                 paths = set()
             paths -= set(m.get("remove") or [])
@@ -1155,18 +1228,37 @@ class AcidTable:
         vacuum horizon)."""
         head = self._head()
         target = self._read_manifest(version)
-        entries = self.entries(version)
-        return self._commit(
-            {
-                "version": head + 1,
-                "operation": "restore",
-                "schema": target["schema"],
-                "key_cols": target["key_cols"],
-                "reset": True,
-                "add": entries,
-                "txns": self._merged_txns(self._read_manifest(head), None),
-            }
-        )
+        new_v = head + 1
+        owner = uuid.uuid4().hex
+        # the restored file set goes to disk as a checkpoint parquet by
+        # a DISTRIBUTED write (never a driver-held list or an O(files)
+        # JSON manifest); the manifest only claims ownership of it
+        self._write_owned_checkpoint(new_v, self._entries_frame(version), owner)
+        manifest = {
+            "version": new_v,
+            "operation": "restore",
+            "schema": target["schema"],
+            "key_cols": target["key_cols"],
+            "reset": True,
+            "add": [],
+            "checkpoint_owner": owner,
+            "txns": self._merged_txns(self._read_manifest(head), None),
+        }
+        try:
+            v = self._publish(manifest)
+        except ConcurrentWriteError:
+            # only clean up if the dir is still OURS — a racing interval
+            # checkpoint for the winner's commit may have replaced it
+            d = self._checkpoint_dir(new_v)
+            try:
+                with open(os.path.join(d, "_OWNER")) as f:
+                    if f.read().strip() == owner:
+                        shutil.rmtree(d, ignore_errors=True)
+            except FileNotFoundError:
+                pass
+            raise
+        self._advance_hint(v)
+        return v
 
     def clone_to(
         self,
@@ -1191,11 +1283,16 @@ class AcidTable:
         source vacuums tighter than the clone's age."""
         v = self._head() if version is None else version
         m = self._read_manifest(v)
-        entries = []
-        for e in self.entries(v):
-            e2 = dict(e)
-            e2["path"] = os.path.abspath(os.path.join(self.root, e["path"]))
-            entries.append(e2)
+        abs_root = os.path.abspath(self.root)
+        # absolute-path rewrite as a COLUMN transform over the entries
+        # frame — already-absolute paths (a clone of a clone) pass
+        # through, mirroring os.path.join semantics
+        ent = self._entries_frame(v).withColumn(
+            "path",
+            F.when(
+                F.col("path").startswith("/"), F.col("path")
+            ).otherwise(F.concat(F.lit(abs_root + "/"), F.col("path"))),
+        )
         dest = AcidTable(
             self.spark,
             dest_root,
@@ -1207,19 +1304,27 @@ class AcidTable:
         )
         if dest.latest_version() is not None:
             raise FileExistsError(f"clone target {dest_root} already exists")
-        dest._commit(
-            {
-                "version": 0,
-                "operation": "clone",
-                "source": self.root,
-                "source_version": v,
-                "schema": m["schema"],
-                "key_cols": m["key_cols"],
-                "reset": True,
-                "add": entries,
-                "txns": {},
-            }
-        )
+        owner = uuid.uuid4().hex
+        dest._write_owned_checkpoint(0, ent, owner)
+        try:
+            dest._publish(
+                {
+                    "version": 0,
+                    "operation": "clone",
+                    "source": self.root,
+                    "source_version": v,
+                    "schema": m["schema"],
+                    "key_cols": m["key_cols"],
+                    "reset": True,
+                    "add": [],
+                    "checkpoint_owner": owner,
+                    "txns": {},
+                }
+            )
+        except ConcurrentWriteError as e:
+            shutil.rmtree(dest._checkpoint_dir(0), ignore_errors=True)
+            raise FileExistsError(f"clone target {dest_root} already exists") from e
+        dest._advance_hint(0)
         return dest
 
     def delete(self, predicate: str) -> int:
@@ -1443,10 +1548,10 @@ class AcidTable:
         will_prune_log = any(v < horizon for v in self._versions_on_disk())
         if will_prune_log and horizon > 0:
             # resolution anchor for every retained version — written
-            # while the about-to-be-pruned manifests still exist
-            if not os.path.exists(
-                os.path.join(self._checkpoint_dir(horizon), "_SUCCESS")
-            ):
+            # while the about-to-be-pruned manifests still exist (an
+            # INVALID dir at the horizon — e.g. an orphan from a crashed
+            # checkpoint-backed commit — must be overwritten, not kept)
+            if not self._checkpoint_valid(horizon):
                 self._write_checkpoint(horizon)
         # live set via ONE seeded forward replay (the history() pattern):
         # resolve the earliest retained version once, then fold the

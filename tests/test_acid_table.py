@@ -802,7 +802,7 @@ def test_concurrent_appenders_stress(spark, tmp_path):
         ck_paths = {r["path"] for r in spark.read.parquet(t._checkpoint_dir(cv)).collect()}
         state: dict = {}
         for v in range(cv + 1):
-            state = AcidTable._apply_manifest(state, t._read_manifest(v))
+            state = t._apply_manifest(state, t._read_manifest(v))
         assert ck_paths == set(state)
 
 
@@ -1066,3 +1066,60 @@ def test_snapshot_distributed_read_clone_falls_back(spark, tmp_path, monkeypatch
     monkeypatch.setattr(AcidTable, "DISTRIBUTED_READ_THRESHOLD", 1)
     got = sorted(r["id"] for r in clone.snapshot().collect())
     assert got == list(range(50))
+
+
+def test_restore_and_clone_are_checkpoint_backed(spark, tmp_path):
+    """Restore/clone commits must not inline O(files) add-lists in the
+    JSON manifest (the last driver-side materialization at 10^6 files):
+    the file set lands as an owned checkpoint parquet via a distributed
+    write, and the manifest only claims it."""
+    import json as _json
+    import os as _os
+
+    base = spark.range(0, 60).withColumn("v", F.col("id"))
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartition(5), key_cols=["id"]
+    )
+    t.delete("id >= 40")
+    rv = t.restore(0)
+    with open(t._manifest_path(rv)) as f:
+        m = _json.load(f)
+    assert m["add"] == [] and m.get("checkpoint_owner")
+    d = t._checkpoint_dir(rv)
+    assert _os.path.exists(_os.path.join(d, "_SUCCESS"))
+    with open(_os.path.join(d, "_OWNER")) as f:
+        assert f.read().strip() == m["checkpoint_owner"]
+    assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(60))
+    # history and time travel still resolve through the owned commit
+    assert [h["num_rows"] for h in t.history()] == [60, 40, 60]
+    assert t.snapshot(1).count() == 40
+
+    clone = t.clone_to(str(tmp_path / "c"))
+    with open(clone._manifest_path(0)) as f:
+        cm = _json.load(f)
+    assert cm["add"] == [] and cm.get("checkpoint_owner")
+    assert sorted(r["id"] for r in clone.snapshot().collect()) == list(range(60))
+    # further commits on top of the owned base fold correctly
+    clone.delete("id < 10")
+    assert sorted(r["id"] for r in clone.snapshot().collect()) == list(range(10, 60))
+
+
+def test_orphan_owned_checkpoint_never_poisons_resolution(spark, tmp_path):
+    """A crash between checkpoint-write and publish leaves a checkpoint
+    dir with an _OWNER marker and no matching manifest claim.  A later
+    commit at that version must resolve from the LOG, not the orphan."""
+    import os as _os
+
+    base = spark.range(0, 20).withColumn("v", F.col("id"))
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["id"]
+    )
+    # simulate the crashed restore: owned checkpoint for version 1 with
+    # stale content (version 0's fuller file set), no manifest yet
+    t._write_owned_checkpoint(1, t._entries_frame(0), "deadbeef")
+    # another writer commits version 1 normally (a delete)
+    t.delete("id >= 10")
+    assert t.latest_version() == 1
+    # the orphan must be ignored: version 1 is the delete, not the orphan
+    assert sorted(r["id"] for r in t.snapshot(1).collect()) == list(range(10))
+    assert _os.path.exists(_os.path.join(t._checkpoint_dir(1), "_OWNER"))

@@ -1127,3 +1127,38 @@ def test_real_webp_decode_in_image_features(spark):
     rgba = np.dstack([arr, np.full((6, 8), 255, np.uint8)])
     assert abs(out.mean_pixel - float(rgba.mean())) < 1e-9
     assert out.payload_size == len(wbp)
+
+
+def test_webp_color_transform_and_meta_prefix_roundtrip():
+    """The two decoder paths the basic matrix misses: the COLOR
+    transform (ColorTransformDelta with int8 multipliers, including
+    wrap-around negative coefficients) and a real meta-prefix-code
+    header (subresolution entropy image), alone and combined with the
+    other transforms."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (11, 15, 4), dtype=np.uint8)
+    for cte in [(16, 8, 4), (255, 128, 200), (0, 0, 0), (37, 211, 99)]:
+        got = decode_webp(
+            encode_webp_lossless(img, color_transform=cte, use_lz77_runs=False)
+        )
+        assert (got == img).all(), cte
+    got = decode_webp(
+        encode_webp_lossless(
+            img, color_transform=(16, 8, 4), subtract_green=True, predictor_mode=7
+        )
+    )
+    assert (got == img).all()
+    assert (decode_webp(encode_webp_lossless(img, meta_bits=3)) == img).all()
+    assert (
+        decode_webp(
+            encode_webp_lossless(img, meta_bits=2, subtract_green=True, cache_bits=3)
+        )
+        == img
+    ).all()

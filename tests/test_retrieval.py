@@ -323,3 +323,38 @@ def test_pagerank_plan_depth_constant(spark):
     pr = pagerank(df, iters=6)
     plan = pr._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_pagerank_convergence_mode(spark):
+    """until_delta stops iterating once no node moves more than the
+    threshold — integer-exact, so the stop round (hence the result) is
+    deterministic and equals the sequential replay with the same rule."""
+    edges = _undirected([(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (1, 4)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def replay_until(delta, cap=50):
+        prev = None
+        for it in range(1, cap + 1):
+            cur = _pagerank_expected(edges, iters=it)
+            if prev is not None and max(
+                abs(cur[v] - prev[v]) for v in cur
+            ) <= delta:
+                return cur, it
+            prev = cur
+        return cur, cap
+
+    exp, stop_round = replay_until(10_000_000)
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iters=50, until_delta=10_000_000).collect()
+    }
+    assert got == exp, (stop_round, got, exp)
+    assert stop_round < 50  # the rule actually fired before the cap
+    # and a tighter threshold keeps iterating (strictly closer to the cap)
+    exp2, stop2 = replay_until(1_000)
+    got2 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iters=50, until_delta=1_000).collect()
+    }
+    assert got2 == exp2
+    assert stop2 > stop_round
