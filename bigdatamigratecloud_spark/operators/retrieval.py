@@ -509,28 +509,33 @@ def pagerank_sql_steps(
     rank_scaled)`; integer arithmetic throughout, `//` = floor div on
     the non-negative operands used here."""
     rest = damping_den - damping_num
+    # every multiply-referenced CTE is MATERIALIZED: the per-round state
+    # it{i-1} feeds BOTH the contribution sum and the dangling sum, and
+    # a CTE-inlining engine would otherwise re-evaluate the whole chain
+    # per reference — 2^iters blow-up measured as an 80 GB DuckDB temp
+    # spill at sf0.1 before this hint
     parts = [
-        f"edges AS ({edges_cte})",
-        "odeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
-        "vnodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        "deg AS (SELECT v.node, COALESCE(o.outdeg, 0) AS outdeg "
+        f"edges AS MATERIALIZED ({edges_cte})",
+        "odeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "vnodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT v.node, COALESCE(o.outdeg, 0) AS outdeg "
         "FROM vnodes v LEFT JOIN odeg o ON v.node = o.src)",
-        "nn AS (SELECT count(*) AS n_nodes FROM deg)",
-        f"it0 AS (SELECT node, {scale} // n_nodes AS rank_scaled "
+        "nn AS MATERIALIZED (SELECT count(*) AS n_nodes FROM deg)",
+        f"it0 AS MATERIALIZED (SELECT node, {scale} // n_nodes AS rank_scaled "
         "FROM deg CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"dg{i} AS (SELECT COALESCE(SUM(p.rank_scaled), 0) AS dsum "
+            f"dg{i} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank_scaled), 0) AS dsum "
             f"FROM it{i-1} p JOIN deg d ON p.node = d.node AND d.outdeg = 0)"
         )
         parts.append(
-            f"s{i} AS (SELECT e.dst AS node, SUM(p.rank_scaled // d.outdeg) AS s "
+            f"s{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(p.rank_scaled // d.outdeg) AS s "
             f"FROM it{i-1} p JOIN deg d ON p.node = d.node AND d.outdeg > 0 "
             f"JOIN edges e ON p.node = e.src GROUP BY e.dst)"
         )
         parts.append(
-            f"it{i} AS (SELECT d.node,"
+            f"it{i} AS MATERIALIZED (SELECT d.node,"
             f" (({scale} // n_nodes) * {rest}) // {damping_den}"
             f" + ({damping_num} * (COALESCE(s.s, 0) + dg.dsum // n_nodes))"
             f" // {damping_den} AS rank_scaled "

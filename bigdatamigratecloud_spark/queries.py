@@ -4980,6 +4980,47 @@ def n5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2)
 
 
+@query(
+    "n5_bpe_segment",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2)
+    + """,
+       dtoks AS (SELECT doc_id,
+                        unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+                 FROM documents
+                 WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0)
+       SELECT d.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(len(w.syms)) AS BIGINT) AS n_subwords
+       FROM dtoks d JOIN bw12 w ON d.word = w.word
+       GROUP BY d.doc_id""",
+)
+def n5_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: BPE encode path — segment every document with the merges
+    learned by n5_bpe_train and report (n_words, n_subwords) per doc.
+    The oracle needs no separate apply machinery: after the unrolled
+    training rounds, the final round's per-word symbol lists ARE the
+    segmentation, so it joins document tokens back to that vocab frame.
+    Spark side: merges collect (12 rows) -> chained JVM folds per word
+    (bpe_segment), zero Python UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in _bpe.bpe_train(docs, num_merges=12, min_pair_count=2).collect()
+    ]
+    from .operators.text import tokens as _tokens
+
+    seg = _bpe.bpe_segment(docs, merges)
+    return (
+        seg.where(F.size(_tokens("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(_tokens("text")).cast("long").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        )
+    )
+
+
 _BM25_BATCH = {
     "q_join": ["join", "broadcast", "shuffle"],
     "q_vec": ["vector", "embedding"],
