@@ -542,7 +542,14 @@ def _decode_image(payload: bytes, strict: bool):
             return jpg
         from .webp import decode_webp
 
-        wbp = decode_webp(payload)  # raises on lossy-VP8 containers
+        try:
+            wbp = decode_webp(payload)
+        except NotImplementedError:
+            # lossy VP8/VP8X container: unsupported codec, NOT a corrupt
+            # payload — fall through to the strict gate below so the
+            # default non-strict mode yields the documented
+            # deterministic fake instead of failing the Spark task
+            wbp = None
         if wbp is not None:
             return wbp
         if strict:

@@ -403,9 +403,14 @@ def pagerank(
     )
     n_nodes = deg.count()  # one tiny action; deg is nodes-sized
     if n_nodes == 0:
-        return deg.select(
+        # release the (empty) caches too — an early return must not
+        # leak them for the session's lifetime
+        out = deg.select(
             F.col("node"), F.lit(0).cast("long").alias("rank_scaled")
         )
+        e.unpersist()
+        deg.unpersist()
+        return out
     init = scale // n_nodes
     base = (init * (damping_den - damping_num)) // damping_den
     ranks = deg.select(
@@ -442,11 +447,15 @@ def pagerank(
             )
             if moved is not None and moved <= until_delta:
                 break
-    if checkpoint:
-        # the result is materialized; release the cached edge/degree
-        # frames instead of leaking them for the session's lifetime
-        e.unpersist()
-        deg.unpersist()
+    # release the cached edge/degree frames UNCONDITIONALLY instead of
+    # leaking them for the session's lifetime.  With checkpoint=True the
+    # result is already materialized; with checkpoint=False the returned
+    # lazy frame recomputes from source on each action — every step is
+    # scaled-integer and partition-independent, so the values are
+    # bit-identical either way (just slower, and that path exists only
+    # for plan inspection).
+    e.unpersist()
+    deg.unpersist()
     return ranks
 
 

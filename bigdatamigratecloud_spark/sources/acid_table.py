@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
@@ -105,8 +106,16 @@ class AcidTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:011d}.json")
 
-    def _checkpoint_dir(self, version: int) -> str:
-        return os.path.join(self._log_dir, f"{version:011d}.checkpoint")
+    def _checkpoint_dir(self, version: int, owner: str | None = None) -> str:
+        """Checkpoint dir for a version.  Interval checkpoints live at
+        ``<v>.checkpoint``; checkpoint-BACKED commits (restore/clone)
+        stage their file set at the owner-unique ``<v>.checkpoint.<owner>``
+        so two concurrent writers racing for the same version can never
+        overwrite (or clean up) each other's staged file set — the loser's
+        dir is garbage by construction, the winner's is named in its
+        manifest."""
+        base = os.path.join(self._log_dir, f"{version:011d}.checkpoint")
+        return f"{base}.{owner}" if owner else base
 
     def _hint_version(self) -> int | None:
         # TypeError included: valid-JSON-but-wrong-shape hints (null,
@@ -169,26 +178,63 @@ class AcidTable:
             int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
         )
 
-    def _checkpoint_valid(self, version: int) -> bool:
-        """A checkpoint dir is trustworthy when it is complete
-        (``_SUCCESS``) and, if it carries an ``_OWNER`` marker (written
-        BEFORE its manifest by a checkpoint-backed restore/clone
-        commit), when the manifest at the same version exists and
-        claims that owner — an orphan left by a crash between
-        checkpoint-write and publish must never serve as a resolution
-        base for someone else's later commit at that version."""
-        d = self._checkpoint_dir(version)
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            return False
-        owner_file = os.path.join(d, "_OWNER")
-        if not os.path.exists(owner_file):
-            return True
+    @staticmethod
+    def _dir_owner(d: str) -> str | None:
         try:
-            with open(owner_file) as f:
-                owner = f.read().strip()
-            return self._read_manifest(version).get("checkpoint_owner") == owner
-        except (FileNotFoundError, json.JSONDecodeError):
-            return False
+            with open(os.path.join(d, "_OWNER")) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def _checkpoint_path(self, version: int) -> str | None:
+        """The trusted checkpoint dir for ``version``, or None.
+
+        Interval checkpoints are trusted when complete (``_SUCCESS``)
+        and unowned.  A checkpoint-BACKED commit's file set is trusted
+        only at a dir whose ``_OWNER`` matches the manifest's
+        ``checkpoint_owner`` — preferring the owner-unique staged path,
+        falling back to the legacy shared path for pre-existing tables.
+        An orphan left by a crash (or a raced loser) between
+        checkpoint-write and publish is never trusted as a resolution
+        base for someone else's commit at that version."""
+        try:
+            m = self._read_manifest(version)
+        except FileNotFoundError:
+            return None
+        owner = m.get("checkpoint_owner")
+        if owner:
+            for d in (
+                self._checkpoint_dir(version, owner),
+                self._checkpoint_dir(version),  # legacy shared layout
+            ):
+                if (
+                    os.path.exists(os.path.join(d, "_SUCCESS"))
+                    and self._dir_owner(d) == owner
+                ):
+                    return d
+            return None
+        d = self._checkpoint_dir(version)
+        if os.path.exists(os.path.join(d, "_SUCCESS")) and self._dir_owner(d) is None:
+            return d
+        return None
+
+    def _checkpoint_valid(self, version: int) -> bool:
+        return self._checkpoint_path(version) is not None
+
+    def _trusted_checkpoint_dir(self, version: int) -> str:
+        """The validated checkpoint dir for a version that MUST have one
+        (a resolution base, or a checkpoint-backed restore/clone
+        commit).  Raises a clear corruption error instead of silently
+        reading an incomplete or foreign-owned dir."""
+        d = self._checkpoint_path(version)
+        if d is None:
+            raise RuntimeError(
+                f"checkpoint for version {version} at {self.root} is missing, "
+                "incomplete (_SUCCESS), or owned by a different writer than "
+                "the committed manifest claims — table metadata is corrupt "
+                "or a concurrent writer's staging dir was tampered with"
+            )
+        return d
 
     def _checkpoint_versions(self) -> list[int]:
         """Ascending versions with a COMPLETE, trusted checkpoint on
@@ -198,12 +244,12 @@ class AcidTable:
             names = os.listdir(self._log_dir)
         except FileNotFoundError:
             return []
-        out = []
+        cands: set[int] = set()
         for n in names:
-            if n.endswith(".checkpoint") and n[:-11].isdigit():
-                if self._checkpoint_valid(int(n[:-11])):
-                    out.append(int(n[:-11]))
-        return sorted(out)
+            m = re.match(r"^(\d+)\.checkpoint(\.[0-9a-f]+)?$", n)
+            if m:
+                cands.add(int(m.group(1)))
+        return sorted(v for v in cands if self._checkpoint_valid(v))
 
     def _checkpoint_at_or_before(self, version: int) -> int | None:
         hv = self._hint_version()
@@ -277,14 +323,17 @@ class AcidTable:
 
     def _write_owned_checkpoint(self, version: int, ent: DataFrame, owner: str) -> None:
         """Pre-publish write of a checkpoint-backed commit's file set:
-        the entries frame lands as the checkpoint parquet for
-        ``version`` (a DISTRIBUTED write — the paths never materialize
-        in the Python driver) plus an ``_OWNER`` marker tying it to the
-        manifest about to be published.  Until that manifest exists and
-        names this owner, :meth:`_checkpoint_valid` rejects the dir, so
-        a crash here leaves harmless garbage, never a wrong resolution
-        base.  The hint is advanced only AFTER a successful publish."""
-        out = self._checkpoint_dir(version)
+        the entries frame lands as the checkpoint parquet at the
+        OWNER-UNIQUE dir ``<version>.checkpoint.<owner>`` (a DISTRIBUTED
+        write — the paths never materialize in the Python driver) plus
+        an ``_OWNER`` marker tying it to the manifest about to be
+        published.  The owner-unique path means two writers racing for
+        the same version can never clobber each other's staged file set;
+        until the manifest exists and names this owner,
+        :meth:`_checkpoint_valid` rejects the dir, so a crash here
+        leaves harmless garbage, never a wrong resolution base.  The
+        hint is advanced only AFTER a successful publish."""
+        out = self._checkpoint_dir(version, owner)
         ent.write.mode("overwrite").parquet(out)
         with open(os.path.join(out, "_OWNER"), "w") as f:
             f.write(owner)
@@ -321,7 +370,7 @@ class AcidTable:
         (bounded by file count — the maintenance/inspection cost class,
         same as :meth:`entries`)."""
         out = []
-        for r in self.spark.read.parquet(self._checkpoint_dir(version)).collect():
+        for r in self.spark.read.parquet(self._trusted_checkpoint_dir(version)).collect():
             out.append(
                 {
                     "path": r["path"],
@@ -365,7 +414,7 @@ class AcidTable:
         ckpt_v, tail = self._resolve_walk(v)
         by_path: dict[str, dict] = {}
         if ckpt_v is not None:
-            for r in self.spark.read.parquet(self._checkpoint_dir(ckpt_v)).collect():
+            for r in self.spark.read.parquet(self._trusted_checkpoint_dir(ckpt_v)).collect():
                 by_path[r["path"]] = {
                     "path": r["path"],
                     "rows": r["rows"],
@@ -383,7 +432,7 @@ class AcidTable:
         table size."""
         ckpt_v, tail = self._resolve_walk(version)
         if ckpt_v is not None:
-            base = self.spark.read.parquet(self._checkpoint_dir(ckpt_v)).select(
+            base = self.spark.read.parquet(self._trusted_checkpoint_dir(ckpt_v)).select(
                 "path", "rows", "stats"
             )
         else:
@@ -395,7 +444,7 @@ class AcidTable:
                 # checkpoint-backed commit: the file set IS that
                 # version's checkpoint parquet (distributed read)
                 base = self.spark.read.parquet(
-                    self._checkpoint_dir(m["version"])
+                    self._trusted_checkpoint_dir(m["version"])
                 ).select("path", "rows", "stats")
                 removes, adds = [], []
                 continue
@@ -431,7 +480,7 @@ class AcidTable:
         if ckpt_v is not None:
             paths = {
                 r["path"]
-                for r in self.spark.read.parquet(self._checkpoint_dir(ckpt_v))
+                for r in self.spark.read.parquet(self._trusted_checkpoint_dir(ckpt_v))
                 .select("path")
                 .collect()
             }
@@ -440,7 +489,7 @@ class AcidTable:
                 paths = {
                     r["path"]
                     for r in self.spark.read.parquet(
-                        self._checkpoint_dir(m["version"])
+                        self._trusted_checkpoint_dir(m["version"])
                     )
                     .select("path")
                     .collect()
@@ -1247,15 +1296,9 @@ class AcidTable:
         try:
             v = self._publish(manifest)
         except ConcurrentWriteError:
-            # only clean up if the dir is still OURS — a racing interval
-            # checkpoint for the winner's commit may have replaced it
-            d = self._checkpoint_dir(new_v)
-            try:
-                with open(os.path.join(d, "_OWNER")) as f:
-                    if f.read().strip() == owner:
-                        shutil.rmtree(d, ignore_errors=True)
-            except FileNotFoundError:
-                pass
+            # the staged dir is owner-unique, so removing it can never
+            # touch the winner's file set
+            shutil.rmtree(self._checkpoint_dir(new_v, owner), ignore_errors=True)
             raise
         self._advance_hint(v)
         return v
@@ -1322,7 +1365,9 @@ class AcidTable:
                 }
             )
         except ConcurrentWriteError as e:
-            shutil.rmtree(dest._checkpoint_dir(0), ignore_errors=True)
+            # owner-unique staging dir: this can only ever remove OUR
+            # staged file set, never a racing clone winner's
+            shutil.rmtree(dest._checkpoint_dir(0, owner), ignore_errors=True)
             raise FileExistsError(f"clone target {dest_root} already exists") from e
         dest._advance_hint(0)
         return dest
@@ -1592,9 +1637,28 @@ class AcidTable:
                     os.unlink(self._manifest_path(v))
                 except FileNotFoundError:
                     pass
-        for v in self._checkpoint_versions():
-            if v < horizon:
-                shutil.rmtree(self._checkpoint_dir(v), ignore_errors=True)
+        # checkpoint dirs: drop everything below the horizon (suffixed
+        # owner-staged dirs included), plus AGED orphan staging dirs —
+        # leftovers from a crashed or raced restore/clone whose owner the
+        # committed manifest at that version does not claim.  Young
+        # orphans are kept: they may belong to an in-flight writer that
+        # has staged but not yet published.
+        for n in os.listdir(self._log_dir) if os.path.isdir(self._log_dir) else []:
+            mt = re.match(r"^(\d+)\.checkpoint(?:\.([0-9a-f]+))?$", n)
+            if not mt:
+                continue
+            cv, downer = int(mt.group(1)), mt.group(2)
+            d = os.path.join(self._log_dir, n)
+            if cv < horizon:
+                shutil.rmtree(d, ignore_errors=True)
+                continue
+            if downer is not None and self._checkpoint_path(cv) != d:
+                try:
+                    age = now - os.path.getmtime(d)
+                except FileNotFoundError:
+                    continue
+                if age >= retain_seconds:
+                    shutil.rmtree(d, ignore_errors=True)
         return sorted(deleted)
 
 

@@ -1085,10 +1085,13 @@ def test_restore_and_clone_are_checkpoint_backed(spark, tmp_path):
     with open(t._manifest_path(rv)) as f:
         m = _json.load(f)
     assert m["add"] == [] and m.get("checkpoint_owner")
-    d = t._checkpoint_dir(rv)
+    # the staged file set lives at the OWNER-UNIQUE dir, so two writers
+    # racing for the same version can never clobber each other
+    d = t._checkpoint_dir(rv, m["checkpoint_owner"])
     assert _os.path.exists(_os.path.join(d, "_SUCCESS"))
     with open(_os.path.join(d, "_OWNER")) as f:
         assert f.read().strip() == m["checkpoint_owner"]
+    assert t._checkpoint_path(rv) == d
     assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(60))
     # history and time travel still resolve through the owned commit
     assert [h["num_rows"] for h in t.history()] == [60, 40, 60]
@@ -1122,4 +1125,78 @@ def test_orphan_owned_checkpoint_never_poisons_resolution(spark, tmp_path):
     assert t.latest_version() == 1
     # the orphan must be ignored: version 1 is the delete, not the orphan
     assert sorted(r["id"] for r in t.snapshot(1).collect()) == list(range(10))
-    assert _os.path.exists(_os.path.join(t._checkpoint_dir(1), "_OWNER"))
+    assert _os.path.exists(
+        _os.path.join(t._checkpoint_dir(1, "deadbeef"), "_OWNER")
+    )
+    # the orphan staging dir is never trusted as a resolution base
+    assert t._checkpoint_path(1) is None
+
+
+def test_concurrent_restore_loser_cannot_clobber_winner(spark, tmp_path):
+    """Two restores racing for the same new version (to DIFFERENT source
+    versions): the loser's staged file set and its failure cleanup must
+    never touch the winner's committed file set.  Regression test for
+    the shared <v>.checkpoint staging path, where the loser's overwrite
+    could silently swap the winner's entries (or its cleanup rmtree the
+    dir the winner's manifest depends on)."""
+    base = spark.range(0, 30).withColumn("v", F.col("id"))
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["id"]
+    )
+    t.delete("id >= 20")  # v1: 20 rows
+    t.delete("id >= 10")  # v2: 10 rows
+    head = t.latest_version()
+    new_v = head + 1
+
+    # loser stages FIRST (restore to v1), as its interleaving would
+    import uuid as _uuid
+
+    loser_owner = _uuid.uuid4().hex
+    t._write_owned_checkpoint(new_v, t._entries_frame(1), loser_owner)
+
+    # winner completes a full restore to v0 and wins the publish race
+    rv = t.restore(0)
+    assert rv == new_v
+    assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(30))
+
+    # loser now loses the publish and runs its cleanup path
+    with pytest.raises(ConcurrentWriteError):
+        t._publish(
+            {
+                "version": new_v,
+                "operation": "restore",
+                "schema": t._read_manifest(1)["schema"],
+                "key_cols": t._read_manifest(1)["key_cols"],
+                "reset": True,
+                "add": [],
+                "checkpoint_owner": loser_owner,
+                "txns": {},
+            }
+        )
+    import shutil as _shutil
+
+    _shutil.rmtree(t._checkpoint_dir(new_v, loser_owner), ignore_errors=True)
+
+    # the winner's committed version still resolves to v0's 30 rows —
+    # neither the loser's staged overwrite nor its cleanup touched it
+    assert sorted(r["id"] for r in t.snapshot(new_v).collect()) == list(range(30))
+    assert sorted(r["id"] for r in t.snapshot().collect()) == list(range(30))
+
+
+def test_clone_loser_cleanup_spares_winner(spark, tmp_path):
+    """A clone that loses the version-0 publish race must not rmtree the
+    winning clone's committed checkpoint (regression: the old handler
+    deleted dest's shared checkpoint dir unconditionally)."""
+    base = spark.range(0, 25).withColumn("v", F.col("id"))
+    src = AcidTable.create(
+        spark, str(tmp_path / "src"), base.coalesce(2), key_cols=["id"]
+    )
+    dest_root = str(tmp_path / "clone")
+    winner = src.clone_to(dest_root)
+    assert sorted(r["id"] for r in winner.snapshot().collect()) == list(range(25))
+    # second clone to the same dest loses cleanly...
+    with pytest.raises(FileExistsError):
+        src.clone_to(dest_root)
+    # ...and the winner's committed file set is intact afterwards
+    reopened = AcidTable(spark, dest_root)
+    assert sorted(r["id"] for r in reopened.snapshot().collect()) == list(range(25))

@@ -1162,3 +1162,21 @@ def test_webp_color_transform_and_meta_prefix_roundtrip():
         )
         == img
     ).all()
+
+
+def test_lossy_webp_falls_back_to_fake_when_non_strict(spark):
+    """Default (non-strict) image ops over a corpus containing lossy
+    VP8 WebP — the majority of real-world .webp — must yield the
+    documented deterministic fake, not fail the Spark task.  Strict
+    mode still raises.  (Regression: decode_webp's NotImplementedError
+    used to escape BEFORE the strict gate.)"""
+    import struct
+
+    import pytest as _pytest
+
+    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    df = spark.createDataFrame([(1, lossy)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=False).collect()
+    assert len(out) == 1 and out[0]["height"] == 8 and out[0]["width"] == 8
+    with _pytest.raises(Exception):
+        multimodal.image_features(df, decode_strict=True).collect()
