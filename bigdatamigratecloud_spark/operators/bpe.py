@@ -33,12 +33,25 @@ merging takes the 1st, 3rd, ... start of the run — the odd ranks.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import tokens
 
 _MERGES_DDL = "rank int, lhs string, rhs string, merged string, pair_count long"
+
+# Java's \s (what text.tokens() collapses) is ASCII-only — mirror it
+# exactly in the Python kernel so fold and kernel tokenize identically
+_JAVA_WS = _re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _python_tokens(s: str) -> list[str]:
+    """Byte-for-byte mirror of text.tokens(): collapse Java-\\s runs to
+    one space, trim, split — [] for blank text."""
+    norm = _JAVA_WS.sub(" ", s).strip(" ")
+    return norm.split(" ") if norm else []
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -69,12 +82,47 @@ def _merge_fold(lhs_col, rhs_col):
     )
 
 
+def _adjacent_pairs(w: DataFrame) -> DataFrame:
+    """(lhs, rhs, total) counts of all adjacent symbol pairs in a
+    (word, cnt, syms) frame — map-side-combined, one shuffle."""
+    return (
+        w.where(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            "syms",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        )
+        .select(
+            F.element_at("syms", F.col("i")).alias("lhs"),
+            F.element_at("syms", F.col("i") + 1).alias("rhs"),
+            "cnt",
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def _has_adjacent_pair(lhs: str, rhs: str):
+    """Boolean column: does ``syms`` contain (lhs, rhs) adjacently?
+    Linear (zip of two shifted slices), no per-element re-evaluation."""
+    n = F.size("syms")
+    return (n >= 2) & F.array_contains(
+        F.zip_with(
+            F.slice(F.col("syms"), 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(F.col("syms"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: (a == F.lit(lhs)) & (b == F.lit(rhs)),
+        ),
+        True,
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint: bool = True,
+    incremental: bool | None = None,
 ) -> DataFrame:
     """Learn up to ``num_merges`` BPE merge rules from the corpus.
 
@@ -85,30 +133,46 @@ def bpe_train(
     it out, so stopping early is value-identical to running on).
 
     The merge table itself is tiny (``num_merges`` rows) and builds on
-    the driver; all counting and merging is distributed."""
+    the driver; all counting and merging is distributed.
+
+    Two value-identical per-round strategies (`incremental=None` picks
+    by vocab size: recount up to 16 merges — the oracle-reference
+    path — delta-maintenance beyond):
+
+    - **recount** (``incremental=False``): re-explode every word's
+      pairs and re-aggregate each round.  Per-round cost O(vocab ×
+      avg word length) regardless of how little changed — fine for a
+      handful of merges, quadratic waste at a production vocab.
+    - **delta-maintained** (``incremental=True``): keep the pair-count
+      table as a persistent frame; each round touches only the words
+      that actually CONTAIN the merged pair (subtract their old pairs,
+      add their post-merge pairs).  Late rounds affect a vanishing
+      slice of the vocabulary, so per-merge pair work shrinks toward
+      zero while the recount path stays flat — the ≥1k-merge probe in
+      BASELINE.md measures exactly this.
+
+    Exactness bound, stated honestly: BPE's argmax is inherently
+    sequential — every strategy needs one driver round-trip (the 1-row
+    argmax) per merge, so training n merges is Θ(n) Spark jobs.  The
+    delta path makes each job small; it cannot make them fewer."""
     spark = docs.sparkSession
+    if incremental is None:
+        incremental = num_merges > 16
     w = _word_counts(docs, text_col).withColumn("syms", F.split(F.col("word"), ""))
     if checkpoint:
         w = w.localCheckpoint(eager=True)
     merges: list[tuple] = []
+    pair_tbl = None
+    base_parts = 1
+    if incremental:
+        base_parts = max(1, w.rdd.getNumPartitions())
+        pair_tbl = _adjacent_pairs(w)
+        if checkpoint:
+            pair_tbl = pair_tbl.localCheckpoint(eager=True)
     for rank in range(1, num_merges + 1):
-        pairs = (
-            w.where(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                "syms",
-                F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
-            )
-            .select(
-                F.element_at("syms", F.col("i")).alias("lhs"),
-                F.element_at("syms", F.col("i") + 1).alias("rhs"),
-                "cnt",
-            )
-        )
+        cand = pair_tbl if incremental else _adjacent_pairs(w)
         best = (
-            pairs.groupBy("lhs", "rhs")
-            .agg(F.sum("cnt").alias("total"))
-            .orderBy(F.col("total").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            cand.orderBy(F.col("total").desc(), F.col("lhs").asc(), F.col("rhs").asc())
             .limit(1)
             .collect()
         )
@@ -116,13 +180,47 @@ def bpe_train(
             break
         b = best[0]
         merges.append((rank, b["lhs"], b["rhs"], b["lhs"] + b["rhs"], int(b["total"])))
-        bf = spark.createDataFrame([(b["lhs"], b["rhs"])], "l string, r string")
-        w = w.crossJoin(F.broadcast(bf)).select(
-            "word", "cnt", _merge_fold(F.col("l"), F.col("r")).alias("syms")
-        )
-        if checkpoint:
-            # vocab-sized; keeps the plan O(1) deep across rounds
-            w = w.localCheckpoint(eager=True)
+        if incremental:
+            has = _has_adjacent_pair(b["lhs"], b["rhs"])
+            affected = w.where(has)
+            merged_aff = affected.select(
+                "word",
+                "cnt",
+                _merge_fold(F.lit(b["lhs"]), F.lit(b["rhs"])).alias("syms"),
+            )
+            # pair-count delta: -old pairs of the affected words,
+            # +their post-merge pairs — everything else is untouched
+            delta = _adjacent_pairs(
+                affected.withColumn("cnt", -F.col("cnt"))
+            ).unionByName(_adjacent_pairs(merged_aff))
+            pair_tbl = (
+                pair_tbl.unionByName(delta)
+                .groupBy("lhs", "rhs")
+                .agg(F.sum("total").alias("total"))
+                .where(F.col("total") > 0)
+            )
+            # NARROW coalesce after the union: without it the partition
+            # count DOUBLES per round (union concatenates both inputs'
+            # partitions and the checkpoint freezes them) — 32·2^k
+            # partitions by round k
+            w = w.where(~has).unionByName(merged_aff).coalesce(base_parts)
+            # EAGER checkpoint both frames EVERY round: w is referenced
+            # ~4× per round (affected / merged / keep-filter / delta),
+            # so any lazy window recomputes with ~4^window fan-out —
+            # measured 30× slower at window 8.  Eager-per-round keeps
+            # plan depth O(1) and per-merge cost at the job-launch
+            # floor (the Θ(num_merges)-jobs bound documented above).
+            if checkpoint:
+                pair_tbl = pair_tbl.localCheckpoint(eager=True)
+                w = w.localCheckpoint(eager=True)
+        else:
+            bf = spark.createDataFrame([(b["lhs"], b["rhs"])], "l string, r string")
+            w = w.crossJoin(F.broadcast(bf)).select(
+                "word", "cnt", _merge_fold(F.col("l"), F.col("r")).alias("syms")
+            )
+            if checkpoint:
+                # vocab-sized; keeps the plan O(1) deep across rounds
+                w = w.localCheckpoint(eager=True)
     return spark.createDataFrame(merges, _MERGES_DDL)
 
 
@@ -131,11 +229,37 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    impl: str = "auto",
+    fold_max_rules: int = 64,
 ) -> DataFrame:
-    """Apply learned merge rules (in rank order) to tokenize text: per
-    word, start from characters and fold each rule through the symbol
-    array — ``len(merges)`` chained JVM folds, no Python UDF.  Returns
-    the input plus ``out_col: array<string>`` of subword units."""
+    """Tokenize text with learned merge rules.  Returns the input plus
+    ``out_col: array<string>`` of subword units.
+
+    Two value-identical implementations, dispatched by ``impl``:
+
+    - ``"fold"``: one chained JVM ``aggregate`` fold PER RULE — pure
+      Catalyst, zero Python, the oracle-reference path.  Plan depth is
+      O(len(merges)): fine at tens of rules, a codegen/analysis
+      explosion at a production 32k-merge vocab.
+    - ``"kernel"``: a broadcast merge-rank dict applied in one Arrow
+      ``mapInPandas`` kernel — O(1) plan depth at ANY vocab size.  Per
+      word it iteratively merges the lowest-ranked pair present
+      (greedy left-to-right within a rule), with a per-batch word
+      cache.  This equals the sequential fold because merging rule k
+      only creates symbols that participate in rules ranked AFTER k
+      (a rule's elements are compositions of strictly earlier merges),
+      and a merge never makes two pre-existing symbols newly adjacent
+      — so once a rule is exhausted it can never fire again.
+    - ``"auto"`` (default): fold up to ``fold_max_rules`` rules,
+      kernel beyond.
+
+    Unicode note: both paths split words into code units the way their
+    engine does; they agree on all BMP text (the fixtures and oracle
+    are ASCII)."""
+    if impl not in ("auto", "fold", "kernel"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "kernel" or (impl == "auto" and len(merges) > fold_max_rules):
+        return _bpe_segment_kernel(df, merges, text_col, out_col)
     toks = tokens(text_col)
     word_syms = F.transform(toks, lambda wd: F.split(wd, ""))
 
@@ -161,6 +285,73 @@ def bpe_segment(
     return df.withColumn(
         out_col, F.flatten(F.transform(word_syms, apply_rules))
     )
+
+
+def _bpe_segment_kernel(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow ``mapInPandas`` BPE encoder (see :func:`bpe_segment`).
+
+    The merge table ships ONCE per executor as a broadcast (a 32k-rule
+    vocab is ~1 MB — never a plan literal, never per-task); encoding a
+    word is O(len²) in the word's length and INDEPENDENT of vocab size
+    (dict lookups), with a per-batch word cache exploiting Zipf repeat
+    rates.  Null text stays null, matching the fold path."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+    rules = [(str(l), str(r)) for l, r in merges]
+    bc = df.sparkSession.sparkContext.broadcast(rules)
+
+    def run(batches):
+        rule_list = bc.value
+        ranks = {pair: i for i, pair in enumerate(rule_list)}
+        cache: dict[str, list[str]] = {}
+
+        def encode(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                lhs, rhs = rule_list[best]
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            res = pdf.copy()
+            res[out_col] = [
+                None
+                if txt is None
+                else [t for w in _python_tokens(txt) for t in encode(w)]
+                for txt in pdf[text_col]
+            ]
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def bpe_sql_steps(

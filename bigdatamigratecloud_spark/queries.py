@@ -5021,6 +5021,64 @@ def n5_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n5_bpe_train_incremental",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2)
+    + "\n       SELECT rank, lhs, rhs, merged, pair_count FROM bpe_merges",
+)
+def n5_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: the delta-maintained BPE trainer (operators/bpe.py) — keeps
+    the pair-count table as a persistent frame and, per merge, updates
+    only the words that CONTAIN the merged pair instead of re-exploding
+    the whole vocabulary.  Value-identical to n5_bpe_train (same
+    unrolled DuckDB oracle); the scale path for production vocab
+    sizes, where late rounds touch a vanishing slice of the vocab and
+    the recount path's flat per-round cost becomes the bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2, incremental=True)
+
+
+@query(
+    "n5_bpe_segment_kernel",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2)
+    + """,
+       dtoks AS (SELECT doc_id,
+                        unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS word
+                 FROM documents
+                 WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0)
+       SELECT d.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_words,
+              CAST(SUM(len(w.syms)) AS BIGINT) AS n_subwords
+       FROM dtoks d JOIN bw12 w ON d.word = w.word
+       GROUP BY d.doc_id""",
+)
+def n5_bpe_segment_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: the Arrow-kernel BPE encoder (operators/bpe.py) — a broadcast
+    merge-rank dict applied in ONE mapInPandas pass, O(1) plan depth at
+    any vocab size (the Catalyst fold sibling n5_bpe_segment nests one
+    aggregate per rule — exact but plan-explosive at a production 32k
+    vocab).  Same rules, same per-doc (n_words, n_subwords) oracle —
+    the driver cross-checks the kernel's subword math end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in _bpe.bpe_train(docs, num_merges=12, min_pair_count=2).collect()
+    ]
+    from .operators.text import tokens as _tokens
+
+    seg = _bpe.bpe_segment(docs, merges, impl="kernel")
+    return (
+        seg.where(F.size(_tokens("text")) > 0)
+        .select(
+            "doc_id",
+            F.size(_tokens("text")).cast("long").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        )
+    )
+
+
 _BM25_BATCH = {
     "q_join": ["join", "broadcast", "shuffle"],
     "q_vec": ["vector", "embedding"],

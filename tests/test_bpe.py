@@ -119,3 +119,81 @@ def test_bpe_segment_applies_rules_in_order(spark):
     exp = [s for w in "low lowest wider".split() for s in apply(w)]
     assert seg == exp
     assert "low" in seg  # the corpus's dominant word became one token
+
+
+def test_bpe_train_incremental_equals_recount(spark):
+    """The delta-maintained pair-count trainer must replay the EXACT
+    merge sequence (and pair counts) of the full-recount reference, on
+    corpora with overlapping-run edge cases included."""
+    texts = TEXTS + ["aaaa aaa baab abab abab", "lowest newest widest estest"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rec = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=20, min_pair_count=1, incremental=False).collect()
+    ]
+    inc = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=20, min_pair_count=1, incremental=True).collect()
+    ]
+    assert inc == rec == _replay(_counts(texts), 20, min_count=1)
+
+
+def test_bpe_train_auto_picks_incremental_beyond_threshold(spark):
+    """`incremental=None` at >16 merges routes through the delta path —
+    same answer as the sequential replay."""
+    texts = TEXTS + ["estest lowered widened newness"]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=24, min_pair_count=1).collect()
+    ]
+    assert got == _replay(_counts(texts), 24, min_count=1)
+
+
+def test_bpe_segment_kernel_equals_fold(spark):
+    """The Arrow mapInPandas encoder (broadcast rank dict, min-rank
+    iteration) must produce byte-identical subword sequences to the
+    Catalyst fold path — including null text, blank text, whitespace
+    runs, and identical-symbol chains."""
+    train_docs = spark.createDataFrame(
+        list(enumerate(TEXTS + ["aaaa aaa abab baab"])), "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(train_docs, num_merges=12, min_pair_count=1).collect()
+    ]
+    probe = spark.createDataFrame(
+        [
+            (1, "low lowest wider aaaa abab"),
+            (2, ""),
+            (3, None),
+            (4, "   low\t\twider \n aaa  "),
+            (5, "unseen zzz qqq low"),
+        ],
+        "doc_id long, text string",
+    )
+    fold = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(probe, merges, impl="fold").collect()
+    }
+    kern = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(probe, merges, impl="kernel").collect()
+    }
+    assert kern == fold
+    assert kern[3] is None and kern[2] == []
+
+
+def test_bpe_segment_kernel_plan_depth_constant(spark):
+    """At a 1k-rule vocab the kernel path's plan must stay O(1) — one
+    mapInPandas over the scan, no per-rule expression nesting — where
+    the fold path would nest 1,000 aggregates.  (The auto dispatcher
+    must route there.)"""
+    rules = [(chr(97 + i % 26), chr(97 + (i * 7) % 26)) for i in range(1000)]
+    df = spark.createDataFrame([(1, "abc xyz")], "doc_id long, text string")
+    seg = bpe_segment(df, rules)  # auto -> kernel
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    # the plan string stays tiny — a nested fold would be megabytes
+    assert len(plan) < 20_000
+    seg.collect()  # and it executes
