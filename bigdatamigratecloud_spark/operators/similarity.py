@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -429,6 +429,116 @@ def ivf_cosine_topk(
 
 
 # --- PQ (product quantization) ANN: the memory-compression scale path -----
+
+def _unit_centroids(centroids) -> list[list[float]]:
+    """Unit-normalize a centroid list driver-side: cosine assignment and
+    probing need unit centroids; arbitrary quantizers (e.g. per-label
+    means) are not unit-norm."""
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        out.append([float(x) / n for x in c])
+    return out
+
+
+def ivf_index_write(
+    df: DataFrame,
+    centroids,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize an IVF index on disk: vectors (unit-normalized, as
+    ``cu``) partitioned by their nearest-centroid ``cluster`` — the
+    layout that turns probing into STATIC partition pruning at the
+    parquet source.  Assignment is a narrow JVM map (centroid matrix as
+    a plan literal); the write is one corpus pass, no shuffle beyond
+    the partitioned sink."""
+    ucents = _unit_centroids(centroids)
+    # assign on the UNIT vector against UNIT centroids: dot == cosine,
+    # so the argmax is the cosine-nearest list for ANY quantizer (raw
+    # per-label means included), with ties to the lowest centroid index
+    assigned = ivf_assign(
+        with_unit_vector(df, vec_col, "cu"), ucents, "cu", "cluster"
+    ).select(F.col(id_col).alias("vec_id"), "cu", "cluster")
+    assigned.write.partitionBy("cluster").mode(mode).parquet(index_dir)
+
+
+def ivf_index_append(
+    batch: DataFrame,
+    centroids,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance — the ANN twin of
+    ``minhash_dedup_incremental``: a NEW batch of vectors is assigned to
+    the EXISTING centroids (one narrow pass over the batch, the stored
+    corpus is never read) and appended to the partitioned inverted
+    lists.  Append cost scales with the batch, not the corpus; the
+    resulting index is IDENTICAL to a from-scratch rebuild with the same
+    centroids, because assignment is per-vector and centroid-only.
+
+    The standard caveat applies (same as FAISS's add-after-train): the
+    quantizer is NOT refit, so heavy drift in the incoming distribution
+    degrades list balance until the next retrain — detectable by
+    monitoring per-cluster counts, which the partitioned layout gives
+    for free from the directory listing."""
+    ivf_index_write(batch, centroids, index_dir, id_col, vec_col, mode="append")
+
+
+def ivf_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a disk-resident IVF index: per-query probe lists are chosen
+    JVM-side against the plan-literal centroids, the probed clusters are
+    collected (bounded: n_queries × n_probe ids) into a static partition
+    filter, and only those cluster directories are scanned."""
+    cents = _unit_centroids(centroids)
+    sims = F.array(
+        *[_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    pairs = F.transform(
+        sims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("idx"))
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
+    )
+    q = (
+        with_unit_vector(queries, vec_col, "qu")
+        .select(F.col(query_id_col).alias("query_id"), "qu")
+        .withColumn("cluster", F.explode(probed))
+    )
+    wanted = sorted(
+        {r["cluster"] for r in q.select("cluster").distinct().collect()}
+    )
+    idx = spark.read.parquet(index_dir).where(F.col("cluster").isin(wanted))
+    sim = (
+        idx.join(q, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("nbr_id"),
+            _dot(F.col("qu"), F.col("cu")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
 
 def _kmeans_l2(samples, k: int, iters: int = 10, seed: int = 42):
     """Plain L2 k-means on a driver-side sample (numpy) — PQ codebooks

@@ -4442,6 +4442,122 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_IVF_INCR_SQL = """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  nrm AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+          FROM u),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i
+                  FROM u WHERE vec_id % 5 <> 0)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                 list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+            FROM cents),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM (SELECT n.vec_id, cn.cid,
+                       list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+                FROM nrm n CROSS JOIN cnorm cn)),
+  assigned AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, uv AS qu FROM nrm WHERE vec_id < 3),
+  qp AS (SELECT query_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, cid) AS rn
+         FROM (SELECT q.query_id, cn.cid,
+                      list_reduce(list_transform(list_zip(q.qu, cn.uc),
+                          p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+               FROM q CROSS JOIN cnorm cn)),
+  probes AS (SELECT query_id, cid FROM qp WHERE rn <= 3),
+  scored AS (SELECT q.query_id, n.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qu, n.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+             FROM q JOIN probes p USING (query_id)
+             JOIN assigned a ON a.cluster = p.cid
+             JOIN nrm n ON n.vec_id = a.vec_id
+             WHERE n.vec_id <> q.query_id)
+  SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cosine FROM (
+    SELECT query_id, nbr_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, nbr_id) AS rank
+    FROM scored) r
+  WHERE rank <= 10"""
+
+
+@query("ann_ivf_incremental", _IVF_INCR_SQL)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: INCREMENTAL IVF index maintenance (round-7, the ANN twin of
+    n1_dedup_incremental): the cluster-partitioned index is built from
+    the CORPUS slice (vec_id % 5 != 0) with corpus-trained centroids;
+    the remaining vectors arrive later as a batch and are APPENDED via
+    ivf_index_append — one narrow pass over the batch assigning it to
+    the EXISTING centroids, zero corpus reads, zero rebuild.  Queries
+    over the combined index then equal a from-scratch rebuild with the
+    same quantizer exactly (assignment is per-vector and centroid-only),
+    which is what the oracle replays: corpus-only centroid cells,
+    all-vector assignment, probe-3, rerank top-10 — bit-identical
+    because the quantizer is the decimal-exact per-label mean, as in
+    ann_ivf_partitioned (similarity.py ivf_index_write/append/query)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_index_append,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    # deterministic quantizer: decimal-exact per-label means of the
+    # CORPUS ONLY — the batch arrives after training, as in production
+    cellrows = (
+        corpus.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        .collect()
+    )  # bounded: k labels x d dims
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cellrows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["mv"]
+    cents = [
+        [by_label[cid][i] for i in range(len(by_label[cid]))]
+        for cid in sorted(by_label)
+    ]
+    d = tempfile.mkdtemp(prefix="bdmc_ivfincr_")
+    try:
+        ivf_index_write(corpus, cents, d)
+        ivf_index_append(batch, cents, d)
+        out = ivf_index_query(
+            spark,
+            d,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            cents,
+            k=10,
+            n_probe=3,
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Shared S-family round-trip driver: documents -> <fmt> files in a
     temp dir -> read back with the declared schema -> must equal source."""

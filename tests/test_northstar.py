@@ -178,6 +178,56 @@ def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
     assert probe.count() == idx.where(F.col("cluster").isin(0, 3)).count()
 
 
+def test_ivf_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: corpus-built index + batch append
+    must be IDENTICAL (cluster assignment per vector, and query results)
+    to a from-scratch rebuild over corpus+batch with the same centroids
+    — assignment is per-vector and centroid-only, so append order can't
+    matter.  The append itself reads only the batch."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.similarity import (
+        _kmeans_fit,
+        ivf_index_append,
+        ivf_index_query,
+        ivf_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [r[0] for r in emb.select("embedding").orderBy("vec_id").limit(256).collect()]
+    cents = _kmeans_fit(sample, k=8)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+
+    inc_dir = str(tmp_path / "inc")
+    ivf_index_write(corpus, cents, inc_dir)
+    ivf_index_append(batch, cents, inc_dir)
+    full_dir = str(tmp_path / "full")
+    ivf_index_write(emb, cents, full_dir)
+
+    inc_rows = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(inc_dir).select("vec_id", "cluster").collect()
+    }
+    full_rows = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(full_dir).select("vec_id", "cluster").collect()
+    }
+    assert inc_rows == full_rows and len(inc_rows) == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_inc = sorted(
+        tuple(r) for r in ivf_index_query(spark, inc_dir, queries, cents, k=5).collect()
+    )
+    got_full = sorted(
+        tuple(r) for r in ivf_index_query(spark, full_dir, queries, cents, k=5).collect()
+    )
+    assert got_inc == got_full and got_inc
+
+
 def test_lsh_neardup_pairs_recall_vs_brute(spark, sf_dir):
     """Candidate stage of the bucketed near-dup: no false positives (every
     emitted pair is reranked by the true dot product) and bounded recall
