@@ -444,3 +444,98 @@ def hot_span_scrub(
             .alias("n_tokens_removed"),
         )
     )
+
+
+# -------------------------------------------------- quality classifier
+
+def classifier_weights(n_buckets: int = 256, seed: int = 7) -> tuple[list[float], float]:
+    """Deterministic fastText-style linear-model weights over hashed
+    token features: ``n_buckets`` uniform(-1, 1) weights + a bias,
+    rounded to 6 decimals so the SAME literals embed exactly in both the
+    Spark plan and the DuckDB oracle (decimal→double parse is correctly
+    rounded in both engines).  In production these are the trained
+    model's weights, broadcast the same way."""
+    import random
+
+    rng = random.Random(seed)
+    w = [round(rng.uniform(-1.0, 1.0), 6) for _ in range(n_buckets)]
+    return w, round(rng.uniform(-0.2, 0.2), 6)
+
+
+def quality_classifier(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality-classifier INFERENCE — the standard LLM-curation
+    gate (fastText-style): hash each token into one of ``len(weights)``
+    buckets (engine-portable md5-prefix hash), score = bias + mean of
+    the bucket weights, keep when score > threshold.
+
+    100 TB shape: completely NARROW — the weight vector is a plan
+    literal evaluated inside one JVM ``aggregate`` fold per row (no
+    Python UDF, no explode, no shuffle, no join); the model "broadcast"
+    costs one array literal per task.  Blank documents score NULL and
+    are never kept.  DuckDB replays the identical arithmetic (left-fold
+    sum, then /n, then +bias), so the entry is value-exact."""
+    from .dedup import portable_hash60
+
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    toks = tokens(text_col)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(warr, (portable_hash60(t) % n + 1).cast("int")),
+    )
+    score = F.when(
+        F.size(toks) > 0, F.lit(float(bias)) + total / F.size(toks)
+    )
+    return df.select(
+        id_col,
+        score.alias("quality_margin"),
+        F.coalesce(score > F.lit(float(threshold)), F.lit(False)).cast("int").alias(
+            "is_quality"
+        ),
+    )
+
+
+def quality_classifier_sql(
+    weights: list[float],
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    docs_table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`quality_classifier`: same literal weights,
+    same md5-prefix bucket hash, same left-fold sum / mean / bias /
+    threshold arithmetic."""
+    n = len(weights)
+    wlist = "[" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in weights) + "]"
+    norm = f"trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH qc_toks AS (
+      SELECT {id_col},
+             string_split({norm}, ' ') AS toks
+      FROM {docs_table}
+    ), qc_scored AS (
+      SELECT {id_col},
+             CASE WHEN length({norm}) > 0 AND len(toks) > 0 THEN
+               CAST({bias!r} AS DOUBLE) +
+               list_reduce(
+                 list_transform(toks, t ->
+                   ({wlist})[CAST(('0x' || substr(md5(t), 1, 15))::BIGINT
+                             % {n} AS INT) + 1]),
+                 (a, b) -> a + b) / len(toks)
+             END AS quality_margin
+      FROM {docs_table} d JOIN qc_toks USING ({id_col})
+    )
+    SELECT {id_col}, quality_margin,
+           CAST(COALESCE(quality_margin > CAST({threshold!r} AS DOUBLE), FALSE)
+                AS INT) AS is_quality
+    FROM qc_scored"""

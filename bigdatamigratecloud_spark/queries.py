@@ -705,6 +705,28 @@ def n2_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.text import classifier_weights as _clf_weights  # noqa: E402
+from .operators.text import quality_classifier_sql as _clf_sql  # noqa: E402
+
+_CLF_W, _CLF_B = _clf_weights(n_buckets=256, seed=7)
+
+
+@query("n4_quality_classifier", _clf_sql(_CLF_W, _CLF_B, threshold=0.0))
+def n4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round-7): quality-classifier INFERENCE — the standard LLM-
+    curation gate the suite lacked.  A fastText-style linear model over
+    hashed bag-of-token features (seeded plan-literal weights, 256
+    buckets, engine-portable md5-prefix hash) scores every document in
+    ONE narrow JVM aggregate fold: no Python UDF, no explode, no
+    shuffle, no join (plan-asserted in test_plan_regressions).  DuckDB
+    replays the identical literals and left-fold arithmetic, so margins
+    match value-exactly (operators/text.py quality_classifier)."""
+    from .operators.text import quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier(docs, _CLF_W, _CLF_B, threshold=0.0)
+
+
 @query(
     "n4_chunk_documents",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

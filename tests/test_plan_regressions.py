@@ -292,3 +292,22 @@ def test_stratified_sample_exact_counts_and_plan(spark, sf_dir):
     a = {r["doc_id"] for r in out.select("doc_id").collect()}
     b = {r["doc_id"] for r in reshuffled.select("doc_id").collect()}
     assert a == b
+
+
+def test_quality_classifier_narrow_no_udf(spark, sf_dir):
+    """The quality-classifier gate must stay entirely NARROW: the model
+    is a plan-literal array folded JVM-side per row — no Python UDF
+    (Arrow or row), no explode, no Exchange, no join anywhere in the
+    executed plan.  At 100 TB this is one pass over the text column."""
+    from bigdatamigratecloud_spark.operators.text import (
+        classifier_weights,
+        quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w, b = classifier_weights(n_buckets=256, seed=7)
+    plan = _plan(quality_classifier(docs, w, b))
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "MapInPandas", "Generate", "Join"):
+        assert bad not in plan, f"{bad} leaked into the classifier plan"
+    assert "Scan parquet" in plan or "FileScan" in plan
