@@ -4957,6 +4957,91 @@ def stream_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_minhash_index",
+    "WITH "
+    + _dedup._minhash_cte_sql("documents", "doc_id", "text", 3, 32, 8)
+    + """
+       SELECT doc_id,
+              concat_ws(',', """
+    + ", ".join(f"CAST(h{i} AS VARCHAR)" for i in range(32))
+    + """) AS sig_str
+       FROM mins""",
+)
+def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + N1 composed (round-7): a document STREAM maintains the
+    MinHash signature index exactly-once — streaming/events.py
+    minhash_index_sink signs each micro-batch (batch-proportional work)
+    and MERGEs it into the signature AcidTable with (app, batch) txn
+    stamping; a replayed batch (re-invoked after the stream, same
+    batch id) must be a no-op.  Batches OVERLAP on doc_id, so upsert
+    re-signs some docs to identical values.  The final index must equal
+    a batch minhash_signatures over all documents — which is exactly
+    what the DuckDB oracle recomputes from scratch (portable md5-prefix
+    hashes), so the maintained index is value-exact, not just
+    row-consistent."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import minhash_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    landing = tempfile.mkdtemp(prefix="bdmc_smhidx_landing_")
+    troot = tempfile.mkdtemp(prefix="bdmc_smhidx_target_")
+    target = troot + "/t"
+    try:
+        hi_id = docs.agg(F.max("doc_id")).first()[0] + 1
+        cuts = (
+            (0, int(hi_id * 0.5)),
+            (int(hi_id * 0.4), int(hi_id * 0.8)),
+            (int(hi_id * 0.7), hi_id),
+        )
+        for lo, hi in cuts:
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        sink = minhash_index_sink(
+            target, app_id="stream_minhash_index", portable=True
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        t = AcidTable(spark, target)
+        head = t.latest_version()
+        # replay the last batch: exactly-once means NO new commit
+        lo, hi = cuts[-1]
+        sink(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            t.last_txn("stream_minhash_index"),
+        )
+        if t.latest_version() != head:
+            raise AssertionError("replayed batch must be a no-op")
+        out = t.snapshot().select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.transform(F.col("sig"), lambda x: x.cast("string"))
+            ).alias("sig_str"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(troot, ignore_errors=True)
+    return out
+
+
+@query(
     "w3_approx_distinct_bounded",
     """SELECT l_returnflag,
               COUNT(DISTINCT l_partkey) AS exact_nd,

@@ -241,6 +241,54 @@ def acid_merge_sink(
     return _apply
 
 
+def minhash_index_sink(
+    table_root: str,
+    app_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    portable: bool = False,
+    compact_every: int | None = None,
+    target_files: int = 32,
+):
+    """Exactly-once STREAMING maintenance of the MinHash signature
+    index — the stored-corpus side that ``minhash_dedup_incremental``
+    probes (operators/dedup.py): each micro-batch of documents is
+    signed (shingle→minhash, work proportional to the BATCH, the
+    stored corpus is never re-read) and MERGEd into the signature
+    AcidTable keyed by document id, txn-stamped through
+    :func:`acid_merge_sink` so replayed batches are no-ops.
+
+    The maintained table is byte-identical to a batch
+    ``minhash_signatures`` over everything ever streamed (per-doc
+    signatures are independent, and re-signed overlap rows upsert to
+    identical values), so incremental dedup against it equals
+    incremental dedup against freshly computed corpus signatures —
+    asserted in tests and by the ``stream_minhash_index`` oracle
+    entry.  At 100 TB this closes the loop: documents arrive as a
+    stream, the dedup index keeps itself current, and each new batch
+    dedups against the whole history without any corpus×corpus work."""
+    base = acid_merge_sink(
+        table_root, [id_col], app_id, compact_every, target_files
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import minhash_signatures
+
+        sigs = minhash_signatures(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            portable=portable,
+        ).withColumnRenamed("id", id_col)
+        base(sigs, batch_id)
+
+    return _apply
+
+
 def interval_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

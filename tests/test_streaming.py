@@ -287,3 +287,62 @@ def test_acid_stream_sink_periodic_compaction(spark, sf_dir, tmp_path):
     assert len(t.entries()) == 2  # compacted tail
     got = {tuple(r) for r in t.snapshot().collect()}
     assert got == {tuple(r) for r in ev.collect()}
+
+
+def test_minhash_index_sink_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed MinHash signature index (exactly-once foreachBatch
+    sink) must equal a batch minhash_signatures over everything
+    streamed, and incremental dedup probing the STREAMED index must
+    equal incremental dedup probing freshly computed corpus signatures
+    — the index maintains itself without ever re-reading the corpus."""
+    import uuid
+
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import minhash_index_sink
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "idx")
+    # two overlapping corpus slices stream in
+    corpus.filter(F.col("doc_id") % 10 < 6).coalesce(1).write.mode("append").parquet(landing)
+    corpus.filter(F.col("doc_id") % 10 >= 4).coalesce(1).write.mode("append").parquet(landing)
+    sink = minhash_index_sink(target, app_id="t_mhidx", portable=True)
+    q = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    idx = AcidTable(spark, target).snapshot()
+    streamed = {(r["doc_id"], tuple(r["sig"])) for r in idx.collect()}
+    fresh = {
+        (r["id"], tuple(r["sig"]))
+        for r in minhash_signatures(corpus, portable=True).collect()
+    }
+    assert streamed == fresh
+
+    via_index = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_incremental(
+            batch, corpus, portable=True,
+            corpus_sigs=idx.withColumnRenamed("doc_id", "id"),
+        ).collect()
+    )
+    via_fresh = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_incremental(batch, corpus, portable=True).collect()
+    )
+    assert via_index == via_fresh
