@@ -617,8 +617,13 @@ class AcidTable:
         the checkpoint's file index.  (Spark's own file listing for the
         glob is the JVM-side scalable path — driver-held, but never a
         Python list.)  Clone snapshots reference files OUTSIDE this
-        table's root by absolute path; those fall back to the explicit
-        list, as does any table below the threshold."""
+        table's root by absolute path; the distinct SOURCE ROOTS (a
+        bounded set — one per clone-chain ancestor) are extracted
+        distributed, each root contributes its own glob, and the
+        semi-join keys on the normalized ABSOLUTE path — so multi-root
+        clones get the same zero-driver-paths scale path as plain
+        tables.  Only sub-threshold tables (or paths outside the
+        <root>/data/<commit>/<file> layout) use the explicit list."""
         from pyspark.sql.types import StructType
 
         v = self.latest_version() if version is None else version
@@ -635,22 +640,51 @@ class AcidTable:
         n_files, n_external = counts["n"], counts["ext"] or 0
         if n_files == 0:
             return self.spark.createDataFrame([], schema)
-        if n_files <= self.DISTRIBUTED_READ_THRESHOLD or n_external > 0:
+        if n_files <= self.DISTRIBUTED_READ_THRESHOLD:
             files = self._paths(v)
             # read through the MANIFEST schema, not the files': after an
             # add-columns commit the old (unrewritten) files lack the new
             # columns, and the explicit schema makes the parquet reader
             # NULL-backfill them
             return self.spark.read.schema(schema).parquet(*files)
-        raw = self.spark.read.schema(schema).parquet(
-            os.path.join(self.root, "data", "*", "*.parquet")
+        abs_root = os.path.abspath(self.root)
+        ext_roots: list[str] = []
+        if n_external > 0:
+            # distinct source roots of the clone chain, computed
+            # DISTRIBUTED; only the tiny distinct set reaches the driver
+            rootcol = F.regexp_extract("path", r"^(/.*)/data/[^/]+/[^/]+$", 1)
+            ext_roots = sorted(
+                {
+                    r["r"]
+                    for r in ent.where(~F.col("path").startswith("data/"))
+                    .select(rootcol.alias("r"))
+                    .distinct()
+                    .collect()
+                }
+            )
+            if "" in ext_roots or len(ext_roots) > 64:
+                # an external path outside the standard layout (or an
+                # absurd root fan-out): the glob cannot cover it — use
+                # the explicit list rather than silently dropping rows
+                return self.spark.read.schema(schema).parquet(*self._paths(v))
+        globs = [
+            os.path.join(r, "data", "*", "*.parquet")
+            for r in (abs_root, *ext_roots)
+            if os.path.isdir(os.path.join(r, "data"))
+        ]
+        raw = self.spark.read.schema(schema).parquet(*globs)
+        # key = the file's normalized ABSOLUTE path (scheme stripped);
+        # entries normalize the same way (relative paths anchored at
+        # this table's root).  The glob may match files from removed
+        # versions or concurrent commits, which the semi-join drops.
+        key = F.regexp_replace(
+            F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
         )
-        # key = the last two path components ("data/<commitdir>/<file>")
-        # — exactly the relative form the log stores; the glob may match
-        # files from removed versions or concurrent commits, which the
-        # semi-join drops
-        key = F.regexp_extract(F.input_file_name(), r"(data/[^/]+/[^/]+)$", 1)
-        live = ent.withColumnRenamed("path", "__path")
+        live = ent.select(
+            F.when(F.col("path").startswith("/"), F.col("path"))
+            .otherwise(F.concat(F.lit(abs_root + "/"), F.col("path")))
+            .alias("__path")
+        )
         return (
             raw.withColumn("__path", key)
             .join(live, "__path", "left_semi")

@@ -1054,18 +1054,42 @@ def test_snapshot_distributed_read_matches_driver_list(spark, tmp_path, monkeypa
     assert calls["n"] == 0
 
 
-def test_snapshot_distributed_read_clone_falls_back(spark, tmp_path, monkeypatch):
-    """A shallow clone references ABSOLUTE paths outside its own root —
-    the glob can't see them, so the clone must keep using the explicit
-    path list even above the threshold."""
+def test_snapshot_distributed_read_multi_root_clone(spark, tmp_path, monkeypatch):
+    """A shallow clone references ABSOLUTE paths outside its own root;
+    above the threshold the snapshot must extract the distinct SOURCE
+    ROOTS distributed, glob each, and semi-join on the absolute path —
+    never building the Python path list (round-7: the last driver-side
+    fallback closed).  Covers a MIXED snapshot too: clone + local COW
+    rewrites = external AND relative entries in one version."""
     base = spark.range(0, 50).withColumn("v", F.col("id") + 1)
     src = AcidTable.create(
         spark, str(tmp_path / "src"), base.repartition(4), key_cols=["id"]
     )
     clone = src.clone_to(str(tmp_path / "clone"))
+    # a local delete gives the clone its OWN files next to source refs
+    clone.delete("id >= 40")
+
+    calls = {"n": 0}
+    orig = AcidTable._paths
+
+    def counting_paths(self, version):
+        calls["n"] += 1
+        return orig(self, version)
+
+    monkeypatch.setattr(AcidTable, "_paths", counting_paths)
     monkeypatch.setattr(AcidTable, "DISTRIBUTED_READ_THRESHOLD", 1)
     got = sorted(r["id"] for r in clone.snapshot().collect())
-    assert got == list(range(50))
+    assert got == list(range(40))
+    assert calls["n"] == 0, "clone snapshot must not build a driver path list"
+    # clone-of-a-clone: two external roots in one snapshot
+    clone2 = clone.clone_to(str(tmp_path / "clone2"))
+    got2 = sorted(r["id"] for r in clone2.snapshot().collect())
+    assert got2 == list(range(40))
+    assert calls["n"] == 0
+    # time travel on the clone (pre-delete version) stays distributed
+    got_v0 = sorted(r["id"] for r in clone.snapshot(0).collect())
+    assert got_v0 == list(range(50))
+    assert calls["n"] == 0
 
 
 def test_restore_and_clone_are_checkpoint_backed(spark, tmp_path):
