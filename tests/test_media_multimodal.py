@@ -1180,3 +1180,78 @@ def test_lossy_webp_falls_back_to_fake_when_non_strict(spark):
     assert len(out) == 1 and out[0]["height"] == 8 and out[0]["width"] == 8
     with _pytest.raises(Exception):
         multimodal.image_features(df, decode_strict=True).collect()
+
+
+def _stdlib_python_webp():
+    """CPython's own test fixture python.webp — a REAL-WORLD lossy
+    VP8X (VP8 + ALPH) file shipped with the stdlib test suite."""
+    import sysconfig
+
+    p = os.path.join(
+        sysconfig.get_paths()["stdlib"], "test", "test_email", "data", "python.webp"
+    )
+    return open(p, "rb").read() if os.path.exists(p) else None
+
+
+def test_lossy_webp_decodes_for_real_via_system_libwebp():
+    """Lossy VP8 ground truth: encode a known RGB image through the
+    system libwebp (ctypes), decode it back through decode_webp — the
+    pixels must match the source within lossy-quantization tolerance,
+    and the real-world stdlib python.webp (VP8X + ALPH + VP8) must
+    decode to its documented 16x16 RGBA.  The from-scratch VP8 decoder
+    is documented out of reach in-sandbox (RFC 6386's constant
+    probability tables); the ctypes binding is the honest scale path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossy_system,
+    )
+
+    rng = np.random.RandomState(5)
+    # smooth gradient + mild noise: lossy-friendly content
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(y * 5) % 256, (x * 3) % 256, ((x + y) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    img = np.clip(img.astype(int) + rng.randint(-4, 5, img.shape), 0, 255).astype(
+        np.uint8
+    )
+    wbp = encode_webp_lossy_system(img, quality=90.0)
+    if wbp is None:
+        _pytest.skip("system libwebp unavailable")
+    assert wbp[:4] == b"RIFF" and wbp[12:16] in (b"VP8 ", b"VP8X")
+    got = decode_webp(wbp)
+    assert got.shape == (32, 48, 4)
+    assert (got[:, :, 3] == 255).all()
+    err = np.abs(got[:, :, :3].astype(int) - img.astype(int))
+    assert err.mean() < 8.0 and err.max() < 64  # lossy, but the image
+
+    real = _stdlib_python_webp()
+    if real is not None:
+        arr = decode_webp(real)
+        assert arr.shape == (16, 16, 4)
+        assert arr[:, :, 3].min() < 255  # the ALPH chunk really applied
+
+
+def test_lossy_webp_through_image_features_strict(spark):
+    """The Spark path end-to-end: image_features in STRICT mode over
+    real lossy-WebP bytes must REALLY decode (no fake, no error) now
+    that the system-libwebp path exists."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.webp import encode_webp_lossy_system
+
+    img = np.full((12, 20, 3), 128, dtype=np.uint8)
+    img[:, :10, 0] = 250
+    wbp = encode_webp_lossy_system(img, quality=85.0)
+    if wbp is None:
+        _pytest.skip("system libwebp unavailable")
+    df = spark.createDataFrame([(1, wbp)], "id long, content binary")
+    out = multimodal.image_features(df, decode_strict=True).collect()[0]
+    assert out["height"] == 12 and out["width"] == 20
+    # decode yields RGBA: expected mean includes the opaque alpha plane
+    rgba_mean = (float(np.asarray(img).mean()) * 3 + 255.0) / 4
+    assert abs(out["mean_pixel"] - rgba_mean) < 8.0
