@@ -540,6 +540,16 @@ def _decode_image(payload: bytes, strict: bool):
         jpg = decode_jpeg(payload)
         if jpg is not None:
             return jpg
+        from .tiff import decode_tiff
+
+        try:
+            tif = decode_tiff(payload)
+        except NotImplementedError:
+            # out-of-scope TIFF feature (tiles/16-bit/planar/fax): an
+            # unsupported codec, not corrupt data — strict gate below
+            tif = None
+        if tif is not None:
+            return tif
         from .webp import decode_webp
 
         try:

@@ -1,0 +1,318 @@
+"""Baseline TIFF codec, from scratch against the public TIFF 6.0 spec
+(north-star N3 family, round 7 — the reference, Codeunit 60001
+XML:1144-1202, is format-agnostic bytes, so this is beyond-reference
+coverage like the BMP/PNG/GIF/JPEG/VP8L work).
+
+Scope — the baseline profile real scanned/exported corpora actually
+contain:
+
+- both byte orders (``II``/``MM``)
+- 8-bit grayscale, RGB and RGBA, strip-organized (any RowsPerStrip)
+- Compression 1 (none), 32773 (PackBits) and 5 (TIFF-LZW, MSB-first
+  codes with the spec's early-change width switch), plus the
+  horizontal-differencing Predictor (tag 317 = 2) LZW files commonly
+  pair with
+- PhotometricInterpretation 0 (WhiteIsZero, inverted) and 1/2
+
+Everything else (tiles, 16-bit, planar, JPEG-in-TIFF, CCITT fax)
+raises ``NotImplementedError`` so callers fall through to their strict
+gate / deterministic fake, the same contract as the other codecs.
+
+The encoder exists to ground-truth the decoder without PIL: it writes
+spec-compliant single-IFD files in either byte order and all three
+compressions, and the tests roundtrip arrays through both directions
+plus hand-computed PackBits/LZW byte fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next 3-byte repeat (2 is break-even)
+        j = i
+        while (
+            j + 2 < n
+            and not (data[j + 1] == data[j + 2] == data[j])
+            and j - i < 127
+        ):
+            j += 1
+        j = min(j, i + 127, n - 1)
+        out.append(j - i)
+        out += data[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+_CLEAR, _EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-LZW: MSB-first bit packing, 9-bit start, EARLY code-width
+    change (width bumps when the next table index would need it, i.e.
+    at table sizes 511/1023/2047 — one earlier than GIF)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out[:expected])
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == _EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # EARLY change: the encoder widens when the next ADD would not
+        # fit, so the decoder must follow one step ahead
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Greedy longest-match TIFF-LZW encoder (early-change widths)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, w: int):
+        nonlocal buf, nbits
+        buf = (buf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(_CLEAR, width)
+    s = b""
+    for b in data:
+        cand = s + bytes([b])
+        if cand in table or len(cand) == 1:
+            s = cand
+            continue
+        emit(table[s], width)
+        table[cand] = next_code
+        next_code += 1
+        # keep the width in lockstep with the decoder's table: the
+        # decoder has assigned next_code-1 entries after reading the
+        # code we just emitted and widens for the NEXT read when its
+        # next free entry would not fit (early change, one ahead)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            emit(_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        s = bytes([b])
+    if s:
+        emit(table[s], width)
+    emit(_EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _read_ifd(payload: bytes, bo: str):
+    (ifd_off,) = struct.unpack(bo + "I", payload[4:8])
+    (n_entries,) = struct.unpack(bo + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ = struct.unpack(bo + "HH", payload[e : e + 4])
+        (count,) = struct.unpack(bo + "I", payload[e + 4 : e + 8])
+        if typ not in type_fmt:
+            continue  # rationals/ASCII: not needed for the baseline set
+        sz = type_size[typ] * count
+        if sz <= 4:
+            raw = payload[e + 8 : e + 8 + sz]
+        else:
+            (off,) = struct.unpack(bo + "I", payload[e + 8 : e + 12])
+            raw = payload[off : off + sz]
+        tags[tag] = list(struct.unpack(bo + str(count) + type_fmt[typ], raw))
+    return tags
+
+
+def decode_tiff(payload: bytes):
+    """Decode a baseline TIFF (see module docstring).  Returns
+    (h, w, channels) uint8 numpy array, or None when the payload is not
+    a TIFF.  Out-of-scope TIFF features raise NotImplementedError."""
+    import numpy as np
+
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    tags = _read_ifd(payload, bo)
+    w = tags[256][0]
+    h = tags[257][0]
+    bits = tags.get(258, [8])
+    spp = tags.get(277, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    pred = tags.get(317, [1])[0]
+    if any(b != 8 for b in bits):
+        raise NotImplementedError("baseline TIFF decoder: 8-bit samples only")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not implemented")
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photo} not implemented")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not implemented")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not implemented")
+    offs = tags[273]
+    counts = tags[279]
+    rps = tags.get(278, [h])[0]
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(offs, counts)):
+        nrows = min(rps, h - si * rps)
+        expected = nrows * row_bytes
+        chunk = payload[o : o + c]
+        if comp == 1:
+            raw += chunk[:expected]
+        elif comp == 32773:
+            raw += _packbits_decode(chunk, expected)
+        else:
+            raw += _lzw_decode(chunk, expected)
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes).reshape(
+        h, w, spp
+    )
+    if pred == 2:
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+    elif pred != 1:
+        raise NotImplementedError(f"TIFF predictor {pred} not implemented")
+    if photo == 0:
+        arr = 255 - arr
+    return arr.copy()
+
+
+def encode_tiff(arr, compression: int = 1, byte_order: str = "<") -> bytes:
+    """Write a single-IFD baseline TIFF (test-fixture ground truth).
+    ``compression``: 1 none, 5 LZW, 32773 PackBits."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    body = a.tobytes()
+    if compression == 32773:
+        data = b"".join(
+            _packbits_encode(body[r * w * spp : (r + 1) * w * spp])
+            for r in range(h)
+        )
+    elif compression == 5:
+        data = _lzw_encode(body)
+    elif compression == 1:
+        data = body
+    else:
+        raise ValueError(f"unsupported compression {compression}")
+    bo = byte_order
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    entries = []  # (tag, type, count, value_int)
+
+    def ent(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    photometric = 1 if spp == 1 else 2
+    # layout: header(8) + data + [bits array if spp>1] + IFD
+    data_off = 8
+    pos = data_off + len(data)
+    bits_off = None
+    if spp > 1:
+        bits_off = pos
+        pos += 2 * spp
+    ifd_off = pos
+    ent(256, 3, 1, w)
+    ent(257, 3, 1, h)
+    if spp == 1:
+        ent(258, 3, 1, 8)
+    else:
+        ent(258, 3, spp, bits_off)
+    ent(259, 3, 1, compression)
+    ent(262, 3, 1, photometric)
+    ent(273, 4, 1, data_off)
+    ent(277, 3, 1, spp)
+    ent(278, 3, 1, h)  # one strip
+    ent(279, 4, 1, len(data))
+    entries.sort()
+    out = bytearray()
+    out += magic
+    out += struct.pack(bo + "I", ifd_off)
+    out += data
+    if spp > 1:
+        out += struct.pack(bo + str(spp) + "H", *([8] * spp))
+    out += struct.pack(bo + "H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(bo + "HH", tag, typ)
+        out += struct.pack(bo + "I", count)
+        if typ == 3 and count == 1:
+            out += struct.pack(bo + "H", value) + b"\x00\x00"
+        else:
+            out += struct.pack(bo + "I", value)
+    out += struct.pack(bo + "I", 0)  # next IFD
+    return bytes(out)
