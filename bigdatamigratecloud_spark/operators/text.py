@@ -539,3 +539,59 @@ def quality_classifier_sql(
            CAST(COALESCE(quality_margin > CAST({threshold!r} AS DOUBLE), FALSE)
                 AS INT) AS is_quality
     FROM qc_scored"""
+
+
+# ------------------------------------------------------ HTML extraction
+
+def html_to_text_col(html_col: Column | str) -> Column:
+    """Plain text from HTML markup — the FIRST step of every web-corpus
+    curation pipeline: drop <script>/<style> blocks (content included),
+    strip all remaining tags and comments, decode the common entities
+    (&amp; last, so '&amp;lt;' cannot double-decode), collapse
+    whitespace.  One narrow chain of JVM regexp_replace calls — no UDF,
+    no shuffle — using only syntax Java regex and DuckDB's RE2 share
+    ((?is) flags, non-greedy .*?), so the oracle replays it verbatim."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    c = F.regexp_replace(c, r"(?is)<script\b.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text, n_links, link_density) from an HTML column: extracted
+    plain text plus the boilerplate signals a quality gate needs —
+    anchor count and LINK DENSITY (fraction of extracted characters
+    living inside <a> tags; navigation/boilerplate pages score high,
+    prose scores low).  Entirely narrow (regexp chains + one
+    regexp_extract_all), one pass over the corpus."""
+    text = html_to_text_col(html_col)
+    anchors = F.regexp_extract_all(
+        F.col(html_col), F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
+    )
+    anchor_text = F.array_join(
+        F.transform(anchors, lambda a: html_to_text_col(a)), " "
+    )
+    n_links = F.size(anchors)
+    return df.select(
+        id_col,
+        text.alias("text"),
+        n_links.cast("int").alias("n_links"),
+        F.when(
+            F.length(text) > 0,
+            F.least(
+                F.length(anchor_text).cast("double") / F.length(text),
+                F.lit(1.0),
+            ),
+        ).otherwise(F.lit(0.0)).alias("link_density"),
+    )

@@ -727,6 +727,80 @@ def n4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(docs, _CLF_W, _CLF_B, threshold=0.0)
 
 
+_HTML_WRAP_SQL = (
+    "'<html><head><title>doc</title><script>var x=\"</div>\";</script></head>"
+    "<body><p>' || text || '</p><a href=\"/a\">home</a> "
+    "<a href=\"/b\">next &amp; prev</a></body></html>'"
+)
+
+
+def _html_strip_sql(expr: str) -> str:
+    """DuckDB twin of text.html_to_text_col — same RE2-safe patterns,
+    same order (entities after tags, &amp; last)."""
+    c = expr
+    for pat in (
+        r"(?is)<script\b.*?</script>",
+        r"(?is)<style\b.*?</style>",
+        r"(?s)<!--.*?-->",
+        r"(?s)<[^>]*>",
+    ):
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    for ent, rep in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&apos;", "''"), ("&amp;", "&"),
+    ):
+        c = f"replace({c}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "n4_html_extract",
+    f"""WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+       anch AS (SELECT doc_id,
+                       regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1) AS al
+                FROM h),
+       ext AS (SELECT h.doc_id,
+                      {_html_strip_sql('h.html')} AS text,
+                      CAST(len(a.al) AS INT) AS n_links,
+                      array_to_string(list_transform(a.al,
+                          x -> {_html_strip_sql('x')}), ' ') AS atext
+               FROM h JOIN anch a USING (doc_id))
+       SELECT doc_id, text, n_links,
+              CASE WHEN length(text) > 0
+                   THEN least(CAST(length(atext) AS DOUBLE) / length(text), 1.0)
+                   ELSE 0.0 END AS link_density
+       FROM ext""",
+)
+def n4_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round-7): HTML→text extraction + boilerplate signals — the
+    FIRST step of web-corpus curation the suite lacked.  Documents are
+    deterministically wrapped in markup (script block containing a fake
+    tag, comments, two anchors with an entity) and html_extract
+    recovers plain text, anchor count, and LINK DENSITY (share of
+    extracted characters inside <a> tags — the standard nav/boilerplate
+    discriminator).  Entirely narrow JVM regexp chains restricted to
+    syntax Java regex and DuckDB's RE2 share, so the oracle replays the
+    extraction verbatim (operators/text.py html_to_text_col)."""
+    from .operators.text import html_extract
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>doc</title><script>var x="</div>";'
+                "</script></head><body><p>"
+            ),
+            F.col("text"),
+            F.lit(
+                '</p><a href="/a">home</a> '
+                '<a href="/b">next &amp; prev</a></body></html>'
+            ),
+        ).alias("html"),
+    )
+    return html_extract(wrapped)
+
+
 @query(
     "n4_chunk_documents",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

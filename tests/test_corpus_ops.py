@@ -658,3 +658,35 @@ def test_winsorize_approx_path_rank_bounded(spark):
         .collect()
     )
     assert len(nulls) == 1 and nulls[0]["clipped"] is None
+
+
+# ---------------------------------------------------------------- html
+
+def test_html_extract_strips_scripts_entities_and_scores_links(spark):
+    from bigdatamigratecloud_spark.operators.text import html_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><head><script>var x="</div>";</script><style>p{}</style>'
+                '</head><body><p>Hello &amp; <b>world</b></p>'
+                '<a href="/x">nav one</a><a href="/y">two</a><!-- c --></body></html>'),
+            (2, "<p>no links just &lt;text&gt; &quot;q&quot; &#39;s&#39;</p>"),
+            (3, ""),
+            (4, None),
+            (5, '<A HREF="/z">UPPER tag</A>'),
+        ],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in html_extract(df).collect()}
+    assert got[1]["text"] == "Hello & world nav one two"
+    assert got[1]["n_links"] == 2 and 0 < got[1]["link_density"] < 1
+    assert got[2]["text"] == 'no links just <text> "q" \'s\''
+    assert got[2]["n_links"] == 0 and got[2]["link_density"] == 0.0
+    assert got[3]["text"] == "" and got[3]["link_density"] == 0.0
+    assert got[4]["text"] is None
+    assert got[5]["n_links"] == 1 and got[5]["text"] == "UPPER tag"
+    # pure-boilerplate page: everything inside anchors -> density 1.0
+    nav = spark.createDataFrame(
+        [(9, '<a href="/1">one</a><a href="/2">two</a>')], "doc_id long, html string"
+    )
+    assert html_extract(nav).first()["link_density"] == 1.0
