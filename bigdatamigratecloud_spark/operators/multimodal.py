@@ -818,6 +818,13 @@ def _decode_audio(payload: bytes, strict: bool):
         if adpcm is not None:
             return adpcm
         if strict:
+            # from-scratch MP3/OGG/AAC is documented OUT OF REACH in
+            # this sandbox: their decoders need the specs' constant
+            # Huffman/scalefactor/window tables (hundreds of entries,
+            # not re-derivable) and no system audio codec library ships
+            # in the container (checked: no libsndfile / libmpg123 /
+            # libvorbis / libavcodec) — unlike images, where libwebp
+            # and libtiff are present and bound via ctypes
             raise NotImplementedError(
                 "audio decode requires soundfile/ffmpeg (not installed) "
                 "for formats beyond PCM-16, G.711 A-law/u-law, and "
