@@ -462,7 +462,13 @@ def ivf_index_write(
     assigned = ivf_assign(
         with_unit_vector(df, vec_col, "cu"), ucents, "cu", "cluster"
     ).select(F.col(id_col).alias("vec_id"), "cu", "cluster")
-    assigned.write.partitionBy("cluster").mode(mode).parquet(index_dir)
+    # co-partition by cluster before the partitioned sink: without it
+    # EVERY task writes one file per cluster it happens to see
+    # (tasks × clusters small files at scale); after it, total file
+    # count ≈ cluster count per write
+    assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode(
+        mode
+    ).parquet(index_dir)
 
 
 def ivf_index_append(
