@@ -197,3 +197,20 @@ def test_bpe_segment_kernel_plan_depth_constant(spark):
     # the plan string stays tiny — a nested fold would be megabytes
     assert len(plan) < 20_000
     seg.collect()  # and it executes
+
+
+def test_bpe_segment_edge_cases(spark):
+    """Dispatch validation and degenerate inputs on both encode paths."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_segment(df, [("a", "b")], impl="bogus")
+    # empty rule list: tokens come back as plain characters on both paths
+    for impl in ("fold", "kernel"):
+        got = bpe_segment(df, [], impl=impl).first()["bpe_tokens"]
+        assert got == ["a", "b"]
+    # empty corpus trains an empty merge table on both trainers
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, num_merges=3, incremental=False).collect() == []
+    assert bpe_train(empty, num_merges=3, incremental=True).collect() == []

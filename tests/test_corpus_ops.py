@@ -690,3 +690,38 @@ def test_html_extract_strips_scripts_entities_and_scores_links(spark):
         [(9, '<a href="/1">one</a><a href="/2">two</a>')], "doc_id long, html string"
     )
     assert html_extract(nav).first()["link_density"] == 1.0
+
+
+def test_connected_components_edge_cases(spark):
+    """Empty graphs, single edges, and non-integral ids on both
+    algorithms."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for alg in ("star", "label"):
+        assert connected_components(empty, algorithm=alg).collect() == []
+    one = spark.createDataFrame([(7, 3)], "id_a long, id_b long")
+    for alg in ("star", "label"):
+        got = {r["node"]: r["component"]
+               for r in connected_components(one, algorithm=alg).collect()}
+        assert got == {3: 3, 7: 3}
+    bad = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(ValueError):
+        connected_components(bad)
+    with pytest.raises(ValueError):
+        connected_components(one, algorithm="nope")
+
+
+def test_quality_classifier_null_and_blank(spark):
+    from bigdatamigratecloud_spark.operators.text import (
+        classifier_weights,
+        quality_classifier,
+    )
+
+    w, b = classifier_weights(n_buckets=16, seed=3)
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_classifier(df, w, b).collect()}
+    assert got[1]["quality_margin"] is not None
+    for d in (2, 3, 4):
+        assert got[d]["quality_margin"] is None and got[d]["is_quality"] == 0
