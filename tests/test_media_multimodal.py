@@ -1420,3 +1420,50 @@ def test_tiff_cross_validated_against_system_libtiff():
     mine = decode_tiff(open(p, "rb").read())
     _os.unlink(p)
     assert (mine == arr).all(), "my decoder mismatch vs libtiff LZW+predictor"
+
+
+def test_tiff_multi_strip_from_libtiff():
+    """Multi-strip decode (RowsPerStrip < height, incl. a short last
+    strip): a libtiff-written 50x30 PackBits file with rps=16 must
+    decode exactly — my encoder always writes one strip, so this is
+    the only coverage of the per-strip expected-length logic against
+    an external writer."""
+    import ctypes
+    import ctypes.util
+    import os as _os
+    import tempfile
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.tiff import decode_tiff
+
+    try:
+        lt = ctypes.CDLL(ctypes.util.find_library("tiff") or "libtiff.so.6")
+    except OSError:
+        _pytest.skip("system libtiff unavailable")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+    lt.TIFFWriteEncodedStrip.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_ssize_t]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (50, 30, 3)).astype(np.uint8)
+    rps = 16
+    p = tempfile.mktemp(suffix=".tif")
+    t = lt.TIFFOpen(p.encode(), b"w")
+    h, w = arr.shape[:2]
+    for tag, val in ((256, ctypes.c_uint32(w)), (257, ctypes.c_uint32(h)),
+                     (258, ctypes.c_uint16(8)), (277, ctypes.c_uint16(3)),
+                     (259, ctypes.c_uint16(32773)), (262, ctypes.c_uint16(2)),
+                     (284, ctypes.c_uint16(1)), (278, ctypes.c_uint32(rps))):
+        lt.TIFFSetField(ctypes.c_void_p(t), ctypes.c_uint32(tag), val)
+    for s in range((h + rps - 1) // rps):
+        body = arr[s * rps : min((s + 1) * rps, h)].tobytes()
+        assert lt.TIFFWriteEncodedStrip(t, s, body, len(body)) == len(body)
+    lt.TIFFClose(t)
+    mine = decode_tiff(open(p, "rb").read())
+    _os.unlink(p)
+    assert (mine == arr).all()
