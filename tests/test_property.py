@@ -257,3 +257,113 @@ def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
             head = max(states)
             min_restorable = max(min_restorable, head - arg + 1)
         check()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=10),
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=0, max_value=10),
+)
+def test_bpe_kernel_encoder_equals_pure_fold(docs_words, n_rules):
+    """Pure-Python property (no Spark): the kernel's min-rank-iteration
+    encode (bpe._bpe_segment_kernel's algorithm) must equal the
+    sequential rule-by-rule fold for ANY rule list a trainer could
+    produce over the corpus — including identical-symbol runs and rules
+    that never fire."""
+    from bigdatamigratecloud_spark.operators.bpe import _python_tokens
+
+    texts = [" ".join(ws) for ws in docs_words]
+    # train rules with the reference replay over these texts
+    wc: dict = {}
+    for t in texts:
+        for tok in t.split():
+            wc[tok] = wc.get(tok, 0) + 1
+    rules = []
+    w = {word: list(word) for word in wc}
+    for _ in range(n_rules):
+        freq: dict = {}
+        for word, syms in w.items():
+            for i in range(len(syms) - 1):
+                freq[(syms[i], syms[i + 1])] = freq.get((syms[i], syms[i + 1]), 0) + wc[word]
+        if not freq:
+            break
+        (a, b), tot = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if tot < 1:
+            break
+        rules.append((a, b))
+        for word, syms in w.items():
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b); i += 2
+                else:
+                    ns.append(syms[i]); i += 1
+            w[word] = ns
+
+    ranks = {p: i for i, p in enumerate(rules)}
+
+    def kernel_encode(word):
+        syms = list(word)
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = rules[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    def fold_encode(word):
+        syms = list(word)
+        for a, b in rules:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b); i += 2
+                else:
+                    ns.append(syms[i]); i += 1
+            syms = ns
+        return syms
+
+    for t in texts:
+        for word in _python_tokens(t):
+            assert kernel_encode(word) == fold_encode(word), (word, rules)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from([1, 5, 32773]),
+    st.sampled_from(["<", ">"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_tiff_roundtrip_property(h, w, spp, comp, bo, seed):
+    """Any 8-bit array roundtrips bit-exact through the TIFF codec for
+    every compression x byte order x channel combination."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(0, 256, (h, w, spp)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(arr if spp > 1 else arr[:, :, 0],
+                                  compression=comp, byte_order=bo))
+    assert got.shape == arr.shape
+    assert (got == arr).all()
