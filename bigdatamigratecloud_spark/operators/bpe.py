@@ -116,6 +116,92 @@ def _has_adjacent_pair(lhs: str, rhs: str):
     )
 
 
+def _train_local(
+    words: list[tuple[list[str], int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple]:
+    """Exact sequential BPE trainer over an in-process (syms, count)
+    word table — the fast path for vocab-bounded corpora.
+
+    Replays the distributed loop's EXACT semantics: pair totals are
+    occurrence-position counts weighted by word frequency; the argmax
+    tie-breaks (count desc, lhs asc, rhs asc) — Python's code-point
+    string order, which equals Spark's UTF8String byte order and
+    DuckDB's binary collation, since UTF-8 preserves code-point order;
+    merge application is greedy left-to-right non-overlapping.
+
+    Cost: a heap argmax with lazy invalidation + incremental pair-count
+    deltas touching only the words that contain the merged pair — the
+    in-process twin of the delta-maintained Spark path, minus the
+    Θ(num_merges) job-launch floor.  32k merges run in seconds-to-
+    minutes on a vocab-sized table (BASELINE.md round-8 probe) instead
+    of ~6.5 h of per-merge Spark jobs."""
+    import heapq
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+
+    def add_pairs(wi: int, syms: list[str], cnt: int, sign: int):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + sign * cnt
+            if sign > 0:
+                occ.setdefault(p, set()).add(wi)
+
+    for wi, (syms, cnt) in enumerate(words):
+        add_pairs(wi, syms, cnt, 1)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        best = None
+        while heap:
+            negc, lhs, rhs = heap[0]
+            cur = pair_counts.get((lhs, rhs), 0)
+            if cur != -negc or cur <= 0:
+                heapq.heappop(heap)  # stale entry (count changed)
+                continue
+            best = (lhs, rhs, cur)
+            break
+        if best is None or best[2] < min_pair_count:
+            break
+        lhs, rhs, total = best
+        merged = lhs + rhs
+        merges.append((rank, lhs, rhs, merged, int(total)))
+        changed: set[tuple[str, str]] = set()
+        for wi in sorted(occ.get((lhs, rhs), ())):
+            syms, cnt = words[wi]
+            # occ is append-only, so verify the pair is still present
+            has = any(
+                syms[i] == lhs and syms[i + 1] == rhs
+                for i in range(len(syms) - 1)
+            )
+            if not has:
+                continue
+            for i in range(len(syms) - 1):
+                changed.add((syms[i], syms[i + 1]))
+            add_pairs(wi, syms, cnt, -1)
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = (out, cnt)
+            add_pairs(wi, out, cnt, 1)
+            for i in range(len(out) - 1):
+                changed.add((out[i], out[i + 1]))
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int = 10,
@@ -123,6 +209,7 @@ def bpe_train(
     min_pair_count: int = 2,
     checkpoint: bool = True,
     incremental: bool | None = None,
+    local_budget: int | None = None,
 ) -> DataFrame:
     """Learn up to ``num_merges`` BPE merge rules from the corpus.
 
@@ -135,9 +222,12 @@ def bpe_train(
     The merge table itself is tiny (``num_merges`` rows) and builds on
     the driver; all counting and merging is distributed.
 
-    Two value-identical per-round strategies (`incremental=None` picks
-    by vocab size: recount up to 16 merges — the oracle-reference
-    path — delta-maintenance beyond):
+    Three value-identical strategies.  The default (``incremental=None``,
+    ``local_budget=None``) is the LOCAL fast path whenever the distinct-
+    word table fits a 5M-word budget (see below); an explicit
+    ``incremental`` forces one of the two distributed per-round
+    strategies (recount — the oracle-reference path — or
+    delta-maintenance):
 
     - **recount** (``incremental=False``): re-explode every word's
       pairs and re-aggregate each round.  Per-round cost O(vocab ×
@@ -152,13 +242,39 @@ def bpe_train(
       BASELINE.md measures exactly this.
 
     Exactness bound, stated honestly: BPE's argmax is inherently
-    sequential — every strategy needs one driver round-trip (the 1-row
-    argmax) per merge, so training n merges is Θ(n) Spark jobs.  The
-    delta path makes each job small; it cannot make them fewer."""
+    sequential — every DISTRIBUTED strategy needs one driver round-trip
+    (the 1-row argmax) per merge, so training n merges is Θ(n) Spark
+    jobs.  The delta path makes each job small; it cannot make them
+    fewer.  That floor (0.73 s/merge ≈ 6.5 h at a 32k vocab, dominated
+    by job launch, not data) is why the LOCAL fast path exists:
+
+    - **local** (``local_budget``): after the ONE corpus pass, the
+      (word, count) table is vocab-sized and bounded — when it fits the
+      budget it is collected ONCE and the exact sequential argmax loop
+      runs in-process (:func:`_train_local`: heap argmax with lazy
+      invalidation + incremental pair deltas), emitting the IDENTICAL
+      merge table (same counts, same tie-break) in seconds instead of
+      hours.  This is the industry-standard shape — every production
+      tokenizer trainer works off the bounded word-frequency table.
+      ``local_budget=None`` with ``incremental=None`` (the default)
+      auto-enables it at a 5M-distinct-word budget; passing an explicit
+      ``incremental`` forces the distributed strategies (the oracle
+      paths); ``local_budget=0`` disables the local path outright."""
     spark = docs.sparkSession
+    if local_budget is None and incremental is None:
+        local_budget = 5_000_000
+    wc = _word_counts(docs, text_col)
+    if local_budget:
+        # one job: an over-budget vocab comes back truncated at
+        # budget+1 rows and falls through to the distributed loop
+        rows = wc.limit(local_budget + 1).collect()
+        if len(rows) <= local_budget:
+            words = [(list(r["word"]), int(r["cnt"])) for r in rows]
+            merges_local = _train_local(words, num_merges, min_pair_count)
+            return spark.createDataFrame(merges_local, _MERGES_DDL)
     if incremental is None:
         incremental = num_merges > 16
-    w = _word_counts(docs, text_col).withColumn("syms", F.split(F.col("word"), ""))
+    w = wc.withColumn("syms", F.split(F.col("word"), ""))
     if checkpoint:
         w = w.localCheckpoint(eager=True)
     merges: list[tuple] = []
@@ -224,6 +340,39 @@ def bpe_train(
     return spark.createDataFrame(merges, _MERGES_DDL)
 
 
+def _fold_equivalent(merges: list[tuple[str, str]]) -> bool:
+    """True when the one-pass-per-rule fold provably equals the
+    min-rank-first kernel for this merge table.
+
+    Sufficient conditions (both hold for every table ``bpe_train``
+    emits on real corpora, and both are checked, not assumed):
+
+    1. every rule's lhs/rhs is a single symbol (length-1 string) or the
+       merged string of a STRICTLY EARLIER rule — so at the fold's pass
+       k, all of rule k's operand symbols already exist;
+    2. merged strings are UNIQUE across the table — so no later rule
+       can re-create an earlier rule's operand symbol via a different
+       split (the counterexample: 'abc' formed by (a,bc) at rank i and
+       again by (ab,c) at rank j>i, with a rank-k rule in between
+       consuming 'abc' — the kernel re-fires rule k, one fold pass per
+       rule does not).
+
+    Under 1+2, after pass k no NEW (lhs_k, rhs_k) adjacency can ever
+    appear: a later pass j only introduces the symbol merged_j, which
+    by uniqueness is not lhs_k or rhs_k — hence one pass per rule, in
+    rank order, is exhaustive and order-equivalent to min-rank-first."""
+    produced: set[str] = set()
+    for lhs, rhs in merges:
+        for s in (lhs, rhs):
+            if len(s) > 1 and s not in produced:
+                return False
+        m = lhs + rhs
+        if m in produced:
+            return False
+        produced.add(m)
+    return True
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -235,7 +384,7 @@ def bpe_segment(
     """Tokenize text with learned merge rules.  Returns the input plus
     ``out_col: array<string>`` of subword units.
 
-    Two value-identical implementations, dispatched by ``impl``:
+    Two implementations, dispatched by ``impl``:
 
     - ``"fold"``: one chained JVM ``aggregate`` fold PER RULE — pure
       Catalyst, zero Python, the oracle-reference path.  Plan depth is
@@ -245,20 +394,25 @@ def bpe_segment(
       ``mapInPandas`` kernel — O(1) plan depth at ANY vocab size.  Per
       word it iteratively merges the lowest-ranked pair present
       (greedy left-to-right within a rule), with a per-batch word
-      cache.  This equals the sequential fold because merging rule k
-      only creates symbols that participate in rules ranked AFTER k
-      (a rule's elements are compositions of strictly earlier merges),
-      and a merge never makes two pre-existing symbols newly adjacent
-      — so once a rule is exhausted it can never fire again.
+      cache.  The kernel's min-rank-first order is CANONICAL BPE
+      (Sennrich/GPT-2 semantics).
     - ``"auto"`` (default): fold up to ``fold_max_rules`` rules,
-      kernel beyond.
+      kernel beyond — but ONLY when :func:`_fold_equivalent` proves
+      the two orders coincide for this table (operands are earlier
+      merges, merged strings unique).  An adversarial table that
+      violates either condition always takes the canonical kernel, so
+      ``auto`` can never silently change output across the rule-count
+      threshold.
 
     Unicode note: both paths split words into code units the way their
     engine does; they agree on all BMP text (the fixtures and oracle
     are ASCII)."""
     if impl not in ("auto", "fold", "kernel"):
         raise ValueError(f"unknown impl {impl!r}")
-    if impl == "kernel" or (impl == "auto" and len(merges) > fold_max_rules):
+    if impl == "kernel" or (
+        impl == "auto"
+        and (len(merges) > fold_max_rules or not _fold_equivalent(merges))
+    ):
         return _bpe_segment_kernel(df, merges, text_col, out_col)
     toks = tokens(text_col)
     word_syms = F.transform(toks, lambda wd: F.split(wd, ""))

@@ -194,9 +194,12 @@ def _read_ifd(payload: bytes, bo: str):
 def decode_tiff(payload: bytes):
     """Decode a baseline TIFF (see module docstring).  Returns
     (h, w, channels) uint8 numpy array, or None when the payload is not
-    a TIFF.  Out-of-scope TIFF features raise NotImplementedError."""
-    import numpy as np
-
+    a TIFF — INCLUDING a payload with valid TIFF magic but malformed
+    structure (truncated IFD, missing required tags, corrupt LZW): one
+    corrupt file in a corpus must not kill the whole mapInPandas task,
+    the same contract the PNG palette-overflow guard honors.
+    Out-of-scope TIFF features (tiles/16-bit/planar/fax) still raise
+    NotImplementedError so callers hit their strict gate."""
     if len(payload) < 8:
         return None
     if payload[:4] == b"II*\x00":
@@ -205,6 +208,16 @@ def decode_tiff(payload: bytes):
         bo = ">"
     else:
         return None
+    try:
+        return _decode_tiff_checked(payload, bo)
+    except (struct.error, KeyError, IndexError, ValueError):
+        # valid magic, malformed body: corrupt data, not a decode bug
+        return None
+
+
+def _decode_tiff_checked(payload: bytes, bo: str):
+    import numpy as np
+
     tags = _read_ifd(payload, bo)
     w = tags[256][0]
     h = tags[257][0]

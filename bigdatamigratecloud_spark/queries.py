@@ -5274,7 +5274,7 @@ def n5_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 rounds value-exact — the package's second iterative algorithm
     with an exact oracle, after PageRank (operators/bpe.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2)
+    return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2, incremental=False)
 
 
 @query(
@@ -5334,6 +5334,29 @@ def n5_bpe_train_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recount path's flat per-round cost becomes the bottleneck."""
     docs = load_table(spark, sf_dir, "documents")
     return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2, incremental=True)
+
+
+@query(
+    "n5_bpe_train_local",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2)
+    + "\n       SELECT rank, lhs, rhs, merged, pair_count FROM bpe_merges",
+)
+def n5_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): the word-count-bounded LOCAL BPE trainer fast path
+    — the round-7 verdict's top item.  The one corpus pass still runs
+    distributed (word counts, map-side combined); the vocab-sized
+    (word, count) table is then collected ONCE and the exact sequential
+    argmax loop runs in-process (heap argmax + incremental pair deltas,
+    operators/bpe.py _train_local), emitting the IDENTICAL merge table
+    the Θ(merges)-Spark-jobs strategies produce — same counts, same
+    (count desc, lhs, rhs) tie-break — against the SAME unrolled DuckDB
+    oracle as n5_bpe_train.  32k merges take seconds-to-minutes instead
+    of ~6.5 h of per-merge job launches (BASELINE.md round-8 probe);
+    the distributed delta path remains for vocabularies past the
+    budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_train(docs, num_merges=12, min_pair_count=2)
 
 
 @query(

@@ -667,11 +667,17 @@ class AcidTable:
                 # absurd root fan-out): the glob cannot cover it — use
                 # the explicit list rather than silently dropping rows
                 return self.spark.read.schema(schema).parquet(*self._paths(v))
-        globs = [
-            os.path.join(r, "data", "*", "*.parquet")
-            for r in (abs_root, *ext_roots)
-            if os.path.isdir(os.path.join(r, "data"))
-        ]
+        # every root that contributes entries MUST have its data dir:
+        # a missing one (source table vacuumed/moved) would make its
+        # glob silently drop rows — fall back to the explicit path read,
+        # which surfaces the missing files as a loud error instead
+        needed = ([abs_root] if n_files - n_external > 0 else []) + ext_roots
+        globs = []
+        for r in needed:
+            ddir = os.path.join(r, "data")
+            if not os.path.isdir(ddir):
+                return self.spark.read.schema(schema).parquet(*self._paths(v))
+            globs.append(os.path.join(ddir, "*", "*.parquet"))
         raw = self.spark.read.schema(schema).parquet(*globs)
         # key = the file's normalized ABSOLUTE path (scheme stripped);
         # entries normalize the same way (relative paths anchored at

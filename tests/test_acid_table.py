@@ -1092,6 +1092,32 @@ def test_snapshot_distributed_read_multi_root_clone(spark, tmp_path, monkeypatch
     assert calls["n"] == 0
 
 
+def test_snapshot_missing_clone_source_fails_loudly(spark, tmp_path, monkeypatch):
+    """ADVICE r7: when a clone-source root's data dir has vanished
+    (source vacuumed/moved), the distributed glob path must NOT
+    silently drop that root's rows — it falls back to the explicit
+    path read, which surfaces the missing files as an error, matching
+    the sub-threshold behavior."""
+    import shutil
+
+    base = spark.range(0, 30).withColumn("v", F.col("id"))
+    src = AcidTable.create(
+        spark, str(tmp_path / "src"), base.repartition(2), key_cols=["id"]
+    )
+    # metadata-only clone: every entry is an absolute ref into src
+    clone = src.clone_to(str(tmp_path / "clone"))
+    shutil.rmtree(str(tmp_path / "src" / "data"))
+    monkeypatch.setattr(AcidTable, "DISTRIBUTED_READ_THRESHOLD", 1)
+    with pytest.raises(Exception):
+        clone.snapshot().collect()
+    # and a healthy multi-root clone on the same threshold still reads
+    src2 = AcidTable.create(
+        spark, str(tmp_path / "src2"), base.repartition(2), key_cols=["id"]
+    )
+    clone2 = src2.clone_to(str(tmp_path / "clone2"))
+    assert clone2.snapshot().count() == 30
+
+
 def test_restore_and_clone_are_checkpoint_backed(spark, tmp_path):
     """Restore/clone commits must not inline O(files) add-lists in the
     JSON manifest (the last driver-side materialization at 10^6 files):

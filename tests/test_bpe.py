@@ -53,11 +53,20 @@ TEXTS = [
 
 
 def test_bpe_matches_sequential_replay(spark):
+    """All three strategies — local fast path (the default), recount,
+    delta-maintained — emit the identical merge table."""
     docs = spark.createDataFrame(
         list(enumerate(TEXTS)), "doc_id long, text string"
     )
-    got = [tuple(r) for r in bpe_train(docs, num_merges=8).collect()]
-    assert got == _replay(_counts(TEXTS), 8)
+    exp = _replay(_counts(TEXTS), 8)
+    got_local = [tuple(r) for r in bpe_train(docs, num_merges=8).collect()]
+    got_rec = [
+        tuple(r) for r in bpe_train(docs, num_merges=8, incremental=False).collect()
+    ]
+    got_inc = [
+        tuple(r) for r in bpe_train(docs, num_merges=8, incremental=True).collect()
+    ]
+    assert got_local == got_rec == got_inc == exp
 
 
 def test_bpe_partitioning_invariant(spark):
@@ -72,12 +81,19 @@ def test_bpe_partitioning_invariant(spark):
 def test_bpe_greedy_identical_symbol_chains(spark):
     """Runs of identical symbols are where greedy left-to-right differs
     from naive global replacement: 'aaaa' merges to two 'aa', 'aaa' to
-    'aa'+'a' — the fold must match the sequential scan exactly."""
+    'aa'+'a' — both the fold and the local trainer must match the
+    sequential scan exactly."""
     texts = ["aaaa aaa aa aaaa aaaa"]
     docs = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
-    got = [tuple(r) for r in bpe_train(docs, num_merges=3, min_pair_count=1).collect()]
     exp = _replay(_counts(texts), 3, min_count=1)
-    assert got == exp
+    got = [tuple(r) for r in bpe_train(docs, num_merges=3, min_pair_count=1).collect()]
+    got_d = [
+        tuple(r)
+        for r in bpe_train(
+            docs, num_merges=3, min_pair_count=1, incremental=False
+        ).collect()
+    ]
+    assert got == got_d == exp
     # first merge must be (a, a); second round counts pairs of 'aa'
     assert got[0][1:4] == ("a", "a", "aa")
 
@@ -86,8 +102,46 @@ def test_bpe_stops_below_min_pair_count(spark):
     docs = spark.createDataFrame(
         [(1, "ab cd ef"), (2, "gh ij kl")], "doc_id long, text string"
     )
-    got = bpe_train(docs, num_merges=10, min_pair_count=2).collect()
-    assert got == []  # every pair occurs once
+    assert bpe_train(docs, num_merges=10, min_pair_count=2).collect() == []
+    assert (
+        bpe_train(docs, num_merges=10, min_pair_count=2, incremental=False).collect()
+        == []
+    )
+
+
+def test_bpe_local_trainer_large_synthetic():
+    """The local fast path on a larger synthetic vocab (~2.5k distinct
+    words, Zipf-ish counts) equals the brute-force sequential replay —
+    pure-Python check of _train_local's heap/delta machinery, no Spark."""
+    import random
+
+    from bigdatamigratecloud_spark.operators.bpe import _train_local
+
+    rng = random.Random(11)
+    alphabet = "abcdefgh"
+    wc: dict[str, int] = {}
+    while len(wc) < 2500:
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 12)))
+        wc[w] = rng.randint(1, 50)
+    exp = _replay(dict(wc), 200, min_count=2)
+    got = _train_local([(list(w), c) for w, c in wc.items()], 200, 2)
+    assert got == exp
+
+
+def test_bpe_local_budget_fallback(spark):
+    """A vocab past local_budget falls through to the distributed loop
+    with the identical result; local_budget=0 disables local outright."""
+    docs = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    exp = _replay(_counts(TEXTS), 6)
+    over = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=6, local_budget=2).collect()
+    ]  # way under the 10 distinct words -> distributed
+    off = [
+        tuple(r)
+        for r in bpe_train(docs, num_merges=6, local_budget=0).collect()
+    ]
+    assert over == off == exp
 
 
 def test_bpe_segment_applies_rules_in_order(spark):
@@ -197,6 +251,35 @@ def test_bpe_segment_kernel_plan_depth_constant(spark):
     # the plan string stays tiny — a nested fold would be megabytes
     assert len(plan) < 20_000
     seg.collect()  # and it executes
+
+
+def test_bpe_segment_auto_guards_fold_kernel_divergence(spark):
+    """ADVICE r7: a merge table where a later rule re-creates an earlier
+    rule's operand (operands not built from strictly-earlier merges, or
+    duplicate merged strings) makes one-pass-per-rule folding diverge
+    from canonical min-rank-first.  `auto` must detect this and take the
+    kernel regardless of rule count, so output can never silently change
+    across the fold_max_rules threshold."""
+    from bigdatamigratecloud_spark.operators.bpe import _fold_equivalent
+
+    # trained tables are fold-equivalent
+    docs = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    trained = [(r["lhs"], r["rhs"]) for r in bpe_train(docs, num_merges=8).collect()]
+    assert _fold_equivalent(trained)
+    # operand 'abc' used (rank 1) before anything produced it -> divergent
+    bad = [("a", "b"), ("abc", "d"), ("b", "c"), ("a", "bc"), ("ab", "c")]
+    assert not _fold_equivalent(bad)
+    # duplicate merged string 'abc' -> divergent
+    dup = [("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c")]
+    assert not _fold_equivalent(dup)
+    df = spark.createDataFrame([(1, "abcd abcd")], "doc_id long, text string")
+    # on `bad`, fold and kernel genuinely differ: auto must equal kernel
+    fold = bpe_segment(df, bad, impl="fold").first()["bpe_tokens"]
+    kern = bpe_segment(df, bad, impl="kernel").first()["bpe_tokens"]
+    auto = bpe_segment(df, bad, impl="auto").first()["bpe_tokens"]
+    assert fold == ["abc", "d", "abc", "d"]
+    assert kern == ["abcd", "abcd"]  # min-rank-first re-fires (abc, d)
+    assert auto == kern
 
 
 def test_bpe_segment_edge_cases(spark):

@@ -1103,12 +1103,65 @@ def test_webp_rejects_lossy_and_garbage():
 
     import pytest as _pytest
 
-    from bigdatamigratecloud_spark.operators.webp import decode_webp
+    from bigdatamigratecloud_spark.operators.webp import _libwebp, decode_webp
 
     assert decode_webp(b"not a webp at all, nope") is None
-    lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    # a WebP container whose VP8 bitstream is garbage: with the system
+    # libwebp PRESENT this is CORRUPT DATA (None — undecodable), never
+    # misreported as a missing library; only when libwebp is absent is
+    # NotImplementedError (no lossy decoder) the right diagnosis
+    corrupt_lossy = b"RIFF" + struct.pack("<I", 20) + b"WEBPVP8 " + b"\x00" * 12
+    if _libwebp() is not None:
+        assert decode_webp(corrupt_lossy) is None
+    else:
+        with _pytest.raises(NotImplementedError):
+            decode_webp(corrupt_lossy)
+
+
+def test_tiff_corrupt_payload_returns_none_not_task_fatal():
+    """ADVICE r7: valid TIFF magic + malformed body must return None
+    (codec contract: one corrupt file cannot kill a whole Spark task),
+    while out-of-scope features still raise NotImplementedError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.tiff import decode_tiff, encode_tiff
+
+    # the advisor's exact reproducer: magic + garbage IFD offset
+    assert decode_tiff(b"II*\x00\xff\xff\xff\xff") is None
+    # truncated real file: IFD parses partially / strips run past the end
+    real = encode_tiff(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    assert decode_tiff(real) is not None
+    for cut in (9, len(real) // 2, len(real) - 3):
+        got = decode_tiff(real[:cut])
+        assert got is None or got.shape == (4, 4, 3)
+    # missing required tags (width/height absent): KeyError path -> None
+    bare = b"II*\x00" + b"\x08\x00\x00\x00" + b"\x00\x00" + b"\x00\x00\x00\x00"
+    assert decode_tiff(bare) is None
+    # out-of-scope features keep raising for the strict gate: patch a
+    # real file's BitsPerSample to 16
+    import struct as _s
+
+    patched = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+    ifd_off = _s.unpack("<I", patched[4:8])[0]
+    n = _s.unpack("<H", patched[ifd_off : ifd_off + 2])[0]
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if _s.unpack("<H", patched[e : e + 2])[0] == 258:
+            patched[e + 8 : e + 10] = _s.pack("<H", 16)
     with _pytest.raises(NotImplementedError):
-        decode_webp(lossy)
+        decode_tiff(bytes(patched))
+
+
+def test_corrupt_tiff_in_image_features_nonstrict(spark):
+    """End-to-end: a corrupt TIFF payload inside the mapInPandas decode
+    kernel yields the deterministic fake in non-strict mode instead of
+    killing the task (the multimodal.py contract the advisor cited)."""
+    df = spark.createDataFrame(
+        [(1, b"II*\x00\xff\xff\xff\xff")], "id long, content binary"
+    )
+    out = multimodal.image_features(df, decode_strict=False).collect()[0]
+    assert (out.width, out.height, out.channels) == (8, 8, 3)
 
 
 def test_real_webp_decode_in_image_features(spark):
