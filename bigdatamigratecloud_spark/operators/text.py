@@ -384,6 +384,106 @@ def bigram_rarity(
     )
 
 
+def _rebuild_scrubbed(
+    toks_df: DataFrame, covered: DataFrame, id_col: str
+) -> DataFrame:
+    """Shared tail of the span-scrub family: drop covered token
+    positions, reassemble survivors in order, report removal counts.
+    ``toks_df`` is (id, __toks); ``covered`` is (id, tpos)."""
+    tok_pos = toks_df.select(id_col, F.posexplode("__toks").alias("tpos", "tok"))
+    kept = tok_pos.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        toks_df.select(id_col, F.size("__toks").alias("__n_orig"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            (F.col("__n_orig") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_tokens_removed"),
+        )
+    )
+
+
+def corpus_span_dedup(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+) -> DataFrame:
+    """CROSS-DOCUMENT repeated-passage removal — the n-gram realization
+    of Lee et al. 2022's exact-substring training-data dedup
+    (arXiv:2107.06499), round-8 item #3: an n-token span whose rolling
+    FINGERPRINT occurs in >= ``min_docs`` DISTINCT documents is
+    corpus-duplicated; its covered tokens are trimmed from every
+    occurrence except (with ``keep='first'``, the Lee-et-al semantic)
+    the lexicographically-first (doc_id, position) occurrence, which
+    survives as the canonical copy.  ``keep='none'`` drops every
+    occurrence (aggressive boilerplate removal — the cross-document
+    twin of :func:`hot_span_scrub`, which thresholds on total
+    occurrence count rather than distinct documents).
+
+    Scale shape (100 TB): the shuffle keys are 60-bit portable hashes
+    of the spans, NOT the n-token strings themselves — fixed-width
+    8-byte keys where hot_span_scrub shuffles ~50-byte span text; one
+    fingerprint count (map-side partials + distinct-doc count), one
+    fingerprint-key join back to occurrences (the hot set stays
+    distributed — never broadcast), a per-fingerprint window for the
+    canonical pick (bounded by occurrence count per fingerprint), a
+    positional explode bounded by n per hit, one doc-id aggregation to
+    rebuild.  Work is bounded by fingerprint-occurrence counts — never
+    doc × doc (plan-asserted in tests).
+
+    Deterministic and engine-portable end-to-end (md5-prefix hashes),
+    so the DuckDB oracle replays the exact scrubbed text.  60-bit
+    fingerprints can collide at extreme corpus sizes (~2^30 spans for a
+    birthday collision); a collision conservatively removes a
+    non-duplicated span — acceptable for curation, documented here."""
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash60
+
+    toks_df = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    spans = toks_df.select(
+        id_col, F.posexplode(zip_shingles(F.col("__toks"), n)).alias("pos", "span")
+    ).select(id_col, "pos", portable_hash60(F.col("span")).alias("fp"))
+    hot = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("fp")
+    )
+    hits = spans.join(hot, "fp")
+    if keep == "first":
+        w = Window.partitionBy("fp").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .drop("__rn")
+        )
+    covered = (
+        hits.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos"),
+        )
+        .distinct()
+    )
+    return _rebuild_scrubbed(toks_df, covered, id_col)
+
+
 def hot_span_scrub(
     df: DataFrame,
     n: int = 8,
@@ -422,28 +522,7 @@ def hot_span_scrub(
         )
         .distinct()
     )
-    tok_pos = toks_df.select(id_col, F.posexplode("__toks").alias("tpos", "tok"))
-    kept = tok_pos.join(covered, [id_col, "tpos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda s: s["tok"]
-            ),
-            " ",
-        ).alias("scrubbed_text"),
-        F.count(F.lit(1)).alias("__n_kept"),
-    )
-    return (
-        toks_df.select(id_col, F.size("__toks").alias("__n_orig"))
-        .join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
-            (F.col("__n_orig") - F.coalesce("__n_kept", F.lit(0)))
-            .cast("int")
-            .alias("n_tokens_removed"),
-        )
-    )
+    return _rebuild_scrubbed(toks_df, covered, id_col)
 
 
 # -------------------------------------------------- quality classifier

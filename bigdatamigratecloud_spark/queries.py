@@ -4314,6 +4314,53 @@ def n5_hot_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n1_corpus_passage_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       tp AS (SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) r(i)),
+       sh AS (SELECT doc_id, i - 1 AS pos,
+                     ('0x' || substr(md5(list_aggregate(t[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS fp
+              FROM toks, UNNEST(range(1, len(t) - 6)) r(i)),
+       hot AS (SELECT fp FROM sh GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT sh.doc_id, sh.pos,
+                       ROW_NUMBER() OVER (PARTITION BY sh.fp
+                                          ORDER BY sh.doc_id, sh.pos) AS rn
+                FROM sh JOIN hot USING (fp)),
+       cov AS (SELECT DISTINCT doc_id, pos + k AS tpos
+               FROM hits, UNNEST(range(0, 8)) rk(k) WHERE rn > 1),
+       kept AS (SELECT tp.doc_id, tp.tpos, tp.tok
+                FROM tp LEFT JOIN cov
+                  ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+                WHERE cov.doc_id IS NULL),
+       re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS scrubbed_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+       SELECT t.doc_id,
+              COALESCE(re.scrubbed_text, '') AS scrubbed_text,
+              CAST(len(t.t) - COALESCE(re.n_kept, 0) AS INT) AS n_tokens_removed
+       FROM toks t LEFT JOIN re ON t.doc_id = re.doc_id""",
+)
+def n1_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 (round 8, verdict item #3): CORPUS-WIDE repeated-passage
+    removal — the cross-document n-gram form of Lee et al.'s
+    exact-substring training-data dedup.  8-token spans whose portable
+    rolling fingerprint appears in >= 2 DISTINCT documents are trimmed
+    from every occurrence EXCEPT the lexicographically-first
+    (doc_id, pos) canonical copy, which survives.  Differs from
+    n5_hot_span_scrub in all three ways that matter at 100 TB: the
+    shuffle keys are fixed-width 60-bit hashes (not ~50-byte span
+    text), the threshold counts distinct DOCUMENTS (cross-document
+    duplication, not within-doc repetition), and one canonical copy is
+    kept (dedup, not deletion).  The DuckDB oracle replays the
+    identical fingerprint chain, distinct-doc count, canonical-pick
+    window and rebuild (operators/text.corpus_span_dedup)."""
+    from .operators.text import corpus_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_span_dedup(docs, n=8, min_docs=2, keep="first")
+
+
+@query(
     "n2_label_centroids",
     """SELECT label, CAST(i AS INT) AS dim,
               CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_val

@@ -488,6 +488,67 @@ def test_hot_span_scrub_full_doc_removal_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_corpus_span_dedup_keeps_canonical_copy(spark):
+    """corpus_span_dedup (round 8): cross-document passages trim every
+    occurrence EXCEPT the lexicographically-first (doc_id, pos) one;
+    within-doc repetition alone (one distinct doc) never triggers."""
+    from bigdatamigratecloud_spark.operators.text import corpus_span_dedup
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma {shared}"),
+            (3, f"{shared} delta {shared}"),  # within doc 3 AND cross-doc
+            (4, "solo solo solo solo solo solo solo solo"),  # within-doc only
+            (5, "entirely unique content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_span_dedup(docs, n=4, min_docs=2, keep="first").collect()
+    }
+    # doc 1 holds the canonical copy (lowest doc_id): untouched
+    assert out[1]["scrubbed_text"] == f"alpha {shared} beta"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["scrubbed_text"] == "gamma"
+    assert out[2]["n_tokens_removed"] == 4
+    assert out[3]["scrubbed_text"] == "delta"
+    assert out[3]["n_tokens_removed"] == 8
+    # 'solo'×8 repeats only within doc 4: distinct-doc count is 1 -> kept
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[5]["scrubbed_text"] == "entirely unique content here"
+    # keep='none' drops the canonical copy too
+    none = {
+        r["doc_id"]: r
+        for r in corpus_span_dedup(docs, n=4, min_docs=2, keep="none").collect()
+    }
+    assert none[1]["scrubbed_text"] == "alpha beta"
+    assert none[1]["n_tokens_removed"] == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        corpus_span_dedup(docs, keep="bogus")
+
+
+def test_corpus_span_dedup_plan_no_cartesian(spark):
+    """Work is bounded by fingerprint-occurrence joins — never doc×doc."""
+    from bigdatamigratecloud_spark.operators.text import corpus_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "p q r s"), (2, "p q r s"), (3, "u v w z")],
+        "doc_id long, text string",
+    )
+    out = corpus_span_dedup(docs, n=4, min_docs=2)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["scrubbed_text"] == "p q r s"  # canonical copy survives
+    assert rows[2]["scrubbed_text"] == "" and rows[2]["n_tokens_removed"] == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_weighted_sample_proportionality_and_determinism(spark):
     """weighted_sample: zero-weight rows are never drawn, a dominating
     weight is always drawn, inclusion is partition-invariant, and the
