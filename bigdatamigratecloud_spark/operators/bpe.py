@@ -508,25 +508,245 @@ def _bpe_segment_kernel(
     return df.mapInPandas(run, schema=out_schema)
 
 
+# --- byte-level BPE with pre-tokenization (round 8, item #4) --------------
+
+# Pre-tokenization pattern shared verbatim by Java regex (Spark), RE2
+# (DuckDB) and Python re (the kernel): runs on WHITESPACE-NORMALIZED
+# text (runs collapsed to single spaces), so the only whitespace left
+# is the optional leading space each pretoken absorbs — the GPT-2
+# shape, restricted to syntax all three engines interpret identically
+# (no lookahead, no \p classes).
+PRETOK_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte<->unicode bijection (public algorithm): printable
+    latin bytes map to themselves; the rest (controls, space, DEL, the
+    0x80-0xA0 gap, 0xAD) shift to 256+n so every byte is a visible,
+    single code point — space becomes 'Ġ' (U+0120).  Makes byte-level
+    symbols plain strings, so the same merge machinery (and the same
+    DuckDB char-split oracle) applies unchanged."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = _bytes_to_unicode()
+
+
+def _byte_syms(pretok: str) -> list[str]:
+    """A pretoken's initial symbol list: one mapped char per UTF-8
+    byte.  Non-ASCII text expands to multiple symbols per character —
+    the byte-fallback alphabet that guarantees zero out-of-vocabulary
+    bytes."""
+    return [_B2U[b] for b in pretok.encode("utf-8")]
+
+
+def _pretokenize(text: str) -> list[str]:
+    """Python mirror of the shared engine pipeline: Java-\\s collapse,
+    trim, then PRETOK_RE findall."""
+    norm = _JAVA_WS.sub(" ", text).strip(" ")
+    return _re.findall(PRETOK_RE, norm) if norm else []
+
+
+def bpe_train_bytes(
+    docs: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    local_budget: int = 5_000_000,
+) -> DataFrame:
+    """Byte-level BPE training over GPT-2-style pretokens.  The corpus
+    pass runs DISTRIBUTED (pretoken counts via one JVM
+    regexp_extract_all + explode + map-side-combined groupBy); the
+    vocab-sized table is then collected and trained with the exact
+    local argmax loop (:func:`_train_local`) over byte-mapped symbol
+    lists.  Same merge table schema and tie-break as :func:`bpe_train`;
+    lhs/rhs/merged are strings over the byte-unicode alphabet.
+
+    A vocabulary past ``local_budget`` distinct pretokens raises — the
+    distributed per-round loop is char-level only; byte-level training
+    is the bounded-vocab case by construction (the pretokenizer caps
+    word shapes), matching every production tokenizer trainer."""
+    if isinstance(text_col, str):
+        tc = F.col(text_col)
+    else:
+        tc = text_col
+    norm = F.trim(F.regexp_replace(tc, r"\s+", " "))
+    pretoks = F.regexp_extract_all(norm, F.lit(f"({PRETOK_RE})"), 1)
+    wc = (
+        docs.where(F.length(norm) > 0)
+        .select(F.explode(pretoks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rows = wc.limit(local_budget + 1).collect()
+    if len(rows) > local_budget:
+        raise ValueError(
+            f"byte-level vocab exceeds local_budget={local_budget}; "
+            "raise the budget (the table is pretoken-bounded)"
+        )
+    words = [(_byte_syms(r["word"]), int(r["cnt"])) for r in rows]
+    merges = _train_local(words, num_merges, min_pair_count)
+    return docs.sparkSession.createDataFrame(merges, _MERGES_DDL)
+
+
+def bpe_segment_bytes(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    special_tokens: list[str] | None = None,
+) -> DataFrame:
+    """Byte-level BPE encode — the kernel path generalized (round-8
+    item #4): ONE Arrow ``mapInPandas`` over the scan, broadcast
+    merge-rank dict, O(1) plan depth at any vocab size.  Per text:
+    special tokens (if any) pass through VERBATIM as single symbols
+    (matched before normalization, longest-first, never pretokenized
+    or merged); the remaining segments are whitespace-normalized,
+    pretokenized with :data:`PRETOK_RE`, each pretoken mapped to its
+    UTF-8 byte symbols (:func:`_byte_syms`) and encoded min-rank-first
+    with a per-batch cache.  Null text stays null; blank text yields
+    [].  Output symbols live in the byte-unicode alphabet (space =
+    'Ġ'), exactly like GPT-2's tokenizer output."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+    rules = [(str(l), str(r)) for l, r in merges]
+    specials = sorted([str(s) for s in (special_tokens or [])], key=len, reverse=True)
+    bc = df.sparkSession.sparkContext.broadcast((rules, specials))
+
+    def run(batches):
+        rule_list, specs = bc.value
+        ranks = {pair: i for i, pair in enumerate(rule_list)}
+        spec_re = (
+            _re.compile("|".join(_re.escape(s) for s in specs)) if specs else None
+        )
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(syms: list[str]) -> list[str]:
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                lhs, rhs = rule_list[best]
+                out: list[str] = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        def encode_pretok(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = encode_word(_byte_syms(w))
+                cache[w] = got
+            return got
+
+        def encode_text(txt: str) -> list[str]:
+            segments = [(txt, False)]
+            if spec_re is not None:
+                segments = []
+                last = 0
+                for m in spec_re.finditer(txt):
+                    if m.start() > last:
+                        segments.append((txt[last : m.start()], False))
+                    segments.append((m.group(0), True))
+                    last = m.end()
+                if last < len(txt):
+                    segments.append((txt[last:], False))
+            out: list[str] = []
+            for seg, is_special in segments:
+                if is_special:
+                    out.append(seg)
+                else:
+                    for w in _pretokenize(seg):
+                        out.extend(encode_pretok(w))
+            return out
+
+        for pdf in batches:
+            res = pdf.copy()
+            res[out_col] = [
+                None if txt is None else encode_text(txt) for txt in pdf[text_col]
+            ]
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def bpe_bytes_fold_reference(
+    text: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Sequential one-pass-per-rule FOLD reference for the byte-level
+    kernel (pure Python, test-only): pretokenize, byte-map, then apply
+    each rule in rank order with one greedy left-to-right pass.  The
+    property tests pin kernel ≡ fold on non-ASCII text for tables
+    produced by :func:`bpe_train_bytes` (which satisfy the
+    :func:`_fold_equivalent` conditions)."""
+    out: list[str] = []
+    for w in _pretokenize(text):
+        syms = _byte_syms(w)
+        for lhs, rhs in merges:
+            ns: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == lhs and syms[i + 1] == rhs:
+                    ns.append(lhs + rhs)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        out.extend(syms)
+    return out
+
+
 def bpe_sql_steps(
     docs_table: str = "documents",
     text_col: str = "text",
     num_merges: int = 10,
     min_pair_count: int = 2,
+    words_sql: str | None = None,
 ) -> str:
     """Unrolled DuckDB CTE chain replaying :func:`bpe_train` exactly.
     Exposes the merge table as CTE ``bpe_merges(rank, lhs, rhs,
     merged, pair_count)``.  Tokenization mirrors text.tokens()
     (whitespace collapse, blank-doc exclusion); greedy merge
     application is the gaps-and-islands window formulation (see module
-    docstring for why it equals the Spark fold)."""
+    docstring for why it equals the Spark fold).
+
+    ``words_sql`` overrides the word-frequency CTE body (must yield
+    (word, cnt), with ``word`` already in the symbol alphabet — the
+    byte-level oracle passes pretokens with space mapped to 'Ġ', whose
+    char split IS the byte split on an ASCII corpus)."""
     norm = f"trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))"
-    parts = [
-        f"""bpe_words AS MATERIALIZED (
-          SELECT token AS word, count(*) AS cnt
+    if words_sql is None:
+        words_sql = f"""SELECT token AS word, count(*) AS cnt
           FROM (SELECT unnest(string_split({norm}, ' ')) AS token
                 FROM {docs_table} WHERE length({norm}) > 0)
-          GROUP BY 1)""",
+          GROUP BY 1"""
+    parts = [
+        f"""bpe_words AS MATERIALIZED (
+          {words_sql})""",
         """bw0 AS MATERIALIZED (SELECT word, cnt,
                  list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
           FROM bpe_words)""",

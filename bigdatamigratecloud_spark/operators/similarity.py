@@ -80,6 +80,44 @@ def cosine_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force L2 top-k (round-8 item #5): for each query the
+    k nearest corpus vectors by Euclidean distance, ascending, ties by
+    nbr_id.  Same shape as :func:`cosine_topk` — broadcast query side,
+    one corpus scan, per-query rank window — on RAW vectors (no
+    normalization; L2 is not scale-invariant)."""
+    c = corpus.withColumn(
+        "cv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).select(F.col(id_col).alias("nbr_id"), "cv")
+    q = queries.withColumn(
+        "qv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).select(F.col(query_id_col).alias("query_id"), "qv")
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.sqrt(_l2sq(F.col("qv"), F.col("cv"))).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "l2_dist")
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     queries_local: list[tuple[int, list[float]]],
@@ -349,18 +387,43 @@ def _kmeans_fit(samples, k: int, iters: int = 10, seed: int = 42):
     return cents
 
 
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cent_lit(cent):
+    return F.array(*[F.lit(float(c)) for c in cent])
+
+
 def ivf_assign(
-    df: DataFrame, centroids, vec_col: str = "embedding", out_col: str = "cluster"
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — JVM-side: one dot
-    product per centroid (zip_with/aggregate), argmax via array_position.
+    product (``cosine``/``ip``: argmax) or squared L2 distance
+    (``l2``: argmin) per centroid via zip_with/aggregate, pick via
+    array_position (ties to the LOWEST centroid index in every metric).
     The centroid list is a plan literal (broadcast by value); assignment
-    is a narrow map, no shuffle."""
+    is a narrow map, no shuffle.  ``cosine`` expects the caller to pass
+    unit vectors/centroids (dot == cosine then); ``ip``/``l2`` operate
+    on raw vectors."""
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sims = F.array(
-        *[_dot(v, F.array(*[F.lit(float(c)) for c in cent])) for cent in centroids]
-    )
-    return df.withColumn(out_col, (F.array_position(sims, F.array_max(sims)) - 1).cast("int"))
+    if metric == "l2":
+        d2s = F.array(*[_l2sq(v, _cent_lit(c)) for c in centroids])
+        pick = F.array_position(d2s, F.array_min(d2s)) - 1
+    else:
+        sims = F.array(*[_dot(v, _cent_lit(c)) for c in centroids])
+        pick = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn(out_col, pick.cast("int"))
 
 
 def ivf_cosine_topk(
@@ -448,20 +511,37 @@ def ivf_index_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    metric: str = "cosine",
+    assume_unit: bool = False,
 ) -> None:
-    """Materialize an IVF index on disk: vectors (unit-normalized, as
-    ``cu``) partitioned by their nearest-centroid ``cluster`` — the
-    layout that turns probing into STATIC partition pruning at the
-    parquet source.  Assignment is a narrow JVM map (centroid matrix as
-    a plan literal); the write is one corpus pass, no shuffle beyond
-    the partitioned sink."""
-    ucents = _unit_centroids(centroids)
-    # assign on the UNIT vector against UNIT centroids: dot == cosine,
-    # so the argmax is the cosine-nearest list for ANY quantizer (raw
-    # per-label means included), with ties to the lowest centroid index
-    assigned = ivf_assign(
-        with_unit_vector(df, vec_col, "cu"), ucents, "cu", "cluster"
-    ).select(F.col(id_col).alias("vec_id"), "cu", "cluster")
+    """Materialize an IVF index on disk: vectors (stored as ``cu``)
+    partitioned by their nearest-centroid ``cluster`` — the layout that
+    turns probing into STATIC partition pruning at the parquet source.
+    Assignment is a narrow JVM map (centroid matrix as a plan literal);
+    the write is one corpus pass, no shuffle beyond the partitioned
+    sink.
+
+    ``metric``: ``cosine`` (default) stores UNIT-normalized vectors and
+    assigns by cosine argmax against unit centroids (correct for ANY
+    quantizer, raw per-label means included); ``l2``/``ip`` store RAW
+    double vectors and assign by squared-L2 argmin / dot argmax — the
+    metrics embedding stores routinely serve (round-8 item #5).
+
+    ``assume_unit`` (cosine only): the input vectors are ALREADY unit —
+    pass them through bit-exactly instead of re-normalizing.  Used by
+    :func:`ivf_index_retrain`, whose input is the stored index itself:
+    re-normalizing an already-unit vector is not an IEEE no-op, and the
+    retrain ≡ from-scratch-rebuild equality needs byte-identical cu."""
+    raw = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if metric == "cosine":
+        cents_use = _unit_centroids(centroids)
+        base = df.withColumn("cu", raw) if assume_unit else with_unit_vector(df, vec_col, "cu")
+    else:
+        cents_use = [[float(x) for x in c] for c in centroids]
+        base = df.withColumn("cu", raw)
+    assigned = ivf_assign(base, cents_use, "cu", "cluster", metric=metric).select(
+        F.col(id_col).alias("vec_id"), "cu", "cluster"
+    )
     # co-partition by cluster before the partitioned sink: without it
     # EVERY task writes one file per cluster it happens to see
     # (tasks × clusters small files at scale); after it, total file
@@ -477,6 +557,7 @@ def ivf_index_append(
     index_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> None:
     """Incremental IVF maintenance — the ANN twin of
     ``minhash_dedup_incremental``: a NEW batch of vectors is assigned to
@@ -489,9 +570,11 @@ def ivf_index_append(
     The standard caveat applies (same as FAISS's add-after-train): the
     quantizer is NOT refit, so heavy drift in the incoming distribution
     degrades list balance until the next retrain — detectable by
-    monitoring per-cluster counts, which the partitioned layout gives
-    for free from the directory listing."""
-    ivf_index_write(batch, centroids, index_dir, id_col, vec_col, mode="append")
+    monitoring per-cluster counts (:func:`ivf_index_stats`) and fixed
+    by :func:`ivf_index_retrain` — both round-8 additions."""
+    ivf_index_write(
+        batch, centroids, index_dir, id_col, vec_col, mode="append", metric=metric
+    )
 
 
 def ivf_index_query(
@@ -503,47 +586,143 @@ def ivf_index_query(
     n_probe: int = 4,
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Query a disk-resident IVF index: per-query probe lists are chosen
     JVM-side against the plan-literal centroids, the probed clusters are
     collected (bounded: n_queries × n_probe ids) into a static partition
-    filter, and only those cluster directories are scanned."""
-    cents = _unit_centroids(centroids)
-    sims = F.array(
-        *[_dot(F.col("qu"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
-    )
-    pairs = F.transform(
-        sims, lambda s, i: F.struct((-s).alias("neg_sim"), i.alias("idx"))
-    )
+    filter, and only those cluster directories are scanned.
+
+    ``metric`` must match the index's write metric: ``cosine`` emits
+    (query_id, nbr_id, rank, cosine) ranked by cosine DESC; ``ip``
+    emits ``ip`` (raw dot) DESC; ``l2`` emits ``l2_dist`` (sqrt of the
+    exact squared distance) ASC.  Ties break by nbr_id in all three."""
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "cosine":
+        cents = _unit_centroids(centroids)
+        q0 = with_unit_vector(queries, vec_col, "qu")
+    else:
+        cents = [[float(x) for x in c] for c in centroids]
+        q0 = queries.withColumn(
+            "qu", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+    if metric == "l2":
+        keys = F.array(*[_l2sq(F.col("qu"), _cent_lit(c)) for c in cents])
+        pairs = F.transform(keys, lambda s, i: F.struct(s.alias("key"), i.alias("idx")))
+    else:
+        keys = F.array(*[_dot(F.col("qu"), _cent_lit(c)) for c in cents])
+        pairs = F.transform(
+            keys, lambda s, i: F.struct((-s).alias("key"), i.alias("idx"))
+        )
     probed = F.transform(
         F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
     )
     q = (
-        with_unit_vector(queries, vec_col, "qu")
-        .select(F.col(query_id_col).alias("query_id"), "qu")
+        q0.select(F.col(query_id_col).alias("query_id"), "qu")
         .withColumn("cluster", F.explode(probed))
     )
     wanted = sorted(
         {r["cluster"] for r in q.select("cluster").distinct().collect()}
     )
     idx = spark.read.parquet(index_dir).where(F.col("cluster").isin(wanted))
-    sim = (
-        idx.join(q, "cluster")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("nbr_id"),
-            _dot(F.col("qu"), F.col("cu")).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("nbr_id").asc()
-    )
+    cand = idx.join(q, "cluster").filter(F.col("vec_id") != F.col("query_id"))
+    if metric == "l2":
+        score_col, asc = "l2_dist", True
+        score = F.sqrt(_l2sq(F.col("qu"), F.col("cu")))
+    else:
+        score_col, asc = ("cosine" if metric == "cosine" else "ip"), False
+        score = _dot(F.col("qu"), F.col("cu"))
+    sim = cand.select("query_id", F.col("vec_id").alias("nbr_id"), score.alias(score_col))
+    order = F.col(score_col).asc() if asc else F.col(score_col).desc()
+    w = Window.partitionBy("query_id").orderBy(order, F.col("nbr_id").asc())
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "cosine")
+        .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), score_col)
     )
+
+
+def ivf_index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cluster inverted-list sizes — the balance diagnostic that
+    detects quantizer drift and triggers :func:`ivf_index_retrain`
+    (round-8 items #2/#6).  One aggregation keyed by the PARTITION
+    column: the scan reads no data columns (column pruning leaves only
+    the directory-derived ``cluster``), so cost is row-count metadata
+    work, not index bytes."""
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+def ivf_index_retrain(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    new_centroids=None,
+    iters: int = 5,
+    seed: int = 42,
+    metric: str = "cosine",
+):
+    """Refit the coarse quantizer and REWRITE the index — the fix for
+    the drift caveat :func:`ivf_index_append` documents (round-8 item
+    #2): appends never refit centroids, so a drifting stream degrades
+    list balance (visible in :func:`ivf_index_stats`) and recall until
+    a retrain.
+
+    Two modes: pass ``new_centroids`` explicitly (e.g. externally
+    trained, or the deterministic per-label means the oracle entries
+    use), or pass ``n_centroids`` to refit via the existing
+    :func:`kmeans_distributed` over the STORED vectors (cosine metric —
+    for l2/ip pass explicit centroids).  Either way the stored vectors
+    are re-assigned in one pass (read straight from the old index —
+    the raw corpus is never touched) and written to a staging dir,
+    which then REPLACES the index via two directory renames.  On a
+    POSIX filesystem each rename is atomic; readers holding the old
+    DataFrame keep their snapshot (parquet files are immutable), new
+    readers see only old-or-new.  On an object store, write under a
+    versioned prefix and flip a pointer object instead — same shape as
+    AcidTable's commit protocol.
+
+    The rewritten index is IDENTICAL to a from-scratch
+    ``ivf_index_write`` with the same centroids (assignment is
+    per-vector and centroid-only; ``assume_unit`` passes the stored
+    unit vectors through bit-exactly) — pinned by the
+    ``ann_ivf_retrain`` oracle entry and the drift-recovery test.
+    Returns the new centroids."""
+    import os
+    import shutil
+
+    stored = spark.read.parquet(index_dir).select("vec_id", "cu")
+    if new_centroids is None:
+        if n_centroids is None:
+            raise ValueError("pass n_centroids or new_centroids")
+        if metric != "cosine":
+            raise ValueError("kmeans refit is spherical: pass explicit centroids for l2/ip")
+        _, cents, _ = kmeans_distributed(
+            stored.select("vec_id", F.col("cu").alias("embedding")),
+            k=n_centroids,
+            iters=iters,
+            seed=seed,
+        )
+        new_centroids = cents
+    staging = index_dir.rstrip("/") + "__retrain_staging"
+    backup = index_dir.rstrip("/") + "__retrain_old"
+    ivf_index_write(
+        stored,
+        new_centroids,
+        staging,
+        id_col="vec_id",
+        vec_col="cu",
+        metric=metric,
+        assume_unit=(metric == "cosine"),
+    )
+    os.rename(index_dir, backup)
+    os.rename(staging, index_dir)
+    shutil.rmtree(backup)
+    return [[float(x) for x in c] for c in new_centroids]
 
 
 def _kmeans_l2(samples, k: int, iters: int = 10, seed: int = 42):
@@ -572,14 +751,23 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    unit: bool = True,
 ):
     """Fit PQ codebooks on a bounded, scan-order-independent sample
-    (ordered by id, like the IVF quantizer): the UNIT vector is split
-    into ``m`` subvectors and each subspace gets its own ``k_codes``-entry
-    L2 codebook.  Returns a list of m (k_codes x dsub) float arrays.
-    Driver memory is bounded by the sample, never the corpus."""
+    (ordered by id, like the IVF quantizer): the vector — UNIT-
+    normalized for the cosine path (default), RAW for the L2 path
+    (``unit=False``) — is split into ``m`` subvectors and each subspace
+    gets its own ``k_codes``-entry L2 codebook.  Returns a list of m
+    (k_codes x dsub) float arrays.  Driver memory is bounded by the
+    sample, never the corpus."""
+    if unit:
+        base = with_unit_vector(corpus, vec_col, "u")
+    else:
+        base = corpus.withColumn(
+            "u", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
     rows = (
-        with_unit_vector(corpus, vec_col, "u")
+        base
         .select(id_col, "u")
         .orderBy(id_col)
         .limit(sample_size)
@@ -602,6 +790,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "codes",
+    unit: bool = True,
 ) -> DataFrame:
     """Encode every vector as ``m`` small codes (nearest codebook entry
     per subspace, L2, ties to the lower code).  64 floats -> 8 codes:
@@ -629,11 +818,13 @@ def pq_encode(
             ]
         )
         code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
-    return (
-        with_unit_vector(df, vec_col, "__pq_u")
-        .withColumn(out_col, F.array(*code_cols))
-        .drop("__pq_u")
-    )
+    if unit:
+        base = with_unit_vector(df, vec_col, "__pq_u")
+    else:
+        base = df.withColumn(
+            "__pq_u", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+    return base.withColumn(out_col, F.array(*code_cols)).drop("__pq_u")
 
 
 def pq_cosine_topk(
@@ -733,6 +924,96 @@ def pq_cosine_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cosine")
+    )
+
+
+def pq_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    k_codes: int = 32,
+    sample_size: int = 2048,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ ANN under the L2 metric (round-8 item #5): the standard
+    Jégou-et-al ADC — codebooks fit on RAW subvectors, each query
+    precomputes a plan-literal m × k_codes table of SQUARED sub-
+    distances ||q_j − c_{j,code}||², a candidate's approximate d² is
+    the sum of m table hits reconstructed from its code array, and the
+    top k·rerank_factor by ADC fetch full vectors for an exact L2
+    rerank (ascending, ties by nbr_id).  Same scale shape as
+    :func:`pq_cosine_topk` — narrow code-column scan, broadcast query
+    LUTs, shortlist-sized rerank join; emits (query_id, nbr_id, rank,
+    l2_dist)."""
+    books = pq_fit(corpus, m, k_codes, sample_size, id_col, vec_col, seed, unit=False)
+    dsub = len(books[0][0])
+    enc = pq_encode(corpus, books, id_col, vec_col, "codes", unit=False).select(
+        F.col(id_col).alias("nbr_id"), "codes"
+    )
+    qv = F.col("qv")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _l2sq(F.slice(qv, j * dsub + 1, dsub), _cent_lit(cent))
+                    for cent in book
+                ]
+            )
+            for j, book in enumerate(books)
+        ]
+    )
+    q = queries.withColumn(
+        "qv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).select(F.col(query_id_col).alias("query_id"), "qv", lut.alias("__lut"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, (c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        enc.crossJoin(F.broadcast(q.select("query_id", "__lut")))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", score.alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank_factor))
+        .select("query_id", "nbr_id", "rank", "adc_d2")
+    )
+    if rerank_factor <= 1:
+        return shortlist
+    cv = corpus.withColumn(
+        "cv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).select(F.col(id_col).alias("nbr_id"), "cv")
+    exact = (
+        shortlist.select("query_id", "nbr_id")
+        .join(cv, "nbr_id")
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            F.sqrt(_l2sq(F.col("qv"), F.col("cv"))).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "l2_dist")
     )
 
 

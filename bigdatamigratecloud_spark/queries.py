@@ -4701,6 +4701,287 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _label_mean_centroids(emb: DataFrame) -> list[list[float]]:
+    """Decimal-exact per-label mean vectors, sorted by label — the
+    deterministic quantizer the oracle-exact IVF entries share (labels
+    are contiguous 0..k-1 in the fixture, so list index == label ==
+    oracle cid).  Driver state bounded by k labels × d dims."""
+    cellrows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cellrows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["mv"]
+    return [
+        [by_label[cid][i] for i in range(len(by_label[cid]))]
+        for cid in sorted(by_label)
+    ]
+
+
+_IVF_STATS_SQL = """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  nrm AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+          FROM u),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i
+                  FROM u)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                 list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+            FROM cents),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM (SELECT n.vec_id, cn.cid,
+                       list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+                FROM nrm n CROSS JOIN cnorm cn))
+  SELECT CAST(cid AS INT) AS cluster, COUNT(*) AS n_vectors
+  FROM asg WHERE rn = 1 GROUP BY cid"""
+
+
+@query("ann_ivf_stats", _IVF_STATS_SQL)
+def ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8, item #6): per-cluster inverted-list sizes of a
+    disk-resident IVF index — the balance diagnostic that detects
+    quantizer drift and triggers ivf_index_retrain.  The stats read
+    touches only the PARTITION column (column pruning leaves no data
+    columns), so at 100 TB the cost is metadata work.  Quantizer =
+    decimal-exact per-label means, so the oracle replays the exact
+    assignment argmax and per-cluster counts."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_index_stats, ivf_index_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_mean_centroids(emb)
+    d = tempfile.mkdtemp(prefix="bdmc_ivfstats_")
+    try:
+        ivf_index_write(emb, cents, d)
+        out = ivf_index_stats(spark, d)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@query("ann_ivf_retrain", _IVF_PART_SQL)
+def ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8, item #2): quantizer RETRAIN + atomic index rewrite
+    — the fix for ivf_index_append's documented drift caveat.  The
+    index is first written with a STALE 2-centroid quantizer (every
+    list fat and unbalanced); ivf_index_retrain reassigns the stored
+    vectors to the full per-label quantizer in one pass over the OLD
+    INDEX (the raw corpus is never re-read) and swaps the rewritten
+    tree in via two directory renames.  Queries over the retrained
+    index must equal a from-scratch ivf_index_write with the same new
+    centroids EXACTLY — which is precisely what the oracle replays
+    (the same SQL as ann_ivf_partitioned: all-vector per-label
+    assignment, probe-3, top-10), so any retrain-path drift (double
+    normalization, wrong tie-break, stale rows surviving the swap)
+    hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_index_query,
+        ivf_index_retrain,
+        ivf_index_write,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_all = _label_mean_centroids(emb)
+    d = tempfile.mkdtemp(prefix="bdmc_ivfretrain_")
+    try:
+        # stale quantizer: only the first two labels' centroids
+        ivf_index_write(emb, cents_all[:2], d)
+        new_cents = ivf_index_retrain(spark, d, new_centroids=cents_all)
+        out = ivf_index_query(
+            spark,
+            d,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            new_cents,
+            k=10,
+            n_probe=3,
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+_IVF_L2_SQL = """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i
+                  FROM u)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, cid) AS rn
+          FROM (SELECT un.vec_id, ct.cid,
+                       list_reduce(list_transform(list_zip(un.v, ct.c),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           (x, y) -> x + y) AS d2
+                FROM u un CROSS JOIN cents ct)),
+  assigned AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 3),
+  qp AS (SELECT query_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2 ASC, cid) AS rn
+         FROM (SELECT q.query_id, ct.cid,
+                      list_reduce(list_transform(list_zip(q.qv, ct.c),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+                          (x, y) -> x + y) AS d2
+               FROM q CROSS JOIN cents ct)),
+  probes AS (SELECT query_id, cid FROM qp WHERE rn <= 3),
+  scored AS (SELECT q.query_id, un.vec_id AS nbr_id,
+                    sqrt(list_reduce(list_transform(list_zip(q.qv, un.v),
+                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+                        (x, y) -> x + y)) AS l2_dist
+             FROM q JOIN probes p USING (query_id)
+             JOIN assigned a ON a.cluster = p.cid
+             JOIN u un ON un.vec_id = a.vec_id
+             WHERE un.vec_id <> q.query_id)
+  SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, l2_dist FROM (
+    SELECT query_id, nbr_id, l2_dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY l2_dist ASC, nbr_id) AS rank
+    FROM scored) r
+  WHERE rank <= 10"""
+
+
+@query("ann_ivf_l2", _IVF_L2_SQL)
+def ann_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8, item #5): the IVF index family under the L2 metric
+    — embedding stores routinely serve Euclidean, not cosine.  RAW
+    vectors stored (L2 is not scale-invariant, so no normalization
+    anywhere), assignment and probe choice by squared-distance ARGMIN
+    (ties to the lowest centroid index), candidates reranked by exact
+    distance ascending.  Quantizer = decimal-exact per-label RAW means,
+    so the DuckDB oracle replays assignment, probe-3 and the top-10
+    rerank bit-exactly (same left-fold (a-b)^2 accumulation, same
+    IEEE sqrt)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_index_query, ivf_index_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_mean_centroids(emb)
+    d = tempfile.mkdtemp(prefix="bdmc_ivfl2_")
+    try:
+        ivf_index_write(emb, cents, d, metric="l2")
+        out = ivf_index_query(
+            spark,
+            d,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            cents,
+            k=10,
+            n_probe=3,
+            metric="l2",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@query(
+    "ann_l2_topk",
+    """WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 5),
+       scored AS (SELECT q.query_id, u.vec_id AS nbr_id,
+                         sqrt(list_reduce(list_transform(list_zip(q.qv, u.v),
+                             p -> (p[1] - p[2]) * (p[1] - p[2])),
+                             (x, y) -> x + y)) AS l2_dist
+                  FROM u CROSS JOIN q WHERE u.vec_id <> q.query_id)
+       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, l2_dist FROM (
+         SELECT query_id, nbr_id, l2_dist,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY l2_dist ASC, nbr_id) AS rank
+         FROM scored) r
+       WHERE rank <= 10""",
+)
+def ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8, item #5): exact brute-force L2 top-k — the metric
+    baseline the L2 ANN paths (ann_ivf_l2, ann_pq_l2_recall) are
+    measured against.  Broadcast query side, one raw-vector corpus
+    scan, per-query rank window; the oracle recomputes every distance
+    with the identical left-fold."""
+    from .operators.similarity import l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = l2_topk(emb, queries_df, k=10, query_id_col="query_id")
+    return out.select(
+        "query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "l2_dist"
+    )
+
+
+@query(
+    "ann_pq_l2_recall",
+    """SELECT 10 AS k, 5 AS n_queries, TRUE AS recall_ok""",
+)
+def ann_pq_l2_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the L2 product-quantization path (round 8, item #5:
+    codebooks fit on RAW subvectors, squared-distance ADC lookup
+    tables, exact-L2 rerank of the 10x shortlist) against the exact L2
+    brute force.  Like its cosine twin ann_pq_recall the candidate
+    pipeline is fully deterministic but achieved recall is a data
+    property: the oracle pins the scale-independent >= 0.8 contract and
+    tests pin the exact sf0.01 scalar."""
+    from .operators.similarity import l2_topk, pq_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = l2_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id"
+    )
+    pq = pq_l2_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+        "query_id", "nbr_id"
+    )
+    joined = brute.join(pq.withColumn("__hit", F.lit(1)), ["query_id", "nbr_id"], "left")
+    return joined.agg(
+        F.lit(10).alias("k"),
+        F.count_distinct("query_id").cast("int").alias("n_queries"),
+        (
+            (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double"))
+            >= F.lit(0.8)
+        ).alias("recall_ok"),
+    )
+
+
 def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Shared S-family round-trip driver: documents -> <fmt> files in a
     temp dir -> read back with the declared schema -> must equal source."""
@@ -5441,6 +5722,80 @@ def n5_bpe_segment_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size(_tokens("text")).cast("long").alias("n_words"),
+            F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        )
+    )
+
+
+_BYTE_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_BYTE_WORDS_SQL = f"""SELECT replace(tok, ' ', chr(288)) AS word, count(*) AS cnt
+          FROM (SELECT unnest(regexp_extract_all({_BYTE_NORM},
+                       '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+)', 1)) AS tok
+                FROM documents WHERE length({_BYTE_NORM}) > 0)
+          GROUP BY 1"""
+
+
+@query(
+    "n5_bpe_byte_train",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2, words_sql=_BYTE_WORDS_SQL)
+    + "\n       SELECT rank, lhs, rhs, merged, pair_count FROM bpe_merges",
+)
+def n5_bpe_byte_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8, item #4): BYTE-LEVEL BPE training over GPT-2-style
+    pretokens — the production tokenizer shape: a shared Java∩RE2∩re
+    pre-tokenization regex, each pretoken split into UTF-8 byte symbols
+    through the GPT-2 byte-unicode bijection (space = 'Ġ'), zero
+    out-of-vocabulary bytes by construction.  The corpus pass
+    (pretoken counts) is distributed; training runs the exact local
+    argmax loop over the bounded vocab (operators/bpe.py
+    bpe_train_bytes).  The oracle reuses the SAME unrolled CTE rounds
+    as n5_bpe_train with only the word CTE swapped: on this ASCII
+    corpus the byte split IS the char split after space→Ġ, so DuckDB
+    replays the full byte-level merge sequence value-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _bpe.bpe_train_bytes(docs, num_merges=12, min_pair_count=2)
+
+
+@query(
+    "n5_bpe_byte_segment",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2, words_sql=_BYTE_WORDS_SQL)
+    + f""",
+       dtoks AS (SELECT doc_id, replace(tok, ' ', chr(288)) AS word
+                 FROM (SELECT doc_id,
+                              unnest(regexp_extract_all({_BYTE_NORM},
+                              '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+)', 1)) AS tok
+                       FROM documents WHERE length({_BYTE_NORM}) > 0))
+       SELECT d.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+              CAST(SUM(len(w.syms)) AS BIGINT) AS n_subwords
+       FROM dtoks d JOIN bw12 w ON d.word = w.word
+       GROUP BY d.doc_id""",
+)
+def n5_bpe_byte_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8, item #4): byte-level BPE ENCODE — the Arrow kernel
+    generalized with pre-tokenization, byte-fallback symbols and
+    special-token passthrough (operators/bpe.py bpe_segment_bytes):
+    ONE mapInPandas over the scan, broadcast rank dict, O(1) plan
+    depth.  Reports (n_pretokens, n_subwords) per document; the oracle
+    derives the same counts by joining mapped pretokens to the final
+    unrolled training round's vocab frame, so the kernel's min-rank
+    encode is cross-checked end-to-end (it equals the fold on trained
+    tables — see _fold_equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in _bpe.bpe_train_bytes(docs, num_merges=12, min_pair_count=2).collect()
+    ]
+    seg = _bpe.bpe_segment_bytes(docs, merges)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    pretoks = F.regexp_extract_all(norm, F.lit(f"({_bpe.PRETOK_RE})"), 1)
+    return (
+        seg.where(F.size(pretoks) > 0)
+        .select(
+            "doc_id",
+            F.size(pretoks).cast("long").alias("n_pretokens"),
             F.size("bpe_tokens").cast("long").alias("n_subwords"),
         )
     )

@@ -193,13 +193,16 @@ def test_bpe_train_incremental_equals_recount(spark):
 
 
 def test_bpe_train_auto_picks_incremental_beyond_threshold(spark):
-    """`incremental=None` at >16 merges routes through the delta path —
-    same answer as the sequential replay."""
+    """With the local path disabled (local_budget=0), `incremental=None`
+    at >16 merges routes through the delta path — same answer as the
+    sequential replay."""
     texts = TEXTS + ["estest lowered widened newness"]
     docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     got = [
         tuple(r)
-        for r in bpe_train(docs, num_merges=24, min_pair_count=1).collect()
+        for r in bpe_train(
+            docs, num_merges=24, min_pair_count=1, local_budget=0
+        ).collect()
     ]
     assert got == _replay(_counts(texts), 24, min_count=1)
 
@@ -297,3 +300,79 @@ def test_bpe_segment_edge_cases(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bpe_train(empty, num_merges=3, incremental=False).collect() == []
     assert bpe_train(empty, num_merges=3, incremental=True).collect() == []
+
+
+def test_bpe_byte_level_train_and_segment(spark):
+    """Byte-level BPE (round 8): GPT-2 pre-tokenization, byte-fallback
+    symbols, special-token passthrough — kernel output equals the
+    sequential fold reference, and inverse-mapping the output symbols
+    reconstructs the pretokens' exact UTF-8 bytes (losslessness)."""
+    from bigdatamigratecloud_spark.operators.bpe import (
+        _B2U,
+        _pretokenize,
+        bpe_bytes_fold_reference,
+        bpe_segment_bytes,
+        bpe_train_bytes,
+    )
+
+    texts = [
+        "the quick brown fox 123 jumps!",
+        "naïve café déjà-vu übergroß",   # non-ASCII: multi-byte fallback
+        "日本語 テスト 123",               # CJK: 3-byte sequences
+        "the the the quick quick fox",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(docs, num_merges=20, min_pair_count=2).collect()
+    ]
+    assert merges, "corpus has repeated pairs; training must learn rules"
+    probe_texts = texts + ["", None, "  spaced   out  ", "mixé ascii日本"]
+    probe = spark.createDataFrame(
+        list(enumerate(probe_texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_bytes(probe, merges).collect()
+    }
+    u2b = {c: bytes([b]) for b, c in _B2U.items()}
+    for i, t in enumerate(probe_texts):
+        if t is None:
+            assert got[i] is None
+            continue
+        # kernel == sequential fold reference (trained tables are
+        # fold-equivalent)
+        assert got[i] == bpe_bytes_fold_reference(t, merges), t
+        # losslessness: symbols decode back to the pretokens' bytes
+        back = b"".join(u2b[c] for tok in got[i] for c in tok)
+        expect = b"".join(w.encode("utf-8") for w in _pretokenize(t))
+        assert back == expect, t
+
+
+def test_bpe_byte_special_tokens_pass_through(spark):
+    """Special tokens are emitted verbatim as single symbols — never
+    normalized, pretokenized, or merged — with longest-first matching."""
+    from bigdatamigratecloud_spark.operators.bpe import (
+        bpe_segment_bytes,
+        bpe_train_bytes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello world hello")], "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(docs, num_merges=8, min_pair_count=2).collect()
+    ]
+    probe = spark.createDataFrame(
+        [(1, "<|endoftext|>hello world<|end|><|endoftext|>")],
+        "doc_id long, text string",
+    )
+    toks = bpe_segment_bytes(
+        probe, merges, special_tokens=["<|end|>", "<|endoftext|>"]
+    ).first()["bpe_tokens"]
+    assert toks[0] == "<|endoftext|>"
+    assert toks[-1] == "<|endoftext|>"
+    assert "<|end|>" in toks
+    # the inner text was still BPE-encoded (not one giant literal)
+    assert all("|" not in t for t in toks if not t.startswith("<|"))

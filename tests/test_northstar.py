@@ -551,3 +551,163 @@ def test_jl_shortlist_partitioning_invariant(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_ivf_metric_variants_assign_and_query(spark):
+    """L2 / inner-product metrics (round 8): assignment picks argmin-L2
+    / argmax-dot where cosine would pick differently, and queries rank
+    by the matching score with deterministic ties."""
+    import pytest as _pytest
+
+    # centroid 0 = far along x, centroid 1 = near the origin diagonal
+    cents = [[10.0, 0.0], [1.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    by_l2 = {
+        r.vec_id: r.cluster
+        for r in similarity.ivf_assign(df, cents, metric="l2").collect()
+    }
+    # [2,0]: d2 to c0 = 64, to c1 = 2 -> cluster 1 (cosine would say 0)
+    assert by_l2 == {1: 1, 2: 1}
+    by_ip = {
+        r.vec_id: r.cluster
+        for r in similarity.ivf_assign(df, cents, metric="ip").collect()
+    }
+    # [2,0]: dot c0 = 20 > dot c1 = 2 -> cluster 0
+    assert by_ip == {1: 0, 2: 1}
+    with _pytest.raises(ValueError):
+        similarity.ivf_assign(df, cents, metric="bogus")
+
+
+def test_ivf_index_l2_write_query_matches_brute(spark, sf_dir, tmp_path):
+    """An L2 index probed with ALL lists must equal exact brute-force
+    L2 top-k (partition pruning changes what is scanned, never the
+    math); raw vectors are stored unnormalized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        r[0] for r in emb.select("embedding").orderBy("vec_id").limit(256).collect()
+    ]
+    cents = similarity._kmeans_l2(sample, k=6)
+    d = str(tmp_path / "l2idx")
+    similarity.ivf_index_write(emb, cents, d, metric="l2")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_query(
+                spark, d, q, cents, k=5, n_probe=6, metric="l2"
+            ).collect(),
+        )
+    )
+    exp = sorted(map(tuple, similarity.l2_topk(emb, q, k=5).collect()))
+    assert got == exp and got
+
+
+def test_ivf_retrain_equals_from_scratch_rebuild(spark, sf_dir, tmp_path):
+    """ivf_index_retrain with explicit centroids must leave an index
+    BYTE-IDENTICAL (vec_id, cluster, stored unit vector) to a from-
+    scratch ivf_index_write over the raw corpus with those centroids —
+    the assume_unit pass-through is what makes re-normalization exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        r[0] for r in emb.select("embedding").orderBy("vec_id").limit(256).collect()
+    ]
+    old = similarity._kmeans_fit(sample, k=4)
+    new = similarity._kmeans_fit(sample, k=8, seed=7)
+    d = str(tmp_path / "retrained")
+    similarity.ivf_index_write(emb, old, d)
+    similarity.ivf_index_retrain(spark, d, new_centroids=new)
+    full = str(tmp_path / "scratch")
+    similarity.ivf_index_write(emb, new, full)
+    a = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["cu"]))
+        for r in spark.read.parquet(d).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["cu"]))
+        for r in spark.read.parquet(full).collect()
+    )
+    assert a == b and len(a) == emb.count()
+    # staging/backup dirs must not survive the swap
+    import os
+
+    assert not os.path.exists(d + "__retrain_staging")
+    assert not os.path.exists(d + "__retrain_old")
+
+
+def test_ivf_retrain_restores_recall_after_drift(spark):
+    """The round-7 verdict's item #2 end-to-end, at the oracle SF: a
+    quantizer trained BEFORE drift (labels < 8 only) serves appended
+    drifted vectors (labels 8-9) badly; ivf_index_retrain's kmeans
+    refit over the STORED index restores recall for drifted queries.
+    Exact pins (deterministic sample + seeded kmeans + decimal-exact
+    distributed refit): 21/50 stale -> 29/50 retrained at sf0.01."""
+    import os
+    import shutil
+    import tempfile
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    corpus = emb.filter(F.col("label") < 8)
+    batch = emb.filter(F.col("label") >= 8)
+    sample = [
+        r[0] for r in corpus.select("embedding").orderBy("vec_id").limit(512).collect()
+    ]
+    cents = similarity._kmeans_fit(sample, k=10)
+    d = tempfile.mkdtemp(prefix="bdmc_drift_")
+    try:
+        similarity.ivf_index_write(corpus, cents, d)
+        similarity.ivf_index_append(batch, cents, d)
+        stats = similarity.ivf_index_stats(spark, d).collect()
+        assert sum(r.n_vectors for r in stats) == emb.count()
+        qd = batch.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        brute = {
+            (r.query_id, r.nbr_id)
+            for r in similarity.cosine_topk(emb, qd, k=10).collect()
+        }
+        stale = {
+            (r.query_id, r.nbr_id)
+            for r in similarity.ivf_index_query(
+                spark, d, qd, cents, k=10, n_probe=3
+            ).collect()
+        }
+        new_cents = similarity.ivf_index_retrain(spark, d, n_centroids=10)
+        assert len(new_cents) == 10
+        retrained = {
+            (r.query_id, r.nbr_id)
+            for r in similarity.ivf_index_query(
+                spark, d, qd, new_cents, k=10, n_probe=3
+            ).collect()
+        }
+        assert len(brute) == 50
+        assert len(stale & brute) == 21
+        assert len(retrained & brute) == 29
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pq_l2_recall_exact_pin_at_oracle_sf(spark):
+    """Hard-number pin of the L2 PQ path on the oracle fixtures: 49 of
+    50 brute-force L2 neighbors recovered (16 subspaces x 32 codes,
+    squared-distance ADC, 10x exact rerank).  The queries() entry pins
+    only the scale-independent >= 0.8 contract."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = {
+        (r.query_id, r.nbr_id) for r in similarity.l2_topk(emb, q, k=10).collect()
+    }
+    pq = {
+        (r.query_id, r.nbr_id) for r in similarity.pq_l2_topk(emb, q, k=10).collect()
+    }
+    assert len(brute) == 50
+    assert len(pq & brute) == 49

@@ -367,3 +367,72 @@ def test_tiff_roundtrip_property(h, w, spp, comp, bo, seed):
                                   compression=comp, byte_order=bo))
     assert got.shape == arr.shape
     assert (got == arr).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",), max_codepoint=0x2FFF
+            ),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=0, max_value=16),
+)
+def test_bpe_byte_kernel_equals_fold_on_non_ascii(texts, n_rules):
+    """Byte-level property (round 8, pure Python): on ARBITRARY unicode
+    text — multi-byte UTF-8, combining marks, whitespace runs — a
+    byte-level merge table trained by the exact local loop encodes
+    identically min-rank-first (the kernel order) and one-pass-per-rule
+    (the fold order), and the byte mapping is lossless."""
+    from bigdatamigratecloud_spark.operators.bpe import (
+        _B2U,
+        _byte_syms,
+        _pretokenize,
+        _train_local,
+        bpe_bytes_fold_reference,
+    )
+
+    wc: dict = {}
+    for t in texts:
+        for w in _pretokenize(t):
+            wc[w] = wc.get(w, 0) + 1
+    rules = [
+        (lhs, rhs)
+        for _, lhs, rhs, _, _ in _train_local(
+            [(_byte_syms(w), c) for w, c in wc.items()], n_rules, 1
+        )
+    ]
+    ranks = {p: i for i, p in enumerate(rules)}
+
+    def kernel_encode(w):
+        syms = _byte_syms(w)
+        while len(syms) >= 2:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = rules[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    u2b = {c: bytes([b]) for b, c in _B2U.items()}
+    for t in texts:
+        kern = [s for w in _pretokenize(t) for s in kernel_encode(w)]
+        assert kern == bpe_bytes_fold_reference(t, rules), (t, rules)
+        back = b"".join(u2b[c] for tok in kern for c in tok)
+        assert back == b"".join(w.encode("utf-8") for w in _pretokenize(t))
