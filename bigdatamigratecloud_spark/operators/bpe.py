@@ -597,12 +597,30 @@ def bpe_train_bytes(
     return docs.sparkSession.createDataFrame(merges, _MERGES_DDL)
 
 
+def bpe_vocab_ids(
+    merges: list[tuple[str, str]], special_tokens: list[str] | None = None
+) -> dict[str, int]:
+    """The deterministic id space production tokenizers emit: ids
+    0-255 are the byte alphabet IN BYTE ORDER (so a single-byte
+    symbol's id IS its byte value), ids 256..256+len(merges)-1 are the
+    merged strings in rank order, specials follow in the order given.
+    The whole table derives from the merge list — no separate vocab
+    artifact to keep in sync."""
+    ids = {c: b for b, c in _B2U.items()}
+    for i, (lhs, rhs) in enumerate(merges):
+        ids[str(lhs) + str(rhs)] = 256 + i
+    for j, s in enumerate(special_tokens or []):
+        ids[str(s)] = 256 + len(merges) + j
+    return ids
+
+
 def bpe_segment_bytes(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     special_tokens: list[str] | None = None,
+    emit: str = "tokens",
 ) -> DataFrame:
     """Byte-level BPE encode — the kernel path generalized (round-8
     item #4): ONE Arrow ``mapInPandas`` over the scan, broadcast
@@ -614,19 +632,28 @@ def bpe_segment_bytes(
     UTF-8 byte symbols (:func:`_byte_syms`) and encoded min-rank-first
     with a per-batch cache.  Null text stays null; blank text yields
     [].  Output symbols live in the byte-unicode alphabet (space =
-    'Ġ'), exactly like GPT-2's tokenizer output."""
+    'Ġ'), exactly like GPT-2's tokenizer output.
+
+    ``emit='ids'`` returns ``array<int>`` TOKEN IDS instead, through
+    the deterministic :func:`bpe_vocab_ids` space (byte-value ids for
+    single bytes, 256+rank for merges, then specials) — the form a
+    training pipeline actually materializes."""
     from pyspark.sql import types as T
 
+    if emit not in ("tokens", "ids"):
+        raise ValueError(f"emit must be 'tokens' or 'ids', got {emit!r}")
+    elem = T.IntegerType() if emit == "ids" else T.StringType()
     out_schema = T.StructType(
-        list(df.schema.fields)
-        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(elem))]
     )
     rules = [(str(l), str(r)) for l, r in merges]
-    specials = sorted([str(s) for s in (special_tokens or [])], key=len, reverse=True)
-    bc = df.sparkSession.sparkContext.broadcast((rules, specials))
+    originals = [str(s) for s in (special_tokens or [])]
+    specials = sorted(originals, key=len, reverse=True)
+    id_map = bpe_vocab_ids(rules, originals) if emit == "ids" else None
+    bc = df.sparkSession.sparkContext.broadcast((rules, specials, id_map))
 
     def run(batches):
-        rule_list, specs = bc.value
+        rule_list, specs, ids = bc.value
         ranks = {pair: i for i, pair in enumerate(rule_list)}
         spec_re = (
             _re.compile("|".join(_re.escape(s) for s in specs)) if specs else None
@@ -685,9 +712,18 @@ def bpe_segment_bytes(
 
         for pdf in batches:
             res = pdf.copy()
-            res[out_col] = [
-                None if txt is None else encode_text(txt) for txt in pdf[text_col]
-            ]
+            if ids is None:
+                res[out_col] = [
+                    None if txt is None else encode_text(txt)
+                    for txt in pdf[text_col]
+                ]
+            else:
+                res[out_col] = [
+                    None
+                    if txt is None
+                    else [ids[t] for t in encode_text(txt)]
+                    for txt in pdf[text_col]
+                ]
             yield res
 
     return df.mapInPandas(run, schema=out_schema)

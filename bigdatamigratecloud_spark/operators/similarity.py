@@ -725,6 +725,34 @@ def ivf_index_retrain(
     return [[float(x) for x in c] for c in new_centroids]
 
 
+def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
+    """Compact the small files :func:`ivf_index_append` accumulates —
+    the operational twin of AcidTable.compact (round 8): every append
+    writes ≈1 file per touched cluster, so a long-running ingest leaves
+    O(appends × clusters) files and each probe pays per-file open/
+    footer cost.  One cluster-keyed repartition + partitioned rewrite
+    coalesces each inverted list back to a single file (rows preserved
+    exactly — this is a pure layout change), then the rewritten tree
+    replaces the index with the same two-rename swap as
+    :func:`ivf_index_retrain`.  Run it on the stats trigger (file
+    count, not row count) or on a schedule, like any LSM-ish store."""
+    import os
+    import shutil
+
+    stored = spark.read.parquet(index_dir)
+    staging = index_dir.rstrip("/") + "__compact_staging"
+    backup = index_dir.rstrip("/") + "__compact_old"
+    (
+        stored.repartition(F.col("cluster"))
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    os.rename(index_dir, backup)
+    os.rename(staging, index_dir)
+    shutil.rmtree(backup)
+
+
 def _kmeans_l2(samples, k: int, iters: int = 10, seed: int = 42):
     """Plain L2 k-means on a driver-side sample (numpy) — PQ codebooks
     quantize raw subvectors, so no spherical normalization here."""
@@ -1014,6 +1042,125 @@ def pq_l2_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "l2_dist")
+    )
+
+
+def ivfpq_index_write(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persistent IVF-PQ index (round 8) — the disk artifact FAISS's
+    IVFx,PQy serves from: each row stores ONLY (vec_id, codes) — 16
+    bytes of PQ codes instead of a 512-byte vector, a 32× smaller
+    index — partitioned by the coarse cluster so probing is static
+    partition pruning.  Full vectors stay in the source corpus and are
+    touched only by the rerank's shortlist-sized id join
+    (:func:`ivfpq_index_query`).  One corpus pass: encode (narrow,
+    plan-literal codebooks) + assign (narrow, plan-literal centroids) +
+    cluster-co-partitioned partitioned write."""
+    ucents = _unit_centroids(centroids)
+    enc = pq_encode(df, codebooks, id_col, vec_col, "codes")
+    assigned = ivf_assign(
+        with_unit_vector(enc, vec_col, "cu"), ucents, "cu", "cluster"
+    ).select(F.col(id_col).alias("vec_id"), "codes", "cluster")
+    assigned.repartition(F.col("cluster")).write.partitionBy("cluster").mode(
+        mode
+    ).parquet(index_dir)
+
+
+def ivfpq_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    n_probe: int = 6,
+    rerank_factor: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve ANN from a disk-resident IVF-PQ index: probe lists chosen
+    JVM-side, the probed cluster DIRECTORIES pruned statically, ADC
+    scoring over the 16-byte code rows (per-query lookup table as a
+    plan literal), then an exact cosine rerank that joins the top
+    k·rerank_factor ids back to the FULL-vector corpus.  The scan cost
+    is (probed fraction × code bytes); full vectors are read for
+    shortlist rows only — the composition that keeps a 100 TB corpus
+    servable."""
+    cents = _unit_centroids(centroids)
+    dsub = len(codebooks[0][0])
+    sims = F.array(*[_dot(F.col("qu"), _cent_lit(c)) for c in cents])
+    pairs = F.transform(sims, lambda s, i: F.struct((-s).alias("key"), i.alias("idx")))
+    probed = F.transform(
+        F.slice(F.array_sort(pairs), 1, n_probe), lambda p: p["idx"].cast("int")
+    )
+    qu = F.col("qu")
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _dot(F.slice(qu, j * dsub + 1, dsub), _cent_lit(cent))
+                    for cent in book
+                ]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    q = (
+        with_unit_vector(queries, vec_col, "qu")
+        .select(F.col(query_id_col).alias("query_id"), "qu", lut.alias("__lut"))
+        .withColumn("cluster", F.explode(probed))
+    )
+    wanted = sorted({r["cluster"] for r in q.select("cluster").distinct().collect()})
+    idx = spark.read.parquet(index_dir).where(F.col("cluster").isin(wanted))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut"),
+            lambda c, row: F.element_at(row, (c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = (
+        idx.join(q.select("query_id", "cluster", "__lut"), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("nbr_id"), score.alias("adc_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("nbr_id").asc()
+    )
+    shortlist = (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * max(1, rerank_factor))
+        .select("query_id", "nbr_id")
+    )
+    cu = with_unit_vector(corpus, vec_col, "cu").select(
+        F.col(id_col).alias("nbr_id"), "cu"
+    )
+    qu2 = with_unit_vector(queries, vec_col, "qu2").select(
+        F.col(query_id_col).alias("query_id"), "qu2"
+    )
+    exact = (
+        shortlist.join(cu, "nbr_id")
+        .join(F.broadcast(qu2), "query_id")
+        .select("query_id", "nbr_id", _dot(F.col("qu2"), F.col("cu")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "cosine")
     )
 
 

@@ -4913,6 +4913,145 @@ def ann_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivfpq_index_recall",
+    """SELECT 10 AS k, 5 AS n_queries, TRUE AS recall_ok""",
+)
+def ann_ivfpq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 served from the PERSISTENT IVF-PQ index (round 8):
+    the disk artifact stores ONLY 16-byte PQ codes partitioned by
+    coarse cluster (32× smaller than the vectors); queries prune to
+    the probed cluster directories, ADC-score the codes, and rerank a
+    10× shortlist against the full-vector CORPUS by id join.  The
+    candidate pipeline is deterministic (seeded quantizer + codebooks
+    on ordered samples), recall is a data property: the oracle pins
+    the scale-independent >= 0.6 contract; tests pin the exact sf0.01
+    scalar AND that the disk path equals the in-memory ivfpq_cosine_topk
+    bit-for-bit with the same quantizer."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import (
+        _kmeans_fit,
+        _ordered_sample,
+        cosine_topk,
+        ivfpq_index_query,
+        ivfpq_index_write,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = _kmeans_fit(_ordered_sample(emb, "vec_id", "embedding", 2048), 16)
+    books = pq_fit(emb, 16, 32, 2048)
+    d = tempfile.mkdtemp(prefix="bdmc_ivfpqidx_")
+    try:
+        ivfpq_index_write(emb, cents, books, d)
+        got = ivfpq_index_query(
+            spark, d, queries_df, emb, cents, books, k=10, n_probe=6
+        ).select("query_id", "nbr_id")
+        brute = cosine_topk(emb, queries_df, k=10, query_id_col="query_id").select(
+            "query_id", "nbr_id"
+        )
+        joined = brute.join(
+            got.withColumn("__hit", F.lit(1)), ["query_id", "nbr_id"], "left"
+        )
+        out = joined.agg(
+            F.lit(10).alias("k"),
+            F.count_distinct("query_id").cast("int").alias("n_queries"),
+            (
+                (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double"))
+                >= F.lit(0.6)
+            ).alias("recall_ok"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+_IVF_IP_SQL = """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i
+                  FROM u)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dp DESC, cid) AS rn
+          FROM (SELECT un.vec_id, ct.cid,
+                       list_reduce(list_transform(list_zip(un.v, ct.c),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS dp
+                FROM u un CROSS JOIN cents ct)),
+  assigned AS (SELECT vec_id, cid AS cluster FROM asg WHERE rn = 1),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 3),
+  qp AS (SELECT query_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY dp DESC, cid) AS rn
+         FROM (SELECT q.query_id, ct.cid,
+                      list_reduce(list_transform(list_zip(q.qv, ct.c),
+                          p -> p[1] * p[2]), (x, y) -> x + y) AS dp
+               FROM q CROSS JOIN cents ct)),
+  probes AS (SELECT query_id, cid FROM qp WHERE rn <= 3),
+  scored AS (SELECT q.query_id, un.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qv, un.v),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS ip
+             FROM q JOIN probes p USING (query_id)
+             JOIN assigned a ON a.cluster = p.cid
+             JOIN u un ON un.vec_id = a.vec_id
+             WHERE un.vec_id <> q.query_id)
+  SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, ip FROM (
+    SELECT query_id, nbr_id, ip,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY ip DESC, nbr_id) AS rank
+    FROM scored) r
+  WHERE rank <= 10"""
+
+
+@query("ann_ivf_ip", _IVF_IP_SQL)
+def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8, item #5): the IVF index family under the INNER-
+    PRODUCT metric — the MIPS setting recommendation embeddings use
+    (magnitude carries signal, so neither normalization nor distance
+    applies).  Raw vectors stored, assignment and probes by raw dot
+    ARGMAX (ties to the lowest centroid index), candidates ranked by
+    exact dot descending.  Quantizer = per-label raw means, so the
+    oracle replays everything bit-exactly, completing the oracle-exact
+    metric matrix (cosine: ann_ivf_partitioned, l2: ann_ivf_l2)."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_index_query, ivf_index_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_mean_centroids(emb)
+    d = tempfile.mkdtemp(prefix="bdmc_ivfip_")
+    try:
+        ivf_index_write(emb, cents, d, metric="ip")
+        out = ivf_index_query(
+            spark,
+            d,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            cents,
+            k=10,
+            n_probe=3,
+            metric="ip",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+@query(
     "ann_l2_topk",
     """WITH u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
@@ -5797,6 +5936,59 @@ def n5_bpe_byte_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(pretoks).cast("long").alias("n_pretokens"),
             F.size("bpe_tokens").cast("long").alias("n_subwords"),
+        )
+    )
+
+
+@query(
+    "n5_bpe_byte_ids",
+    "WITH "
+    + _bpe.bpe_sql_steps(num_merges=12, min_pair_count=2, words_sql=_BYTE_WORDS_SQL)
+    + f""",
+       darr AS (SELECT doc_id,
+                       regexp_extract_all({_BYTE_NORM},
+                       '( ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+)', 1) AS arr
+                FROM documents WHERE length({_BYTE_NORM}) > 0),
+       dtoks AS (SELECT doc_id, i AS pos, replace(arr[i], ' ', chr(288)) AS word
+                 FROM darr, UNNEST(range(1, len(arr) + 1)) r(i)),
+       dsyms AS (SELECT d.doc_id, d.pos, j AS spos, w.syms[j] AS s
+                 FROM dtoks d JOIN bw12 w ON d.word = w.word,
+                      UNNEST(range(1, len(w.syms) + 1)) rr(j)),
+       dids AS (SELECT doc_id, pos, spos,
+                       CASE WHEN s = chr(288) THEN 32
+                            WHEN length(s) = 1 THEN ascii(s)
+                            ELSE 255 + m.rank END AS tid
+                FROM dsyms LEFT JOIN bpe_merges m ON m.merged = dsyms.s)
+       SELECT doc_id,
+              string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos, spos) AS ids_csv
+       FROM dids GROUP BY doc_id""",
+)
+def n5_bpe_byte_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): TOKEN-ID emission — the artifact a training
+    pipeline actually materializes.  The id space is fully determined
+    by the merge table (bpe_vocab_ids: a single-byte symbol's id IS its
+    byte value, merges get 256+rank-1, specials follow), so the DuckDB
+    oracle reconstructs the exact per-document id SEQUENCE from the
+    unrolled training rounds: document pretokens join to the final
+    vocab frame, symbols explode with position, ids come from the byte
+    value / merge rank, and the sequence is compared comma-joined in
+    (pretoken, symbol) order.  Spark side: the same mapInPandas kernel
+    with emit='ids' — ids add zero plan depth."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in _bpe.bpe_train_bytes(docs, num_merges=12, min_pair_count=2).collect()
+    ]
+    seg = _bpe.bpe_segment_bytes(docs, merges, emit="ids")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    pretoks = F.regexp_extract_all(norm, F.lit(f"({_bpe.PRETOK_RE})"), 1)
+    return (
+        seg.where(F.size(pretoks) > 0)
+        .select(
+            "doc_id",
+            F.concat_ws(",", F.col("bpe_tokens").cast("array<string>")).alias(
+                "ids_csv"
+            ),
         )
     )
 

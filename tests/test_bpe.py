@@ -376,3 +376,48 @@ def test_bpe_byte_special_tokens_pass_through(spark):
     assert "<|end|>" in toks
     # the inner text was still BPE-encoded (not one giant literal)
     assert all("|" not in t for t in toks if not t.startswith("<|"))
+
+
+def test_bpe_byte_token_ids_roundtrip(spark):
+    """emit='ids' (round 8): ids follow the deterministic vocab space —
+    byte value for single-byte symbols, 256+rank for merges, specials
+    last — and invert exactly back to the token strings."""
+    from bigdatamigratecloud_spark.operators.bpe import (
+        bpe_segment_bytes,
+        bpe_train_bytes,
+        bpe_vocab_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello world hello naïve")], "doc_id long, text string"
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(docs, num_merges=6, min_pair_count=2).collect()
+    ]
+    probe = spark.createDataFrame(
+        [(1, "<|eot|>hello naïve world"), (2, None)], "doc_id long, text string"
+    )
+    toks = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_bytes(probe, merges, special_tokens=["<|eot|>"]).collect()
+    }
+    ids = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_bytes(
+            probe, merges, special_tokens=["<|eot|>"], emit="ids"
+        ).collect()
+    }
+    vocab = bpe_vocab_ids(merges, ["<|eot|>"])
+    inv = {v: k for k, v in vocab.items()}
+    assert ids[2] is None and toks[2] is None
+    assert [inv[i] for i in ids[1]] == toks[1]
+    assert ids[1][0] == 256 + len(merges)  # the special's id
+    # single-byte ids are byte values; merge ids start at 256
+    for t, i in zip(toks[1], ids[1]):
+        if len(t) == 1 and ord(t) < 256 and i < 256:
+            assert i == t.encode("utf-8")[0] if ord(t) < 128 else True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bpe_segment_bytes(probe, merges, emit="bogus")

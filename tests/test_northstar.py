@@ -711,3 +711,90 @@ def test_pq_l2_recall_exact_pin_at_oracle_sf(spark):
     }
     assert len(brute) == 50
     assert len(pq & brute) == 49
+
+
+def test_ivf_index_compact_coalesces_small_files(spark, sf_dir, tmp_path):
+    """ivf_index_compact (round 8): repeated appends leave ~1 file per
+    (append, cluster); compaction rewrites each inverted list to a
+    single file with rows preserved exactly and query results
+    unchanged, then swaps atomically (no staging/backup leftovers)."""
+    import glob
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = [
+        r[0] for r in emb.select("embedding").orderBy("vec_id").limit(256).collect()
+    ]
+    cents = similarity._kmeans_fit(sample, k=6)
+    d = str(tmp_path / "idx")
+    similarity.ivf_index_write(emb.filter(F.col("vec_id") % 5 == 0), cents, d)
+    for m in range(1, 5):
+        similarity.ivf_index_append(emb.filter(F.col("vec_id") % 5 == m), cents, d)
+
+    def files_per_cluster():
+        out = {}
+        for cdir in glob.glob(os.path.join(d, "cluster=*")):
+            out[cdir] = len(glob.glob(os.path.join(cdir, "*.parquet")))
+        return out
+
+    before_rows = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["cu"]))
+        for r in spark.read.parquet(d).collect()
+    )
+    assert max(files_per_cluster().values()) > 1  # appends left small files
+    similarity.ivf_index_compact(spark, d)
+    fpc = files_per_cluster()
+    assert fpc and all(n == 1 for n in fpc.values()), fpc
+    after_rows = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["cu"]))
+        for r in spark.read.parquet(d).collect()
+    )
+    assert after_rows == before_rows
+    assert not os.path.exists(d + "__compact_staging")
+    assert not os.path.exists(d + "__compact_old")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_index_query(spark, d, q, cents, k=5).collect()
+    assert len(got) == 15
+
+
+def test_ivfpq_index_disk_equals_in_memory_and_prunes(spark, tmp_path):
+    """The persistent IVF-PQ index (codes-only rows, cluster-partitioned)
+    must serve IDENTICAL results to the in-memory ivfpq_cosine_topk
+    with the same quantizer+codebooks, and its probed scan must show
+    static PartitionFilters (the filesystem enforces the probe)."""
+    import os
+
+    sf_oracle = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = similarity._kmeans_fit(
+        similarity._ordered_sample(emb, "vec_id", "embedding", 2048), 16
+    )
+    books = similarity.pq_fit(emb, 16, 32, 2048)
+    d = str(tmp_path / "ivfpq")
+    similarity.ivfpq_index_write(emb, cents, books, d)
+    # index rows carry no vectors: 16 small code ints only
+    row = spark.read.parquet(d).first()
+    assert set(spark.read.parquet(d).columns) == {"vec_id", "codes", "cluster"}
+    assert len(row["codes"]) == 16
+    disk_df = similarity.ivfpq_index_query(
+        spark, d, q, emb, cents, books, k=10, n_probe=6
+    )
+    disk = sorted(map(tuple, disk_df.collect()))
+    mem = sorted(
+        map(tuple, similarity.ivfpq_cosine_topk(emb, q, k=10).collect())
+    )
+    assert disk == mem and len(disk) == 50
+    # recall pin (same as the in-memory path: candidates are identical)
+    brute = {
+        (r.query_id, r.nbr_id) for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    assert len({(a, b) for a, b, _, _ in disk} & brute) == 34
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
+        "cluster #", "cluster#"
+    ) or "cluster IN" in plan, "probed scan must be partition-pruned"
