@@ -1,0 +1,136 @@
+"""Conditional n-gram language-model training and scoring — the
+CCNet-style perplexity quality filter (north-star N4, SURVEY §2.12).
+
+CCNet filters web text by perplexity under a KenLM n-gram model; the
+same signal here is a corpus-trained add-k-smoothed bigram model,
+expressed entirely as DataFrame ops so it trains in ONE shuffle and
+scores with two key-partitioned joins — no model file on the driver,
+no UDF, no collect.  The model IS a DataFrame: ``(w1, w2, c)`` bigram
+counts, so a 100 TB corpus with billions of distinct bigrams stays
+distributed end-to-end (contrast a broadcast KenLM binary, which caps
+the vocabulary at executor memory).
+
+Numeric contract (see ``bigram_rarity``'s rational-form note): every
+oracle-checked output is built from integer counts and IEEE divisions
+folded in EXPLICIT position order (``array_sort`` + ``aggregate``), so
+any engine reproduces ``mean_prob`` bit-exactly.  ``cross_entropy`` /
+``perplexity`` need libm ``ln``/``exp`` whose last-ulp behavior is
+engine-specific — they are for users and are pinned in tests with a
+1e-9 relative tolerance instead of the exact oracle hash.
+
+Generalizes the reference's per-field validation scoring (Codeunit
+60000:826-862 scores cells one at a time) to corpus-conditional
+sequence scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sentinel context for the first token of a document.  Lowercased
+#: corpus tokens can still collide with it if a document literally
+#: contains "<s>"; acceptable for a quality signal (CCNet's KenLM has
+#: the same property).
+BOS = "<s>"
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, w1, w2) bigram positions over lowercased whitespace
+    tokens with a BOS sentinel context, so every non-blank document —
+    including single-token ones — yields >= 1 bigram.  Linear per row:
+    two slices zipped, never an index-lambda re-evaluating the
+    tokenizer per element (see ``zip_shingles``)."""
+    from .text import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    arr = F.concat(F.array(F.lit(BOS)), toks)
+    m = F.size(arr) - 1
+    pairs = F.zip_with(
+        F.slice(arr, 1, m),
+        F.slice(arr, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col), F.posexplode(pairs).alias("pos", "bg"))
+        .select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Train the model: bigram counts ``(w1, w2, c)`` over the corpus.
+    One explode + one groupBy shuffle (map-side partial counts); the
+    result is the model artifact — persist it with plain
+    ``.write.parquet`` to reuse across scoring runs."""
+    return _doc_bigrams(df, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def lm_vocab_size(lm: DataFrame) -> int:
+    """V for add-k smoothing: distinct predicted tokens in the model
+    (BOS never appears as w2, so it doesn't count).  One small job;
+    cache the scalar alongside the persisted model."""
+    return lm.select("w2").distinct().count()
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    lm: DataFrame,
+    vocab_size: int,
+    k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score each document under the model with add-k smoothing:
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)
+
+    Unseen bigrams fall back to c = 0; unseen contexts to c(w1,·) = 0
+    (so a fully-novel context scores k/(k·V) = 1/V at k=1 — the uniform
+    prior).  Output per document:
+
+    - ``n_bigrams``  — tokens scored (= token count, thanks to BOS)
+    - ``mean_prob``  — arithmetic mean of P, folded in position order:
+      bit-exact across engines (the oracle-checked column)
+    - ``cross_entropy`` — -(1/n) Σ ln P   (libm; tolerance-pinned)
+    - ``perplexity``    — exp(cross_entropy)
+
+    Blank documents surface with n_bigrams = 0 and NULL scores.
+
+    Scale shape: one (w1,w2)-keyed join against the distributed model,
+    one w1-keyed join for context totals, one doc-id aggregation whose
+    state is bounded by document length.  Stop-word contexts ("the",
+    "of") are the classic skew keys — AQE skew-join handles them, or
+    pre-salt the context join if a single context exceeds a partition.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    ctx = lm.groupBy("w1").agg(F.sum("c").alias("c_ctx"))
+    p = (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(float(k))) / (
+        F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double")
+        + F.lit(float(k)) * F.lit(float(vocab_size))
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .select(id_col, "pos", p.alias("p"))
+    )
+    ps = F.array_sort(F.collect_list(F.struct("pos", "p")))
+    per = scored.groupBy(id_col).agg(ps.alias("__ps"))
+    n = F.size("__ps")
+    sum_p = F.aggregate("__ps", F.lit(0.0), lambda acc, x: acc + x["p"])
+    sum_ln = F.aggregate("__ps", F.lit(0.0), lambda acc, x: acc + F.log(x["p"]))
+    h = -sum_ln / n.cast("double")
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(n, F.lit(0)).alias("n_bigrams"),
+            (sum_p / n.cast("double")).alias("mean_prob"),
+            h.alias("cross_entropy"),
+            F.exp(h).alias("perplexity"),
+        )
+    )

@@ -6066,3 +6066,48 @@ def n6_pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.row_number().over(w).cast("int").alias("rank_pos"),
     )
+
+
+from .operators import lm as _lm  # noqa: E402
+
+
+@query(
+    "n4_bigram_lm_score",
+    """WITH norm AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM documents),
+       toks AS (SELECT doc_id, list_prepend('<s>', string_split(t, ' ')) AS a
+                FROM norm WHERE length(t) > 0),
+       bg AS (SELECT doc_id, i AS pos, a[i] AS w1, a[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(a))) r(i)),
+       lm AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       ctx AS (SELECT w1, SUM(c) AS c_ctx FROM lm GROUP BY w1),
+       v AS (SELECT COUNT(DISTINCT w2) AS vs FROM lm),
+       scored AS (SELECT b.doc_id, b.pos,
+                         (l.c + 1.0)
+                         / (CAST(cx.c_ctx AS DOUBLE) + CAST(v.vs AS DOUBLE)) AS p
+                  FROM bg b JOIN lm l USING (w1, w2)
+                  JOIN ctx cx USING (w1) CROSS JOIN v),
+       per AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+                      list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+               FROM scored GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+              per.sp / per.n_bigrams AS mean_prob
+       FROM documents d LEFT JOIN per USING (doc_id)""",
+)
+def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 8): CCNet-style LM quality scoring — train an add-1
+    bigram model ON the corpus (one groupBy shuffle; the model stays a
+    distributed frame, never collected/broadcast), then score every
+    document's mean smoothed conditional probability P(w2|w1).  The
+    oracle-checked column is the RATIONAL form: integer counts, IEEE
+    divisions, per-doc sum folded in explicit position order — so
+    DuckDB replays it bit-exactly.  The same operator also emits true
+    log-space cross_entropy/perplexity (libm-dependent; pinned in
+    tests with tolerance, excluded here — see operators/lm.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = _lm.train_bigram_lm(docs)
+    v = _lm.lm_vocab_size(lm)
+    return _lm.score_bigram_lm(docs, lm, v, k=1.0).select(
+        "doc_id", "n_bigrams", "mean_prob"
+    )

@@ -786,3 +786,98 @@ def test_quality_classifier_null_and_blank(spark):
     assert got[1]["quality_margin"] is not None
     for d in (2, 3, 4):
         assert got[d]["quality_margin"] is None and got[d]["is_quality"] == 0
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """score_bigram_lm (round 8): mean_prob is bit-exact vs an in-order
+    Python float reference; cross_entropy/perplexity agree to 1e-9 rel
+    (libm).  Single-token docs score (BOS context); blank/None docs get
+    n_bigrams=0 and NULL scores."""
+    import math
+
+    from bigdatamigratecloud_spark.operators.lm import (
+        BOS,
+        lm_vocab_size,
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "The cat SAT"),
+        (3, "mat"),
+        (4, "   "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df)
+    v = lm_vocab_size(lm)
+
+    # python reference with identical fold order
+    docs = {i: t.lower().split() for i, t in rows[:3]}
+    big = {}
+    ctx = {}
+    for toks in docs.values():
+        arr = [BOS] + toks
+        for a, b in zip(arr, arr[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    for (a, _), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+    assert v == len({b for _, b in big})
+
+    got = {r["doc_id"]: r for r in score_bigram_lm(df, lm, v).collect()}
+    for i, toks in docs.items():
+        arr = [BOS] + toks
+        ps = [
+            (big[(a, b)] + 1.0) / (float(ctx[a]) + float(v))
+            for a, b in zip(arr, arr[1:])
+        ]
+        acc = 0.0
+        for p in ps:
+            acc += p
+        assert got[i]["n_bigrams"] == len(ps)
+        assert got[i]["mean_prob"] == acc / len(ps)  # bit-exact
+        h = -sum(math.log(p) for p in ps) / len(ps)
+        assert math.isclose(got[i]["cross_entropy"], h, rel_tol=1e-9)
+        assert math.isclose(got[i]["perplexity"], math.exp(h), rel_tol=1e-9)
+    assert got[3]["n_bigrams"] == 1  # single token: (BOS, mat)
+    for d in (4, 5):
+        assert got[d]["n_bigrams"] == 0 and got[d]["mean_prob"] is None
+
+
+def test_bigram_lm_smoothing_unseen(spark):
+    """Scoring OUTSIDE the training corpus: unseen bigram in a seen
+    context -> k/(c_ctx+kV); fully unseen context -> 1/V (uniform
+    prior at k=1)."""
+    from bigdatamigratecloud_spark.operators.lm import (
+        lm_vocab_size,
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(train)
+    v = lm_vocab_size(lm)  # {a, b, c} as w2
+    assert v == 3
+    probe = spark.createDataFrame([(10, "a z"), (11, "q r")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in score_bigram_lm(probe, lm, v).collect()}
+    # doc 10: (<s>,a) seen c=2/ctx 2 -> 3/5; (a,z) unseen in ctx a (c_ctx=2) -> 1/5
+    assert got[10]["mean_prob"] == ((2 + 1.0) / (2.0 + 3.0) + 1.0 / (2.0 + 3.0)) / 2
+    # doc 11: (<s>,q) unseen-w2 in seen ctx -> 1/5; (q,r) unseen ctx -> 1/3
+    assert got[11]["mean_prob"] == (1.0 / 5.0 + 1.0 / 3.0) / 2
+
+
+def test_bigram_lm_plan_no_udf(spark):
+    """The LM train+score pipeline is pure Catalyst: no Python UDF
+    stages (BatchEvalPython/ArrowEvalPython) anywhere in the plan."""
+    from bigdatamigratecloud_spark.operators.lm import (
+        score_bigram_lm,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    lm = train_bigram_lm(df)
+    plan = score_bigram_lm(df, lm, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
