@@ -629,3 +629,86 @@ def standardize_by_group(
         (F.col(value_col).cast("double") - m) / F.sqrt(var),
     )
     return enriched.withColumn(out, z).drop("__n", "__s", "__ss")
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    seq_len: int = 2048,
+    eos_id: int | None = None,
+    drop_last: bool = True,
+    out_col: str = "ids",
+    shard_size: int = 4096,
+) -> DataFrame:
+    """Materialize fixed-length TRAINING SEQUENCES from per-document
+    token-id arrays (round 8) — the last mile ``pack_chunks`` stops
+    short of: it reports which windows a doc lands in; this op emits
+    the windows themselves, ``(seq_id, n_docs, ids[seq_len])``, the
+    GPT-style concat-and-cut pretraining format (optionally with an
+    ``eos_id`` separator appended to every document first).
+
+    Shape: per-document start offsets come from the hierarchical
+    distributed prefix sum (:func:`global_running_sum` — no global
+    window, no broadcast); each doc then EXPLODES into one row per
+    overlapped sequence — ceil(n/L)+1 rows carrying an array SLICE, so
+    the shuffle moves every token exactly once, keyed by ``seq_id``
+    (uniform by construction: every sequence is exactly ``seq_len``
+    tokens).  Assembly is an order-explicit fold: collect the pieces,
+    sort by doc start offset, flatten — deterministic on any executor
+    count.  No per-token rows ever exist, and no Python runs.
+
+    Documents with NULL/empty id arrays (after optional EOS) are
+    skipped.  With ``drop_last`` (the training default) the final
+    partial sequence is dropped, so every output row has exactly
+    ``seq_len`` ids; with ``drop_last=False`` the tail sequence
+    surfaces short."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    elem = df.schema[ids_col].dataType.elementType
+    v = F.col(ids_col)
+    if eos_id is not None:
+        v = F.concat(
+            F.coalesce(v, F.array().cast(df.schema[ids_col].dataType)),
+            F.array(F.lit(eos_id).cast(elem)),
+        )
+    base = (
+        df.select(F.col(id_col), v.alias("__v"))
+        .withColumn("__n", F.size("__v").cast("long"))
+        .filter(F.col("__n") > 0)
+    )
+    offs = global_running_sum(
+        base, id_col, "__n", out="__start", shard_size=shard_size
+    )
+    L = int(seq_len)
+    first = F.expr(f"__start div {L}")
+    last = F.expr(f"(__start + __n - 1) div {L}")
+    ex = offs.withColumn("__seq", F.explode(F.sequence(first, last)))
+    lstart = F.greatest(F.lit(0).cast("long"), F.col("__seq") * L - F.col("__start"))
+    lend = (
+        F.least(F.col("__start") + F.col("__n"), (F.col("__seq") + 1) * L)
+        - F.col("__start")
+    )
+    piece = F.slice(
+        F.col("__v"), (lstart + 1).cast("int"), (lend - lstart).cast("int")
+    )
+    seqs = (
+        ex.select(
+            F.col("__seq").alias("seq_id"),
+            F.col("__start").alias("__s"),
+            piece.alias("__p"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__s", "__p"))),
+                    lambda x: x["__p"],
+                )
+            ).alias(out_col),
+        )
+    )
+    if drop_last:
+        seqs = seqs.filter(F.size(out_col) == L)
+    return seqs.select("seq_id", "n_docs", out_col)

@@ -6111,3 +6111,57 @@ def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.score_bigram_lm(docs, lm, v, k=1.0).select(
         "doc_id", "n_bigrams", "mean_prob"
     )
+
+
+@query(
+    "n5_pack_sequences",
+    """WITH norm AS (SELECT doc_id,
+                trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+       ids AS (SELECT doc_id,
+                      list_append(list_transform(range(1, length(t) + 1),
+                                                 i -> ascii(substr(t, i, 1))), 0) AS v
+               FROM norm WHERE length(t) > 0),
+       offs AS (SELECT doc_id, v, len(v) AS n,
+                       CAST(COALESCE(SUM(len(v)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS strt
+                FROM ids),
+       pieces AS (SELECT s.seq, o.strt,
+                         list_slice(o.v,
+                             greatest(0, s.seq * 128 - o.strt) + 1,
+                             least(o.strt + o.n, (s.seq + 1) * 128) - o.strt) AS piece
+                  FROM offs o,
+                       UNNEST(range(o.strt // 128,
+                                    (o.strt + o.n - 1) // 128 + 1)) s(seq)),
+       seqs AS (SELECT seq, CAST(COUNT(*) AS INT) AS n_docs,
+                       flatten(list(piece ORDER BY strt)) AS idsarr
+                FROM pieces GROUP BY seq)
+       SELECT CAST(seq AS BIGINT) AS seq_id, n_docs,
+              array_to_string(list_transform(idsarr, x -> CAST(x AS VARCHAR)),
+                              ',') AS ids_csv
+       FROM seqs WHERE len(idsarr) = 128""",
+)
+def n5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): materialized fixed-length TRAINING SEQUENCES —
+    every non-blank document becomes a char-code id stream + EOS 0,
+    concatenated in doc order and cut into exact 128-id sequences
+    (drop_last).  The oracle replays the whole pipeline: per-doc ids,
+    the exclusive prefix sum (window form — Spark runs the equivalent
+    HIERARCHICAL prefix sum with no global window), the per-(doc,seq)
+    slice algebra, and the start-ordered flatten; sequences compare as
+    ordered CSV.  See operators/sampling.pack_token_sequences."""
+    from .operators.sampling import pack_token_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    pre = docs.select(
+        "doc_id", F.transform(F.split(norm, ""), lambda c: F.ascii(c)).alias("cids")
+    ).where(F.length(norm) > 0)
+    packed = pack_token_sequences(
+        pre, "doc_id", "cids", seq_len=128, eos_id=0, drop_last=True
+    )
+    return packed.select(
+        "seq_id",
+        "n_docs",
+        F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
+    )

@@ -881,3 +881,71 @@ def test_bigram_lm_plan_no_udf(spark):
     lm = train_bigram_lm(df)
     plan = score_bigram_lm(df, lm, 3)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_token_sequences_invariants(spark):
+    """pack_token_sequences (round 8): the concatenation of the output
+    sequences in seq order equals the concatenation of the input docs
+    (with EOS separators) in doc order; every sequence is exactly L
+    (drop_last) or the tail is short (keep); null/empty docs skipped;
+    n_docs counts contributors; a long doc straddles sequences."""
+    from bigdatamigratecloud_spark.operators.sampling import pack_token_sequences
+
+    rows = [
+        (1, list(range(10))),        # 10 ids
+        (2, []),                      # skipped (even +EOS? no: EOS makes it 1)
+        (3, None),                    # skipped entirely when eos_id None
+        (4, list(range(100, 120))),   # 20 ids — straddles with L=8
+        (5, [7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+
+    # no EOS: null/empty contribute nothing
+    got = pack_token_sequences(
+        df, "doc_id", "ids", seq_len=8, drop_last=False
+    ).orderBy("seq_id").collect()
+    stream = [i for _, ids in rows if ids for i in ids]
+    flat = [i for r in got for i in r["ids"]]
+    assert flat == stream
+    assert all(len(r["ids"]) == 8 for r in got[:-1])
+    assert [r["seq_id"] for r in got] == list(range(len(got)))
+    # doc 4 (20 ids starting at offset 10) straddles seqs 1..3
+    by_seq = {r["seq_id"]: r for r in got}
+    assert by_seq[1]["n_docs"] == 2  # tail of doc1? doc1=[0..10) seq0+seq1... check: doc1 occupies 0-9 -> seqs 0,1; doc4 10-29 -> seqs 1,2,3; doc5 30 -> seq 3
+    assert by_seq[3]["n_docs"] == 2
+
+    # drop_last: all exactly L, total = floor(total/L) sequences
+    gd = pack_token_sequences(df, "doc_id", "ids", seq_len=8, drop_last=True).collect()
+    assert all(len(r["ids"]) == 8 for r in gd)
+    assert len(gd) == len(stream) // 8
+
+    # with EOS: every doc (incl. empty array) gets the separator; None ids treated as empty
+    ge = pack_token_sequences(
+        df, "doc_id", "ids", seq_len=8, eos_id=-1, drop_last=False
+    ).orderBy("seq_id").collect()
+    stream_eos = []
+    for _, ids in rows:
+        stream_eos.extend((ids or []) + [-1])
+    assert [i for r in ge for i in r["ids"]] == stream_eos
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        pack_token_sequences(df, "doc_id", "ids", seq_len=0)
+
+
+def test_pack_token_sequences_plan_distributed(spark):
+    """No single-partition window and no Python UDF in the packing plan:
+    the only global state is the bounded offsets tree."""
+    from bigdatamigratecloud_spark.operators.sampling import pack_token_sequences
+
+    df = spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(50)], "doc_id long, ids array<int>"
+    )
+    plan = (
+        pack_token_sequences(df, "doc_id", "ids", seq_len=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
