@@ -1476,3 +1476,83 @@ def jl_project_sql(
             f"p -> p[1] * p[2]), (x, y) -> x + y)"
         )
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "min_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, round 8): embedding-space NEAR-
+    duplicate removal at corpus scale.  Brute pairwise cosine is
+    O(n²·d) — dead at 100 TB; SemDeDup's observation is that near-
+    duplicates land in the same k-means cell, so the pairwise pass runs
+    ONLY inside each cluster: one narrow assignment pass (plan-literal
+    centroids, argmax), then a cluster-keyed self-join — O(Σ nᵢ²) work
+    and a shuffle keyed by cluster, nothing quadratic in the corpus.
+    More clusters → tighter cells → less work and a stricter dedup, the
+    paper's k knob.
+
+    A row is DROPPED when some cluster-mate that PRECEDES it has cosine
+    >= ``threshold``.  Precedence is the ``keep`` policy:
+
+    - ``"min_id"``  — smaller id wins (deterministic baseline);
+    - ``"far_from_centroid"`` — the paper's choice: lower
+      centroid-similarity wins (keeps the cell's OUTLIER, dropping the
+      redundant near-centroid copies), ties broken by id.
+
+    The exists-a-predecessor rule is ORDER-INDEPENDENT (no sequential
+    greedy state), so the result is identical on any executor count —
+    and exactly replayable in SQL.  Output: every input row with
+    ``cluster``, ``centroid_sim`` (exact fold), ``dup_of`` (smallest-id
+    preceding duplicate, NULL when kept) and ``keep``."""
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}")
+    ucents = _unit_centroids(centroids)
+    u = with_unit_vector(df, vec_col, "__u")
+    asg = ivf_assign(u, ucents, "__u", "__cluster")
+    csim = F.element_at(
+        F.array(*[_dot(F.col("__u"), _cent_lit(c)) for c in ucents]),
+        F.col("__cluster") + 1,
+    )
+    base = asg.select(
+        F.col(id_col),
+        F.col("__cluster").cast("int").alias("cluster"),
+        F.col("__u"),
+        csim.alias("centroid_sim"),
+    )
+    a = base.select(
+        F.col(id_col).alias("__aid"),
+        F.col("cluster"),
+        F.col("__u").alias("__au"),
+        F.col("centroid_sim").alias("__acs"),
+    )
+    b = base.select(
+        F.col(id_col).alias("__bid"),
+        F.col("cluster"),
+        F.col("__u").alias("__bu"),
+        F.col("centroid_sim").alias("__bcs"),
+    )
+    if keep == "min_id":
+        prec = F.col("__aid") < F.col("__bid")
+    else:
+        prec = (F.col("__acs") < F.col("__bcs")) | (
+            (F.col("__acs") == F.col("__bcs")) & (F.col("__aid") < F.col("__bid"))
+        )
+    pairs = a.join(b, "cluster").where(
+        prec & (_dot(F.col("__au"), F.col("__bu")) >= F.lit(float(threshold)))
+    )
+    dups = pairs.groupBy("__bid").agg(F.min("__aid").alias("dup_of"))
+    return (
+        base.join(dups, base[id_col] == dups["__bid"], "left")
+        .select(
+            id_col,
+            "cluster",
+            "centroid_sim",
+            "dup_of",
+            F.col("dup_of").isNull().alias("keep"),
+        )
+    )

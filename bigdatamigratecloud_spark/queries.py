@@ -6165,3 +6165,84 @@ def n5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
     )
+
+
+@query(
+    "n2_semantic_dedup",
+    """WITH corpus AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings
+         UNION ALL
+         SELECT vec_id + 10000, label,
+                list_transform(
+                    list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.25 AS FLOAT),
+                                 embedding[2:]),
+                    x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id < 25),
+       uo AS (SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+       cellc AS (SELECT label AS cid, i AS dim,
+                        CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE) AS mv
+                 FROM (SELECT label, unnest(v) AS v,
+                              unnest(range(0, len(v))) AS i
+                       FROM uo)
+                 GROUP BY label, i),
+       cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+       cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                      list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+                 FROM cents),
+       nrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_reduce(
+                      list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+               FROM corpus),
+       asg AS (SELECT vec_id, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+               FROM (SELECT n.vec_id, cn.cid,
+                            list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                                p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+                     FROM nrm n CROSS JOIN cnorm cn)),
+       base AS (SELECT a2.vec_id, a2.cid AS cluster, n.uv,
+                       list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS centroid_sim
+                FROM (SELECT vec_id, cid FROM asg WHERE rn = 1) a2
+                JOIN nrm n USING (vec_id) JOIN cnorm cn ON cn.cid = a2.cid),
+       pairs AS (SELECT x.vec_id AS aid, y.vec_id AS bid
+                 FROM base x JOIN base y
+                   ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                 WHERE list_reduce(list_transform(list_zip(x.uv, y.uv),
+                           p -> p[1] * p[2]), (s, t) -> s + t) >= 0.9),
+       dups AS (SELECT bid, MIN(aid) AS dup_of FROM pairs GROUP BY bid)
+       SELECT b.vec_id, CAST(b.cluster AS INT) AS cluster, b.centroid_sim,
+              d.dup_of, d.dup_of IS NULL AS keep
+       FROM base b LEFT JOIN dups d ON d.bid = b.vec_id""",
+)
+def n2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8): SemDeDup — embedding-space near-dup removal with
+    the pairwise pass confined to k-means cells (O(Σ nᵢ²), never
+    corpus-quadratic; see operators/similarity.semantic_dedup).  The
+    fixture has no natural near-dups (max within-label cosine ≈ 0.47),
+    so the entry PLANTS 25 deterministic ones — copies with +0.25 on
+    the first component, float-rounded identically in both engines —
+    and dedups the planted corpus at cosine >= 0.9 under the
+    decimal-exact per-label quantizer.  Every column (assignment,
+    centroid_sim, dup_of witness, keep) replays bit-exactly."""
+    from .operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(
+                (F.element_at("embedding", 1).cast("double") + F.lit(0.25)).cast(
+                    "float"
+                )
+            ),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "label", "embedding").unionByName(planted)
+    cents = _label_mean_centroids(emb)
+    return semantic_dedup(corpus, cents, threshold=0.9, keep="min_id")

@@ -798,3 +798,41 @@ def test_ivfpq_index_disk_equals_in_memory_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [cluster" in plan.replace("#", " #").replace(
         "cluster #", "cluster#"
     ) or "cluster IN" in plan, "probed scan must be partition-pruned"
+
+
+def test_semantic_dedup_policies_and_cluster_bound(spark):
+    """semantic_dedup (round 8): min_id keeps the smallest id of a dup
+    group; far_from_centroid keeps the cell outlier; near-identical
+    vectors assigned to DIFFERENT cells are never compared (the
+    SemDeDup approximation by construction)."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.05]),   # cluster 0, very near centroid
+        (2, [1.0, 0.07]),   # cluster 0, dup of 1 (cos ~ 0.9998)
+        (3, [0.9, 1.0]),    # cluster 1 } mutual cos ~ 0.994 but straddle
+        (4, [1.0, 0.9]),    # cluster 0 } the cell boundary -> both kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(df, cents, 0.99, keep="min_id").collect()
+    }
+    assert got[1]["keep"] and got[2]["dup_of"] == 1 and not got[2]["keep"]
+    assert got[3]["keep"] and got[4]["keep"]  # cross-cell pair untouched
+    assert got[3]["cluster"] == 1 and got[4]["cluster"] == 0
+
+    # far_from_centroid: among {1,2}, 2 has LOWER centroid_sim (farther)
+    # so 2 precedes -> 1 is dropped, 2 kept (the paper's outlier-keep)
+    far = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            df, cents, 0.99, keep="far_from_centroid"
+        ).collect()
+    }
+    assert far[1]["centroid_sim"] > far[2]["centroid_sim"]
+    assert far[2]["keep"] and not far[1]["keep"] and far[1]["dup_of"] == 2
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        similarity.semantic_dedup(df, cents, 0.9, keep="bogus")
