@@ -721,8 +721,22 @@ def ivf_index_retrain(
     )
     os.rename(index_dir, backup)
     os.rename(staging, index_dir)
+    _carry_txn_markers(backup, index_dir)
     shutil.rmtree(backup)
     return [[float(x) for x in c] for c in new_centroids]
+
+
+def _carry_txn_markers(old_root: str, new_root: str) -> None:
+    """Swap-style rewrites (retrain/compact) rebuild the index tree from
+    its ROWS — which silently discards the ``_txn`` batch markers
+    :func:`~..streaming.events.ivf_index_sink` uses for exactly-once
+    replay detection.  Carry them across the swap: a replayed streaming
+    batch after a retrain/compaction must still be a no-op."""
+    import os
+
+    txn = os.path.join(old_root, "_txn")
+    if os.path.isdir(txn):
+        os.rename(txn, os.path.join(new_root, "_txn"))
 
 
 def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
@@ -750,6 +764,7 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     )
     os.rename(index_dir, backup)
     os.rename(staging, index_dir)
+    _carry_txn_markers(backup, index_dir)
     shutil.rmtree(backup)
 
 

@@ -6246,3 +6246,76 @@ def n2_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "label", "embedding").unionByName(planted)
     cents = _label_mean_centroids(emb)
     return semantic_dedup(corpus, cents, threshold=0.9, keep="min_id")
+
+
+@query("stream_ivf_index", _IVF_PART_SQL)
+def stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + N2 composed (round 8): an embedding STREAM maintains the
+    disk-resident IVF ANN index exactly-once — streaming/events.py
+    ivf_index_sink assigns each micro-batch to the existing centroids
+    (batch-proportional work, the stored index never re-read) and
+    publishes it with deterministic segment names + a _txn marker, so
+    a REPLAYED batch (re-invoked after the stream with its batch id)
+    adds nothing.  The full corpus arrives as 3 disjoint micro-batches;
+    queries over the streamed index must equal a from-scratch
+    ivf_index_write with the same quantizer — which is exactly what
+    the shared ann_ivf_partitioned oracle replays (decimal-exact
+    per-label means, probe-3, rerank top-10)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import ivf_index_sink
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = _label_mean_centroids(emb)
+    landing = tempfile.mkdtemp(prefix="bdmc_sivf_landing_")
+    iroot = tempfile.mkdtemp(prefix="bdmc_sivf_index_")
+    index_dir = iroot + "/idx"
+    try:
+        for m in range(3):
+            emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        sink = ivf_index_sink(index_dir, cents, app_id="stream_ivf_index")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        n_files = len(glob.glob(os.path.join(index_dir, "cluster=*", "*.parquet")))
+        # replay the last batch: exactly-once means zero new segments
+        sink(emb.filter(F.col("vec_id") % 3 == 2), 2)
+        n_after = len(glob.glob(os.path.join(index_dir, "cluster=*", "*.parquet")))
+        if n_after != n_files:
+            raise AssertionError("replayed batch must publish no segments")
+        from .operators.similarity import ivf_index_query
+
+        out = ivf_index_query(
+            spark,
+            index_dir,
+            emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            cents,
+            k=10,
+            n_probe=3,
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(iroot, ignore_errors=True)
+    return out

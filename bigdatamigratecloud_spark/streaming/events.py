@@ -336,3 +336,77 @@ def interval_join_stream(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def ivf_index_sink(
+    index_dir: str,
+    centroids,
+    app_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+):
+    """Exactly-once STREAMING maintenance of the IVF ANN index (round
+    8) — the vector-search twin of :func:`minhash_index_sink`: each
+    micro-batch of embeddings is assigned to the EXISTING centroids
+    (one narrow batch pass, the stored index is never read) and
+    published into the cluster-partitioned index.
+
+    The index is plain partitioned parquet, not an AcidTable, so
+    exactly-once is built from the LSM playbook instead of MERGE:
+
+    1. a replayed ``(app_id, batch_id)`` with a committed marker under
+       ``<index>/_txn/`` returns immediately (underscore paths are
+       invisible to Spark's file index, so readers never see markers);
+    2. any HALF-PUBLISHED files from a crashed attempt — recognizable
+       because every published file is deterministically named
+       ``<app>-<batch>-<seq>.parquet`` — are removed first;
+    3. the batch is written to a private staging tree, hard-RENAMEd
+       file-by-file into the cluster directories under those
+       deterministic names, and only then is the marker committed.
+
+    Crash at any point therefore replays to a byte-identical index.
+    :func:`~..operators.similarity.ivf_index_retrain` and
+    ``ivf_index_compact`` carry ``_txn`` across their directory swaps,
+    so replay detection survives maintenance.  Readers see a batch's
+    files appear non-atomically (per-file visibility, like any LSM
+    segment publish); queries running mid-publish may see a prefix of
+    the batch — the same contract as FAISS add() under concurrent
+    search.  Trigger ``ivf_index_compact`` on :func:`ivf_index_stats`
+    file counts to fold the per-batch segments back to one file per
+    list."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+        import os
+        import shutil
+
+        from ..operators.similarity import ivf_index_write
+
+        bid = int(batch_id)
+        marker_dir = os.path.join(index_dir, "_txn")
+        marker = os.path.join(marker_dir, f"{app_id}-{bid}")
+        if os.path.exists(marker):
+            return  # committed batch replayed: no-op
+        prefix = f"{app_id}-{bid}-"
+        for f in glob.glob(os.path.join(index_dir, "cluster=*", prefix + "*.parquet")):
+            os.remove(f)  # half-published crash leftovers
+        stage = index_dir.rstrip("/") + f"__stage-{app_id}-{bid}"
+        shutil.rmtree(stage, ignore_errors=True)
+        ivf_index_write(
+            batch_df, centroids, stage, id_col, vec_col, mode="overwrite",
+            metric=metric,
+        )
+        seq = 0
+        for cdir in sorted(glob.glob(os.path.join(stage, "cluster=*"))):
+            dest = os.path.join(index_dir, os.path.basename(cdir))
+            os.makedirs(dest, exist_ok=True)
+            for f in sorted(glob.glob(os.path.join(cdir, "*.parquet"))):
+                os.rename(f, os.path.join(dest, f"{prefix}{seq:05d}.parquet"))
+                seq += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return _apply

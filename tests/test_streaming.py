@@ -346,3 +346,64 @@ def test_minhash_index_sink_stream_equals_batch(spark, sf_dir, tmp_path):
         for r in minhash_dedup_incremental(batch, corpus, portable=True).collect()
     )
     assert via_index == via_fresh
+
+
+def test_ivf_index_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
+    """ivf_index_sink (round 8): committed-batch replay is a no-op;
+    a HALF-PUBLISHED crash (segment files present, marker absent) is
+    cleaned up on replay so the final index is byte-identical to the
+    clean run; markers survive ivf_index_compact so replay detection
+    outlives maintenance."""
+    import glob
+
+    from bigdatamigratecloud_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    sample = [
+        r[0] for r in emb.select("embedding").orderBy("vec_id").limit(256).collect()
+    ]
+    cents = similarity._kmeans_fit(sample, k=6)
+    d = str(tmp_path / "sivf")
+    sink = sev.ivf_index_sink(d, cents, app_id="t")
+
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def rows():
+        return sorted(
+            (r["vec_id"], r["cluster"]) for r in spark.read.parquet(d).collect()
+        )
+
+    def files():
+        return sorted(
+            os.path.relpath(f, d)
+            for f in glob.glob(os.path.join(d, "cluster=*", "*.parquet"))
+        )
+
+    clean_rows, clean_files = rows(), files()
+    assert all("t-0-" in f or "t-1-" in f for f in clean_files)
+
+    # committed replay: nothing changes
+    sink(b1, 1)
+    assert files() == clean_files and rows() == clean_rows
+
+    # crash simulation: delete batch 1's marker and one of its segments
+    # (half-published state), then replay -> identical to the clean run
+    os.remove(os.path.join(d, "_txn", "t-1"))
+    victim = [f for f in clean_files if "t-1-" in f][0]
+    os.remove(os.path.join(d, victim))
+    assert rows() != clean_rows
+    sink(b1, 1)
+    assert files() == clean_files and rows() == clean_rows
+
+    # markers survive compaction; post-compact replay still a no-op
+    similarity.ivf_index_compact(spark, d)
+    assert os.path.isdir(os.path.join(d, "_txn"))
+    compact_rows = rows()
+    sink(b0, 0)
+    sink(b1, 1)
+    assert rows() == compact_rows
