@@ -856,3 +856,66 @@ def bpe_sql_steps(
           WHERE lhs IS NOT NULL)"""
     )
     return ",\n       ".join(parts)
+
+
+def bpe_decode_bytes(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    ids_col: str = "bpe_tokens",
+    out_col: str = "text",
+    special_tokens: list[str] | None = None,
+) -> DataFrame:
+    """Invert :func:`bpe_segment_bytes(emit='ids')` — token-id arrays
+    back to text (round 8): ids map through the inverse of
+    :func:`bpe_vocab_ids` to byte-unicode symbol strings, concatenate,
+    translate the GPT-2 byte-unicode alphabet back to raw UTF-8 bytes,
+    and decode.  Special-token ids re-emit their literal text (they
+    never entered the byte alphabet).  One Arrow ``mapInPandas`` with
+    the broadcast inverse vocab — O(1) plan depth like the encoder;
+    unknown ids raise (a corrupt sequence should fail loudly, not
+    silently drop tokens); undecodable byte runs use U+FFFD
+    replacement so a truncated multi-byte sequence cannot kill the
+    task.  Null arrays stay null.  Roundtrip contract (tests):
+    ``decode(encode(t)) == normalized(t)`` for any unicode text."""
+    from pyspark.sql import types as T
+
+    rules = [(str(l), str(r)) for l, r in merges]
+    specials = [str(s) for s in (special_tokens or [])]
+    inv = {v: k for k, v in bpe_vocab_ids(rules, specials).items()}
+    spec_ids = {256 + len(rules) + j for j in range(len(specials))}
+    u2b = {c: b for b, c in _B2U.items()}
+    bc = df.sparkSession.sparkContext.broadcast((inv, spec_ids, u2b))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def run(batches):
+        inv_l, spec_l, u2b_l = bc.value
+
+        def decode_ids(ids):
+            parts: list[str] = []
+            buf: list[int] = []
+            for i in ids:
+                sym = inv_l.get(i)
+                if sym is None:
+                    raise ValueError(f"bpe_decode_bytes: unknown token id {i}")
+                if i in spec_l:
+                    if buf:
+                        parts.append(bytes(buf).decode("utf-8", errors="replace"))
+                        buf = []
+                    parts.append(sym)
+                else:
+                    buf.extend(u2b_l[c] for c in sym)
+            if buf:
+                parts.append(bytes(buf).decode("utf-8", errors="replace"))
+            return "".join(parts)
+
+        for pdf in batches:
+            res = pdf.copy()
+            res[out_col] = [
+                None if ids is None else decode_ids(list(ids))
+                for ids in pdf[ids_col]
+            ]
+            yield res
+
+    return df.mapInPandas(run, schema=out_schema)

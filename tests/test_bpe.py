@@ -421,3 +421,48 @@ def test_bpe_byte_token_ids_roundtrip(spark):
 
     with _pytest.raises(ValueError):
         bpe_segment_bytes(probe, merges, emit="bogus")
+
+
+def test_bpe_decode_bytes_roundtrip(spark):
+    """bpe_decode_bytes (round 8): decode(encode(t, emit='ids')) equals
+    the whitespace-normalized text, including non-ASCII (multi-byte
+    UTF-8 reassembled from byte-level ids) and special tokens (literal
+    re-emission); null arrays stay null; unknown ids raise."""
+    from bigdatamigratecloud_spark.operators.bpe import (
+        bpe_decode_bytes,
+        bpe_segment_bytes,
+        bpe_train_bytes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world hello world naïve café 日本")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_bytes(docs, num_merges=8, min_pair_count=2).collect()
+    ]
+    probe = spark.createDataFrame(
+        [
+            (1, "hello  naïve\tcafé 日本 world"),
+            (2, "<|eot|>hello<|eot|>"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    enc = bpe_segment_bytes(probe, merges, special_tokens=["<|eot|>"], emit="ids")
+    dec = {
+        r["doc_id"]: r["text2"]
+        for r in bpe_decode_bytes(
+            enc.drop("text"), merges, out_col="text2", special_tokens=["<|eot|>"]
+        ).collect()
+    }
+    assert dec[1] == "hello naïve café 日本 world"  # whitespace-normalized
+    assert dec[2] == "<|eot|>hello<|eot|>"
+    assert dec[3] is None
+
+    import pytest as _p
+
+    bogus = spark.createDataFrame([(1, [99999])], "doc_id long, bpe_tokens array<int>")
+    with _p.raises(Exception, match="unknown token id"):
+        bpe_decode_bytes(bogus, merges).collect()

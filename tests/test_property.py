@@ -431,8 +431,16 @@ def test_bpe_byte_kernel_equals_fold_on_non_ascii(texts, n_rules):
         return syms
 
     u2b = {c: bytes([b]) for b, c in _B2U.items()}
+    from bigdatamigratecloud_spark.operators.bpe import bpe_vocab_ids
+
+    vocab = bpe_vocab_ids(rules)
+    inv = {v: k for k, v in vocab.items()}
     for t in texts:
         kern = [s for w in _pretokenize(t) for s in kernel_encode(w)]
         assert kern == bpe_bytes_fold_reference(t, rules), (t, rules)
         back = b"".join(u2b[c] for tok in kern for c in tok)
         assert back == b"".join(w.encode("utf-8") for w in _pretokenize(t))
+        # id space is a bijection over the emitted symbols (round 8):
+        # encode->ids->decode loses nothing on arbitrary unicode
+        ids = [vocab[s] for s in kern]
+        assert [inv[i] for i in ids] == kern
