@@ -1571,3 +1571,63 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
         )
     )
+
+
+def semantic_dedup_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    centroids,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup (round 8) — the embedding-space twin of
+    ``minhash_dedup_incremental`` and the batch-ingest companion of
+    :func:`semantic_dedup`: keep the BATCH rows that are neither a
+    near-duplicate (cosine >= ``threshold``) of any STORED vector in
+    their k-means cell nor of a lower-id batch row in the same cell.
+
+    The stored corpus is the IVF index itself (:func:`ivf_index_write`
+    / ``ivf_index_sink`` keep it current): the batch assigns to the
+    existing centroids in one narrow pass, and only the inverted lists
+    of the clusters the batch actually touches are read — partition
+    pruning bounds the stored-side scan by the batch's cell footprint,
+    never the corpus.  Work per batch: O(|batch| · cell_occupancy),
+    with zero corpus×corpus terms — each arriving batch dedups against
+    the whole history at batch-proportional cost.  Batch and stored
+    ids must be disjoint.  Cosine metric (the index stores unit
+    vectors); survivors return with their original batch schema."""
+    ucents = _unit_centroids(centroids)
+    u = with_unit_vector(batch, vec_col, "__u")
+    asg = ivf_assign(u, ucents, "__u", "__cluster").select(
+        F.col(id_col), F.col("__u"), F.col("__cluster").cast("int").alias("cluster")
+    )
+    wanted = sorted(r["cluster"] for r in asg.select("cluster").distinct().collect())
+    stored = (
+        spark.read.parquet(index_dir)
+        .where(F.col("cluster").isin(wanted))
+        .select(F.col("vec_id").alias("__sid"), "cu", F.col("cluster"))
+    )
+    b = asg.select(
+        F.col(id_col).alias("__bid"), F.col("__u").alias("__bu"), "cluster"
+    )
+    cos_bs = _dot(F.col("__bu"), F.col("cu"))
+    cross_drop = (
+        b.join(stored, "cluster")
+        .where(cos_bs >= F.lit(float(threshold)))
+        .select(F.col("__bid").alias(id_col))
+    )
+    a = asg.select(
+        F.col(id_col).alias("__aid"), F.col("__u").alias("__au"), "cluster"
+    )
+    intra_drop = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("__aid") < F.col("__bid"))
+            & (_dot(F.col("__au"), F.col("__bu")) >= F.lit(float(threshold)))
+        )
+        .select(F.col("__bid").alias(id_col))
+    )
+    drops = cross_drop.unionByName(intra_drop).distinct()
+    return batch.join(drops, id_col, "left_anti")

@@ -6319,3 +6319,123 @@ def stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(iroot, ignore_errors=True)
     return out
+
+
+@query(
+    "n2_semantic_dedup_incr",
+    """WITH corpus AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id % 5 <> 0),
+       batch AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id % 5 = 0
+         UNION ALL
+         SELECT vec_id + 10000, label,
+                list_transform(
+                    list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.25 AS FLOAT),
+                                 embedding[2:]), x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id % 5 <> 0 AND vec_id < 10
+         UNION ALL
+         SELECT vec_id + 20000, label,
+                list_transform(
+                    list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.25 AS FLOAT),
+                                 embedding[2:]), x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 10),
+       cellc AS (SELECT label AS cid, i AS dim,
+                        CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                             / COUNT(*) AS DOUBLE) AS mv
+                 FROM (SELECT label, unnest(v) AS v,
+                              unnest(range(0, len(v))) AS i FROM corpus)
+                 GROUP BY label, i),
+       cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+       cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                      list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+                 FROM cents),
+       snrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_reduce(
+                       list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+                FROM corpus),
+       bnrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_reduce(
+                       list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+                FROM batch),
+       sasg AS (SELECT vec_id, cid AS cluster FROM (
+                  SELECT n.vec_id, cn.cid,
+                         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY list_reduce(list_transform(
+                                 list_zip(n.uv, cn.uc), p -> p[1] * p[2]),
+                                 (x, y) -> x + y) DESC, cn.cid) AS rn
+                  FROM snrm n CROSS JOIN cnorm cn) WHERE rn = 1),
+       basg AS (SELECT vec_id, cid AS cluster FROM (
+                  SELECT n.vec_id, cn.cid,
+                         ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                             ORDER BY list_reduce(list_transform(
+                                 list_zip(n.uv, cn.uc), p -> p[1] * p[2]),
+                                 (x, y) -> x + y) DESC, cn.cid) AS rn
+                  FROM bnrm n CROSS JOIN cnorm cn) WHERE rn = 1),
+       cross_drop AS (SELECT b.vec_id
+                      FROM basg b JOIN bnrm bn USING (vec_id)
+                      JOIN sasg s ON s.cluster = b.cluster
+                      JOIN snrm sn ON sn.vec_id = s.vec_id
+                      WHERE list_reduce(list_transform(list_zip(bn.uv, sn.uv),
+                                p -> p[1] * p[2]), (x, y) -> x + y) >= 0.9),
+       intra_drop AS (SELECT b.vec_id
+                      FROM basg b JOIN bnrm bn USING (vec_id)
+                      JOIN basg a ON a.cluster = b.cluster
+                                 AND a.vec_id < b.vec_id
+                      JOIN bnrm an ON an.vec_id = a.vec_id
+                      WHERE list_reduce(list_transform(list_zip(an.uv, bn.uv),
+                                p -> p[1] * p[2]), (x, y) -> x + y) >= 0.9)
+       SELECT vec_id, label FROM batch
+       WHERE vec_id NOT IN (SELECT vec_id FROM cross_drop
+                            UNION SELECT vec_id FROM intra_drop)""",
+)
+def n2_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 8): INCREMENTAL SemDeDup — each arriving batch dedups
+    against the STORED corpus via the IVF index (partition pruning
+    bounds the stored-side read to the batch's cells; zero
+    corpus×corpus work) and against its own lower-id rows, then
+    survivors would append.  Stored corpus = vec_id %% 5 != 0 under
+    corpus-trained per-label centroids; the batch carries 8 planted
+    near-dups of STORED vectors (cross-dropped) and 2 planted
+    near-dups of lower-id BATCH vectors (intra-dropped), all
+    float-rounded identically in both engines.  The oracle replays
+    assignment, both drop rules, and the anti-join exactly.  See
+    operators/similarity.semantic_dedup_incremental."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import ivf_index_write, semantic_dedup_incremental
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch_raw = emb.filter(F.col("vec_id") % 5 == 0)
+
+    def perturb(df, off):
+        return df.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            "label",
+            F.concat(
+                F.array(
+                    (F.element_at("embedding", 1).cast("double") + F.lit(0.25)).cast(
+                        "float"
+                    )
+                ),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+        )
+
+    batch = batch_raw.unionByName(
+        perturb(corpus.filter(F.col("vec_id") < 10), 10000)
+    ).unionByName(perturb(batch_raw.filter(F.col("vec_id") < 10), 20000))
+    cents = _label_mean_centroids(corpus)
+    d = tempfile.mkdtemp(prefix="bdmc_semincr_")
+    try:
+        ivf_index_write(corpus, cents, d)
+        out = semantic_dedup_incremental(spark, batch, d, cents, threshold=0.9)
+        out = out.select("vec_id", "label")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -836,3 +836,44 @@ def test_semantic_dedup_policies_and_cluster_bound(spark):
 
     with _p.raises(ValueError):
         similarity.semantic_dedup(df, cents, 0.9, keep="bogus")
+
+
+def test_semantic_dedup_incremental_rules_and_pruning(spark, tmp_path):
+    """semantic_dedup_incremental (round 8): a batch row near a STORED
+    same-cell vector is dropped (cross); a batch row near a LOWER-id
+    batch row is dropped (intra), the lower-id row kept; near-pairs in
+    different cells survive; the stored-side read is partition-pruned
+    to the batch's clusters."""
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    stored = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0])], "vec_id long, embedding array<float>"
+    )
+    d = str(tmp_path / "idx")
+    similarity.ivf_index_write(stored, cents, d)
+    batch = spark.createDataFrame(
+        [
+            (10, [1.0, 0.12]),   # cross-dup of stored 1 -> dropped
+            (11, [0.9, 1.0]),    # cluster 1, no near stored/batch peer
+            (12, [1.0, -0.5]),   # cluster 0, far from stored 1 -> kept
+            (13, [1.0, -0.49]),  # intra-dup of 12 -> dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_incremental(
+            spark, batch, d, cents, threshold=0.97
+        ).collect()
+    )
+    assert got == [11, 12]
+
+    # pruning: a batch touching only cluster 0 must leave cluster=1's
+    # list unread — assert the executed plan's partition filter
+    only0 = spark.createDataFrame(
+        [(20, [1.0, -0.3])], "vec_id long, embedding array<float>"
+    )
+    out = similarity.semantic_dedup_incremental(spark, only0, d, cents, 0.97)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters")[-1][:80]
+    assert "= 0)" in pf and "= 1)" not in pf, pf
+    assert [r["vec_id"] for r in out.collect()] == [20]
