@@ -1631,3 +1631,62 @@ def semantic_dedup_incremental(
     )
     drops = cross_drop.unionByName(intra_drop).distinct()
     return batch.join(drops, id_col, "left_anti")
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_pairs: DataFrame | None = None,
+    exclude_match_col: str | None = None,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (round 8,
+    DPR-style): for each query, the k most-similar corpus vectors that
+    are NOT relevant — the negatives contrastive losses learn most
+    from.  Two exclusion channels, composable:
+
+    - ``exclude_pairs``: a (query_id, nbr_id) frame of known positives
+      (qrels); excluded with a broadcast-able anti-join BEFORE ranking,
+      so the k survivors are exact (no re-rank-after-filter gap);
+    - ``exclude_match_col``: a column present on BOTH sides (e.g.
+      ``label``, source, url-domain) whose equality marks relevance —
+      negatives must differ on it ("hardest cross-class negatives").
+
+    Scale shape = :func:`cosine_topk`'s: one corpus scan with the
+    query block broadcast, per-query top-k window.  For corpora where
+    brute force is off the table, mine candidates from the IVF index
+    first (``ivf_index_query`` with a large k) and feed them here as
+    the corpus."""
+    ccols = [F.col(id_col).alias("nbr_id"), "cu"] + (
+        [F.col(exclude_match_col).alias("__cm")] if exclude_match_col else []
+    )
+    qcols = [F.col(query_id_col).alias("query_id"), "qu"] + (
+        [F.col(exclude_match_col).alias("__qm")] if exclude_match_col else []
+    )
+    c = with_unit_vector(corpus, vec_col, "cu").select(*ccols)
+    q = with_unit_vector(queries, vec_col, "qu").select(*qcols)
+    sim = c.crossJoin(F.broadcast(q)).filter(F.col("nbr_id") != F.col("query_id"))
+    if exclude_match_col:
+        # null-safe equality: a null class equals a null class (still
+        # "same relevance bucket"), so negate eqNullSafe
+        sim = sim.filter(~F.col("__cm").eqNullSafe(F.col("__qm")))
+    sim = sim.select(
+        "query_id", "nbr_id", _dot(F.col("qu"), F.col("cu")).alias("cosine")
+    )
+    if exclude_pairs is not None:
+        pos = exclude_pairs.select(
+            F.col(exclude_pairs.columns[0]).alias("query_id"),
+            F.col(exclude_pairs.columns[1]).alias("nbr_id"),
+        )
+        sim = sim.join(F.broadcast(pos), ["query_id", "nbr_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", "cosine")
+    )

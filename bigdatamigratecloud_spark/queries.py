@@ -6439,3 +6439,44 @@ def n2_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
+
+
+@query(
+    "n6_hard_negatives",
+    """WITH u AS (SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       nrm AS (SELECT vec_id, label, list_transform(v, x -> x / sqrt(
+                      list_reduce(list_transform(v, y -> y * y),
+                                  (a, b) -> a + b))) AS uv
+               FROM u),
+       q AS (SELECT vec_id AS query_id, label AS qlabel, uv AS qu
+             FROM nrm WHERE vec_id < 5),
+       scored AS (SELECT q.query_id, n.vec_id AS nbr_id,
+                         list_reduce(list_transform(list_zip(q.qu, n.uv),
+                             p -> p[1] * p[2]), (x, y) -> x + y) AS cosine
+                  FROM q JOIN nrm n
+                    ON n.vec_id <> q.query_id AND n.label <> q.qlabel)
+       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cosine FROM (
+         SELECT query_id, nbr_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, nbr_id) AS rank
+         FROM scored) r
+       WHERE rank <= 5""",
+)
+def n6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 8): hard-negative mining for contrastive retrieval
+    training — for each query, the 5 most-cosine-similar vectors whose
+    LABEL differs (relevance by class: the hardest cross-class
+    negatives, the rows a DPR-style loss learns most from).  One
+    corpus scan with the query block broadcast; the oracle replays the
+    class-exclusion filter, exact dot products, and the rank window
+    bit-for-bit.  See operators/similarity.hard_negatives (which also
+    takes an explicit positives frame — qrels — as the exclusion)."""
+    from .operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(emb, q, k=5, exclude_match_col="label")

@@ -877,3 +877,38 @@ def test_semantic_dedup_incremental_rules_and_pruning(spark, tmp_path):
     pf = plan.split("PartitionFilters")[-1][:80]
     assert "= 0)" in pf and "= 1)" not in pf, pf
     assert [r["vec_id"] for r in out.collect()] == [20]
+
+
+def test_hard_negatives_exclusion_channels(spark):
+    """hard_negatives (round 8): qrels pairs are excluded BEFORE the
+    rank window (so k survivors are exact); exclude_match_col removes
+    same-class rows with null-safe semantics (null class == null
+    class); self never appears."""
+    rows = [
+        (1, "a", [1.0, 0.0]),
+        (2, "a", [0.99, 0.1]),
+        (3, "b", [0.98, 0.15]),
+        (4, "b", [0.0, 1.0]),
+        (5, None, [0.97, 0.2]),
+        (6, None, [0.96, 0.22]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    # class exclusion: label 'a' (id 2) gone; nulls (5,6) differ from 'a' -> eligible
+    got = similarity.hard_negatives(emb, q, k=3, exclude_match_col="label").collect()
+    assert [r["nbr_id"] for r in got] == [3, 5, 6]
+
+    # null query class: null==null is SAME class -> 5,6 excluded
+    qn = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    gn = similarity.hard_negatives(emb, qn, k=5, exclude_match_col="label").collect()
+    assert 6 not in {r["nbr_id"] for r in gn}
+
+    # qrels exclusion: positives (1,2),(1,3) -> top-2 negatives are 5,6
+    pos = spark.createDataFrame([(1, 2), (1, 3)], "query_id long, nbr_id long")
+    gp = similarity.hard_negatives(emb, q, k=2, exclude_pairs=pos).collect()
+    assert [r["nbr_id"] for r in gp] == [5, 6]
+    assert [r["rank"] for r in gp] == [1, 2]
