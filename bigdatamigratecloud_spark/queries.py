@@ -6480,3 +6480,62 @@ def n6_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "label", "embedding"
     )
     return hard_negatives(emb, q, k=5, exclude_match_col="label")
+
+
+from .operators import wordpiece as _wp  # noqa: E402
+
+
+@query(
+    "n5_wordpiece_train",
+    "WITH "
+    + _wp.wordpiece_sql_steps(vocab_size=60, max_piece_len=4, max_word_len=12)
+    + """
+       SELECT piece, raw, is_cont, CAST(cnt AS BIGINT) AS cnt FROM wp_vocab""",
+)
+def n5_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): WordPiece vocab training — frequency-ranked
+    (substring, position) candidates with the single-char alphabet
+    always included and the budget filled by (count DESC, piece ASC,
+    initial-first); one word-count shuffle + one bounded substring
+    explode + a distributed TakeOrdered, no driver loops.  The oracle
+    replays candidate counting and the rank cut exactly.  See
+    operators/wordpiece.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _wp.wordpiece_train(docs, vocab_size=60, max_piece_len=4).select(
+        "piece", "raw", "is_cont", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+@query(
+    "n5_wordpiece_segment",
+    "WITH "
+    + _wp.wordpiece_sql_steps(vocab_size=60, max_piece_len=4, max_word_len=12)
+    + """,
+       darr AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                    ' ') AS arr
+                FROM documents
+                WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       dtok AS (SELECT doc_id, i AS pos, arr[i] AS word
+                FROM darr, UNNEST(range(1, len(arr) + 1)) r(i))
+       SELECT doc_id, string_agg(sg.pieces, ' ' ORDER BY pos) AS wp_str
+       FROM dtok JOIN wp_seg sg USING (word)
+       GROUP BY doc_id""",
+)
+def n5_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): WordPiece segmentation — BERT's greedy longest-
+    match-first against the trained vocab, ## continuations, wholesale
+    [UNK] on no-match/overlong words; ONE broadcast-dict Arrow kernel
+    (O(1) plan depth).  The oracle replays the greedy walk with one
+    unrolled CTE per consumed piece (bounded because every step
+    consumes >= 1 char)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        (r["raw"], r["is_cont"])
+        for r in _wp.wordpiece_train(docs, vocab_size=60, max_piece_len=4).collect()
+    ]
+    seg = _wp.wordpiece_segment(docs, vocab, max_word_len=12)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return seg.where(F.length(norm) > 0).select(
+        "doc_id", F.concat_ws(" ", "wp_tokens").alias("wp_str")
+    )

@@ -466,3 +466,64 @@ def test_bpe_decode_bytes_roundtrip(spark):
     bogus = spark.createDataFrame([(1, [99999])], "doc_id long, bpe_tokens array<int>")
     with _p.raises(Exception, match="unknown token id"):
         bpe_decode_bytes(bogus, merges).collect()
+
+
+def test_wordpiece_segment_bert_semantics(spark):
+    """wordpiece_segment (round 8): greedy longest-match-first with ##
+    continuations (BERT WordpieceTokenizer): 'unaffable' ->
+    un ##aff ##able; no-match and overlong words collapse to [UNK]
+    wholesale; null/blank behave like the BPE kernels."""
+    from bigdatamigratecloud_spark.operators.wordpiece import wordpiece_segment
+
+    vocab = [
+        ("un", False), ("aff", True), ("able", True), ("a", False),
+        ("b", True), ("runn", False), ("ing", True), ("run", False),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "unaffable"),
+            (2, "running"),      # longest-first: runn ##ing beats run...
+            (3, "unaffordable"), # 'ord...' has no continuation -> [UNK]
+            (4, "ab"),
+            (5, "verylongwordhere"),  # > max_word_len -> [UNK]
+            (6, ""),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["wp_tokens"]
+        for r in wordpiece_segment(df, vocab, max_word_len=12).collect()
+    }
+    assert got[1] == ["un", "##aff", "##able"]
+    assert got[2] == ["runn", "##ing"]
+    assert got[3] == ["[UNK]"]
+    assert got[4] == ["a", "##b"]
+    assert got[5] == ["[UNK]"]
+    assert got[6] == []
+    assert got[7] is None
+
+
+def test_wordpiece_train_alphabet_and_budget(spark):
+    """wordpiece_train: single-char alphabet rows always present (in
+    the positions they occur); multi-char rows fill vocab_size minus
+    alphabet by (cnt DESC, raw ASC, initial-first); segmenting the
+    training corpus with its own vocab never yields [UNK]."""
+    from bigdatamigratecloud_spark.operators.wordpiece import (
+        wordpiece_segment,
+        wordpiece_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], "doc_id long, text string"
+    )
+    v = wordpiece_train(df, vocab_size=8, max_piece_len=3)
+    rows = v.collect()
+    pieces = {r["piece"] for r in rows}
+    # alphabet: a,c initial; b,d continuation (and a/b mid-word forms)
+    assert {"a", "c", "##b", "##d"} <= pieces
+    assert len(rows) == 8
+    vocab = [(r["raw"], r["is_cont"]) for r in rows]
+    seg = wordpiece_segment(df, vocab)
+    toks = [t for r in seg.collect() for t in r["wp_tokens"]]
+    assert "[UNK]" not in toks
