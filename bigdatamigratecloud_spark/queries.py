@@ -6539,3 +6539,68 @@ def n5_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.where(F.length(norm) > 0).select(
         "doc_id", F.concat_ws(" ", "wp_tokens").alias("wp_str")
     )
+
+
+from .operators import unigram as _ug  # noqa: E402
+
+
+@query(
+    "n5_unigram_train",
+    "WITH "
+    + _ug.unigram_sql_steps(vocab_size=40, max_piece_len=4, em_rounds=2,
+                            max_word_len=12)
+    + """
+       SELECT piece, CAST(cnt AS BIGINT) AS cnt, cost FROM ug_vocab""",
+)
+def n5_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): unigram-LM tokenizer training (SentencePiece
+    family, hard-EM variant — operators/unigram.py documents the
+    simplifications): seed substring counts -> 2 rounds of (scaled-
+    integer-log costs -> per-word Viterbi E-step -> usage M-step with
+    the alphabet always retained) -> rank shrink.  One distributed
+    word-count pass; the EM loop runs exact and local over the vocab-
+    bounded table (the BPE-fast-path argument).  The oracle replays
+    every round: cost derivation, the position-unrolled Viterbi DP,
+    usage re-count, and the final cut — counts AND integer costs are
+    value-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ug.unigram_train(
+        docs, vocab_size=40, max_piece_len=4, em_rounds=2
+    )
+
+
+@query(
+    "n5_unigram_segment",
+    "WITH "
+    + _ug.unigram_sql_steps(vocab_size=40, max_piece_len=4, em_rounds=2,
+                            max_word_len=12)
+    + """,
+       darr AS (SELECT doc_id,
+                       string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                                    ' ') AS arr
+                FROM documents
+                WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       dtok AS (SELECT doc_id, i AS pos, arr[i] AS word
+                FROM darr, UNNEST(range(1, len(arr) + 1)) r(i))
+       SELECT doc_id, string_agg(sg.pieces, ' ' ORDER BY pos) AS ug_str
+       FROM dtok JOIN ug_seg sg USING (word)
+       GROUP BY doc_id""",
+)
+def n5_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 8): Viterbi segmentation under the trained unigram LM
+    — SentencePiece's inference path: each word's single best split by
+    (integer cost sum, piece count, lexicographic) — all-integer
+    comparisons, so the distributed kernel and the unrolled-DP oracle
+    cannot drift.  ONE broadcast-dict Arrow kernel over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        (r["piece"], r["cost"])
+        for r in _ug.unigram_train(
+            docs, vocab_size=40, max_piece_len=4, em_rounds=2
+        ).collect()
+    ]
+    seg = _ug.unigram_segment(docs, vocab, max_piece_len=4)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return seg.where(F.length(norm) > 0).select(
+        "doc_id", F.concat_ws(" ", "ug_tokens").alias("ug_str")
+    )

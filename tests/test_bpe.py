@@ -527,3 +527,55 @@ def test_wordpiece_train_alphabet_and_budget(spark):
     seg = wordpiece_segment(df, vocab)
     toks = [t for r in seg.collect() for t in r["wp_tokens"]]
     assert "[UNK]" not in toks
+
+
+def test_unigram_segment_semantics(spark):
+    """unigram_segment (round 8): Viterbi-optimal split under integer
+    costs (cheaper 2-piece split beats a greedy longest prefix); ties
+    break by fewer pieces then lexicographic; uncoverable words ->
+    [UNK]; null/blank like the other kernels."""
+    from bigdatamigratecloud_spark.operators.unigram import unigram_segment
+
+    # 'abc' as one piece costs 10; 'ab'+'c' costs 3+3=6 -> Viterbi picks
+    # the split even though 'abc' is the longest match (greedy would not)
+    vocab = [("abc", 10), ("ab", 3), ("c", 3), ("a", 9), ("b", 9)]
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abq"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ug_tokens"]
+        for r in unigram_segment(df, vocab).collect()
+    }
+    assert got[1] == ["ab", "c"]
+    assert got[2] == ["[UNK]"]  # 'q' uncoverable
+    assert got[3] == [] and got[4] is None
+
+
+def test_unigram_train_alphabet_coverage_and_budget(spark):
+    """unigram_train: single chars always in the vocab (coverage: the
+    training corpus never segments to [UNK]); vocab_size bounds the
+    result; cost is the integer scaled log of cnt/total."""
+    import math
+
+    from bigdatamigratecloud_spark.operators.unigram import (
+        SCALE,
+        unigram_segment,
+        unigram_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abab ab cd abab"), (2, "ab abab cd abcd")],
+        "doc_id long, text string",
+    )
+    v = unigram_train(df, vocab_size=6, max_piece_len=3, em_rounds=2)
+    rows = v.collect()
+    assert len(rows) <= 6
+    pieces = {r["piece"] for r in rows}
+    assert {"a", "b", "c", "d"} <= pieces
+    total = sum(r["cnt"] for r in rows)
+    for r in rows:
+        assert r["cost"] == math.floor(-math.log(r["cnt"] / total) * SCALE)
+    seg = unigram_segment(df, [(r["piece"], r["cost"]) for r in rows])
+    toks = [t for r in seg.collect() for t in r["ug_tokens"]]
+    assert toks and "[UNK]" not in toks

@@ -444,3 +444,46 @@ def test_bpe_byte_kernel_equals_fold_on_non_ascii(texts, n_rules):
         # encode->ids->decode loses nothing on arbitrary unicode
         ids = [vocab[s] for s in kern]
         assert [inv[i] for i in ids] == kern
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=7), min_size=1, max_size=5
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_unigram_viterbi_is_globally_optimal(words, cost_seed):
+    """Pure-Python property (round 8): _viterbi returns THE minimum of
+    (total cost, piece count, joined string) over ALL segmentations —
+    checked by brute-force enumeration on short words."""
+    from bigdatamigratecloud_spark.operators.unigram import SEP, _viterbi
+
+    vocab = {}
+    for w in words:
+        for i in range(len(w)):
+            for L in range(1, min(3, len(w) - i) + 1):
+                p = w[i : i + L]
+                vocab[p] = (hash((p, cost_seed)) % 97) + 1
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for L in range(1, min(3, len(w)) + 1):
+            if w[:L] in vocab:
+                for rest in all_segs(w[L:]):
+                    yield [w[:L]] + rest
+
+    for w in words:
+        got = _viterbi(w, vocab, 3)
+        best = min(
+            (
+                (sum(vocab[p] for p in s), len(s), SEP.join(s), s)
+                for s in all_segs(w)
+            ),
+            default=None,
+        )
+        if best is None:
+            assert got is None
+        else:
+            assert got == best[3], (w, got, best)
