@@ -6113,9 +6113,7 @@ def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "n5_pack_sequences",
-    """WITH norm AS (SELECT doc_id,
+_PACK_SEQ_SQL = """WITH norm AS (SELECT doc_id,
                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
        ids AS (SELECT doc_id,
                       list_append(list_transform(range(1, length(t) + 1),
@@ -6139,8 +6137,10 @@ def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT CAST(seq AS BIGINT) AS seq_id, n_docs,
               array_to_string(list_transform(idsarr, x -> CAST(x AS VARCHAR)),
                               ',') AS ids_csv
-       FROM seqs WHERE len(idsarr) = 128""",
-)
+       FROM seqs WHERE len(idsarr) = 128"""
+
+
+@query("n5_pack_sequences", _PACK_SEQ_SQL)
 def n5_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 (round 8): materialized fixed-length TRAINING SEQUENCES —
     every non-blank document becomes a char-code id stream + EOS 0,
@@ -6604,3 +6604,72 @@ def n5_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.where(F.length(norm) > 0).select(
         "doc_id", F.concat_ws(" ", "ug_tokens").alias("ug_str")
     )
+
+
+@query("stream_pack_sequences", _PACK_SEQ_SQL)
+def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + N5 composed (round 8): documents STREAM through the
+    exactly-once packing sink — each micro-batch's token-id stream is
+    packed into exact 128-id sequences with the < seq_len carry buffer
+    bridging batch boundaries (no token dropped or duplicated, global
+    seq ids monotone), published with deterministic segment names +
+    _txn markers.  Three ordered micro-batches over the corpus must
+    reproduce the BATCH pack_token_sequences result exactly — the SAME
+    oracle as n5_pack_sequences replays it; a replayed batch publishes
+    zero segments (asserted in-entry)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import pack_sequences_sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    pre = docs.select(
+        "doc_id", F.transform(F.split(norm, ""), lambda c: F.ascii(c)).alias("cids")
+    ).where(F.length(norm) > 0)
+    landing = tempfile.mkdtemp(prefix="bdmc_spack_landing_")
+    oroot = tempfile.mkdtemp(prefix="bdmc_spack_out_")
+    out_dir = oroot + "/pk"
+    try:
+        hi = pre.agg(F.max("doc_id")).first()[0] + 1
+        cuts = [(0, hi // 3), (hi // 3, 2 * hi // 3), (2 * hi // 3, hi)]
+        for lo, h2 in cuts:
+            pre.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < h2)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        sink = pack_sequences_sink(
+            out_dir, app_id="stream_pack", seq_len=128,
+            id_col="doc_id", ids_col="cids", eos_id=0,
+        )
+        stream = (
+            spark.readStream.schema(pre.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        files = sorted(glob.glob(os.path.join(out_dir, "data", "*.parquet")))
+        lo, h2 = cuts[-1]
+        sink(pre.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < h2)), 2)
+        if sorted(glob.glob(os.path.join(out_dir, "data", "*.parquet"))) != files:
+            raise AssertionError("replayed batch must publish no segments")
+        out = spark.read.parquet(out_dir + "/data").select(
+            "seq_id",
+            "n_docs",
+            F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(oroot, ignore_errors=True)
+    return out

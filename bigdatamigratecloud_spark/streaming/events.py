@@ -410,3 +410,141 @@ def ivf_index_sink(
             pass
 
     return _apply
+
+
+def pack_sequences_sink(
+    out_dir: str,
+    app_id: str,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+    eos_id: int | None = None,
+):
+    """Exactly-once STREAMING sequence packing (round 8) — the
+    continuous-production twin of
+    :func:`~..operators.sampling.pack_token_sequences`: documents
+    arrive as micro-batches of token-id arrays and leave as exact
+    ``seq_len`` training sequences under ``<out>/data/``, with the
+    inter-batch remainder carried forward so no token is dropped or
+    duplicated at batch boundaries.
+
+    State = one CARRY record per batch boundary (``_carry/<app>-<bid>``,
+    written atomically for batch ``bid`` by batch ``bid-1``): the
+    global next sequence id plus the < seq_len leftover tail — bounded
+    by ``seq_len`` regardless of history, the streaming analogue of the
+    prefix-sum offset.  Inside a batch the packing is the fully
+    distributed batch operator (hierarchical prefix sum + slice
+    explode) over (carry ⊕ batch-in-doc-id-order); only the single
+    partial tail row is ever collected.
+
+    Exactly-once follows the :func:`ivf_index_sink` LSM discipline:
+    deterministic ``<app>-<bid>-<seq>`` segment names under ``data/``,
+    half-published crash cleanup by prefix, ``_txn`` marker committed
+    last.  A replayed batch re-reads ITS carry (carry files are never
+    consumed destructively), recomputes deterministically, and
+    republishes byte-identical segments — pinned in tests.
+
+    ``eos_id`` appends a separator to every arriving document (the
+    carry tail already contains its own boundaries and is never
+    re-terminated)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+        import json
+        import os
+        import shutil
+
+        from pyspark.sql import functions as SF
+
+        from ..operators.sampling import pack_token_sequences
+
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        data_dir = os.path.join(out_dir, "data")
+        marker_dir = os.path.join(out_dir, "_txn")
+        carry_dir = os.path.join(out_dir, "_carry")
+        marker = os.path.join(marker_dir, f"{app_id}-{bid}")
+        if os.path.exists(marker):
+            return
+        prefix = f"{app_id}-{bid}-"
+        for f in glob.glob(os.path.join(data_dir, prefix + "*.parquet")):
+            os.remove(f)
+        carry_path = os.path.join(carry_dir, f"{app_id}-{bid}")
+        if os.path.exists(carry_path):
+            with open(carry_path) as fh:
+                st = json.load(fh)
+            next_seq, tail = int(st["next_seq"]), list(st["tail"])
+            tail_docs = int(st.get("tail_docs", 1 if tail else 0))
+        else:
+            next_seq, tail, tail_docs = 0, [], 0
+
+        elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
+        v = SF.col(ids_col)
+        if eos_id is not None:
+            v = SF.concat(
+                SF.coalesce(v, SF.expr(f"CAST(array() AS array<{elem}>)")),
+                SF.array(SF.lit(eos_id).cast(elem)),
+            )
+        body = batch_df.select(
+            (SF.col(id_col).cast("long") + 1).alias("__ord"), v.alias("__v")
+        )
+        if tail:
+            carry_row = spark.createDataFrame(
+                [(0, tail)], f"__ord long, __v array<{elem}>"
+            )
+            body = carry_row.unionByName(body)
+        packed = pack_token_sequences(
+            body, "__ord", "__v", seq_len=seq_len, drop_last=False, out_col="ids"
+        )
+        # the carry row enters the packer as ONE pseudo-doc but stands
+        # for tail_docs original documents — all of its tokens land in
+        # local sequence 0 (the tail is < seq_len at offset 0), so that
+        # sequence's doc count is adjusted and batch-mode n_docs
+        # semantics are preserved across the boundary
+        adj = (
+            SF.when(
+                (SF.col("seq_id") == 0) & SF.lit(bool(tail)),
+                SF.col("n_docs") + SF.lit(max(0, tail_docs - 1)),
+            )
+            .otherwise(SF.col("n_docs"))
+            .cast("int")
+            .alias("n_docs")
+        )
+        packed = packed.select("seq_id", adj, "ids")
+        full = packed.filter(SF.size("ids") == seq_len).select(
+            (SF.col("seq_id") + SF.lit(next_seq)).alias("seq_id"),
+            "n_docs",
+            "ids",
+        )
+        partial = [
+            (list(r["ids"]), int(r["n_docs"]))
+            for r in packed.filter(SF.size("ids") < seq_len).collect()
+        ]
+        n_full = full.count()
+        stage = out_dir.rstrip("/") + f"__stage-{app_id}-{bid}"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(data_dir, exist_ok=True)
+        full.write.mode("overwrite").parquet(stage)
+        seq = 0
+        for f in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
+            os.rename(f, os.path.join(data_dir, f"{prefix}{seq:05d}.parquet"))
+            seq += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(carry_dir, exist_ok=True)
+        nxt = os.path.join(carry_dir, f"{app_id}-{bid + 1}")
+        tmp = nxt + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "next_seq": next_seq + n_full,
+                    "tail": partial[0][0] if partial else [],
+                    "tail_docs": partial[0][1] if partial else 0,
+                },
+                fh,
+            )
+        os.replace(tmp, nxt)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w"):
+            pass
+
+    return _apply

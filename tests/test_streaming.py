@@ -407,3 +407,56 @@ def test_ivf_index_sink_exactly_once_and_crash_replay(spark, sf_dir, tmp_path):
     sink(b0, 0)
     sink(b1, 1)
     assert rows() == compact_rows
+
+
+def test_pack_sequences_sink_stream_equals_batch(spark, tmp_path):
+    """pack_sequences_sink (round 8): streaming packing with the carry
+    buffer must equal batch pack_token_sequences over the full stream
+    — including n_docs when the carry tail spans several small docs;
+    committed replay publishes nothing; a half-published crash replays
+    to byte-identical segments."""
+    import glob
+    import json
+
+    from bigdatamigratecloud_spark.operators.sampling import pack_token_sequences
+
+    rows = [(i, list(range(i * 100, i * 100 + (3 if i % 3 == 0 else 45)))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    d = str(tmp_path / "pk")
+    sink = sev.pack_sequences_sink(d, app_id="t", seq_len=64, eos_id=-1)
+    for b, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30)]):
+        sink(df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), b)
+
+    streamed = sorted(
+        (r["seq_id"], r["n_docs"], tuple(r["ids"]))
+        for r in spark.read.parquet(d + "/data").collect()
+    )
+    batch = sorted(
+        (r["seq_id"], r["n_docs"], tuple(r["ids"]))
+        for r in pack_token_sequences(
+            df, "doc_id", "ids", seq_len=64, eos_id=-1, drop_last=True
+        ).collect()
+    )
+    assert streamed == batch and len(streamed) > 3
+
+    # stream tail + carry = full token stream (nothing lost at boundaries)
+    with open(d + "/_carry/t-3") as fh:
+        carry = json.load(fh)
+    streamed_tokens = [i for _, _, ids in streamed for i in ids] + carry["tail"]
+    want = [i for _, ids in rows for i in ids + [-1]]
+    assert streamed_tokens == want
+
+    files = sorted(glob.glob(d + "/data/*.parquet"))
+    sink(df.filter(F.col("doc_id") >= 20), 2)  # committed replay: no-op
+    assert sorted(glob.glob(d + "/data/*.parquet")) == files
+    # crash: drop batch 2's marker and one published segment, replay
+    os.remove(d + "/_txn/t-2")
+    victims = [f for f in files if "/t-2-" in f]
+    os.remove(victims[0])
+    sink(df.filter(F.col("doc_id") >= 20), 2)
+    assert sorted(glob.glob(d + "/data/*.parquet")) == files
+    re_rows = sorted(
+        (r["seq_id"], r["n_docs"], tuple(r["ids"]))
+        for r in spark.read.parquet(d + "/data").collect()
+    )
+    assert re_rows == batch
