@@ -961,3 +961,136 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=["id", "frame_index", "frame_bytes"])
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+def dhash64(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+    out_col: str = "dhash_hex",
+) -> DataFrame:
+    """Perceptual difference-hash over image payloads (round 8, N3+N1
+    composed): decode (the from-scratch codecs of this module) →
+    integer luma ((299R+587G+114B)//1000) → 8×9 NEAREST-NEIGHBOR
+    sample (row r → floor(r·H/8), col c → floor(c·W/9)) → 64
+    horizontal-gradient bits (bit r·8+c = sample[r][c+1] > sample[r][c])
+    — the standard dHash, with every step integer/deterministic so an
+    external engine can replay it closed-form.
+
+    The hash surfaces as a 16-char lowercase hex STRING (nibble j =
+    bits 4j..4j+3, emitted high-nibble-first): sign-free, engine-
+    portable, and band-sliceable with plain substr.  NULL payloads
+    yield NULL; unknown codecs follow the module's ``_decode_image``
+    contract — non-strict hashes the DETERMINISTIC FAKE (stable, so
+    identical undecodable payloads collide only with themselves),
+    strict raises at the codec gate.  One Arrow ``mapInPandas`` over
+    the binary column — the N3 plumbing pattern."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(out_col, T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        def one(payload):
+            if payload is None:
+                return None
+            arr = _decode_image(bytes(payload), strict)
+            if arr is None:
+                return None
+            a = np.asarray(arr, dtype=np.int64)
+            if a.ndim == 2:
+                luma = a
+            else:
+                if a.shape[2] == 1:
+                    luma = a[:, :, 0]
+                else:
+                    luma = (
+                        299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+                    ) // 1000
+            h, w = luma.shape
+            rows = [(r * h) // 8 for r in range(8)]
+            cols = [(c * w) // 9 for c in range(9)]
+            s = luma[np.ix_(rows, cols)]
+            bits = 0
+            for r in range(8):
+                for c in range(8):
+                    if s[r][c + 1] > s[r][c]:
+                        bits |= 1 << (r * 8 + c)
+            return format(bits, "016x")
+
+        for pdf in batches:
+            yield pdf[[id_col]].assign(
+                **{out_col: [one(p) for p in pdf[payload_col]]}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def dhash_neardup(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash_hex",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash hamming distance — the
+    visual twin of ``dedup.simhash_neardup``: 8 bands of 8 bits (2 hex
+    chars); two hashes within hamming ≤ 7 agree on ≥ 1 band
+    (pigeonhole), so the candidate join is 8 band-keyed equi-joins,
+    never all-pairs; candidates verify by exact hamming, computed as a
+    16-digit hex fold (instr-based nibble decode + bit_count — the
+    same expression replays in any engine).  NULL hashes never pair."""
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 8 bands of 8 bits guarantee "
+            "recall only for hamming <= 7"
+        )
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("hx")
+    )
+    bands = h.select(
+        "id",
+        "hx",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("hx", 2 * b + 1, 2).alias("key"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "hx", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.hx").alias("hx_a"),
+            F.col("b.hx").alias("hx_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.expr(
+        "aggregate(transform(sequence(1, 16), i -> "
+        "bit_count((instr('0123456789abcdef', substr(hx_a, i, 1)) - 1) "
+        "^ (instr('0123456789abcdef', substr(hx_b, i, 1)) - 1))), "
+        "0, (acc, x) -> acc + x)"
+    )
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -6673,3 +6673,100 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(oroot, ignore_errors=True)
     return out
+
+
+@query(
+    "n3_image_dedup",
+    """WITH base AS (SELECT doc_id AS img FROM documents WHERE doc_id < 100),
+       imgs AS (SELECT img, FALSE AS planted FROM base
+                UNION ALL
+                SELECT img + 1000, TRUE FROM base WHERE img < 10),
+       samp AS (SELECT i.img, r.r, c.c,
+                       CASE WHEN i.planted AND r.r = 0 AND c.c = 0
+                            THEN ((7 * 0 + 11 * 0
+                                   + 13 * (i.img - 1000)) % 256 + 64) % 256
+                            ELSE (7 * (2 * r.r) + 11 * ((c.c * 16) // 9)
+                                  + 13 * (CASE WHEN i.planted THEN i.img - 1000
+                                               ELSE i.img END)) % 256
+                       END AS v
+                FROM imgs i, UNNEST(range(0, 8)) r(r), UNNEST(range(0, 9)) c(c)),
+       bits AS (SELECT s1.img, s1.r, s1.c, (s2.v > s1.v) AS bit
+                FROM samp s1 JOIN samp s2
+                  ON s2.img = s1.img AND s2.r = s1.r AND s2.c = s1.c + 1
+                WHERE s1.c < 8),
+       nib AS (SELECT img, (r * 8 + c) // 4 AS j,
+                      SUM(CASE WHEN bit
+                               THEN 1 << CAST((r * 8 + c) % 4 AS INT)
+                               ELSE 0 END) AS nv
+               FROM bits GROUP BY img, (r * 8 + c) // 4),
+       hx AS (SELECT img,
+                     string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                                '' ORDER BY j DESC) AS hx
+              FROM nib GROUP BY img),
+       bands AS (SELECT img, hx, b.b AS band,
+                        substr(hx, CAST(2 * b.b + 1 AS INT), 2) AS key
+                 FROM hx, UNNEST(range(0, 8)) b(b)),
+       cand AS (SELECT DISTINCT a.img AS id_a, bb.img AS id_b,
+                       a.hx AS hx_a, bb.hx AS hx_b
+                FROM bands a JOIN bands bb
+                  ON a.band = bb.band AND a.key = bb.key AND a.img < bb.img),
+       ham AS (SELECT id_a, id_b,
+                      CAST(list_reduce(list_transform(range(1, 17), i ->
+                          bit_count(xor(
+                              CAST(instr('0123456789abcdef',
+                                   substr(hx_a, CAST(i AS INT), 1)) - 1 AS INT),
+                              CAST(instr('0123456789abcdef',
+                                   substr(hx_b, CAST(i AS INT), 1)) - 1 AS INT)))),
+                          (x, y) -> x + y) AS INT) AS hamming
+               FROM cand)
+       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4""",
+)
+def n3_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3+N1 composed (round 8): perceptual IMAGE near-dup pairs by
+    dHash — the visual member of the dedup family (exact/MinHash/
+    SimHash/edit-distance/embedding/dHash).  Deterministic 16×16
+    grayscale GIFs are synthesized per doc id (luma = (7x+11y+13·img)
+    mod 256; 10 planted near-dups perturb one sampled pixel), REALLY
+    encoded and decoded through the from-scratch GIF codec, dHashed
+    (integer luma → 8×9 nearest sample → gradient bits → hex), and
+    paired via the 8-band pigeonhole join + exact hex-fold hamming.
+    The oracle replays luma→samples→bits→hex→bands→hamming CLOSED-FORM
+    — so the codec roundtrip is verified against pure arithmetic.  See
+    operators/multimodal.dhash64 / dhash_neardup."""
+    from .operators.multimodal import dhash64, dhash_neardup, encode_gif
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 100)
+    )
+    ids = docs.select(
+        F.col("doc_id").alias("img"), F.lit(False).alias("planted")
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("img"), F.lit(True).alias("planted")
+        )
+    )
+    palette = [(g, g, g) for g in range(256)]
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for img, planted in zip(pdf["img"], pdf["planted"]):
+                b = int(img) - 1000 if planted else int(img)
+                grid = [
+                    [(7 * x + 11 * y + 13 * b) % 256 for y in range(16)]
+                    for x in range(16)
+                ]
+                if planted:
+                    grid[0][0] = (grid[0][0] + 64) % 256
+                payloads.append(
+                    encode_gif(np.array(grid, dtype=np.uint8), palette)
+                )
+            yield pdf.assign(payload=payloads)
+
+    media = ids.mapInPandas(gen, schema="img long, planted boolean, payload binary")
+    hashes = dhash64(media, "payload", "img")
+    return dhash_neardup(hashes, "img", max_hamming=4)

@@ -1520,3 +1520,49 @@ def test_tiff_multi_strip_from_libtiff():
     mine = decode_tiff(open(p, "rb").read())
     _os.unlink(p)
     assert (mine == arr).all()
+
+
+def test_dhash_identical_and_perturbed_images(spark):
+    """dhash64/dhash_neardup (round 8): identical images collide at
+    hamming 0; a one-sampled-pixel perturbation lands within the
+    near-dup radius; a structurally different image does not pair;
+    NULL payloads hash to NULL, unknown codecs hash the stable fake; bad radius
+    raises."""
+    import numpy as np
+    import pytest as _p
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        dhash64,
+        dhash_neardup,
+        encode_gif,
+    )
+
+    palette = [(g, g, g) for g in range(256)]
+    g1 = np.array([[(5 * x + 3 * y) % 256 for y in range(16)] for x in range(16)],
+                  dtype=np.uint8)
+    g2 = g1.copy(); g2[0][0] = (int(g2[0][0]) + 80) % 256
+    g3 = np.array([[(251 * x * y + 17 * x) % 256 for y in range(16)]
+                   for x in range(16)], dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_gif(g1, palette))),
+        (2, bytearray(encode_gif(g1, palette))),   # identical
+        (3, bytearray(encode_gif(g2, palette))),   # near-dup of 1
+        (4, bytearray(encode_gif(g3, palette))),   # different
+        (5, bytearray(b"not an image")),  # unknown codec -> deterministic fake
+        (6, None),                         # NULL payload -> NULL hash
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = dhash64(df, "payload", "media_id")
+    hx = {r["media_id"]: r["dhash_hex"] for r in hashes.collect()}
+    assert hx[1] == hx[2] and len(hx[1]) == 16
+    assert hx[5] is not None and len(hx[5]) == 16  # stable fake, hashable
+    assert hx[6] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup(hashes, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 4
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+    with _p.raises(ValueError):
+        dhash_neardup(hashes, max_hamming=8)
