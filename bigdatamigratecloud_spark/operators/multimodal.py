@@ -1094,3 +1094,68 @@ def dhash_neardup(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+    out_col: str = "afp_hex",
+    n_frames: int = 65,
+) -> DataFrame:
+    """Energy-envelope audio fingerprint (round 8) — the audio member
+    of the perceptual-dedup family next to :func:`dhash64`: decode
+    (module codecs), split the mono int16 stream into ``n_frames``
+    equal frames (frame length = len // n_frames, adaptive so clips of
+    any duration hash), frame energy = Σ s² (exact integer — samples
+    are k/32768 doubles, un-normalized losslessly), bit i = energy(i+1)
+    > energy(i) — a 64-bit envelope-gradient hash emitted as the same
+    portable 16-hex string :func:`dhash_neardup` bands and verifies
+    (pass ``hash_col=out_col``).  Simpler than chromaprint on purpose:
+    no FFT means every step is integer arithmetic an external engine
+    replays closed-form.  NULL/too-short (< n_frames samples) → NULL;
+    unknown codecs follow the module's strict/fake contract."""
+    from pyspark.sql import types as T
+
+    if n_frames != 65:
+        raise ValueError("n_frames must be 65 (64 gradient bits = 16 hex chars)")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(out_col, T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        def one(payload):
+            if payload is None:
+                return None
+            got = _decode_audio(bytes(payload), strict)
+            if got is None:
+                return None
+            samples, _rate = got
+            s = np.rint(np.asarray(samples, dtype=np.float64) * 32768.0).astype(
+                np.int64
+            )
+            flen = len(s) // n_frames
+            if flen == 0:
+                return None
+            e = [
+                int((s[i * flen : (i + 1) * flen] ** 2).sum())
+                for i in range(n_frames)
+            ]
+            bits = 0
+            for i in range(n_frames - 1):
+                if e[i + 1] > e[i]:
+                    bits |= 1 << i
+            return format(bits, "016x")
+
+        for pdf in batches:
+            yield pdf[[id_col]].assign(
+                **{out_col: [one(p) for p in pdf[payload_col]]}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

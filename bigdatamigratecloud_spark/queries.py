@@ -6770,3 +6770,102 @@ def n3_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ids.mapInPandas(gen, schema="img long, planted boolean, payload binary")
     hashes = dhash64(media, "payload", "img")
     return dhash_neardup(hashes, "img", max_hamming=4)
+
+
+@query(
+    "n3_audio_dedup",
+    """WITH base AS (SELECT doc_id AS img FROM documents WHERE doc_id < 60),
+       clips AS (SELECT img, FALSE AS planted FROM base
+                 UNION ALL
+                 SELECT img + 1000, TRUE FROM base WHERE img < 10),
+       samp AS (SELECT c.img, i.i,
+                       ((i.i * i.i * 7 + i.i * 13
+                         + 997 * (CASE WHEN c.planted THEN c.img - 1000
+                                       ELSE c.img END)) % 4096) - 2048
+                       + (CASE WHEN c.planted AND i.i = 0 THEN 500 ELSE 0 END)
+                           AS s
+                FROM clips c, UNNEST(range(0, 2080)) i(i)),
+       en AS (SELECT img, i // 32 AS f, SUM(s * s) AS e
+              FROM samp GROUP BY img, i // 32),
+       bits AS (SELECT a.img, a.f AS i, (b.e > a.e) AS bit
+                FROM en a JOIN en b ON b.img = a.img AND b.f = a.f + 1
+                WHERE a.f < 64),
+       nib AS (SELECT img, i // 4 AS j,
+                      SUM(CASE WHEN bit THEN 1 << CAST(i % 4 AS INT)
+                               ELSE 0 END) AS nv
+               FROM bits GROUP BY img, i // 4),
+       hx AS (SELECT img,
+                     string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                                '' ORDER BY j DESC) AS hx
+              FROM nib GROUP BY img),
+       bands AS (SELECT img, hx, b.b AS band,
+                        substr(hx, CAST(2 * b.b + 1 AS INT), 2) AS key
+                 FROM hx, UNNEST(range(0, 8)) b(b)),
+       cand AS (SELECT DISTINCT a.img AS id_a, bb.img AS id_b,
+                       a.hx AS hx_a, bb.hx AS hx_b
+                FROM bands a JOIN bands bb
+                  ON a.band = bb.band AND a.key = bb.key AND a.img < bb.img),
+       ham AS (SELECT id_a, id_b,
+                      CAST(list_reduce(list_transform(range(1, 17), i ->
+                          bit_count(xor(
+                              CAST(instr('0123456789abcdef',
+                                   substr(hx_a, CAST(i AS INT), 1)) - 1 AS INT),
+                              CAST(instr('0123456789abcdef',
+                                   substr(hx_b, CAST(i AS INT), 1)) - 1 AS INT)))),
+                          (x, y) -> x + y) AS INT) AS hamming
+               FROM cand)
+       SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4""",
+)
+def n3_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3+N1 composed (round 8): perceptual AUDIO near-dup pairs by the
+    energy-envelope fingerprint — completing the dedup family across
+    modalities (text, embedding, image, audio).  Deterministic PCM-16
+    WAV clips are synthesized per doc id (s[i] = ((7i²+13i+997·img) mod
+    4096) − 2048, 65 frames × 32 samples; 10 planted near-dups bump
+    one sample in frame 0), REALLY encoded and decoded through the
+    stdlib-wave codec path, fingerprinted (integer frame energies →
+    envelope-gradient bits → hex), and paired via the same 8-band
+    pigeonhole + hex-fold hamming as dHash.  The oracle replays
+    samples→energies→bits→hex→bands→hamming closed-form — the WAV
+    roundtrip verified against pure arithmetic.  See
+    operators/multimodal.audio_fingerprint / dhash_neardup."""
+    from .operators.multimodal import audio_fingerprint, dhash_neardup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 60)
+    )
+    ids = docs.select(
+        F.col("doc_id").alias("img"), F.lit(False).alias("planted")
+    ).unionByName(
+        docs.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("img"), F.lit(True).alias("planted")
+        )
+    )
+
+    def gen(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for img, planted in zip(pdf["img"], pdf["planted"]):
+                b = int(img) - 1000 if planted else int(img)
+                s = [((i * i * 7 + i * 13 + 997 * b) % 4096) - 2048
+                     for i in range(2080)]
+                if planted:
+                    s[0] += 500
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{len(s)}h", *s))
+                payloads.append(bio.getvalue())
+            yield pdf.assign(payload=payloads)
+
+    media = ids.mapInPandas(gen, schema="img long, planted boolean, payload binary")
+    hashes = audio_fingerprint(media, "payload", "img")
+    return dhash_neardup(hashes, "img", hash_col="afp_hex", max_hamming=4)

@@ -1566,3 +1566,47 @@ def test_dhash_identical_and_perturbed_images(spark):
     assert not any(4 in p or 5 in p or 6 in p for p in pairs)
     with _p.raises(ValueError):
         dhash_neardup(hashes, max_hamming=8)
+
+
+def test_audio_fingerprint_envelope_semantics(spark):
+    """audio_fingerprint (round 8): identical clips collide; a small
+    single-frame perturbation stays within the near-dup radius; a
+    different envelope does not pair; short/NULL payloads -> NULL."""
+    import io
+    import struct
+    import wave
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        audio_fingerprint,
+        dhash_neardup,
+    )
+
+    def wav(samples):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return bytearray(bio.getvalue())
+
+    s1 = [((i * 31 + (i * i) % 900) % 3000) - 1500 for i in range(2080)]
+    s2 = list(s1); s2[5] += 400                      # one frame nudged
+    s3 = [((i * 997) % 3000) - 1500 for i in range(2080)]
+    rows = [
+        (1, wav(s1)), (2, wav(s1)), (3, wav(s2)), (4, wav(s3)),
+        (5, wav([100] * 10)),  # < 65 samples -> NULL
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    h = audio_fingerprint(df, "payload", "media_id")
+    hx = {r["media_id"]: r["afp_hex"] for r in h.collect()}
+    assert hx[1] == hx[2] and len(hx[1]) == 16
+    assert hx[5] is None and hx[6] is None
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_neardup(h, hash_col="afp_hex", max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 4
+    assert not any(4 in p or 5 in p or 6 in p for p in pairs)
