@@ -560,3 +560,43 @@ def pagerank_sql_steps(
         f"FROM it{iters})"
     )
     return ",\n       ".join(parts)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) — the
+    standard hybrid-retrieval combiner: score(d) = Σ over ranked lists
+    of 1/(c + rank_d(list)), lists where d is absent contributing 0.
+    Rank-based, so BM25 scores and cosine similarities fuse without
+    any calibration — exactly why RRF is the default hybrid in
+    production search stacks.
+
+    Exactness contract (the repo's rational-form discipline): the sum
+    is a FIXED-ORDER expression over the lists as given — coalesce(1/
+    (c+r1),0) + coalesce(1/(c+r2),0) + … — so any engine reproduces
+    the fused doubles bit-for-bit.  Shape: len(rankings)−1 id-keyed
+    outer joins of k-row frames (broadcast-sized), one rank window."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    out = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col(rank_col).alias(f"__r{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}").cast("double")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        out.select(id_col, score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

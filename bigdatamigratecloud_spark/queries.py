@@ -6869,3 +6869,55 @@ def n3_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ids.mapInPandas(gen, schema="img long, planted boolean, payload binary")
     hashes = audio_fingerprint(media, "payload", "img")
     return dhash_neardup(hashes, "img", hash_col="afp_hex", max_hamming=4)
+
+
+@query(
+    "n6_hybrid_rrf",
+    f"""WITH lex AS (SELECT * FROM (
+         {_retrieval.bm25_topk_sql(["spark", "merge", "window"], k=20)}
+       )),
+       {_UNIT_SQL.strip()},
+       q0 AS (SELECT uv AS qv FROM nrm WHERE vec_id = 0),
+       s AS (SELECT c.vec_id AS doc_id,
+                    list_reduce(list_transform(list_zip(q0.qv, c.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM nrm c CROSS JOIN q0 WHERE c.vec_id <> 0),
+       sem AS (SELECT doc_id, rank FROM (
+                 SELECT doc_id,
+                        CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                             AS INT) AS rank
+                 FROM s) WHERE rank <= 20),
+       fused AS (SELECT doc_id,
+                        COALESCE(1.0 / (60.0 + CAST(l.rank AS DOUBLE)), 0.0)
+                        + COALESCE(1.0 / (60.0 + CAST(sem.rank AS DOUBLE)), 0.0)
+                            AS rrf_score
+                 FROM lex l FULL OUTER JOIN sem USING (doc_id))
+       SELECT doc_id, rrf_score, CAST(rank AS INT) AS rank FROM (
+         SELECT doc_id, rrf_score,
+                ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+         FROM fused) WHERE rank <= 10""",
+)
+def n6_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 8): HYBRID retrieval by Reciprocal Rank Fusion — the
+    production-standard combiner for lexical + vector search: BM25
+    top-20 (rational Robertson idf) fused with cosine top-20 for the
+    vec_id-0 query embedding by score(d) = Σ 1/(60 + rank), fixed-order
+    coalesced sum so the fused doubles replay bit-exactly.  Rank-based
+    fusion needs no score calibration between the two signal families
+    — the reason RRF wins in practice.  See
+    operators/retrieval.rrf_fuse."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "merge", "window"], k=20).select(
+        "doc_id", "rank"
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = cosine_topk(emb, q0, k=20, query_id_col="query_id").select(
+        F.col("nbr_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k=10)

@@ -358,3 +358,24 @@ def test_pagerank_convergence_mode(spark):
     }
     assert got2 == exp2
     assert stop2 > stop_round
+
+
+def test_rrf_fuse_semantics(spark):
+    """rrf_fuse (round 8): a doc in both lists outranks single-list
+    docs with better individual ranks; absent lists contribute 0;
+    score is exactly sum 1/(c+rank); empty rankings raise."""
+    import pytest as _p
+
+    from bigdatamigratecloud_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    # doc 3: 1/63 + 1/61 beats doc 1's 1/61 alone
+    assert got[3]["rank"] == 1
+    assert got[3]["rrf_score"] == 1.0 / 63.0 + 1.0 / 61.0
+    assert got[1]["rrf_score"] == 1.0 / 61.0
+    assert got[4]["rrf_score"] == 1.0 / 62.0
+    assert set(got) == {1, 2, 3, 4}
+    with _p.raises(ValueError):
+        rrf_fuse([])
