@@ -674,3 +674,72 @@ def html_extract(
             ),
         ).otherwise(F.lit(0.0)).alias("link_density"),
     )
+
+
+def text_embed_hashed(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing TF-IDF document embeddings (the hashing trick,
+    Weinberger et al. 2009) — round 8: turn raw TEXT into a fixed-dim
+    vector column entirely in-engine, so the whole embedding toolchain
+    downstream (cosine_topk, IVF/PQ indexes, SemDeDup, hard negatives)
+    runs on corpora that never saw a neural encoder.  Each token lands
+    in bucket ``h mod dim`` with sign ``(h div dim) mod 2`` (the
+    unbiasedness trick), weighted by tf × Robertson rational idf
+    ((N − df + 0.5)/(df + 0.5) — no libm, same monotone form as BM25;
+    ubiquitous terms go negative, the standard BM25 property).
+
+    Exactness: the portable md5-prefix hash, rational idf, and
+    EXPLICIT-ORDER folds (per-bucket sums fold in token order, the
+    dense vector assembles bucket-ascending) make the vectors
+    bit-reproducible in any engine.  Shape: one tf shuffle, one
+    token-keyed idf join, one (doc, bucket) aggregation, one doc
+    aggregation — all map-side-combinable; N is the only driver
+    scalar.  Docs with no tokens are omitted (an all-zero vector has
+    no direction)."""
+    from .dedup import portable_hash60
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = toks.select(id_col).distinct().count()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    h = portable_hash60(F.col("tok"))
+    idf = (
+        F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    sign = F.when(
+        F.expr(f"(__h div {int(dim)}) % 2") == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    wts = (
+        tf.join(dfreq, "tok")
+        .withColumn("__h", h)
+        .select(
+            id_col,
+            "tok",
+            (F.expr(f"__h % {int(dim)}")).cast("int").alias("__b"),
+            (sign * (F.col("tf").cast("double") * idf)).alias("__w"),
+        )
+    )
+    per_bucket = wts.groupBy(id_col, "__b").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "__w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__w"],
+        ).alias("__val")
+    )
+    mp = per_bucket.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__val"))).alias("__m")
+    )
+    return mp.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("__m"), b.cast("int")), F.lit(0.0)
+            ),
+        ).alias(out_col),
+    )

@@ -6921,3 +6921,68 @@ def n6_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nbr_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, sem], k=10)
+
+
+@query(
+    "n4_text_embed_ann",
+    """WITH norm0 AS (SELECT doc_id,
+                trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         FROM documents),
+       toksl AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+                 FROM norm0 WHERE length(t) > 0),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toksl GROUP BY 1, 2),
+       dfreq AS (SELECT tok, COUNT(*) AS dfc FROM tf GROUP BY 1),
+       nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toksl),
+       wts AS (SELECT f.doc_id, f.tok,
+                      ('0x' || substr(md5(f.tok), 1, 15))::BIGINT AS h,
+                      (CASE WHEN ((('0x' || substr(md5(f.tok), 1, 15))::BIGINT
+                                   // 32) % 2) = 0
+                            THEN 1.0 ELSE -1.0 END)
+                      * (CAST(f.tf AS DOUBLE)
+                         * ((CAST(nd.n AS DOUBLE) - CAST(d.dfc AS DOUBLE) + 0.5)
+                            / (CAST(d.dfc AS DOUBLE) + 0.5))) AS w
+               FROM tf f JOIN dfreq d USING (tok) CROSS JOIN nd),
+       bk AS (SELECT doc_id, CAST(h % 32 AS INT) AS b,
+                     list_reduce(list(w ORDER BY tok), (x, y) -> x + y) AS val
+              FROM wts GROUP BY doc_id, CAST(h % 32 AS INT)),
+       vec AS (SELECT dd.doc_id,
+                      list(COALESCE(bk.val, 0.0) ORDER BY g.b) AS v
+               FROM (SELECT DISTINCT doc_id FROM toksl) dd
+               CROSS JOIN UNNEST(range(0, 32)) g(b)
+               LEFT JOIN bk ON bk.doc_id = dd.doc_id AND bk.b = g.b
+               GROUP BY dd.doc_id),
+       nrm AS (SELECT doc_id, list_transform(v, x -> x / sqrt(list_reduce(
+                      list_transform(v, y -> y * y), (a, c) -> a + c))) AS uv
+               FROM vec),
+       q AS (SELECT doc_id AS query_id, uv AS qv FROM nrm WHERE doc_id < 3),
+       s AS (SELECT q.query_id, c.doc_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qv, c.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM nrm c CROSS JOIN q WHERE c.doc_id <> q.query_id)
+       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, cos AS cosine FROM (
+         SELECT query_id, nbr_id, cos,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, nbr_id) AS rank
+         FROM s) r
+       WHERE rank <= 5""",
+)
+def n4_text_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+N2 composed (round 8): similarity search over RAW TEXT with
+    no neural encoder — feature-hashing TF-IDF embeddings (portable
+    md5 buckets, ± sign trick, Robertson rational idf, explicit-order
+    folds) feed the standard cosine top-k: top-5 neighbors for 3 query
+    documents.  The oracle replays tokenize → tf/df → hash/sign/idf →
+    bucket folds → dense assembly → normalize → rank bit-exactly —
+    the full text→vector→ANN loop value-checked end to end.  See
+    operators/text.text_embed_hashed."""
+    from .operators.similarity import cosine_topk
+    from .operators.text import text_embed_hashed
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = text_embed_hashed(docs, dim=32)
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(
+        emb, q, k=5, id_col="doc_id", query_id_col="query_id"
+    )

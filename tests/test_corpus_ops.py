@@ -949,3 +949,44 @@ def test_pack_token_sequences_plan_distributed(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_text_embed_hashed_matches_python_replica(spark):
+    """text_embed_hashed (round 8): vectors equal a pure-Python replica
+    (md5-prefix hash, bucket/sign trick, Robertson rational idf,
+    token-order folds) bit-for-bit; blank/None docs are omitted; dim
+    is respected."""
+    import hashlib
+
+    from bigdatamigratecloud_spark.operators.text import text_embed_hashed
+
+    rows = [(1, "the cat sat on the mat"), (2, "the dog"), (3, "  "), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 8
+    got = {r["doc_id"]: r["embedding"] for r in text_embed_hashed(df, dim=dim).collect()}
+    assert set(got) == {1, 2}
+    assert all(len(v) == dim for v in got.values())
+
+    docs = {i: t.split() for i, t in rows[:2]}
+    n = len(docs)
+    dfreq: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for i, toks in docs.items():
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        buckets: dict[int, list[tuple[str, float]]] = {}
+        for t, c in tf.items():
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            sign = 1.0 if (h // dim) % 2 == 0 else -1.0
+            idf = (float(n) - float(dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+            buckets.setdefault(h % dim, []).append((t, sign * (float(c) * idf)))
+        want = [0.0] * dim
+        for b, ws in buckets.items():
+            acc = 0.0
+            for _, w in sorted(ws):
+                acc += w
+            want[b] = acc
+        assert got[i] == want, (i, got[i], want)
