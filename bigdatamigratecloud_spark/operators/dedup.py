@@ -295,25 +295,167 @@ def _banded(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+# Default hot-bucket cap shared by every banded candidate join in the
+# engine (minhash / simhash / dhash / audio-fingerprint).  Chosen so an
+# m-member bucket at the cap emits at most ~5e9 verify pairs per bucket
+# under `sample` — large enough that no legitimate near-dup cluster at
+# test scale ever trips it, small enough that a web-scale degenerate
+# bucket (empty pages, templated boilerplate, black frames) cannot emit
+# the O(m²) pair explosion AQE cannot save you from (splitting a skewed
+# partition re-balances work but cannot shrink the pair OUTPUT).
+DEFAULT_MAX_BUCKET = 100_000
+
+
+def guarded_band_self_join(
+    banded: DataFrame,
+    carry_cols: tuple[str, ...] = (),
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
+    band_col: str = "band",
+    key_col: str = "bucket",
+    id_col: str = "id",
+) -> DataFrame:
+    """Band-bucket candidate SELF-join with a hot-bucket guard — the one
+    shared scale valve for every banded-LSH family here (minhash LSH,
+    simhash, image dHash, audio fingerprints).
+
+    The naive band self-join emits O(m²) pairs for an m-member bucket;
+    at web scale degenerate buckets are routine (a 10M-member bucket of
+    boilerplate docs would emit 5x10^13 pairs).  Guard: a per-(band,
+    bucket) count pre-aggregation (map-side combine -> one row per
+    bucket) splits rows into cold (<= ``max_bucket`` members, joined
+    exactly as before) and hot buckets, which follow ``hot_policy``:
+
+    - ``"star"`` (default, the Gopher/RefinedWeb production shape): the
+      bucket's min-id member becomes its representative and every other
+      member pairs with it — O(m) output.  Members of an over-cap
+      bucket collide on a full band, so they are near-duplicates of
+      each other by construction; the caller's exact rerank still
+      verifies each (rep, member) pair, and downstream clustering
+      (connected components) merges the bucket transitively through
+      the rep.  Trade-off: member-vs-member pairs inside a hot bucket
+      that do NOT match the rep are not emitted.
+    - ``"sample"``: the ``max_bucket`` lowest-id members of each hot
+      bucket self-join (deterministic, order-by-id), the rest emit no
+      pairs — bounds output at C(max_bucket, 2) per bucket.
+
+    Neither policy is silent: :func:`lsh_bucket_stats` surfaces the
+    per-bucket membership counts and over-cap flags as a queryable
+    (oracle-checked) frame so a pipeline can log exactly which buckets
+    were degraded and by how much.  ``max_bucket=None`` disables the
+    guard (the pre-round-9 behavior).
+
+    Scale shape: the counts frame is one row per distinct bucket; the
+    over-cap subset is tiny in practice, so with AQE on, the tag join
+    and the rep join both resolve to broadcasts at runtime.  Candidate
+    output is bounded by cold² per cold bucket + (m or cap²) per hot
+    bucket — never corpus-quadratic.
+    """
+    if hot_policy not in ("star", "sample"):
+        raise ValueError(f"hot_policy={hot_policy!r}: expected 'star' or 'sample'")
+
+    def pair_cols():
+        cols = [
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        ]
+        for c in carry_cols:
+            cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+            cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+        return cols
+
+    def self_join(df: DataFrame) -> DataFrame:
+        a, b = df.alias("a"), df.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(*pair_cols())
+
+    if max_bucket is None:
+        return self_join(banded).dropDuplicates(["id_a", "id_b"])
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket={max_bucket}: must be >= 2 (or None to disable)")
+
+    cnts = banded.groupBy(band_col, key_col).agg(F.count(F.lit(1)).alias("__bcnt"))
+    hot_keys = cnts.filter(F.col("__bcnt") > max_bucket)
+    tagged = banded.join(hot_keys, [band_col, key_col], "left")
+    cold = tagged.filter(F.col("__bcnt").isNull()).drop("__bcnt")
+    hot = tagged.filter(F.col("__bcnt").isNotNull()).drop("__bcnt")
+    cold_pairs = self_join(cold)
+    if hot_policy == "star":
+        reps = hot.groupBy(band_col, key_col).agg(F.min(id_col).alias("__rep"))
+        with_rep = hot.join(reps, [band_col, key_col])
+        rep_rows = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+        members = with_rep.filter(F.col(id_col) != F.col("__rep")).drop("__rep")
+        a, b = rep_rows.alias("a"), members.alias("b")
+        hot_pairs = a.join(
+            b,
+            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
+            & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}")),
+        ).select(*pair_cols())
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(band_col, key_col).orderBy(id_col)
+        sampled = (
+            hot.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket)
+            .drop("__rn")
+        )
+        hot_pairs = self_join(sampled)
+    return cold_pairs.unionByName(hot_pairs).dropDuplicates(["id_a", "id_b"])
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    portable: bool = False,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Per-(band, bucket) membership profile for the minhash-LSH banding
+    — the no-silent-caps surfacing for :func:`guarded_band_self_join`:
+    (band, members, over_cap) so a pipeline can log exactly how many
+    buckets the hot-bucket guard degraded and how big they were.  The
+    bucket key itself is dropped from the output (it is an engine hash,
+    meaningless to report); buckets aggregate to one row per (band,
+    members) histogram cell, which keeps the report tiny at any corpus
+    size."""
+    banded = _banded(sigs, bands, rows_per_band, portable)
+    per_bucket = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("members")
+    )
+    return (
+        per_bucket.groupBy("band", "members")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "band",
+            "members",
+            "n_buckets",
+            (F.col("members") > F.lit(max_bucket)).alias("over_cap"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, portable: bool = False
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    portable: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """LSH banding: split each signature into `bands` bands of
     `rows_per_band` hashes; docs sharing any (band_id, band_hash) bucket
-    become candidate pairs (id_a < id_b, distinct)."""
+    become candidate pairs (id_a < id_b, distinct).  Buckets over
+    ``max_bucket`` members follow ``hot_policy`` instead of exploding
+    quadratically — see :func:`guarded_band_self_join`."""
     assert bands * rows_per_band <= 1 << 10
     banded = _banded(sigs, bands, rows_per_band, portable)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    return guarded_band_self_join(
+        banded, max_bucket=max_bucket, hot_policy=hot_policy
     )
 
 
@@ -326,12 +468,18 @@ def minhash_neardup(
     bands: int = 8,
     min_jaccard: float = 0.2,
     portable: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """Full scale-path near-dup: minhash -> LSH candidates -> exact
     Jaccard rerank of candidates only.  At 100 TB the rerank join touches
-    candidate docs only, not the full corpus cross-product."""
+    candidate docs only, not the full corpus cross-product; degenerate
+    buckets are capped by the shared hot-bucket guard (the rerank still
+    verifies every emitted pair exactly)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, portable)
+    cands = minhash_lsh_candidates(
+        sigs, bands, num_hashes // bands, portable, max_bucket, hot_policy
+    )
     # rerank restricted to CANDIDATES: semi-join the shingle stream down
     # to docs appearing in some candidate pair, then count intersections
     # per candidate pair.  (Calling jaccard_pairs over the whole corpus
@@ -383,6 +531,8 @@ def minhash_dedup_incremental(
     min_jaccard: float = 0.2,
     portable: bool = False,
     corpus_sigs: DataFrame | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """Incremental near-dup dedup: keep the BATCH rows that are neither a
     near-duplicate of any CORPUS doc nor of a lower-id batch doc — the
@@ -408,6 +558,33 @@ def minhash_dedup_incremental(
     )
     bb = _banded(sig_b, bands, rows_per_band, portable)
     bc = _banded(sig_c, bands, rows_per_band, portable)
+    # Hot-bucket guard, cross-join flavor: a CORPUS bucket over the cap
+    # contributes only its min-id representative to the batch x corpus
+    # candidate join (star) or its max_bucket lowest-id members (sample)
+    # — a batch doc colliding with a 10M-member boilerplate bucket pairs
+    # with O(1)/O(cap) corpus docs, not all 10M.  The exact rerank below
+    # still verifies the emitted pairs; members of a hot bucket are
+    # near-identical to the rep by construction, so rep-vs-batch decides.
+    if max_bucket is not None:
+        if hot_policy not in ("star", "sample"):
+            raise ValueError(f"hot_policy={hot_policy!r}: expected 'star' or 'sample'")
+        ccnt = bc.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bcnt"))
+        hot_keys = ccnt.filter(F.col("__bcnt") > max_bucket)
+        tagged = bc.join(hot_keys, ["band", "bucket"], "left")
+        bc_cold = tagged.filter(F.col("__bcnt").isNull()).drop("__bcnt")
+        bc_hot = tagged.filter(F.col("__bcnt").isNotNull()).drop("__bcnt")
+        if hot_policy == "star":
+            bc_hot = bc_hot.groupBy("band", "bucket").agg(F.min("id").alias("id"))
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("band", "bucket").orderBy("id")
+            bc_hot = (
+                bc_hot.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= max_bucket)
+                .drop("__rn")
+            )
+        bc = bc_cold.unionByName(bc_hot.select("id", "band", "bucket"))
     cross = (
         bb.alias("a")
         .join(
@@ -418,7 +595,9 @@ def minhash_dedup_incremental(
         .select(F.col("a.id").alias("bid"), F.col("b.id").alias("cid"))
         .dropDuplicates(["bid", "cid"])
     )
-    intra = minhash_lsh_candidates(sig_b, bands, rows_per_band, portable)
+    intra = minhash_lsh_candidates(
+        sig_b, bands, rows_per_band, portable, max_bucket, hot_policy
+    )
 
     def exact_jaccard(pairs, left_key, right_key, sh_left, sh_right):
         ids_l = pairs.select(F.col(left_key).alias("id")).distinct()
@@ -509,6 +688,93 @@ def _minhash_cte_sql(
                  AND a.{id_col} < b.{id_col})"""
 
 
+# Planted degenerate-bucket fixture text shared by the hot-bucket-guard
+# oracle entries: every third document gets this exact text, creating one
+# ~170-member identical bucket at sf0.01 (fixture buckets are otherwise
+# far below any realistic cap).
+PLANTED_BOILERPLATE = (
+    "planted boilerplate text repeated verbatim across every third document"
+)
+
+
+def _planted_src_sql(table: str, id_col: str, text_col: str) -> str:
+    return (
+        f"src AS (SELECT {id_col}, CASE WHEN {id_col} % 3 = 0 "
+        f"THEN '{PLANTED_BOILERPLATE}' ELSE {text_col} END AS {text_col} "
+        f"FROM {table})"
+    )
+
+
+def hot_bucket_pairs_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 8,
+) -> str:
+    """DuckDB replay of ``minhash_lsh_candidates`` WITH the hot-bucket
+    guard, on a corpus where every third doc carries identical planted
+    boilerplate (one degenerate bucket per band).  Emits the candidate
+    pair set under BOTH policies, tagged by a ``policy`` column, so the
+    oracle pins star (rep-vs-member, O(m) per hot bucket) and sample
+    (lowest-``max_bucket`` ids self-join) exactly."""
+    cte = _minhash_cte_sql("src", id_col, text_col, n, num_hashes, bands)
+    return f"""WITH {_planted_src_sql(table, id_col, text_col)},
+       {cte},
+       cnt AS (SELECT band, bucket, count(*) AS c FROM bnd GROUP BY 1, 2),
+       cold AS (SELECT b.{id_col} AS id, b.band, b.bucket
+                FROM bnd b JOIN cnt ON cnt.band = b.band AND cnt.bucket = b.bucket
+                WHERE cnt.c <= {max_bucket}),
+       hot AS (SELECT b.{id_col} AS id, b.band, b.bucket
+               FROM bnd b JOIN cnt ON cnt.band = b.band AND cnt.bucket = b.bucket
+               WHERE cnt.c > {max_bucket}),
+       cold_pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                      FROM cold a JOIN cold b
+                        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       reps AS (SELECT band, bucket, min(id) AS rep FROM hot GROUP BY 1, 2),
+       star_hot AS (SELECT r.rep AS id_a, h.id AS id_b
+                    FROM hot h JOIN reps r
+                      ON r.band = h.band AND r.bucket = h.bucket
+                    WHERE h.id <> r.rep),
+       star_pairs AS (SELECT DISTINCT id_a, id_b FROM
+                      (SELECT * FROM cold_pairs UNION ALL SELECT * FROM star_hot)),
+       smp AS (SELECT band, bucket, id,
+                      row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+               FROM hot),
+       samp_members AS (SELECT band, bucket, id FROM smp WHERE rn <= {max_bucket}),
+       samp_hot AS (SELECT a.id AS id_a, b.id AS id_b
+                    FROM samp_members a JOIN samp_members b
+                      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       samp_pairs AS (SELECT DISTINCT id_a, id_b FROM
+                      (SELECT * FROM cold_pairs UNION ALL SELECT * FROM samp_hot))
+       SELECT 'star' AS policy, id_a, id_b FROM star_pairs
+       UNION ALL
+       SELECT 'sample' AS policy, id_a, id_b FROM samp_pairs"""
+
+
+def lsh_bucket_stats_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 8,
+) -> str:
+    """DuckDB replay of :func:`lsh_bucket_stats` on the planted corpus:
+    the per-(band, members) bucket histogram with over-cap flags — the
+    no-silent-caps report the guard surfaces."""
+    cte = _minhash_cte_sql("src", id_col, text_col, n, num_hashes, bands)
+    return f"""WITH {_planted_src_sql(table, id_col, text_col)},
+       {cte},
+       per AS (SELECT band, bucket, count(*) AS members FROM bnd GROUP BY 1, 2)
+       SELECT band, members, count(*) AS n_buckets,
+              members > {max_bucket} AS over_cap
+       FROM per GROUP BY band, members"""
+
+
 def minhash_pairs_sql(
     table: str = "documents",
     id_col: str = "doc_id",
@@ -549,6 +815,8 @@ def editdist_neardup(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """Character-level near-dup pairs: MinHash-LSH candidates reranked by
     LEVENSHTEIN distance over a ``prefix_len``-char prefix — the
@@ -563,7 +831,9 @@ def editdist_neardup(
     pairs only, with the prefix cap bounding the per-pair cost no
     matter how long documents get."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
-    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands, portable)
+    cands = minhash_lsh_candidates(
+        sigs, bands, num_hashes // bands, portable, max_bucket, hot_policy
+    )
     pref = df.select(
         F.col(id_col).alias("id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("pref"),
@@ -680,11 +950,14 @@ def simhash_neardup(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= r, using the 4-band
     pigeonhole: any two signatures within hamming 3 agree exactly on at
     least one of four 16-bit (15-bit portable) bands — join per band,
-    then verify."""
+    then verify.  Hot buckets follow the shared guard
+    (:func:`guarded_band_self_join`)."""
     if not 0 <= max_hamming <= 3:
         raise ValueError(
             f"max_hamming={max_hamming}: the 4-band pigeonhole only "
@@ -709,22 +982,13 @@ def simhash_neardup(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = guarded_band_self_join(
+        bands,
+        carry_cols=("simhash",),
+        max_bucket=max_bucket,
+        hot_policy=hot_policy,
+        key_col="key",
+    ).withColumnsRenamed({"simhash_a": "sig_a", "simhash_b": "sig_b"})
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming

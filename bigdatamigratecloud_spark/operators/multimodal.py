@@ -37,6 +37,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import DEFAULT_MAX_BUCKET, guarded_band_self_join
+
 IMAGE_SCHEMA = (
     "id long, width int, height int, channels int, mean_pixel double, payload_size long"
 )
@@ -1038,6 +1040,8 @@ def dhash_neardup(
     id_col: str = "media_id",
     hash_col: str = "dhash_hex",
     max_hamming: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    hot_policy: str = "star",
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash hamming distance — the
     visual twin of ``dedup.simhash_neardup``: 8 bands of 8 bits (2 hex
@@ -1045,7 +1049,12 @@ def dhash_neardup(
     (pigeonhole), so the candidate join is 8 band-keyed equi-joins,
     never all-pairs; candidates verify by exact hamming, computed as a
     16-digit hex fold (instr-based nibble decode + bit_count — the
-    same expression replays in any engine).  NULL hashes never pair."""
+    same expression replays in any engine).  NULL hashes never pair.
+
+    Hot buckets (all-black frames, template slides) are capped by the
+    shared guard (``dedup.guarded_band_self_join``): buckets over
+    ``max_bucket`` members emit rep-vs-member (star) or sampled pairs
+    instead of O(m²); ``max_bucket=None`` disables the guard."""
     if not 0 <= max_hamming <= 7:
         raise ValueError(
             f"max_hamming={max_hamming}: 8 bands of 8 bits guarantee "
@@ -1069,21 +1078,12 @@ def dhash_neardup(
             )
         ).alias("bk"),
     ).select("id", "hx", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.hx").alias("hx_a"),
-            F.col("b.hx").alias("hx_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    cand = guarded_band_self_join(
+        bands,
+        carry_cols=("hx",),
+        max_bucket=max_bucket,
+        hot_policy=hot_policy,
+        key_col="key",
     )
     hamming = F.expr(
         "aggregate(transform(sequence(1, 16), i -> "

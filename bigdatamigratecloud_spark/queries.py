@@ -1018,6 +1018,52 @@ def n2_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash_neardup(load_table(spark, sf_dir, "documents"), portable=True)
 
 
+def _planted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with every third doc replaced by identical boilerplate —
+    the planted degenerate LSH bucket the hot-bucket-guard entries
+    exercise (mirrors ``_dedup._planted_src_sql`` exactly)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(_dedup.PLANTED_BOILERPLATE)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@query("n2_lsh_hot_bucket", _dedup.hot_bucket_pairs_sql())
+def n2_lsh_hot_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 scale guard: minhash-LSH candidate pairs over a corpus with a
+    PLANTED ~170-member degenerate bucket (every third doc identical),
+    with the hot-bucket guard capped at 8 members — both policies
+    exercised and tagged.  ``star`` emits rep-vs-member pairs (O(m) per
+    hot bucket), ``sample`` self-joins the 8 lowest ids; cold buckets
+    join exactly as the unguarded path.  The oracle replays counts,
+    split, rep election, sampling and both unions bit-for-bit — the
+    guard is a verified plan transformation, not a heuristic."""
+    sigs = _dedup.minhash_signatures(_planted_documents(spark, sf_dir), portable=True)
+    star = _dedup.minhash_lsh_candidates(
+        sigs, portable=True, max_bucket=8, hot_policy="star"
+    )
+    samp = _dedup.minhash_lsh_candidates(
+        sigs, portable=True, max_bucket=8, hot_policy="sample"
+    )
+    return star.select(F.lit("star").alias("policy"), "id_a", "id_b").unionByName(
+        samp.select(F.lit("sample").alias("policy"), "id_a", "id_b")
+    )
+
+
+@query("n2_lsh_bucket_stats", _dedup.lsh_bucket_stats_sql())
+def n2_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 no-silent-caps surfacing: the per-(band, members) LSH bucket
+    histogram with over-cap flags on the planted corpus — what a
+    production pipeline logs alongside any guarded dedup run so capped
+    buckets are visible, not silent."""
+    sigs = _dedup.minhash_signatures(_planted_documents(spark, sf_dir), portable=True)
+    return _dedup.lsh_bucket_stats(sigs, portable=True, max_bucket=8)
+
+
 _LSH4_SIG_SQL = _sim.lsh_signature_sql(dim=64, n_planes=4, seed=42, vec_expr="v")
 
 

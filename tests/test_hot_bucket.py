@@ -1,0 +1,120 @@
+"""Hot-bucket guard for the banded-LSH candidate joins (round-9 scale
+valve): an m-member degenerate bucket must emit O(m) pairs under the
+star policy and <= C(cap, 2) under sample — never O(m²).  Covers the
+shared helper plus its minhash / simhash / dhash front-ends."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.operators import dedup
+from bigdatamigratecloud_spark.operators.multimodal import dhash_neardup
+
+M = 60  # planted identical docs (one degenerate bucket per band)
+CAP = 5
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """M identical docs (ids 0..M-1) + 6 distinct docs, as (doc_id, text)."""
+    rows = [(i, "the same boilerplate body text shared by all planted docs") for i in range(M)]
+    rows += [(M + j, f"unique document number {j} with distinct content entirely {j * 7}") for j in range(6)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_star_policy_emits_linear_pairs(spark, planted):
+    sigs = dedup.minhash_signatures(planted)
+    pairs = dedup.minhash_lsh_candidates(sigs, max_bucket=CAP, hot_policy="star").collect()
+    planted_pairs = [r for r in pairs if r.id_a < M and r.id_b < M]
+    # star: rep (min id = 0) pairs with every other member, exactly m-1 pairs
+    assert len(planted_pairs) == M - 1
+    assert all(r.id_a == 0 for r in planted_pairs)
+
+
+def test_sample_policy_bounds_pairs(spark, planted):
+    sigs = dedup.minhash_signatures(planted)
+    pairs = dedup.minhash_lsh_candidates(sigs, max_bucket=CAP, hot_policy="sample").collect()
+    planted_pairs = [r for r in pairs if r.id_a < M and r.id_b < M]
+    # sample: the CAP lowest ids self-join -> exactly C(CAP, 2) pairs
+    assert len(planted_pairs) == math.comb(CAP, 2)
+    assert all(r.id_a < CAP and r.id_b < CAP for r in planted_pairs)
+
+
+def test_unguarded_would_be_quadratic(spark, planted):
+    sigs = dedup.minhash_signatures(planted)
+    pairs = dedup.minhash_lsh_candidates(sigs, max_bucket=None).collect()
+    planted_pairs = [r for r in pairs if r.id_a < M and r.id_b < M]
+    assert len(planted_pairs) == math.comb(M, 2)  # the blowup the guard removes
+
+
+def test_guard_inert_below_cap(spark, planted):
+    """Cap above the bucket size -> identical pair set to unguarded."""
+    sigs = dedup.minhash_signatures(planted)
+    guarded = set(
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(sigs, max_bucket=M + 1).collect()
+    )
+    unguarded = set(
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(sigs, max_bucket=None).collect()
+    )
+    assert guarded == unguarded
+
+
+def test_neardup_rerank_still_exact_through_guard(spark, planted):
+    """Star pairs flow through the exact-Jaccard rerank: identical docs
+    score 1.0 and every emitted pair touches the rep."""
+    out = dedup.minhash_neardup(planted, max_bucket=CAP, hot_policy="star").collect()
+    planted_pairs = [r for r in out if r.id_a < M and r.id_b < M]
+    assert len(planted_pairs) == M - 1
+    assert all(r.jaccard == 1.0 for r in planted_pairs)
+
+
+def test_simhash_guard(spark, planted):
+    out = dedup.simhash_neardup(planted, max_bucket=CAP, hot_policy="star").collect()
+    planted_pairs = [r for r in out if r.id_a < M and r.id_b < M]
+    assert len(planted_pairs) == M - 1
+    assert all(r.hamming == 0 for r in planted_pairs)
+
+
+def test_dhash_guard(spark):
+    rows = [(i, "00ff00ff00ff00ff") for i in range(M)]  # identical dhash
+    rows += [(M, "0123456789abcdef"), (M + 1, "fedcba9876543210")]
+    hashes = spark.createDataFrame(rows, "media_id bigint, dhash_hex string")
+    out = dhash_neardup(hashes, max_bucket=CAP, hot_policy="star").collect()
+    planted_pairs = [r for r in out if r.id_a < M and r.id_b < M]
+    assert len(planted_pairs) == M - 1
+    assert all(r.hamming == 0 for r in planted_pairs)
+
+
+def test_incremental_corpus_hot_bucket(spark, planted):
+    """Corpus-side guard in the incremental path: a batch doc identical
+    to a hot corpus bucket is still dropped (pairs with the rep)."""
+    batch = spark.createDataFrame(
+        [
+            (1000, "the same boilerplate body text shared by all planted docs"),
+            (1001, "a thoroughly novel batch document about something else entirely new"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kept = dedup.minhash_dedup_incremental(
+        batch, planted, max_bucket=CAP, hot_policy="star"
+    ).collect()
+    assert sorted(r.doc_id for r in kept) == [1001]
+
+
+def test_bucket_stats_surfaces_over_cap(spark, planted):
+    sigs = dedup.minhash_signatures(planted)
+    stats = dedup.lsh_bucket_stats(sigs, max_bucket=CAP).collect()
+    over = [r for r in stats if r.over_cap]
+    assert over and all(r.members == M for r in over)  # the planted bucket, every band
+    assert sum(r.n_buckets for r in over) == 8  # one degenerate bucket per band
+
+
+def test_bad_policy_and_cap_raise(spark, planted):
+    sigs = dedup.minhash_signatures(planted)
+    with pytest.raises(ValueError, match="hot_policy"):
+        dedup.minhash_lsh_candidates(sigs, hot_policy="drop")
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.minhash_lsh_candidates(sigs, max_bucket=1)
