@@ -605,12 +605,36 @@ def bpe_vocab_ids(
     symbol's id IS its byte value), ids 256..256+len(merges)-1 are the
     merged strings in rank order, specials follow in the order given.
     The whole table derives from the merge list — no separate vocab
-    artifact to keep in sync."""
+    artifact to keep in sync.
+
+    Surface forms must be unique: a merge table can in principle form
+    the same merged string twice (e.g. 'abc' via (a,bc) and later
+    (ab,c)), and a special token can equal a merged string.  Plain
+    overwrite would silently shadow the earlier id — two vocab entries
+    sharing one surface, the shadowed id unreachable, and
+    ``bpe_decode_bytes`` raising 'unknown token id' on externally
+    produced streams that use it.  Collisions raise here instead
+    (the id-space analogue of ``_fold_equivalent``'s segmentation
+    uniqueness guard)."""
     ids = {c: b for b, c in _B2U.items()}
     for i, (lhs, rhs) in enumerate(merges):
-        ids[str(lhs) + str(rhs)] = 256 + i
+        surface = str(lhs) + str(rhs)
+        if surface in ids:
+            raise ValueError(
+                f"bpe_vocab_ids: merged string {surface!r} (rank {i}) collides "
+                f"with existing vocab id {ids[surface]} — duplicate merged "
+                "surfaces make the earlier id unreachable"
+            )
+        ids[surface] = 256 + i
     for j, s in enumerate(special_tokens or []):
-        ids[str(s)] = 256 + len(merges) + j
+        s = str(s)
+        if s in ids:
+            raise ValueError(
+                f"bpe_vocab_ids: special token {s!r} collides with existing "
+                f"vocab id {ids[s]} — specials must not equal a byte symbol "
+                "or merged string"
+            )
+        ids[s] = 256 + len(merges) + j
     return ids
 
 

@@ -679,12 +679,15 @@ def ivf_index_retrain(
     for l2/ip pass explicit centroids).  Either way the stored vectors
     are re-assigned in one pass (read straight from the old index —
     the raw corpus is never touched) and written to a staging dir,
-    which then REPLACES the index via two directory renames.  On a
-    POSIX filesystem each rename is atomic; readers holding the old
-    DataFrame keep their snapshot (parquet files are immutable), new
-    readers see only old-or-new.  On an object store, write under a
-    versioned prefix and flip a pointer object instead — same shape as
-    AcidTable's commit protocol.
+    which then REPLACES the index via one atomic directory EXCHANGE
+    (``renameat2(RENAME_EXCHANGE)`` — no instant where the index path
+    is missing; readers holding the old DataFrame keep their snapshot
+    since parquet files are immutable, new readers see strictly
+    old-or-new).  Where exchange is unsupported the two-rename
+    fallback applies — see :func:`_replace_index_tree` for its brief
+    unavailability window and crash recovery.  On an object store,
+    write under a versioned prefix and flip a pointer object instead —
+    same shape as AcidTable's commit protocol.
 
     The rewritten index is IDENTICAL to a from-scratch
     ``ivf_index_write`` with the same centroids (assignment is
@@ -692,9 +695,6 @@ def ivf_index_retrain(
     unit vectors through bit-exactly) — pinned by the
     ``ann_ivf_retrain`` oracle entry and the drift-recovery test.
     Returns the new centroids."""
-    import os
-    import shutil
-
     stored = spark.read.parquet(index_dir).select("vec_id", "cu")
     if new_centroids is None:
         if n_centroids is None:
@@ -719,11 +719,66 @@ def ivf_index_retrain(
         metric=metric,
         assume_unit=(metric == "cosine"),
     )
+    _replace_index_tree(index_dir, staging, backup)
+    return [[float(x) for x in c] for c in new_centroids]
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically SWAP two directories via Linux ``renameat2(...,
+    RENAME_EXCHANGE)`` (one syscall, no instant where either path is
+    absent).  Returns False when unavailable (non-Linux libc, old
+    kernel, or a filesystem that rejects exchange — e.g. some network
+    mounts return EINVAL) so callers can fall back to two renames."""
+    import ctypes
+    import ctypes.util
+    import os
+
+    try:
+        libc = ctypes.CDLL(
+            ctypes.util.find_library("c") or "libc.so.6", use_errno=True
+        )
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    return (
+        fn(
+            AT_FDCWD,
+            os.fsencode(a),
+            AT_FDCWD,
+            os.fsencode(b),
+            RENAME_EXCHANGE,
+        )
+        == 0
+    )
+
+
+def _replace_index_tree(index_dir: str, staging: str, backup: str) -> None:
+    """Publish ``staging`` as the new ``index_dir`` (retrain/compact
+    swap).  Preferred path: one atomic ``renameat2(RENAME_EXCHANGE)``
+    — new readers see strictly old-or-new, with NO window where
+    ``index_dir`` does not exist (the old tree lands at the staging
+    path and is removed after the ``_txn`` markers are carried over).
+
+    Fallback (exchange unsupported): two sequential renames, which
+    leave a brief window where ``index_dir`` is absent (a reader
+    opening in that instant errors and should retry) and, if the
+    process crashes between them, the old tree parked at ``backup`` —
+    recovery is ``os.rename(backup, index_dir)``.  On an object store
+    neither rename is atomic: write under a versioned prefix and flip
+    a pointer object instead (AcidTable's commit shape)."""
+    import os
+    import shutil
+
+    if _exchange_dirs(index_dir, staging):
+        _carry_txn_markers(staging, index_dir)
+        shutil.rmtree(staging)
+        return
     os.rename(index_dir, backup)
     os.rename(staging, index_dir)
     _carry_txn_markers(backup, index_dir)
     shutil.rmtree(backup)
-    return [[float(x) for x in c] for c in new_centroids]
 
 
 def _carry_txn_markers(old_root: str, new_root: str) -> None:
@@ -747,12 +802,10 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
     footer cost.  One cluster-keyed repartition + partitioned rewrite
     coalesces each inverted list back to a single file (rows preserved
     exactly — this is a pure layout change), then the rewritten tree
-    replaces the index with the same two-rename swap as
-    :func:`ivf_index_retrain`.  Run it on the stats trigger (file
-    count, not row count) or on a schedule, like any LSM-ish store."""
-    import os
-    import shutil
-
+    replaces the index with the same atomic-exchange swap as
+    :func:`ivf_index_retrain` (:func:`_replace_index_tree`).  Run it on
+    the stats trigger (file count, not row count) or on a schedule,
+    like any LSM-ish store."""
     stored = spark.read.parquet(index_dir)
     staging = index_dir.rstrip("/") + "__compact_staging"
     backup = index_dir.rstrip("/") + "__compact_old"
@@ -762,10 +815,7 @@ def ivf_index_compact(spark: SparkSession, index_dir: str) -> None:
         .mode("overwrite")
         .parquet(staging)
     )
-    os.rename(index_dir, backup)
-    os.rename(staging, index_dir)
-    _carry_txn_markers(backup, index_dir)
-    shutil.rmtree(backup)
+    _replace_index_tree(index_dir, staging, backup)
 
 
 def _kmeans_l2(samples, k: int, iters: int = 10, seed: int = 42):

@@ -274,11 +274,21 @@ def unigram_sql_steps(
     + the final Viterbi segmentation of every distinct corpus word.
     Exposes ``ug_vocab(piece, cnt, cost)`` and ``ug_seg(word, pieces)``
     (space-joined).  Every word must fit ``max_word_len`` (the DP is
-    unrolled one CTE per position)."""
+    unrolled one CTE per position) — a longer word raises a LOUD
+    DuckDB ``error()`` from inside ``ug_words`` (the Spark kernel
+    segments any length, so a silently violated precondition would
+    otherwise show up as quietly missing ``ug_seg`` rows, not a
+    mismatch)."""
     norm = f"trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))"
     parts = [
         f"""ug_words AS MATERIALIZED (
-          SELECT token AS word, count(*) AS cnt
+          SELECT CASE WHEN length(token) > {int(max_word_len)}
+                      THEN error('unigram_sql_steps: word "' || token ||
+                           '" exceeds max_word_len={int(max_word_len)} — '
+                           'the unrolled Viterbi CTEs cannot segment it; '
+                           'raise max_word_len to cover the corpus')
+                      ELSE token END AS word,
+                 count(*) AS cnt
           FROM (SELECT unnest(string_split({norm}, ' ')) AS token
                 FROM {docs_table} WHERE length({norm}) > 0)
           GROUP BY 1)""",

@@ -338,6 +338,37 @@ def interval_join_stream(
     )
 
 
+def _prune_sink_history(dirpath: str, app_id: str, bid: int, keep: int) -> None:
+    """Retention sweep for the LSM sinks' per-batch bookkeeping files
+    (``_txn`` markers, ``_carry`` records, both named ``<app>-<k>``):
+    delete entries with k <= bid - keep once batch ``bid`` has
+    committed.  Without this a long-running stream accumulates one
+    marker (and one carry) per batch forever — unbounded small-file
+    metadata next to the data it compacts.
+
+    Safety: Structured Streaming replays at most the batches after the
+    last checkpoint commit, so pruning anything ``keep`` batches behind
+    the newest committed marker can never be consulted again as long as
+    ``keep`` exceeds the replay horizon (the default 64 is orders of
+    magnitude above Spark's one-uncommitted-batch horizon).  ``keep <= 0``
+    disables pruning."""
+    import glob
+    import os
+
+    if keep <= 0:
+        return
+    cutoff = bid - keep
+    if cutoff < 0:
+        return
+    for f in glob.glob(os.path.join(dirpath, f"{app_id}-*")):
+        tail = os.path.basename(f).rsplit("-", 1)[-1]
+        if tail.isdigit() and int(tail) <= cutoff:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
 def ivf_index_sink(
     index_dir: str,
     centroids,
@@ -345,6 +376,7 @@ def ivf_index_sink(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    retain_history: int = 64,
 ):
     """Exactly-once STREAMING maintenance of the IVF ANN index (round
     8) — the vector-search twin of :func:`minhash_index_sink`: each
@@ -408,6 +440,7 @@ def ivf_index_sink(
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w"):
             pass
+        _prune_sink_history(marker_dir, app_id, bid, retain_history)
 
     return _apply
 
@@ -419,6 +452,7 @@ def pack_sequences_sink(
     id_col: str = "doc_id",
     ids_col: str = "ids",
     eos_id: int | None = None,
+    retain_history: int = 64,
 ):
     """Exactly-once STREAMING sequence packing (round 8) — the
     continuous-production twin of
@@ -441,8 +475,16 @@ def pack_sequences_sink(
     deterministic ``<app>-<bid>-<seq>`` segment names under ``data/``,
     half-published crash cleanup by prefix, ``_txn`` marker committed
     last.  A replayed batch re-reads ITS carry (carry files are never
-    consumed destructively), recomputes deterministically, and
-    republishes byte-identical segments — pinned in tests.
+    consumed destructively; markers and carries older than
+    ``retain_history`` batches — far beyond any replay horizon — are
+    pruned after each commit so bookkeeping stays bounded), recomputes
+    deterministically, and republishes byte-identical segments — pinned
+    in tests.
+
+    ``id_col`` must be an integral, non-negative, non-null column: the
+    sink validates this loudly up front (a non-integral id would cast
+    to NULL and vanish silently at the offsets join; a negative id
+    would collide with the carry pseudo-row's ordering key).
 
     ``eos_id`` appends a separator to every arriving document (the
     carry tail already contains its own boundaries and is never
@@ -478,6 +520,23 @@ def pack_sequences_sink(
         else:
             next_seq, tail, tail_docs = 0, [], 0
 
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"pack_sequences_sink: {id_col} must be an integral type, "
+                f"got {id_type} — a non-integral id casts to NULL and its "
+                "rows would silently vanish at the offsets join, violating "
+                "the no-token-dropped contract"
+            )
+        n_bad = batch_df.filter(
+            SF.col(id_col).isNull() | (SF.col(id_col) < 0)
+        ).count()
+        if n_bad:
+            raise ValueError(
+                f"pack_sequences_sink: {n_bad} row(s) with NULL or negative "
+                f"{id_col} — ids must be non-negative so the +1 ordering key "
+                "never collides with the carry pseudo-row (__ord=0)"
+            )
         elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
         v = SF.col(ids_col)
         if eos_id is not None:
@@ -546,5 +605,7 @@ def pack_sequences_sink(
         os.makedirs(marker_dir, exist_ok=True)
         with open(marker, "w"):
             pass
+        _prune_sink_history(marker_dir, app_id, bid, retain_history)
+        _prune_sink_history(carry_dir, app_id, bid, retain_history)
 
     return _apply

@@ -579,3 +579,40 @@ def test_unigram_train_alphabet_coverage_and_budget(spark):
     seg = unigram_segment(df, [(r["piece"], r["cost"]) for r in rows])
     toks = [t for r in seg.collect() for t in r["ug_tokens"]]
     assert toks and "[UNK]" not in toks
+
+
+def test_bpe_vocab_ids_rejects_surface_collisions():
+    """Round-9 ADVICE fix: duplicate merged surfaces (('a','bc') and
+    ('ab','c') both forming 'abc') or a special equal to a merged
+    string must raise, not silently shadow an id."""
+    import pytest
+
+    from bigdatamigratecloud_spark.operators.bpe import bpe_vocab_ids
+
+    ok = bpe_vocab_ids([("a", "b"), ("ab", "c")], ["<|eot|>"])
+    assert ok["ab"] == 256 and ok["abc"] == 257 and ok["<|eot|>"] == 258
+    with pytest.raises(ValueError, match="collides"):
+        bpe_vocab_ids([("a", "bc"), ("ab", "c")])  # both form 'abc'
+    with pytest.raises(ValueError, match="special token"):
+        bpe_vocab_ids([("a", "b")], ["ab"])  # special shadows merge
+
+
+def test_unigram_oracle_rejects_overlong_words():
+    """Round-9 ADVICE fix: a corpus word longer than max_word_len must
+    make the DuckDB oracle raise loudly (the unrolled Viterbi CTEs
+    cannot segment it), never silently drop its rows."""
+    import duckdb
+    import pytest
+
+    from bigdatamigratecloud_spark.operators.unigram import unigram_sql_steps
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, "
+            "'short words only here' AS text")
+    sql = ("WITH " + unigram_sql_steps(vocab_size=20, max_piece_len=3,
+                                       em_rounds=1, max_word_len=6)
+           + " SELECT count(*) FROM ug_seg")
+    assert con.sql(sql).fetchone()[0] > 0  # guard inert when all fit
+    con.sql("INSERT INTO documents VALUES (2, 'supercalifragilistic word')")
+    with pytest.raises(duckdb.Error, match="max_word_len"):
+        con.sql(sql).fetchall()

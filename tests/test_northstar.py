@@ -912,3 +912,40 @@ def test_hard_negatives_exclusion_channels(spark):
     gp = similarity.hard_negatives(emb, q, k=2, exclude_pairs=pos).collect()
     assert [r["nbr_id"] for r in gp] == [5, 6]
     assert [r["rank"] for r in gp] == [1, 2]
+
+
+def test_replace_index_tree_exchange_and_fallback(tmp_path, monkeypatch):
+    """Round-9 ADVICE fix: the retrain/compact swap prefers one atomic
+    renameat2(RENAME_EXCHANGE) — no window where the index path is
+    missing — with the two-rename fallback preserved.  Both paths must
+    publish the staging tree and carry _txn markers."""
+    import os
+
+    from bigdatamigratecloud_spark.operators import similarity
+
+    def build(tag):
+        idx = tmp_path / f"idx{tag}"
+        stg = tmp_path / f"idx{tag}__stage"
+        (idx / "_txn").mkdir(parents=True)
+        (idx / "_txn" / "app-0").write_text("")
+        (idx / "old.parquet").write_text("old")
+        stg.mkdir()
+        (stg / "new.parquet").write_text("new")
+        return str(idx), str(stg)
+
+    # preferred path: real exchange (Linux); falls through automatically
+    # where unsupported, so assert the POST-conditions, not the syscall
+    idx, stg = build("a")
+    similarity._replace_index_tree(idx, stg, str(tmp_path / "baka"))
+    assert os.path.exists(os.path.join(idx, "new.parquet"))
+    assert not os.path.exists(os.path.join(idx, "old.parquet"))
+    assert os.path.exists(os.path.join(idx, "_txn", "app-0"))
+    assert not os.path.exists(stg)
+
+    # forced fallback: two renames via the backup dir
+    idx, stg = build("b")
+    monkeypatch.setattr(similarity, "_exchange_dirs", lambda a, b: False)
+    similarity._replace_index_tree(idx, stg, str(tmp_path / "bakb"))
+    assert os.path.exists(os.path.join(idx, "new.parquet"))
+    assert os.path.exists(os.path.join(idx, "_txn", "app-0"))
+    assert not os.path.exists(str(tmp_path / "bakb"))

@@ -460,3 +460,60 @@ def test_pack_sequences_sink_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(d + "/data").collect()
     )
     assert re_rows == batch
+
+
+def test_pack_sequences_sink_validates_id_column(spark, tmp_path):
+    """Round-9 ADVICE fix: a non-integral doc_id would cast to NULL and
+    vanish silently at the offsets join; NULL/negative ids would break
+    ordering vs the carry pseudo-row.  Both must fail LOUDLY."""
+    import pytest
+
+    d = str(tmp_path / "pkv")
+    sink = sev.pack_sequences_sink(d, app_id="t", seq_len=8)
+    sdf = spark.createDataFrame([("x", [1, 2])], "doc_id string, ids array<int>")
+    with pytest.raises(TypeError, match="integral"):
+        sink(sdf, 0)
+    ndf = spark.createDataFrame(
+        [(-1, [1, 2]), (None, [3, 4])], "doc_id long, ids array<int>"
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        sink(ndf, 0)
+    # nothing half-published by the failed attempts
+    assert not os.path.exists(d + "/_txn")
+
+
+def test_pack_sequences_sink_history_retention(spark, tmp_path):
+    """Round-9 ADVICE fix: _txn markers and _carry records are pruned
+    beyond retain_history so a long-running stream's bookkeeping stays
+    bounded — while data segments and the packed token stream remain
+    intact."""
+    import glob
+    import json
+
+    d = str(tmp_path / "pkr")
+    rows = [(i, list(range(i * 20, i * 20 + 11))) for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    sink = sev.pack_sequences_sink(d, app_id="t", seq_len=16, retain_history=5)
+    for b in range(12):
+        sink(df.filter(F.col("doc_id") % 12 == b), b)
+    markers = set(os.listdir(d + "/_txn"))
+    carries = set(os.listdir(d + "/_carry"))
+    # after batch 11: keep markers 7..11, carries 7..12
+    assert markers == {f"t-{k}" for k in range(7, 12)}
+    assert carries == {f"t-{k}" for k in range(7, 13)}
+    # retention is bookkeeping-only: every token of every batch is
+    # still present exactly once in data + final carry tail
+    streamed = sorted(
+        (r["seq_id"], tuple(r["ids"]))
+        for r in spark.read.parquet(d + "/data").collect()
+    )
+    with open(d + "/_carry/t-12") as fh:
+        tail = json.load(fh)["tail"]
+    got = [i for _, ids in streamed for i in ids] + tail
+    want = []
+    for b in range(12):
+        for i, ids in rows:
+            if i % 12 == b:
+                want.extend(ids)
+    assert got == want
+    assert len(glob.glob(d + "/data/t-*.parquet")) > 0
