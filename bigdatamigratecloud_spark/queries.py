@@ -5224,6 +5224,127 @@ def s11_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_docs(spark, sf_dir, "csv")
 
 
+@query("s14_warc_roundtrip", _DOCS_RT_SQL)
+def s14_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension (round 9): WARC (ISO 28500) web-archive
+    sink/source — the Common Crawl first mile (SURVEY §2.12).  The
+    documents table becomes ``resource`` records (doc_id in the target
+    URI, text as the payload bytes, the remaining columns as custom
+    WARC headers), written as per-record gzip members and read back by
+    streaming record-boundary splitting (one file = one task, one
+    record resident at a time); every column reconstructs exactly.
+    sources/warc.py."""
+    import shutil
+    import tempfile
+
+    from .sources import warc as wsrc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = docs.select(
+        F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("X-Lang"), F.col("lang"),
+            F.lit("X-Source"), F.col("source"),
+            F.lit("X-N-Chars"), F.col("n_chars").cast("string"),
+        ).alias("headers"),
+    )
+    d = tempfile.mkdtemp(prefix="bdmc_warc_rt_")
+    try:
+        wsrc.write_warc(
+            out, d, headers_col="headers",
+            warc_type="resource", content_type="text/plain",
+        )
+        back = wsrc.read_warc(spark, d).select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            F.col("headers")["x-lang"].alias("lang"),
+            F.col("headers")["x-source"].alias("source"),
+            F.col("headers")["x-n-chars"].cast("long").alias("n_chars"),
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "n4_warc_html_extract",
+    f"""WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+       anch AS (SELECT doc_id,
+                       regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1) AS al
+                FROM h),
+       ext AS (SELECT h.doc_id,
+                      {_html_strip_sql('h.html')} AS text,
+                      CAST(len(a.al) AS INT) AS n_links,
+                      array_to_string(list_transform(a.al,
+                          x -> {_html_strip_sql('x')}), ' ') AS atext
+               FROM h JOIN anch a USING (doc_id))
+       SELECT doc_id, 200 AS http_status, text, n_links,
+              CASE WHEN length(text) > 0
+                   THEN least(CAST(length(atext) AS DOUBLE) / length(text), 1.0)
+                   ELSE 0.0 END AS link_density
+       FROM ext""",
+)
+def n4_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+S14 composed (round 9): the full web-archive first mile —
+    documents wrapped as HTTP responses inside real WARC files, read
+    back by the streaming record splitter, the HTTP envelope stripped
+    JVM-side (``http_parts``: status line, headers, body — no Python in
+    the hot path), and the body fed to the proven html_extract chain.
+    The oracle replays wrap → strip → extract and pins status 200 on
+    every record."""
+    import shutil
+    import tempfile
+
+    from .operators.text import html_extract
+    from .sources import warc as wsrc
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><script>var x="</div>";'
+            "</script></head><body><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><a href="/a">home</a> '
+            '<a href="/b">next &amp; prev</a></body></html>'
+        ),
+    )
+    out = docs.select(
+        F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    d = tempfile.mkdtemp(prefix="bdmc_warc_hx_")
+    try:
+        wsrc.write_warc(out, d)
+        back = wsrc.read_warc(spark, d).select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            wsrc.http_parts(F.col("payload")).alias("p"),
+        ).select("doc_id", "p.http_status", F.col("p.body").alias("html"))
+        ext = html_extract(back).join(
+            back.select("doc_id", "http_status"), "doc_id"
+        ).select("doc_id", "http_status", "text", "n_links", "link_density")
+        return spark.createDataFrame(ext.collect(), ext.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 shared_sql(
     "w4_lag_lead_ntile",
     """SELECT o_custkey, o_orderkey,
