@@ -7153,3 +7153,115 @@ def n4_text_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         emb, q, k=5, id_col="doc_id", query_id_col="query_id"
     )
+
+
+from .operators import inference as _inf  # noqa: E402
+
+
+def _mlp_token_ids(spark: SparkSession, sf_dir: str, vocab: int = 64) -> DataFrame:
+    """documents tokenized to portable-hash ids mod vocab — the
+    tokenizer-output shape the inference kernel consumes, replayable in
+    any engine (md5-prefix hash, mirrored in mlp_embed_sql_steps)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tid = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % vocab
+    )
+    return docs.select(
+        "doc_id", F.transform(F.split("text", " "), tid).alias("ids")
+    )
+
+
+@query(
+    "n2_mlp_embed",
+    "WITH "
+    + _inf.mlp_embed_sql_steps()
+    + """
+       SELECT id AS doc_id, CAST(n_toks AS INT) AS n_toks,
+              array_to_string([CAST(y0 AS VARCHAR), CAST(y1 AS VARCHAR),
+                               CAST(y2 AS VARCHAR), CAST(y3 AS VARCHAR)],
+                              ',') AS y_csv
+       FROM mlp_y""",
+)
+def n2_mlp_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): batched MODEL-INFERENCE embeddings — a small MLP
+    encoder (embedding-bag sum pool → affine+ReLU → affine) run as one
+    broadcast-weights Arrow matmul kernel over token-id arrays
+    (operators/inference.mlp_embed).  Deterministic integer weights
+    make every lookup/sum/matmul/ReLU exact int64 arithmetic, so the
+    oracle replays the ENTIRE inference chain value-for-value (the
+    pre-normalization vectors pinned as integer csv)."""
+    ids = _mlp_token_ids(spark, sf_dir)
+    emb = _inf.mlp_embed(ids, _inf.deterministic_weights(64), raw_col="y")
+    return emb.select(
+        "doc_id",
+        F.size("ids").cast("int").alias("n_toks"),
+        F.concat_ws(",", F.transform("y", lambda v: v.cast("string"))).alias(
+            "y_csv"
+        ),
+    )
+
+
+@query(
+    "n2_mlp_embed_ann",
+    "WITH "
+    + _inf.mlp_embed_sql_steps()
+    + """,
+       vecs AS (SELECT id, y0, y1, y2, y3,
+                       y0*y0 + y1*y1 + y2*y2 + y3*y3 AS nsq
+                FROM mlp_y),
+       pairs AS (SELECT q.id AS query_id, d.id AS nbr_id,
+                        q.y0*d.y0 + q.y1*d.y1 + q.y2*d.y2 + q.y3*d.y3 AS dot,
+                        CAST(q.y0*d.y0 + q.y1*d.y1 + q.y2*d.y2 + q.y3*d.y3
+                             AS DOUBLE) / (sqrt(CAST(q.nsq AS DOUBLE))
+                                           * sqrt(CAST(d.nsq AS DOUBLE))) AS cos
+                 FROM vecs q JOIN vecs d ON q.id < 5 AND d.id <> q.id
+                 WHERE q.nsq > 0 AND d.nsq > 0),
+       ranked AS (SELECT query_id, nbr_id, dot, cos,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, nbr_id ASC) AS rank
+                  FROM pairs)
+       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, dot, cos
+       FROM ranked WHERE rank <= 3""",
+)
+def n2_mlp_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 composed (round 9): the learned-embedding ANN loop — MLP
+    inference output feeds cosine top-3 neighbors for the first 5
+    docs.  Integer dot products and IEEE-exact sqrt/division keep even
+    the cosine DOUBLES bit-identical to the oracle; ordering ties
+    break on nbr_id."""
+    from pyspark.sql import Window
+
+    ids = _mlp_token_ids(spark, sf_dir)
+    emb = _inf.mlp_embed(ids, _inf.deterministic_weights(64), raw_col="y")
+    nsq = F.aggregate(
+        F.transform("y", lambda v: v * v), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    vecs = emb.select("doc_id", "y", nsq.alias("nsq")).filter(F.col("nsq") > 0)
+    q = vecs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("y").alias("qy"),
+        F.col("nsq").alias("qnsq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qy", "y", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    pairs = (
+        vecs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("nbr_id"),
+            dot.alias("dot"),
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("qnsq").cast("double")) * F.sqrt(F.col("nsq").cast("double")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "nbr_id", "rank", "dot", "cos")
+    )
