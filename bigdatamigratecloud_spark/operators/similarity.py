@@ -426,6 +426,87 @@ def ivf_assign(
     return df.withColumn(out_col, pick.cast("int"))
 
 
+def ivf_assign_broadcast(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+    metric: str = "cosine",
+    normalize_centroids: bool = False,
+) -> DataFrame:
+    """Broadcast-kernel variant of :func:`ivf_assign` for LARGE k·d
+    (round-9 item #4): the centroid matrix ships ONCE as a Spark
+    broadcast (k=4096, d=256 ≈ 8 MB) instead of k·d plan literals —
+    the plan stays O(1) size at any quantizer scale — and one Arrow
+    ``mapInPandas`` computes every (row, centroid) score vectorized.
+    Zero shuffle, rows independent, exactly like the literal path.
+
+    BIT-IDENTICAL to ``ivf_assign`` by construction: scores accumulate
+    dimension-by-dimension (``acc += x_j * c_j`` / ``acc += (x_j -
+    c_j)²``), the same left-to-right IEEE fold order as the
+    zip_with/aggregate expressions, and ties pick the lowest centroid
+    index (numpy's first-argmax == array_position's first match).
+    ``normalize_centroids=True`` unit-normalizes the centroids with the
+    same fold as ``_norm``/``unit_lit`` (sum of squares left-to-right,
+    sqrt, per-component divide) — for cosine callers holding raw
+    centroid means.  NULL vectors get NULL clusters (the literal
+    path's null propagation)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if metric not in ("cosine", "ip", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    if C.ndim != 2 or not C.size:
+        raise ValueError("centroids must be a non-empty k x d matrix")
+    if normalize_centroids:
+        acc = np.zeros(len(C))
+        for j in range(C.shape[1]):
+            acc = acc + C[:, j] * C[:, j]
+        if (acc == 0).any():
+            raise ValueError("cannot unit-normalize a zero centroid")
+        C = C / np.sqrt(acc)[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((C, metric))
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.IntegerType())]
+    )
+
+    def run(batches):
+        Cw, met = bc.value
+        k, d = Cw.shape
+        for pdf in batches:
+            vals = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ]
+            live = [i for i, v in enumerate(vals) if v is not None]
+            picks = [None] * len(vals)
+            if live:
+                X = np.stack([vals[i] for i in live])
+                if X.shape[1] != d:
+                    raise ValueError(
+                        f"ivf_assign_broadcast: vector dim {X.shape[1]} != "
+                        f"centroid dim {d}"
+                    )
+                acc = np.zeros((len(live), k))
+                if met == "l2":
+                    for j in range(d):
+                        dlt = X[:, j : j + 1] - Cw[:, j]
+                        acc = acc + dlt * dlt
+                    best = np.argmin(acc, axis=1)
+                else:
+                    for j in range(d):
+                        acc = acc + X[:, j : j + 1] * Cw[:, j]
+                    best = np.argmax(acc, axis=1)
+                for i, b in zip(live, best):
+                    picks[i] = int(b)
+            out = pdf.copy()
+            out[out_col] = picks
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -7265,3 +7265,66 @@ def n2_mlp_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "nbr_id", "rank", "dot", "cos")
     )
+
+
+@query(
+    "ann_ivf_assign_broadcast",
+    """WITH u AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+  nrm AS (SELECT vec_id,
+                 list_transform(v, x -> x / sqrt(list_reduce(
+                     list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+          FROM u),
+  cellc AS (SELECT label AS cid, i AS dim,
+                   CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                        / COUNT(*) AS DOUBLE) AS mv
+            FROM (SELECT label, unnest(v) AS v,
+                         unnest(range(0, len(v))) AS i FROM u)
+            GROUP BY label, i),
+  cents AS (SELECT cid, list(mv ORDER BY dim) AS c FROM cellc GROUP BY cid),
+  cnorm AS (SELECT cid, list_transform(c, x -> x / sqrt(list_reduce(
+                 list_transform(c, y -> y * y), (a, b) -> a + b))) AS uc
+            FROM cents),
+  asg AS (SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM (SELECT n.vec_id, cn.cid,
+                       list_reduce(list_transform(list_zip(n.uv, cn.uc),
+                           p -> p[1] * p[2]), (x, y) -> x + y) AS sim
+                FROM nrm n CROSS JOIN cnorm cn))
+  SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM asg WHERE rn = 1""",
+)
+def ann_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): quantizer assignment through the BROADCAST kernel
+    (similarity.ivf_assign_broadcast) — the large-k·d answer to the
+    plan-literal trade-off `ivf_assign` documents: centroids ship once
+    as a Spark broadcast and one Arrow kernel scores every (row,
+    centroid) pair with the IDENTICAL left-to-right IEEE fold, so the
+    oracle's cross-join argmax replays the assignment exactly.  Same
+    deterministic per-label centroids (decimal-exact means) as the
+    ann_ivf_partitioned family."""
+    from .operators.similarity import ivf_assign_broadcast, with_unit_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cellrows = cells.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mv")
+    ).collect()  # bounded: k labels x d dims
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cellrows:
+        by_label.setdefault(r["label"], {})[r["pos"]] = r["mv"]
+    labels = sorted(by_label)
+    cents = [[by_label[cid][i] for i in range(len(by_label[cid]))] for cid in labels]
+    uemb = with_unit_vector(emb, "embedding", "cu").select("vec_id", "cu")
+    assigned = ivf_assign_broadcast(
+        uemb, cents, vec_col="cu", metric="cosine", normalize_centroids=True
+    )
+    lab_arr = F.array(*[F.lit(int(c)) for c in labels])
+    return assigned.select(
+        "vec_id",
+        F.element_at(lab_arr, F.col("cluster") + 1).cast("bigint").alias("cluster"),
+    )

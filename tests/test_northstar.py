@@ -949,3 +949,54 @@ def test_replace_index_tree_exchange_and_fallback(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(idx, "new.parquet"))
     assert os.path.exists(os.path.join(idx, "_txn", "app-0"))
     assert not os.path.exists(str(tmp_path / "bakb"))
+
+
+def test_ivf_assign_broadcast_bit_identical(spark):
+    """The broadcast kernel must reproduce ivf_assign exactly: all three
+    metrics, tie-to-lowest-index (planted duplicate centroid), NULL
+    propagation."""
+    import random
+
+    from bigdatamigratecloud_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_broadcast,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    rows.append((200, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(7)]
+    cents.append(list(cents[2]))  # duplicate -> exact tie, lowest idx wins
+    for metric in ("cosine", "ip", "l2"):
+        a = {
+            r.vec_id: r.cluster
+            for r in ivf_assign(df, cents, metric=metric).collect()
+        }
+        b = {
+            r.vec_id: r.cluster
+            for r in ivf_assign_broadcast(df, cents, metric=metric).collect()
+        }
+        assert a == b, metric
+        assert b[200] is None
+        assert 7 not in set(b.values())  # the duplicate never wins a tie
+
+
+def test_ivf_assign_broadcast_no_plan_blowup(spark):
+    """k=4096, d=256 (the size that bloats the literal path): the plan
+    must stay O(1) — no centroid literals — and the kernel must run."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.similarity import ivf_assign_broadcast
+
+    rng = np.random.default_rng(3)
+    cents = rng.normal(size=(4096, 256)).tolist()
+    df = spark.createDataFrame(
+        [(i, rng.normal(size=256).tolist()) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_assign_broadcast(df, cents, metric="l2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, len(plan)  # literal path would be ~20 MB
+    got = out.collect()
+    assert len(got) == 8 and all(0 <= r.cluster < 4096 for r in got)
