@@ -598,8 +598,14 @@ def _decode_wav(payload: bytes):
             rate = wf.getframerate()
             ch = wf.getnchannels()
             raw = wf.readframes(wf.getnframes())
-    except wave.Error:
+    except (wave.Error, EOFError, RuntimeError, ValueError):
+        # truncated/bit-flipped RIFF: the stdlib module raises any of
+        # these on corrupt chunk walks — undecodable data, never a
+        # task-killing error (round-9 fuzz contract)
         return None
+    if ch < 1 or rate <= 0:
+        return None
+    raw = raw[: len(raw) - len(raw) % (2 * ch)]  # drop a torn tail frame
     x = np.frombuffer(raw, dtype="<i2").astype("float64") / 32768.0
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
