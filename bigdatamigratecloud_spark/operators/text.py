@@ -647,13 +647,17 @@ def html_extract(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, text, n_links, link_density) from an HTML column: extracted
-    plain text plus the boilerplate signals a quality gate needs —
-    anchor count and LINK DENSITY (fraction of extracted characters
-    living inside <a> tags; navigation/boilerplate pages score high,
-    prose scores low).  Entirely narrow (regexp chains + one
-    regexp_extract_all), one pass over the corpus."""
+    """(id, *keep_cols, text, n_links, link_density) from an HTML
+    column: extracted plain text plus the boilerplate signals a quality
+    gate needs — anchor count and LINK DENSITY (fraction of extracted
+    characters living inside <a> tags; navigation/boilerplate pages
+    score high, prose scores low).  Entirely narrow (regexp chains +
+    one regexp_extract_all), one pass over the corpus.  ``keep_cols``
+    pass through untouched (url/status/timestamp in a crawl pipeline —
+    keeps the op a single narrow select even under streaming, where a
+    re-join would become a stateful stream-stream join)."""
     text = html_to_text_col(html_col)
     anchors = F.regexp_extract_all(
         F.col(html_col), F.lit(r"(?is)<a\b[^>]*>(.*?)</a>"), 1
@@ -664,6 +668,7 @@ def html_extract(
     n_links = F.size(anchors)
     return df.select(
         id_col,
+        *keep_cols,
         text.alias("text"),
         n_links.cast("int").alias("n_links"),
         F.when(

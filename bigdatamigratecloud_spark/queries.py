@@ -5337,9 +5337,7 @@ def n4_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc_id"),
             wsrc.http_parts(F.col("payload")).alias("p"),
         ).select("doc_id", "p.http_status", F.col("p.body").alias("html"))
-        ext = html_extract(back).join(
-            back.select("doc_id", "http_status"), "doc_id"
-        ).select("doc_id", "http_status", "text", "n_links", "link_density")
+        ext = html_extract(back, keep_cols=("http_status",))
         return spark.createDataFrame(ext.collect(), ext.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -7328,3 +7326,82 @@ def ann_ivf_assign_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.element_at(lab_arr, F.col("cluster") + 1).cast("bigint").alias("cluster"),
     )
+
+
+@query(
+    "stream_warc_ingest",
+    f"""WITH h AS (SELECT doc_id, {_HTML_WRAP_SQL} AS html FROM documents),
+       anch AS (SELECT doc_id,
+                       regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1) AS al
+                FROM h),
+       ext AS (SELECT h.doc_id,
+                      {_html_strip_sql('h.html')} AS text,
+                      CAST(len(a.al) AS INT) AS n_links,
+                      array_to_string(list_transform(a.al,
+                          x -> {_html_strip_sql('x')}), ' ') AS atext
+               FROM h JOIN anch a USING (doc_id))
+       SELECT doc_id, 200 AS http_status, text, n_links,
+              CASE WHEN length(text) > 0
+                   THEN least(CAST(length(atext) AS DOUBLE) / length(text), 1.0)
+                   ELSE 0.0 END AS link_density
+       FROM ext""",
+)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+S14+N4 composed (round 9): CONTINUOUS crawl ingestion —
+    WARC archives land in a directory and stream through parse → HTTP
+    strip → html_extract as micro-batches (one archive per trigger,
+    exactly-once file tracking), into a memory sink.  The finished
+    stream must equal the batch n4_warc_html_extract oracle exactly:
+    nothing dropped or duplicated across archive boundaries, and every
+    curation op downstream of the parser is stateless so the streaming
+    plan IS the batch plan."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.text import html_extract
+    from .sources import warc as wsrc
+    from .streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><title>doc</title><script>var x="</div>";'
+            "</script></head><body><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><a href="/a">home</a> '
+            '<a href="/b">next &amp; prev</a></body></html>'
+        ),
+    )
+    out = docs.select(
+        F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.encode(
+            F.concat(
+                F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    landing = tempfile.mkdtemp(prefix="bdmc_warc_stream_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_warc"
+    try:
+        # 4 archive shards = 4 micro-batches (maxFilesPerTrigger=1)
+        wsrc.write_warc(out.repartition(4), landing)
+        recs = wsrc.stream_warc(spark, landing).select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            wsrc.http_parts(F.col("payload")).alias("p"),
+        ).select("doc_id", "p.http_status", F.col("p.body").alias("html"))
+        # keep_cols passthrough keeps this ONE stateless narrow select —
+        # a re-join here would be a stateful stream-stream join
+        ext = html_extract(recs, keep_cols=("http_status",))
+        run_stream_to_memory(ext, qname)
+        got = spark.table(qname)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)

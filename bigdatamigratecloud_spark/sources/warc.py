@@ -256,6 +256,42 @@ def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
     return bf.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
 
+def stream_warc(spark: SparkSession, landing_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """STREAMING WARC ingestion — continuous crawl processing: archives
+    landing in a directory become micro-batches of parsed records
+    (Spark's file stream tracks seen files exactly-once; ``binaryFile``
+    is a FileFormat, so FileStreamSource drives it like parquet).  The
+    record parser is the SAME ``_parse_warc_stream`` the batch readers
+    use, applied per micro-batch via ``mapInPandas`` — all downstream
+    curation (http split, html extract, quality, dedup signatures) is
+    stateless/narrow and streams unchanged.  One archive file = one
+    task per trigger, the batch reader's parallelism contract."""
+    import io
+
+    bf = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(landing_dir.rstrip("/") + "/*.warc*")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if p.endswith(".gz"):
+                    data = gzip.decompress(data)
+                rows = list(_parse_warc_stream(io.BytesIO(data), os.path.basename(p)))
+                if rows:
+                    yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
+
+    return bf.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
 def http_parts(payload: Column) -> Column:
     """Split an HTTP ``response`` payload into (status int, headers
     string, body string) — entirely JVM-side built-ins (UTF-8 decode,

@@ -141,3 +141,30 @@ def test_loud_failures(spark, tmp_path, fixture_dir):
     )
     with pytest.raises(py4j.protocol.Py4JJavaError, match="core WARC header"):
         warc.write_warc(core, str(tmp_path / "wc"), headers_col="headers")
+
+
+def test_stream_warc_equals_batch(spark, tmp_path):
+    """stream_warc over archives landing as files must equal the batch
+    reader exactly (one record set, nothing dropped or duplicated
+    across archive boundaries)."""
+    import uuid
+
+    from bigdatamigratecloud_spark.streaming.events import run_stream_to_memory
+
+    rows = [
+        (f"http://x/{i}", f"payload number {i}".encode(), None) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "target_uri string, payload binary, headers map<string,string>"
+    ).repartition(5)  # 5 archives -> 5 micro-batches
+    d = str(tmp_path / "land")
+    warc.write_warc(df, d)
+    qname = f"t_{uuid.uuid4().hex[:8]}_warc"
+    run_stream_to_memory(warc.stream_warc(spark, d), qname)
+    streamed = sorted(
+        (r.target_uri, bytes(r.payload)) for r in spark.table(qname).collect()
+    )
+    batch = sorted(
+        (r.target_uri, bytes(r.payload)) for r in warc.read_warc(spark, d).collect()
+    )
+    assert streamed == batch and len(streamed) == 30
