@@ -123,38 +123,14 @@ def _gif_lzw(data: bytes, min_code_size: int):
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def encode_gif(indices, palette, interlace: bool = False) -> bytes:
-    """Encode an (h, w) palette-index array as a single-frame GIF89a —
-    REAL LZW compression (variable width, 4096-entry cap with emitted
-    clears), the inverse of :func:`_decode_gif` and the same from-
-    scratch-stdlib policy as the PNG/JPEG/WAV codecs.  ``palette`` is a
-    sequence of (r, g, b); indices must be < len(palette)."""
-    import struct
-
-    import numpy as np
-
-    grid = np.asarray(indices, dtype=np.uint8)
-    if grid.ndim != 2:
-        raise ValueError("encode_gif expects an (h, w) index array")
-    h, w = grid.shape
-    if not palette or len(palette) > 256:
-        raise ValueError("palette must hold 1..256 colors")
-    if int(grid.max(initial=0)) >= len(palette):
-        raise ValueError("index outside palette")
-    p = 0
-    while (2 << p) < len(palette):
-        p += 1
-    m = max(2, p + 1)  # LZW min code size >= 2 per spec
-    if interlace:
-        rows = [grid[y] for y0, step in _GIF_INTERLACE for y in range(y0, h, step)]
-        stream = np.concatenate(rows).tolist() if rows else []
-    else:
-        stream = grid.reshape(-1).tolist()
-
+def _gif_lzw_encode(stream: list[int], m: int) -> bytearray:
+    """GIF LZW compress an index stream at min code size ``m`` — the
+    shared kernel of :func:`encode_gif` and
+    :func:`encode_gif_animation`.  Variable width with the 4096-entry
+    cap and emitted clears; the width rule mirrors the decoder (a
+    code's emission width is the width BEFORE the entry its consumption
+    appends)."""
     clear, eoi = 1 << m, (1 << m) + 1
-    # LZW with the width rule mirroring the decoder: a code's emission
-    # width is the width BEFORE the entry its consumption will append,
-    # growing when the (simulated) decoder table reaches 1 << width
     codes: list[int] = [clear]
     table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
     next_code = eoi + 1
@@ -197,6 +173,38 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
             prev_seen = True
     if nbits:
         packed.append(acc & 0xFF)
+    return packed
+
+
+def encode_gif(indices, palette, interlace: bool = False) -> bytes:
+    """Encode an (h, w) palette-index array as a single-frame GIF89a —
+    REAL LZW compression (variable width, 4096-entry cap with emitted
+    clears), the inverse of :func:`_decode_gif` and the same from-
+    scratch-stdlib policy as the PNG/JPEG/WAV codecs.  ``palette`` is a
+    sequence of (r, g, b); indices must be < len(palette)."""
+    import struct
+
+    import numpy as np
+
+    grid = np.asarray(indices, dtype=np.uint8)
+    if grid.ndim != 2:
+        raise ValueError("encode_gif expects an (h, w) index array")
+    h, w = grid.shape
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must hold 1..256 colors")
+    if int(grid.max(initial=0)) >= len(palette):
+        raise ValueError("index outside palette")
+    p = 0
+    while (2 << p) < len(palette):
+        p += 1
+    m = max(2, p + 1)  # LZW min code size >= 2 per spec
+    if interlace:
+        rows = [grid[y] for y0, step in _GIF_INTERLACE for y in range(y0, h, step)]
+        stream = np.concatenate(rows).tolist() if rows else []
+    else:
+        stream = grid.reshape(-1).tolist()
+
+    packed = _gif_lzw_encode(stream, m)
 
     gct = bytearray()
     for i in range(2 << p):
@@ -213,6 +221,231 @@ def encode_gif(indices, palette, interlace: bool = False) -> bytes:
         i += 255
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def encode_gif_animation(
+    frames,
+    palette,
+    offsets=None,
+    delays_cs=None,
+    disposals=None,
+    transparent_idx: int | None = None,
+    background_idx: int = 0,
+    loop: int = 0,
+) -> bytes:
+    """Encode an ANIMATED GIF89a (round 9 — the animation gap the
+    single-frame encoder documented): ``frames`` is a list of (h, w)
+    index arrays, each placed at ``offsets[i]`` = (left, top) on the
+    logical screen (the bounding box of all frames), with a Graphic
+    Control Extension per frame carrying delay (centiseconds),
+    disposal method (0-3) and optional transparency index, plus the
+    NETSCAPE looping extension.  Shares the real LZW kernel with
+    :func:`encode_gif`."""
+    import struct
+
+    import numpy as np
+
+    grids = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not grids or any(g.ndim != 2 for g in grids):
+        raise ValueError("encode_gif_animation expects a list of (h, w) index arrays")
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must hold 1..256 colors")
+    offsets = offsets or [(0, 0)] * len(grids)
+    delays_cs = delays_cs or [10] * len(grids)
+    disposals = disposals or [1] * len(grids)
+    if not (len(offsets) == len(delays_cs) == len(disposals) == len(grids)):
+        raise ValueError("frames/offsets/delays/disposals length mismatch")
+    W = max(ox + g.shape[1] for g, (ox, oy) in zip(grids, offsets))
+    H = max(oy + g.shape[0] for g, (ox, oy) in zip(grids, offsets))
+    hi = max(int(g.max(initial=0)) for g in grids)
+    if hi >= len(palette):
+        raise ValueError("index outside palette")
+    p = 0
+    while (2 << p) < len(palette):
+        p += 1
+    m = max(2, p + 1)
+    gct = bytearray()
+    for i in range(2 << p):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", W, H) + bytes((0x80 | p, background_idx & 0xFF, 0)) + gct
+    # NETSCAPE2.0 looping extension (loop=0 -> forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for g, (ox, oy), delay, disp in zip(grids, offsets, delays_cs, disposals):
+        flags = (int(disp) & 7) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            flags |= 1
+            tidx = int(transparent_idx)
+        out += b"\x21\xf9\x04" + bytes((flags,)) + struct.pack("<H", int(delay))
+        out += bytes((tidx,)) + b"\x00"
+        h, w = g.shape
+        out += b"\x2c" + struct.pack("<HHHH", ox, oy, w, h)
+        out += bytes((0x00,)) + bytes((m,))
+        packed = _gif_lzw_encode(g.reshape(-1).tolist(), m)
+        i = 0
+        while i < len(packed):
+            chunk = packed[i : i + 255]
+            out += bytes((len(chunk),)) + chunk
+            i += 255
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(payload: bytes):
+    """REAL decode of EVERY frame of a GIF87a/89a with full composition
+    (round 9 — closes the 'first frame only' gap): global/local color
+    tables, interlacing, per-frame offsets, GCE transparency, and
+    disposal methods 0/1 (leave), 2 (restore to the logical-screen
+    background color) and 3 (restore to the previous canvas).  Returns
+    a list of composed (H, W, 3) RGB uint8 canvases — one per frame,
+    at the LOGICAL SCREEN geometry — or None if the payload is not a
+    GIF this decoder handles.  Pixels never yet painted render as the
+    background color (the common renderer convention; documented
+    rather than an alpha channel, since downstream consumers are RGB
+    feature ops)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    W, H = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    bg_idx = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    if W <= 0 or H <= 0:
+        return None
+    if gct is not None and bg_idx < len(gct) // 3:
+        bg_rgb = np.frombuffer(gct[3 * bg_idx : 3 * bg_idx + 3], dtype=np.uint8)
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (H, W, 3)).copy()
+    frames: list = []
+    # pending GCE state for the NEXT image
+    disposal, transparent = 0, None
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(payload):
+                return None
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                subs.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs and len(subs[0]) >= 4:
+                flags = subs[0][0]
+                disposal = (flags >> 2) & 7
+                transparent = subs[0][3] if flags & 1 else None
+            continue
+        if block != 0x2C:
+            return None
+        if pos + 9 > len(payload):
+            return None
+        ox, oy, w, h = struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if pal is None or w <= 0 or h <= 0 or ox + w > W or oy + h > H:
+            return None
+        if pos >= len(payload):
+            return None
+        min_code_size = payload[pos]
+        pos += 1
+        if not (2 <= min_code_size <= 8):
+            return None
+        data = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw(bytes(data), min_code_size)
+        if idx is None or len(idx) < w * h:
+            return None
+        grid = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:
+            out_rows = np.empty_like(grid)
+            src = 0
+            for y0, step in _GIF_INTERLACE:
+                for y in range(y0, h, step):
+                    out_rows[y] = grid[src]
+                    src += 1
+            grid = out_rows
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(grid.max()) >= len(palette):
+            return None
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[oy : oy + h, ox : ox + w]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = palette[grid[mask]]
+        else:
+            region[:, :] = palette[grid]
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[oy : oy + h, ox : ox + w] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal, transparent = 0, None
+    return frames or None
+
+
+FRAMES_SCHEMA = "id long, frame_index int, width int, height int, frame_rgb binary"
+
+
+def gif_frame_fanout(
+    df: DataFrame, id_col: str = "id", content_col: str = "content"
+) -> DataFrame:
+    """REAL video-frame fan-out (the decoded twin of the
+    ``video_frame_sample`` plumbing stub): one animated-GIF row fans
+    out to one row per COMPOSED frame — (id, frame_index, width,
+    height, frame_rgb raw bytes at logical-screen geometry), ready for
+    dhash64-style perceptual ops per frame.  Non-GIF / undecodable
+    payloads contribute zero rows (fail-closed, like every codec path
+    here); NULL payloads are skipped."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _i, row in pdf.iterrows():
+                payload = row[content_col]
+                if payload is None:
+                    continue
+                fr = gif_frames(bytes(payload))
+                if fr is None:
+                    continue
+                for fi, f in enumerate(fr):
+                    rows.append(
+                        (row["id"], fi, f.shape[1], f.shape[0], f.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_index", "width", "height", "frame_rgb"]
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(content_col)).mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )
 
 
 def _decode_gif(payload: bytes):

@@ -7405,3 +7405,112 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(got.collect(), got.schema)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+@query(
+    "n3_gif_frames",
+    """WITH px AS (SELECT doc_id, r, c
+               FROM documents, range(8) t1(r), range(8) t2(c)),
+       lay AS (SELECT doc_id, r, c,
+                      (r + c + doc_id) % 4 AS i0,
+                      CASE WHEN r BETWEEN 2 AND 5 AND c BETWEEN 2 AND 5
+                           THEN ((r-2)*(c-2) + doc_id) % 4 END AS i1,
+                      (2*r + c + doc_id) % 4 AS i2,
+                      (r BETWEEN 2 AND 5 AND c BETWEEN 2 AND 5) AS reg
+               FROM px),
+       -- palette component sums: idx0=(0,0,0)->0, 1->60, 2->330, 3->630;
+       -- background index 3 (630); transparency index 0 everywhere
+       c0 AS (SELECT *, CASE WHEN i0 = 0 THEN 630  -- transparent -> bg
+                             WHEN i0 = 1 THEN 60
+                             WHEN i0 = 2 THEN 330 ELSE 630 END AS v0
+              FROM lay),
+       c1 AS (SELECT *, CASE WHEN i1 IS NULL OR i1 = 0 THEN v0
+                             WHEN i1 = 1 THEN 60
+                             WHEN i1 = 2 THEN 330 ELSE 630 END AS v1
+              FROM c0),
+       c2 AS (SELECT *, CASE WHEN i2 = 1 THEN 60
+                             WHEN i2 = 2 THEN 330
+                             WHEN i2 = 3 THEN 630
+                             WHEN reg THEN 630   -- disposal-2 bg restore
+                             ELSE v1 END AS v2
+              FROM c1),
+       uni AS (SELECT doc_id, 0 AS frame_index, v0 AS v FROM c2
+               UNION ALL SELECT doc_id, 1, v1 FROM c2
+               UNION ALL SELECT doc_id, 2, v2 FROM c2)
+       SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+              8 AS width, 8 AS height,
+              CAST(SUM(v) AS BIGINT) AS pix_sum
+       FROM uni GROUP BY doc_id, frame_index""",
+)
+def n3_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 (round 9): ANIMATED-GIF frame fan-out with full composition —
+    per-doc three-frame animations (full base frame; a transparent 4x4
+    overlay at (2,2) with DISPOSAL 2; a full final frame painted over
+    the background-restored canvas) are REALLY encoded through the
+    from-scratch animated encoder, decoded frame-by-frame by
+    ``gif_frames`` (offsets, GCE transparency, disposal restore), and
+    fanned out one row per composed frame.  The oracle replays the
+    whole composition closed-form (palette component sums per pixel),
+    so codec, composition and fan-out are all value-checked."""
+    from pyspark.sql import types as T
+
+    from .operators.multimodal import encode_gif_animation, gif_frame_fanout
+
+    pal = [(0, 0, 0), (10, 20, 30), (100, 110, 120), (200, 210, 220)]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                f0 = [[(r + c + d) % 4 for c in range(8)] for r in range(8)]
+                f1 = [[(r * c + d) % 4 for c in range(4)] for r in range(4)]
+                f2 = [[(2 * r + c + d) % 4 for c in range(8)] for r in range(8)]
+                payloads.append(
+                    encode_gif_animation(
+                        [f0, f1, f2],
+                        pal,
+                        offsets=[(0, 0), (2, 2), (0, 0)],
+                        disposals=[1, 2, 1],
+                        transparent_idx=0,
+                        background_idx=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    blobs = docs.mapInPandas(build, "doc_id long, content binary")
+    frames = gif_frame_fanout(blobs, id_col="doc_id")
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "frame_index": pdf["frame_index"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pix_sum": [
+                        int(np.frombuffer(b, dtype=np.uint8).astype(np.int64).sum())
+                        for b in pdf["frame_rgb"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(
+        summarize,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("frame_index", T.IntegerType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("pix_sum", T.LongType()),
+            ]
+        ),
+    )

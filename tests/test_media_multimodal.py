@@ -1610,3 +1610,101 @@ def test_audio_fingerprint_envelope_semantics(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 4
     assert not any(4 in p or 5 in p or 6 in p for p in pairs)
+
+
+def test_animated_gif_full_composition(spark):
+    """Round 9: encode_gif_animation -> gif_frames composes offsets,
+    GCE transparency, and disposal methods 1/2/3 exactly; the
+    single-frame encoder is unchanged by the LZW refactor; the Spark
+    fan-out emits one row per composed frame and fails closed."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        _decode_gif,
+        encode_gif,
+        encode_gif_animation,
+        gif_frame_fanout,
+        gif_frames,
+    )
+
+    pal = [(0, 0, 0), (10, 20, 30), (100, 110, 120), (200, 210, 220)]
+    P = np.array(pal, dtype=np.uint8)
+    f0 = [[(r + c) % 4 for c in range(8)] for r in range(8)]
+    f1 = [[(r * c) % 4 for c in range(4)] for r in range(4)]
+    f2 = [[(2 * r + c) % 4 for c in range(8)] for r in range(8)]
+    g = encode_gif_animation(
+        [f0, f1, f2], pal, offsets=[(0, 0), (2, 2), (0, 0)],
+        disposals=[1, 2, 1], transparent_idx=0, background_idx=3,
+    )
+    fr = gif_frames(g)
+    assert len(fr) == 3 and fr[0].shape == (8, 8, 3)
+    exp0 = np.broadcast_to(P[3], (8, 8, 3)).copy()  # bg idx 3
+    m0 = np.array(f0) != 0
+    exp0[m0] = P[np.array(f0)[m0]]
+    assert (fr[0] == exp0).all()
+    exp1 = exp0.copy()
+    sub = np.array(f1)
+    exp1[2:6, 2:6][sub != 0] = P[sub[sub != 0]]
+    assert (fr[1] == exp1).all()
+    exp2 = exp1.copy()
+    exp2[2:6, 2:6] = P[3]  # disposal 2 restored region to bg
+    m2 = np.array(f2) != 0
+    exp2[m2] = P[np.array(f2)[m2]]
+    assert (fr[2] == exp2).all()
+
+    # disposal 3: the frame AFTER a restore-to-previous composes on the
+    # PRE-overlay canvas (use a small final patch so the restore shows)
+    patch = [[3, 3], [3, 3]]
+    g3 = encode_gif_animation(
+        [f0, f1, patch], pal, offsets=[(0, 0), (2, 2), (0, 0)], disposals=[1, 3, 1]
+    )
+    fr3 = gif_frames(g3)
+    base = P[np.array(f0)].copy()  # frame0, no transparency this time
+    mid = base.copy()
+    mid[2:6, 2:6] = P[sub]
+    assert (fr3[1] == mid).all()
+    exp_last = base.copy()  # frame1's overlay restored away
+    exp_last[0:2, 0:2] = P[3]
+    assert (fr3[2] == exp_last).all()
+
+    # single-frame encoder unchanged by the LZW refactor
+    idx = np.array(f0, dtype=np.uint8)
+    assert (_decode_gif(encode_gif(idx.tolist(), pal)) == P[idx]).all()
+    assert (
+        _decode_gif(encode_gif(idx.tolist(), pal, interlace=True)) == P[idx]
+    ).all()
+
+    # Spark fan-out: 3 rows for the animation, 0 for garbage, NULL skipped
+    df = spark.createDataFrame(
+        [(1, g), (2, b"not a gif"), (3, None)], "media_id long, content binary"
+    )
+    rows = gif_frame_fanout(df, id_col="media_id").collect()
+    assert sorted((r.id, r.frame_index) for r in rows) == [(1, 0), (1, 1), (1, 2)]
+    got0 = next(r for r in rows if r.frame_index == 0)
+    assert got0.width == 8 and got0.height == 8
+    assert np.frombuffer(bytes(got0.frame_rgb), dtype=np.uint8).reshape(8, 8, 3).tolist() == exp0.tolist()
+
+
+def test_gif_frames_fails_closed_on_corrupt():
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import (
+        encode_gif_animation,
+        gif_frames,
+    )
+
+    pal = [(0, 0, 0), (10, 20, 30)]
+    g = encode_gif_animation(
+        [[[0, 1], [1, 0]], [[1, 1], [0, 0]]], pal, delays_cs=[5, 5]
+    )
+    rng = np.random.default_rng(2)
+    for _ in range(400):
+        mode = rng.choice(["truncate", "flip"])
+        if mode == "truncate":
+            c = g[: max(2, int(rng.integers(0, len(g))))]
+        else:
+            b = bytearray(g)
+            b[int(rng.integers(0, len(g)))] ^= max(1, int(rng.integers(0, 256)))
+            c = bytes(b)
+        out = gif_frames(c)
+        assert out is None or isinstance(out, list)
