@@ -7,14 +7,15 @@ Scope — the baseline profile real scanned/exported corpora actually
 contain:
 
 - both byte orders (``II``/``MM``)
-- 8-bit grayscale, RGB and RGBA, strip-organized (any RowsPerStrip)
+- 8-bit AND 16-bit grayscale, RGB and RGBA (round 9), strip-organized
+  (any RowsPerStrip) or TILED (TIFF 6.0 §15, edge-padded full tiles)
 - Compression 1 (none), 32773 (PackBits) and 5 (TIFF-LZW, MSB-first
   codes with the spec's early-change width switch), plus the
   horizontal-differencing Predictor (tag 317 = 2) LZW files commonly
   pair with
 - PhotometricInterpretation 0 (WhiteIsZero, inverted) and 1/2
 
-Everything else (tiles, 16-bit, planar, JPEG-in-TIFF, CCITT fax)
+Everything else (other depths, planar, JPEG-in-TIFF, CCITT fax)
 raises ``NotImplementedError`` so callers fall through to their strict
 gate / deterministic fake, the same contract as the other codecs.
 
@@ -198,8 +199,10 @@ def decode_tiff(payload: bytes):
     structure (truncated IFD, missing required tags, corrupt LZW): one
     corrupt file in a corpus must not kill the whole mapInPandas task,
     the same contract the PNG palette-overflow guard honors.
-    Out-of-scope TIFF features (tiles/16-bit/planar/fax) still raise
-    NotImplementedError so callers hit their strict gate."""
+    Out-of-scope TIFF features (non-8/16-bit depths/planar/fax) still
+    raise NotImplementedError so callers hit their strict gate.  8- and
+    16-bit, strip or tiled, all three compressions and both byte orders
+    decode for real (16-bit returns uint16 in native order)."""
     if len(payload) < 8:
         return None
     if payload[:4] == b"II*\x00":
@@ -226,99 +229,185 @@ def _decode_tiff_checked(payload: bytes, bo: str):
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     pred = tags.get(317, [1])[0]
-    if any(b != 8 for b in bits):
-        raise NotImplementedError("baseline TIFF decoder: 8-bit samples only")
+    if any(b != bits[0] for b in bits) or bits[0] not in (8, 16):
+        raise NotImplementedError(
+            "baseline TIFF decoder: uniform 8- or 16-bit samples only"
+        )
+    nb = bits[0] // 8
+    dt = np.uint8 if nb == 1 else np.dtype(bo + "u2")
     if comp not in (1, 5, 32773):
         raise NotImplementedError(f"TIFF compression {comp} not implemented")
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"TIFF photometric {photo} not implemented")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not implemented")
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred} not implemented")
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not implemented")
-    offs = tags[273]
-    counts = tags[279]
-    rps = tags.get(278, [h])[0]
-    row_bytes = w * spp
-    raw = bytearray()
-    for si, (o, c) in enumerate(zip(offs, counts)):
-        nrows = min(rps, h - si * rps)
-        expected = nrows * row_bytes
+    if tags.get(339, [1])[0] != 1:
+        raise NotImplementedError("TIFF SampleFormat beyond unsigned not implemented")
+
+    def segment(o, c, rows, cols):
+        """Decompress one strip/tile to (rows, cols, spp) with the
+        predictor undone (predictor and compression are per-segment in
+        TIFF: each strip/tile compresses independently)."""
+        expected = rows * cols * spp * nb
         chunk = payload[o : o + c]
         if comp == 1:
-            raw += chunk[:expected]
+            raw = bytes(chunk[:expected])
         elif comp == 32773:
-            raw += _packbits_decode(chunk, expected)
+            raw = _packbits_decode(chunk, expected)
         else:
-            raw += _lzw_decode(chunk, expected)
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes).reshape(
-        h, w, spp
-    )
-    if pred == 2:
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
-    elif pred != 1:
-        raise NotImplementedError(f"TIFF predictor {pred} not implemented")
+            raw = _lzw_decode(chunk, expected)
+        a = np.frombuffer(raw, dtype=dt, count=rows * cols * spp).reshape(
+            rows, cols, spp
+        )
+        if pred == 2:
+            # horizontal differencing mod 2^bits, per row per channel
+            wide = np.cumsum(a.astype(np.uint64), axis=1)
+            a = (wide & (0xFF if nb == 1 else 0xFFFF)).astype(dt)
+        return a
+
+    if 322 in tags or 323 in tags:  # tiled organization (TIFF 6.0 §15)
+        tw = tags[322][0]
+        th = tags[323][0]
+        offs = tags[324]
+        counts = tags[325]
+        if tw <= 0 or th <= 0:
+            raise ValueError("corrupt tile geometry")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offs) < across * down or len(counts) < across * down:
+            raise ValueError("tile offset/count tables too short")
+        arr = np.zeros((h, w, spp), dtype=dt)
+        for ty in range(down):
+            for tx in range(across):
+                i = ty * across + tx
+                # tiles are always FULL size, edge tiles padded: decode
+                # the whole tile (predictor included), then crop
+                tile = segment(offs[i], counts[i], th, tw)
+                ys, xs = ty * th, tx * tw
+                arr[ys : min(ys + th, h), xs : min(xs + tw, w)] = tile[
+                    : min(th, h - ys), : min(tw, w - xs)
+                ]
+    else:
+        offs = tags[273]
+        counts = tags[279]
+        rps = tags.get(278, [h])[0]
+        parts = []
+        for si, (o, c) in enumerate(zip(offs, counts)):
+            nrows = min(rps, h - si * rps)
+            parts.append(segment(o, c, nrows, w))
+        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        if arr.shape[0] < h:
+            raise ValueError("strips cover fewer rows than ImageLength")
+        arr = arr[:h]
     if photo == 0:
-        arr = 255 - arr
-    return arr.copy()
+        arr = (255 if nb == 1 else 65535) - arr
+    # native byte order out, whatever the file order was
+    return np.ascontiguousarray(arr, dtype=np.uint8 if nb == 1 else np.uint16)
 
 
-def encode_tiff(arr, compression: int = 1, byte_order: str = "<") -> bytes:
-    """Write a single-IFD baseline TIFF (test-fixture ground truth).
-    ``compression``: 1 none, 5 LZW, 32773 PackBits."""
+def encode_tiff(
+    arr, compression: int = 1, byte_order: str = "<", tile: tuple[int, int] | None = None
+) -> bytes:
+    """Write a single-IFD TIFF (test-fixture ground truth).
+    ``compression``: 1 none, 5 LZW, 32773 PackBits.  uint16 input
+    writes 16-bit samples (in the file byte order); ``tile=(tw, th)``
+    writes TILED organization (TIFF 6.0 §15: full-size edge-padded
+    tiles, row-major tile order) instead of one strip."""
     import numpy as np
 
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    src = np.asarray(arr)
+    is16 = src.dtype == np.uint16
+    bo = byte_order
+    a = np.ascontiguousarray(src, dtype=(np.dtype(bo + "u2") if is16 else np.uint8))
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, spp = a.shape
-    body = a.tobytes()
-    if compression == 32773:
-        data = b"".join(
-            _packbits_encode(body[r * w * spp : (r + 1) * w * spp])
-            for r in range(h)
-        )
-    elif compression == 5:
-        data = _lzw_encode(body)
-    elif compression == 1:
-        data = body
-    else:
+    bits_v = 16 if is16 else 8
+
+    def compress(seg: "np.ndarray") -> bytes:
+        body = seg.tobytes()
+        rows, cols = seg.shape[0], seg.shape[1]
+        if compression == 32773:
+            rb = cols * spp * (2 if is16 else 1)
+            return b"".join(
+                _packbits_encode(body[r * rb : (r + 1) * rb]) for r in range(rows)
+            )
+        if compression == 5:
+            return _lzw_encode(body)
+        if compression == 1:
+            return body
         raise ValueError(f"unsupported compression {compression}")
-    bo = byte_order
+
+    if tile:
+        tw, th = tile
+        if tw % 16 or th % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        segs = []
+        for ty in range(down):
+            for tx in range(across):
+                full = np.zeros((th, tw, spp), dtype=a.dtype)
+                ys, xs = ty * th, tx * tw
+                piece = a[ys : min(ys + th, h), xs : min(xs + tw, w)]
+                full[: piece.shape[0], : piece.shape[1]] = piece
+                segs.append(compress(full))
+    else:
+        segs = [compress(a)]
+
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
-    entries = []  # (tag, type, count, value_int)
+    entries = []  # (tag, type, count, value_or_list)
 
     def ent(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
     photometric = 1 if spp == 1 else 2
-    # layout: header(8) + data + [bits array if spp>1] + IFD
-    data_off = 8
-    pos = data_off + len(data)
-    bits_off = None
-    if spp > 1:
-        bits_off = pos
-        pos += 2 * spp
-    ifd_off = pos
+    # layout: header(8) + data segments + extra value arrays + IFD
+    data_offs = []
+    pos = 8
+    for s in segs:
+        data_offs.append(pos)
+        pos += len(s)
+    extras: list[tuple[int, bytes]] = []  # (offset, packed bytes)
+
+    def extra(fmt: str, values) -> int:
+        nonlocal pos
+        packed = struct.pack(bo + str(len(values)) + fmt, *values)
+        extras.append((pos, packed))
+        off = pos
+        pos += len(packed)
+        return off
+
     ent(256, 3, 1, w)
     ent(257, 3, 1, h)
     if spp == 1:
-        ent(258, 3, 1, 8)
+        ent(258, 3, 1, bits_v)
     else:
-        ent(258, 3, spp, bits_off)
+        ent(258, 3, spp, extra("H", [bits_v] * spp))
     ent(259, 3, 1, compression)
     ent(262, 3, 1, photometric)
-    ent(273, 4, 1, data_off)
     ent(277, 3, 1, spp)
-    ent(278, 3, 1, h)  # one strip
-    ent(279, 4, 1, len(data))
+    if tile:
+        ent(322, 3, 1, tile[0])
+        ent(323, 3, 1, tile[1])
+        n = len(segs)
+        ent(324, 4, n, data_offs[0] if n == 1 else extra("I", data_offs))
+        ent(325, 4, n, len(segs[0]) if n == 1 else extra("I", [len(s) for s in segs]))
+    else:
+        ent(273, 4, 1, data_offs[0])
+        ent(278, 3, 1, h)  # one strip
+        ent(279, 4, 1, len(segs[0]))
     entries.sort()
+    ifd_off = pos
     out = bytearray()
     out += magic
     out += struct.pack(bo + "I", ifd_off)
-    out += data
-    if spp > 1:
-        out += struct.pack(bo + str(spp) + "H", *([8] * spp))
+    for s in segs:
+        out += s
+    for _off, packed in extras:
+        out += packed
     out += struct.pack(bo + "H", len(entries))
     for tag, typ, count, value in entries:
         out += struct.pack(bo + "HH", tag, typ)

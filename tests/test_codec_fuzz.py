@@ -39,6 +39,9 @@ def _payloads() -> dict[str, bytes]:
         "gif": mm.encode_gif(idx.tolist(), pal),
         "jpeg": encode_jpeg(img),
         "tiff": encode_tiff(gray[:, :, None]),
+        "tiff16t": encode_tiff(
+            (gray.astype("uint16") * 257), compression=5, tile=(16, 16)
+        ),
         "webp": encode_webp_lossless(img),
         "wav": _make_wav(samples.tolist()),
     }
@@ -52,6 +55,7 @@ _DECODERS = {
     "gif": mm._decode_gif,
     "jpeg": decode_jpeg,
     "tiff": decode_tiff,
+    "tiff16t": decode_tiff,
     "webp": decode_webp,
     "wav": mm._decode_wav,
 }

@@ -1139,7 +1139,7 @@ def test_tiff_corrupt_payload_returns_none_not_task_fatal():
     bare = b"II*\x00" + b"\x08\x00\x00\x00" + b"\x00\x00" + b"\x00\x00\x00\x00"
     assert decode_tiff(bare) is None
     # out-of-scope features keep raising for the strict gate: patch a
-    # real file's BitsPerSample to 16
+    # real file's BitsPerSample to 32 (16 became SUPPORTED in round 9)
     import struct as _s
 
     patched = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
@@ -1148,7 +1148,7 @@ def test_tiff_corrupt_payload_returns_none_not_task_fatal():
     for i in range(n):
         e = ifd_off + 2 + 12 * i
         if _s.unpack("<H", patched[e : e + 2])[0] == 258:
-            patched[e + 8 : e + 10] = _s.pack("<H", 16)
+            patched[e + 8 : e + 10] = _s.pack("<H", 32)
     with _pytest.raises(NotImplementedError):
         decode_tiff(bytes(patched))
 
@@ -1391,10 +1391,11 @@ def test_tiff_through_image_features_and_strict_gates(spark):
     assert abs(out["mean_pixel"] - 77.0) < 1e-9
 
     bad = bytearray(encode_tiff(arr[:, :, 0]))
-    # corrupt BitsPerSample to 16 by patching the IFD entry value
+    # corrupt BitsPerSample to 32 by patching the IFD entry value
+    # (16-bit became a SUPPORTED depth in round 9)
     i = bad.find(bytes.fromhex("0201030001000000080000"))
     assert i > 0
-    bad[i + 8] = 16
+    bad[i + 8] = 32
     bdf = spark.createDataFrame([(1, bytes(bad))], "id long, content binary")
     fake = multimodal.image_features(bdf, decode_strict=False).collect()[0]
     assert fake["height"] == 8 and fake["width"] == 8
@@ -1708,3 +1709,94 @@ def test_gif_frames_fails_closed_on_corrupt():
             c = bytes(b)
         out = gif_frames(c)
         assert out is None or isinstance(out, list)
+
+
+def test_tiff_16bit_and_tiled_roundtrip_matrix():
+    """Round 9: 16-bit samples and tiled organization roundtrip through
+    encode_tiff/decode_tiff for every (compression, byte order), with
+    edge-padded tiles cropped correctly."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(4)
+    for bo in ("<", ">"):
+        for comp in (1, 5, 32773):
+            a16 = rng.integers(0, 65536, size=(9, 11, 3)).astype(np.uint16)
+            got = decode_tiff(encode_tiff(a16, compression=comp, byte_order=bo))
+            assert got.dtype == np.uint16 and (got == a16).all(), (bo, comp)
+            big = rng.integers(0, 65536, size=(20, 35)).astype(np.uint16)
+            gt = decode_tiff(
+                encode_tiff(big, compression=comp, byte_order=bo, tile=(16, 16))
+            )
+            assert (gt == big[:, :, None]).all(), ("tile16", bo, comp)
+            b8 = rng.integers(0, 256, size=(18, 33, 3)).astype(np.uint8)
+            g8 = decode_tiff(
+                encode_tiff(b8, compression=comp, byte_order=bo, tile=(16, 16))
+            )
+            assert (g8 == b8).all(), ("tile8", bo, comp)
+    # non-multiple-of-16 tile dims are a spec violation: loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(np.zeros((4, 4), np.uint8), tile=(10, 16))
+
+
+def test_tiff_16bit_tiled_under_system_libtiff():
+    """External ground truth for the round-9 extensions: a 16-bit TILED
+    LZW file written by my encoder decodes EXACTLY under the system
+    libtiff (TIFFReadEncodedTile)."""
+    import ctypes
+    import ctypes.util
+    import os as _os
+    import tempfile
+
+    import numpy as np
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.tiff import encode_tiff
+
+    try:
+        lt = ctypes.CDLL(ctypes.util.find_library("tiff") or "libtiff.so.6")
+    except OSError:
+        _pytest.skip("system libtiff unavailable")
+    lt.TIFFOpen.restype = ctypes.c_void_p
+    lt.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lt.TIFFReadEncodedTile.restype = ctypes.c_ssize_t
+    lt.TIFFReadEncodedTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_ssize_t]
+    lt.TIFFNumberOfTiles.restype = ctypes.c_uint32
+    lt.TIFFNumberOfTiles.argtypes = [ctypes.c_void_p]
+    lt.TIFFTileSize.restype = ctypes.c_ssize_t
+    lt.TIFFTileSize.argtypes = [ctypes.c_void_p]
+    lt.TIFFClose.argtypes = [ctypes.c_void_p]
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 65536, size=(20, 35)).astype(np.uint16)
+    payload = encode_tiff(arr, compression=5, tile=(16, 16))
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as fh:
+        fh.write(payload)
+        path = fh.name
+    try:
+        t = lt.TIFFOpen(path.encode(), b"r")
+        assert t, "libtiff cannot open my 16-bit tiled LZW file"
+        n = lt.TIFFNumberOfTiles(t)
+        assert n == 6  # ceil(35/16) x ceil(20/16)
+        tsz = lt.TIFFTileSize(t)
+        assert tsz == 16 * 16 * 2
+        tiles = []
+        for i in range(n):
+            buf = ctypes.create_string_buffer(tsz)
+            got = lt.TIFFReadEncodedTile(t, i, buf, tsz)
+            assert got == tsz, f"tile {i} short read"
+            tiles.append(np.frombuffer(buf.raw, dtype="<u2").reshape(16, 16))
+        lt.TIFFClose(t)
+        full = np.zeros((32, 48), dtype=np.uint16)
+        for ty in range(2):
+            for tx in range(3):
+                full[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16] = tiles[
+                    ty * 3 + tx
+                ]
+        assert (full[:20, :35] == arr).all(), "libtiff readback mismatch"
+    finally:
+        _os.unlink(path)
