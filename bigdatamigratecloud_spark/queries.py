@@ -7514,3 +7514,172 @@ def n3_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+def _web_pipeline_sql() -> str:
+    """The end-to-end web-curation oracle: quality/lang/repetition gates
+    + exact-dedup keep-first (the n5_curation_pipeline CTEs) -> portable
+    minhash near-dup keep-first drop among the survivors (the
+    _minhash_cte_sql chain re-rooted at the survivor set) -> char-id
+    sequence packing (the _PACK_SEQ_SQL algebra re-rooted likewise)."""
+    mh = _dedup._minhash_cte_sql("surv0", "doc_id", "text", 3, 32, 8)
+    return f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       x AS (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS n,
+                    CAST(len(list_distinct(sp)) AS DOUBLE) AS nu,
+                    CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL})) AS DOUBLE) AS ns
+             FROM t),
+       qual AS (SELECT doc_id, (least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                                + least(ns/n*5.0, 1.0)*2.0)/10.0 AS quality FROM x),
+       h AS (SELECT doc_id,
+               len(list_filter(sp, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS de,
+               len(list_filter(sp, t -> t IN ('the','a','of','and','to','in','is','that'))) AS en,
+               len(list_filter(sp, t -> t IN ('el','la','los','y','es','un','una','en'))) AS es,
+               len(list_filter(sp, t -> t IN ('le','la','les','et','est','un','une','dans'))) AS fr,
+               len(list_filter(sp, t -> t IN ('的','是','了','在','和','有','我','不'))) AS zh
+             FROM t),
+       lng AS (SELECT doc_id,
+                 CASE WHEN greatest(de,en,es,fr,zh) <= 0 THEN 'und'
+                      WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+                      WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                      WHEN es >= fr AND es >= zh THEN 'es'
+                      WHEN fr >= zh THEN 'fr'
+                      ELSE 'zh' END AS detected_lang FROM h),
+       g AS (SELECT doc_id,
+                    CASE WHEN len(sp) < 2 THEN []
+                         ELSE list_transform(range(0, len(sp) - 1),
+                              i -> sp[i+1] || chr(31) || sp[i+2]) END AS grams
+             FROM t),
+       rep AS (SELECT doc_id,
+                      CASE WHEN len(grams) = 0 THEN NULL
+                           ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                    / CAST(len(grams) AS DOUBLE) END AS repetition
+               FROM g),
+       keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+       surv0 AS (SELECT d.doc_id, d.text
+                 FROM documents d
+                 JOIN qual q USING (doc_id)
+                 JOIN lng l USING (doc_id)
+                 JOIN rep r USING (doc_id)
+                 JOIN keep k USING (doc_id)
+                 WHERE q.quality >= 0.45 AND l.detected_lang = 'en'
+                   AND r.repetition <= 0.2),
+       {mh},
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       neardup AS (SELECT j.id_b
+                   FROM (SELECT id_a, id_b,
+                                CAST(inter AS DOUBLE)
+                                / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jac
+                         FROM shared
+                         JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b) j
+                   JOIN cand c ON c.id_a = j.id_a AND c.id_b = j.id_b
+                   WHERE j.jac >= 0.2),
+       surv AS (SELECT * FROM surv0
+                WHERE doc_id NOT IN (SELECT id_b FROM neardup)),
+       norm AS (SELECT doc_id,
+                trim(regexp_replace(text, '\\s+', ' ', 'g')) AS tx FROM surv),
+       pids AS (SELECT doc_id,
+                      list_append(list_transform(range(1, length(tx) + 1),
+                                                 i -> ascii(substr(tx, i, 1))), 0) AS v
+               FROM norm WHERE length(tx) > 0),
+       offs AS (SELECT doc_id, v, len(v) AS n,
+                       CAST(COALESCE(SUM(len(v)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS strt
+                FROM pids),
+       pieces AS (SELECT s.seq, o.strt,
+                         list_slice(o.v,
+                             greatest(0, s.seq * 128 - o.strt) + 1,
+                             least(o.strt + o.n, (s.seq + 1) * 128) - o.strt) AS piece
+                  FROM offs o,
+                       UNNEST(range(o.strt // 128,
+                                    (o.strt + o.n - 1) // 128 + 1)) s(seq)),
+       seqs AS (SELECT seq, CAST(COUNT(*) AS INT) AS n_docs,
+                       flatten(list(piece ORDER BY strt)) AS idsarr
+                FROM pieces GROUP BY seq)
+       SELECT CAST(seq AS BIGINT) AS seq_id, n_docs,
+              array_to_string(list_transform(idsarr, x -> CAST(x AS VARCHAR)),
+                              ',') AS ids_csv
+       FROM seqs WHERE len(idsarr) = 128"""
+
+
+@query("n5_web_pipeline", _web_pipeline_sql())
+def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END WEB PIPELINE (round 9 capstone): raw corpus →
+    real WARC archives on disk → streamed-shape record parse → quality
+    + language + repetition gates and exact-dedup keep-first (one scan,
+    one projection) → portable-minhash NEAR-dup keep-first drop among
+    the survivors → fixed-length training sequences via the
+    hierarchical-prefix-sum packer.  Every stage is the proven
+    production operator; the oracle replays ingestion (identity by the
+    s14 roundtrip pin), all three gates, both dedup rules, and the
+    packing algebra in one CTE chain — a user's whole curation run
+    value-checked end to end."""
+    import shutil
+    import tempfile
+
+    from .operators.sampling import pack_token_sequences
+    from .sources import warc as wsrc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="bdmc_webpipe_")
+    try:
+        wsrc.write_warc(
+            docs.select(
+                F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
+                    "target_uri"
+                ),
+                F.encode(F.col("text"), "UTF-8").alias("payload"),
+            ).repartition(4),
+            d,
+            warc_type="resource",
+            content_type="text/plain",
+        )
+        corpus = wsrc.read_warc(spark, d).select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+        base = _text.with_tokens(corpus)
+        toks = F.col("__toks")
+        sig = base.select(
+            "doc_id",
+            "text",
+            _text.quality_col("text", toks).alias("quality"),
+            _text.detected_lang_col("text", toks).alias("detected_lang"),
+            _text.repetition_col("text", toks=toks).alias("repetition"),
+        )
+        keep = _dedup.exact_dedup(corpus, ["text"], "doc_id").select("doc_id")
+        surv0 = (
+            sig.join(keep, "doc_id", "left_semi")
+            .filter(
+                (F.col("quality") >= 0.45)
+                & (F.col("detected_lang") == "en")
+                & (F.col("repetition") <= 0.2)
+            )
+            .select("doc_id", "text")
+        )
+        pairs = _dedup.minhash_neardup(surv0, min_jaccard=0.2, portable=True)
+        drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        surv = surv0.join(drops, "doc_id", "left_anti")
+        norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+        pre = surv.select(
+            "doc_id",
+            F.transform(F.split(norm, ""), lambda c: F.ascii(c)).alias("cids"),
+        ).where(F.length(norm) > 0)
+        packed = pack_token_sequences(
+            pre, "doc_id", "cids", seq_len=128, eos_id=0, drop_last=True
+        )
+        out = packed.select(
+            "seq_id",
+            "n_docs",
+            F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
