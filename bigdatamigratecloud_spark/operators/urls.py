@@ -1,0 +1,139 @@
+"""URL operators for web-corpus curation (round 9, SURVEY §2.12 N4):
+parse, normalize, registered-domain extraction, and blocklist
+filtering — the stage every crawl pipeline runs between WARC ingestion
+(``sources/warc.py`` provides ``target_uri``) and the text gates.
+
+Scale design: everything is a narrow JVM regexp/string chain over one
+scan — no UDFs, no shuffle; the blocklist join broadcasts (blocklists
+are thousands-to-millions of rows, dwarfed by the corpus).  All
+expressions are restricted to regexp syntax Java regex and DuckDB RE2
+share, so every derivation is oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Multi-label public suffixes the small built-in heuristic recognizes.
+# A production deployment swaps in the full Mozilla Public Suffix List
+# (one broadcast frame, same join shape); the heuristic is DETERMINISTIC
+# and documented so the oracle can replay it — never silently wrong,
+# just coarser (unknown multi-label suffixes fall back to the last two
+# labels).
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.za", "com.tr",
+)
+
+
+def url_parts(url: Column | str) -> Column:
+    """Struct(scheme, host, port, path, query) from a URL string —
+    one regexp family, entirely JVM-side.  Host is lowercased; missing
+    parts are empty strings (port NULL when absent).  Userinfo
+    (``user:pass@``) is stripped from the host."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port_s = F.regexp_extract(hostport, r":(\d+)$", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return F.struct(
+        scheme.alias("scheme"),
+        host.alias("host"),
+        F.when(port_s != "", port_s.cast("int")).alias("port"),
+        path.alias("path"),
+        query.alias("query"),
+    )
+
+
+def registered_domain(host: Column | str) -> Column:
+    """The registrable domain of a host (``maps.google.co.uk`` ->
+    ``google.co.uk``, ``a.b.example.com`` -> ``example.com``): last two
+    labels, or last three when the two-label tail is a known multi-label
+    public suffix (:data:`MULTI_LABEL_SUFFIXES`).  Bare hosts (no dot)
+    and IPv4 literals pass through unchanged."""
+    h = F.col(host) if isinstance(host, str) else host
+    is_ip = h.rlike(r"^\d+\.\d+\.\d+\.\d+$")
+    two = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    three = F.regexp_extract(h, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    tail_is_suffix = two.isin(*MULTI_LABEL_SUFFIXES)
+    return (
+        F.when(is_ip | ~h.contains("."), h)
+        .when(tail_is_suffix & (three != ""), three)
+        .otherwise(two)
+    )
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """DuckDB twin of :func:`registered_domain`."""
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_SUFFIXES)
+    two = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+)$', 1)"
+    three = f"regexp_extract({host_expr}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return (
+        f"CASE WHEN regexp_matches({host_expr}, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')"
+        f" OR NOT contains({host_expr}, '.') THEN {host_expr}"
+        f" WHEN {two} IN ({suffixes}) AND {three} <> '' THEN {three}"
+        f" ELSE {two} END"
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme+host, strip
+    default ports (80/443), strip fragment, strip trailing slash on a
+    bare path, drop common tracking params (utm_*, fbclid, gclid) while
+    preserving the remaining query order."""
+    u = F.col(url) if isinstance(url, str) else url
+    p = url_parts(u)
+    # rebuild query without tracking params (split/filter/rejoin — all
+    # JVM array ops; empty -> '')
+    kept = F.filter(
+        F.split(p["query"], "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(kv).rlike(r"^(utm_[a-z]+|fbclid|gclid)="),
+    )
+    q = F.array_join(kept, "&")
+    port = F.when(
+        p["port"].isNotNull()
+        & ~(
+            ((p["scheme"] == "http") & (p["port"] == 80))
+            | ((p["scheme"] == "https") & (p["port"] == 443))
+        ),
+        F.concat(F.lit(":"), p["port"].cast("string")),
+    ).otherwise(F.lit(""))
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(
+        F.regexp_replace(p["path"], r"/$", "")
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        p["scheme"],
+        F.lit("://"),
+        p["host"],
+        port,
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "target_uri",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose REGISTERED DOMAIN appears in ``blocklist``
+    (one column, ``domain_col``) — the UT1/Gopher-style domain gate.
+    Broadcast anti-join: one corpus scan, no shuffle of the corpus."""
+    dom = registered_domain(url_parts(F.col(url_col))["host"])
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom")).distinct()
+    return (
+        df.withColumn("__dom", dom)
+        .join(
+            F.broadcast(bl), F.col("__dom") == F.col("__bl_dom"), "left_anti"
+        )
+        .drop("__dom")
+    )

@@ -7683,3 +7683,92 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+from .operators import urls as _urls  # noqa: E402
+
+
+def _url_fixture_sql() -> str:
+    """The deterministic URL construction both sides build from
+    documents (scheme/userinfo/port/path/query/fragment variants keyed
+    off doc_id) — string concat only, identical in Spark and DuckDB."""
+    return (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || "
+        "(CASE WHEN doc_id % 11 = 0 THEN 'u:p@' ELSE '' END) || "
+        "'WWW.example' || CAST(doc_id % 7 AS STRING) || '.' || "
+        "(CASE WHEN doc_id % 3 = 0 THEN 'example.co.uk' ELSE 'com' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        "  (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8080' END) ELSE '' END) || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '' "
+        "      ELSE '/p/' || CAST(doc_id AS STRING) || '/' END) || "
+        "'?utm_source=t&q=' || CAST(doc_id AS STRING) || "
+        "(CASE WHEN doc_id % 2 = 0 THEN '&fbclid=ff' ELSE '' END) || '#sec'"
+    )
+
+
+@query(
+    "n4_url_curation",
+    f"""WITH u AS (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents),
+       p AS (SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+             FROM u),
+       hp AS (SELECT *, regexp_extract(auth, '^(?:[^@]*@)?(.*)$', 1) AS hostport
+              FROM p),
+       parts AS (SELECT doc_id, url, scheme,
+                   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                   regexp_extract(hostport, ':(\\d+)$', 1) AS port_s,
+                   regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+                 FROM hp),
+       dom AS (SELECT *, {_urls.registered_domain_sql('host')} AS domain
+               FROM parts),
+       nq AS (SELECT *, array_to_string(list_filter(string_split(query, '&'),
+                  kv -> kv <> '' AND NOT regexp_matches(lower(kv),
+                        '^(utm_[a-z]+|fbclid|gclid)=')), '&') AS q
+              FROM dom),
+       norm AS (SELECT doc_id, scheme, host,
+                  CASE WHEN port_s <> '' THEN CAST(port_s AS INT) END AS port,
+                  domain,
+                  scheme || '://' || host ||
+                  (CASE WHEN port_s <> '' AND NOT ((scheme = 'http' AND port_s = '80')
+                          OR (scheme = 'https' AND port_s = '443'))
+                        THEN ':' || port_s ELSE '' END) ||
+                  (CASE WHEN (CASE WHEN path = '' THEN '/'
+                              ELSE regexp_replace(path, '/$', '') END) = ''
+                        THEN '/'
+                        ELSE (CASE WHEN path = '' THEN '/'
+                              ELSE regexp_replace(path, '/$', '') END) END) ||
+                  (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS norm_url
+                FROM nq)
+       SELECT doc_id, scheme, host, port, domain, norm_url
+       FROM norm
+       WHERE domain NOT IN ('example2.com', 'example5.co.uk')""",
+)
+def n4_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): the URL curation stage between WARC ingestion and
+    the text gates — parse (scheme/host/port/path/query, userinfo
+    stripped, host lowercased), REGISTERED-domain extraction
+    (multi-label public suffixes), tracking-param/default-port/
+    fragment-stripping normalization for URL-level dedup, and the
+    UT1/Gopher-style domain blocklist broadcast anti-join.  All narrow
+    JVM regexp chains restricted to Java/RE2-shared syntax, replayed
+    verbatim by the oracle over deterministically constructed URLs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select("doc_id", F.expr(_url_fixture_sql()).alias("url"))
+    p = _urls.url_parts(F.col("url"))
+    parsed = urls.select(
+        "doc_id",
+        "url",
+        p["scheme"].alias("scheme"),
+        p["host"].alias("host"),
+        p["port"].alias("port"),
+        _urls.registered_domain(p["host"]).alias("domain"),
+        _urls.normalize_url(F.col("url")).alias("norm_url"),
+    )
+    bl = spark.createDataFrame(
+        [("example2.com",), ("example5.co.uk",)], "domain string"
+    )
+    kept = _urls.url_blocklist_filter(parsed, bl, url_col="url")
+    return kept.select("doc_id", "scheme", "host", "port", "domain", "norm_url")

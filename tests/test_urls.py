@@ -1,0 +1,73 @@
+"""URL curation operators (round 9): parse edge cases, registered
+domains, normalization idempotence, blocklist semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamigratecloud_spark.operators import urls
+
+
+def _parse(spark, *url_list):
+    df = spark.createDataFrame([(u,) for u in url_list], "url string")
+    p = urls.url_parts(F.col("url"))
+    rows = df.select(
+        "url", p["scheme"].alias("s"), p["host"].alias("h"),
+        p["port"].alias("po"), p["path"].alias("pa"), p["query"].alias("q"),
+        urls.registered_domain(p["host"]).alias("d"),
+        urls.normalize_url(F.col("url")).alias("n"),
+    ).collect()
+    return {r.url: r for r in rows}
+
+def test_url_parse_edges(spark):
+    got = _parse(
+        spark,
+        "HTTPS://User:Pw@WWW.Example.CO.UK:8443/A/b/?q=1&utm_source=t#x",
+        "http://10.0.0.1:80/x",
+        "https://localhost",
+        "http://sub.a.example.com/p?utm_campaign=z&gclid=1",
+        "ftp://files.example.org/pub/",
+    )
+    r = got["HTTPS://User:Pw@WWW.Example.CO.UK:8443/A/b/?q=1&utm_source=t#x"]
+    assert (r.s, r.h, r.po, r.pa, r.q) == (
+        "https", "www.example.co.uk", 8443, "/A/b/", "q=1&utm_source=t"
+    )
+    assert r.d == "example.co.uk"
+    assert r.n == "https://www.example.co.uk:8443/A/b?q=1"
+    r = got["http://10.0.0.1:80/x"]
+    assert r.d == "10.0.0.1" and r.n == "http://10.0.0.1/x"  # default port gone
+    r = got["https://localhost"]
+    assert r.d == "localhost" and r.n == "https://localhost/"
+    r = got["http://sub.a.example.com/p?utm_campaign=z&gclid=1"]
+    assert r.d == "example.com" and r.n == "http://sub.a.example.com/p"
+    r = got["ftp://files.example.org/pub/"]
+    assert r.s == "ftp" and r.d == "example.org" and r.n == "ftp://files.example.org/pub"
+
+
+def test_normalize_idempotent(spark):
+    raw = [
+        "HTTPS://A.Example.COM:443/x/?utm_source=1&k=v#f",
+        "http://b.example.co.uk",
+        "https://c.example.com/deep/path?z=1&utm_medium=m&y=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in raw], "url string")
+    once = df.select(urls.normalize_url(F.col("url")).alias("url"))
+    twice = once.select(urls.normalize_url(F.col("url")).alias("url"))
+    assert [r.url for r in once.collect()] == [r.url for r in twice.collect()]
+    # query order of surviving params is preserved
+    assert once.collect()[2].url == "https://c.example.com/deep/path?z=1&y=2"
+
+
+def test_blocklist_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.keep.example.com/a"),
+            (2, "https://evil.blocked.net/x"),
+            (3, "http://sub.deep.Blocked.NET:8080/y"),  # case-insensitive
+            (4, "https://blocked.net.example.com/z"),  # NOT the blocked domain
+        ],
+        "id long, target_uri string",
+    )
+    bl = spark.createDataFrame([("Blocked.net",)], "domain string")
+    kept = urls.url_blocklist_filter(df, bl)
+    assert sorted(r.id for r in kept.collect()) == [1, 4]
+    assert "target_uri" in kept.columns and "__dom" not in kept.columns
