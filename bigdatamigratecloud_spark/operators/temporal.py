@@ -209,6 +209,92 @@ def sessionize(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    window_us: int = 259_200_000_000,  # 72 h
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sequential conversion FUNNEL (round 9): per user, the earliest
+    strictly-ordered chain step1 < step2 < ... with every later step
+    inside ``window_us`` of the user's step-1 time; returns (step,
+    event_type, users) — the users-reached count per stage.
+
+    Shape: per stage one type-filtered min() aggregation joined back on
+    the USER key — k-1 user-keyed equi-joins for a k-step funnel, each
+    map-side-combinable, never a self-cross of events; at 100 TB the
+    per-stage frames shrink monotonically (conversion), so every join
+    after the first is against a smaller right side (AQE broadcasts
+    the tail stages)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    t = _epoch_us(F.col(ts_col))
+    ev = df.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("et"), t.alias("tu")
+    )
+    cur = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("tu").alias("t1"))
+        .withColumn("tprev", F.col("t1"))
+    )
+    stage_frames = [cur]
+    for s in steps[1:]:
+        nxt = (
+            ev.filter(F.col("et") == s)
+            .join(cur.select("u", "t1", "tprev"), "u")
+            .filter(
+                (F.col("tu") > F.col("tprev"))
+                & (F.col("tu") <= F.col("t1") + F.lit(window_us))
+            )
+            .groupBy("u", "t1")
+            .agg(F.min("tu").alias("tprev"))
+        )
+        stage_frames.append(nxt)
+        cur = nxt
+    out = None
+    for i, (s, frame) in enumerate(zip(steps, stage_frames)):
+        c = frame.agg(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly COHORT RETENTION (round 9): users cohort by the week of
+    their FIRST event; each (cohort_week, week_offset) cell counts the
+    cohort's users active that week.  Two aggregations sharing the user
+    key (first-seen, then distinct user-week) and one join — the
+    standard retention triangle, exactly replayable (week boundaries
+    are date_trunc, offsets are integer µs division)."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    first = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = df.select(
+        F.col(user_col).alias("u"), wk.alias("aweek")
+    ).distinct()
+    offs = (
+        (_epoch_us(F.col("aweek")) - _epoch_us(F.col("cohort_week")))
+        / F.lit(7 * 86_400_000_000)
+    ).cast("int")
+    return (
+        active.join(first, "u")
+        .select("cohort_week", offs.alias("week_offset"), "u")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("active_users"))
+    )
+
+
 def resample_gapfill(
     df: DataFrame,
     ts_col: str = "ts",

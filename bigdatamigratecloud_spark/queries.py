@@ -7772,3 +7772,124 @@ def n4_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = _urls.url_blocklist_filter(parsed, bl, url_col="url")
     return kept.select("doc_id", "scheme", "host", "port", "domain", "norm_url")
+
+
+@query(
+    "n1_url_dedup",
+    """WITH u AS (SELECT doc_id,
+              'https://www.example' || CAST(doc_id % 7 AS STRING) || '.com' ||
+              '/page/' || CAST(doc_id % 50 AS STRING) || '/' ||
+              '?utm_source=s' || CAST(doc_id AS STRING) ||
+              '&id=' || CAST(doc_id % 50 AS STRING) || '#frag' AS url
+       FROM documents),
+       p AS (SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) ||
+               '://' ||
+               lower(regexp_extract(regexp_extract(
+                   regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   '^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1)) ||
+               regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/$', '') ||
+               '?' || array_to_string(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   kv -> kv <> '' AND NOT regexp_matches(lower(kv),
+                         '^(utm_[a-z]+|fbclid|gclid)=')), '&') AS norm_url
+             FROM u)
+       SELECT norm_url, min(doc_id) AS keep_doc_id,
+              CAST(count(*) AS BIGINT) AS n_dups
+       FROM p GROUP BY norm_url""",
+)
+def n1_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1+N4 composed (round 9): URL-LEVEL dedup — raw crawl URLs that
+    differ only by tracking parameters and fragments collapse onto one
+    canonical form (``normalize_url``) and keep-first wins; the crawl
+    dedup every pipeline runs BEFORE content dedup (one groupBy on the
+    canonical string, no text touched).  The fixture plants 10-way
+    collisions that exist ONLY after normalization (every raw URL is
+    unique), so the entry verifies the canonicalization is what creates
+    the dedup key.  Simplified expectations in the oracle hold by
+    construction here (path always present, query never fully empty:
+    '&id=' survives)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.expr(
+        "'https://www.example' || CAST(doc_id % 7 AS STRING) || '.com' || "
+        "'/page/' || CAST(doc_id % 50 AS STRING) || '/' || "
+        "'?utm_source=s' || CAST(doc_id AS STRING) || "
+        "'&id=' || CAST(doc_id % 50 AS STRING) || '#frag'"
+    )
+    with_urls = docs.select("doc_id", url.alias("url"))
+    canon = with_urls.select(
+        "doc_id", _urls.normalize_url(F.col("url")).alias("norm_url")
+    )
+    return canon.groupBy("norm_url").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+@query(
+    "e2_funnel_steps",
+    """WITH s1 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t1
+              FROM events WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id AS u, s1.t1, min(epoch_us(e.ts)) AS tprev
+              FROM events e JOIN s1 ON s1.u = e.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) > s1.t1
+                AND epoch_us(e.ts) <= s1.t1 + 259200000000
+              GROUP BY 1, 2),
+       s3 AS (SELECT e.user_id AS u, s2.t1, min(epoch_us(e.ts)) AS tprev
+              FROM events e JOIN s2 ON s2.u = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > s2.tprev
+                AND epoch_us(e.ts) <= s2.t1 + 259200000000
+              GROUP BY 1, 2)
+       SELECT 1 AS step, 'view' AS event_type,
+              CAST(count(*) AS BIGINT) AS users FROM s1
+       UNION ALL
+       SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3""",
+)
+def e2_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 events family (round 9): the sequential conversion funnel —
+    view → click → purchase within 72 h of the user's first view,
+    strictly time-ordered (each stage's earliest qualifying event).
+    k-1 user-keyed joins of shrinking per-stage aggregates, never an
+    event self-cross; the oracle replays each stage's min-chain
+    verbatim."""
+    from .operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "e3_cohort_retention",
+    """WITH first AS (SELECT user_id AS u,
+                date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY user_id),
+       active AS (SELECT DISTINCT user_id AS u,
+                date_trunc('week', ts) AS aweek FROM events)
+       SELECT cohort_week,
+              CAST((epoch_us(aweek) - epoch_us(cohort_week))
+                   // 604800000000 AS INT) AS week_offset,
+              CAST(count(DISTINCT u) AS BIGINT) AS active_users
+       FROM active JOIN first USING (u)
+       GROUP BY 1, 2""",
+)
+def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 events family (round 9): the weekly retention triangle —
+    users cohort by first-event week, cells count the cohort's active
+    users per week offset.  Two user-keyed aggregations + one join;
+    week boundaries and integer-µs offsets replay exactly."""
+    from .operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    out = cohort_retention(ev)
+    # DATE on both sides (DuckDB's date_trunc on a timestamp column
+    # yields DATE-valued weeks in the comparator)
+    return out.select(
+        F.to_date("cohort_week").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+    )

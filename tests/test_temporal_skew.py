@@ -432,3 +432,57 @@ def test_asof_forward_semantics_and_tolerance(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on="k", direction="sideways")
+
+
+def test_funnel_semantics(spark):
+    """Strict ordering, window cutoff, earliest-chain choice, and the
+    monotone stage counts."""
+    from bigdatamigratecloud_spark.operators.temporal import funnel
+
+    H = 3_600_000_000
+    rows = [
+        # u1 converts fully: view@0h, click@1h, purchase@2h
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        # u2: click BEFORE view never counts; no click after -> stops at step 1
+        (2, "click", 0), (2, "view", 1),
+        # u3: click inside window, purchase outside 72h window -> stops at 2
+        (3, "view", 0), (3, "click", 1), (3, "purchase", 80),
+        # u4: same-timestamp click (not strictly after) ignored; later one ok
+        (4, "view", 0), (4, "click", 0), (4, "click", 5), (4, "purchase", 6),
+        # u5: no view at all
+        (5, "click", 0), (5, "purchase", 1),
+    ]
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(u, t, base + datetime.timedelta(hours=h)) for u, t, h in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r.step: r.users for r in funnel(df, ["view", "click", "purchase"], window_us=72 * H).collect()}
+    assert got == {1: 4, 2: 3, 3: 2}  # u1..u4 viewed; u1,u3,u4 clicked; u1,u4 purchased
+    import pytest
+
+    with pytest.raises(ValueError, match="two steps"):
+        funnel(df, ["view"])
+
+
+def test_cohort_retention_semantics(spark):
+    from bigdatamigratecloud_spark.operators.temporal import cohort_retention
+    import datetime
+
+    mon = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (1, mon), (1, mon + datetime.timedelta(days=8)),   # week 0 and 1
+        (2, mon + datetime.timedelta(days=2)),              # week 0 only
+        (3, mon + datetime.timedelta(days=7)),              # cohort week 1
+        (3, mon + datetime.timedelta(days=21)),             # offset 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week.date() if hasattr(r.cohort_week, "date") else r.cohort_week,
+         r.week_offset): r.active_users
+        for r in cohort_retention(df).collect()
+    }
+    d0, d1 = mon.date(), (mon + datetime.timedelta(days=7)).date()
+    assert got == {(d0, 0): 2, (d0, 1): 1, (d1, 0): 1, (d1, 2): 1}
