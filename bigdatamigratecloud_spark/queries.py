@@ -7893,3 +7893,51 @@ def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "active_users",
     )
+
+
+@query(
+    "n7_quality_checks",
+    """WITH m AS (SELECT
+         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS m0,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS m1,
+         min(CAST(o_totalprice AS DOUBLE)) AS m2,
+         max(CAST(o_totalprice AS DOUBLE)) AS m3,
+         CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 END) AS DOUBLE) AS m4,
+         CAST(count(CASE WHEN o_orderpriority IS NOT NULL
+                          AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                         THEN 1 END) AS DOUBLE) AS m5,
+         CAST(count(*) AS DOUBLE) AS m6
+       FROM orders)
+       SELECT 0 AS rule_id, 'not_null' AS rule, 'o_orderkey' AS "column",
+              m0 AS metric, 0.0 AS threshold, m0 = 0 AS passed FROM m
+       UNION ALL SELECT 1, 'unique', 'o_orderkey', m1, 0.0, m1 = 0 FROM m
+       UNION ALL SELECT 2, 'min_ge', 'o_totalprice', m2, 0.0, m2 >= 0.0 FROM m
+       UNION ALL SELECT 3, 'max_le', 'o_totalprice', m3, 1000.0, m3 <= 1000.0 FROM m
+       UNION ALL SELECT 4, 'accepted_values', 'o_orderstatus', m4, 0.0, m4 = 0 FROM m
+       UNION ALL SELECT 5, 'matches_regex', 'o_orderpriority', m5, 0.0, m5 = 0 FROM m
+       UNION ALL SELECT 6, 'row_count_between', '', m6, 1000000000000.0,
+                        m6 BETWEEN 1 AND 1000000000000.0 FROM m""",
+)
+def n7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 frame-level validation (round 9): the Deequ-style
+    expectation suite — completeness, key uniqueness, value bounds,
+    accepted values, regex conformance, row-count bounds — ALL compiled
+    into ONE aggregation over ONE scan (never a job per rule), exploded
+    to per-rule verdicts.  The deliberately-failing max_le rule proves
+    failures surface as rows, not exceptions.  The oracle recomputes
+    every metric and verdict."""
+    from .operators.quality_checks import check_suite
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        {"type": "not_null", "col": "o_orderkey"},
+        {"type": "unique", "cols": ["o_orderkey"]},
+        {"type": "min_ge", "col": "o_totalprice", "value": 0.0},
+        {"type": "max_le", "col": "o_totalprice", "value": 1000.0},
+        {"type": "accepted_values", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"type": "matches_regex", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"type": "row_count_between", "min": 1, "max": 1_000_000_000_000},
+    ]
+    return check_suite(orders, rules)
