@@ -232,3 +232,99 @@ def positions_sql(h1: str, h2: str, m_bits: int, k: int, i_expr: str = "i") -> s
     precomputed h1/h2 columns (compute them once per row — the expansion
     is 15 terms each)."""
     return f"((({h1}) % {m_bits}) + ({i_expr}) * ((({h2}) % {m_bits - 1}) + 1)) % {m_bits}"
+
+
+# --------------------------------------------------------------- CMS
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the frequency twin
+# of the Bloom filter above: d independent hash rows of w counters;
+# estimate(key) = min over rows of its counter.  Always an
+# OVER-estimate (collisions only add), error <= 2N/w with prob 1-2^-d.
+# Mergeability is what matters at 100 TB: sketches of shards ADD
+# cell-wise, so the sketch is a groupBy((row, bucket)).sum — partial
+# aggregation collapses each partition to d*w cells map-side and the
+# shuffle moves at most d*w rows per task regardless of data volume.
+
+
+def _cms_bucket(col: Column, row: int, w: int, salt: str, portable: bool) -> Column:
+    """Row-``row``'s bucket for a key: Kirsch-Mitzenmacher double hash
+    mod w (same portable pair as the Bloom filter, so any engine
+    replays the cell addressing)."""
+    h1, h2 = _hash_pair(col, salt, portable)
+    return (h1 % w + row * ((h2 % (w - 1)) + 1)) % w
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    salt: str = "cms",
+    portable: bool = True,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the (row, bucket, cnt) sketch table — d*w rows at most,
+    whatever the input size.  NULL keys are skipped.  ``weight_col``
+    turns it into a weighted-frequency sketch (sums instead of
+    counts).  Two sketches with identical (w, d, salt) merge by
+    unionByName + groupBy(row, bucket).sum — asserted in tests."""
+    if w < 2 or d < 1:
+        raise ValueError(f"cms_build: need w >= 2 and d >= 1, got w={w} d={d}")
+    k = F.col(key_col)
+    wt = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = df.where(k.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        _cms_bucket(k, i, w, salt, portable).cast("int").alias("bucket"),
+                        wt.alias("wt"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        rows.select("c.row", "c.bucket", "c.wt")
+        .groupBy("row", "bucket")
+        .agg(F.sum("wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    w: int = 1024,
+    d: int = 4,
+    salt: str = "cms",
+    portable: bool = True,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point estimates for ``keys``: each key probes its d cells and
+    takes the MIN — an upper bound on the true frequency (never an
+    undercount; absent cells read 0).  One explode + one equi-join on
+    (row, bucket) against the tiny sketch (AQE broadcasts it) + one
+    min-agg keyed by the key — no scan of the original data."""
+    k = F.col(key_col)
+    probes = keys.where(k.isNotNull()).select(
+        k.alias("__key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("row"),
+                        _cms_bucket(k, i, w, salt, portable).cast("int").alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("__key", "p.row", "p.bucket")
+    joined = probes.join(sketch, ["row", "bucket"], "left").select(
+        "__key", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cell")
+    )
+    return joined.groupBy("__key").agg(F.min("cell").alias(out_col)).withColumnRenamed(
+        "__key", key_col
+    )

@@ -7941,3 +7941,64 @@ def n7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"type": "row_count_between", "min": 1, "max": 1_000_000_000_000},
     ]
     return check_suite(orders, rules)
+
+
+@query(
+    "a11_count_min",
+    """WITH h AS (SELECT l_suppkey AS k,
+              ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || 'cms'), 1, 15))::BIGINT AS h1,
+              ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || 'cms'), 16, 15))::BIGINT AS h2
+       FROM lineitem WHERE l_suppkey IS NOT NULL),
+       cells AS (SELECT i AS row, (h1 % 64 + i * ((h2 % 63) + 1)) % 64 AS bucket,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM h, UNNEST(range(0, 4)) t(i)
+                 GROUP BY 1, 2),
+       kh AS (SELECT DISTINCT s_suppkey AS k,
+              ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'cms'), 1, 15))::BIGINT AS h1,
+              ('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || 'cms'), 16, 15))::BIGINT AS h2
+              FROM supplier),
+       probes AS (SELECT k, i AS row,
+                         (h1 % 64 + i * ((h2 % 63) + 1)) % 64 AS bucket
+                  FROM kh, UNNEST(range(0, 4)) t(i)),
+       est AS (SELECT k, min(COALESCE(c.cnt, CAST(0 AS BIGINT))) AS est
+               FROM probes p LEFT JOIN cells c USING (row, bucket)
+               GROUP BY k),
+       tru AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS true_cnt
+               FROM lineitem GROUP BY 1)
+       SELECT e.k AS suppkey, e.est,
+              COALESCE(t.true_cnt, CAST(0 AS BIGINT)) AS true_cnt,
+              e.est >= COALESCE(t.true_cnt, CAST(0 AS BIGINT)) AS never_under
+       FROM est e LEFT JOIN tru t ON t.k = e.k""",
+)
+def a11_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 sketch family (round 9): COUNT-MIN frequency sketch
+    (Cormode-Muthukrishnan) — d=4 rows x w=64 counters deliberately
+    undersized so collisions overestimate visibly; estimates for every
+    supplier key probe the sketch only (never the fact table), and the
+    never-undercount law is emitted as a column.  The sketch is a
+    (row, bucket) groupBy — mergeable cell-wise, map-side combined, at
+    most d*w rows shuffled regardless of corpus size.  Portable md5
+    double-hash: the oracle replays every cell and every min."""
+    from .operators.bloom import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    sketch = cms_build(li, "l_suppkey", w=64, d=4)
+    keys = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+        .distinct()
+    )
+    est = cms_estimate(sketch, keys, "l_suppkey", w=64, d=4)
+    true = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(true, "l_suppkey", "left")
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "est",
+            F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias("true_cnt"),
+            (
+                F.col("est")
+                >= F.coalesce(F.col("true_cnt"), F.lit(0).cast("long"))
+            ).alias("never_under"),
+        )
+    )

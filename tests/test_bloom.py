@@ -129,3 +129,37 @@ def test_fast_hash_path_matches_semantics(spark, sides):
     }
     want = {r["key"] for r in probe.join(build, "key", "left_semi").collect()}
     assert got == want
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS laws: estimate >= true count for every key (tiny w forces
+    collisions), shard sketches merge cell-wise to the full sketch,
+    absent keys read bounded-by-collisions, weighted mode sums."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.bloom import cms_build, cms_estimate
+
+    rows = [(i % 13, 1) for i in range(500)] + [(99, 1)] * 40 + [(None, 1)] * 5
+    df = spark.createDataFrame(rows, "k long, wt int")
+    sk = cms_build(df, "k", w=8, d=3)
+    assert sk.count() <= 8 * 3
+    keys = spark.createDataFrame([(k,) for k in list(range(13)) + [99, 12345]], "k long")
+    est = {r.k: r.est for r in cms_estimate(sk, keys, "k", w=8, d=3).collect()}
+    true = {r.k: r["count"] for r in df.where(F.col("k").isNotNull()).groupBy("k").count().collect()}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    assert est[12345] >= 0  # absent key: whatever its cells hold, >= 0
+    # cell-wise merge of shard sketches == sketch of the union
+    a = cms_build(df.where(F.col("k") < 7), "k", w=8, d=3)
+    b = cms_build(df.where((F.col("k") >= 7)), "k", w=8, d=3)
+    merged = a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    full = cms_build(df, "k", w=8, d=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    # weighted mode
+    wsk = cms_build(df, "k", w=64, d=4, weight_col="wt")
+    west = {r.k: r.est for r in cms_estimate(wsk, keys, "k", w=64, d=4).collect()}
+    assert west[99] >= 40
+    import pytest
+
+    with pytest.raises(ValueError, match="w >= 2"):
+        cms_build(df, "k", w=1, d=2)
