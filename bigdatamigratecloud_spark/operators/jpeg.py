@@ -176,6 +176,10 @@ def _decode_jpeg_inner(payload: bytes):
             precision, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if precision != 8 or nc not in (1, 3):
                 return None
+            from .limits import pixels_ok
+
+            if not pixels_ok(w, h):
+                return None  # SOF claims more pixels than the decode cap
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]

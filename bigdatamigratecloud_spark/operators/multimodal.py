@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import DEFAULT_MAX_BUCKET, guarded_band_self_join
+from .limits import pixels_ok
 
 IMAGE_SCHEMA = (
     "id long, width int, height int, channels int, mean_pixel double, payload_size long"
@@ -74,10 +75,16 @@ def _decode_bmp(payload: bytes):
     return arr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def _gif_lzw(data: bytes, min_code_size: int):
+def _gif_lzw(data: bytes, min_code_size: int, max_out: int | None = None):
     """Decode a GIF LZW stream (codes packed LSB-first, variable width
     up to 12 bits, clear/EOI handling per GIF89a appendix F).  Returns
-    the palette-index bytes, or None on a malformed stream."""
+    the palette-index bytes, or None on a malformed stream.
+
+    ``max_out`` caps the output (callers pass w*h): GIF LZW amplifies
+    up to ~3.6 KB per input byte (4096-entry table, ~4 KB max entry),
+    so an unbounded decode of a crafted stream is a decompression
+    bomb; with the cap the decode stops the moment the frame's pixels
+    are satisfied."""
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [bytes((i,)) for i in range(clear)] + [b"", b""]
@@ -115,6 +122,8 @@ def _gif_lzw(data: bytes, min_code_size: int):
                 out += entry
                 if len(table) == (1 << width) and width < 12:
                     width += 1
+            if max_out is not None and len(out) >= max_out:
+                return bytes(out)
             prev = code
     return bytes(out)
 
@@ -321,8 +330,8 @@ def gif_frames(payload: bytes):
         n = 2 << (packed & 0x07)
         gct = payload[pos : pos + 3 * n]
         pos += 3 * n
-    if W <= 0 or H <= 0:
-        return None
+    if not pixels_ok(W, H):
+        return None  # header claims more pixels than the decode cap
     if gct is not None and bg_idx < len(gct) // 3:
         bg_rgb = np.frombuffer(gct[3 * bg_idx : 3 * bg_idx + 3], dtype=np.uint8)
     else:
@@ -364,7 +373,7 @@ def gif_frames(payload: bytes):
             n = 2 << (ipacked & 0x07)
             pal = payload[pos : pos + 3 * n]
             pos += 3 * n
-        if pal is None or w <= 0 or h <= 0 or ox + w > W or oy + h > H:
+        if pal is None or not pixels_ok(w, h) or ox + w > W or oy + h > H:
             return None
         if pos >= len(payload):
             return None
@@ -378,7 +387,7 @@ def gif_frames(payload: bytes):
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _gif_lzw(bytes(data), min_code_size)
+        idx = _gif_lzw(bytes(data), min_code_size, max_out=w * h)
         if idx is None or len(idx) < w * h:
             return None
         grid = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
@@ -491,7 +500,7 @@ def _decode_gif(payload: bytes):
             n = 2 << (ipacked & 0x07)
             pal = payload[pos : pos + 3 * n]
             pos += 3 * n
-        if pal is None or w <= 0 or h <= 0 or pos >= len(payload):
+        if pal is None or not pixels_ok(w, h) or pos >= len(payload):
             return None
         min_code_size = payload[pos]
         pos += 1
@@ -502,7 +511,7 @@ def _decode_gif(payload: bytes):
             ln = payload[pos]
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
-        idx = _gif_lzw(bytes(data), min_code_size)
+        idx = _gif_lzw(bytes(data), min_code_size, max_out=w * h)
         if idx is None or len(idx) < w * h:
             return None
         grid = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
@@ -689,7 +698,17 @@ def _decode_png(payload: bytes):
             return None  # sub-byte depths are gray/palette only per spec
         if depth == 16 and color == 3:
             return None  # palette indices are 8-bit max per spec
-        raw = zlib.decompress(b"".join(idat))
+        if not pixels_ok(w, h):
+            return None  # IHDR claims more pixels than the decode cap
+        # bound the inflate: the legal filtered stream for these
+        # dimensions (plain or Adam7) never exceeds this, so a
+        # zip-bomb IDAT stops inflating at the bound instead of
+        # ballooning executor memory
+        bound = h * (w * channels * (2 if depth == 16 else 1) + 1) + 16 * (h + 16)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), bound + 1)
+        if len(raw) > bound:
+            return None
     except Exception:
         return None
     if depth < 8:

@@ -224,6 +224,10 @@ def _decode_tiff_checked(payload: bytes, bo: str):
     tags = _read_ifd(payload, bo)
     w = tags[256][0]
     h = tags[257][0]
+    from .limits import pixels_ok
+
+    if not pixels_ok(w, h):
+        return None  # IFD claims more pixels than the decode cap
     bits = tags.get(258, [8])
     spp = tags.get(277, [1])[0]
     comp = tags.get(259, [1])[0]

@@ -122,3 +122,90 @@ def test_audio_companded_and_adpcm_fail_closed():
             pos = int(rng.integers(0, len(payload)))
             val = int(rng.integers(0, 256))
             _assert_contract(fn.__name__, fn, _corrupt(payload, mode, pos, val))
+
+
+def test_decompression_bombs_fail_closed_fast():
+    """Round 9: a tiny payload claiming enormous output must cost a
+    skipped row, never a giant allocation — pixel caps on every header
+    path, bounded inflate for PNG, bounded LZW for GIF."""
+    import struct
+    import time
+    import zlib
+
+    from bigdatamigratecloud_spark.operators.limits import MAX_DECODE_PIXELS
+
+    t0 = time.monotonic()
+
+    # PNG claiming 50000x50000 in a 100-byte file
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", 50000, 50000, 8, 0, 0, 0, 0)
+    huge_png = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._decode_png(huge_png) is None
+
+    # PNG zip bomb: legal tiny dims, IDAT inflating far past the bound
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + chunk(b"IEND", b"")
+    )
+    assert mm._decode_png(bomb) is None
+
+    # GIF logical screen / frame claiming 60000x60000
+    huge_gif = bytearray(PAYLOADS["gif"])
+    huge_gif[6:10] = struct.pack("<HH", 60000, 60000)
+    assert mm.gif_frames(bytes(huge_gif)) is None
+    # LZW output cap: decode stops at max_out instead of amplifying
+    idx = np.arange(10000, dtype=np.uint8).reshape(100, 100) % 4
+    g = mm.encode_gif(idx.tolist(), [(0, 0, 0), (1, 1, 1), (2, 2, 2), (3, 3, 3)])
+    data = bytearray()
+    pos = 13 + 3 * 4  # header + gct
+    pos += 10 + 1  # image descriptor + min code size
+    while g[pos] != 0:
+        ln = g[pos]
+        data += g[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    out = mm._gif_lzw(bytes(data), 2, max_out=50)
+    assert out is not None and 50 <= len(out) < 50 + 4096
+
+    # TIFF IFD claiming 60000x60000
+    from bigdatamigratecloud_spark.operators.tiff import decode_tiff, encode_tiff
+
+    t = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+    ifd = struct.unpack("<I", t[4:8])[0]
+    n = struct.unpack("<H", t[ifd : ifd + 2])[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = struct.unpack("<H", t[e : e + 2])[0]
+        if tag in (256, 257):
+            t[e + 8 : e + 10] = struct.pack("<H", 60000)
+    assert decode_tiff(bytes(t)) is None
+
+    # JPEG SOF claiming 60000x60000
+    j = bytearray(PAYLOADS["jpeg"])
+    i = j.find(b"\xff\xc0")
+    assert i > 0
+    j[i + 5 : i + 9] = struct.pack(">HH", 60000, 60000)
+    assert decode_jpeg(bytes(j)) is None
+
+    # VP8L 5-byte header claiming 16384x16384 (268M pixels)
+    from bigdatamigratecloud_spark.operators.webp import decode_webp
+
+    bits = 0
+    bits |= 16383  # w-1, 14 bits
+    bits |= 16383 << 14  # h-1
+    payload = bytes([0x2F]) + struct.pack("<I", bits)[:4]
+    vp8l = b"RIFF" + struct.pack("<I", 12 + len(payload)) + b"WEBP" + b"VP8L"
+    vp8l += struct.pack("<I", len(payload)) + payload
+    assert 16384 * 16384 > MAX_DECODE_PIXELS
+    assert decode_webp(vp8l) is None
+
+    # the whole battery must be CHEAP - no giant allocation happened
+    assert time.monotonic() - t0 < 10.0
