@@ -7218,7 +7218,8 @@ def n2_mlp_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                          row_number() OVER (PARTITION BY query_id
                                             ORDER BY cos DESC, nbr_id ASC) AS rank
                   FROM pairs)
-       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank, dot, cos
+       SELECT query_id, nbr_id, CAST(rank AS INT) AS rank,
+              CAST(dot AS BIGINT) AS dot, cos
        FROM ranked WHERE rank <= 3""",
 )
 def n2_mlp_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7911,13 +7912,13 @@ def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
          CAST(count(*) AS DOUBLE) AS m6
        FROM orders)
        SELECT 0 AS rule_id, 'not_null' AS rule, 'o_orderkey' AS "column",
-              m0 AS metric, 0.0 AS threshold, m0 = 0 AS passed FROM m
-       UNION ALL SELECT 1, 'unique', 'o_orderkey', m1, 0.0, m1 = 0 FROM m
-       UNION ALL SELECT 2, 'min_ge', 'o_totalprice', m2, 0.0, m2 >= 0.0 FROM m
-       UNION ALL SELECT 3, 'max_le', 'o_totalprice', m3, 1000.0, m3 <= 1000.0 FROM m
-       UNION ALL SELECT 4, 'accepted_values', 'o_orderstatus', m4, 0.0, m4 = 0 FROM m
-       UNION ALL SELECT 5, 'matches_regex', 'o_orderpriority', m5, 0.0, m5 = 0 FROM m
-       UNION ALL SELECT 6, 'row_count_between', '', m6, 1000000000000.0,
+              m0 AS metric, CAST(0.0 AS DOUBLE) AS threshold, m0 = 0 AS passed FROM m
+       UNION ALL SELECT 1, 'unique', 'o_orderkey', m1, CAST(0.0 AS DOUBLE), m1 = 0 FROM m
+       UNION ALL SELECT 2, 'min_ge', 'o_totalprice', m2, CAST(0.0 AS DOUBLE), m2 >= 0.0 FROM m
+       UNION ALL SELECT 3, 'max_le', 'o_totalprice', m3, CAST(1000.0 AS DOUBLE), m3 <= 1000.0 FROM m
+       UNION ALL SELECT 4, 'accepted_values', 'o_orderstatus', m4, CAST(0.0 AS DOUBLE), m4 = 0 FROM m
+       UNION ALL SELECT 5, 'matches_regex', 'o_orderpriority', m5, CAST(0.0 AS DOUBLE), m5 = 0 FROM m
+       UNION ALL SELECT 6, 'row_count_between', '', m6, CAST(1000000000000.0 AS DOUBLE),
                         m6 BETWEEN 1 AND 1000000000000.0 FROM m""",
 )
 def n7_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
