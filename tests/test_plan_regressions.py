@@ -311,3 +311,62 @@ def test_quality_classifier_narrow_no_udf(spark, sf_dir):
                 "MapInPandas", "Generate", "Join"):
         assert bad not in plan, f"{bad} leaked into the classifier plan"
     assert "Scan parquet" in plan or "FileScan" in plan
+
+
+def test_funnel_never_self_crosses(spark, sf_dir):
+    """Funnel stages must compose as user-keyed equi-joins of shrinking
+    aggregates — no cartesian/nested-loop join of the events table."""
+    from bigdatamigratecloud_spark.operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    plan = _plan(funnel(ev, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_blocklist_is_broadcast_anti_join(spark, sf_dir):
+    """The domain gate must broadcast the blocklist and leave the corpus
+    unshuffled: one BroadcastHashJoin LeftAnti, zero Exchanges on the
+    probe side beyond the broadcast itself."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.urls import url_blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://h"), F.col("doc_id"), F.lit(".example.com/p")).alias(
+            "target_uri"
+        ),
+    )
+    bl = spark.createDataFrame([("example9.com",)], "domain string")
+    plan = _plan(url_blocklist_filter(docs, bl))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_build_single_exchange_partial_agg(spark, sf_dir):
+    """The sketch is one (row,bucket) aggregation: exactly one Exchange,
+    with map-side partial aggregation collapsing to <= d*w cells."""
+    from bigdatamigratecloud_spark.operators.bloom import cms_build
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    plan = _plan(cms_build(li, "l_suppkey", w=64, d=4))
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_mlp_embed_no_shuffle(spark, sf_dir):
+    """Inference is embarrassingly parallel: no Exchange anywhere."""
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.inference import (
+        deterministic_weights,
+        mlp_embed,
+    )
+
+    ids = spark.createDataFrame(
+        [(i, [i % 9, i % 7]) for i in range(50)], "doc_id long, ids array<long>"
+    )
+    plan = _plan(mlp_embed(ids, deterministic_weights(32)))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
