@@ -1542,6 +1542,54 @@ def jl_project(
     return df.withColumn(out_col, F.array(*coords))
 
 
+def jl_project_broadcast(
+    df: DataFrame,
+    dim: int,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    seed: int = 7,
+) -> DataFrame:
+    """Broadcast-kernel twin of :func:`jl_project` for LARGE dim x d_out
+    (the same plan-literal escape as :func:`ivf_assign_broadcast`): the
+    seeded projection matrix ships once as a Spark broadcast and one
+    Arrow kernel projects each batch, accumulating DIMENSION-BY-
+    DIMENSION so every output double reproduces the zip_with/aggregate
+    left-to-right IEEE fold bit-for-bit — pinned against the literal
+    path in tests.  Zero shuffle, O(1) plan size at any matrix size."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    P = np.asarray(_hyperplanes(dim, d_out, seed), dtype=np.float64)  # (d_out, dim)
+    bc = df.sparkSession.sparkContext.broadcast(P)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def run(batches):
+        M = bc.value
+        k, d = M.shape
+        for pdf in batches:
+            vals = [
+                None if v is None else np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col]
+            ]
+            live = [i for i, v in enumerate(vals) if v is not None]
+            outs: list = [None] * len(vals)
+            if live:
+                X = np.stack([vals[i] for i in live])
+                acc = np.zeros((len(live), k))
+                for j in range(d):
+                    acc = acc + X[:, j : j + 1] * M[:, j]
+                for i, row in zip(live, acc):
+                    outs[i] = [float(x) for x in row]
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 def jl_shortlist_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1000,3 +1000,37 @@ def test_ivf_assign_broadcast_no_plan_blowup(spark):
     assert len(plan) < 20_000, len(plan)  # literal path would be ~20 MB
     got = out.collect()
     assert len(got) == 8 and all(0 <= r.cluster < 4096 for r in got)
+
+
+def test_jl_project_broadcast_bit_identical(spark, sf_dir):
+    """The broadcast JL kernel must reproduce the plan-literal path
+    bit-for-bit (same seeded matrix, same left-to-right fold), with no
+    Exchange and no literal blowup at dim=512, d_out=64."""
+    from bigdatamigratecloud_spark.operators.similarity import (
+        jl_project,
+        jl_project_broadcast,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    a = {
+        r.vec_id: tuple(r.jl)
+        for r in jl_project(emb, dim, d_out=8).collect()
+    }
+    b = {
+        r.vec_id: tuple(r.jl)
+        for r in jl_project_broadcast(emb, dim, d_out=8).collect()
+    }
+    assert a == b  # bit-identical doubles
+    # scale shape: big matrix, tiny plan, zero shuffle
+    import random
+
+    rng = random.Random(3)
+    big = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(512)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = jl_project_broadcast(big, 512, d_out=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and len(plan) < 20_000
+    assert len(out.collect()) == 4
