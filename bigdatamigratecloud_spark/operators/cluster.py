@@ -217,3 +217,74 @@ def dedup_clusters(
     return out.withColumn(
         "is_kept", (F.col(id_col).cast("long") == F.col("component")).cast("int")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node TRIANGLE counts over an undirected graph (round 9 —
+    the local clustering signal: spam/link-farm detection on web
+    graphs, community density on co-occurrence graphs).  Returns
+    (node, degree, triangles).
+
+    Scale design — the degree-oriented wedge algorithm (Schank; Cohen's
+    MapReduce formulation), never the naive three-way self-join of raw
+    edges: every undirected edge is ORIENTED from the (degree, id)-
+    smaller endpoint to the larger, which bounds every out-degree by
+    O(sqrt(m)); wedges (two out-edges of one node) are then a self-join
+    whose per-key fan-out is that bounded out-degree squared — the
+    worst case a hub node creates in the naive join simply cannot
+    occur — and each wedge closes iff its (b, c) pair is itself an
+    oriented edge (one more equi-join against the edge set).  Each
+    triangle is found exactly once; per-node counts come from
+    exploding the triangle's three corners (map-side combinable).
+
+    Self-loops are dropped; parallel edges collapse; direction of the
+    input is ignored (the graph is treated as undirected)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # total order for orientation: (deg, id) ascending
+    ranked = sym.join(deg.withColumnsRenamed({"u": "u", "deg": "du"}), "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    oriented = ranked.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    # wedges: two out-neighbors of a, kept once via the same total order
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, F.col("o1.u") == F.col("o2.u")).where(
+        F.col("o1.v") < F.col("o2.v")
+    ).select(
+        F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
+    )
+    # close the wedge: (b, c) must be an oriented edge in EITHER rank
+    # direction (b<c by construction here, but rank order may differ)
+    closer = oriented.select(F.col("u").alias("b"), F.col("v").alias("c")).unionByName(
+        oriented.select(F.col("v").alias("b"), F.col("u").alias("c"))
+    )
+    tris = wedges.join(closer, ["b", "c"], "left_semi")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("b").alias("node")))
+        .unionByName(tris.select(F.col("c").alias("node")))
+    )
+    per_node = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        deg.select(F.col("u").alias("node"), "deg")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

@@ -8003,3 +8003,51 @@ def a11_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("never_under"),
         )
     )
+
+
+@query(
+    "n6_triangle_counts",
+    """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem WHERE l_orderkey % 20 = 0),
+       e AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s),
+       deg AS (SELECT node, count(*) AS deg FROM
+               (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+               GROUP BY 1),
+       t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+             FROM e e1
+             JOIN e e2 ON e2.u = e1.v
+             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       corners AS (SELECT x AS node FROM t
+                   UNION ALL SELECT y FROM t
+                   UNION ALL SELECT z FROM t),
+       pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+              FROM corners GROUP BY 1)
+       SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+              COALESCE(pn.triangles, CAST(0 AS BIGINT)) AS triangles
+       FROM deg d LEFT JOIN pn USING (node)""",
+)
+def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 graph family (round 9): per-node TRIANGLE counts over the
+    co-supplier graph (suppliers sharing an order, 1-in-20 order
+    sample) — the local-density signal behind link-farm/community
+    detection on web graphs.  Spark runs the DEGREE-ORIENTED wedge
+    algorithm (out-degrees bounded by O(sqrt(m)), so a hub can never
+    explode the wedge join — the naive three-way edge self-join shape
+    is structurally impossible); the oracle brute-forces the same
+    x<y<z triangles and must agree node-for-node."""
+    from .operators.cluster import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -1034,3 +1034,19 @@ def test_jl_project_broadcast_bit_identical(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and len(plan) < 20_000
     assert len(out.collect()) == 4
+
+
+def test_triangle_counts_semantics(spark):
+    """K4 + pendant: 3 triangles each for the clique, 0 for the
+    pendant; duplicate/reversed/self-loop edges collapse; the oriented
+    wedge join never nested-loops."""
+    from bigdatamigratecloud_spark.operators.cluster import triangle_counts
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = triangle_counts(df)
+    got = {r.node: (r.degree, r.triangles) for r in out.collect()}
+    assert got == {1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 5: (1, 0)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
