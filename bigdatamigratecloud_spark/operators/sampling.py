@@ -454,6 +454,66 @@ def hash_unit_draw_sql(expr: str, salt: str, k: int = 6) -> str:
     return f"(CAST({' + '.join(terms)} AS DOUBLE) / {float(16 ** k)})"
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    budget_frac: float = 0.5,
+    salt: str = "temp-mix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing at τ = 1/2 (round 9) — the
+    mT5/XLM-R recipe for multilingual corpora: per-group sampling
+    probability ∝ (group share)^τ, which UP-samples tails and
+    DOWN-samples heads relative to natural frequency.  τ is fixed at
+    1/2 so the weight is an IEEE-exact ``sqrt`` (general τ needs libm
+    ``pow``, which would break the oracle-exactness discipline; for
+    other temperatures compute rates offline and use
+    :func:`weighted_mixture_sample`).
+
+    Rates derive ENTIRELY in-frame (no driver collect): per-group
+    counts, Σ√n folded in EXPLICIT group order (a plain float SUM over
+    groups would be partial-agg-order dependent), then
+    r_g = min(1, budget_frac·N/Σ√n · 1/√n_g) and a portable per-id unit
+    draw decides each row.  Clipping at 1 makes the realized budget a
+    lower bound (documented).  Output = kept rows + their group's
+    ``mix_rate``.  One count aggregation + one broadcast join + a
+    narrow filter."""
+    stats = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    folded = stats.agg(
+        F.sum("__n").alias("__tot"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__g").alias("g"), F.col("__n").alias("n")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n"].cast("double")),
+        ).alias("__s"),
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(folded))
+        .select(
+            "__g",
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(float(budget_frac))
+                    * F.col("__tot").cast("double")
+                    / F.col("__s")
+                )
+                / F.sqrt(F.col("__n").cast("double")),
+            ).alias("mix_rate"),
+        )
+    )
+    draw = hash_unit_draw(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["__g"])
+        .where(draw < F.col("mix_rate"))
+        .drop("__g")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

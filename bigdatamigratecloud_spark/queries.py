@@ -8051,3 +8051,33 @@ def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+@query(
+    "n5_temperature_mixture",
+    """WITH stats AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS N,
+                      list_reduce(list_transform(list(n ORDER BY g),
+                          x -> sqrt(CAST(x AS DOUBLE))), (a, b) -> a + b) AS S
+               FROM stats),
+       rates AS (SELECT stats.g, least(1.0, (0.5 * t.N / t.S)
+                        / sqrt(CAST(stats.n AS DOUBLE))) AS mix_rate
+                 FROM stats, tot t)
+       SELECT d.doc_id, d.lang, r.mix_rate
+       FROM documents d JOIN rates r ON r.g = d.lang
+       WHERE (CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 1, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 2, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 3, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 4, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 5, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || 'temp-mix'), 6, 1)) - 1) * 1 AS DOUBLE) / 16777216.0) < r.mix_rate""",
+)
+def n5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''N5 (round 9): temperature-based multilingual rebalancing at
+    tau = 1/2 (the mT5/XLM-R recipe): per-language rates derive
+    IN-FRAME from sqrt-weighted shares with an explicit-order fold
+    (Σ√n is float — a plain SUM would be partial-agg-order dependent),
+    then a portable per-doc unit draw keeps rows.  Tail languages
+    up-sample, head languages down-sample; the oracle replays counts,
+    fold, rates and every draw bit-for-bit.'''
+    from .operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture_sample(
+        docs, "lang", "doc_id", budget_frac=0.5
+    ).select("doc_id", "lang", "mix_rate")

@@ -370,3 +370,29 @@ def test_mlp_embed_no_shuffle(spark, sf_dir):
     plan = _plan(mlp_embed(ids, deterministic_weights(32)))
     assert "Exchange" not in plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_temperature_mixture_rebalances(spark, sf_dir):
+    """τ=1/2 law: rates are uniform-per-group, tails keep a HIGHER rate
+    than heads, realized budget lands at/below the target (clipping),
+    and the draw is deterministic across physical layouts."""
+    from bigdatamigratecloud_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = temperature_mixture_sample(docs, "lang", "doc_id", budget_frac=0.5)
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = {r.lang: r.mix_rate for r in kept.select("lang", "mix_rate").distinct().collect()}
+    langs = sorted(sizes, key=sizes.get)
+    for small, big in zip(langs, langs[1:]):
+        if sizes[small] < sizes[big] and small in rates and big in rates:
+            assert rates[small] >= rates[big], (small, big)
+    total = sum(sizes.values())
+    assert kept.count() <= 0.5 * total * 1.15  # at/below budget + draw noise
+    again = temperature_mixture_sample(
+        docs.repartition(13), "lang", "doc_id", budget_frac=0.5
+    )
+    assert {r.doc_id for r in again.select("doc_id").collect()} == {
+        r.doc_id for r in kept.select("doc_id").collect()
+    }
