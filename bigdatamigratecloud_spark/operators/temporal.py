@@ -295,6 +295,66 @@ def cohort_retention(
     )
 
 
+def ema_by_group(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    alpha: float = 0.5,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Per-entity EXPONENTIAL MOVING AVERAGE (round 9): ema_0 = v_0,
+    ema_t = α·v_t + (1-α)·ema_{t-1} over each group's time-ordered
+    values — the recursive fold window functions cannot express.
+
+    Shape: ONE group-keyed shuffle collects each entity's ordered
+    series, a single array fold computes the whole EMA chain, and a
+    posexplode returns per-row results.  The per-group array is the
+    documented bound — this is a per-entity-time-series op (an
+    entity's history must fit a task, the same contract as
+    ``interpolate_linear``), not a corpus-wide scan state.
+
+    Exactness: the fold is one fixed-order chain of α·v + (1-α)·acc
+    IEEE ops, so an external engine replaying each prefix reproduces
+    every double bit-for-bit (any closed-form re-association would
+    not)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha={alpha}: need 0 < alpha <= 1")
+    a = F.lit(float(alpha))
+    one_m = F.lit(1.0 - float(alpha))
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                *[F.col(c).alias(c) for c in order_cols],
+                F.col(value_col).cast("double").alias("v"),
+            )
+        )
+    )
+    grouped = df.groupBy(F.col(group_col).alias("__g")).agg(seq.alias("__seq"))
+    emas = F.aggregate(
+        F.col("__seq"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.array_append(
+            acc,
+            F.when(F.size(acc) == 0, x["v"]).otherwise(
+                a * x["v"] + one_m * F.element_at(acc, -1)
+            ),
+        ),
+    )
+    exploded = grouped.withColumn("__emas", emas).select(
+        "__g", F.posexplode(F.arrays_zip(F.col("__seq"), F.col("__emas")))
+    ).select(
+        F.col("__g").alias(group_col),
+        F.col("col")["__seq"]["ts"].alias(ts_col),
+        *[F.col("col")["__seq"][c].alias(c) for c in order_cols],
+        F.col("col")["__seq"]["v"].alias(value_col),
+        F.col("col")["__emas"].alias(out_col),
+    )
+    return exploded
+
+
 def resample_gapfill(
     df: DataFrame,
     ts_col: str = "ts",

@@ -8081,3 +8081,33 @@ def n5_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         docs, "lang", "doc_id", budget_frac=0.5
     ).select("doc_id", "lang", "mix_rate")
+
+
+@query(
+    "e4_ema_user_value",
+    """WITH seq AS (SELECT user_id,
+                list(struct_pack(ts := ts, event_id := event_id,
+                                 v := CAST(value AS DOUBLE))
+                     ORDER BY ts, event_id) AS s
+         FROM events GROUP BY user_id),
+       idx AS (SELECT user_id, s, unnest(range(1, len(s) + 1)) AS i FROM seq)
+       SELECT user_id,
+              s[i].ts AS ts,
+              s[i].event_id AS event_id,
+              s[i].v AS value,
+              list_reduce(list_transform(list_slice(s, 1, i), x -> x.v),
+                          (a, b) -> 0.5 * b + 0.5 * a) AS ema
+       FROM idx""",
+)
+def e4_ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 events family (round 9): per-user EMA of event values
+    (α = 1/2) — the recursive per-entity fold window functions cannot
+    express, run as one group-keyed collect + a single array fold.
+    The oracle re-folds every prefix with the identical IEEE op chain,
+    so all doubles match bit-for-bit."""
+    from .operators.temporal import ema_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return ema_by_group(ev, "user_id", "ts", "value", ("event_id",), alpha=0.5)

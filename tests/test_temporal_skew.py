@@ -486,3 +486,39 @@ def test_cohort_retention_semantics(spark):
     }
     d0, d1 = mon.date(), (mon + datetime.timedelta(days=7)).date()
     assert got == {(d0, 0): 2, (d0, 1): 1, (d1, 0): 1, (d1, 2): 1}
+
+
+def test_ema_by_group_semantics(spark):
+    """EMA chain law, ordering with tiebreak, alpha validation, and
+    physical-layout invariance."""
+    import datetime
+
+    import pytest
+
+    from bigdatamigratecloud_spark.operators.temporal import ema_by_group
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (1, 10, base, 4.0),
+        (1, 11, base + datetime.timedelta(minutes=1), 8.0),
+        (1, 12, base + datetime.timedelta(minutes=2), 16.0),
+        # same timestamp: event_id breaks the tie deterministically
+        (2, 20, base, 2.0),
+        (2, 21, base, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    got = {
+        (r.user_id, r.event_id): r.ema
+        for r in ema_by_group(df, alpha=0.5).collect()
+    }
+    assert got[(1, 10)] == 4.0
+    assert got[(1, 11)] == 0.5 * 8.0 + 0.5 * 4.0
+    assert got[(1, 12)] == 0.5 * 16.0 + 0.5 * 6.0
+    assert got[(2, 20)] == 2.0 and got[(2, 21)] == 0.5 * 6.0 + 0.5 * 2.0
+    again = {
+        (r.user_id, r.event_id): r.ema
+        for r in ema_by_group(df.repartition(7), alpha=0.5).collect()
+    }
+    assert got == again
+    with pytest.raises(ValueError, match="alpha"):
+        ema_by_group(df, alpha=0.0)
