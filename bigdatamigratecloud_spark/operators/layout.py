@@ -101,3 +101,46 @@ def zorder_key_sql(cols: list[tuple[str, int, int]], bits: int = 16) -> str:
             # `a << 2 | b << 4` parses as `((a << 2) | b) << 4`
             terms.append(f"(((({scaled}) >> {i}) & 1) << {i * n + j})")
     return "(" + " | ".join(terms) + ")"
+
+
+def write_sized_parquet(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 128,
+    sample_rows: int = 2_000,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet with files NEAR ``target_mb`` — the
+    generic small-files valve for plain-parquet outputs (AcidTable has
+    ``compact``; everything else gets this).  Both failure modes of a
+    naive write hurt at scale: too many tiny files (one per input
+    partition — listing + open/footer cost on every later read) and
+    too few huge ones (no read parallelism, giant task retries).
+
+    Row size is ESTIMATED from a bounded driver sample (first
+    ``sample_rows`` rows serialized through their parquet-ish in-memory
+    width) with a 3x compression assumption — an estimate is all this
+    needs, since being 2x off target is still orders of magnitude
+    better than either failure mode.  One count + one repartition; the
+    shuffle is round-robin, so output files are uniformly sized.
+    Returns the partition count used."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n == 0:
+        df.limit(0).write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(min(sample_rows, n)).collect()
+    import sys
+
+    raw = sum(sys.getsizeof(str(row)) for row in sample) / len(sample)
+    est_row_bytes = max(16.0, raw / 3.0)  # ~3x parquet compression
+    parts = max(1, math.ceil(n * est_row_bytes / (target_mb * 1024 * 1024)))
+    w = df.repartition(parts).write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return parts

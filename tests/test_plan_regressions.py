@@ -396,3 +396,29 @@ def test_temperature_mixture_rebalances(spark, sf_dir):
     assert {r.doc_id for r in again.select("doc_id").collect()} == {
         r.doc_id for r in kept.select("doc_id").collect()
     }
+
+
+def test_write_sized_parquet_bounds_file_count(spark, sf_dir, tmp_path):
+    """The sized writer lands near the target: a tiny target splits the
+    table into several uniform files, a huge target collapses to one;
+    rows roundtrip exactly."""
+    import glob
+
+    from bigdatamigratecloud_spark.operators.layout import write_sized_parquet
+
+    li = spark.range(30_000).select(
+        F.col("id"), F.concat(F.lit("x" * 990), F.col("id")).alias("pad")
+    )
+    small = str(tmp_path / "small")
+    parts = write_sized_parquet(li, small, target_mb=1)
+    files = glob.glob(small + "/*.parquet")
+    assert parts > 1 and len(files) == parts
+    sizes = [__import__("os").path.getsize(f) for f in files]
+    assert max(sizes) < 8 * 1024 * 1024  # near 1MB target, never huge
+    assert min(sizes) * 4 > max(sizes)  # round-robin => uniform
+    big = str(tmp_path / "big")
+    assert write_sized_parquet(li, big, target_mb=4096) == 1
+    assert spark.read.parquet(small).count() == li.count()
+    empty = str(tmp_path / "empty")
+    assert write_sized_parquet(li.limit(0), empty) == 1
+    assert spark.read.parquet(empty).count() == 0
