@@ -487,3 +487,110 @@ def test_unigram_viterbi_is_globally_optimal(words, cost_seed):
             assert got is None
         else:
             assert got == best[3], (w, got, best)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=0, max_size=40
+    )
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    """Property: the degree-oriented wedge algorithm agrees with an
+    O(n^3) brute force on arbitrary small graphs (dups, reversals,
+    self-loops included)."""
+    from itertools import combinations
+
+    from bigdatamigratecloud_spark.operators.cluster import triangle_counts
+
+    simple = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    nodes = sorted({x for e in simple for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in simple:
+        adj[u].add(v)
+        adj[v].add(u)
+    expect = {}
+    for n in nodes:
+        t = sum(
+            1
+            for a, b in combinations(sorted(adj[n]), 2)
+            if b in adj[a]
+        )
+        expect[n] = (len(adj[n]), t)
+    if not edges:
+        edges = [(0, 0)]  # createDataFrame needs >= 1 row; self-loop drops
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles) for r in triangle_counts(df).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.25, 0.5, 0.9, 1.0]),
+)
+def test_ema_matches_python_fold(spark, vals, alpha):
+    """Property: ema_by_group reproduces the sequential Python fold
+    bit-for-bit for any values and alpha."""
+    import datetime
+
+    from bigdatamigratecloud_spark.operators.temporal import ema_by_group
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + datetime.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = [
+        r.ema
+        for r in ema_by_group(df, alpha=alpha)
+        .orderBy("event_id")
+        .collect()
+    ]
+    acc = None
+    expect = []
+    for v in vals:
+        acc = v if acc is None else alpha * v + (1.0 - alpha) * acc
+        expect.append(acc)
+    assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    host=st.lists(
+        st.text(alphabet="abcz09", min_size=1, max_size=4), min_size=1, max_size=4
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTPS"]),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    path=st.sampled_from(["", "/", "/a/b", "/a/b/"]),
+    params=st.lists(
+        st.sampled_from(["q=1", "utm_source=x", "fbclid=9", "k=v"]), max_size=4
+    ),
+)
+def test_normalize_url_idempotent_property(spark, host, scheme, port, path, params):
+    """Property: normalize(normalize(u)) == normalize(u) for any
+    well-formed URL assembled from components."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.urls import normalize_url
+
+    u = f"{scheme}://{'.'.join(host)}"
+    if port is not None:
+        u += f":{port}"
+    u += path
+    if params:
+        u += "?" + "&".join(params)
+    u += "#frag"
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(normalize_url(F.col("url")).alias("url"))
+    twice = once.select(normalize_url(F.col("url")).alias("url"))
+    assert once.first().url == twice.first().url
