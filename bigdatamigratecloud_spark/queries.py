@@ -8111,3 +8111,38 @@ def e4_ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "value"
     )
     return ema_by_group(ev, "user_id", "ts", "value", ("event_id",), alpha=0.5)
+
+
+@query(
+    "n2_ppjoin_exact",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(0, len(sp)-2),
+                            i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]))) AS shingle
+              FROM toks WHERE len(sp) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+       SELECT id_a, id_b, jaccard FROM (
+         SELECT id_a, id_b,
+                CAST(inter AS DOUBLE)
+                     / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         FROM shared
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b) t
+       WHERE jaccard >= 0.2""",
+)
+def n2_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): EXACT set-similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin) — recall 1.0 by construction, the deterministic
+    alternative to MinHash-LSH: candidates join only on each doc's
+    rarest-first prefix shingles (prefix length |A|−⌈t·|A|⌉+1
+    guarantees no qualifying pair is missed), then the exact rerank
+    touches candidates only.  The oracle is deliberately the BRUTE-
+    FORCE definition: the scale algorithm must equal naive all-shared-
+    shingle Jaccard at the same threshold, pair for pair, double for
+    double."""
+    return _dedup.jaccard_join_prefix(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.2
+    )

@@ -118,3 +118,36 @@ def test_bad_policy_and_cap_raise(spark, planted):
         dedup.minhash_lsh_candidates(sigs, hot_policy="drop")
     with pytest.raises(ValueError, match="max_bucket"):
         dedup.minhash_lsh_candidates(sigs, max_bucket=1)
+
+
+def test_ppjoin_equals_bruteforce_and_prunes(spark, planted):
+    """Prefix filtering is EXACT: pair set == jaccard_pairs at the same
+    threshold on a corpus with heavy duplication; and the candidate
+    explode really is smaller than the full shingle stream."""
+    from pyspark.sql import functions as F
+
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(planted, min_jaccard=0.5).collect()
+    }
+    pp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_join_prefix(planted, min_jaccard=0.5).collect()
+    }
+    assert pp == brute and len(pp) > 0
+    # prefix stream strictly smaller than full shingle stream at t=0.5
+    sh = dedup.shingles_df(planted, "doc_id", "text", 3)
+    full = sh.count()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    lists = sh.join(freq, "shingle").groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("seq")
+    )
+    plen = (F.size("seq") - F.ceil(F.lit(0.5) * F.size("seq")) + 1).cast("int")
+    pref = lists.withColumn("__p", plen).select(
+        F.explode(F.expr("slice(seq, 1, __p)")).alias("x")
+    )
+    assert pref.count() < full
+    import pytest
+
+    with pytest.raises(ValueError, match="min_jaccard"):
+        dedup.jaccard_join_prefix(planted, min_jaccard=0.0)
