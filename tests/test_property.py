@@ -594,3 +594,67 @@ def test_normalize_url_idempotent_property(spark, host, scheme, port, path, para
     once = df.select(normalize_url(F.col("url")).alias("url"))
     twice = once.select(normalize_url(F.col("url")).alias("url"))
     assert once.first().url == twice.first().url
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=64), min_size=1, max_size=8
+    ),
+    gz=st.booleans(),
+)
+def test_warc_roundtrip_property(spark, tmp_path_factory, payloads, gz):
+    """Property: arbitrary payload BYTES (CRLF runs, empties, nulls)
+    survive the WARC record framing byte-for-byte."""
+    import gzip as _gz
+
+    from bigdatamigratecloud_spark.sources import warc
+
+    d = tmp_path_factory.mktemp("warcprop")
+    recs = b""
+    for i, p in enumerate(payloads):
+        head = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:uuid:p" + str(i).encode() + b">\r\n"
+            b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"WARC-Target-URI: http://p.example/" + str(i).encode() + b"\r\n"
+            b"Content-Type: application/octet-stream\r\n"
+            b"Content-Length: " + str(len(p)).encode() + b"\r\n\r\n"
+        )
+        rec = head + p + b"\r\n\r\n"
+        recs += _gz.compress(rec) if gz else rec
+    (d / ("a.warc.gz" if gz else "a.warc")).write_bytes(recs)
+    got = {
+        r.target_uri: bytes(r.payload)
+        for r in warc.read_warc(spark, str(d)).collect()
+    }
+    assert got == {
+        f"http://p.example/{i}": bytes(p) for i, p in enumerate(payloads)
+    }
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=6, max_size=30), min_size=3, max_size=12
+    )
+)
+def test_hot_bucket_guard_inert_property(spark, texts):
+    """Property: with the cap above every bucket size, the guarded
+    candidate join equals the unguarded one on arbitrary corpora."""
+    from bigdatamigratecloud_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(docs)
+    hi = len(texts) * 8 + 2
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(sigs, max_bucket=hi).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(sigs, max_bucket=None).collect()
+    }
+    assert guarded == unguarded
