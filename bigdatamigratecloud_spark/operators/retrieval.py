@@ -600,3 +600,70 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    pos_col: str = "tok_pos",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+    arXiv:2004.12832): documents and queries are BAGS of token vectors,
+    and score(q, d) = Σ over q's tokens of max over d's tokens of
+    cosine similarity — the MaxSim operator.  Late interaction is the
+    production middle ground between single-vector ANN (cheap, lossy)
+    and cross-encoders (accurate, O(pairs) inference): token-level
+    matching with embedding-only infrastructure.
+
+    Exactness contract: token vectors are unit-normalized with the
+    package's fixed fold, each (query token, doc token) cosine is one
+    zip_with/aggregate chain, the per-(query, doc, query-token) MAX is
+    arithmetic-free, and the final per-document sum folds the maxes in
+    QUERY-TOKEN ORDER (array_sort on tok_pos, then a left fold seeded
+    with 0.0) — never an engine-ordered float aggregate — so any engine
+    reproduces the score doubles bit-for-bit.
+
+    Scale shape (100 TB of token embeddings): the query token set is
+    tiny (|Q| queries × ~32 tokens) and BROADCAST; the corpus token
+    table is scanned ONCE; the two aggregations are keyed by
+    (query, doc[, qpos]) — bounded by |Q|·docs, never doc×doc; the
+    rank is a per-query window over |Q|·docs rows.  At real corpus
+    sizes compose with the IVF index exactly like ColBERT's own
+    two-stage design: `ivf_index_query` over the token vectors yields
+    candidate doc ids, and this operator reranks only the candidates'
+    tokens.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .similarity import _dot, with_unit_vector
+
+    d = with_unit_vector(doc_tokens, vec_col, "du").select(
+        F.col(doc_id_col).alias("doc_id"), F.col(pos_col).alias("dpos"), "du"
+    )
+    q = with_unit_vector(query_tokens, vec_col, "qu").select(
+        F.col(query_id_col).alias("query_id"), F.col(pos_col).alias("qpos"), "qu"
+    )
+    sim = d.crossJoin(F.broadcast(q)).select(
+        "query_id", "qpos", "doc_id", _dot(F.col("qu"), F.col("du")).alias("cos")
+    )
+    mx = sim.groupBy("query_id", "qpos", "doc_id").agg(F.max("cos").alias("m"))
+    sc = mx.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("qpos", "m"))),
+                lambda s: s["m"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

@@ -525,6 +525,94 @@ def hot_span_scrub(
     return _rebuild_scrubbed(toks_df, covered, id_col)
 
 
+def line_dedup(
+    df: DataFrame,
+    min_doc_freq: int = 2,
+    min_line_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "none",
+) -> DataFrame:
+    """LINE-level corpus dedup — the CCNet (Wenzek et al. 2020,
+    arXiv:1911.00359) / RefinedWeb (Penedo et al. 2023) boilerplate
+    filter: a line whose exact text occurs in >= ``min_doc_freq``
+    DISTINCT documents (navigation bars, cookie banners, footers) is
+    removed from every document; survivors are reassembled in original
+    line order.  This is the per-LINE modality the n-gram passage
+    dedup (:func:`corpus_span_dedup`) misses: boilerplate lines are
+    short, exactly repeated, and aligned to '\\n' boundaries, so exact
+    line identity is both cheaper and more precise than span
+    fingerprinting for them.
+
+    ``keep='none'`` (the CCNet semantic) drops every occurrence;
+    ``keep='first'`` preserves the lexicographically-first
+    (doc_id, position) occurrence as the canonical copy.  Lines shorter
+    than ``min_line_chars`` (e.g. blank separators) are never counted
+    and never removed — removing every empty line would destroy
+    paragraph structure corpus-wide.
+
+    Scale shape (100 TB): lines shuffle by a 60-bit portable hash of
+    the line text — fixed-width 8-byte keys, never the line itself;
+    one hash-keyed distinct-doc count (map-side partials), one
+    hash-keyed join back (the hot set stays distributed — on a web
+    corpus it is far too large to broadcast), a doc-keyed left-anti +
+    rebuild aggregation.  Nothing is doc x doc and no step holds more
+    than one document's lines in memory.  60-bit hashes can collide at
+    ~2^30 distinct lines; a collision conservatively removes a
+    non-duplicated line — acceptable for curation, documented here.
+
+    Returns (id, scrubbed_text, n_lines_removed)."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    from pyspark.sql import Window
+
+    from .dedup import portable_hash60
+
+    split = F.split(F.col(text_col), "\n", -1)
+    lines = df.select(F.col(id_col), F.posexplode(split).alias("pos", "line"))
+    countable = lines.filter(F.length("line") >= min_line_chars).select(
+        id_col, "pos", portable_hash60(F.col("line")).alias("__h")
+    )
+    hot = (
+        countable.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_doc_freq)
+        .select("__h")
+    )
+    hits = countable.join(hot, "__h")
+    if keep == "first":
+        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .drop("__rn")
+        )
+    kept = lines.join(hits.select(id_col, "pos"), [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return (
+        df.select(F.col(id_col), F.size(split).alias("__n_lines"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            (F.col("__n_lines") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_lines_removed"),
+        )
+    )
+
+
 # -------------------------------------------------- quality classifier
 
 def classifier_weights(n_buckets: int = 256, seed: int = 7) -> tuple[list[float], float]:

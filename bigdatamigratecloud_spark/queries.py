@@ -4407,6 +4407,66 @@ def n1_corpus_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n1_line_dedup",
+    """WITH base AS (
+         SELECT d.doc_id,
+                substr(d.text, 1, 120) || chr(10) || substr(r.text, 1, 120)
+                  || chr(10) || 'FOOTER-' || CAST(d.doc_id % 7 AS VARCHAR) AS text
+         FROM documents d JOIN documents r ON r.doc_id = d.doc_id % 50),
+       ln AS (SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(0, len(string_split(text, chr(10))))) AS pos
+              FROM base),
+       hot AS (SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+               FROM ln WHERE length(line) >= 1
+               GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+       kept AS (SELECT l.doc_id, l.pos, l.line FROM ln l
+                WHERE length(l.line) < 1
+                   OR ('0x' || substr(md5(l.line), 1, 15))::BIGINT
+                      NOT IN (SELECT h FROM hot)),
+       re AS (SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS scrubbed_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+       SELECT b.doc_id,
+              COALESCE(re.scrubbed_text, '') AS scrubbed_text,
+              CAST(len(string_split(b.text, chr(10))) - COALESCE(re.n_kept, 0)
+                   AS INT) AS n_lines_removed
+       FROM base b LEFT JOIN re ON b.doc_id = re.doc_id""",
+)
+def n1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 (round 9): LINE-level boilerplate removal — the CCNet /
+    RefinedWeb per-line dedup modality n-gram passage dedup misses:
+    a line occurring in >= 5 DISTINCT documents (footers, banners,
+    navigation) is dropped from every document, survivors reassemble
+    in order.  The entry PLANTS the boilerplate deterministically so
+    both engines see the same corpus: each document becomes three
+    lines — its own 120-char prefix, the prefix of document
+    (doc_id % 50) (shared by exactly the ~10 documents that alias onto
+    it), and a FOOTER-(doc_id % 7) line shared by ~71 documents — so
+    removal must fire on the planted lines and nothing else.  Shuffle
+    keys are 60-bit portable line hashes the oracle replays verbatim
+    (operators/text.line_dedup)."""
+    from .operators.text import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    r = d.select(F.col("doc_id").alias("rid"), F.col("text").alias("rtext"))
+    base = (
+        d.join(r, r["rid"] == d["doc_id"] % 50)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.substring(F.col("text"), 1, 120),
+                F.substring(F.col("rtext"), 1, 120),
+                F.concat(F.lit("FOOTER-"), (F.col("doc_id") % 7).cast("string")),
+            ).alias("text"),
+        )
+    )
+    return line_dedup(base, min_doc_freq=5, keep="none")
+
+
+@query(
     "n2_label_centroids",
     """SELECT label, CAST(i AS INT) AS dim,
               CAST(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_val
@@ -7086,6 +7146,59 @@ def n6_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nbr_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, sem], k=10)
+
+
+@query(
+    "n6_maxsim_topk",
+    """WITH u AS (SELECT vec_id // 5 AS doc_id, vec_id % 5 AS tok_pos,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+       n AS (SELECT doc_id, tok_pos,
+                    list_transform(v, x -> x / sqrt(list_reduce(
+                        list_transform(v, y -> y * y), (a, b) -> a + b))) AS uv
+             FROM u),
+       q AS (SELECT doc_id AS query_id, tok_pos AS qpos, uv AS qu
+             FROM n WHERE doc_id < 3),
+       d AS (SELECT doc_id, uv AS du FROM n WHERE doc_id >= 3),
+       s AS (SELECT q.query_id, q.qpos, d.doc_id,
+                    list_reduce(list_transform(list_zip(q.qu, d.du),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM d CROSS JOIN q),
+       mx AS (SELECT query_id, qpos, doc_id, max(cos) AS m
+              FROM s GROUP BY 1, 2, 3),
+       sc AS (SELECT query_id, doc_id,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(m ORDER BY qpos)), (a, b) -> a + b) AS score
+              FROM mx GROUP BY 1, 2)
+       SELECT query_id, doc_id, rank, score FROM (
+         SELECT query_id, doc_id, score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS INT) AS rank
+         FROM sc) r
+       WHERE rank <= 5""",
+)
+def n6_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 9): ColBERT-style MaxSim late-interaction retrieval —
+    documents as BAGS of token vectors, score(q,d) = Σ_{q tokens}
+    max_{d tokens} cosine.  Token embeddings are carved
+    deterministically from the embeddings table (doc_id = vec_id DIV 5,
+    tok_pos = vec_id % 5 → 5-token documents); the first 3 documents
+    are the queries, the rest the corpus.  Query tokens broadcast, one
+    corpus-token scan, the per-doc sum folds maxes in query-token order
+    so scores replay bit-for-bit (operators/retrieval.maxsim_topk)."""
+    from .operators.retrieval import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("vec_id DIV 5").alias("doc_id"),
+        (F.col("vec_id") % 5).alias("tok_pos"),
+        F.col("embedding").alias("vec"),
+    )
+    return maxsim_topk(
+        toks.filter(F.col("doc_id") >= 3),
+        toks.filter(F.col("doc_id") < 3).withColumnRenamed("doc_id", "query_id"),
+        k=5,
+    )
 
 
 @query(

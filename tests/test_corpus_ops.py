@@ -990,3 +990,76 @@ def test_text_embed_hashed_matches_python_replica(spark):
                 acc += w
             want[b] = acc
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------- line dedup
+
+def _line_dedup_fixture(spark):
+    # "nav" appears in docs 1,2,3 (3 distinct docs); "body N" lines unique;
+    # "" (blank) appears everywhere but is below min_line_chars; doc 4 is
+    # nothing but boilerplate and must survive as an empty string.
+    return spark.createDataFrame(
+        [
+            (1, "nav\nbody one\n\ntail one"),
+            (2, "nav\nbody two\n\ntail two"),
+            (3, "nav\nbody three"),
+            (4, "nav"),
+            (5, "solo document"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_line_dedup_removes_hot_lines_keeps_blanks(spark):
+    from bigdatamigratecloud_spark.operators.text import line_dedup
+
+    out = {
+        r["doc_id"]: (r["scrubbed_text"], r["n_lines_removed"])
+        for r in line_dedup(_line_dedup_fixture(spark), min_doc_freq=3).collect()
+    }
+    assert out[1] == ("body one\n\ntail one", 1)
+    assert out[2] == ("body two\n\ntail two", 1)
+    assert out[3] == ("body three", 1)
+    assert out[4] == ("", 1)  # all-boilerplate doc -> empty, not dropped
+    assert out[5] == ("solo document", 0)
+
+
+def test_line_dedup_keep_first_preserves_canonical(spark):
+    from bigdatamigratecloud_spark.operators.text import line_dedup
+
+    out = {
+        r["doc_id"]: r["scrubbed_text"]
+        for r in line_dedup(
+            _line_dedup_fixture(spark), min_doc_freq=3, keep="first"
+        ).collect()
+    }
+    # first (doc_id, pos) occurrence of "nav" is doc 1 pos 0 -> survives there
+    assert out[1] == "nav\nbody one\n\ntail one"
+    assert out[2] == "body two\n\ntail two"
+    assert out[3] == "body three"
+    assert out[4] == ""
+
+
+def test_line_dedup_min_line_chars_guards_short_lines(spark):
+    from bigdatamigratecloud_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "ab\nlong line"), (2, "ab\nother"), (3, "ab\nthird")],
+        "doc_id long, text string",
+    )
+    # with the guard above 2 chars, "ab" is never counted -> nothing removed
+    out = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in line_dedup(df, min_doc_freq=2, min_line_chars=3).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_line_dedup_validates_args(spark):
+    from bigdatamigratecloud_spark.operators.text import line_dedup
+
+    df = _line_dedup_fixture(spark)
+    with pytest.raises(ValueError):
+        line_dedup(df, keep="bogus")
+    with pytest.raises(ValueError):
+        line_dedup(df, min_doc_freq=1)

@@ -379,3 +379,78 @@ def test_rrf_fuse_semantics(spark):
     assert set(got) == {1, 2, 3, 4}
     with _p.raises(ValueError):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------- MaxSim
+
+def _tok(df_rows, spark, id_name):
+    return spark.createDataFrame(
+        df_rows, f"{id_name} long, tok_pos long, vec array<double>"
+    )
+
+
+def test_maxsim_matches_python_replay(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import maxsim_topk
+
+    docs = _tok(
+        [
+            (10, 0, [1.0, 0.0]), (10, 1, [0.0, 1.0]),
+            (20, 0, [1.0, 1.0]), (20, 1, [3.0, 4.0]),
+            (30, 0, [-1.0, 0.0]),
+        ],
+        spark, "doc_id",
+    )
+    qs = _tok([(1, 0, [2.0, 0.0]), (1, 1, [0.0, 5.0])], spark, "query_id")
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in maxsim_topk(docs, qs, k=3).collect()
+    }
+
+    import math
+
+    def unit(v):
+        n = math.sqrt(sum(0.0 + x * x for x in v))
+        return [x / n for x in v]
+
+    dv = {10: [[1.0, 0.0], [0.0, 1.0]], 20: [[1.0, 1.0], [3.0, 4.0]], 30: [[-1.0, 0.0]]}
+    qv = [[2.0, 0.0], [0.0, 5.0]]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    want = {}
+    for d, toks in dv.items():
+        s = 0.0
+        for q in qv:
+            s += max(dot(unit(q), unit(t)) for t in toks)
+        want[d] = s
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rk, (d, s) in enumerate(ranked, 1):
+        assert got[(1, d)] == (rk, s), (d, got[(1, d)], (rk, s))
+
+
+def test_maxsim_exact_copy_scores_query_length(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import maxsim_topk
+
+    # doc 1 contains exact copies of both query tokens -> each MaxSim
+    # term is cos=1.0, score == number of query tokens, rank 1
+    docs = _tok(
+        [(1, 0, [3.0, 0.0]), (1, 1, [0.0, 7.0]), (2, 0, [1.0, 1.0])],
+        spark, "doc_id",
+    )
+    qs = _tok([(9, 0, [6.0, 0.0]), (9, 1, [0.0, 14.0])], spark, "query_id")
+    rows = {r["doc_id"]: r for r in maxsim_topk(docs, qs, k=2).collect()}
+    assert rows[1]["score"] == 2.0 and rows[1]["rank"] == 1
+    assert rows[2]["rank"] == 2
+
+
+def test_maxsim_validates_k(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import maxsim_topk
+
+    df = _tok([(1, 0, [1.0])], spark, "doc_id")
+    q = _tok([(1, 0, [1.0])], spark, "query_id")
+    with pytest.raises(ValueError):
+        maxsim_topk(df, q, k=0)
