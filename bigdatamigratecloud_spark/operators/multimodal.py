@@ -1166,6 +1166,95 @@ def image_thumbnail(
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(kernel, schema=THUMB_SCHEMA)
 
 
+def image_resize_pixels(
+    df: DataFrame,
+    out_h: int = 8,
+    out_w: int = 8,
+    method: str = "box",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """INTEGER-EXACT image resize over binary payloads — the 'resize'
+    stage of the multimodal mandate in its oracle-checkable form:
+    decode (the from-scratch codecs) → integer luma
+    ((299R+587G+114B)//1000, dHash's formula) → downsample to
+    (out_h, out_w), emitting ONE ROW PER OUTPUT PIXEL (id, y, x, v).
+
+    ``method='box'`` is the anti-aliased path: output pixel (y, x)
+    is the FLOOR MEAN (integer sum // count) over the source block
+    rows [y·H//out_h, (y+1)·H//out_h) × cols [x·W//out_w,
+    (x+1)·W//out_w) — the boundaries every engine derives identically,
+    and uneven blocks (H not divisible by out_h) are handled by the
+    same floor arithmetic.  ``method='nearest'`` picks
+    luma[(y·H)//out_h][(x·W)//out_w], the dHash sampling rule.  Both
+    are pure integer chains, so an external engine can replay every
+    output value closed-form (the n3_image_resize oracle does).
+
+    Scale shape: one Arrow ``mapInPandas`` — rows independent, zero
+    shuffle; output bounded at out_h·out_w rows per image.  NULL or
+    (non-strict) undecodable payloads emit no rows; ``strict`` raises
+    at the codec gate.  Upscaling past the source size is rejected —
+    a box mean over an empty block has no value."""
+    if method not in ("box", "nearest"):
+        raise ValueError(f"method must be 'box' or 'nearest', got {method!r}")
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"output dims must be >= 1, got {out_h}x{out_w}")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("v", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                arr = _decode_image(bytes(payload), strict)
+                if arr is None:
+                    continue
+                a = np.asarray(arr, dtype=np.int64)
+                if a.ndim == 2:
+                    luma = a
+                elif a.shape[2] == 1:
+                    luma = a[:, :, 0]
+                else:
+                    luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+                h, w = luma.shape
+                if out_h > h or out_w > w:
+                    raise ValueError(
+                        f"cannot resize {h}x{w} up to {out_h}x{out_w}: "
+                        "box/nearest downsampling only"
+                    )
+                if method == "nearest":
+                    ys = [(y * h) // out_h for y in range(out_h)]
+                    xs = [(x * w) // out_w for x in range(out_w)]
+                    s = luma[np.ix_(ys, xs)]
+                    for y in range(out_h):
+                        for x in range(out_w):
+                            rows.append((mid, y, x, int(s[y][x])))
+                else:
+                    yb = [(y * h) // out_h for y in range(out_h + 1)]
+                    xb = [(x * w) // out_w for x in range(out_w + 1)]
+                    for y in range(out_h):
+                        for x in range(out_w):
+                            blk = luma[yb[y] : yb[y + 1], xb[x] : xb[x + 1]]
+                            rows.append((mid, y, x, int(blk.sum()) // blk.size))
+            yield pd.DataFrame(rows, columns=[id_col, "y", "x", "v"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, schema=out_schema)
+
+
 def audio_features(
     df: DataFrame, id_col: str = "id", content_col: str = "content", decode_strict: bool = False
 ) -> DataFrame:

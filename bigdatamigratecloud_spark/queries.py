@@ -5244,6 +5244,9 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "jsonl":
             tf.write_jsonl(docs, d)
             back = tf.read_jsonl(spark, d, schema).drop("_corrupt_record")
+        elif fmt == "jsonl_bz2":
+            tf.write_jsonl(docs, d, compression="bzip2")
+            back = tf.read_jsonl(spark, d, schema).drop("_corrupt_record")
         elif fmt == "csv":
             tf.write_csv(docs, d)
             back = tf.read_csv(spark, d, schema)
@@ -5268,6 +5271,20 @@ def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _corrupt_record rather than failing the job).  Round-trip must equal
     the source table exactly."""
     return _roundtrip_docs(spark, sf_dir, "jsonl")
+
+
+@query("s15_bz2_jsonl_roundtrip", _DOCS_RT_SQL)
+def s15_bz2_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension (round 9): bzip2 JSONL corpus sink/source.
+    bzip2 is the one Hadoop text codec that is both pure-Java (no
+    native-lib dependency, so it works on any executor image) and
+    SPLITTABLE (SplittableCompressionCodec): a single multi-TB .bz2
+    text file fans out across executors at bzip2-block granularity,
+    where a gzip file of any size pins its whole decode to ONE task —
+    the difference between a 1000-way and a 1-way scan of a monolithic
+    crawl dump.  Same quarantine-on-corrupt read contract as s9.
+    Splittability is plan-asserted in tests/test_textfiles.py."""
+    return _roundtrip_docs(spark, sf_dir, "jsonl_bz2")
 
 
 @query("s10_orc_roundtrip", _DOCS_RT_SQL)
@@ -6995,6 +7012,69 @@ def n3_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ids.mapInPandas(gen, schema="img long, planted boolean, payload binary")
     hashes = dhash64(media, "payload", "img")
     return dhash_neardup(hashes, "img", max_hamming=4)
+
+
+@query(
+    "n3_image_resize",
+    """WITH imgs AS (SELECT doc_id AS img FROM documents WHERE doc_id < 100),
+       px AS (SELECT img, r.r, c.c, (7 * r.r + 11 * c.c + 13 * img) % 256 AS v
+              FROM imgs, UNNEST(range(0, 16)) r(r), UNNEST(range(0, 16)) c(c)),
+       box AS (SELECT img, 'box' AS method,
+                      CAST(r // 4 AS INT) AS y, CAST(c // 4 AS INT) AS x,
+                      CAST(SUM(v) // 16 AS INT) AS v
+               FROM px GROUP BY img, r // 4, c // 4),
+       nst AS (SELECT img, 'nearest' AS method,
+                      CAST(y.y AS INT) AS y, CAST(x.x AS INT) AS x,
+                      CAST((7 * (4 * y.y) + 11 * (4 * x.x) + 13 * img) % 256
+                           AS INT) AS v
+               FROM imgs, UNNEST(range(0, 4)) y(y), UNNEST(range(0, 4)) x(x))
+       SELECT img, method, y, x, v FROM box
+       UNION ALL
+       SELECT img, method, y, x, v FROM nst""",
+)
+def n3_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 (round 9): INTEGER-EXACT image resize — the mandate's
+    'resize' stage made oracle-checkable.  Deterministic 16×16
+    grayscale GIFs (luma = (7·row + 11·col + 13·img) mod 256) are
+    REALLY encoded and decoded through the from-scratch GIF codec,
+    then downsampled to 4×4 both ways: 'box' (floor mean over each
+    4×4 source block — SUM // 16) and 'nearest' (dHash's
+    floor-index sampling rule).  One row per output pixel; the oracle
+    replays every value closed-form, so the encode→decode→resize
+    chain is verified against pure arithmetic.  See
+    operators/multimodal.image_resize_pixels."""
+    from .operators.multimodal import encode_gif, image_resize_pixels
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 100)
+    )
+    palette = [(g, g, g) for g in range(256)]
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for img in pdf["doc_id"]:
+                grid = [
+                    [(7 * r + 11 * c + 13 * int(img)) % 256 for c in range(16)]
+                    for r in range(16)
+                ]
+                payloads.append(encode_gif(np.array(grid, dtype=np.uint8), palette))
+            yield pdf.assign(payload=payloads)
+
+    media = docs.mapInPandas(gen, schema="doc_id long, payload binary").withColumnRenamed(
+        "doc_id", "img"
+    )
+    box = image_resize_pixels(media, 4, 4, "box", "payload", "img").withColumn(
+        "method", F.lit("box")
+    )
+    nst = image_resize_pixels(media, 4, 4, "nearest", "payload", "img").withColumn(
+        "method", F.lit("nearest")
+    )
+    return box.unionByName(nst).select("img", "method", "y", "x", "v")
 
 
 @query(

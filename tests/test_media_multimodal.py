@@ -1800,3 +1800,73 @@ def test_tiff_16bit_tiled_under_system_libtiff():
         assert (full[:20, :35] == arr).all(), "libtiff readback mismatch"
     finally:
         _os.unlink(path)
+
+
+# ---------------------------------------------------------------- resize
+
+def _gray_gif_df(spark, grids):
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.multimodal import encode_gif
+
+    palette = [(g, g, g) for g in range(256)]
+    rows = [
+        (i, bytearray(encode_gif(np.array(g, dtype=np.uint8), palette)))
+        for i, g in enumerate(grids)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_image_resize_box_uneven_blocks_floor_mean(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import image_resize_pixels
+
+    # 5x5 image -> 2x2 box: row blocks [0,2) and [2,5), same for cols;
+    # values v(r,c) = 10*r + c make every block mean hand-checkable
+    grid = [[10 * r + c for c in range(5)] for r in range(5)]
+    df = _gray_gif_df(spark, [grid])
+    got = {
+        (r["y"], r["x"]): r["v"]
+        for r in image_resize_pixels(df, 2, 2, "box").collect()
+    }
+
+    def mean(r0, r1, c0, c1):
+        vals = [10 * r + c for r in range(r0, r1) for c in range(c0, c1)]
+        return sum(vals) // len(vals)
+
+    assert got == {
+        (0, 0): mean(0, 2, 0, 2),
+        (0, 1): mean(0, 2, 2, 5),
+        (1, 0): mean(2, 5, 0, 2),
+        (1, 1): mean(2, 5, 2, 5),
+    }
+
+
+def test_image_resize_nearest_picks_floor_index(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import image_resize_pixels
+
+    grid = [[10 * r + c for c in range(4)] for r in range(4)]
+    df = _gray_gif_df(spark, [grid])
+    got = {
+        (r["y"], r["x"]): r["v"]
+        for r in image_resize_pixels(df, 2, 2, "nearest").collect()
+    }
+    # (y*4)//2 = 0, 2 -> picks rows/cols 0 and 2
+    assert got == {(0, 0): 0, (0, 1): 2, (1, 0): 20, (1, 1): 22}
+
+
+def test_image_resize_null_skipped_and_guards(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import image_resize_pixels
+
+    df = spark.createDataFrame([(1, None)], "media_id long, payload binary")
+    assert image_resize_pixels(df, 2, 2, "box").count() == 0
+    with pytest.raises(ValueError):
+        image_resize_pixels(df, 2, 2, "cubic")
+    with pytest.raises(ValueError):
+        image_resize_pixels(df, 0, 2, "box")
+    # upscale must fail loudly inside the task
+    grid = [[0, 1], [2, 3]]
+    up = _gray_gif_df(spark, [grid])
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception):
+        image_resize_pixels(up, 4, 4, "box").collect()
