@@ -288,3 +288,66 @@ def triangle_counts(
             F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007) over an undirected graph — the near-linear
+    community signal for web/link graphs that connected components
+    cannot give (components only answer reachability; LPA splits a
+    connected graph into densely-linked groups — link rings, topic
+    clusters, template families).
+
+    Semantics, fully deterministic so any engine replays the final
+    labels: every node starts labeled with its own id; each ROUND every
+    node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (a node with no
+    neighbors cannot occur here — the node set is induced by the edge
+    list).  The round budget is a fixed parameter: classic async LPA
+    converges but is order-dependent; fixed-round synchronous LPA is
+    the reproducible variant (oscillation on bipartite-ish structures
+    is bounded by the budget and the same in every engine).
+
+    Scale shape: per round ONE neighbor join (edges x node-sized label
+    frame, key-partitioned), one (node, label) count with map-side
+    partials, one per-node rank window bounded by the node's distinct
+    neighbor-label count.  The label frame is localCheckpoint-ed per
+    round so the plan stays O(1) deep; the bidirectional edge list is
+    checkpointed once and reused every round (the pagerank discipline).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    bi = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bi.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        nbr = bi.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -667,3 +667,58 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def phrase_match_counts(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """EXACT PHRASE matching via a positional posting list — the
+    retrieval op behind phrase-level decontamination ("which corpus
+    documents contain this benchmark sentence verbatim?") and phrase
+    queries generally.  ``phrases`` is (phrase_id, words array);
+    returns (phrase_id, doc_id, n_matches) with one row per document
+    CONTAINING the phrase, n_matches = number of starting positions.
+
+    Shape: the corpus explodes ONCE into positional postings
+    (doc, pos, token); the phrase set explodes into (phrase, offset,
+    word) — tiny, broadcast; a token=word equi-join anchors every
+    candidate (phrase, doc, pos-offset) start, and a start is a match
+    iff ALL of the phrase's offsets anchored there: COUNT(DISTINCT
+    offset) == phrase length after one (phrase, doc, start)-keyed
+    aggregation.  No self-join of the posting list, no per-phrase
+    corpus scan — the entire phrase set resolves in one pass, the
+    batch-BM25 discipline.
+
+    Stop-word-heavy phrases make the anchor join skewed on hot tokens
+    (the classic positional-index caveat); AQE's skew join handles it,
+    or pre-filter anchors to the phrase's RAREST word before the
+    aggregation when |phrases| is large."""
+    from .text import tokens
+
+    tp = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    pw = phrases.select(
+        F.col(phrase_id_col),
+        F.posexplode(F.col(words_col)).alias("i", "word"),
+    )
+    plen = phrases.select(
+        F.col(phrase_id_col), F.size(words_col).alias("__k")
+    )
+    anchored = tp.join(F.broadcast(pw), tp["tok"] == pw["word"]).select(
+        phrase_id_col, id_col, (F.col("pos") - F.col("i")).alias("start"), "i"
+    ).filter(F.col("start") >= 0)
+    starts = (
+        anchored.groupBy(phrase_id_col, id_col, "start")
+        .agg(F.count_distinct("i").alias("__hit"))
+        .join(F.broadcast(plen), phrase_id_col)
+        .filter(F.col("__hit") == F.col("__k"))
+    )
+    return starts.groupBy(phrase_id_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -772,3 +772,126 @@ def pack_token_sequences(
     if drop_last:
         seqs = seqs.filter(F.size(out_col) == L)
     return seqs.select("seq_id", "n_docs", out_col)
+
+
+def dsir_score(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection via Importance Resampling): score every corpus
+    document by how target-like its hashed n-gram profile is.
+    Features are the paper's unigrams + bigrams hashed into
+    ``n_buckets``; two bag-of-buckets models are fit with add-alpha
+    smoothing — p (target) and q (raw corpus) — and each document
+    aggregates its features' importance ratios p_b/q_b.
+
+    Exactness contract: each bucket's ratio is ONE fixed IEEE chain,
+      ((tc_b + a) * (R + a*B)) / ((rc_b + a) * (T + a*B)),
+    and the per-document sum folds ratios in FEATURE-POSITION order
+    (unigrams first, then bigrams, each left-to-right), so
+    ``mean_ratio`` replays bit-for-bit in any engine.  ``log_weight``
+    (Σ ln ratio — the paper's log importance weight) is also emitted
+    for fidelity but is libm-dependent; oracle entries pin
+    ``mean_ratio`` and treat log_weight as diagnostic.
+
+    Scale shape (100 TB): one feature explode per side, two
+    bucket-keyed counts (map-side partials; the model is B rows and
+    BROADCASTS), one bucket join back to the corpus feature stream,
+    one doc-keyed aggregation whose state is bounded by document
+    length.  Nothing is corpus x corpus and the target pass is
+    separate from (and typically far smaller than) the corpus pass.
+
+    Documents with zero features are dropped (they have no profile to
+    score).  Returns (id, n_features, mean_ratio, log_weight)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from .dedup import portable_hash60
+    from .text import tokens, zip_shingles
+
+    def feats(df: DataFrame) -> DataFrame:
+        base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        stream = base.select(
+            id_col,
+            F.posexplode(
+                F.concat(F.col("__t"), zip_shingles(F.col("__t"), 2))
+            ).alias("pos", "feat"),
+        )
+        return stream.select(
+            id_col, "pos", (portable_hash60(F.col("feat")) % n_buckets).alias("bucket")
+        )
+
+    cf = feats(corpus)
+    tf = feats(target)
+    rc = cf.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    tot = rc.agg(F.sum("rc").alias("R")).crossJoin(
+        tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("T"))
+    )
+    a = float(alpha)
+    ab = float(alpha) * float(n_buckets)
+    ratio = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                (
+                    (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(a))
+                    * (F.col("R").cast("double") + F.lit(ab))
+                )
+                / (
+                    (F.col("rc").cast("double") + F.lit(a))
+                    * (F.col("T").cast("double") + F.lit(ab))
+                )
+            ).alias("ratio"),
+        )
+    )
+    pr = cf.join(F.broadcast(ratio), "bucket").select(id_col, "pos", "ratio")
+    rs = F.array_sort(F.collect_list(F.struct("pos", "ratio")))
+    per = pr.groupBy(id_col).agg(rs.alias("__rs"))
+    n = F.size("__rs")
+    s = F.aggregate("__rs", F.lit(0.0), lambda acc, x: acc + x["ratio"])
+    sln = F.aggregate("__rs", F.lit(0.0), lambda acc, x: acc + F.log(x["ratio"]))
+    return per.select(
+        id_col,
+        n.cast("int").alias("n_features"),
+        (s / n.cast("double")).alias("mean_ratio"),
+        sln.alias("log_weight"),
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select the ``n`` most target-like corpus documents by DSIR
+    score (deterministic top-n on (mean_ratio DESC, id ASC) — the
+    engine-exact selection rule; the paper's Gumbel-noise resampling
+    trades determinism for diversity and can be layered on with
+    ``hash_unit_draw`` if wanted).  The global top-n is orderBy+limit
+    → TakeOrderedAndProject (per-partition partial top-n, the driver
+    merges n rows) — never a full sort; the rank window then runs on
+    the n-row result only."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    scores = dsir_score(corpus, target, n_buckets, alpha, text_col, id_col)
+    top = scores.orderBy(F.col("mean_ratio").desc(), F.col(id_col).asc()).limit(n)
+    w = Window.orderBy(F.col("mean_ratio").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "n_features",
+        "mean_ratio",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -8090,6 +8090,48 @@ def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n7_data_profile",
+    """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+              count(*) - count(o_orderkey) AS n_nulls,
+              count(DISTINCT o_orderkey) AS n_distinct,
+              CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+              CAST(max(o_orderkey) AS VARCHAR) AS max_value
+       FROM orders
+       UNION ALL
+       SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+              count(DISTINCT o_custkey),
+              CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+              count(DISTINCT o_orderstatus),
+              CAST(min(o_orderstatus) AS VARCHAR),
+              CAST(max(o_orderstatus) AS VARCHAR)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+              count(DISTINCT o_orderpriority),
+              CAST(min(o_orderpriority) AS VARCHAR),
+              CAST(max(o_orderpriority) AS VARCHAR)
+       FROM orders""",
+)
+def n7_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7/§2.8 (round 9): single-scan COLUMN PROFILER — the discovery
+    half of the expectations workflow: per column (n_rows, n_nulls,
+    exact n_distinct, min, max), all metrics compiled into ONE
+    aggregation over ONE scan of orders and unpivoted in-engine with
+    stack (no driver collect).  The oracle recomputes every metric
+    per column independently (operators/quality_checks.profile_frame)."""
+    from .operators.quality_checks import profile_frame
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_frame(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@query(
     "n7_quality_checks",
     """WITH m AS (SELECT
          CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS m0,
@@ -8199,6 +8241,110 @@ def a11_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n6_phrase_search",
+    r"""WITH toks AS (SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+       tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM toks, UNNEST(range(1, len(t) + 1)) r(i)),
+       ph AS (SELECT doc_id AS phrase_id, i - 1 AS i, t[i] AS word
+              FROM toks, UNNEST(range(1, 5)) r(i)
+              WHERE doc_id < 3 AND len(t) >= 4),
+       starts AS (SELECT p.phrase_id, tp.doc_id, tp.pos - p.i AS start
+                  FROM tp JOIN ph p ON tp.tok = p.word
+                  WHERE tp.pos - p.i >= 0
+                  GROUP BY 1, 2, 3
+                  HAVING count(DISTINCT p.i) = 4)
+       SELECT phrase_id, doc_id, count(*) AS n_matches
+       FROM starts GROUP BY 1, 2""",
+)
+def n6_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 9): exact PHRASE search through a positional posting
+    list — the phrase-level decontamination primitive.  The first 4
+    tokens of each of the first 3 documents become the phrase set
+    (guaranteed hits, derived identically by both engines); the corpus
+    explodes once into (doc, pos, token) postings, the broadcast
+    phrase words anchor candidate starts, and a start matches iff all
+    4 offsets anchor there.  One pass resolves the whole phrase set
+    (operators/retrieval.phrase_match_counts)."""
+    from .operators.retrieval import phrase_match_counts
+    from .operators.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.slice(_toks("text"), 1, 4).alias("words"),
+        )
+        .filter(F.size("words") >= 4)
+    )
+    return phrase_match_counts(docs, phrases)
+
+
+@query(
+    "n6_label_propagation",
+    """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem WHERE l_orderkey % 20 = 0),
+       e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+              FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s),
+       bi AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi),
+       c1 AS (SELECT b.u AS node, l.label, count(*) AS c
+              FROM bi b JOIN l0 l ON l.node = b.v GROUP BY 1, 2),
+       l1 AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM c1) q WHERE rn = 1),
+       c2 AS (SELECT b.u AS node, l.label, count(*) AS c
+              FROM bi b JOIN l1 l ON l.node = b.v GROUP BY 1, 2),
+       l2 AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM c2) q WHERE rn = 1),
+       c3 AS (SELECT b.u AS node, l.label, count(*) AS c
+              FROM bi b JOIN l2 l ON l.node = b.v GROUP BY 1, 2),
+       l3 AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM c3) q WHERE rn = 1),
+       c4 AS (SELECT b.u AS node, l.label, count(*) AS c
+              FROM bi b JOIN l3 l ON l.node = b.v GROUP BY 1, 2),
+       l4 AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM c4) q WHERE rn = 1)
+       SELECT node, label AS community FROM l4""",
+)
+def n6_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 graph family (round 9): synchronous label-propagation
+    community detection over the co-supplier graph — 4 deterministic
+    rounds (most-frequent neighbor label, ties to the smallest), the
+    near-linear community signal connected components cannot give.
+    The oracle unrolls all four rounds as CTEs and must agree
+    node-for-node (operators/cluster.label_propagation)."""
+    from .operators.cluster import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4)
+
+
+@query(
     "n6_triangle_counts",
     """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
               FROM lineitem WHERE l_orderkey % 20 = 0),
@@ -8244,6 +8390,60 @@ def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+@query(
+    "n5_dsir_select",
+    r"""WITH toks AS (SELECT doc_id, lang,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+              WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
+       feats AS (
+         SELECT doc_id, lang, i - 1 AS pos, t[i] AS feat
+         FROM toks, UNNEST(range(1, len(t) + 1)) r(i)
+         UNION ALL
+         SELECT doc_id, lang, len(t) + i - 1 AS pos, t[i] || ' ' || t[i + 1] AS feat
+         FROM toks, UNNEST(range(1, len(t))) r(i)),
+       fb AS (SELECT doc_id, lang, pos,
+                     ('0x' || substr(md5(feat), 1, 15))::BIGINT % 64 AS bucket
+              FROM feats),
+       rc AS (SELECT bucket, count(*) AS rc FROM fb GROUP BY 1),
+       tc AS (SELECT bucket, count(*) AS tc FROM fb WHERE lang = 'en' GROUP BY 1),
+       tot AS (SELECT (SELECT count(*) FROM fb) AS R,
+                      (SELECT count(*) FROM fb WHERE lang = 'en') AS T),
+       ratio AS (SELECT rc.bucket,
+                        ((CAST(COALESCE(tc.tc, 0) AS DOUBLE) + 1.0)
+                         * (CAST(R AS DOUBLE) + 64.0))
+                      / ((CAST(rc.rc AS DOUBLE) + 1.0)
+                         * (CAST(T AS DOUBLE) + 64.0)) AS ratio
+                 FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot),
+       sc AS (SELECT f.doc_id, count(*) AS nf,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list(ratio ORDER BY pos)), (a, b) -> a + b) AS s
+              FROM fb f JOIN ratio USING (bucket)
+              GROUP BY f.doc_id)
+       SELECT doc_id, CAST(nf AS INT) AS n_features,
+              s / CAST(nf AS DOUBLE) AS mean_ratio, rank
+       FROM (SELECT doc_id, nf, s,
+                    CAST(ROW_NUMBER() OVER (ORDER BY s / CAST(nf AS DOUBLE) DESC,
+                                            doc_id) AS INT) AS rank
+             FROM sc) q
+       WHERE rank <= 100""",
+)
+def n5_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 9): DSIR data selection (Xie et al. 2023) — pick the
+    100 corpus documents most like the ENGLISH target slice by hashed
+    unigram+bigram importance ratios with add-1 smoothing over 64
+    buckets.  Every stage is engine-portable: md5-prefix bucket
+    hashing, one fixed IEEE chain per bucket ratio, per-document sums
+    folded in feature-position order, top-n via partial top-k (never a
+    global sort).  The oracle replays features → buckets → both
+    bag-of-bucket models → ratios → ordered folds → ranking
+    bit-for-bit (operators/sampling.dsir_select)."""
+    from .operators.sampling import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), n=100, n_buckets=64)
 
 
 @query(

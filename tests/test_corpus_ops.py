@@ -1063,3 +1063,139 @@ def test_line_dedup_validates_args(spark):
         line_dedup(df, keep="bogus")
     with pytest.raises(ValueError):
         line_dedup(df, min_doc_freq=1)
+
+
+# ---------------------------------------------------------------- DSIR
+
+def test_dsir_score_matches_python_replay(spark):
+    import hashlib
+
+    from bigdatamigratecloud_spark.operators.sampling import dsir_score
+
+    corpus_rows = [
+        (1, "spark query engine"),
+        (2, "cat video cat video"),
+        (3, "spark engine tuning"),
+        (4, "dog video"),
+    ]
+    target_rows = [(100, "spark engine"), (101, "query tuning spark")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    B, a = 16, 1.0
+    got = {
+        r["doc_id"]: (r["n_features"], r["mean_ratio"])
+        for r in dsir_score(corpus, target, n_buckets=B, alpha=a).collect()
+    }
+
+    def feats(text):
+        t = text.split()
+        return t + [f"{x} {y}" for x, y in zip(t, t[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % B
+
+    rc, tc = {}, {}
+    for _i, txt in corpus_rows:
+        for f in feats(txt):
+            rc[bucket(f)] = rc.get(bucket(f), 0) + 1
+    for _i, txt in target_rows:
+        for f in feats(txt):
+            tc[bucket(f)] = tc.get(bucket(f), 0) + 1
+    R, T = sum(rc.values()), sum(tc.values())
+    for i, txt in corpus_rows:
+        fs = feats(txt)
+        s = 0.0
+        for f in fs:
+            b = bucket(f)
+            s += ((float(tc.get(b, 0)) + a) * (float(R) + a * B)) / (
+                (float(rc[b]) + a) * (float(T) + a * B)
+            )
+        assert got[i] == (len(fs), s / float(len(fs))), (i, got[i])
+    # target-like docs must outscore the video docs
+    assert got[1][1] > got[2][1] > got[4][1] or got[3][1] > got[4][1]
+    assert min(got[1][1], got[3][1]) > max(got[2][1], got[4][1])
+
+
+def test_dsir_select_topn_and_guards(spark):
+    from bigdatamigratecloud_spark.operators.sampling import dsir_score, dsir_select
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 == 0 else "gamma delta") for i in range(10)]
+        + [(99, "   ")],  # blank doc: zero features, must be dropped
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(0, "alpha beta alpha")], "doc_id long, text string")
+    out = dsir_select(corpus, target, n=4, n_buckets=8).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+    assert all(r["doc_id"] % 2 == 0 for r in out), out  # alpha-beta docs win
+    assert 99 not in {r["doc_id"] for r in dsir_score(corpus, target).collect()}
+    with pytest.raises(ValueError):
+        dsir_select(corpus, target, n=0)
+    with pytest.raises(ValueError):
+        dsir_score(corpus, target, n_buckets=1)
+    with pytest.raises(ValueError):
+        dsir_score(corpus, target, alpha=0.0)
+
+
+# ------------------------------------------------------- label propagation
+
+def _lpa_ref(pairs, rounds):
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = {}
+            for m in nbrs:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = min(l for l, c in cnt.items() if c == best[1])
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from bigdatamigratecloud_spark.operators.cluster import label_propagation
+
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(pairs, "src long, dst long"), rounds=4
+        ).collect()
+    }
+    assert got == _lpa_ref(pairs, 4)
+    # the two cliques end in different communities despite the bridge
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+    assert got[1] != got[10]
+
+
+def test_label_propagation_matches_replica_on_random_graph(spark):
+    import random
+
+    from bigdatamigratecloud_spark.operators.cluster import label_propagation
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(pairs, "src long, dst long"), rounds=3
+        ).collect()
+    }
+    assert got == _lpa_ref(pairs, 3)
+
+
+def test_label_propagation_validates_rounds(spark):
+    from bigdatamigratecloud_spark.operators.cluster import label_propagation
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        label_propagation(df, rounds=0)

@@ -80,3 +80,37 @@ def test_single_job(spark, frame):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+# ---------------------------------------------------------------- profiler
+
+def test_profile_frame_metrics_and_single_scan(spark):
+    from bigdatamigratecloud_spark.operators.quality_checks import profile_frame
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "a")],
+        "k long, s string",
+    )
+    got = {r["column_name"]: r for r in profile_frame(df).collect()}
+    assert got["k"]["n_rows"] == 4 and got["s"]["n_rows"] == 4
+    assert got["k"]["n_nulls"] == 1 and got["s"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 2 and got["s"]["n_distinct"] == 2
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "2")
+    assert (got["s"]["min_value"], got["s"]["max_value"]) == ("a", "b")
+    # one aggregation over one scan: no join anywhere in the plan
+    plan = profile_frame(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+
+def test_profile_frame_guards(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.quality_checks import profile_frame
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError):
+        profile_frame(df, [])
+    with _pytest.raises(ValueError):
+        profile_frame(df, ["nope"])
+    with _pytest.raises(ValueError):
+        profile_frame(df, ["k'"])

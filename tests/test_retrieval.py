@@ -454,3 +454,36 @@ def test_maxsim_validates_k(spark):
     q = _tok([(1, 0, [1.0])], spark, "query_id")
     with pytest.raises(ValueError):
         maxsim_topk(df, q, k=0)
+
+
+# ---------------------------------------------------------------- phrases
+
+def test_phrase_match_counts_overlapping_and_absent(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import phrase_match_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),       # "a b a" starts at 0 and 2
+            (2, "x a b a y"),       # one start
+            (3, "a a b b"),         # no match
+        ],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(100, ["a", "b", "a"]), (200, ["zz", "qq"])],
+        "phrase_id long, words array<string>",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in phrase_match_counts(docs, phrases).collect()
+    }
+    assert got == {(100, 1): 2, (100, 2): 1}
+
+
+def test_phrase_match_single_word_phrase_counts_occurrences(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import phrase_match_counts
+
+    docs = spark.createDataFrame([(1, "w v w w")], "doc_id long, text string")
+    phrases = spark.createDataFrame([(9, ["w"])], "phrase_id long, words array<string>")
+    got = phrase_match_counts(docs, phrases).collect()
+    assert len(got) == 1 and got[0]["n_matches"] == 3
