@@ -351,3 +351,55 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int = 8, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """k-CORE peeling over an undirected graph — the density filter
+    behind web-graph curation (a page outside the 2-core is a leaf of
+    leaves; link farms live in unusually deep cores).  Each round
+    SIMULTANEOUSLY removes every node whose degree in the current
+    subgraph is < k, plus its edges; after ``rounds`` rounds the
+    surviving nodes and their subgraph degrees are returned as
+    (node, degree).
+
+    The round budget is a FIXED parameter (the label_propagation
+    discipline): the fixpoint iteration count is data-dependent, so a
+    bounded synchronous schedule is what an external engine can replay
+    exactly — callers wanting the true core run with a generous budget
+    and check convergence via the returned degrees (all >= k iff
+    converged, asserted in tests).  Each round is one degree count
+    (map-side partials) + two semi-joins of the edge list against the
+    shrinking keep set; the edge frame is localCheckpoint-ed per round
+    so the plan stays O(1) deep.  Rows only ever shrink — the peeled
+    subgraph never exceeds the input."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    bi = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("u")
+        bi = (
+            bi.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        bi.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

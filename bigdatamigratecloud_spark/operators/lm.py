@@ -134,3 +134,78 @@ def score_bigram_lm(
             F.exp(h).alias("perplexity"),
         )
     )
+
+
+def score_kneser_ney(
+    df: DataFrame,
+    lm: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995; the
+    Chen & Goodman 1999 interpolated form — the smoothing KenLM
+    defaults to, i.e. the model family CCNet's production filter
+    actually runs).  Where add-k backs off to a uniform prior,
+    Kneser-Ney backs off to the CONTINUATION probability — how many
+    distinct contexts a word follows — which is what separates
+    versatile words from frequent-but-bound ones ("francisco" is
+    frequent but predicts almost nothing new):
+
+        P(w2|w1) = (c(w1,w2) - d) / c(w1,·)
+                   + (d · N1+(w1,·) / c(w1,·)) · Pcont(w2)
+        Pcont(w2) = N1+(·,w2) / N1+(·,·)
+
+    with d the absolute discount.  Unseen bigram: the first term is 0.
+    Unseen CONTEXT w1: full backoff, P = Pcont(w2).  A w2 the model
+    never saw anywhere has Pcont = 0 and scores 0 — the rational
+    ``mean_prob`` stays well-defined (log-space columns would be -inf,
+    so this scorer emits none; use ``score_bigram_lm`` for perplexity).
+
+    Exactness: every component is an integer count, the per-position
+    probability is ONE fixed IEEE chain, and the per-document sum
+    folds in position order — bit-replayable (the n4_kn_lm_score
+    oracle).  Scale shape matches ``score_bigram_lm``: the model and
+    its three marginal frames stay DISTRIBUTED (billion-bigram safe);
+    one (w1,w2) join, one w1 join, one w2 join, a 1-row type-count
+    broadcast, one doc-bounded aggregation."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    d = F.lit(float(discount))
+    bg = _doc_bigrams(df, text_col, id_col)
+    ctx = lm.groupBy("w1").agg(
+        F.sum("c").alias("c_ctx"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = lm.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    tt = lm.agg(F.count(F.lit(1)).alias("tt"))
+    pcont = F.coalesce(F.col("n_prec"), F.lit(0)).cast("double") / F.col("tt").cast(
+        "double"
+    )
+    seen_ctx = (
+        F.when(F.col("c").isNull(), F.lit(0.0)).otherwise(
+            (F.col("c").cast("double") - d) / F.col("c_ctx").cast("double")
+        )
+        + ((d * F.col("n_follow").cast("double")) / F.col("c_ctx").cast("double"))
+        * pcont
+    )
+    p = F.when(F.col("c_ctx").isNull(), pcont).otherwise(seen_ctx)
+    scored = (
+        bg.join(lm, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(tt))
+        .select(id_col, "pos", p.alias("p"))
+    )
+    ps = F.array_sort(F.collect_list(F.struct("pos", "p")))
+    per = scored.groupBy(id_col).agg(ps.alias("__ps"))
+    n = F.size("__ps")
+    sum_p = F.aggregate("__ps", F.lit(0.0), lambda acc, x: acc + x["p"])
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(n, F.lit(0)).alias("n_bigrams"),
+            (sum_p / n.cast("double")).alias("mean_prob"),
+        )
+    )

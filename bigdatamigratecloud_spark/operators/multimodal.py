@@ -1506,3 +1506,76 @@ def audio_fingerprint(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_resample_samples(
+    df: DataFrame,
+    factor: int,
+    method: str = "mean",
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """INTEGER-EXACT audio downsample — the audio twin of
+    :func:`image_resize_pixels` (the mandate's resample stage in its
+    oracle-checkable form): decode (module codecs) → exact int16
+    stream (the :func:`audio_fingerprint` un-normalization) → reduce
+    by ``factor``, one row per OUTPUT sample (id, i, v).
+
+    ``method='mean'`` emits the block mean with TRUNCATING integer
+    division (matching SQL engines' integer ``div``, which truncates
+    toward zero — NOT Python's floor ``//``, which differs on negative
+    sums); only full blocks are emitted, a sub-factor tail is dropped.
+    ``method='decimate'`` picks every factor-th sample (v = s[i·factor])
+    — the aliasing-prone fast path, exact by construction.
+
+    One Arrow ``mapInPandas``, rows independent, zero shuffle; output
+    is 1/factor of the decoded sample count.  NULL / undecodable
+    (non-strict) payloads emit no rows."""
+    if method not in ("mean", "decimate"):
+        raise ValueError(f"method must be 'mean' or 'decimate', got {method!r}")
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        def trunc_div(total: int, m: int) -> int:
+            q = abs(total) // m
+            return q if total >= 0 else -q
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                got = _decode_audio(bytes(payload), strict)
+                if got is None:
+                    continue
+                samples, _rate = got
+                s = np.rint(np.asarray(samples, dtype=np.float64) * 32768.0).astype(
+                    np.int64
+                )
+                n_out = len(s) // factor
+                if method == "decimate":
+                    for i in range(n_out):
+                        rows.append((mid, i, int(s[i * factor])))
+                else:
+                    for i in range(n_out):
+                        total = int(s[i * factor : (i + 1) * factor].sum())
+                        rows.append((mid, i, trunc_div(total, factor)))
+            yield pd.DataFrame(rows, columns=[id_col, "i", "v"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=out_schema
+    )

@@ -6355,6 +6355,54 @@ def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n4_kn_lm_score",
+    """WITH norm AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         FROM documents),
+       toks AS (SELECT doc_id, list_prepend('<s>', string_split(t, ' ')) AS a
+                FROM norm WHERE length(t) > 0),
+       bg AS (SELECT doc_id, i AS pos, a[i] AS w1, a[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(a))) r(i)),
+       lm AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+       ctx AS (SELECT w1, SUM(c) AS c_ctx, COUNT(*) AS n_follow
+               FROM lm GROUP BY w1),
+       cont AS (SELECT w2, COUNT(*) AS n_prec FROM lm GROUP BY w2),
+       tt AS (SELECT COUNT(*) AS tt FROM lm),
+       scored AS (SELECT b.doc_id, b.pos,
+                         (CASE WHEN l.c IS NULL THEN 0.0
+                               ELSE (CAST(l.c AS DOUBLE) - 0.75)
+                                    / CAST(cx.c_ctx AS DOUBLE) END)
+                         + ((0.75 * CAST(cx.n_follow AS DOUBLE))
+                            / CAST(cx.c_ctx AS DOUBLE))
+                           * (CAST(COALESCE(cn.n_prec, 0) AS DOUBLE)
+                              / CAST(tt.tt AS DOUBLE)) AS p
+                  FROM bg b LEFT JOIN lm l USING (w1, w2)
+                  JOIN ctx cx USING (w1)
+                  LEFT JOIN cont cn ON cn.w2 = b.w2
+                  CROSS JOIN tt),
+       per AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+                      list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+               FROM scored GROUP BY doc_id)
+       SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+              per.sp / per.n_bigrams AS mean_prob
+       FROM documents d LEFT JOIN per USING (doc_id)""",
+)
+def n4_kn_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): interpolated KNESER-NEY bigram scoring — the
+    smoothing family KenLM (and therefore CCNet's production filter)
+    actually uses: seen mass discounted by d=0.75, backoff to the
+    CONTINUATION probability (distinct contexts a word follows) rather
+    than add-k's uniform prior.  Model trained on the corpus in one
+    shuffle, three marginal frames all distributed; every probability
+    is one fixed IEEE chain over integer counts folded in position
+    order, so the oracle replays mean_prob bit-for-bit
+    (operators/lm.score_kneser_ney)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = _lm.train_bigram_lm(docs)
+    return _lm.score_kneser_ney(docs, lm, discount=0.75)
+
+
 _PACK_SEQ_SQL = """WITH norm AS (SELECT doc_id,
                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
        ids AS (SELECT doc_id,
@@ -7075,6 +7123,71 @@ def n3_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("nearest")
     )
     return box.unionByName(nst).select("img", "method", "y", "x", "v")
+
+
+@query(
+    "n3_audio_resample",
+    """WITH clips AS (SELECT doc_id AS clip FROM documents WHERE doc_id < 60),
+       samp AS (SELECT clip, i.i,
+                       CAST(((i.i * i.i * 7 + i.i * 13 + 997 * clip) % 4096)
+                            - 2048 AS BIGINT) AS s
+                FROM clips, UNNEST(range(0, 2080)) i(i)),
+       mn AS (SELECT clip, 'mean' AS method, CAST(i // 64 AS INT) AS i,
+                     SUM(s) // 64 AS v
+              FROM samp WHERE i < 2048 GROUP BY clip, i // 64),
+       dc AS (SELECT clip, 'decimate' AS method, CAST(i // 64 AS INT) AS i, s AS v
+              FROM samp WHERE i % 64 = 0 AND i < 2048)
+       SELECT clip, method, i, v FROM mn
+       UNION ALL
+       SELECT clip, method, i, v FROM dc""",
+)
+def n3_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 (round 9): INTEGER-EXACT audio downsample — the resample
+    stage of the multimodal mandate, oracle-checkable.  Deterministic
+    PCM-16 clips (the n3_audio_dedup sample formula, 2080 samples) are
+    REALLY encoded and decoded through the stdlib-wave codec path and
+    reduced 64× both ways: block mean with TRUNCATING integer
+    division (SQL div semantics) and plain decimation.  One row per
+    output sample; the oracle replays the formula and both reductions
+    closed-form (operators/multimodal.audio_resample_samples)."""
+    from .operators.multimodal import audio_resample_samples
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 60)
+    )
+
+    def gen(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            payloads = []
+            for img in pdf["doc_id"]:
+                b = int(img)
+                s = [((i * i * 7 + i * 13 + 997 * b) % 4096) - 2048
+                     for i in range(2080)]
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{len(s)}h", *s))
+                payloads.append(bio.getvalue())
+            yield pdf.assign(payload=payloads)
+
+    media = docs.mapInPandas(gen, schema="doc_id long, payload binary").withColumnRenamed(
+        "doc_id", "clip"
+    )
+    mn = audio_resample_samples(media, 64, "mean", "payload", "clip").withColumn(
+        "method", F.lit("mean")
+    )
+    dc = audio_resample_samples(media, 64, "decimate", "payload", "clip").withColumn(
+        "method", F.lit("decimate")
+    )
+    return mn.unionByName(dc).select("clip", "method", "i", "v")
 
 
 @query(
@@ -8280,6 +8393,55 @@ def n6_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("words") >= 4)
     )
     return phrase_match_counts(docs, phrases)
+
+
+@query(
+    "n6_kcore",
+    """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem WHERE l_orderkey % 20 = 0),
+       e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+              FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s),
+       b0 AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       d1 AS (SELECT u, count(*) AS c FROM b0 GROUP BY 1),
+       k1 AS (SELECT u FROM d1 WHERE c >= 3),
+       b1 AS (SELECT b.u, b.v FROM b0 b
+              JOIN k1 x ON x.u = b.u JOIN k1 y ON y.u = b.v),
+       d2 AS (SELECT u, count(*) AS c FROM b1 GROUP BY 1),
+       k2 AS (SELECT u FROM d2 WHERE c >= 3),
+       b2 AS (SELECT b.u, b.v FROM b1 b
+              JOIN k2 x ON x.u = b.u JOIN k2 y ON y.u = b.v),
+       d3 AS (SELECT u, count(*) AS c FROM b2 GROUP BY 1),
+       k3 AS (SELECT u FROM d3 WHERE c >= 3),
+       b3 AS (SELECT b.u, b.v FROM b2 b
+              JOIN k3 x ON x.u = b.u JOIN k3 y ON y.u = b.v),
+       d4 AS (SELECT u, count(*) AS c FROM b3 GROUP BY 1),
+       k4 AS (SELECT u FROM d4 WHERE c >= 3),
+       b4 AS (SELECT b.u, b.v FROM b3 b
+              JOIN k4 x ON x.u = b.u JOIN k4 y ON y.u = b.v)
+       SELECT u AS node, count(*) AS degree FROM b4 GROUP BY 1""",
+)
+def n6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 graph family (round 9): 3-core of the co-supplier graph
+    after 4 synchronous peeling rounds — the graph-density curation
+    filter (leaves of leaves fall out; link farms live in deep cores).
+    Fixed round budget so any engine replays the surviving subgraph
+    exactly; the oracle unrolls all four peels
+    (operators/cluster.kcore)."""
+    from .operators.cluster import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, k=3, rounds=4)
 
 
 @query(

@@ -1199,3 +1199,144 @@ def test_label_propagation_validates_rounds(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+# ---------------------------------------------------------------- KN LM
+
+def test_kneser_ney_matches_python_replay(spark):
+    from bigdatamigratecloud_spark.operators.lm import (
+        score_kneser_ney,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b"), (2, "c b"), (3, "a d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z b"), (12, "a q")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(train)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_prob"])
+        for r in score_kneser_ney(score, lm, discount=0.75).collect()
+    }
+
+    # python replica over the trained counts
+    c = {}
+    for txt in ["a b", "c b", "a d"]:
+        toks = ["<s>"] + txt.split()
+        for w1, w2 in zip(toks, toks[1:]):
+            c[(w1, w2)] = c.get((w1, w2), 0) + 1
+    ctx, nf, nprec = {}, {}, {}
+    for (w1, w2), k in c.items():
+        ctx[w1] = ctx.get(w1, 0) + k
+        nf[w1] = nf.get(w1, 0) + 1
+        nprec[w2] = nprec.get(w2, 0) + 1
+    tt = len(c)
+    d = 0.75
+
+    def p(w1, w2):
+        pcont = float(nprec.get(w2, 0)) / float(tt)
+        if w1 not in ctx:
+            return pcont
+        t1 = 0.0 if (w1, w2) not in c else (float(c[(w1, w2)]) - d) / float(ctx[w1])
+        return t1 + ((d * float(nf[w1])) / float(ctx[w1])) * pcont
+
+    for doc_id, txt in [(10, "a b"), (11, "z b"), (12, "a q")]:
+        toks = ["<s>"] + txt.split()
+        ps = [p(w1, w2) for w1, w2 in zip(toks, toks[1:])]
+        acc = 0.0
+        for x in ps:
+            acc += x
+        assert got[doc_id] == (len(ps), acc / float(len(ps))), (doc_id, got[doc_id])
+    # unseen w2 everywhere scores 0 for that position but stays finite
+    assert got[12][1] is not None
+    # probabilities over a seen context sum to <= 1 (proper distribution
+    # over the seen vocab; the remainder is the unseen-w2 mass)
+    vocab = sorted(nprec)
+    total = sum(p("a", w) for w in vocab)
+    assert total <= 1.0 + 1e-12
+
+
+def test_kneser_ney_validates_discount(spark):
+    from bigdatamigratecloud_spark.operators.lm import (
+        score_kneser_ney,
+        train_bigram_lm,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    lm = train_bigram_lm(df)
+    for bad in (0.0, 1.0, -0.5, 2.0):
+        with pytest.raises(ValueError):
+            score_kneser_ney(df, lm, discount=bad)
+
+
+# ---------------------------------------------------------------- k-core
+
+def _kcore_ref(pairs, k, rounds):
+    edges = set()
+    for u, v in pairs:
+        if u != v:
+            edges.add((u, v))
+            edges.add((v, u))
+    for _ in range(rounds):
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+    return deg
+
+
+def test_kcore_k4_survives_pendant_falls(spark):
+    from bigdatamigratecloud_spark.operators.cluster import kcore
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(pairs, "src long, dst long"), k=3, rounds=3
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert all(d >= 3 for d in got.values())  # converged
+
+
+def test_kcore_chain_dissolves(spark):
+    from bigdatamigratecloud_spark.operators.cluster import kcore
+
+    pairs = [(1, 2), (2, 3), (3, 4)]
+    out = kcore(
+        spark.createDataFrame(pairs, "src long, dst long"), k=2, rounds=3
+    ).collect()
+    assert out == []
+
+
+def test_kcore_matches_replica_on_random_graph(spark):
+    import random
+
+    from bigdatamigratecloud_spark.operators.cluster import kcore
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(70)]
+    pairs = [(u, v) for u, v in set(pairs) if u != v]
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(
+            spark.createDataFrame(pairs, "src long, dst long"), k=3, rounds=2
+        ).collect()
+    }
+    assert got == _kcore_ref(pairs, 3, 2)
+
+
+def test_kcore_validates_args(spark):
+    from bigdatamigratecloud_spark.operators.cluster import kcore
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore(df, k=0)
+    with pytest.raises(ValueError):
+        kcore(df, k=2, rounds=0)

@@ -1870,3 +1870,56 @@ def test_image_resize_null_skipped_and_guards(spark):
 
     with pytest.raises(Exception):
         image_resize_pixels(up, 4, 4, "box").collect()
+
+
+# ---------------------------------------------------------------- resample
+
+def _wav_df(spark, clips):
+    import io
+    import struct
+    import wave
+
+    rows = []
+    for i, s in enumerate(clips):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(struct.pack(f"<{len(s)}h", *s))
+        rows.append((i, bytearray(bio.getvalue())))
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_audio_resample_mean_and_decimate(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import audio_resample_samples
+
+    df = _wav_df(spark, [list(range(10))])
+    mean = {
+        r["i"]: r["v"] for r in audio_resample_samples(df, 3, "mean").collect()
+    }
+    assert mean == {0: 1, 1: 4, 2: 7}  # tail sample 9 dropped
+    dec = {
+        r["i"]: r["v"] for r in audio_resample_samples(df, 3, "decimate").collect()
+    }
+    assert dec == {0: 0, 1: 3, 2: 6}
+
+
+def test_audio_resample_truncates_negative_means_like_sql(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import audio_resample_samples
+
+    # sum -3 over factor 2: SQL div truncates to -1 (Python floor gives -2)
+    df = _wav_df(spark, [[-1, -2]])
+    got = audio_resample_samples(df, 2, "mean").collect()
+    assert len(got) == 1 and got[0]["v"] == -1
+
+
+def test_audio_resample_guards_and_null(spark):
+    from bigdatamigratecloud_spark.operators.multimodal import audio_resample_samples
+
+    df = spark.createDataFrame([(1, None)], "media_id long, payload binary")
+    assert audio_resample_samples(df, 4, "mean").count() == 0
+    with pytest.raises(ValueError):
+        audio_resample_samples(df, 0, "mean")
+    with pytest.raises(ValueError):
+        audio_resample_samples(df, 4, "linear")
