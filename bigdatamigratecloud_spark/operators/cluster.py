@@ -403,3 +403,38 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def dedup_clusters_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Duplicate clustering that keeps the BEST row per cluster instead
+    of the smallest id — the production keep rule (RefinedWeb/Gopher
+    keep the highest-QUALITY copy of a near-dup family, not an
+    arbitrary one): rows linked through ``pairs`` share a component
+    (min member id, as in :func:`dedup_clusters`), and ``is_kept`` = 1
+    for the member with the highest ``score_col`` (ties to the
+    smallest id — deterministic).
+
+    Same scale shape as dedup_clusters (components + one id-keyed join
+    back) plus one component-keyed rank window bounded by cluster
+    size."""
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs, src=src, dst=dst)
+    out = df.join(
+        labels.select(F.col("node").alias(id_col), "component"), id_col, "left"
+    ).withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col).cast("long"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "is_kept", (F.row_number().over(w) == 1).cast("int")
+    )

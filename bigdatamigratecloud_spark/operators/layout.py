@@ -144,3 +144,42 @@ def write_sized_parquet(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return parts
+
+
+def write_range_sorted_parquet(
+    df,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """GLOBALLY-ORDERED parquet layout: rows range-partitioned on
+    ``sort_cols`` (file i holds a contiguous key range strictly below
+    file i+1's) and sorted WITHIN each file — the layout that makes
+    downstream point/range scans prune by file min/max stats and
+    merge-reads stay sequential, without ever materializing a global
+    sort on one node.
+
+    Shape: ``repartitionByRange`` samples the key distribution
+    (reservoir sample, driver-bounded) to pick balanced boundaries,
+    then each partition sorts independently — the classic distributed
+    sort: one exchange + per-partition sorts, no single-point
+    bottleneck at any size.  Complements ``write_sized_parquet``
+    (uniform sizes, no order) and ``AcidTable.optimize_zorder``
+    (multi-dim clustering): use THIS when ONE sort key dominates the
+    read pattern.
+
+    Range boundaries come from a SAMPLE, so file sizes are
+    approximately balanced, not exact — the trade every engine makes
+    (Spark's own sortBy does the same)."""
+    if not sort_cols:
+        raise ValueError("sort_cols must be non-empty")
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    cols = [F.col(c) for c in sort_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -895,3 +895,47 @@ def dsir_select(
         "mean_ratio",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, buckets: int = 8
+) -> DataFrame:
+    """EQUI-DEPTH (equal-frequency) histogram — the selectivity-
+    estimation companion to the fixed-width histogram (w5): bucket
+    boundaries at the exact j/buckets percentiles, so every bucket
+    holds ~the same row count regardless of skew (a fixed-width
+    histogram collapses under a heavy tail; optimizers and data
+    profilers use equi-depth for exactly that reason).
+
+    Boundary semantics, engine-exact: the buckets-1 exact percentile
+    anchors are computed distributed and collected driver-side (k-1
+    scalars — the winsorize anchor discipline), and a row's bucket is
+    the COUNT OF ANCHORS STRICTLY BELOW its value (ties at an anchor
+    fall in the lower bucket).  Exact percentiles match DuckDB's
+    quantile_cont bit-for-bit (pinned by the winsorize oracle), so the
+    whole histogram replays.  Returns (bucket, n_rows, min_value,
+    max_value).
+
+    Scale: one distributed percentile aggregation + one narrow bucket
+    assignment + one bucket-keyed count — two scans, no sort.  Exact
+    percentile state grows with distinct values; swap approx_percentile
+    upstream at extreme cardinalities (the winsorize trade-off)."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    qs = [j / buckets for j in range(1, buckets)]
+    row = df.agg(
+        F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("b")
+    ).first()
+    bounds = [float(b) for b in row["b"]]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )

@@ -836,3 +836,103 @@ def text_embed_hashed(
             ),
         ).alias(out_col),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k COLLOCATIONS by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990): bigrams whose
+    joint frequency far exceeds what their parts predict ("los
+    angeles", "machine learning") — used to build tokenizer seed
+    phrases and domain lexicons from a raw corpus.
+
+    The ranking statistic is the RATIONAL PMI kernel
+        score = c(w1,w2) * N / (c(w1) * c(w2))
+    (N = total tokens): exp(PMI) up to a constant factor, so the
+    RANKING is exactly PMI's while every score is one fixed IEEE
+    chain over integer counts — engine-exact, no libm log (the
+    package's rational-form discipline; take ln driver-side for
+    display if wanted).  ``min_count`` floors the joint count — the
+    standard guard against PMI's preference for hapax pairs.
+
+    Scale shape: one token pass feeds both the unigram and bigram
+    counts (map-side partials); two broadcast-sized unigram joins onto
+    the bigram frame keyed by word (hot stop-words are classic skew —
+    AQE handles, and min_count prunes the tail before the joins);
+    top-k via orderBy+limit → TakeOrderedAndProject, never a global
+    sort.  Returns (w1, w2, pair_count, score, rank)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = uni.agg(F.sum("c").alias("N"))
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    bg = base.select(
+        F.explode(zip_shingles(F.col("__t"), 2)).alias("bigram")
+    ).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    score = (
+        (F.col("pair_count").cast("double") * F.col("N").cast("double"))
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "pair_count", score.alias("score"))
+    )
+    top = scored.orderBy(
+        F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, link_pos, href, anchor_text) from an HTML column — the
+    LINK-GRAPH first mile: feeds `retrieval.pagerank`, `cluster.kcore`
+    and `cluster.label_propagation` with edges, and anchor text is the
+    classic relevance signal web search trains on.  Completes the web
+    loop: WARC → html_extract (text) + extract_links (graph).
+
+    One narrow JVM chain — regexp_extract_all collects whole
+    double-quoted-href anchor elements (the only form emitted by the
+    package's own sinks; single-quoted/bare hrefs are out of scope,
+    documented), then per-element regexp_extract pulls the href and
+    the inner markup, which is tag-stripped and whitespace-collapsed
+    like html_to_text_col.  Restricted to Java∩RE2 regex syntax so the
+    oracle replays verbatim.  The positional explode is bounded by the
+    per-document anchor count; no shuffle, no UDF."""
+    a_pat = r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+    c = F.col(html_col)
+    elems = F.expr(
+        f"regexp_extract_all({html_col}, "
+        r"'(?is)<a\\b[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 0)"
+    )
+    out = df.select(F.col(id_col), F.posexplode(elems).alias("link_pos", "__a"))
+    href = F.regexp_extract(F.col("__a"), a_pat, 1)
+    inner = F.regexp_extract(F.col("__a"), a_pat, 2)
+    anchor = F.trim(
+        F.regexp_replace(F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " ")
+    )
+    return out.select(
+        id_col, "link_pos", href.alias("href"), anchor.alias("anchor_text")
+    )

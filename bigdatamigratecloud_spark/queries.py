@@ -5468,6 +5468,60 @@ def n1_dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n1_dedup_keep_best",
+    f"""WITH RECURSIVE pairs AS (
+         {_dedup.minhash_pairs_sql()}
+       ),
+       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       reach(src, dst) AS (SELECT a, b FROM edges
+                           UNION
+                           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+       comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+                FROM reach GROUP BY src),
+       qual AS (SELECT doc_id,
+                       (least(n, 100.0)/100.0*4.0 + nu/n*4.0
+                            + least(ns/n*5.0, 1.0)*2.0)/10.0 AS quality
+                FROM (SELECT doc_id,
+                             CAST(len(sp) AS DOUBLE) AS n,
+                             CAST(len(list_distinct(sp)) AS DOUBLE) AS nu,
+                             CAST(len(list_filter(sp, t -> t IN {_STOP_EN_SQL}))
+                                  AS DOUBLE) AS ns
+                      FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                            FROM documents))),
+       lab AS (SELECT d.doc_id,
+                      CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+                      q.quality
+               FROM documents d
+               LEFT JOIN comp c ON c.doc_id = d.doc_id
+               JOIN qual q ON q.doc_id = d.doc_id)
+       SELECT doc_id, component, quality,
+              CAST(CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY quality DESC, doc_id) = 1
+                   THEN 1 ELSE 0 END AS INT) AS is_kept
+       FROM lab""",
+)
+def n1_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 (round 9): near-dup clustering with the PRODUCTION keep rule
+    — each MinHash/LSH duplicate family keeps its highest-QUALITY
+    member (RefinedWeb/Gopher semantics), not an arbitrary smallest
+    id.  The full scale chain (signatures → bands → rerank →
+    components) plus the quality join and a per-component rank window;
+    the oracle replays everything including the recursive closure and
+    the quality doubles (operators/cluster.dedup_clusters_best)."""
+    from .operators.cluster import dedup_clusters_best
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.minhash_neardup(docs, min_jaccard=0.2, portable=True)
+    scored = docs.join(quality_score(docs), "doc_id").select("doc_id", "quality")
+    return dedup_clusters_best(scored, pairs, "quality").select(
+        "doc_id", "component", "quality", "is_kept"
+    )
+
+
+@query(
     "n5_training_corpus",
     f"""WITH RECURSIVE
        bench AS (SELECT * FROM documents WHERE doc_id % 53 = 0),
@@ -5896,6 +5950,33 @@ def w8_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.col("exact_nd")
         ).alias("merge_agrees_1pct"),
     )
+
+
+@query(
+    "w10_equidepth_histogram",
+    """WITH b AS (SELECT quantile_cont(l_extendedprice,
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+              FROM lineitem)
+       SELECT bucket, count(*) AS n_rows,
+              min(v) AS min_value, max(v) AS max_value
+       FROM (SELECT l_extendedprice AS v,
+                    CAST(len(list_filter(b.qs, q -> l_extendedprice > q))
+                         AS INT) AS bucket
+             FROM lineitem CROSS JOIN b
+             WHERE l_extendedprice IS NOT NULL) t
+       GROUP BY bucket""",
+)
+def w10_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension (round 9): EQUI-DEPTH histogram of
+    l_extendedprice over 8 buckets — boundaries at the exact j/8
+    percentiles (Spark percentile ≡ DuckDB quantile_cont, the
+    winsorize-pinned equivalence), bucket = count of anchors strictly
+    below the value.  The skew-robust histogram optimizers and
+    profilers actually use (operators/sampling.equidepth_histogram)."""
+    from .operators.sampling import equidepth_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", buckets=8)
 
 
 shared_sql(
@@ -6353,6 +6434,99 @@ def n4_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.score_bigram_lm(docs, lm, v, k=1.0).select(
         "doc_id", "n_bigrams", "mean_prob"
     )
+
+
+@query(
+    "n4_link_extract",
+    r"""WITH h AS (SELECT doc_id,
+              '<html><body><p>' || substr(text, 1, 40)
+              || '</p><a href="https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+              || '">go <b>' || CAST(doc_id % 5 AS VARCHAR)
+              || '</b></a> <a href="/rel?x=' || CAST(doc_id % 3 AS VARCHAR)
+              || '">more links</a></body></html>' AS html
+         FROM documents),
+       ex AS (SELECT doc_id,
+                     regexp_extract_all(html,
+                         '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 0) AS els
+              FROM h),
+       pe AS (SELECT doc_id, CAST(i - 1 AS INT) AS link_pos, els[i] AS a
+              FROM ex, UNNEST(range(1, len(els) + 1)) r(i))
+       SELECT doc_id, link_pos,
+              regexp_extract(a,
+                  '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1) AS href,
+              trim(regexp_replace(regexp_replace(
+                  regexp_extract(a,
+                      '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2),
+                  '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS anchor_text
+       FROM pe""",
+)
+def n4_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): HTML LINK extraction — (doc, position, href,
+    anchor text) — the link-graph first mile feeding pagerank / k-core
+    / label propagation, plus the anchor-text relevance signal.  HTML
+    is wrapped deterministically around each document (two anchors:
+    absolute href with markup inside the anchor, relative href with
+    query string) so both engines see identical input; the Java∩RE2
+    regex chain replays verbatim (operators/text.extract_links)."""
+    from .operators.text import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p>'),
+            F.substring("text", 1, 40),
+            F.lit('</p><a href="https://ex.com/p/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">go <b>'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('</b></a> <a href="/rel?x='),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">more links</a></body></html>'),
+        ).alias("html"),
+    )
+    return extract_links(html)
+
+
+@query(
+    "n4_collocations",
+    r"""WITH norm AS (SELECT doc_id,
+                trim(regexp_replace(text, '\s+', ' ', 'g')) AS s
+         FROM documents),
+       toks AS (SELECT doc_id, string_split(s, ' ') AS t
+                FROM norm WHERE length(s) > 0),
+       uni AS (SELECT w, count(*) AS c
+               FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       nt AS (SELECT SUM(c) AS n FROM uni),
+       bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(t))) r(i)),
+       pairs AS (SELECT w1, w2, count(*) AS pair_count
+                 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+       scored AS (SELECT p.w1, p.w2, p.pair_count,
+                         (CAST(p.pair_count AS DOUBLE) * CAST(nt.n AS DOUBLE))
+                         / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS score
+                  FROM pairs p
+                  JOIN uni u1 ON u1.w = p.w1
+                  JOIN uni u2 ON u2.w = p.w2
+                  CROSS JOIN nt)
+       SELECT w1, w2, pair_count, score, rank FROM (
+         SELECT w1, w2, pair_count, score,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2) AS INT)
+                    AS rank
+         FROM scored) q
+       WHERE rank <= 50""",
+)
+def n4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): top-50 COLLOCATIONS by the rational PMI kernel
+    c(w1,w2)·N/(c(w1)·c(w2)) with a min-count-5 floor — phrase mining
+    for tokenizer seeds and domain lexicons.  Exactly PMI's ranking
+    with every score one fixed IEEE chain over integer counts (no
+    libm); one token pass feeds both count frames, top-k via partial
+    top-k (operators/text.collocations)."""
+    from .operators.text import collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return collocations(docs, min_count=5, k=50)
 
 
 @query(
@@ -8242,6 +8416,100 @@ def n7_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
     )
+
+
+@query(
+    "stream_data_profile",
+    """WITH s AS (SELECT (max(event_id) + 3) // 3 AS step FROM events),
+       ev AS (SELECT e.*, CAST(e.event_id // s.step AS INT) AS slice
+              FROM events e CROSS JOIN s)
+       SELECT slice, 'user_id' AS column_name, count(*) AS n_rows,
+              count(*) - count(user_id) AS n_nulls,
+              count(DISTINCT user_id) AS n_distinct,
+              CAST(min(user_id) AS VARCHAR) AS min_value,
+              CAST(max(user_id) AS VARCHAR) AS max_value
+       FROM ev GROUP BY slice
+       UNION ALL
+       SELECT slice, 'event_type', count(*), count(*) - count(event_type),
+              count(DISTINCT event_type),
+              CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR)
+       FROM ev GROUP BY slice
+       UNION ALL
+       SELECT slice, 'event_id', count(*), count(*) - count(event_id),
+              count(DISTINCT event_id),
+              CAST(min(event_id) AS VARCHAR), CAST(max(event_id) AS VARCHAR)
+       FROM ev GROUP BY slice""",
+)
+def stream_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+§2.8 (round 9): STREAMING DATA OBSERVABILITY — the
+    single-scan column profiler run per micro-batch (the landed-data
+    monitoring every production stream carries next to its business
+    logic).  Events land as 3 contiguous event-id slices streamed one
+    file per trigger; each micro-batch profiles its columns in ONE
+    stateless aggregation and tags the result with a slice id derived
+    from the BATCH'S OWN DATA (min event_id // step — file arrival
+    order cannot perturb the output).  The oracle recomputes every
+    slice's profile relationally
+    (operators/quality_checks.profile_frame over stream_events)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .operators.quality_checks import profile_frame
+    from .streaming.events import stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_sprofile_landing_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        step = (ev.agg(F.max("event_id")).first()[0] + 3) // 3
+        for i in range(3):
+            ev.filter(
+                (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+            ).coalesce(1).write.mode("append").parquet(landing)
+        rows = []
+        cols = ["user_id", "event_type", "event_id"]
+
+        def sink(batch, _bid):
+            if batch.isEmpty():
+                return
+            sl = int(batch.agg(F.min("event_id")).first()[0] // step)
+            prof = profile_frame(batch, cols).withColumn(
+                "slice", F.lit(sl).cast("int")
+            )
+            rows.extend(prof.collect())
+
+        q = (
+            stream_events(spark, landing, max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}"
+            )
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        out_schema = (
+            "slice int, column_name string, n_rows bigint, n_nulls bigint, "
+            "n_distinct bigint, min_value string, max_value string"
+        )
+        out = spark.createDataFrame(
+            [
+                (
+                    r["slice"], r["column_name"], r["n_rows"], r["n_nulls"],
+                    r["n_distinct"], r["min_value"], r["max_value"],
+                )
+                for r in rows
+            ],
+            out_schema,
+        ).select(
+            "slice", "column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_value", "max_value",
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
 
 
 @query(

@@ -1340,3 +1340,101 @@ def test_kcore_validates_args(spark):
         kcore(df, k=0)
     with pytest.raises(ValueError):
         kcore(df, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------- PMI
+
+def test_collocations_ranks_bound_pairs_first(spark):
+    from bigdatamigratecloud_spark.operators.text import collocations
+
+    # "los angeles" always together (5x); "the cat"/"the dog" share "the"
+    rows = [(i, "los angeles the cat the dog") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, min_count=5, k=10).collect()
+    byrank = sorted(out, key=lambda r: r["rank"])
+    assert (byrank[0]["w1"], byrank[0]["w2"]) == ("los", "angeles")
+    # exact rational score: c12*N/(c1*c2) = 5*30/(5*5)
+    assert byrank[0]["score"] == (5.0 * 30.0) / (5.0 * 5.0)
+    # min_count floors: a pair seen < 5 times never appears
+    assert all(r["pair_count"] >= 5 for r in out)
+    with pytest.raises(ValueError):
+        collocations(df, min_count=0)
+    with pytest.raises(ValueError):
+        collocations(df, k=0)
+
+
+# ---------------------------------------------------------- equi-depth
+
+def test_equidepth_histogram_balanced_counts(spark):
+    from bigdatamigratecloud_spark.operators.sampling import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(64)], "v double")
+    got = {r["bucket"]: r for r in equidepth_histogram(df, "v", buckets=4).collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert [got[b]["n_rows"] for b in range(4)] == [16, 16, 16, 16]
+    assert got[0]["min_value"] == 0.0 and got[3]["max_value"] == 63.0
+    # boundaries strictly below rule: anchor value itself stays low
+    assert got[0]["max_value"] <= got[1]["min_value"]
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", buckets=1)
+
+
+def test_equidepth_histogram_skew_robust(spark):
+    from bigdatamigratecloud_spark.operators.sampling import equidepth_histogram
+
+    # heavy tail: fixed-width would put ~all rows in bucket 0
+    vals = [1.0] * 50 + [2.0] * 30 + [1e6, 2e6]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["bucket"]: r["n_rows"] for r in equidepth_histogram(df, "v", 2).collect()}
+    assert max(got.values()) <= 60  # no bucket swallows everything
+
+
+# ---------------------------------------------------------- link extract
+
+def test_extract_links_hrefs_positions_and_anchor_text(spark):
+    from bigdatamigratecloud_spark.operators.text import extract_links
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p>x</p><a href="https://a.com/1">first <b>bold</b></a>'
+                ' mid <a class="z" href="/rel">second\nlink</a>'),
+            (2, "<p>no links at all</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = extract_links(df).collect()
+    got = {(r["doc_id"], r["link_pos"]): (r["href"], r["anchor_text"]) for r in rows}
+    assert got == {
+        (1, 0): ("https://a.com/1", "first bold"),
+        (1, 1): ("/rel", "second link"),
+    }
+
+
+def test_dedup_clusters_best_keeps_highest_score(spark):
+    from bigdatamigratecloud_spark.operators.cluster import dedup_clusters_best
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["component"], r["is_kept"])
+        for r in dedup_clusters_best(df, pairs, "quality").collect()
+    }
+    # component = min member id; doc 2 (quality 0.9) is the keeper
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
+
+
+def test_dedup_clusters_best_ties_break_to_smallest_id(spark):
+    from bigdatamigratecloud_spark.operators.cluster import dedup_clusters_best
+
+    df = spark.createDataFrame(
+        [(5, 0.7), (6, 0.7)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["is_kept"]
+        for r in dedup_clusters_best(df, pairs, "quality").collect()
+    }
+    assert got == {5: 1, 6: 0}

@@ -422,3 +422,89 @@ def test_write_sized_parquet_bounds_file_count(spark, sf_dir, tmp_path):
     empty = str(tmp_path / "empty")
     assert write_sized_parquet(li.limit(0), empty) == 1
     assert spark.read.parquet(empty).count() == 0
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    """MaxSim's corpus-token side must never shuffle: the query token
+    set ships as a broadcast and both aggregations are keyed, so the
+    only exchanges are the two (query,doc)-keyed aggs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.select(
+        F.expr("vec_id DIV 5").alias("doc_id"),
+        (F.col("vec_id") % 5).alias("tok_pos"),
+        F.col("embedding").alias("vec"),
+    )
+    from bigdatamigratecloud_spark.operators.retrieval import maxsim_topk
+
+    df = maxsim_topk(
+        toks.filter(F.col("doc_id") >= 3),
+        toks.filter(F.col("doc_id") < 3).withColumnRenamed("doc_id", "query_id"),
+        k=5,
+    )
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_ratio_model_broadcasts(spark, sf_dir):
+    """DSIR's bucket-ratio model (B rows) must reach the corpus feature
+    stream as a broadcast join — the corpus never shuffles to meet the
+    model."""
+    from bigdatamigratecloud_spark.operators.sampling import dsir_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dsir_score(docs, docs.filter(F.col("lang") == "en"), n_buckets=64)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_phrase_anchor_join_broadcasts_phrases(spark, sf_dir):
+    """The phrase word set must broadcast onto the posting list; the
+    posting list itself must never self-join."""
+    from bigdatamigratecloud_spark.operators.retrieval import phrase_match_counts
+    from bigdatamigratecloud_spark.operators.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("phrase_id"), F.slice(_toks("text"), 1, 4).alias("words")
+    )
+    df = phrase_match_counts(docs, phrases)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_write_range_sorted_parquet_global_order(spark, sf_dir, tmp_path):
+    """File i's key range must sit strictly below file i+1's, and rows
+    inside every file must be sorted — the stats-prunable layout."""
+    from bigdatamigratecloud_spark.operators.layout import write_range_sorted_parquet
+    import glob
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    p = str(tmp_path / "sorted")
+    write_range_sorted_parquet(li, p, ["l_orderkey"], n_files=4)
+    files = sorted(f for f in glob.glob(p + "/part-*") if f.endswith(".parquet"))
+    assert len(files) >= 2
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        col = pq.read_table(f, columns=["l_orderkey"]).column(0).to_pylist()
+        assert col == sorted(col), f  # sorted within file
+        ranges.append((min(col), max(col)))
+    # part-file name order IS range order for repartitionByRange output
+    spans = sorted(ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans  # disjoint, globally ordered
+    # nothing lost
+    total = sum(
+        pq.read_table(f, columns=["l_orderkey"]).num_rows for f in files
+    )
+    assert total == li.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_range_sorted_parquet(li, p, [])
