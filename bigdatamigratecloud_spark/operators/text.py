@@ -936,3 +936,67 @@ def extract_links(
     return out.select(
         id_col, "link_pos", href.alias("href"), anchor.alias("anchor_text")
     )
+
+
+def char_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-distribution quality signals — the gibberish/binary-
+    junk detector that complements the token-level gates: a document of
+    mashed keys or base64 spill has near-uniform characters (low
+    concentration), no spaces, heavy digits.  Emits per document:
+
+    - ``n_chars``        — raw length
+    - ``n_distinct_chars``
+    - ``char_gini``      — Σ (c_i/n)² over the character histogram,
+      folded in CODEPOINT ORDER: the Gini/Simpson concentration index,
+      the RATIONAL stand-in for character entropy (monotone in the
+      same direction, zero libm — the package's rational-form
+      discipline; natural text ≈ 0.05-0.1, single-char runs → 1.0)
+    - ``digit_ratio``, ``space_ratio`` — fixed IEEE divisions
+
+    Scale shape: one character explode → one (doc, char) count → one
+    doc-keyed fold bounded by the doc's distinct-char count (≤
+    alphabet size, so state is tiny regardless of document length);
+    ratios come from the same length projection.  Empty/blank docs
+    emit zero counts and NULL ratios."""
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("n_chars"),
+    )
+    chars = base.where(F.col("n_chars") > 0).select(
+        id_col, F.explode(F.split(F.col("__t"), "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    hist = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per = hist.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("c").alias("__n"),
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("__h"),
+    )
+    gini = F.aggregate(
+        "__h",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["c"].cast("double") / F.col("__n").cast("double"))
+        * (x["c"].cast("double") / F.col("__n").cast("double")),
+    )
+    digit = F.length(F.regexp_replace("__t", r"[^0-9]", ""))
+    space = F.length(F.regexp_replace("__t", r"[^ ]", ""))
+    return (
+        base.join(per, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
+            F.when(F.col("__n").isNotNull(), gini).alias("char_gini"),
+            F.when(
+                F.col("n_chars") > 0,
+                digit.cast("double") / F.col("n_chars").cast("double"),
+            ).alias("digit_ratio"),
+            F.when(
+                F.col("n_chars") > 0,
+                space.cast("double") / F.col("n_chars").cast("double"),
+            ).alias("space_ratio"),
+        )
+    )

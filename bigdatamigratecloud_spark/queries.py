@@ -6489,6 +6489,48 @@ def n4_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_char_stats",
+    """WITH b AS (SELECT doc_id, text AS t, length(text) AS n_chars
+              FROM documents),
+       ch AS (SELECT doc_id,
+                     unnest(list_transform(range(1, length(t) + 1),
+                         i -> substr(t, CAST(i AS INT), 1))) AS ch
+              FROM b WHERE n_chars > 0),
+       hist AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+       tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY 1),
+       per AS (SELECT h.doc_id, count(*) AS nd,
+                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                          list((CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                               * (CAST(h.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                               ORDER BY h.ch)),
+                          (a, b) -> a + b) AS gini
+               FROM hist h JOIN tot t USING (doc_id)
+               GROUP BY h.doc_id)
+       SELECT b.doc_id, b.n_chars,
+              CAST(COALESCE(per.nd, 0) AS BIGINT) AS n_distinct_chars,
+              per.gini AS char_gini,
+              CASE WHEN b.n_chars > 0 THEN
+                   CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / CAST(b.n_chars AS DOUBLE) END AS digit_ratio,
+              CASE WHEN b.n_chars > 0 THEN
+                   CAST(length(regexp_replace(t, '[^ ]', '', 'g')) AS DOUBLE)
+                   / CAST(b.n_chars AS DOUBLE) END AS space_ratio
+       FROM b LEFT JOIN per USING (doc_id)""",
+)
+def n4_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): character-distribution quality signals — the
+    gibberish/binary-junk detector: distinct-char count, Gini/Simpson
+    concentration Σ(cᵢ/n)² folded in codepoint order (the rational
+    stand-in for character entropy, zero libm), digit and space
+    ratios.  Per-doc fold state is bounded by the alphabet, not
+    document length (operators/text.char_stats)."""
+    from .operators.text import char_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_stats(docs)
+
+
+@query(
     "n4_collocations",
     r"""WITH norm AS (SELECT doc_id,
                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS s

@@ -1438,3 +1438,25 @@ def test_dedup_clusters_best_ties_break_to_smallest_id(spark):
         for r in dedup_clusters_best(df, pairs, "quality").collect()
     }
     assert got == {5: 1, 6: 0}
+
+
+def test_char_stats_hand_values(spark):
+    from bigdatamigratecloud_spark.operators.text import char_stats
+
+    df = spark.createDataFrame(
+        [(1, "aab 9"), (2, "xxxx"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_stats(df).collect()}
+    r1 = got[1]  # chars: a,a,b,' ',9 -> counts {' ':1,'9':1,'a':2,'b':1}, n=5
+    assert r1["n_chars"] == 5 and r1["n_distinct_chars"] == 4
+    want = 0.0
+    for c in [1, 1, 2, 1]:  # codepoint order: ' ','9','a','b'
+        want += (c / 5.0) * (c / 5.0)
+    assert r1["char_gini"] == want
+    assert r1["digit_ratio"] == 1.0 / 5.0 and r1["space_ratio"] == 1.0 / 5.0
+    r2 = got[2]  # single-char run -> maximum concentration
+    assert r2["char_gini"] == 1.0 and r2["n_distinct_chars"] == 1
+    r3 = got[3]  # empty doc: zero counts, NULL ratios
+    assert (r3["n_chars"], r3["n_distinct_chars"]) == (0, 0)
+    assert r3["char_gini"] is None and r3["digit_ratio"] is None
