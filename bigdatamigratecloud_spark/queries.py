@@ -8705,6 +8705,71 @@ def n6_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_counts(docs, phrases)
 
 
+_LINKGRAPH_EDGES_SQL = r"""
+  SELECT src, dst FROM (
+    SELECT u.doc_id AS src,
+           CAST(regexp_extract(u.a, 'p/([0-9]+)', 1) AS BIGINT) AS dst
+    FROM (SELECT hh.doc_id,
+                 unnest(regexp_extract_all(hh.html,
+                     '(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a>', 0)) AS a
+          FROM (SELECT doc_id,
+                       '<p>x</p><a href="https://ex.com/p/'
+                       || CAST(doc_id % 50 AS VARCHAR)
+                       || '">a</a> <a href="https://ex.com/p/'
+                       || CAST(doc_id % 97 AS VARCHAR) || '">b</a>' AS html
+                FROM documents) hh) u)
+  WHERE src <> dst
+"""
+
+
+@query(
+    "n6_link_graph_rank",
+    "WITH "
+    + _retrieval.pagerank_sql_steps(_LINKGRAPH_EDGES_SQL)
+    + """,
+       top AS (SELECT node, rank_scaled FROM prfinal
+               ORDER BY rank_scaled DESC, node ASC LIMIT 20)
+       SELECT node, rank_scaled,
+              CAST(ROW_NUMBER() OVER (ORDER BY rank_scaled DESC, node ASC)
+                   AS INT) AS rank_pos
+       FROM top""",
+)
+def n6_link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4+N6 capstone (round 9): the WEB-GRAPH loop end-to-end —
+    deterministic HTML wrapped around every document, anchors REALLY
+    extracted with extract_links, target doc ids parsed from the
+    hrefs, self-loops dropped, and the resulting link graph ranked by
+    the scaled-integer PageRank (5 synchronous rounds, bit-identical
+    on any engine).  The oracle replays the HTML construction, the
+    regex extraction, AND the unrolled integer iterations — top-20
+    central documents value-exact."""
+    from .operators.retrieval import pagerank
+    from .operators.text import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p>x</p><a href="https://ex.com/p/'),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit('">a</a> <a href="https://ex.com/p/'),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit('">b</a>'),
+        ).alias("html"),
+    )
+    links = extract_links(html)
+    edges = links.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract("href", r"p/([0-9]+)", 1).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = pagerank(edges, iters=5)
+    top = pr.orderBy(F.col("rank_scaled").desc(), F.col("node").asc()).limit(20)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+    return top.withColumn("rank_pos", F.row_number().over(w).cast("int"))
+
+
 @query(
     "n6_kcore",
     """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
