@@ -939,3 +939,26 @@ def equidepth_histogram(
             F.max(value_col).alias("max_value"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "shuffle", out_col: str = "shuffle_pos"
+) -> DataFrame:
+    """REPRODUCIBLE training-order shuffle: every row gets a dense
+    position 0..n-1 ordered by the portable md5 draw of (salt, id) —
+    the data-order randomization every training run needs, made a
+    pure FUNCTION of (salt, id) so any engine, any partitioning, and
+    any rerun produce the identical permutation (epoch k = salt
+    'epoch-k').  Ties (md5 collisions) break on the id itself.
+
+    Scale note: the dense global position needs ONE total ordering —
+    Spark plans it as a range-partitioned sort (sampled boundaries,
+    per-partition sorts; no single-node bottleneck).  When only a
+    shuffled ORDER is needed (not the position), skip this and
+    ``write_range_sorted_parquet`` on the hash key directly."""
+    from .dedup import portable_hash60
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.orderBy(h.asc(), F.col(id_col).asc())
+    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))

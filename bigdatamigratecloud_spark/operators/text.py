@@ -1000,3 +1000,39 @@ def char_stats(
             ).alias("space_ratio"),
         )
     )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease scoring — the classic readability quality
+    signal (used alongside perplexity in curation stacks to separate
+    prose from listings/code):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllable_groups/words)
+
+    with sentences = [.!?]+ runs (min 1 so headlines score), words =
+    whitespace tokens, and syllables approximated by VOWEL GROUPS
+    (``[aeiouy]+`` runs in the lowercased text) — the standard
+    dictionary-free proxy.  Every count is a regexp aggregate and the
+    score is one fixed IEEE chain, so the whole frame replays
+    engine-exactly.  Narrow: no shuffle, no UDF, no join.  Blank
+    documents emit NULL score."""
+    t = F.col(text_col)
+    n_words = F.size(tokens(text_col))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0)))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"),
+        n_syll.alias("n_syllable_groups"),
+        F.when(n_words > 0, score).alias("flesch_score"),
+    )

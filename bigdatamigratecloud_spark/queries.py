@@ -6489,6 +6489,60 @@ def n4_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_readability",
+    r"""WITH x AS (SELECT doc_id,
+                CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0
+                     THEN 0
+                     ELSE len(string_split(
+                          trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+                END AS n_words,
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+                len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+         FROM documents)
+       SELECT doc_id, CAST(n_words AS INT) AS n_words,
+              CAST(n_sent AS INT) AS n_sentences,
+              CAST(n_syll AS INT) AS n_syllable_groups,
+              CASE WHEN n_words > 0 THEN
+                   206.835
+                   - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+                   - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+              END AS flesch_score
+       FROM x""",
+)
+def n4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): Flesch reading-ease — the classic readability
+    quality gate: 206.835 − 1.015·(words/sentences) −
+    84.6·(vowel_groups/words), sentence count floored at 1, syllables
+    by the dictionary-free vowel-group proxy.  Narrow regexp
+    aggregates + one fixed IEEE chain (operators/text.readability)."""
+    from .operators.text import readability
+
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "n5_deterministic_shuffle",
+    """SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (
+                  ORDER BY ('0x' || substr(md5('epoch-0:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                           doc_id) - 1 AS BIGINT) AS shuffle_pos
+       FROM documents""",
+)
+def n5_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 9): reproducible training-order shuffle — position =
+    dense rank of the portable md5 draw of ('epoch-0', doc_id), a pure
+    function of (salt, id): any engine, partitioning, or rerun gives
+    the identical permutation; change the salt per epoch.  Planned as
+    a range-partitioned sort, no single-node bottleneck
+    (operators/sampling.deterministic_shuffle)."""
+    from .operators.sampling import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", salt="epoch-0")
+
+
+@query(
     "n4_char_stats",
     """WITH b AS (SELECT doc_id, text AS t, length(text) AS n_chars
               FROM documents),
@@ -7349,7 +7403,7 @@ def n3_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - 2048 AS BIGINT) AS s
                 FROM clips, UNNEST(range(0, 2080)) i(i)),
        mn AS (SELECT clip, 'mean' AS method, CAST(i // 64 AS INT) AS i,
-                     SUM(s) // 64 AS v
+                     CAST(SUM(s) // 64 AS BIGINT) AS v
               FROM samp WHERE i < 2048 GROUP BY clip, i // 64),
        dc AS (SELECT clip, 'decimate' AS method, CAST(i // 64 AS INT) AS i, s AS v
               FROM samp WHERE i % 64 = 0 AND i < 2048)

@@ -1460,3 +1460,44 @@ def test_char_stats_hand_values(spark):
     r3 = got[3]  # empty doc: zero counts, NULL ratios
     assert (r3["n_chars"], r3["n_distinct_chars"]) == (0, 0)
     assert r3["char_gini"] is None and r3["digit_ratio"] is None
+
+
+def test_readability_hand_values(spark):
+    from bigdatamigratecloud_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It purred!"), (2, "no terminator here"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = got[1]
+    # words=5, sentence runs '.' and '!' -> 2, vowel groups:
+    # e,a,a,I(+u? 'It'->'i'; 'purred'->'u','e') = The(1) cat(1) sat(1) It(1) purred(2) = 6
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllable_groups"]) == (5, 2, 6)
+    want = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (6.0 / 5.0)
+    assert r1["flesch_score"] == want
+    assert got[2]["n_sentences"] == 1  # floored so headlines score
+    assert got[3]["flesch_score"] is None and got[3]["n_words"] == 0
+
+
+def test_deterministic_shuffle_is_pure_function_of_salt_and_id(spark):
+    import hashlib
+
+    from bigdatamigratecloud_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df, "doc_id", salt="e1").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df.repartition(7), "doc_id", salt="e1").collect()}
+    assert a == b  # partitioning-invariant
+    c = {r["doc_id"]: r["shuffle_pos"] for r in
+         deterministic_shuffle(df, "doc_id", salt="e2").collect()}
+    assert a != c  # epochs differ
+    # equals the python replica permutation
+    order = sorted(
+        range(50),
+        key=lambda i: (int(hashlib.md5(f"e1:{i}".encode()).hexdigest()[:15], 16), i),
+    )
+    assert a == {doc: pos for pos, doc in enumerate(order)}
+    assert sorted(a.values()) == list(range(50))  # dense 0..n-1
