@@ -942,23 +942,47 @@ def equidepth_histogram(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str, salt: str = "shuffle", out_col: str = "shuffle_pos"
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    out_col: str = "shuffle_pos",
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """REPRODUCIBLE training-order shuffle: every row gets a dense
-    position 0..n-1 ordered by the portable md5 draw of (salt, id) —
-    the data-order randomization every training run needs, made a
-    pure FUNCTION of (salt, id) so any engine, any partitioning, and
-    any rerun produce the identical permutation (epoch k = salt
-    'epoch-k').  Ties (md5 collisions) break on the id itself.
+    position 0..n-1 ordered by (portable md5 draw of (salt, id), id) —
+    the data-order randomization every training run needs, made a pure
+    FUNCTION of (salt, id) so any engine, any partitioning, and any
+    rerun produce the identical permutation (epoch k = salt 'epoch-k').
 
-    Scale note: the dense global position needs ONE total ordering —
-    Spark plans it as a range-partitioned sort (sampled boundaries,
-    per-partition sorts; no single-node bottleneck).  When only a
-    shuffled ORDER is needed (not the position), skip this and
-    ``write_range_sorted_parquet`` on the hash key directly."""
-    from .dedup import portable_hash60
+    Scale shape — NO unpartitioned window anywhere: the hash's top
+    bits split the key space into ``n_buckets`` UNIFORM buckets
+    (hashes are uniform, so bucket sizes are ~n/n_buckets with no
+    skew); positions are a per-bucket rank window (bounded by the
+    bucket) plus each bucket's exclusive offset from a bucket-count
+    aggregation whose cumulative sum runs on an n_buckets-row frame —
+    bounded by the PARAMETER, not the data.  Bucket order equals hash
+    order because buckets ARE the hash's leading bits, so the
+    composition reproduces the exact global (hash, id) rank.  Size
+    ``n_buckets`` ≈ total_rows / target_partition_rows at scale."""
+    if n_buckets < 1 or n_buckets > (1 << 30):
+        raise ValueError(f"n_buckets must be in [1, 2^30], got {n_buckets}")
+    bits = max(1, int(n_buckets - 1).bit_length())
     from pyspark.sql import Window
 
+    from .dedup import portable_hash60
+
     h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    w = Window.orderBy(h.asc(), F.col(id_col).asc())
-    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("long"))
+    b = F.shiftrightunsigned(h, 60 - bits)
+    with_h = df.withColumn("__h", h).withColumn("__b", b)
+    counts = with_h.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(woff), F.lit(0))
+    ).select("__b", "__off")
+    wrank = Window.partitionBy("__b").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        with_h.withColumn("__rn", F.row_number().over(wrank))
+        .join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
+        .drop("__h", "__b", "__rn", "__off")
+    )

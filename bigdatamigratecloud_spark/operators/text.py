@@ -566,8 +566,6 @@ def line_dedup(
         raise ValueError(f"keep must be 'none' or 'first', got {keep!r}")
     if min_doc_freq < 2:
         raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
-    from pyspark.sql import Window
-
     from .dedup import portable_hash60
 
     split = F.split(F.col(text_col), "\n", -1)
@@ -583,11 +581,25 @@ def line_dedup(
     )
     hits = countable.join(hot, "__h")
     if keep == "first":
-        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        # canonical copy = lexicographically-first (id, pos) occurrence,
+        # found with a MIN-STRUCT aggregation (map-side partials), never
+        # a per-hash window: a footer in 100M documents would hand a
+        # window 100M rows in one partition, while the min-struct state
+        # is one struct per hash regardless of occurrence count
+        canon = hits.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+                "__c"
+            )
+        )
         hits = (
-            hits.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > 1)
-            .drop("__rn")
+            hits.join(canon, "__h")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("__c.i"))
+                    & (F.col("pos") == F.col("__c.p"))
+                )
+            )
+            .drop("__c")
         )
     kept = lines.join(hits.select(id_col, "pos"), [id_col, "pos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

@@ -6533,8 +6533,9 @@ def n5_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 (round 9): reproducible training-order shuffle — position =
     dense rank of the portable md5 draw of ('epoch-0', doc_id), a pure
     function of (salt, id): any engine, partitioning, or rerun gives
-    the identical permutation; change the salt per epoch.  Planned as
-    a range-partitioned sort, no single-node bottleneck
+    the identical permutation; change the salt per epoch.  Positions come
+    from hash-bucketed per-bucket ranks plus parameter-bounded bucket
+    offsets — no unpartitioned window over anything data-sized
     (operators/sampling.deterministic_shuffle)."""
     from .operators.sampling import deterministic_shuffle
 
