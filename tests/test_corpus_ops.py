@@ -1501,3 +1501,21 @@ def test_deterministic_shuffle_is_pure_function_of_salt_and_id(spark):
     )
     assert a == {doc: pos for pos, doc in enumerate(order)}
     assert sorted(a.values()) == list(range(50))  # dense 0..n-1
+
+
+def test_line_dedup_identity_when_threshold_unreachable(spark):
+    """min_doc_freq above the corpus size removes nothing: rebuilt text
+    must equal the input byte-for-byte (join/split round-trip law)."""
+    from bigdatamigratecloud_spark.operators.text import line_dedup
+
+    rows = [
+        (1, "alpha\nbeta\n\ngamma"),
+        (2, "single"),
+        (3, "x\nx\nx"),      # within-doc repeats never count across docs
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["scrubbed_text"], r["n_lines_removed"])
+           for r in line_dedup(df, min_doc_freq=99).collect()}
+    for i, txt in rows:
+        assert got[i] == (txt, 0), (i, got[i])
