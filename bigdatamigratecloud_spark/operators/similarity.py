@@ -1869,3 +1869,41 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cosine")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """CLASSIFICATION BY RETRIEVAL — the k-NN vote that powers
+    embedding-space labelers (topic/language/quality transfer from a
+    small labeled seed to an unlabeled corpus): each query's label is
+    the MAJORITY label among its cosine top-k neighbors, ties broken
+    by vote-count then smallest label — fully deterministic.
+
+    Shape: :func:`cosine_topk` (broadcast query block, ONE corpus
+    scan) → a k-row-per-query label join → a (query,label) count → a
+    per-query rank window bounded by k.  At corpus sizes where brute
+    force is off the table, feed IVF candidates
+    (``ivf_index_query``) through the same vote instead.  Returns
+    (query_id, pred_label, votes)."""
+    top = cosine_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    labeled = top.join(
+        corpus.select(F.col(id_col).alias("nbr_id"), F.col(label_col)), "nbr_id"
+    )
+    votes = labeled.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", F.col(label_col).alias("pred_label"), "votes")
+    )

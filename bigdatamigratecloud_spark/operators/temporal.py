@@ -489,3 +489,83 @@ def interpolate_linear(
         "n_vals",
         lerp.alias("value_interp"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_col: str,
+    hour_col: str,
+    value_col: str,
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical ADDITIVE seasonal decomposition of an evenly-spaced
+    integer series (the moving-average method of Cleveland/STL's
+    ancestor): value = trend + seasonal + residual, per ``group_col``.
+
+    - trend(t) = centered moving average over 2·half_window+1 points
+      (edges with an incomplete window are DROPPED — only full windows
+      decompose, so every divisor is the constant window size W);
+    - seasonal(p) = mean of the detrended values at phase
+      p = hour mod ``period``;
+    - residual = detrended − seasonal.
+
+    Exactness: the input is INTEGER counts, so the windowed sum and
+    the per-phase sums are order-independent integer aggregations; the
+    detrended value is carried as the integer numerator
+    d = W·v − window_sum (denominator W), and every emitted double is
+    one fixed division chain — trend = s/W, detrended = d/W,
+    seasonal = (Σd/n)/W, residual = detrended − seasonal — replayed
+    bit-for-bit by any engine.
+
+    Scale shape: one group-keyed ordered window (state = W rows per
+    group), one (group, phase)-keyed aggregation, one broadcast-sized
+    join back on (group, phase).  Hours need not start anywhere
+    particular but must be CONTIGUOUS per group — run
+    :func:`resample_gapfill` first on sparse series."""
+    if period < 2 or half_window < 1:
+        raise ValueError(f"period >= 2 and half_window >= 1 required")
+    from pyspark.sql import Window
+
+    w_size = 2 * half_window + 1
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hour_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    base = df.select(
+        F.col(group_col),
+        F.col(hour_col).cast("long").alias("h"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    with_w = base.withColumn("__s", F.sum("v").over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w)
+    )
+    full = with_w.filter(F.col("__cnt") == w_size).withColumn(
+        "__d", F.lit(w_size) * F.col("v") - F.col("__s")
+    )
+    phase = (F.col("h") % period).alias("phase")
+    seas = (
+        full.select(group_col, phase, "__d")
+        .groupBy(group_col, "phase")
+        .agg(F.sum("__d").alias("__dn"), F.count(F.lit(1)).alias("__dc"))
+    )
+    wd = F.lit(float(w_size))
+    out = (
+        full.withColumn("phase", F.col("h") % period)
+        .join(seas, [group_col, "phase"])
+        .select(
+            group_col,
+            F.col("h").alias(hour_col),
+            F.col("v").alias(value_col),
+            (F.col("__s").cast("double") / wd).alias("trend"),
+            (
+                (F.col("__dn").cast("double") / F.col("__dc").cast("double")) / wd
+            ).alias("seasonal"),
+            (
+                (F.col("__d").cast("double") / wd)
+                - (F.col("__dn").cast("double") / F.col("__dc").cast("double")) / wd
+            ).alias("residual"),
+        )
+    )
+    return out

@@ -2079,6 +2079,69 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e6_seasonal_decompose",
+    """WITH hc AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS h,
+                          count(*) AS v
+               FROM events GROUP BY 1, 2),
+       bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+                  FROM hc GROUP BY 1),
+       ax AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM bounds),
+       dense AS (SELECT a.event_type, a.h, COALESCE(hc.v, 0) AS v
+                 FROM ax a LEFT JOIN hc
+                   ON hc.event_type = a.event_type AND hc.h = a.h),
+       ws AS (SELECT event_type, h, v,
+                     SUM(v) OVER (PARTITION BY event_type ORDER BY h
+                                  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                         AS s,
+                     COUNT(*) OVER (PARTITION BY event_type ORDER BY h
+                                    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                         AS c
+              FROM dense),
+       f AS (SELECT event_type, h, v, CAST(s AS BIGINT) AS s,
+                    25 * v - CAST(s AS BIGINT) AS d, h % 24 AS phase
+             FROM ws WHERE c = 25),
+       seas AS (SELECT event_type, phase, SUM(d) AS dn, COUNT(*) AS dc
+                FROM f GROUP BY 1, 2)
+       SELECT f.event_type, f.h, CAST(f.v AS BIGINT) AS v,
+              CAST(f.s AS DOUBLE) / 25.0 AS trend,
+              (CAST(s2.dn AS DOUBLE) / CAST(s2.dc AS DOUBLE)) / 25.0 AS seasonal,
+              (CAST(f.d AS DOUBLE) / 25.0)
+              - (CAST(s2.dn AS DOUBLE) / CAST(s2.dc AS DOUBLE)) / 25.0 AS residual
+       FROM f JOIN seas s2 USING (event_type, phase)""",
+)
+def e6_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/temporal (round 9): classical additive SEASONAL
+    DECOMPOSITION of the hourly event series per event_type — trend =
+    centered 25-hour moving average (full windows only), seasonal =
+    per-phase mean of detrended values, residual = remainder.  The
+    detrended value is carried as the integer numerator 25·v − Σwindow
+    so every aggregation is order-independent integer arithmetic and
+    every emitted double is one fixed division chain — bit-replayable
+    (operators/temporal.seasonal_decompose)."""
+    from .operators.temporal import seasonal_decompose
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    axis = (
+        hc.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    dense = axis.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    return seasonal_decompose(dense, "event_type", "h", "v", period=24, half_window=12)
+
+
+@query(
     "e4_resample_gapfill",
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -4464,6 +4527,43 @@ def n1_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return line_dedup(base, min_doc_freq=5, keep="none")
+
+
+@query(
+    "n2_knn_classify",
+    f"""WITH {_UNIT_SQL},
+       q AS (SELECT vec_id AS query_id, uv AS qv FROM nrm WHERE vec_id < 10),
+       s AS (SELECT q.query_id, c.vec_id AS nbr_id,
+                    list_reduce(list_transform(list_zip(q.qv, c.uv),
+                        p -> p[1] * p[2]), (x, y) -> x + y) AS cos
+             FROM nrm c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+       top AS (SELECT query_id, nbr_id FROM (
+                 SELECT query_id, nbr_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, nbr_id) AS rank
+                 FROM s) r WHERE rank <= 10),
+       votes AS (SELECT t.query_id, e.label, count(*) AS votes
+                 FROM top t JOIN embeddings e ON e.vec_id = t.nbr_id
+                 GROUP BY 1, 2)
+       SELECT query_id, label AS pred_label, votes FROM (
+         SELECT query_id, label, votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY votes DESC, label) AS rn
+         FROM votes) v
+       WHERE rn = 1""",
+)
+def n2_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): k-NN CLASSIFICATION by retrieval — the label of
+    each query vector is the majority label among its cosine top-10
+    neighbors (ties → most votes, then smallest label).  The
+    embedding-space labeler that transfers topic/quality labels from a
+    seed set to a corpus; feed IVF candidates through the same vote at
+    real scale (operators/similarity.knn_classify)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.knn_classify(emb, qs, k=10)
 
 
 @query(

@@ -1050,3 +1050,23 @@ def test_triangle_counts_semantics(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from bigdatamigratecloud_spark.operators.similarity import knn_classify
+
+    # corpus on a line: labels cluster by sign of x
+    rows = [
+        (1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [0.8, 0.2], 7),
+        (4, [-1.0, 0.0], 3), (5, [-0.9, -0.1], 3),
+        (6, [0.0, 1.0], 9),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05])], "query_id long, embedding array<float>"
+    )
+    got = knn_classify(corpus, q, k=3).collect()
+    assert len(got) == 1 and got[0]["pred_label"] == 7 and got[0]["votes"] == 3
+    # tie at k=2 between labels 7 and 9? construct: k=4 -> 3x7, 1x{3 or 9}
+    got4 = knn_classify(corpus, q, k=4).collect()[0]
+    assert got4["pred_label"] == 7

@@ -522,3 +522,39 @@ def test_ema_by_group_semantics(spark):
     assert got == again
     with pytest.raises(ValueError, match="alpha"):
         ema_by_group(df, alpha=0.0)
+
+
+# ------------------------------------------------------ seasonal decompose
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    from bigdatamigratecloud_spark.operators.temporal import seasonal_decompose
+
+    # planted series: v(h) = 100 + zero-mean seasonal of period 5; the
+    # 5-point centered window covers each phase exactly once, so the
+    # moving average recovers the constant trend exactly
+    season = {0: 8, 1: -2, 2: -4, 3: -2, 4: 0}
+    rows = [("a", h, 100 + season[h % 5]) for h in range(40)]
+    df = spark.createDataFrame(rows, "g string, h long, v long")
+    out = seasonal_decompose(df, "g", "h", "v", period=5, half_window=2)
+    got = {r["h"]: r for r in out.collect()}
+    # full windows only: h 2..37
+    assert sorted(got) == list(range(2, 38))
+    for h, r in got.items():
+        assert r["trend"] == 100.0, (h, r)
+        assert r["seasonal"] == float(season[h % 5]), (h, r)
+        assert r["residual"] == 0.0, (h, r)
+    # value = trend + seasonal + residual reconstructs exactly here
+    for r in got.values():
+        assert r["trend"] + r["seasonal"] + r["residual"] == float(r["v"])
+
+
+def test_seasonal_decompose_validates_args(spark):
+    from bigdatamigratecloud_spark.operators.temporal import seasonal_decompose
+
+    df = spark.createDataFrame([("a", 0, 1)], "g string, h long, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "g", "h", "v", period=1)
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, "g", "h", "v", half_window=0)
