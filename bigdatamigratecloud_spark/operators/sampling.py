@@ -986,3 +986,47 @@ def deterministic_shuffle(
         .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("long"))
         .drop("__h", "__b", "__rn", "__off")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    m: float = 10.0,
+    out_col: str = "encoded",
+) -> DataFrame:
+    """m-ESTIMATE target encoding (Micci-Barreca 2001) — the standard
+    high-cardinality categorical feature for tabular models: each
+    category's code is its target mean SHRUNK toward the global mean,
+
+        enc(c) = (sum_c + m · global_mean) / (n_c + m)
+
+    so rare categories fall back to the prior instead of memorizing
+    noise.  Exactness: per-row targets are cast to DECIMAL(18,6)
+    before summing (order-independent exact sums — the package's
+    numeric policy), the global mean is one fixed division, and the
+    encoding is one fixed IEEE chain per category — engine-exact.
+
+    Shape: one category-keyed aggregation (map-side partials), a 1-row
+    global broadcast, output is |categories| rows to broadcast-join
+    back onto the fact table.  NULL targets are excluded from both
+    sums; NULL categories form their own group (their rows still need
+    a feature).  Returns (category, n_rows, encoded)."""
+    if m < 0:
+        raise ValueError(f"m must be >= 0, got {m}")
+    dec = F.col(target_col).cast("decimal(18,6)")
+    per = df.filter(F.col(target_col).isNotNull()).groupBy(category_col).agg(
+        F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = per.agg(
+        F.sum("__s").alias("__st"), F.sum("n_rows").alias("__nt")
+    )
+    gm = F.col("__st").cast("double") / F.col("__nt").cast("double")
+    enc = (
+        (F.col("__s").cast("double") + F.lit(float(m)) * gm)
+        / (F.col("n_rows").cast("double") + F.lit(float(m)))
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(category_col, "n_rows", enc.alias(out_col))
+    )

@@ -9085,6 +9085,33 @@ def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_target_encode",
+    """WITH per AS (SELECT o_orderpriority,
+                    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,
+                    count(*) AS n_rows
+             FROM orders WHERE o_totalprice IS NOT NULL
+             GROUP BY 1),
+       tot AS (SELECT SUM(s) AS st, SUM(n_rows) AS nt FROM per)
+       SELECT o_orderpriority, n_rows,
+              (CAST(s AS DOUBLE)
+               + 10.0 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)))
+              / (CAST(n_rows AS DOUBLE) + 10.0) AS encoded
+       FROM per CROSS JOIN tot""",
+)
+def n5_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 9): m-ESTIMATE target encoding (Micci-Barreca 2001) —
+    the standard high-cardinality categorical feature: each category's
+    code is its target mean shrunk toward the global mean by prior
+    weight m=10, so rare categories fall back to the prior.  Exact
+    decimal sums + one fixed IEEE chain per category
+    (operators/sampling.target_encode)."""
+    from .operators.sampling import target_encode
+
+    orders = load_table(spark, sf_dir, "orders")
+    return target_encode(orders, "o_orderpriority", "o_totalprice", m=10.0)
+
+
+@query(
     "n5_dsir_select",
     r"""WITH toks AS (SELECT doc_id, lang,
                      string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t

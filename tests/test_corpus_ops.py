@@ -1519,3 +1519,25 @@ def test_line_dedup_identity_when_threshold_unreachable(spark):
            for r in line_dedup(df, min_doc_freq=99).collect()}
     for i, txt in rows:
         assert got[i] == (txt, 0), (i, got[i])
+
+
+def test_target_encode_shrinks_toward_global_mean(spark):
+    from bigdatamigratecloud_spark.operators.sampling import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0), (None, 40.0),
+         ("c", None)],
+        "cat string, t double",
+    )
+    got = {r["cat"]: r for r in target_encode(df, "cat", "t", m=2.0).collect()}
+    gm = (10 + 20 + 30 + 100 + 40) / 5.0  # NULL target row excluded entirely
+    assert got["a"]["encoded"] == (60.0 + 2.0 * gm) / (3.0 + 2.0)
+    assert got["b"]["encoded"] == (100.0 + 2.0 * gm) / (1.0 + 2.0)
+    assert got[None]["encoded"] == (40.0 + 2.0 * gm) / (1.0 + 2.0)
+    assert "c" not in got  # no non-null targets -> no encodable evidence
+    # rare category sits closer to the prior than its raw mean
+    assert abs(got["b"]["encoded"] - gm) < abs(100.0 - gm)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encode(df, "cat", "t", m=-1.0)
