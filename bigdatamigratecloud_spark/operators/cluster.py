@@ -405,6 +405,68 @@ def kcore(
     )
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source breadth-first shortest-hop distances — the
+    "crawl-depth from seed set" signal web curation uses to weight
+    pages (OPIC/seed-distance features) and the reachability primitive
+    behind link-graph audits.  Returns (node, hop) for every node
+    reachable from ``sources`` within ``max_hops`` edges, where hop is
+    the MINIMUM number of edges from any source (sources themselves are
+    hop 0).  Unreachable nodes are absent.
+
+    Deterministic by construction (min-hop is order-independent), so
+    any engine replays it exactly; the oracle unrolls the same frontier
+    expansion as CTEs.
+
+    Scale shape: textbook BSP frontier BFS — each round is ONE join of
+    the current frontier against the src-partitioned edge list plus one
+    anti-join against the visited set, both key-partitioned shuffles of
+    frontier-sized frames (the edge list is localCheckpoint-ed once and
+    reused, the pagerank discipline).  The visited set only grows by
+    newly discovered nodes, and a round with an empty frontier stops
+    early — the loop never does work proportional to anything but the
+    discovered subgraph.  No collect of node lists; the only driver
+    action per round is the 1-row emptiness probe.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
 def dedup_clusters_best(
     df: DataFrame,
     pairs: DataFrame,

@@ -9085,6 +9085,61 @@ def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n6_bfs_hops",
+    """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+              FROM lineitem WHERE l_orderkey % 20 = 0),
+       e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+              FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s),
+       bi AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       f0 AS (SELECT DISTINCT s_suppkey AS node FROM supplier
+              WHERE s_suppkey % 50 = 0),
+       d0 AS (SELECT node, 0 AS hop FROM f0),
+       f1 AS (SELECT DISTINCT b.v AS node FROM bi b
+              JOIN f0 f ON f.node = b.u
+              WHERE NOT EXISTS (SELECT 1 FROM d0 WHERE d0.node = b.v)),
+       d1 AS (SELECT node, hop FROM d0
+              UNION ALL SELECT node, 1 FROM f1),
+       f2 AS (SELECT DISTINCT b.v AS node FROM bi b
+              JOIN f1 f ON f.node = b.u
+              WHERE NOT EXISTS (SELECT 1 FROM d1 WHERE d1.node = b.v)),
+       d2 AS (SELECT node, hop FROM d1
+              UNION ALL SELECT node, 2 FROM f2),
+       f3 AS (SELECT DISTINCT b.v AS node FROM bi b
+              JOIN f2 f ON f.node = b.u
+              WHERE NOT EXISTS (SELECT 1 FROM d2 WHERE d2.node = b.v)),
+       d3 AS (SELECT node, hop FROM d2
+              UNION ALL SELECT node, 3 FROM f3)
+       SELECT node, CAST(hop AS INTEGER) AS hop FROM d3""",
+)
+def n6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 graph family (round 9): multi-source BFS shortest-hop
+    distances over the co-supplier graph from a deterministic seed set
+    (every 50th supplier) — the crawl-depth / seed-distance feature web
+    curation pipelines weight pages by.  Min-hop is order-independent,
+    so the unrolled frontier-expansion oracle must agree node-for-node
+    (operators/cluster.bfs_hops)."""
+    from .operators.cluster import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    sources = sup.where(F.col("s_suppkey") % 50 == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return bfs_hops(edges, sources, max_hops=3, directed=False)
+
+
+@query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,
                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,

@@ -1342,6 +1342,64 @@ def test_kcore_validates_args(spark):
         kcore(df, k=2, rounds=0)
 
 
+# ---------------------------------------------------------------- BFS
+
+def test_bfs_hops_min_distance_and_unreachable(spark):
+    from bigdatamigratecloud_spark.operators.cluster import bfs_hops
+
+    # 1-2-3-4 chain plus a shortcut 1-3; node 9 is disconnected
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 3), (8, 9)]
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(
+            spark.createDataFrame(pairs, "src long, dst long"),
+            src, max_hops=4, directed=False,
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}  # min over paths; 8/9 absent
+
+
+def test_bfs_hops_directed_respects_edge_direction(spark):
+    from bigdatamigratecloud_spark.operators.cluster import bfs_hops
+
+    pairs = [(1, 2), (3, 2)]
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(
+            spark.createDataFrame(pairs, "src long, dst long"),
+            src, max_hops=3, directed=True,
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1}  # 3 only reaches 2, never reached
+
+
+def test_bfs_hops_multi_source_and_budget(spark):
+    from bigdatamigratecloud_spark.operators.cluster import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 3)]
+    src = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(
+            spark.createDataFrame(pairs, "src long, dst long"),
+            src, max_hops=1, directed=True,
+        ).collect()
+    }
+    # hop budget 1: only direct successors; 3 is hop 1 via source 10
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1}
+
+
+def test_bfs_hops_validates_args(spark):
+    from bigdatamigratecloud_spark.operators.cluster import bfs_hops
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_hops(df, src, max_hops=-1)
+
+
 # ---------------------------------------------------------------- PMI
 
 def test_collocations_ranks_bound_pairs_first(spark):
