@@ -569,3 +569,76 @@ def seasonal_decompose(
         )
     )
     return out
+
+
+def cusum_flags(
+    df: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per entity — the
+    classic streaming change-point statistic quality monitors run over
+    metric series (a data pipeline's per-source document-quality drift
+    alarm).  Recursions:
+
+        S+_t = max(0, S+_{t-1} + (v_t - target - slack))
+        S-_t = max(0, S-_{t-1} - (v_t - target + slack))
+
+    with an alarm where either side exceeds ``threshold``.
+
+    The recursion is NOT computed as a sequential fold: with
+    P_t = prefix-sum of the increments, the identity
+    S_t = P_t - min(0, min_{j<=t} P_j) turns each side into ONE running
+    sum + ONE running min — two ordinary window functions over the
+    same (entity, time) ordering, a single group-keyed shuffle, no
+    per-entity arrays, no state beyond the window frame.  That is the
+    100 TB-shape (compare ``ema_by_group``, whose recursion genuinely
+    needs the per-entity fold).
+
+    Exactness: each increment is one fixed IEEE chain
+    (v - (target+slack), identical in any engine) cast to
+    DECIMAL(18,6) per the repo numeric policy, so prefix sums and mins
+    are exact and order-independent; both cusum columns and the alarm
+    are engine-exact."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    from pyspark.sql import Window
+
+    up = float(target) + float(slack)
+    dn = float(target) - float(slack)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    inc_p = (v - F.lit(up)).cast("decimal(18,6)")
+    inc_n = (F.lit(dn) - v).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    h = F.lit(float(threshold)).cast("decimal(18,6)")
+    out = (
+        df.withColumn("__pp", F.sum(inc_p).over(w))
+        .withColumn("__pn", F.sum(inc_n).over(w))
+        .withColumn("__mp", F.min(F.col("__pp")).over(w))
+        .withColumn("__mn", F.min(F.col("__pn")).over(w))
+        .select(
+            F.col(group_col),
+            F.col(ts_col),
+            *[F.col(c) for c in order_cols],
+            F.col(value_col),
+            (F.col("__pp") - F.least(zero, F.col("__mp"))).alias("cusum_pos"),
+            (F.col("__pn") - F.least(zero, F.col("__mn"))).alias("cusum_neg"),
+        )
+        .withColumn(
+            "alarm",
+            (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h),
+        )
+    )
+    return out

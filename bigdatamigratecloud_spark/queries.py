@@ -2142,6 +2142,54 @@ def e6_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e7_cusum_changepoints",
+    """WITH base AS (
+         SELECT user_id, ts, event_id, value,
+                CAST(value - CAST(55.0 AS DOUBLE) AS DECIMAL(18,6)) AS ip,
+                CAST(CAST(45.0 AS DOUBLE) - value AS DECIMAL(18,6)) AS inn
+         FROM events),
+       pre AS (
+         SELECT user_id, ts, event_id, value,
+                SUM(ip) OVER w AS pp, SUM(inn) OVER w AS pn
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       mins AS (
+         SELECT user_id, ts, event_id, value, pp, pn,
+                MIN(pp) OVER w AS mp, MIN(pn) OVER w AS mn
+         FROM pre
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT user_id, ts, event_id, value,
+              pp - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(38,6)) END)
+                  AS cusum_pos,
+              pn - (CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(38,6)) END)
+                  AS cusum_neg,
+              (pp - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(38,6)) END)
+                 > CAST(200.0 AS DECIMAL(18,6)))
+              OR (pn - (CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(38,6)) END)
+                 > CAST(200.0 AS DECIMAL(18,6))) AS alarm
+       FROM mins""",
+)
+def e7_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/temporal (round 9): two-sided CUSUM drift detection (Page
+    1954) over each user's event-value series — target 50, slack 5,
+    alarm threshold 200.  The max(0, ...) recursion is rewritten as
+    prefix-sum minus clamped prefix-min, so the whole statistic is two
+    window functions over one group-keyed shuffle (no per-entity fold);
+    increments are exact DECIMAL(18,6) per the numeric policy, so both
+    cusum sides and the alarm are engine-exact
+    (operators/temporal.cusum_flags)."""
+    from .operators.temporal import cusum_flags
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_flags(
+        ev, group_col="user_id", ts_col="ts", value_col="value",
+        order_cols=("event_id",), target=50.0, slack=5.0, threshold=200.0,
+    ).select("user_id", "ts", "event_id", "value", "cusum_pos", "cusum_neg", "alarm")
+
+
+@query(
     "e4_resample_gapfill",
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -558,3 +558,65 @@ def test_seasonal_decompose_validates_args(spark):
         seasonal_decompose(df, "g", "h", "v", period=1)
     with _pytest.raises(ValueError):
         seasonal_decompose(df, "g", "h", "v", half_window=0)
+
+
+# ------------------------------------------------------------------ CUSUM
+
+def _cusum_ref(vals, target, slack, threshold):
+    """Textbook sequential recursion (the identity's ground truth)."""
+    from decimal import Decimal
+
+    q = Decimal("0.000001")
+    sp = sn = Decimal(0)
+    out = []
+    for v in vals:
+        ip = Decimal(repr(v - (target + slack))).quantize(q)
+        inn = Decimal(repr((target - slack) - v)).quantize(q)
+        sp = max(Decimal(0), sp + ip)
+        sn = max(Decimal(0), sn + inn)
+        out.append((sp, sn, sp > Decimal(repr(threshold)) or sn > Decimal(repr(threshold))))
+    return out
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+
+    vals = [10.0, 10.25, 9.5, 30.0, 30.5, 31.0, 1.0, 0.5, 10.0, 10.0]
+    rows = [(1, i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    got = (
+        cusum_flags(df, target=10.0, slack=0.5, threshold=20.0)
+        .orderBy("event_id")
+        .collect()
+    )
+    ref = _cusum_ref(vals, 10.0, 0.5, 20.0)
+    for r, (sp, sn, al) in zip(got, ref):
+        assert r["cusum_pos"] == sp, (r, sp)
+        assert r["cusum_neg"] == sn, (r, sn)
+        assert r["alarm"] == al
+
+
+def test_cusum_resets_to_zero_and_alarms_per_group(spark):
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+
+    # group 1 drifts up and alarms; group 2 stays put and never does
+    rows = [(1, i, i, 100.0) for i in range(5)] + [(2, i, i + 100, 10.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    out = cusum_flags(df, target=10.0, slack=0.0, threshold=150.0).collect()
+    g1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["event_id"])
+    g2 = [r for r in out if r["user_id"] == 2]
+    # +90 drift per row: 90, 180 > 150, 270, ...
+    assert [bool(r["alarm"]) for r in g1] == [False, True, True, True, True]
+    assert all(float(r["cusum_pos"]) == 0.0 and not r["alarm"] for r in g2)
+
+
+def test_cusum_validates_args(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+
+    df = spark.createDataFrame([(1, 1, 1, 1.0)], "user_id long, ts long, event_id long, value double")
+    with _pytest.raises(ValueError):
+        cusum_flags(df, threshold=0.0)
+    with _pytest.raises(ValueError):
+        cusum_flags(df, slack=-1.0)
