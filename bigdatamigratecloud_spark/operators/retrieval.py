@@ -123,12 +123,11 @@ def bm25_topk(
     )
 
 
-def bm25_topk_sql(
-    terms: list[str], table: str = "documents", id_col: str = "doc_id", k: int = 10
-) -> str:
-    """DuckDB oracle for :func:`bm25_topk` — the identical fixed
-    expression sequence, so the scores are bit-equal, not just
-    rank-equal."""
+def _bm25_ctes(terms: list[str], table: str, id_col: str, k: int) -> str:
+    """The shared CTE chain (toks → per → stats → scored → top) replaying
+    :func:`bm25_topk` — the identical fixed expression sequence, so the
+    scores are bit-equal, not just rank-equal.  Reused verbatim by
+    :func:`bm25_topk_sql` and :func:`rm3_expand_sql`."""
     m = len(terms)
     tf_cols = ",\n               ".join(
         f"count(*) FILTER (token = '{t}') AS tf{i}" for i, t in enumerate(terms)
@@ -150,7 +149,7 @@ def bm25_topk_sql(
     # runs, trim, and EXCLUDE blank documents — a bare string_split(text,
     # ' ') would yield [''] for an empty doc (counted with dl=1), while
     # Spark yields an empty array (doc excluded from N/avgdl/df).
-    return f"""WITH toks AS (SELECT {id_col},
+    return f"""toks AS (SELECT {id_col},
                             unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
                      FROM {table}
                      WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
@@ -166,11 +165,160 @@ def bm25_topk_sql(
                        (SELECT *, CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
                         FROM stats) s
                   WHERE {matched}),
-       top AS (SELECT {id_col}, score FROM scored
-               ORDER BY score DESC, {id_col} ASC LIMIT {k})
-       SELECT {id_col}, score,
-              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS INT) AS rank
-       FROM top"""
+       top AS (SELECT {id_col}, score,
+                      CAST(ROW_NUMBER() OVER (ORDER BY score DESC, {id_col} ASC) AS INT) AS rank
+               FROM scored
+               ORDER BY score DESC, {id_col} ASC LIMIT {k})"""
+
+
+def bm25_topk_sql(
+    terms: list[str], table: str = "documents", id_col: str = "doc_id", k: int = 10
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` (see :func:`_bm25_ctes`)."""
+    return f"""WITH {_bm25_ctes(terms, table, id_col, k)}
+       SELECT {id_col}, score, rank FROM top"""
+
+
+def rm3_expand(
+    docs: DataFrame,
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft
+    relevance models, the Anserini/Indri production form): run BM25,
+    take the top ``fb_docs`` feedback documents, estimate a feedback
+    term distribution
+
+        fw(w) = sum_{d in Fb} (tf(w,d) / dl_d) * (score_d / sum_score)
+
+    and interpolate with the uniform original query model —
+    weight(w) = ow·(1/|Q|)·[w in Q] + (1-ow)·fw(w) — returning the top
+    ``fb_terms`` expansion terms as (token, weight, rank).  This is the
+    targeted-data-selection amplifier: one seed query pulls topic
+    vocabulary out of the corpus itself, and the expanded term set
+    feeds bm25_topk/bm25_topk_multi for the wide sweep.
+
+    Exactness: every per-(doc,term) contribution is a fixed IEEE chain
+    ((tf/dl) * (score/sum_score)); the sum over feedback docs folds in
+    RANK order (collect ≤ fb_docs structs, array_sort, one ordered
+    fold), and sum_score folds the ≤ fb_docs scores the same way — no
+    engine-ordered double aggregation anywhere, so weights are
+    bit-identical across engines.
+
+    Scale shape: the corpus pays ONE extra token scan beyond bm25_topk
+    — feedback doc ids broadcast into it, so tf/dl aggregate over the
+    ≤ fb_docs surviving documents only; everything downstream is
+    bounded by (feedback vocabulary × fb_docs).  fb arrays are ≤
+    fb_docs elements by construction."""
+    if fb_docs < 1 or fb_terms < 1:
+        raise ValueError(f"fb_docs/fb_terms must be >= 1, got {fb_docs}/{fb_terms}")
+    if not 0.0 <= orig_weight <= 1.0:
+        raise ValueError(f"orig_weight must be in [0,1], got {orig_weight}")
+    mix = 1.0 - float(orig_weight)
+    ow_term = float(orig_weight) * (1.0 / len(terms))
+
+    fb = bm25_topk(docs, terms, id_col=id_col, text_col=text_col, k=fb_docs)
+    ssum = fb.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("score")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("ssum")
+    )
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    fb_toks = toks.join(F.broadcast(fb), id_col)
+    tf = fb_toks.groupBy(id_col, "rank", "score", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = fb_toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    contrib = (
+        tf.join(F.broadcast(dl), id_col)
+        .crossJoin(F.broadcast(ssum))
+        .select(
+            "token",
+            "rank",
+            (
+                (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                * (F.col("score") / F.col("ssum"))
+            ).alias("c"),
+        )
+    )
+    fw = contrib.groupBy("token").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("rank"), F.col("c")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("fw")
+    )
+    weighted = fw.select(
+        "token",
+        F.when(
+            F.col("token").isin(list(terms)),
+            F.lit(ow_term) + F.lit(mix) * F.col("fw"),
+        )
+        .otherwise(F.lit(mix) * F.col("fw"))
+        .alias("weight"),
+    )
+    topt = weighted.orderBy(F.col("weight").desc(), F.col("token").asc()).limit(fb_terms)
+    w = Window.orderBy(F.col("weight").desc(), F.col("token").asc())
+    return topt.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "token", "weight", "rank"
+    )
+
+
+def rm3_expand_sql(
+    terms: list[str],
+    fb_docs: int = 10,
+    fb_terms: int = 20,
+    orig_weight: float = 0.6,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`rm3_expand` — reuses the bm25 CTE chain
+    and replays the rank-ordered folds as explicit parenthesized chains
+    (absent feedback ranks contribute +0.0, the IEEE identity on the
+    non-negative partials here)."""
+    mix = 1.0 - float(orig_weight)
+    ow_term = float(orig_weight) * (1.0 / len(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ssum_chain = "0.0"
+    for r in range(1, fb_docs + 1):
+        ssum_chain = (
+            f"({ssum_chain} + COALESCE(MAX(CASE WHEN rank = {r} THEN score END), 0.0))"
+        )
+    fw_chain = "0.0"
+    for r in range(1, fb_docs + 1):
+        fw_chain = (
+            f"({fw_chain} + COALESCE(MAX(CASE WHEN rank = {r} THEN c END), 0.0))"
+        )
+    return f"""WITH {_bm25_ctes(terms, table, id_col, fb_docs)},
+       fbt AS (SELECT t.{id_col}, t.rank, t.score, k.token
+               FROM top t JOIN toks k USING ({id_col})),
+       tf AS (SELECT {id_col}, rank, score, token, count(*) AS tf
+              FROM fbt GROUP BY 1, 2, 3, 4),
+       dl AS (SELECT {id_col}, count(*) AS dl FROM fbt GROUP BY 1),
+       ss AS (SELECT {ssum_chain} AS ssum FROM top),
+       ct AS (SELECT token, rank,
+                     (CAST(tf AS DOUBLE) / CAST(dl AS DOUBLE))
+                     * (score / ssum) AS c
+              FROM tf JOIN dl USING ({id_col}) CROSS JOIN ss),
+       fw AS (SELECT token, {fw_chain} AS fw FROM ct GROUP BY token),
+       wt AS (SELECT token,
+                     CASE WHEN token IN ({in_list})
+                          THEN CAST('{ow_term!r}' AS DOUBLE)
+                               + CAST('{mix!r}' AS DOUBLE) * fw
+                          ELSE CAST('{mix!r}' AS DOUBLE) * fw END AS weight
+              FROM fw),
+       topt AS (SELECT token, weight FROM wt
+                ORDER BY weight DESC, token ASC LIMIT {fb_terms})
+       SELECT token, weight,
+              CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, token ASC) AS INT)
+                  AS rank
+       FROM topt"""
 
 
 def _bm25_contrib(i: int):

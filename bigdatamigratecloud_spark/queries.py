@@ -6192,6 +6192,25 @@ def n6_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _retrieval.bm25_topk(docs, _BM25_TERMS)
 
 
+@query(
+    "n6_rm3_expansion",
+    _retrieval.rm3_expand_sql(_BM25_TERMS, fb_docs=10, fb_terms=20, orig_weight=0.6),
+)
+def n6_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 9): RM3 pseudo-relevance-feedback query expansion —
+    BM25's top-10 feedback docs vote a relevance-weighted term
+    distribution, interpolated 0.6/0.4 with the uniform original query;
+    top-20 expansion terms out.  The targeted-data-selection amplifier:
+    a seed query pulls topic vocabulary from the corpus itself, feeding
+    bm25_topk_multi for the wide sweep.  Rank-ordered IEEE folds make
+    every weight bit-equal to the oracle's explicit chains
+    (operators/retrieval.rm3_expand)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _retrieval.rm3_expand(
+        docs, _BM25_TERMS, fb_docs=10, fb_terms=20, orig_weight=0.6
+    )
+
+
 from .operators import bpe as _bpe  # noqa: E402
 
 

@@ -487,3 +487,83 @@ def test_phrase_match_single_word_phrase_counts_occurrences(spark):
     phrases = spark.createDataFrame([(9, ["w"])], "phrase_id long, words array<string>")
     got = phrase_match_counts(docs, phrases).collect()
     assert len(got) == 1 and got[0]["n_matches"] == 3
+
+
+# ------------------------------------------------------------------- RM3
+
+def _rm3_ref(doc_texts, terms, fb_docs, orig_weight):
+    """Pure-Python RM3 replay (BM25 k1=1.2 b=0.75, rational idf)."""
+    toks = {d: t.split() for d, t in doc_texts.items() if t.split()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scored = []
+    for d, v in toks.items():
+        s = 0.0
+        hit = False
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = ((n - dfs[t]) + 0.5) / (dfs[t] + 0.5)
+            s = s + idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl))))
+        if hit:
+            scored.append((d, s))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    fb = scored[:fb_docs]
+    ssum = 0.0
+    for _, s in fb:
+        ssum = ssum + s
+    fw = {}
+    for r, (d, s) in enumerate(fb, 1):
+        v = toks[d]
+        for t in set(v):
+            fw.setdefault(t, []).append((r, (v.count(t) / len(v)) * (s / ssum)))
+    mix = 1.0 - orig_weight
+    ow = orig_weight * (1.0 / len(terms))
+    out = {}
+    for t, cs in fw.items():
+        acc = 0.0
+        for _, c in sorted(cs):
+            acc = acc + c
+        out[t] = (ow + mix * acc) if t in terms else mix * acc
+    return out
+
+
+def test_rm3_matches_python_replica(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import rm3_expand
+
+    texts = {
+        1: "spark join shuffle broadcast join",
+        2: "join join vector index",
+        3: "window frame sort",
+        4: "vector quantize vector recall",
+        5: "slow scan pushdown join",
+        6: "totally unrelated words here",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["token"]: r["weight"]
+        for r in rm3_expand(docs, ["join", "vector"], fb_docs=3, fb_terms=50).collect()
+    }
+    ref = _rm3_ref(texts, ["join", "vector"], 3, 0.6)
+    top = dict(sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+    assert got == top
+
+
+def test_rm3_boosts_original_terms_and_validates(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.retrieval import rm3_expand
+
+    docs = spark.createDataFrame(
+        [(1, "q x"), (2, "q y")], "doc_id long, text string"
+    )
+    out = {r["token"]: r["weight"] for r in rm3_expand(docs, ["q"], fb_docs=2, fb_terms=10).collect()}
+    # q has the same fb mass as x+y combined plus the 0.6 original boost
+    assert out["q"] > out["x"] and out["q"] > out["y"]
+    with _pytest.raises(ValueError):
+        rm3_expand(docs, ["q"], fb_docs=0)
+    with _pytest.raises(ValueError):
+        rm3_expand(docs, ["q"], orig_weight=1.5)
