@@ -1907,3 +1907,151 @@ def knn_classify(
         .filter(F.col("__rn") == 1)
         .select("query_id", F.col(label_col).alias("pred_label"), "votes")
     )
+
+
+def pca_power(
+    vecs: DataFrame,
+    iters: int = 6,
+    q_scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by QUANTIZED POWER ITERATION — the
+    whitening/decorrelation primitive embedding pipelines run before
+    ANN or SemDeDup (project out the dominant direction, or inspect it
+    for batch effects).  Returns (dim_idx, loading): the dominant
+    eigenvector of the centered covariance, as integers in
+    [-q_scale, q_scale].
+
+    Engine-exact by the pagerank discipline, extended to the one spot
+    integers cannot cover:
+
+    - quantize: q = floor(x · q_scale) per coordinate (q_scale a power
+      of two, so the scaling is exact and floor is engine-independent);
+    - center WITHOUT division: c = n·q − Σq (bigint — exact);
+    - covariance: C_ij = Σ_v c_i·c_j with products in DECIMAL(18,0)²
+      → DECIMAL(37,0) and an order-independent integer SUM (the oracle
+      uses HUGEINT — same integers);
+    - matvec: w_i = Σ_j C_ij·v_j in the same exact integer arithmetic;
+    - rescale (the one non-integer step): v'_i = floor((double(w_i) ·
+      q_scale) / double(m)) with m = max|w| — ONE fixed IEEE chain on
+      identical inputs, so every engine lands the identical integers
+      even where true rational floor would differ by an ulp.
+
+    Sign/direction follow deterministically from the all-ones start.
+    Quantization makes this an approximation of the true eigenvector
+    (cosine ≥ 0.99 on real embeddings, pinned in tests); the point is
+    a bit-replayable distributed iteration, not float-perfect linalg.
+
+    Scale shape: ONE corpus scan explodes (id, i, q); the d²-pair
+    self-join keyed on id produces the covariance with map-side partial
+    sums (d² = 4096 cells for d=64 — the shuffle is corpus-sized but
+    each group is a cell, never a corpus×corpus pair set).  Everything
+    after is d²-bounded: iterations touch only the 64-row vector and
+    4096-row matrix (broadcast join), localCheckpoint-ed per round.
+    For d ≳ 512 block the gram matrix per the PQ codebook pattern —
+    documented, not implemented."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if q_scale < 2 or (q_scale & (q_scale - 1)) != 0:
+        raise ValueError(f"q_scale must be a power of two >= 2, got {q_scale}")
+    qs = F.lit(float(q_scale))
+    ex = vecs.select(
+        F.col(id_col).alias("__id"), F.posexplode(F.col(vec_col)).alias("i", "x")
+    ).select(
+        "__id",
+        (F.col("i") + F.lit(1)).alias("i"),
+        F.floor(F.col("x").cast("double") * qs).cast("long").alias("q"),
+    )
+    stats = ex.groupBy("i").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = ex.join(F.broadcast(stats), "i").select(
+        "__id", "i", (F.col("n") * F.col("q") - F.col("s")).alias("c")
+    )
+    a = c.select(F.col("__id"), F.col("i"), F.col("c").cast("decimal(18,0)").alias("ci"))
+    b = c.select(F.col("__id"), F.col("i").alias("j"), F.col("c").cast("decimal(18,0)").alias("cj"))
+    cov = (
+        a.join(b, "__id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ci") * F.col("cj")).cast("decimal(38,0)").alias("cij"))
+        .localCheckpoint(eager=True)
+    )
+    v = cov.select("i").distinct().select(
+        "i", F.lit(1).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        w = (
+            cov.join(v.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("cij") * F.col("v").cast("decimal(18,0)"))
+                .cast("decimal(38,0)")
+                .alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.when(F.col("m") == 0, F.lit(0))
+                .otherwise(
+                    F.floor(
+                        (F.col("w").cast("double") * qs) / F.col("m").cast("double")
+                    )
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(F.col("i").cast("int").alias("dim_idx"), F.col("v").alias("loading"))
+
+
+def pca_power_sql_steps(
+    iters: int = 6,
+    q_scale: int = 1024,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE chain replaying :func:`pca_power` in DuckDB (iterations
+    unrolled, HUGEINT where Spark uses DECIMAL(38,0) — the same exact
+    integers).  Exposes the final vector as CTE ``pca_final(dim_idx,
+    loading)``."""
+    qs = float(q_scale)
+    parts = [
+        f"""pca_ex AS (SELECT {id_col} AS id,
+                  unnest(range(1, len({vec_col})+1)) AS i,
+                  unnest(list_transform({vec_col},
+                      x -> CAST(FLOOR(CAST(x AS DOUBLE) * {qs!r}) AS BIGINT))) AS q
+           FROM {table}),
+       pca_st AS (SELECT i, SUM(q) AS s, COUNT(*) AS n FROM pca_ex GROUP BY 1),
+       pca_c AS (SELECT e.id, e.i, st.n * e.q - st.s AS c
+                 FROM pca_ex e JOIN pca_st st USING (i)),
+       pca_cov AS (SELECT a.i AS i, b.i AS j,
+                          SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS cij
+                   FROM pca_c a JOIN pca_c b USING (id) GROUP BY 1, 2),
+       pca_v0 AS (SELECT DISTINCT i, CAST(1 AS BIGINT) AS v FROM pca_cov)"""
+    ]
+    prev = "pca_v0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pca_w{t} AS (SELECT cov.i,
+                          SUM(cov.cij * CAST(pv.v AS HUGEINT)) AS w
+                   FROM pca_cov cov JOIN {prev} pv ON pv.i = cov.j
+                   GROUP BY 1),
+       pca_m{t} AS (SELECT MAX(ABS(w)) AS m FROM pca_w{t}),
+       pca_v{t} AS (SELECT i,
+                   CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR((CAST(w AS DOUBLE) * {qs!r})
+                                        / CAST(m AS DOUBLE)) AS BIGINT) END AS v
+                   FROM pca_w{t} CROSS JOIN pca_m{t})"""
+        )
+        prev = f"pca_v{t}"
+    parts.append(
+        f"""pca_final AS (SELECT CAST(i AS INTEGER) AS dim_idx, v AS loading
+                    FROM {prev})"""
+    )
+    return ",\n       ".join(parts)

@@ -9207,6 +9207,42 @@ def n6_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n2_pca_power",
+    """WITH pca_feats AS (
+         SELECT ROW_NUMBER() OVER () AS vec_id,
+                [l_quantity / 64.0, l_extendedprice / 131072.0,
+                 l_discount, l_tax,
+                 (l_quantity / 64.0 + l_extendedprice / 131072.0) / 2.0]
+                    AS embedding
+         FROM lineitem),
+       """
+    + _sim.pca_power_sql_steps(iters=6, table="pca_feats")
+    + "\n       SELECT dim_idx, loading FROM pca_final",
+)
+def n2_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): top principal component by QUANTIZED POWER
+    ITERATION over a 5-feature lineitem matrix (power-of-two scalings
+    keep the feature construction IEEE-exact; the qty/price axes carry
+    a real spectral gap, ratio ~1.5, so 6 rounds converge to
+    cosine > 0.9999 of the true eigenvector — pinned in tests).  All
+    covariance/matvec arithmetic is exact integer (DECIMAL(38,0) /
+    HUGEINT); the per-round rescale is one fixed IEEE chain — the
+    unrolled oracle lands identical integers
+    (operators/similarity.pca_power)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity") / F.lit(64.0)
+    price = F.col("l_extendedprice") / F.lit(131072.0)
+    feats = li.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.array(
+            qty, price, F.col("l_discount"), F.col("l_tax"),
+            (qty + price) / F.lit(2.0),
+        ).alias("embedding"),
+    )
+    return _sim.pca_power(feats, iters=6)
+
+
+@query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,
                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,

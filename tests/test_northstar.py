@@ -1070,3 +1070,68 @@ def test_knn_classify_majority_and_tiebreak(spark):
     # tie at k=2 between labels 7 and 9? construct: k=4 -> 3x7, 1x{3 or 9}
     got4 = knn_classify(corpus, q, k=4).collect()[0]
     assert got4["pred_label"] == 7
+
+
+# ------------------------------------------------------------------- PCA
+
+def test_pca_power_recovers_planted_direction(spark):
+    import math
+    import random
+
+    import numpy as np
+
+    from bigdatamigratecloud_spark.operators.similarity import pca_power
+
+    rng = random.Random(7)
+    d = 8
+    direction = [1.0, 2.0, -1.5, 0.5, 0.0, 3.0, -0.25, 1.0]
+    nrm = math.sqrt(sum(x * x for x in direction))
+    u = [x / nrm for x in direction]
+    rows = []
+    for i in range(300):
+        a = rng.gauss(0.0, 5.0)   # strong variance along u
+        vec = [a * u[j] + rng.gauss(0.0, 0.3) for j in range(d)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["dim_idx"]: r["loading"] for r in pca_power(df, iters=8).collect()}
+    v = np.array([got[j + 1] for j in range(d)], dtype=np.float64)
+
+    X = np.floor(np.array([r[1] for r in rows]) * 1024.0)
+    Xc = X - X.mean(0)
+    top = np.linalg.eigh(Xc.T @ Xc)[1][:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, cos
+    assert max(abs(x) for x in v) <= 1024
+
+
+def test_pca_power_partition_invariant(spark):
+    import random
+
+    from bigdatamigratecloud_spark.operators.similarity import pca_power
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.gauss(0, 1.0) * (3.0 if j == 2 else 0.2) for j in range(4)])
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["dim_idx"]: r["loading"] for r in pca_power(df, iters=5).collect()}
+    b = {
+        r["dim_idx"]: r["loading"]
+        for r in pca_power(df.repartition(13), iters=5).collect()
+    }
+    assert a == b
+    # the planted high-variance axis dominates the loading vector
+    assert abs(a[3]) == max(abs(v) for v in a.values())
+
+
+def test_pca_power_validates_args(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.similarity import pca_power
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        pca_power(df, iters=0)
+    with _pytest.raises(ValueError):
+        pca_power(df, q_scale=100)  # not a power of two
