@@ -209,3 +209,125 @@ def score_kneser_ney(
             (sum_p / n.cast("double")).alias("mean_prob"),
         )
     )
+
+
+def naive_bayes_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: int = 1,
+    scale: int = 10_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Multinomial Naive Bayes trainer over labeled documents — the
+    classic supervised text classifier (language ID, topic/quality
+    routing) trained IN-ENGINE from a labeled corpus.
+
+    Counting is fully distributed (one token shuffle for the
+    (label, token) counts).  The cost table itself is computed on the
+    DRIVER — it is model-bounded (|labels| × vocab), the same explicit
+    budget discipline as ``bpe_train``'s local path — as SCALED-INTEGER
+    log costs (the ``unigram`` discipline):
+
+        cost(t | L)  = floor(-ln((c_tL + α) / (total_L + α·V)) · scale)
+        unk(L)       = floor(-ln(α / (total_L + α·V)) · scale)
+        prior(L)     = floor(-ln(n_L / n_docs) · scale)
+
+    Driver ``math.log`` is the same libm DuckDB's ``ln`` calls, so the
+    oracle replays every cost integer exactly; everything downstream of
+    the floor is order-independent integer arithmetic.
+
+    Returns ``(model, stats)``: model = (label, token, cost);
+    stats = (label, prior_cost, unk_cost).  Blank documents carry no
+    tokens and contribute nothing."""
+    import math
+
+    if alpha < 1:
+        raise ValueError(f"alpha must be >= 1, got {alpha}")
+    from .text import tokens as _tokens
+
+    toks = docs.select(
+        F.col(label_col).alias("label"), F.explode(_tokens(text_col)).alias("token")
+    )
+    counts = toks.groupBy("label", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    v = counts.select("token").distinct().count()
+    rows = counts.collect()  # model-bounded: |labels| x vocab
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["label"]] = totals.get(r["label"], 0) + r["cnt"]
+    doc_counts = {
+        r["label"]: r["n"]
+        for r in docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_docs = sum(doc_counts.values())
+    model_rows = [
+        (
+            r["label"],
+            r["token"],
+            int(math.floor(-math.log((r["cnt"] + alpha) / (totals[r["label"]] + alpha * v)) * scale)),
+        )
+        for r in rows
+    ]
+    stats_rows = [
+        (
+            lab,
+            int(math.floor(-math.log(doc_counts[lab] / n_docs) * scale)),
+            int(math.floor(-math.log(alpha / (tot + alpha * v)) * scale)),
+        )
+        for lab, tot in sorted(totals.items())
+    ]
+    spark = docs.sparkSession
+    model = spark.createDataFrame(model_rows, "label string, token string, cost long")
+    stats = spark.createDataFrame(
+        stats_rows, "label string, prior_cost long, unk_cost long"
+    )
+    return model, stats
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify documents under a :func:`naive_bayes_train` model:
+    per (doc, label) total cost = prior + Σ_tokens tf · cost(t|L)
+    (unseen tokens pay the label's unk cost), prediction = the
+    MIN-cost label, ties to the smallest label.  Returns
+    (id, pred_label, cost).
+
+    Scale shape: one token shuffle for per-doc tf, a |labels|-way
+    broadcast cross (5-10 labels — the corpus frame grows by that
+    constant, the batch-BM25 discipline), one broadcast join against
+    the (label, token) model, one (doc, label) sum with map-side
+    partials, one per-doc rank window bounded by |labels|.  All
+    integer arithmetic — order-independent, engine-exact."""
+    from pyspark.sql import Window
+
+    from .text import tokens as _tokens
+
+    dtok = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(_tokens(text_col)).alias("token"))
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lab = dtok.crossJoin(F.broadcast(stats))
+    seen = lab.join(F.broadcast(model), ["label", "token"], "left")
+    per = seen.groupBy("__id", "label", "prior_cost").agg(
+        F.sum(F.col("tf") * F.coalesce(F.col("cost"), F.col("unk_cost"))).alias("__s")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        (F.col("prior_cost") + F.col("__s")).asc(), F.col("label").asc()
+    )
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("label").alias("pred_label"),
+            (F.col("prior_cost") + F.col("__s")).cast("long").alias("cost"),
+        )
+    )

@@ -9243,6 +9243,69 @@ def n2_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_nb_langid",
+    """WITH nb_toks AS (
+         SELECT doc_id, lang,
+                unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+         FROM documents
+         WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       nb_counts AS (SELECT lang AS label, token, count(*) AS cnt
+                     FROM nb_toks GROUP BY 1, 2),
+       nb_v AS (SELECT count(DISTINCT token) AS v FROM nb_counts),
+       nb_tot AS (SELECT label, SUM(cnt) AS total FROM nb_counts GROUP BY 1),
+       nb_dc AS (SELECT lang AS label, count(DISTINCT doc_id) AS n
+                 FROM nb_toks GROUP BY 1),
+       nb_nd AS (SELECT SUM(n) AS n_docs FROM nb_dc),
+       nb_model AS (SELECT c.label, c.token,
+                      CAST(floor(-ln(CAST(c.cnt + 1 AS DOUBLE)
+                                     / CAST(t.total + nb_v.v AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS cost
+                    FROM nb_counts c JOIN nb_tot t USING (label)
+                    CROSS JOIN nb_v),
+       nb_stats AS (SELECT t.label,
+                      CAST(floor(-ln(CAST(d.n AS DOUBLE)
+                                     / CAST(nd.n_docs AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS prior_cost,
+                      CAST(floor(-ln(CAST(1 AS DOUBLE)
+                                     / CAST(t.total + nb_v.v AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS unk_cost
+                    FROM nb_tot t JOIN nb_dc d USING (label)
+                    CROSS JOIN nb_v CROSS JOIN nb_nd nd),
+       nb_dtok AS (SELECT doc_id, token, count(*) AS tf
+                   FROM nb_toks GROUP BY 1, 2),
+       nb_lab AS (SELECT d.doc_id, d.token, d.tf,
+                         s.label, s.prior_cost, s.unk_cost
+                  FROM nb_dtok d CROSS JOIN nb_stats s),
+       nb_seen AS (SELECT l.doc_id, l.label, l.prior_cost,
+                          SUM(l.tf * COALESCE(m.cost, l.unk_cost)) AS s
+                   FROM nb_lab l LEFT JOIN nb_model m
+                     ON m.label = l.label AND m.token = l.token
+                   GROUP BY 1, 2, 3),
+       nb_rk AS (SELECT doc_id, label, prior_cost + s AS cost,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY prior_cost + s ASC,
+                                                    label ASC) AS rn
+                 FROM nb_seen)
+       SELECT doc_id, label AS pred_label, CAST(cost AS BIGINT) AS cost
+       FROM nb_rk WHERE rn = 1""",
+)
+def n4_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): multinomial NAIVE BAYES language ID — trained
+    in-engine on the labeled documents corpus and self-classified (the
+    supervised counterpart of the n-gram-heuristic lang_id).  Costs are
+    scaled-integer logs computed once on the driver (model-bounded,
+    the unigram/bpe-local discipline; driver libm == DuckDB ln), so
+    scoring is pure order-independent integer arithmetic — prediction
+    AND total cost are engine-exact (operators/lm.naive_bayes_train /
+    naive_bayes_classify)."""
+    from .operators.lm import naive_bayes_classify, naive_bayes_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, stats = naive_bayes_train(docs, label_col="lang", text_col="text")
+    return naive_bayes_classify(docs, model, stats)
+
+
+@query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,
                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,

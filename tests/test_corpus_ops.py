@@ -1599,3 +1599,78 @@ def test_target_encode_shrinks_toward_global_mean(spark):
 
     with _pytest.raises(ValueError):
         target_encode(df, "cat", "t", m=-1.0)
+
+
+# ------------------------------------------------------- Naive Bayes
+
+def test_naive_bayes_separable_corpus_and_replica(spark):
+    import math
+
+    from bigdatamigratecloud_spark.operators.lm import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog ate the bone"),
+        (3, "fr", "le chat est sur le tapis"),
+        (4, "fr", "le chien mange le os"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model, stats = naive_bayes_train(docs)
+    got = {
+        r["doc_id"]: (r["pred_label"], r["cost"])
+        for r in naive_bayes_classify(docs, model, stats).collect()
+    }
+    assert [got[d][0] for d in (1, 2, 3, 4)] == ["en", "en", "fr", "fr"]
+
+    # replica: recompute doc 1's en-cost from raw counts
+    toks = {}
+    for _, lab, txt in rows:
+        for t in txt.split():
+            toks[(lab, t)] = toks.get((lab, t), 0) + 1
+    v = len({t for _, t in toks})
+    tot_en = sum(c for (lab, _), c in toks.items() if lab == "en")
+    scale = 10_000_000
+    prior = math.floor(-math.log(2 / 4) * scale)
+    cost = prior
+    for t in "the cat sat on the mat".split():
+        c = toks.get(("en", t), 0)
+        cost += math.floor(-math.log((c + 1) / (tot_en + v)) * scale)
+    assert got[1] == ("en", cost)
+
+
+def test_naive_bayes_unseen_tokens_fall_back_to_prior(spark):
+    from bigdatamigratecloud_spark.operators.lm import (
+        naive_bayes_classify,
+        naive_bayes_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a", "x x x"), (2, "a", "x y"), (3, "b", "z w")],
+        "doc_id long, lang string, text string",
+    )
+    model, stats = naive_bayes_train(train)
+    # all-unseen doc: every token pays unk; label 'a' wins on prior
+    # (2/3 docs) AND its larger total makes unk_a < unk_b? totals:
+    # a=5,b=2, v=4 -> unk_a=-ln(1/9), unk_b=-ln(1/6): unk_b is SMALLER,
+    # so construct len-1 doc: cost_a = prior_a + unk_a, cost_b = prior_b + unk_b
+    import math
+    scale = 10_000_000
+    ca = math.floor(-math.log(2 / 3) * scale) + math.floor(-math.log(1 / 9) * scale)
+    cb = math.floor(-math.log(1 / 3) * scale) + math.floor(-math.log(1 / 6) * scale)
+    test = spark.createDataFrame([(9, "?", "qq")], "doc_id long, lang string, text string")
+    got = naive_bayes_classify(test, model, stats).collect()[0]
+    assert got["pred_label"] == ("a" if ca <= cb else "b")
+    assert got["cost"] == min(ca, cb)
+
+
+def test_naive_bayes_validates_alpha(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.lm import naive_bayes_train
+
+    docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError):
+        naive_bayes_train(docs, alpha=0)
