@@ -1030,3 +1030,122 @@ def target_encode(
         per.crossJoin(F.broadcast(tot))
         .select(category_col, "n_rows", enc.alias(out_col))
     )
+
+
+def kcenter_select(
+    vecs: DataFrame,
+    k: int = 6,
+    q_scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER (farthest-point) coreset selection — the
+    diversity-sampling primitive behind coreset curation (pick k
+    maximally-spread representatives of an embedding space; the dual of
+    semantic_dedup, which removes the crowded points).  Gonzalez's
+    2-approximation: seed with the smallest id, then k-1 times add the
+    point FARTHEST from the current set (max over points of min over
+    selected of squared L2), ties to the smallest id.
+
+    Engine-exact: coordinates quantize to floor(x·q_scale) integers
+    (power-of-two scale ⇒ exact), every distance is an integer sum of
+    squared differences, and every argmax is integer-ordered with an id
+    tiebreak — the unrolled oracle replays the identical selection.
+
+    Returns (sel_rank, vec_id, dist): dist = the point's min squared
+    distance to the previously selected set at selection time (the
+    covering radius sequence, nonincreasing); dist = 0 for the seed.
+
+    Scale shape: each round is ONE corpus scan computing the distance
+    to the single newly selected centre (a d-length plan literal —
+    bounded by d·k, the ivf_assign literal discipline) folded into the
+    running min, then one TakeOrderedAndProject(1).  k rounds = k scans
+    of a cached quantized frame; nothing is ever corpus × corpus, and
+    the driver holds k·d integers."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if q_scale < 2 or (q_scale & (q_scale - 1)) != 0:
+        raise ValueError(f"q_scale must be a power of two >= 2, got {q_scale}")
+    qs = F.lit(float(q_scale))
+    q = vecs.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col), lambda x: F.floor(x.cast("double") * qs).cast("long")
+        ).alias("__q"),
+    ).persist()
+    try:
+        seed = q.orderBy(F.col("__id").asc()).limit(1).collect()[0]
+        selected = [(1, seed["__id"], 0, list(seed["__q"]))]
+        cur = q.withColumn("__mind", F.lit(None).cast("long"))
+        for r in range(2, k + 1):
+            s_lit = F.array(*[F.lit(int(v)) for v in selected[-1][3]])
+            nd = F.aggregate(
+                F.zip_with(F.col("__q"), s_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            cur = cur.withColumn("__mind", F.least(F.coalesce(F.col("__mind"), nd), nd))
+            pick = (
+                cur.orderBy(F.col("__mind").desc(), F.col("__id").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            selected.append((r, pick["__id"], int(pick["__mind"]), list(pick["__q"])))
+            # keep the plan O(1) deep across rounds
+            cur = cur.localCheckpoint(eager=True)
+        spark = vecs.sparkSession
+        return spark.createDataFrame(
+            [(r, i, d) for r, i, d, _ in selected],
+            "sel_rank int, vec_id long, dist long",
+        ).withColumnsRenamed({"vec_id": id_col})
+    finally:
+        q.unpersist()
+
+
+def kcenter_sql_steps(
+    k: int = 6,
+    q_scale: int = 1024,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """CTE chain replaying :func:`kcenter_select` in DuckDB (rounds
+    unrolled; identical integer distances and tiebreaks).  Exposes the
+    selection as CTE ``kc_final(sel_rank, vec_id, dist)``."""
+    qs = float(q_scale)
+    d2 = (
+        "list_reduce(list_transform(list_zip(a.q, s.q),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    parts = [
+        f"""kc_q AS (SELECT {id_col} AS id,
+                 list_transform({vec_col},
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * {qs!r}) AS BIGINT)) AS q
+          FROM {table}),
+       kc_s1 AS (SELECT id, q FROM kc_q ORDER BY id ASC LIMIT 1),
+       kc_d1 AS (SELECT a.id, a.q, {d2} AS mind
+                 FROM kc_q a CROSS JOIN kc_s1 s)"""
+    ]
+    prev = "kc_d1"
+    for r in range(2, k + 1):
+        parts.append(
+            f"""kc_s{r} AS (SELECT id, q, mind FROM {prev}
+                  ORDER BY mind DESC, id ASC LIMIT 1),
+       kc_d{r} AS (SELECT a.id, a.q,
+                          CASE WHEN {d2} < a.mind THEN {d2} ELSE a.mind END AS mind
+                   FROM {prev} a CROSS JOIN kc_s{r} s)"""
+        )
+        prev = f"kc_d{r}"
+    sel_union = "\n                 UNION ALL ".join(
+        ["SELECT 1 AS sel_rank, id, CAST(0 AS BIGINT) AS dist FROM kc_s1"]
+        + [
+            f"SELECT {r}, id, CAST(mind AS BIGINT) FROM kc_s{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    parts.append(
+        f"""kc_final AS (SELECT CAST(sel_rank AS INTEGER) AS sel_rank,
+                          id AS {id_col}, dist
+                   FROM ({sel_union}))"""
+    )
+    return ",\n       ".join(parts)

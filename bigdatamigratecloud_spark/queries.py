@@ -9305,6 +9305,28 @@ def n4_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_classify(docs, model, stats)
 
 
+from .operators import sampling as _sampling  # noqa: E402
+
+
+@query(
+    "n5_kcenter_select",
+    "WITH "
+    + _sampling.kcenter_sql_steps(k=6)
+    + "\n       SELECT sel_rank, vec_id, dist FROM kc_final",
+)
+def n5_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 9): greedy k-CENTER coreset selection over the
+    embeddings table — 6 maximally-spread representatives (Gonzalez
+    farthest-point, the diversity-sampling dual of semantic_dedup).
+    Quantized integer squared-L2 and id tiebreaks make the whole
+    selection sequence engine-exact; the oracle unrolls all rounds
+    (operators/sampling.kcenter_select)."""
+    from .operators.sampling import kcenter_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=6)
+
+
 @query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,

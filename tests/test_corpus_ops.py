@@ -1674,3 +1674,68 @@ def test_naive_bayes_validates_alpha(spark):
     docs = spark.createDataFrame([(1, "a", "x")], "doc_id long, lang string, text string")
     with _pytest.raises(ValueError):
         naive_bayes_train(docs, alpha=0)
+
+
+# ------------------------------------------------------- k-center
+
+def test_kcenter_picks_spread_points(spark):
+    from bigdatamigratecloud_spark.operators.sampling import kcenter_select
+
+    # three tight clusters far apart; k=3 must pick one per cluster
+    pts = {
+        0: [0.0, 0.0], 1: [0.01, 0.0], 2: [0.0, 0.01],        # cluster A
+        10: [10.0, 10.0], 11: [10.01, 10.0],                  # cluster B
+        20: [-10.0, 10.0], 21: [-10.0, 10.01],                # cluster C
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    got = kcenter_select(df, k=3)
+    rows = sorted(got.collect(), key=lambda r: r["sel_rank"])
+    assert rows[0]["vec_id"] == 0 and rows[0]["dist"] == 0  # seed = min id
+    picked = {r["vec_id"] for r in rows}
+    clusters = [{0, 1, 2}, {10, 11}, {20, 21}]
+    assert all(len(picked & c) == 1 for c in clusters)
+    # covering radius sequence is nonincreasing
+    dists = [r["dist"] for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_kcenter_matches_python_replica(spark):
+    import random
+
+    from bigdatamigratecloud_spark.operators.sampling import kcenter_select
+
+    rng = random.Random(5)
+    pts = {i: [rng.uniform(-2, 2) for _ in range(3)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "vec_id long, embedding array<double>"
+    )
+    import math
+    q = {i: [math.floor(x * 1024.0) for x in v] for i, v in pts.items()}
+    sel = [min(q)]
+    dists = {i: None for i in q}
+    ref = [(1, sel[0], 0)]
+    for r in range(2, 6):
+        s = q[sel[-1]]
+        for i in q:
+            d = sum((a - b) * (a - b) for a, b in zip(q[i], s))
+            dists[i] = d if dists[i] is None else min(dists[i], d)
+        pick = min(q, key=lambda i: (-dists[i], i))
+        ref.append((r, pick, dists[pick]))
+        sel.append(pick)
+    got = [(r["sel_rank"], r["vec_id"], r["dist"])
+           for r in sorted(kcenter_select(df, k=5).collect(), key=lambda r: r["sel_rank"])]
+    assert got == ref
+
+
+def test_kcenter_validates_args(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.sampling import kcenter_select
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+    with _pytest.raises(ValueError):
+        kcenter_select(df, q_scale=1000)
