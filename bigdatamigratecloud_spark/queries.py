@@ -2190,6 +2190,46 @@ def e7_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e8_markov_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       pairs AS (SELECT prev_type AS from_type, event_type AS to_type,
+                        count(*) AS n
+                 FROM seq WHERE prev_type IS NOT NULL
+                 GROUP BY 1, 2),
+       tot AS (SELECT from_type, SUM(n) AS t FROM pairs GROUP BY 1)
+       SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+              CAST(p.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS prob
+       FROM pairs p JOIN tot t USING (from_type)""",
+)
+def e8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/temporal (round 9): first-order MARKOV TRANSITION MATRIX of
+    the per-user event-type sequence — the path-analysis primitive
+    behind funnel discovery and anomalous-flow detection.  One lag
+    window over the (user, time)-ordered stream, one (from,to) count
+    with map-side partials, one |types|²-bounded normalize join; prob
+    is a single integer division, engine-exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("t").cast("double")).alias("prob"),
+    )
+
+
+@query(
     "e4_resample_gapfill",
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,

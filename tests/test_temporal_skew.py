@@ -620,3 +620,30 @@ def test_cusum_validates_args(spark):
         cusum_flags(df, threshold=0.0)
     with _pytest.raises(ValueError):
         cusum_flags(df, slack=-1.0)
+
+
+# ------------------------------------------------------------- Markov
+
+def test_markov_transitions_counts_and_rows(spark):
+    import __spark_entry__ as entry_mod
+
+    # replay the registered entry's logic on a hand corpus via the
+    # same window/groupBy shape
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "a"), (1, 4, 4, "b"),
+        (2, 1, 5, "a"), (2, 2, 6, "a"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("f"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["f"], r["t"]): r["n"] for r in pairs.collect()}
+    # user1: a->b, b->a, a->b ; user2: a->a
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
