@@ -8817,6 +8817,99 @@ def stream_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cusum",
+    """WITH base AS (
+         SELECT user_id, ts, event_id, value,
+                CAST(value - CAST(55.0 AS DOUBLE) AS DECIMAL(18,6)) AS ip,
+                CAST(CAST(45.0 AS DOUBLE) - value AS DECIMAL(18,6)) AS inn
+         FROM events),
+       pre AS (
+         SELECT user_id, ts, event_id, value,
+                SUM(ip) OVER w AS pp, SUM(inn) OVER w AS pn
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       mins AS (
+         SELECT user_id, ts, event_id, value, pp, pn,
+                MIN(pp) OVER w AS mp, MIN(pn) OVER w AS mn
+         FROM pre
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT user_id, ts, event_id, value,
+              CAST((pp - (CASE WHEN mp < 0 THEN mp
+                               ELSE CAST(0 AS DECIMAL(38,6)) END))
+                   * 1000000 AS BIGINT) AS cusum_pos_u,
+              CAST((pn - (CASE WHEN mn < 0 THEN mn
+                               ELSE CAST(0 AS DECIMAL(38,6)) END))
+                   * 1000000 AS BIGINT) AS cusum_neg_u,
+              (pp - (CASE WHEN mp < 0 THEN mp
+                          ELSE CAST(0 AS DECIMAL(38,6)) END)
+                 > CAST(200.0 AS DECIMAL(18,6)))
+              OR (pn - (CASE WHEN mn < 0 THEN mn
+                             ELSE CAST(0 AS DECIMAL(38,6)) END)
+                 > CAST(200.0 AS DECIMAL(18,6))) AS alarm
+       FROM mins""",
+)
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 (round 9): STREAMING two-sided CUSUM drift alarms — the
+    stateful stream twin of e7_cusum_changepoints.  Events land as 3
+    event-time slices streamed one file per trigger;
+    applyInPandasWithState carries 4 micro-unit integers per user and
+    folds each micro-batch on top of the carried prefix.  The oracle is
+    the BATCH statistic over the whole table — stream ≡ batch, every
+    micro-unit integer and alarm bit (streaming/events.cusum_stream)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import cusum_stream, stream_events
+
+    landing = tempfile.mkdtemp(prefix="bdmc_scusum_landing_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        cuts = (
+            ev.select(us.alias("u"))
+            .selectExpr("percentile(u, array(0.3333, 0.6667)) AS c")
+            .first()["c"]
+        )
+        c1, c2 = int(cuts[0]), int(cuts[1])
+        slices = [us < c1, (us >= c1) & (us < c2), us >= c2]
+        for cond in slices:
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        rows = []
+
+        def sink(batch, _bid):
+            rows.extend(batch.collect())
+
+        q = (
+            cusum_stream(stream_events(spark, landing, max_files_per_trigger=1))
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        from .streaming.events import CUSUM_OUT_SCHEMA
+
+        out = spark.createDataFrame(
+            [
+                (
+                    r["user_id"], r["ts"], r["event_id"], r["value"],
+                    r["cusum_pos_u"], r["cusum_neg_u"], r["alarm"],
+                )
+                for r in rows
+            ],
+            CUSUM_OUT_SCHEMA,
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
+@query(
     "n7_quality_checks",
     """WITH m AS (SELECT
          CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS m0,

@@ -609,3 +609,107 @@ def pack_sequences_sink(
         _prune_sink_history(carry_dir, app_id, bid, retain_history)
 
     return _apply
+
+
+CUSUM_OUT_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, value double,"
+    " cusum_pos_u long, cusum_neg_u long, alarm boolean"
+)
+_CUSUM_STATE_SCHEMA = "pp long, mp long, pn long, mn long"
+
+
+def _cusum_fn_factory(target: float, slack: float, threshold: float):
+    """Build the applyInPandasWithState fn for :func:`cusum_stream`.
+
+    State = 4 micro-unit (1e-6) integers per user: prefix-sum end and
+    running prefix-min for each CUSUM side — O(1) per key, unbounded
+    stream safe.  Increments replay the BATCH operator's exact
+    semantics: dev = value - (target±slack) in IEEE double, then the
+    Spark double→DECIMAL(18,6) cast (HALF_UP on the exact binary
+    value, reproduced with Python Decimal), so the stream's micro-unit
+    integers equal the batch/oracle decimals ×10⁶ bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    up = float(target) + float(slack)
+    dn = float(target) - float(slack)
+    thr_u = int(
+        (Decimal(repr(float(threshold))) * 1_000_000).to_integral_value()
+    )
+    q6 = Decimal("0.000001")
+
+    def _dev_u(x: float, sub: bool) -> int:
+        d = (x - up) if not sub else (dn - x)
+        return int(Decimal(d).quantize(q6, rounding=ROUND_HALF_UP) * 1_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return iter([])
+        batch = pd.concat(frames).sort_values(["ts", "event_id"])
+        if state.exists:
+            pp, mp, pn, mn = state.get
+        else:
+            pp, mp, pn, mn = 0, None, 0, None
+        pos_out, neg_out, alarm_out = [], [], []
+        for x in batch["value"]:
+            v = float(x)
+            pp += _dev_u(v, sub=False)
+            pn += _dev_u(v, sub=True)
+            mp = pp if mp is None else min(mp, pp)
+            mn = pn if mn is None else min(mn, pn)
+            sp = pp - min(0, mp)
+            sn = pn - min(0, mn)
+            pos_out.append(sp)
+            neg_out.append(sn)
+            alarm_out.append(sp > thr_u or sn > thr_u)
+        state.update((pp, mp, pn, mn))
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "ts": batch["ts"].values,
+                "event_id": batch["event_id"].values,
+                "value": batch["value"].values,
+                "cusum_pos_u": pos_out,
+                "cusum_neg_u": neg_out,
+                "alarm": alarm_out,
+            }
+        )
+        return iter([out])
+
+    return fn
+
+
+def cusum_stream(
+    events: DataFrame,
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 200.0,
+) -> DataFrame:
+    """Per-user two-sided CUSUM drift alarms over an unbounded event
+    stream (the streaming twin of operators/temporal.cusum_flags, same
+    Page-1954 statistic): applyInPandasWithState carries FOUR micro-unit
+    integers per user (prefix end + prefix min per side), each
+    micro-batch folds its rows in (ts, event_id) order on top of the
+    carried prefix, and emitted micro-unit cusums equal the batch
+    operator's decimals ×10⁶ exactly — stream ≡ batch is pinned by the
+    shared oracle.  Rows must arrive time-ordered per user across
+    micro-batches (the landing pattern slices by event time), the same
+    contract as every prefix-carrying stream here."""
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_fn_factory(target, slack, threshold),
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -517,3 +517,75 @@ def test_pack_sequences_sink_history_retention(spark, tmp_path):
                 want.extend(ids)
     assert got == want
     assert len(glob.glob(d + "/data/t-*.parquet")) > 0
+
+
+def test_cusum_stream_equals_batch_across_batches(spark, tmp_path):
+    """The carried prefix state must make a 2-slice stream reproduce the
+    single-frame batch statistic exactly (micro-units = decimal x 1e6)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+    from bigdatamigratecloud_spark.streaming.events import cusum_stream, stream_events
+
+    rows = [
+        (1, i, i, v)
+        for i, v in enumerate([10.0, 80.0, 80.0, 5.0, 5.0, 90.0, 90.0, 90.0])
+    ] + [(2, i, 100 + i, 55.0) for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, t long, event_id long, value double"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+        "event_id", "value",
+    ).withColumn("event_type", F.lit("x")).withColumn("props", F.lit("{}"))
+
+    d = str(tmp_path / "cusum_landing")
+    ev.filter(F.col("t") < 4).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("t") >= 4).coalesce(1).write.mode("append").parquet(d)
+
+    got_rows = []
+    q = (
+        cusum_stream(stream_events(spark, d, max_files_per_trigger=1),
+                     target=50.0, slack=5.0, threshold=60.0)
+        .writeStream.foreachBatch(lambda b, _i: got_rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + f"/_ckpt_{uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    batch = cusum_flags(
+        ev.select("user_id", "ts", "event_id", "value"),
+        target=50.0, slack=5.0, threshold=60.0,
+    ).collect()
+    want = {
+        r["event_id"]: (
+            int(r["cusum_pos"] * 1_000_000),
+            int(r["cusum_neg"] * 1_000_000),
+            r["alarm"],
+        )
+        for r in batch
+    }
+    got = {
+        r["event_id"]: (r["cusum_pos_u"], r["cusum_neg_u"], r["alarm"])
+        for r in got_rows
+    }
+    assert got == want
+    assert any(a for _, _, a in got.values())  # the drift really alarms
+
+
+def test_cusum_stream_validates_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.streaming.events import cusum_stream, stream_events
+
+    d = str(tmp_path / "cusum_v")
+    spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(d)
+    s = stream_events(spark, d)
+    with _pytest.raises(ValueError):
+        cusum_stream(s, threshold=0.0)
+    with _pytest.raises(ValueError):
+        cusum_stream(s, slack=-1.0)
