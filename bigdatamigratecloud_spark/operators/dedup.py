@@ -149,6 +149,69 @@ def jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_containment: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """DIRECTED shingle-containment pairs: containment(A→B) =
+    |A∩B| / |A| — the asymmetric near-dup relation Jaccard misses (a
+    tweet quoted inside an article has tiny Jaccard but containment
+    ≈ 1).  This is the C4/RealNews "document subsumed by another"
+    dedup rule; downstream keep-best then drops the contained copy.
+
+    Returns (contained_id, container_id, containment) for every
+    ORDERED pair with containment >= threshold (both directions of a
+    mutual near-dup appear).  Same scale shape as :func:`jaccard_pairs`
+    — shingle explode + equi-join + per-pair count, never a cross
+    product; ``max_shingle_freq`` prunes boilerplate shingles exactly
+    like there."""
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError(
+            f"min_containment must be in (0,1], got {min_containment}"
+        )
+    sh = shingles_df(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    both = shared.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("sz_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("inter").cast("double") / F.col("sz_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.union(rev).filter(F.col("containment") >= F.lit(min_containment))
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

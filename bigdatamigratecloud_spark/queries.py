@@ -555,6 +555,43 @@ def n2_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.jaccard_pairs(load_table(spark, sf_dir, "documents"), min_jaccard=0.2)
 
 
+@query(
+    "n2_containment_pairs",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+       sh AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(range(0, len(sp)-2),
+                            i -> sp[i+1] || ' ' || sp[i+2] || ' ' || sp[i+3]))) AS shingle
+              FROM toks WHERE len(sp) >= 3),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       sided AS (SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+                 FROM shared
+                 JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b),
+       dirs AS (SELECT id_a AS contained_id, id_b AS container_id,
+                       CAST(inter AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment
+                FROM sided
+                UNION ALL
+                SELECT id_b, id_a,
+                       CAST(inter AS DOUBLE) / CAST(sz_b AS DOUBLE)
+                FROM sided)
+       SELECT contained_id, container_id, containment
+       FROM dirs WHERE containment >= 0.6""",
+)
+def n2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): DIRECTED shingle-containment near-dup pairs
+    (|A∩B|/|A| >= 0.6, 3-token shingles) — the asymmetric subsumption
+    relation Jaccard misses (a quoted snippet has tiny Jaccard but
+    containment ≈ 1); the C4/RealNews contained-document dedup rule.
+    Same explode-join-aggregate shape as jaccard_pairs, never a cross
+    product (operators/dedup.containment_pairs)."""
+    return _dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), min_containment=0.6
+    )
+
+
 _UNIT_SQL = """
   u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),

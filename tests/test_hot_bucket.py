@@ -151,3 +151,53 @@ def test_ppjoin_equals_bruteforce_and_prunes(spark, planted):
 
     with pytest.raises(ValueError, match="min_jaccard"):
         dedup.jaccard_join_prefix(planted, min_jaccard=0.0)
+
+
+# ----------------------------------------------------------- containment
+
+def test_containment_detects_subsumed_doc(spark):
+    from bigdatamigratecloud_spark.operators.dedup import containment_pairs
+
+    snippet = "alpha beta gamma delta epsilon"
+    article = "intro words here " + snippet + " closing words trail out"
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, article), (3, "totally different text body now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(docs, min_containment=0.9).collect()
+    }
+    # every 3-shingle of the snippet appears in the article -> 1.0
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_is_directional_and_thresholds(spark):
+    from bigdatamigratecloud_spark.operators.dedup import containment_pairs
+
+    # A has 4 shingles, 2 shared; B has 8 shingles, 2 shared:
+    # containment(A->B)=0.5, (B->A)=0.25
+    a = "w1 w2 w3 w4 w5 w6"                   # shingles: 4
+    b = "w3 w4 w5 x1 x2 x3 x4 x5 x6 x7"       # shares w3 w4 w5 -> 1 shared... build carefully
+    docs = spark.createDataFrame(
+        [(1, a), (2, "w1 w2 w3 w4 q1 q2 q3 q4 q5 q6")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(docs, min_containment=0.4).collect()
+    }
+    # doc1: 4 shingles (w1w2w3, w2w3w4, w3w4w5, w4w5w6); doc2 shares
+    # w1w2w3 and w2w3w4 -> containment(1->2) = 2/4 = 0.5
+    # doc2: 8 shingles, 2 shared -> 0.25 (below threshold, absent)
+    assert got == {(1, 2): 0.5}
+
+
+def test_containment_validates_threshold(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        containment_pairs(docs, min_containment=0.0)
