@@ -642,3 +642,71 @@ def cusum_flags(
         )
     )
     return out
+
+
+def acf_by_group(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    max_lag: int = 24,
+) -> DataFrame:
+    """Sample AUTOCORRELATION function per series — the seasonality /
+    periodicity detector that picks the ``period`` argument for
+    :func:`seasonal_decompose` (a 24-hour cycle shows as an acf peak at
+    lag 24).  Input is an evenly-spaced INTEGER series per group
+    (contiguous ``t_col``, integer ``value_col`` — run
+    :func:`resample_gapfill` first on sparse series).
+
+    acf(k) = Σ_{t≤n−k} c_t·c_{t+k} / Σ_t c_t²  with  c_t = n·x_t − Σx
+    (centering scaled by n, the :func:`seasonal_decompose` /
+    ``pca_power`` trick) — every sum is order-independent BIGINT
+    arithmetic and each emitted double is ONE integer division, so any
+    engine replays it bit-for-bit.
+
+    Scale shape: one per-group (n, Σx) aggregation broadcast back, ONE
+    ordered window pass computing all ``max_lag`` leads, one per-group
+    aggregation — group-keyed shuffles only, state bounded by
+    max_lag rows per window frame.  Returns (group, lag, n, acf);
+    groups shorter than lag+1 emit NULL acf for that lag."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    g, t, v = group_col, t_col, value_col
+    stats = df.groupBy(g).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(F.col(v).cast("long")).alias("__s")
+    )
+    c = df.join(F.broadcast(stats), g).select(
+        F.col(g),
+        F.col(t),
+        (F.col("__n") * F.col(v).cast("long") - F.col("__s")).alias("__c"),
+        "__n",
+    )
+    w = Window.partitionBy(g).orderBy(t)
+    leads = c.select(
+        g,
+        "__n",
+        "__c",
+        *[F.lead("__c", k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    aggs = [F.sum(F.col("__c") * F.col("__c")).alias("__den"), F.max("__n").alias("n")] + [
+        F.sum(F.col("__c") * F.col(f"__l{k}")).alias(f"__num{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    per = leads.groupBy(g).agg(*aggs)
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                (
+                    F.col(f"__num{k}").cast("double")
+                    / F.col("__den").cast("double")
+                ).alias("acf"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return per.select(g, "n", F.explode(lag_structs).alias("__x")).select(
+        g, F.col("__x.lag").alias("lag"), F.col("n"), F.col("__x.acf").alias("acf")
+    )

@@ -2267,6 +2267,131 @@ def e8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e9_acf_hourly",
+    """WITH hc AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS h,
+                          count(*) AS v
+               FROM events GROUP BY 1, 2),
+       bounds AS (SELECT event_type, min(h) AS mn, max(h) AS mx
+                  FROM hc GROUP BY 1),
+       ax AS (SELECT event_type, unnest(range(mn, mx + 1)) AS h FROM bounds),
+       dense AS (SELECT a.event_type, a.h, COALESCE(hc.v, 0) AS v
+                 FROM ax a LEFT JOIN hc
+                   ON hc.event_type = a.event_type AND hc.h = a.h),
+       st AS (SELECT event_type, count(*) AS n, SUM(v) AS s
+              FROM dense GROUP BY 1),
+       c AS (SELECT d.event_type, d.h, st.n, st.n * d.v - st.s AS c
+             FROM dense d JOIN st USING (event_type)),
+       led AS (SELECT event_type, n, c,
+                     LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS l1,
+                     LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS l2,
+                     LEAD(c, 3) OVER (PARTITION BY event_type ORDER BY h) AS l3,
+                     LEAD(c, 4) OVER (PARTITION BY event_type ORDER BY h) AS l4,
+                     LEAD(c, 5) OVER (PARTITION BY event_type ORDER BY h) AS l5,
+                     LEAD(c, 6) OVER (PARTITION BY event_type ORDER BY h) AS l6,
+                     LEAD(c, 7) OVER (PARTITION BY event_type ORDER BY h) AS l7,
+                     LEAD(c, 8) OVER (PARTITION BY event_type ORDER BY h) AS l8,
+                     LEAD(c, 9) OVER (PARTITION BY event_type ORDER BY h) AS l9,
+                     LEAD(c, 10) OVER (PARTITION BY event_type ORDER BY h) AS l10,
+                     LEAD(c, 11) OVER (PARTITION BY event_type ORDER BY h) AS l11,
+                     LEAD(c, 12) OVER (PARTITION BY event_type ORDER BY h) AS l12,
+                     LEAD(c, 13) OVER (PARTITION BY event_type ORDER BY h) AS l13,
+                     LEAD(c, 14) OVER (PARTITION BY event_type ORDER BY h) AS l14,
+                     LEAD(c, 15) OVER (PARTITION BY event_type ORDER BY h) AS l15,
+                     LEAD(c, 16) OVER (PARTITION BY event_type ORDER BY h) AS l16,
+                     LEAD(c, 17) OVER (PARTITION BY event_type ORDER BY h) AS l17,
+                     LEAD(c, 18) OVER (PARTITION BY event_type ORDER BY h) AS l18,
+                     LEAD(c, 19) OVER (PARTITION BY event_type ORDER BY h) AS l19,
+                     LEAD(c, 20) OVER (PARTITION BY event_type ORDER BY h) AS l20,
+                     LEAD(c, 21) OVER (PARTITION BY event_type ORDER BY h) AS l21,
+                     LEAD(c, 22) OVER (PARTITION BY event_type ORDER BY h) AS l22,
+                     LEAD(c, 23) OVER (PARTITION BY event_type ORDER BY h) AS l23,
+                     LEAD(c, 24) OVER (PARTITION BY event_type ORDER BY h) AS l24
+              FROM c),
+       per AS (SELECT event_type, MAX(n) AS n, SUM(c * c) AS den,
+                    SUM(c * l1) AS num1,
+                    SUM(c * l2) AS num2,
+                    SUM(c * l3) AS num3,
+                    SUM(c * l4) AS num4,
+                    SUM(c * l5) AS num5,
+                    SUM(c * l6) AS num6,
+                    SUM(c * l7) AS num7,
+                    SUM(c * l8) AS num8,
+                    SUM(c * l9) AS num9,
+                    SUM(c * l10) AS num10,
+                    SUM(c * l11) AS num11,
+                    SUM(c * l12) AS num12,
+                    SUM(c * l13) AS num13,
+                    SUM(c * l14) AS num14,
+                    SUM(c * l15) AS num15,
+                    SUM(c * l16) AS num16,
+                    SUM(c * l17) AS num17,
+                    SUM(c * l18) AS num18,
+                    SUM(c * l19) AS num19,
+                    SUM(c * l20) AS num20,
+                    SUM(c * l21) AS num21,
+                    SUM(c * l22) AS num22,
+                    SUM(c * l23) AS num23,
+                    SUM(c * l24) AS num24
+               FROM led GROUP BY 1)
+       SELECT event_type, CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n, acf
+       FROM (SELECT event_type, 1 AS lag, n, CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 2 AS lag, n, CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 3 AS lag, n, CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 4 AS lag, n, CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 5 AS lag, n, CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 6 AS lag, n, CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 7 AS lag, n, CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 8 AS lag, n, CAST(num8 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 9 AS lag, n, CAST(num9 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 10 AS lag, n, CAST(num10 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 11 AS lag, n, CAST(num11 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 12 AS lag, n, CAST(num12 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 13 AS lag, n, CAST(num13 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 14 AS lag, n, CAST(num14 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 15 AS lag, n, CAST(num15 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 16 AS lag, n, CAST(num16 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 17 AS lag, n, CAST(num17 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 18 AS lag, n, CAST(num18 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 19 AS lag, n, CAST(num19 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 20 AS lag, n, CAST(num20 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 21 AS lag, n, CAST(num21 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 22 AS lag, n, CAST(num22 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 23 AS lag, n, CAST(num23 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per
+         UNION ALL SELECT event_type, 24 AS lag, n, CAST(num24 AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM per)""",
+)
+def e9_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/temporal (round 9): sample AUTOCORRELATION (lags 1..24) of
+    the hourly event-count series per event_type — the periodicity
+    detector that picks seasonal_decompose's period (a daily cycle
+    peaks at lag 24).  Centering scaled by n keeps every sum BIGINT
+    and each acf one integer division — engine-exact
+    (operators/temporal.acf_by_group)."""
+    from .operators.temporal import acf_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    axis = (
+        hc.groupBy("event_type")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select("event_type", F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    dense = axis.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    return acf_by_group(dense, "event_type", "h", "v", max_lag=24).select(
+        "event_type", "lag", F.col("n").cast("long").alias("n"), "acf"
+    )
+
+
+@query(
     "e4_resample_gapfill",
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,

@@ -647,3 +647,40 @@ def test_markov_transitions_counts_and_rows(spark):
     got = {(r["f"], r["t"]): r["n"] for r in pairs.collect()}
     # user1: a->b, b->a, a->b ; user2: a->a
     assert got == {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+
+
+# ------------------------------------------------------------------ ACF
+
+def test_acf_matches_python_replica_and_finds_period(spark):
+    from bigdatamigratecloud_spark.operators.temporal import acf_by_group
+
+    # period-4 sawtooth: acf peaks at lag 4
+    vals = [0, 3, 1, 2] * 8
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, h long, v long"
+    )
+    got = {r["lag"]: r["acf"] for r in acf_by_group(df, "g", "h", "v", max_lag=6).collect()}
+
+    n = len(vals)
+    s = sum(vals)
+    c = [n * v - s for v in vals]
+    den = sum(x * x for x in c)
+    for k in range(1, 7):
+        num = sum(c[t] * c[t + k] for t in range(n - k))
+        assert got[k] == num / den, k
+    assert got[4] == max(got.values())  # the planted period peaks
+
+
+def test_acf_short_series_and_validation(spark):
+    import math
+
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.temporal import acf_by_group
+
+    df = spark.createDataFrame([("g", 0, 1), ("g", 1, 2)], "g string, h long, v long")
+    got = {r["lag"]: r["acf"] for r in acf_by_group(df, "g", "h", "v", max_lag=3).collect()}
+    assert got[3] is None and got[2] is None  # series shorter than lag
+    assert got[1] is not None and not math.isnan(got[1])
+    with _pytest.raises(ValueError):
+        acf_by_group(df, "g", "h", "v", max_lag=0)
