@@ -710,3 +710,56 @@ def acf_by_group(
     return per.select(g, "n", F.explode(lag_structs).alias("__x")).select(
         g, F.col("__x.lag").alias("lag"), F.col("n"), F.col("__x.acf").alias("acf")
     )
+
+
+def trend_ols_by_group(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares TREND over an integer series —
+    the drift detector for metric monitoring (is this source's volume /
+    quality score rising or falling?).  With x = t − min(t) and integer
+    y, both closed-form coefficients are ONE integer division each:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    Every sum is order-independent BIGINT arithmetic, so slope and
+    intercept are engine-exact doubles.  Groups with a degenerate
+    x-variance (a single point) emit NULL coefficients.
+
+    Scale shape: one per-group min broadcast back, ONE aggregation with
+    map-side partials — nothing beyond two group-keyed shuffles."""
+    from pyspark.sql import functions as _F
+
+    g, t, v = group_col, t_col, value_col
+    mins = df.groupBy(g).agg(_F.min(t).alias("__t0"))
+    base = df.join(_F.broadcast(mins), g).select(
+        _F.col(g),
+        (_F.col(t) - _F.col("__t0")).cast("long").alias("__x"),
+        _F.col(v).cast("long").alias("__y"),
+    )
+    per = base.groupBy(g).agg(
+        _F.count(_F.lit(1)).alias("n"),
+        _F.sum("__x").alias("__sx"),
+        _F.sum("__y").alias("__sy"),
+        _F.sum(_F.col("__x") * _F.col("__y")).alias("__sxy"),
+        _F.sum(_F.col("__x") * _F.col("__x")).alias("__sxx"),
+    )
+    den = per["n"] * per["__sxx"] - per["__sx"] * per["__sx"]
+    return per.select(
+        g,
+        _F.col("n").cast("long").alias("n"),
+        _F.when(
+            den != 0,
+            (per["n"] * per["__sxy"] - per["__sx"] * per["__sy"]).cast("double")
+            / den.cast("double"),
+        ).alias("slope"),
+        _F.when(
+            den != 0,
+            (per["__sy"] * per["__sxx"] - per["__sx"] * per["__sxy"]).cast("double")
+            / den.cast("double"),
+        ).alias("intercept"),
+    )

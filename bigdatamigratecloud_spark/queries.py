@@ -2392,6 +2392,47 @@ def e9_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e10_trend_ols",
+    """WITH hc AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS h,
+                          count(*) AS v
+               FROM events GROUP BY 1, 2),
+       m AS (SELECT event_type, min(h) AS t0 FROM hc GROUP BY 1),
+       base AS (SELECT hc.event_type, hc.h - m.t0 AS x, hc.v AS y
+                FROM hc JOIN m USING (event_type)),
+       per AS (SELECT event_type, count(*) AS n,
+                      SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * y) AS sxy, SUM(x * x) AS sxx
+               FROM base GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CASE WHEN n * sxx - sx * sx <> 0
+                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+              CASE WHEN n * sxx - sx * sx <> 0
+                   THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
+       FROM per""",
+)
+def e10_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/temporal (round 9): per-event_type OLS TREND of the hourly
+    volume series — closed-form slope/intercept as ONE integer division
+    each (all sums BIGINT), the drift detector beside cusum_flags'
+    alarm view (operators/temporal.trend_ols_by_group)."""
+    from .operators.temporal import trend_ols_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return trend_ols_by_group(hc, "event_type", "h", "v")
+
+
+@query(
     "e4_resample_gapfill",
     """WITH sparse AS (
          SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -9598,6 +9639,79 @@ def n4_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model, stats = naive_bayes_train(docs, label_col="lang", text_col="text")
     return naive_bayes_classify(docs, model, stats)
+
+
+@query(
+    "n2_pca_project",
+    """WITH pca_feats AS (
+         SELECT ROW_NUMBER() OVER () AS vec_id,
+                [l_quantity / 64.0, l_extendedprice / 131072.0,
+                 l_discount, l_tax,
+                 (l_quantity / 64.0 + l_extendedprice / 131072.0) / 2.0]
+                    AS embedding
+         FROM lineitem),
+       """
+    + _sim.pca_power_sql_steps(iters=6, table="pca_feats")
+    + """,
+       prj AS (SELECT c.id, SUM(CAST(c.c AS HUGEINT) * CAST(f.loading AS HUGEINT)) AS p
+               FROM pca_c c JOIN pca_final f ON f.dim_idx = c.i
+               GROUP BY 1),
+       agg AS (SELECT MIN(p) AS mn, MAX(p) AS mx,
+                      SUM(CASE WHEN p >= 0 THEN 1 ELSE 0 END) AS n_pos,
+                      SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS n_neg,
+                      COUNT(*) AS n FROM prj)
+       SELECT CAST(mn AS DECIMAL(38,0)) AS min_proj,
+              CAST(mx AS DECIMAL(38,0)) AS max_proj,
+              CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+              CAST(n AS BIGINT) AS n
+       FROM agg""",
+)
+def n2_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): PROJECTION onto the learned top principal
+    component — the whitening step itself: every row's centered
+    quantized feature vector dotted with pca_power's integer loadings
+    (exact BIGINT/HUGEINT arithmetic end-to-end).  Row ids are
+    engine-local, so the oracle pins the projection DISTRIBUTION
+    (extremes, sign split, count) — all exact integers
+    (operators/similarity.pca_power + one join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity") / F.lit(64.0)
+    price = F.col("l_extendedprice") / F.lit(131072.0)
+    feats = li.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.array(
+            qty, price, F.col("l_discount"), F.col("l_tax"),
+            (qty + price) / F.lit(2.0),
+        ).alias("embedding"),
+    )
+    loadings = _sim.pca_power(feats, iters=6)
+    qs = F.lit(1024.0)
+    ex = feats.select(
+        F.col("vec_id").alias("__id"), F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select(
+        "__id", (F.col("i") + F.lit(1)).alias("i"),
+        F.floor(F.col("x").cast("double") * qs).cast("long").alias("q"),
+    )
+    stats = ex.groupBy("i").agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    c = ex.join(F.broadcast(stats), "i").select(
+        "__id", "i", (F.col("n") * F.col("q") - F.col("s")).alias("c")
+    )
+    prj = (
+        c.join(F.broadcast(loadings.withColumnRenamed("dim_idx", "i")), "i")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.col("c").cast("decimal(18,0)") * F.col("loading").cast("decimal(18,0)"))
+            .cast("decimal(38,0)")
+            .alias("p")
+        )
+    )
+    return prj.agg(
+        F.min("p").cast("decimal(38,0)").alias("min_proj"),
+        F.max("p").cast("decimal(38,0)").alias("max_proj"),
+        F.sum(F.when(F.col("p") >= 0, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("p") < 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
 
 
 from .operators import sampling as _sampling  # noqa: E402

@@ -684,3 +684,34 @@ def test_acf_short_series_and_validation(spark):
     assert got[1] is not None and not math.isnan(got[1])
     with _pytest.raises(ValueError):
         acf_by_group(df, "g", "h", "v", max_lag=0)
+
+
+# ------------------------------------------------------------------ OLS
+
+def test_trend_ols_exact_line_and_replica(spark):
+    from bigdatamigratecloud_spark.operators.temporal import trend_ols_by_group
+
+    # exact line y = 3x + 7 -> slope 3, intercept 7
+    line = [("a", 100 + x, 3 * x + 7) for x in range(10)]
+    # noisy series, verify against closed form
+    noisy = [("b", x, y) for x, y in enumerate([5, 9, 4, 12, 8, 15])]
+    df = spark.createDataFrame(line + noisy, "g string, h long, v long")
+    got = {r["g"]: r for r in trend_ols_by_group(df, "g", "h", "v").collect()}
+    assert got["a"]["slope"] == 3.0 and got["a"]["intercept"] == 7.0
+
+    xs = list(range(6)); ys = [5, 9, 4, 12, 8, 15]
+    n = 6
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    assert got["b"]["slope"] == (n * sxy - sx * sy) / den
+    assert got["b"]["intercept"] == (sy * sxx - sx * sxy) / den
+
+
+def test_trend_ols_degenerate_group_is_null(spark):
+    from bigdatamigratecloud_spark.operators.temporal import trend_ols_by_group
+
+    df = spark.createDataFrame([("solo", 5, 42)], "g string, h long, v long")
+    row = trend_ols_by_group(df, "g", "h", "v").collect()[0]
+    assert row["n"] == 1 and row["slope"] is None and row["intercept"] is None
