@@ -508,3 +508,59 @@ def test_write_range_sorted_parquet_global_order(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError):
         write_range_sorted_parquet(li, p, [])
+
+
+# ------------------------------------------------- round-9 additions
+
+def test_cusum_plan_one_group_shuffle(spark, sf_dir):
+    """CUSUM is two window passes over ONE user-keyed exchange — the
+    prefix-identity rewrite must not introduce a per-entity fold or a
+    second shuffle."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(cusum_flags(ev, target=50.0, slack=5.0, threshold=200.0))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_trend_ols_plan_broadcast_min_join(spark, sf_dir):
+    """OLS trend: the per-group min joins back as a BROADCAST — the big
+    frame shuffles only for its own aggregations."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.temporal import trend_ols_by_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("event_id").alias("h"), F.lit(1).alias("v")
+    )
+    plan = _plan(trend_ols_by_group(ev, "event_type", "h", "v"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rm3_plan_feedback_side_broadcasts(spark, sf_dir):
+    """RM3's second corpus pass must probe the feedback docs as a
+    broadcast — never shuffle the corpus token stream against a 10-row
+    frame."""
+    from bigdatamigratecloud_spark.catalog import load_table
+    from bigdatamigratecloud_spark.operators.retrieval import rm3_expand
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(rm3_expand(docs, ["join", "vector", "slow"]))
+    assert "BroadcastHashJoin" in plan
+    # top-k of expansion terms is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bfs_frontier_join_no_cartesian(spark):
+    from bigdatamigratecloud_spark.operators.cluster import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    out = bfs_hops(edges, src, max_hops=3)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
