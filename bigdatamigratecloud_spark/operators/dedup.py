@@ -1144,3 +1144,65 @@ def simhash_neardup(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    block_expr: Column | str,
+    key_expr: Column | str,
+    id_col: str = "doc_id",
+    window: int = 5,
+) -> DataFrame:
+    """SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo 1995) — the
+    classic entity-resolution candidate generator beside LSH banding:
+    within each BLOCK, sort records by the key and compare each record
+    only with its ``window−1`` successors.  Emits candidate pairs
+    (id_a, id_b, key_a, key_b) for downstream exact rerank
+    (editdist/jaccard); id_a is the sort-order predecessor.
+
+    Deterministic: order within a block is (key, id) — total, so the
+    pair set is engine-exact.  Candidates are O(n·window) by
+    construction — the blocking guarantee itself; no hot-bucket mode
+    beyond the block cardinality, which the caller picks (the paper's
+    multi-pass discipline: run again with a different block/key to
+    recover cross-block matches).
+
+    Scale shape: ONE block-keyed shuffle, one ordered window pass
+    holding ``window−1`` rows of state, explode bounded by window−1.
+    Never corpus×corpus, never a single global sort partition."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from pyspark.sql import Window as W
+
+    blk = F.expr(block_expr) if isinstance(block_expr, str) else block_expr
+    k = F.expr(key_expr) if isinstance(key_expr, str) else key_expr
+    base = df.select(
+        F.col(id_col).alias("id"), blk.alias("__blk"), k.alias("__k")
+    )
+    w = W.partitionBy("__blk").orderBy(F.col("__k").asc(), F.col("id").asc())
+    nbrs = base.select(
+        "id",
+        "__k",
+        *[
+            F.lead(F.struct(F.col("id").alias("id"), F.col("__k").alias("k")), j)
+            .over(w)
+            .alias(f"__n{j}")
+            for j in range(1, window)
+        ],
+    )
+    pairs = nbrs.select(
+        F.col("id").alias("id_a"),
+        F.col("__k").alias("key_a"),
+        F.explode(
+            F.filter(
+                F.array(*[F.col(f"__n{j}") for j in range(1, window)]),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("__b"),
+    )
+    return pairs.select(
+        "id_a",
+        F.col("__b.id").alias("id_b"),
+        "key_a",
+        F.col("__b.k").alias("key_b"),
+    )

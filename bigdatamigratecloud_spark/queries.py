@@ -592,6 +592,42 @@ def n2_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "n2_sorted_neighborhood",
+    """WITH snb AS (SELECT doc_id AS id, lang AS blk,
+                           substr(trim(text), 1, 16) AS k
+               FROM documents),
+       snn AS (SELECT id, blk, k,
+                      LEAD(id, 1) OVER w AS i1, LEAD(k, 1) OVER w AS k1,
+                      LEAD(id, 2) OVER w AS i2, LEAD(k, 2) OVER w AS k2,
+                      LEAD(id, 3) OVER w AS i3, LEAD(k, 3) OVER w AS k3
+               FROM snb
+               WINDOW w AS (PARTITION BY blk ORDER BY k, id))
+       SELECT id AS id_a, i1 AS id_b, k AS key_a, k1 AS key_b
+       FROM snn WHERE i1 IS NOT NULL
+       UNION ALL
+       SELECT id, i2, k, k2 FROM snn WHERE i2 IS NOT NULL
+       UNION ALL
+       SELECT id, i3, k, k3 FROM snn WHERE i3 IS NOT NULL""",
+)
+def n2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 (round 9): SORTED-NEIGHBORHOOD blocking (Hernández-Stolfo) —
+    the entity-resolution candidate generator beside LSH banding:
+    within each lang block, docs sort by their 16-char text prefix and
+    pair with their 3 successors (O(n·window) candidates by
+    construction, for downstream editdist/jaccard rerank)
+    (operators/dedup.sorted_neighborhood_pairs)."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs,
+        block_expr=F.col("lang"),
+        key_expr=F.substring(F.trim(F.col("text")), 1, 16),
+        window=4,
+    )
+
+
 _UNIT_SQL = """
   u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),

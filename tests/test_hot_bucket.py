@@ -201,3 +201,44 @@ def test_containment_validates_threshold(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         containment_pairs(docs, min_containment=0.0)
+
+
+# ------------------------------------------------- sorted neighborhood
+
+def test_sorted_neighborhood_window_and_blocks(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "a", "apple"), (2, "a", "apricot"), (3, "a", "banana"), (4, "a", "berry"),
+        (5, "b", "apple"),   # other block: never pairs with block a
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blk string, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, block_expr=F.col("blk"), key_expr=F.col("name"), window=3
+        ).collect()
+    }
+    # block a sort: apple(1), apricot(2), banana(3), berry(4); window 3
+    # -> successors at distance 1 and 2
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_sorted_neighborhood_candidate_bound_and_guard(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.dedup import sorted_neighborhood_pairs
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, "x", f"k{i:04d}") for i in range(n)], "doc_id long, blk string, name string"
+    )
+    w = 5
+    out = sorted_neighborhood_pairs(df, F.col("blk"), F.col("name"), window=w)
+    assert out.count() == (n - 1) + (n - 2) + (n - 3) + (n - 4)  # O(n*window)
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, F.col("blk"), F.col("name"), window=1)
