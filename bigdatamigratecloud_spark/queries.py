@@ -320,6 +320,32 @@ shared_sql(
 )
 
 shared_sql(
+    "b2_basket_cosine",
+    # Market-basket item affinity (round 9): cosine similarity of
+    # part co-purchase counts — cij / (sqrt(ci)*sqrt(cj)), the classic
+    # "bought together" signal.  Pairs come from a per-order self-join
+    # (order baskets are <= 7 items, so the pair fan-out is a small
+    # constant per order — never item x item); IEEE sqrt is correctly
+    # rounded, so the shared SQL is bit-identical in both engines.
+    """WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+       cnt AS (SELECT p, count(*) AS c FROM pp GROUP BY p),
+       co AS (SELECT a.p AS p_a, b.p AS p_b, count(*) AS cij
+              FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p
+              HAVING count(*) >= 2)
+       SELECT p_a, p_b, CAST(cij AS BIGINT) AS cij,
+              CAST(cij AS DOUBLE)
+                  / (sqrt(CAST(ca.c AS DOUBLE)) * sqrt(CAST(cb.c AS DOUBLE)))
+                  AS cosine
+       FROM co
+       JOIN cnt ca ON ca.p = co.p_a
+       JOIN cnt cb ON cb.p = co.p_b
+       ORDER BY cosine DESC, p_a, p_b
+       LIMIT 50""",
+)
+
+shared_sql(
     "o3_topk_orders",
     """SELECT o_orderkey, o_custkey, o_totalprice
        FROM orders
