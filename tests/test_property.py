@@ -658,3 +658,44 @@ def test_hot_bucket_guard_inert_property(spark, texts):
         for r in dedup.minhash_lsh_candidates(sigs, max_bucket=None).collect()
     }
     assert guarded == unguarded
+
+
+# --------------------------------------------------------------- CUSUM
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-500.0, max_value=500.0, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(min_value=-50.0, max_value=50.0, allow_nan=False, width=64),
+    st.floats(min_value=0.0, max_value=20.0, allow_nan=False, width=64),
+)
+def test_cusum_prefix_identity_equals_recursion(vals, target, slack):
+    """The windowed rewrite S_t = P_t - min(0, min_{j<=t} P_j) must equal
+    the textbook recursion S_t = max(0, S_{t-1} + dev_t) on EXACT decimal
+    increments — for any series, target, and slack."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+
+    def dev(v, up):
+        return Decimal(v - up).quantize(q, rounding=ROUND_HALF_UP)
+
+    up = target + slack
+    # recursion
+    s = Decimal(0)
+    rec = []
+    for v in vals:
+        s = max(Decimal(0), s + dev(v, up))
+        rec.append(s)
+    # prefix identity
+    p = Decimal(0)
+    mn = None
+    out = []
+    for v in vals:
+        p += dev(v, up)
+        mn = p if mn is None else min(mn, p)
+        out.append(p - min(Decimal(0), mn))
+    assert out == rec
