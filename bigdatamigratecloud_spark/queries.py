@@ -2260,9 +2260,11 @@ def e6_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
        SELECT user_id, ts, event_id, value,
-              pp - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(38,6)) END)
+              CAST(pp - (CASE WHEN mp < 0 THEN mp
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
                   AS cusum_pos,
-              pn - (CASE WHEN mn < 0 THEN mn ELSE CAST(0 AS DECIMAL(38,6)) END)
+              CAST(pn - (CASE WHEN mn < 0 THEN mn
+                              ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
                   AS cusum_neg,
               (pp - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(38,6)) END)
                  > CAST(200.0 AS DECIMAL(18,6)))
@@ -2285,7 +2287,12 @@ def e7_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_flags(
         ev, group_col="user_id", ts_col="ts", value_col="value",
         order_cols=("event_id",), target=50.0, slack=5.0, threshold=200.0,
-    ).select("user_id", "ts", "event_id", "value", "cusum_pos", "cusum_neg", "alarm")
+    ).select(
+        "user_id", "ts", "event_id", "value",
+        F.col("cusum_pos").cast("double").alias("cusum_pos"),
+        F.col("cusum_neg").cast("double").alias("cusum_neg"),
+        "alarm",
+    )
 
 
 @query(
@@ -9722,8 +9729,8 @@ def n4_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                       SUM(CASE WHEN p >= 0 THEN 1 ELSE 0 END) AS n_pos,
                       SUM(CASE WHEN p < 0 THEN 1 ELSE 0 END) AS n_neg,
                       COUNT(*) AS n FROM prj)
-       SELECT CAST(mn AS DECIMAL(38,0)) AS min_proj,
-              CAST(mx AS DECIMAL(38,0)) AS max_proj,
+       SELECT CAST(mn AS DOUBLE) AS min_proj,
+              CAST(mx AS DOUBLE) AS max_proj,
               CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
               CAST(n AS BIGINT) AS n
        FROM agg""",
@@ -9768,8 +9775,8 @@ def n2_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return prj.agg(
-        F.min("p").cast("decimal(38,0)").alias("min_proj"),
-        F.max("p").cast("decimal(38,0)").alias("max_proj"),
+        F.min("p").cast("double").alias("min_proj"),
+        F.max("p").cast("double").alias("max_proj"),
         F.sum(F.when(F.col("p") >= 0, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(F.col("p") < 0, 1).otherwise(0)).cast("long").alias("n_neg"),
         F.count(F.lit(1)).cast("long").alias("n"),
