@@ -564,3 +564,21 @@ def test_bfs_frontier_join_no_cartesian(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pca_power_gram_join_is_equi_join(spark):
+    """The d²-cell covariance comes from an id-keyed EQUI-join of the
+    exploded coordinate frame with itself — never a cartesian."""
+    import random
+
+    from bigdatamigratecloud_spark.operators.similarity import pca_power
+
+    rng = random.Random(2)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_power(df, iters=2)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
