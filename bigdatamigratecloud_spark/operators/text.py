@@ -1048,3 +1048,88 @@ def readability(
         n_syll.alias("n_syllable_groups"),
         F.when(n_words > 0, score).alias("flesch_score"),
     )
+
+
+def chi2_keywords(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """χ² keyword extraction — the classic supervised feature selector
+    (which tokens DISTINGUISH this label's documents): per (label,
+    token) the 2×2 document-presence contingency a,b,c,d and
+
+        χ² = N·(a·d − b·c)² / ((a+b)(c+d)(a+c)(b+d))
+
+    keeping only positively-associated tokens (a·d > b·c) and the
+    ``top_k`` per label (ties to the smallest token).  One rational
+    expression per cell — all products exact DECIMAL(38,0) (HUGEINT in
+    the oracle), the statistic ONE integer division — so every double
+    is engine-exact.  Exactness envelope: the N⁵-order numerator fits
+    38 digits for corpora to ~3·10⁷ docs per run; sample above that
+    (documented, loud overflow → null under ANSI off is caught by the
+    count bound below being tiny).
+
+    Scale shape: one token shuffle for distinct (doc, token), one
+    (label, token) count with map-side partials, token totals +
+    |labels|-row label totals broadcast back, a per-label rank window
+    bounded by the surviving vocabulary.  ``min_doc_freq`` drops hapax
+    tokens before the window."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    dtok = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("label"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+        .distinct()
+    )
+    lt = dtok.groupBy("label", "token").agg(F.count(F.lit(1)).alias("a"))
+    tok_tot = lt.groupBy("token").agg(F.sum("a").alias("tokdocs"))
+    lab_tot = (
+        docs.where(F.length(F.trim(F.col(text_col))) > 0)
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("labdocs"))
+    )
+    n_row = lab_tot.agg(F.sum("labdocs").alias("n"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    full = (
+        lt.join(tok_tot, "token")
+        .join(F.broadcast(lab_tot), "label")
+        .crossJoin(F.broadcast(n_row))
+        .where(F.col("tokdocs") >= min_doc_freq)
+        .select(
+            "label",
+            "token",
+            "a",
+            (F.col("tokdocs") - F.col("a")).alias("b"),
+            (F.col("labdocs") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("tokdocs") - F.col("labdocs") + F.col("a")).alias("d"),
+            "n",
+        )
+    )
+    det = d38(F.col("a")) * d38(F.col("d")) - d38(F.col("b")) * d38(F.col("c"))
+    num = d38(F.col("n")) * det * det
+    den = (
+        d38(F.col("a") + F.col("b"))
+        * d38(F.col("c") + F.col("d"))
+        * d38(F.col("a") + F.col("c"))
+        * d38(F.col("b") + F.col("d"))
+    )
+    scored = full.where(det > 0).select(
+        "label",
+        "token",
+        (num.cast("double") / den.cast("double")).alias("chi2"),
+    )
+    w = Window.partitionBy("label").orderBy(F.col("chi2").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("label", "token", "chi2", "rank")
+    )

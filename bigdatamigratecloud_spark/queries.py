@@ -9806,6 +9806,59 @@ def n5_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_chi2_keywords",
+    """WITH x2toks AS (
+         SELECT doc_id, lang,
+                unnest(list_distinct(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS token
+         FROM documents
+         WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       lt AS (SELECT lang AS label, token, count(*) AS a
+              FROM x2toks GROUP BY 1, 2),
+       tt AS (SELECT token, SUM(a) AS tokdocs FROM lt GROUP BY 1),
+       lb AS (SELECT lang AS label, count(DISTINCT doc_id) AS labdocs
+              FROM x2toks GROUP BY 1),
+       nn AS (SELECT SUM(labdocs) AS n FROM lb),
+       full_t AS (SELECT lt.label, lt.token, lt.a,
+                         tt.tokdocs - lt.a AS b,
+                         lb.labdocs - lt.a AS c,
+                         nn.n - tt.tokdocs - lb.labdocs + lt.a AS d,
+                         nn.n
+                  FROM lt JOIN tt USING (token) JOIN lb USING (label)
+                  CROSS JOIN nn
+                  WHERE tt.tokdocs >= 2),
+       sc AS (SELECT label, token,
+                     CAST(CAST(n AS HUGEINT)
+                          * (CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+                             - CAST(b AS HUGEINT) * CAST(c AS HUGEINT))
+                          * (CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+                             - CAST(b AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+                     / CAST(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+                            * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT)
+                            AS DOUBLE) AS chi2
+              FROM full_t
+              WHERE CAST(a AS HUGEINT) * CAST(d AS HUGEINT)
+                    > CAST(b AS HUGEINT) * CAST(c AS HUGEINT))
+       SELECT label, token, chi2, rank FROM (
+         SELECT label, token, chi2,
+                CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                        ORDER BY chi2 DESC, token ASC) AS INT)
+                    AS rank
+         FROM sc) q
+       WHERE rank <= 10""",
+)
+def n4_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): χ² KEYWORD extraction per language — the classic
+    supervised feature selector (which tokens distinguish this label):
+    2×2 document-presence contingency per (label, token), the rational
+    χ² closed form as ONE integer division, positive-association filter,
+    top-10 per label (operators/text.chi2_keywords)."""
+    from .operators.text import chi2_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_keywords(docs, label_col="lang", top_k=10, min_doc_freq=2)
+
+
+@query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,
                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,

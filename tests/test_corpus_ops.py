@@ -1739,3 +1739,71 @@ def test_kcenter_validates_args(spark):
         kcenter_select(df, k=0)
     with _pytest.raises(ValueError):
         kcenter_select(df, q_scale=1000)
+
+
+# ------------------------------------------------------------ chi-square
+
+def test_chi2_keywords_separable_vocab(spark):
+    from bigdatamigratecloud_spark.operators.text import chi2_keywords
+
+    rows = (
+        [(i, "en", "apple pie common") for i in range(5)]
+        + [(i + 10, "fr", "tarte pomme common") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = chi2_keywords(docs, top_k=3, min_doc_freq=2).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r["label"], []).append((r["rank"], r["token"], r["chi2"]))
+    # perfectly separating tokens: a=5,b=0,c=0,d=5 -> chi2 = 10*(25)^2/(5*5*5*5) = 10
+    en = {t for _, t, _ in by_label["en"]}
+    fr = {t for _, t, _ in by_label["fr"]}
+    assert en == {"apple", "pie"} and fr == {"tarte", "pomme"}
+    for _, _, chi in by_label["en"] + by_label["fr"]:
+        assert chi == 10.0
+    # 'common' is in every doc -> det = 0 -> excluded everywhere
+
+
+def test_chi2_keywords_replica_and_guards(spark):
+    import random
+
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.text import chi2_keywords
+
+    rng = random.Random(9)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (i, rng.choice(["a", "b"]), " ".join(rng.sample(vocab, 5)))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["label"], r["token"]): r["chi2"]
+        for r in chi2_keywords(docs, top_k=50, min_doc_freq=2).collect()
+    }
+    # python replica
+    pres = {}
+    lab_docs = {}
+    for i, lab, txt in rows:
+        lab_docs[lab] = lab_docs.get(lab, 0) + 1
+        for t in set(txt.split()):
+            pres[(lab, t)] = pres.get((lab, t), 0) + 1
+    n = len(rows)
+    tok_docs = {}
+    for (lab, t), a in pres.items():
+        tok_docs[t] = tok_docs.get(t, 0) + a
+    ref = {}
+    for (lab, t), a in pres.items():
+        if tok_docs[t] < 2:
+            continue
+        b = tok_docs[t] - a
+        c = lab_docs[lab] - a
+        d = n - tok_docs[t] - lab_docs[lab] + a
+        det = a * d - b * c
+        if det <= 0:
+            continue
+        ref[(lab, t)] = (n * det * det) / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert got == ref
+    with _pytest.raises(ValueError):
+        chi2_keywords(docs, top_k=0)
