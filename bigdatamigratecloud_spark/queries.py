@@ -9182,6 +9182,73 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_trend",
+    """WITH b AS (SELECT event_type,
+                  (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+                  CAST(value AS DECIMAL(18,6)) AS y
+           FROM events),
+       per AS (SELECT event_type, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * y) AS sxy, SUM(x * x) AS sxx
+               FROM b GROUP BY 1)
+       SELECT event_type, CAST(n AS BIGINT) AS n,
+              CASE WHEN n * sxx - sx * sx <> 0
+                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+              CASE WHEN n * sxx - sx * sx <> 0
+                   THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
+       FROM per""",
+)
+def stream_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 (round 9): STREAMING OLS trend via sufficient statistics —
+    the algebraic-aggregate pattern: n/Σx/Σy/Σxy/Σx² are mergeable
+    sums, so the whole regression is ONE ordinary streaming aggregation
+    in complete mode (no custom state operator); the closed form runs
+    as a tiny batch over the final 5-row table.  x rebases to a FIXED
+    epoch constant so the aggregation stays single-level; the oracle is
+    the batch closed form — stream ≡ batch
+    (streaming/events.trend_sums_stream / trend_from_sums)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.events import stream_events, trend_from_sums, trend_sums_stream
+
+    landing = tempfile.mkdtemp(prefix="bdmc_strend_landing_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        cuts = (
+            ev.select(us.alias("u"))
+            .selectExpr("percentile(u, array(0.3333, 0.6667)) AS c")
+            .first()["c"]
+        )
+        c1, c2 = int(cuts[0]), int(cuts[1])
+        for cond in [us < c1, (us >= c1) & (us < c2), us >= c2]:
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(landing)
+        name = f"strend_{uuid.uuid4().hex[:8]}"
+        q = (
+            trend_sums_stream(stream_events(spark, landing, max_files_per_trigger=1))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        final = trend_from_sums(spark.table(name)).collect()
+        out = spark.createDataFrame(
+            final, "event_type string, n long, slope double, intercept double"
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+    return out
+
+
+@query(
     "n7_quality_checks",
     """WITH m AS (SELECT
          CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS m0,

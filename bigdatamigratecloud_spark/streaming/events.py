@@ -713,3 +713,51 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01, fixed rebase constant
+
+
+def trend_sums_stream(events: DataFrame) -> DataFrame:
+    """Streaming SUFFICIENT STATISTICS for per-type OLS value-vs-time
+    trend — the algebraic-aggregate streaming pattern: n, Σx, Σy, Σxy,
+    Σx² are all mergeable sums, so the whole regression state is ONE
+    ordinary streaming aggregation (complete/update mode), no custom
+    state operator at all.  x = hours since a FIXED epoch constant
+    (data-independent, so the aggregation stays single-level); y is
+    DECIMAL(18,6)-exact.  Feed the final table to
+    :func:`trend_from_sums`."""
+    # integer DIV, not double /: a double quotient that rounds up across
+    # an integer boundary would truncate to the wrong hour bucket
+    x = F.expr(
+        f"(unix_micros(CAST(ts AS TIMESTAMP)) - {TREND_EPOCH_US}L)"
+        " DIV 3600000000"
+    ).cast("long")
+    y = F.col("value").cast("decimal(18,6)")
+    return (
+        events.select("event_type", x.alias("__x"), y.alias("__y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__x").alias("sx"),
+            F.sum("__y").alias("sy"),
+            F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+            F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+        )
+    )
+
+
+def trend_from_sums(sums: DataFrame) -> DataFrame:
+    """Closed-form OLS from :func:`trend_sums_stream`'s statistics:
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept likewise — each
+    ONE division of exact decimal/integer sums, engine-exact.  The
+    intercept is at x = 0 (the fixed epoch), not the series start."""
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num_s = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    num_i = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.when(den != 0, num_s.cast("double") / den.cast("double")).alias("slope"),
+        F.when(den != 0, num_i.cast("double") / den.cast("double")).alias("intercept"),
+    )

@@ -589,3 +589,45 @@ def test_cusum_stream_validates_args(spark, tmp_path):
         cusum_stream(s, threshold=0.0)
     with _pytest.raises(ValueError):
         cusum_stream(s, slack=-1.0)
+
+
+def test_trend_sums_stream_equals_batch(spark, tmp_path):
+    """Complete-mode sufficient statistics across 2 micro-batches must
+    equal the single-frame closed form."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.streaming.events import (
+        TREND_EPOCH_US,
+        stream_events,
+        trend_from_sums,
+        trend_sums_stream,
+    )
+
+    rows = [
+        (i, TREND_EPOCH_US + i * 3_600_000_000, 1, "a", float(3 * i + 7), "{}")
+        for i in range(8)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id", F.timestamp_micros("t").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    d = str(tmp_path / "trend_landing")
+    ev.filter(F.col("event_id") < 4).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("event_id") >= 4).coalesce(1).write.mode("append").parquet(d)
+
+    name = f"tt_{uuid.uuid4().hex[:6]}"
+    q = (
+        trend_sums_stream(stream_events(spark, d, max_files_per_trigger=1))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True)
+        .option("checkpointLocation", d + "/_ckpt")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = trend_from_sums(spark.table(name)).collect()[0]
+    # exact line value = 3*x + 7 where x is the hour index
+    assert got["slope"] == 3.0 and got["intercept"] == 7.0 and got["n"] == 8
