@@ -870,3 +870,52 @@ def phrase_match_counts(
     return starts.groupBy(phrase_id_col, id_col).agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+def ir_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query RETRIEVAL EVALUATION — reciprocal rank and recall@k,
+    the regression gate every retrieval stack needs next to the
+    retrievers themselves.  ``run`` = (query, doc, rank) from
+    bm25_topk_multi / ANN top-k; ``qrels`` = (query, doc) relevance
+    judgments.
+
+    Per query: n_rel = |judged docs|, first_rel_rank = rank of the
+    first relevant retrieved doc (NULL if none), rr = 1/first_rel_rank,
+    recall_at_k = |relevant ∩ top-k| / n_rel.  Both metrics are ONE
+    integer division — engine-exact; queries with judgments but an
+    empty run still appear (rr NULL, recall 0).  nDCG is deliberately
+    absent: its log2 discount is libm-bound (the lm-module contract
+    applies — tolerance-tested, not oracle-hashed).
+
+    Scale shape: qrels join the run on (query, doc) — both key-
+    partitioned; two query-keyed aggregations; output = one row per
+    judged query."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d, r = query_col, doc_col, rank_col
+    judged = qrels.groupBy(q).agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = run.join(qrels.select(q, d).distinct(), [q, d])
+    per = hits.groupBy(q).agg(
+        F.min(r).alias("first_rel_rank"),
+        F.sum(F.when(F.col(r) <= k, 1).otherwise(0)).alias("__hits_k"),
+    )
+    return (
+        judged.join(per, q, "left")
+        .select(
+            q,
+            F.col("n_rel").cast("long").alias("n_rel"),
+            F.col("first_rel_rank").cast("int").alias("first_rel_rank"),
+            (F.lit(1.0) / F.col("first_rel_rank").cast("double")).alias("rr"),
+            (
+                F.coalesce(F.col("__hits_k"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+        )
+    )

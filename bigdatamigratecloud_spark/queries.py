@@ -6817,6 +6817,66 @@ def n6_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n6_ir_metrics",
+    f"""WITH runt AS (
+         SELECT * FROM ({_retrieval.bm25_topk_multi_sql(_BM25_BATCH)})
+       ),
+       dtoks AS (SELECT doc_id,
+                        list_distinct(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS st
+                 FROM documents
+                 WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       qrels AS (
+         SELECT 'q_join' AS query_id, doc_id FROM dtoks
+         WHERE list_contains(st, 'join')
+         UNION ALL
+         SELECT 'q_vec', doc_id FROM dtoks
+         WHERE list_contains(st, 'vector')
+         UNION ALL
+         SELECT 'q_slow', doc_id FROM dtoks
+         WHERE list_contains(st, 'slow')),
+       judged AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+       hits AS (SELECT r.query_id, r.doc_id, r.rank
+                FROM runt r JOIN qrels USING (query_id, doc_id)),
+       per AS (SELECT query_id, MIN(rank) AS first_rel_rank,
+                      SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS hk
+               FROM hits GROUP BY 1)
+       SELECT j.query_id, CAST(j.n_rel AS BIGINT) AS n_rel,
+              CAST(p.first_rel_rank AS INTEGER) AS first_rel_rank,
+              CAST(1.0 AS DOUBLE) / CAST(p.first_rel_rank AS DOUBLE) AS rr,
+              CAST(COALESCE(p.hk, 0) AS DOUBLE) / CAST(j.n_rel AS DOUBLE)
+                  AS recall_at_k
+       FROM judged j LEFT JOIN per p USING (query_id)""",
+)
+def n6_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 (round 9): retrieval EVALUATION — reciprocal rank and
+    recall@10 of the batch BM25 run against deterministic qrels (docs
+    containing ALL the query's terms).  Both metrics are single integer
+    divisions — engine-exact; nDCG's libm log2 is deliberately out of
+    the oracle contract (operators/retrieval.ir_metrics)."""
+    from .operators.retrieval import ir_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = _retrieval.bm25_topk_multi(docs, _BM25_BATCH, k=10)
+    toks = docs.select(
+        "doc_id", F.array_distinct(_text.tokens("text")).alias("st")
+    )
+    # relevance proxy: membership of the query's HEAD term (the only
+    # corpus-present term in every batch query — the synthetic vocab
+    # lacks the tail terms entirely)
+    parts = []
+    for qid, terms in _BM25_BATCH.items():
+        parts.append(
+            toks.where(F.array_contains(F.col("st"), terms[0])).select(
+                F.lit(qid).alias("query_id"), F.col("doc_id")
+            )
+        )
+    qrels = parts[0]
+    for pdf in parts[1:]:
+        qrels = qrels.union(pdf)
+    return ir_metrics(run, qrels, k=10)
+
+
+@query(
     "n6_pagerank_links",
     """WITH b AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
                          CAST(1000000 + l_partkey AS BIGINT) AS p

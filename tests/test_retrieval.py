@@ -567,3 +567,34 @@ def test_rm3_boosts_original_terms_and_validates(spark):
         rm3_expand(docs, ["q"], fb_docs=0)
     with _pytest.raises(ValueError):
         rm3_expand(docs, ["q"], orig_weight=1.5)
+
+
+# ------------------------------------------------------------ IR metrics
+
+def test_ir_metrics_rr_recall_and_unretrieved_query(spark):
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.operators.retrieval import ir_metrics
+
+    run = spark.createDataFrame(
+        [
+            ("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+            ("q2", 20, 1), ("q2", 21, 2),
+        ],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", 11), ("q1", 12), ("q1", 99),     # first rel at rank 2
+            ("q2", 77),                              # never retrieved
+            ("q3", 5),                               # judged, no run rows
+        ],
+        "query_id string, doc_id long",
+    )
+    got = {r["query_id"]: r for r in ir_metrics(run, qrels, k=2).collect()}
+    assert got["q1"]["first_rel_rank"] == 2 and got["q1"]["rr"] == 0.5
+    assert got["q1"]["recall_at_k"] == 1 / 3          # only rank-2 hit <= k
+    assert got["q2"]["rr"] is None and got["q2"]["recall_at_k"] == 0.0
+    assert got["q3"]["rr"] is None and got["q3"]["n_rel"] == 1
+    with _pytest.raises(ValueError):
+        ir_metrics(run, qrels, k=0)
