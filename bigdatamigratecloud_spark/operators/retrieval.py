@@ -710,6 +710,165 @@ def pagerank_sql_steps(
     return ",\n       ".join(parts)
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PERSONALIZED PageRank: the teleport (and the dangling-mass
+    donation) return to the SEED set instead of the whole graph — the
+    seed-relevance score behind focused crawling and "pages like these"
+    corpus expansion (BFS gives hop distance; PPR weights every path).
+
+        init(v)   = [v∈S] · (scale div |S|)
+        rank'(v)  = [v∈S]·((scale div |S|)·(den−num)) div den
+                    + (num·(Σ_{u→v} rank(u) div outdeg(u)
+                            + [v∈S]·(D div |S|))) div den
+
+    ALL arithmetic scaled 64-bit integer (the :func:`pagerank`
+    discipline) — bit-identical on any engine/partitioning.  Returns
+    (node, rank_scaled) for every node; non-seed nodes unreachable
+    from the seeds hold rank 0.
+
+    Scale shape identical to :func:`pagerank`: edges src-partitioned
+    and persisted once, per round one nodes-sized join + one map-side-
+    combined contribution sum; the seed flag is a column of the cached
+    degree frame, the dangling mass a 1-row broadcast."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    e = e.repartition(F.col("src")).persist()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(node).cast("long").alias("node")).distinct()
+    deg = (
+        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left")
+        .join(sd.withColumn("__seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("od"), F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce(F.col("__seed"), F.lit(False)).alias("is_seed"),
+        )
+        .repartition(F.col("node"))
+        .persist()
+    )
+    n_seeds = deg.where(F.col("is_seed")).count()
+    if n_seeds == 0:
+        out = deg.select("node", F.lit(0).cast("long").alias("rank_scaled"))
+        e.unpersist()
+        deg.unpersist()
+        return out
+    init = scale // n_seeds
+    base = (init * (damping_den - damping_num)) // damping_den
+    ranks = deg.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(init)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_scaled"),
+    )
+    e_n = e.withColumnRenamed("src", "node")
+    for _ in range(iters):
+        rd = ranks.join(deg, "node")
+        dsum = rd.where(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("long").alias("dsum")
+        )
+        contribs = (
+            rd.where(F.col("outdeg") > 0)
+            .join(e_n, "node")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled div outdeg").cast("long").alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            deg.select("node", "is_seed")
+            .join(sums, "node", "left")
+            .crossJoin(F.broadcast(dsum))
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * (coalesce(s, 0L)"
+                        f" + (CASE WHEN is_seed THEN dsum div {n_seeds}"
+                        f" ELSE 0L END))) div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def ppr_sql_steps(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    scale: int = PAGERANK_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """CTE chain replaying :func:`pagerank_personalized` in DuckDB
+    (unrolled, MATERIALIZED per-round state — the pagerank_sql_steps
+    discipline).  `edges_cte` → (src, dst), `seeds_cte` → (node).
+    Exposes `pprfinal(node, rank_scaled)`."""
+    rest = damping_den - damping_num
+    parts = [
+        f"pedges AS MATERIALIZED ({edges_cte})",
+        f"pseeds AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_cte}))",
+        "podeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM pedges GROUP BY src)",
+        "pvnodes AS MATERIALIZED (SELECT src AS node FROM pedges UNION SELECT dst FROM pedges)",
+        "pdeg AS MATERIALIZED (SELECT v.node, COALESCE(o.outdeg, 0) AS outdeg, "
+        "s.node IS NOT NULL AS is_seed "
+        "FROM pvnodes v LEFT JOIN podeg o ON v.node = o.src "
+        "LEFT JOIN pseeds s ON v.node = s.node)",
+        "pns AS MATERIALIZED (SELECT count(*) AS n_seeds FROM pdeg WHERE is_seed)",
+        f"pit0 AS MATERIALIZED (SELECT node, CASE WHEN is_seed "
+        f"THEN {scale} // n_seeds ELSE 0 END AS rank_scaled "
+        "FROM pdeg CROSS JOIN pns)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pdg{i} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank_scaled), 0) AS dsum "
+            f"FROM pit{i-1} p JOIN pdeg d ON p.node = d.node AND d.outdeg = 0)"
+        )
+        parts.append(
+            f"ps{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(p.rank_scaled // d.outdeg) AS s "
+            f"FROM pit{i-1} p JOIN pdeg d ON p.node = d.node AND d.outdeg > 0 "
+            f"JOIN pedges e ON p.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"pit{i} AS MATERIALIZED (SELECT d.node,"
+            f" (CASE WHEN d.is_seed THEN (({scale} // n_seeds) * {rest}) // {damping_den}"
+            f" ELSE 0 END)"
+            f" + ({damping_num} * (COALESCE(s.s, 0)"
+            f" + (CASE WHEN d.is_seed THEN dg.dsum // n_seeds ELSE 0 END)))"
+            f" // {damping_den} AS rank_scaled "
+            f"FROM pdeg d LEFT JOIN ps{i} s ON d.node = s.node "
+            f"CROSS JOIN pns CROSS JOIN pdg{i} dg)"
+        )
+    parts.append(
+        f"pprfinal AS (SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled "
+        f"FROM pit{iters})"
+    )
+    return ",\n       ".join(parts)
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",

@@ -9684,6 +9684,50 @@ def n6_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n6_ppr_seeds",
+    "WITH "
+    + _retrieval.ppr_sql_steps(
+        """SELECT u AS src, v AS dst FROM (
+             WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+                    FROM lineitem WHERE l_orderkey % 20 = 0),
+             e0 AS (SELECT DISTINCT a.s AS u, b.s AS v
+                    FROM sp a JOIN sp b ON a.o = b.o AND a.s < b.s)
+             SELECT u, v FROM e0 UNION SELECT v, u FROM e0)""",
+        "SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 50 = 0",
+        iters=5,
+    )
+    + "\n       SELECT node, rank_scaled FROM pprfinal",
+)
+def n6_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6 graph family (round 9): PERSONALIZED PageRank from the same
+    seed set as n6_bfs_hops — teleport and dangling mass return to the
+    seeds, scoring every supplier by weighted-path proximity (BFS
+    gives hop distance; PPR weights all paths).  Scaled-integer
+    arithmetic end-to-end; the oracle unrolls all 5 rounds
+    (operators/retrieval.pagerank_personalized)."""
+    from .operators.retrieval import pagerank_personalized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    sp = (
+        li.where(F.col("l_orderkey") % 20 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    e0 = (
+        sp.alias("a")
+        .join(sp.alias("b"), (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = sup.where(F.col("s_suppkey") % 50 == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    return pagerank_personalized(edges, seeds, iters=5)
+
+
+@query(
     "n6_bfs_hops",
     """WITH sp AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
               FROM lineitem WHERE l_orderkey % 20 = 0),

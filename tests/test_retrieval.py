@@ -598,3 +598,49 @@ def test_ir_metrics_rr_recall_and_unretrieved_query(spark):
     assert got["q3"]["rr"] is None and got["q3"]["n_rel"] == 1
     with _pytest.raises(ValueError):
         ir_metrics(run, qrels, k=0)
+
+
+# ------------------------------------------------------------------ PPR
+
+def test_ppr_mass_concentrates_near_seeds(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import pagerank_personalized
+
+    # chain 1-2-3-4-5 plus far component 10-11; seed = {1}
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
+             (10, 11), (11, 10)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_personalized(edges, seeds, iters=6).collect()}
+    # mass decays with distance from the seed (the immediate neighbor
+    # can outrank the seed itself — it receives the seed's FULL mass
+    # while the seed gets back only half of the neighbor's — so the
+    # guarantee starts at distance 2); disconnected nodes get 0
+    assert min(got[1], got[2]) > got[3] > got[4] > got[5] > 0
+    assert got[10] == 0 and got[11] == 0
+
+
+def test_ppr_empty_seed_set_is_all_zero(spark):
+    from bigdatamigratecloud_spark.operators.retrieval import pagerank_personalized
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank_personalized(edges, seeds).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_ppr_partition_invariant(spark):
+    import random
+
+    from bigdatamigratecloud_spark.operators.retrieval import pagerank_personalized
+
+    rng = random.Random(4)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    pairs = [(u, v) for u, v in pairs if u != v]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    a = {r["node"]: r["rank_scaled"] for r in pagerank_personalized(edges, seeds, iters=4).collect()}
+    b = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_personalized(edges.repartition(17), seeds, iters=4).collect()
+    }
+    assert a == b
