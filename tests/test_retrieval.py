@@ -602,21 +602,44 @@ def test_ir_metrics_rr_recall_and_unretrieved_query(spark):
 
 # ------------------------------------------------------------------ PPR
 
-def test_ppr_mass_concentrates_near_seeds(spark):
+def _ppr_ref(pairs, seed_set, iters, scale=1_000_000_000_000, num=85, den=100):
+    """Pure-Python integer replica of pagerank_personalized."""
+    nodes = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    out = {}
+    for u, v in set(pairs):
+        out.setdefault(u, []).append(v)
+    seeds = sorted(seed_set)
+    init = scale // len(seeds)
+    base = (init * (den - num)) // den
+    rank = {n: (init if n in seed_set else 0) for n in nodes}
+    for _ in range(iters):
+        dsum = sum(rank[n] for n in nodes if n not in out)
+        s = {n: 0 for n in nodes}
+        for u, vs in out.items():
+            c = rank[u] // len(vs)
+            for v in vs:
+                s[v] += c
+        rank = {
+            n: (base if n in seed_set else 0)
+            + (num * (s[n] + (dsum // len(seeds) if n in seed_set else 0))) // den
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_python_replica_and_zeroes_off_component(spark):
     from bigdatamigratecloud_spark.operators.retrieval import pagerank_personalized
 
-    # chain 1-2-3-4-5 plus far component 10-11; seed = {1}
+    # chain 1-2-3-4-5 plus a disconnected component 10-11; seed = {1}
     pairs = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4),
              (10, 11), (11, 10)]
     edges = spark.createDataFrame(pairs, "src long, dst long")
     seeds = spark.createDataFrame([(1,)], "node long")
     got = {r["node"]: r["rank_scaled"] for r in pagerank_personalized(edges, seeds, iters=6).collect()}
-    # mass decays with distance from the seed (the immediate neighbor
-    # can outrank the seed itself — it receives the seed's FULL mass
-    # while the seed gets back only half of the neighbor's — so the
-    # guarantee starts at distance 2); disconnected nodes get 0
-    assert min(got[1], got[2]) > got[3] > got[4] > got[5] > 0
+    assert got == _ppr_ref(pairs, {1}, 6)
     assert got[10] == 0 and got[11] == 0
+    # every node of the seed's component carries positive mass
+    assert all(got[n] > 0 for n in (1, 2, 3, 4, 5))
 
 
 def test_ppr_empty_seed_set_is_all_zero(spark):
