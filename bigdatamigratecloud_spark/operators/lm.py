@@ -307,6 +307,25 @@ def naive_bayes_classify(
     integer arithmetic — order-independent, engine-exact."""
     from pyspark.sql import Window
 
+    per = naive_bayes_scores(docs, model, stats, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("cost").asc(), F.col("label").asc())
+    return (
+        per.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, F.col("label").alias("pred_label"), "cost")
+    )
+
+
+def naive_bayes_scores(
+    docs: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The per-(doc, label) integer cost frame behind
+    :func:`naive_bayes_classify` — exposed so margin/confidence views
+    share one scoring pass.  Returns (id, label, cost)."""
     from .text import tokens as _tokens
 
     dtok = (
@@ -316,18 +335,43 @@ def naive_bayes_classify(
     )
     lab = dtok.crossJoin(F.broadcast(stats))
     seen = lab.join(F.broadcast(model), ["label", "token"], "left")
-    per = seen.groupBy("__id", "label", "prior_cost").agg(
+    return seen.groupBy("__id", "label", "prior_cost").agg(
         F.sum(F.col("tf") * F.coalesce(F.col("cost"), F.col("unk_cost"))).alias("__s")
+    ).select(
+        F.col("__id").alias(id_col),
+        "label",
+        (F.col("prior_cost") + F.col("__s")).cast("long").alias("cost"),
     )
-    w = Window.partitionBy("__id").orderBy(
-        (F.col("prior_cost") + F.col("__s")).asc(), F.col("label").asc()
+
+
+def naive_bayes_margin(
+    docs: DataFrame,
+    model: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document CONFIDENCE view of the NB decision: the predicted
+    label plus margin = runner-up cost − best cost (scaled-integer log
+    units; bigger = more confident, 0 = tie).  The
+    confidence-thresholded routing pattern: low-margin docs go to a
+    heavier classifier or human review.  Single-label models emit NULL
+    margin.  Same scale shape as classify plus one more bounded rank
+    row per doc."""
+    from pyspark.sql import Window
+
+    per = naive_bayes_scores(docs, model, stats, id_col=id_col, text_col=text_col)
+    w = Window.partitionBy(id_col).orderBy(F.col("cost").asc(), F.col("label").asc())
+    ranked = per.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= 2)
+    best = ranked.where(F.col("__rn") == 1).select(
+        id_col, F.col("label").alias("pred_label"), F.col("cost").alias("cost")
     )
-    return (
-        per.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("label").alias("pred_label"),
-            (F.col("prior_cost") + F.col("__s")).cast("long").alias("cost"),
-        )
+    second = ranked.where(F.col("__rn") == 2).select(
+        id_col, F.col("cost").alias("__c2")
+    )
+    return best.join(second, id_col, "left").select(
+        id_col,
+        "pred_label",
+        "cost",
+        (F.col("__c2") - F.col("cost")).cast("long").alias("margin"),
     )

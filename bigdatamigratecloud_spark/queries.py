@@ -9819,6 +9819,72 @@ def n2_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n4_nb_margin",
+    """WITH nb_toks AS (
+         SELECT doc_id, lang,
+                unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+         FROM documents
+         WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       nb_counts AS (SELECT lang AS label, token, count(*) AS cnt
+                     FROM nb_toks GROUP BY 1, 2),
+       nb_v AS (SELECT count(DISTINCT token) AS v FROM nb_counts),
+       nb_tot AS (SELECT label, SUM(cnt) AS total FROM nb_counts GROUP BY 1),
+       nb_dc AS (SELECT lang AS label, count(DISTINCT doc_id) AS n
+                 FROM nb_toks GROUP BY 1),
+       nb_nd AS (SELECT SUM(n) AS n_docs FROM nb_dc),
+       nb_model AS (SELECT c.label, c.token,
+                      CAST(floor(-ln(CAST(c.cnt + 1 AS DOUBLE)
+                                     / CAST(t.total + nb_v.v AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS cost
+                    FROM nb_counts c JOIN nb_tot t USING (label)
+                    CROSS JOIN nb_v),
+       nb_stats AS (SELECT t.label,
+                      CAST(floor(-ln(CAST(d.n AS DOUBLE)
+                                     / CAST(nd.n_docs AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS prior_cost,
+                      CAST(floor(-ln(CAST(1 AS DOUBLE)
+                                     / CAST(t.total + nb_v.v AS DOUBLE))
+                                 * 10000000.0) AS BIGINT) AS unk_cost
+                    FROM nb_tot t JOIN nb_dc d USING (label)
+                    CROSS JOIN nb_v CROSS JOIN nb_nd nd),
+       nb_dtok AS (SELECT doc_id, token, count(*) AS tf
+                   FROM nb_toks GROUP BY 1, 2),
+       nb_lab AS (SELECT d.doc_id, d.token, d.tf,
+                         s.label, s.prior_cost, s.unk_cost
+                  FROM nb_dtok d CROSS JOIN nb_stats s),
+       nb_seen AS (SELECT l.doc_id, l.label, l.prior_cost,
+                          SUM(l.tf * COALESCE(m.cost, l.unk_cost)) AS s
+                   FROM nb_lab l LEFT JOIN nb_model m
+                     ON m.label = l.label AND m.token = l.token
+                   GROUP BY 1, 2, 3),
+       nb_rk2 AS (SELECT doc_id, label, prior_cost + s AS cost,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY prior_cost + s ASC,
+                                                    label ASC) AS rn
+                 FROM nb_seen),
+       nb_best AS (SELECT doc_id, label AS pred_label,
+                          CAST(cost AS BIGINT) AS cost
+                   FROM nb_rk2 WHERE rn = 1),
+       nb_snd AS (SELECT doc_id, CAST(cost AS BIGINT) AS c2
+                  FROM nb_rk2 WHERE rn = 2)
+       SELECT b.doc_id, b.pred_label, b.cost,
+              CAST(s.c2 - b.cost AS BIGINT) AS margin
+       FROM nb_best b LEFT JOIN nb_snd s USING (doc_id)""",
+)
+def n4_nb_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 9): Naive Bayes CONFIDENCE margins — runner-up cost
+    minus best cost per document (scaled-integer log units), the
+    confidence-thresholded routing signal (low-margin docs escalate to
+    a heavier classifier).  Shares one scoring pass with classify
+    (operators/lm.naive_bayes_margin)."""
+    from .operators.lm import naive_bayes_margin, naive_bayes_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, stats = naive_bayes_train(docs, label_col="lang", text_col="text")
+    return naive_bayes_margin(docs, model, stats)
+
+
+@query(
     "n4_nb_langid",
     """WITH nb_toks AS (
          SELECT doc_id, lang,

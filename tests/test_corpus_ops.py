@@ -1807,3 +1807,27 @@ def test_chi2_keywords_replica_and_guards(spark):
     assert got == ref
     with _pytest.raises(ValueError):
         chi2_keywords(docs, top_k=0)
+
+
+def test_naive_bayes_margin_confidence(spark):
+    from bigdatamigratecloud_spark.operators.lm import (
+        naive_bayes_margin,
+        naive_bayes_train,
+    )
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog ran"),
+        (3, "fr", "le chat est"),
+        (4, "fr", "le chien va"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model, stats = naive_bayes_train(docs)
+    got = {r["doc_id"]: r for r in naive_bayes_margin(docs, model, stats).collect()}
+    # separable corpus: every margin strictly positive, labels right
+    assert all(r["margin"] > 0 for r in got.values())
+    assert got[1]["pred_label"] == "en" and got[3]["pred_label"] == "fr"
+    # an ambiguous doc (unseen vocab only) has margin = |prior+unk gap|
+    amb = spark.createDataFrame([(9, "?", "zzz")], "doc_id long, lang string, text string")
+    m = naive_bayes_margin(amb, model, stats).collect()[0]
+    assert m["margin"] is not None and m["margin"] >= 0
