@@ -10096,6 +10096,57 @@ def n4_chi2_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n5_oov_rate",
+    """WITH ovt AS (SELECT doc_id,
+                      unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+               FROM documents
+               WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+       cnt AS (SELECT token, count(*) AS c FROM ovt GROUP BY 1),
+       voc AS (SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT 500),
+       per AS (SELECT t.doc_id,
+                      count(*) AS n_tokens,
+                      SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+               FROM ovt t LEFT JOIN voc v ON v.token = t.token
+               GROUP BY 1)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_oov AS BIGINT) AS n_oov,
+              CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+       FROM per""",
+)
+def n5_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 (round 9): tokenizer COVERAGE — per-document out-of-vocabulary
+    rate against the corpus's own top-500 token vocabulary (the metric
+    that sizes a vocab / flags domain drift before training).  One
+    token shuffle for counts, top-k via TakeOrderedAndProject,
+    broadcast vocab anti-probe, one per-doc count; oov_rate is one
+    integer division — engine-exact."""
+    from .operators.text import tokens as _tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tk("text")).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    voc = (
+        cnt.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token", F.lit(True).alias("__in"))
+    )
+    per = (
+        toks.join(F.broadcast(voc), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias("oov_rate"),
+    )
+
+
+@query(
     "n5_target_encode",
     """WITH per AS (SELECT o_orderpriority,
                     SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s,

@@ -1831,3 +1831,13 @@ def test_naive_bayes_margin_confidence(spark):
     amb = spark.createDataFrame([(9, "?", "zzz")], "doc_id long, lang string, text string")
     m = naive_bayes_margin(amb, model, stats).collect()[0]
     assert m["margin"] is not None and m["margin"] >= 0
+
+
+def test_oov_rate_entry_semantics(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = {r["doc_id"]: r for r in e.queries()["n5_oov_rate"](spark, sf_dir).collect()}
+    assert rows  # every non-blank doc appears
+    for r in rows.values():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
