@@ -1055,6 +1055,9 @@ def kcenter_select(
     Returns (sel_rank, vec_id, dist): dist = the point's min squared
     distance to the previously selected set at selection time (the
     covering radius sequence, nonincreasing); dist = 0 for the seed.
+    Each id appears at most once — selected ids leave the candidate
+    pool, so k > |rows| stops early with |rows| rows; empty input
+    raises ValueError.
 
     Scale shape: each round is ONE corpus scan computing the distance
     to the single newly selected centre (a d-length plan literal —
@@ -1074,9 +1077,19 @@ def kcenter_select(
         ).alias("__q"),
     ).persist()
     try:
-        seed = q.orderBy(F.col("__id").asc()).limit(1).collect()[0]
+        seeds = q.orderBy(F.col("__id").asc()).limit(1).collect()
+        if not seeds:
+            raise ValueError("kcenter_select: input has no rows")
+        seed = seeds[0]
         selected = [(1, seed["__id"], 0, list(seed["__q"]))]
-        cur = q.withColumn("__mind", F.lit(None).cast("long"))
+        # Already-selected ids are excluded from every later round, so
+        # each id is emitted at most once; with k > |rows| the loop
+        # stops early with fewer than k rows (duplicate POINTS under
+        # distinct ids are still eligible — they join the coreset with
+        # dist 0, which is the correct covering radius).
+        cur = q.filter(F.col("__id") != seed["__id"]).withColumn(
+            "__mind", F.lit(None).cast("long")
+        )
         for r in range(2, k + 1):
             s_lit = F.array(*[F.lit(int(v)) for v in selected[-1][3]])
             nd = F.aggregate(
@@ -1085,12 +1098,16 @@ def kcenter_select(
                 lambda acc, x: acc + x,
             )
             cur = cur.withColumn("__mind", F.least(F.coalesce(F.col("__mind"), nd), nd))
-            pick = (
+            picks = (
                 cur.orderBy(F.col("__mind").desc(), F.col("__id").asc())
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not picks:
+                break
+            pick = picks[0]
             selected.append((r, pick["__id"], int(pick["__mind"]), list(pick["__q"])))
+            cur = cur.filter(F.col("__id") != pick["__id"])
             # keep the plan O(1) deep across rounds
             cur = cur.localCheckpoint(eager=True)
         spark = vecs.sparkSession
@@ -1124,7 +1141,8 @@ def kcenter_sql_steps(
           FROM {table}),
        kc_s1 AS (SELECT id, q FROM kc_q ORDER BY id ASC LIMIT 1),
        kc_d1 AS (SELECT a.id, a.q, {d2} AS mind
-                 FROM kc_q a CROSS JOIN kc_s1 s)"""
+                 FROM kc_q a CROSS JOIN kc_s1 s
+                 WHERE a.id <> s.id)"""
     ]
     prev = "kc_d1"
     for r in range(2, k + 1):
@@ -1133,7 +1151,8 @@ def kcenter_sql_steps(
                   ORDER BY mind DESC, id ASC LIMIT 1),
        kc_d{r} AS (SELECT a.id, a.q,
                           CASE WHEN {d2} < a.mind THEN {d2} ELSE a.mind END AS mind
-                   FROM {prev} a CROSS JOIN kc_s{r} s)"""
+                   FROM {prev} a CROSS JOIN kc_s{r} s
+                   WHERE a.id <> s.id)"""
         )
         prev = f"kc_d{r}"
     sel_union = "\n                 UNION ALL ".join(

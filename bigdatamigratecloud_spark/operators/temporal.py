@@ -660,15 +660,20 @@ def acf_by_group(
 
     acf(k) = Σ_{t≤n−k} c_t·c_{t+k} / Σ_t c_t²  with  c_t = n·x_t − Σx
     (centering scaled by n, the :func:`seasonal_decompose` /
-    ``pca_power`` trick) — every sum is order-independent BIGINT
+    ``pca_power`` trick) — every sum is order-independent integer
     arithmetic and each emitted double is ONE integer division, so any
-    engine replays it bit-for-bit.
+    engine replays it bit-for-bit.  c_t stays BIGINT (|c_t| ≤ n·max x)
+    but the squared-centered products are DECIMAL(38,0) (HUGEINT in a
+    SQL replica) — n·v around 3e9 squares past int64, the same
+    envelope chi2_keywords/pca_power widen for.
 
     Scale shape: one per-group (n, Σx) aggregation broadcast back, ONE
     ordered window pass computing all ``max_lag`` leads, one per-group
     aggregation — group-keyed shuffles only, state bounded by
     max_lag rows per window frame.  Returns (group, lag, n, acf);
-    groups shorter than lag+1 emit NULL acf for that lag."""
+    groups shorter than lag+1 emit NULL acf for that lag, and
+    zero-variance groups (constant series, Σc² = 0) emit NULL acf for
+    every lag rather than dividing by zero."""
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     from pyspark.sql import Window
@@ -690,8 +695,12 @@ def acf_by_group(
         "__c",
         *[F.lead("__c", k).over(w).alias(f"__l{k}") for k in range(1, max_lag + 1)],
     )
-    aggs = [F.sum(F.col("__c") * F.col("__c")).alias("__den"), F.max("__n").alias("n")] + [
-        F.sum(F.col("__c") * F.col(f"__l{k}")).alias(f"__num{k}")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.sum(d38(F.col("__c")) * d38(F.col("__c"))).alias("__den"),
+        F.max("__n").alias("n"),
+    ] + [
+        F.sum(d38(F.col("__c")) * d38(F.col(f"__l{k}"))).alias(f"__num{k}")
         for k in range(1, max_lag + 1)
     ]
     per = leads.groupBy(g).agg(*aggs)
@@ -699,9 +708,10 @@ def acf_by_group(
         *[
             F.struct(
                 F.lit(k).cast("int").alias("lag"),
-                (
+                F.when(
+                    F.col("__den") != 0,
                     F.col(f"__num{k}").cast("double")
-                    / F.col("__den").cast("double")
+                    / F.col("__den").cast("double"),
                 ).alias("acf"),
             )
             for k in range(1, max_lag + 1)

@@ -625,9 +625,10 @@ def _cusum_fn_factory(target: float, slack: float, threshold: float):
     running prefix-min for each CUSUM side — O(1) per key, unbounded
     stream safe.  Increments replay the BATCH operator's exact
     semantics: dev = value - (target±slack) in IEEE double, then the
-    Spark double→DECIMAL(18,6) cast (HALF_UP on the exact binary
-    value, reproduced with Python Decimal), so the stream's micro-unit
-    integers equal the batch/oracle decimals ×10⁶ bit-for-bit."""
+    Spark double→DECIMAL(18,6) cast (BigDecimal.valueOf = HALF_UP on
+    the SHORTEST double repr, reproduced with Decimal(repr(d))), so
+    the stream's micro-unit integers equal the batch/oracle decimals
+    ×10⁶ bit-for-bit — including 1e-6 half-way boundary values."""
     from decimal import ROUND_HALF_UP, Decimal
 
     up = float(target) + float(slack)
@@ -639,7 +640,14 @@ def _cusum_fn_factory(target: float, slack: float, threshold: float):
 
     def _dev_u(x: float, sub: bool) -> int:
         d = (x - up) if not sub else (dn - x)
-        return int(Decimal(d).quantize(q6, rounding=ROUND_HALF_UP) * 1_000_000)
+        # Decimal(repr(d)) — shortest repr, matching Spark's
+        # double→DECIMAL(18,6) cast (BigDecimal.valueOf) and DuckDB.
+        # Decimal(d) would expand the exact binary value, which rounds
+        # the other way on 1e-6 half-way boundaries (e.g. d = 5e-07:
+        # exact binary is 4.9999...e-07 → 0, repr rounds HALF_UP → 1).
+        return int(
+            Decimal(repr(d)).quantize(q6, rounding=ROUND_HALF_UP) * 1_000_000
+        )
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd

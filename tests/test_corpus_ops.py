@@ -1739,6 +1739,58 @@ def test_kcenter_validates_args(spark):
         kcenter_select(df, k=0)
     with _pytest.raises(ValueError):
         kcenter_select(df, q_scale=1000)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="no rows"):
+        kcenter_select(empty, k=2)
+
+
+def test_kcenter_no_duplicate_ids_and_early_stop(spark):
+    """k beyond the point count must stop early with unique ids, never
+    re-emit an already-selected id (round-9 ADVICE: the zero-distance
+    argmax tie-break re-selected the seed)."""
+    from bigdatamigratecloud_spark.operators.sampling import kcenter_select
+
+    # 3 rows, two of them the SAME point under distinct ids
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [4.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sorted(kcenter_select(df, k=10).collect(), key=lambda r: r["sel_rank"])
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 3  # early stop at |rows|, all unique
+    assert ids[0] == 1 and ids[1] == 3  # farthest-first after the seed
+    assert rows[2]["vec_id"] == 2 and rows[2]["dist"] == 0  # dup point, dist 0
+
+
+def test_kcenter_sql_replica_matches_with_duplicates(spark):
+    """The unrolled DuckDB replica must replay the id-exclusion
+    semantics (selected ids leave the pool) including duplicate points
+    and the k > |rows| early stop."""
+    import duckdb
+
+    from bigdatamigratecloud_spark.operators.sampling import (
+        kcenter_select,
+        kcenter_sql_steps,
+    )
+
+    pts = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [4.0, 0.0]), (4, [0.0, 9.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = sorted(
+        [(r["sel_rank"], r["vec_id"], r["dist"]) for r in kcenter_select(df, k=6).collect()]
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v!r}::DOUBLE[])" for i, v in pts)
+        + ") t(vec_id, embedding)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            "WITH " + kcenter_sql_steps(k=6) + " SELECT sel_rank, vec_id, dist FROM kc_final"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 4
 
 
 # ------------------------------------------------------------ chi-square

@@ -575,6 +575,65 @@ def test_cusum_stream_equals_batch_across_batches(spark, tmp_path):
     assert any(a for _, _, a in got.values())  # the drift really alarms
 
 
+def test_cusum_stream_decimal_boundary_equals_batch(spark, tmp_path):
+    """Increments landing exactly on a 1e-6 HALF_UP boundary (e.g.
+    dev = 5e-07) must round identically in the stream's Python Decimal
+    path and Spark's double->DECIMAL(18,6) cast.  Spark/DuckDB round
+    the SHORTEST double repr (BigDecimal.valueOf: 5e-07 -> 0.000001);
+    Decimal(d) on the exact binary expansion (4.9999...e-07) would
+    round to 0 — the round-9 ADVICE finding."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.temporal import cusum_flags
+    from bigdatamigratecloud_spark.streaming.events import cusum_stream, stream_events
+
+    # target=slack=0 makes dev == value, so the boundary is planted
+    # directly: 5e-07 and -5e-07 are exact half-way doubles at 1e-6.
+    vals = [5e-07, -5e-07, 1.5e-06, 0.75, 5e-07, 0.5]
+    ev = spark.createDataFrame(
+        [(1, i, i, v) for i, v in enumerate(vals)],
+        "user_id long, t long, event_id long, value double",
+    ).select(
+        "user_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+        "event_id", "value",
+    ).withColumn("event_type", F.lit("x")).withColumn("props", F.lit("{}"))
+
+    d = str(tmp_path / "cusum_bnd")
+    ev.filter(F.col("t") < 3).coalesce(1).write.mode("append").parquet(d)
+    ev.filter(F.col("t") >= 3).coalesce(1).write.mode("append").parquet(d)
+
+    got_rows = []
+    q = (
+        cusum_stream(stream_events(spark, d, max_files_per_trigger=1),
+                     target=0.0, slack=0.0, threshold=1.0)
+        .writeStream.foreachBatch(lambda b, _i: got_rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + f"/_ckpt_{uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    batch = cusum_flags(
+        ev.select("user_id", "ts", "event_id", "value"),
+        target=0.0, slack=0.0, threshold=1.0,
+    ).collect()
+    want = {
+        r["event_id"]: (int(r["cusum_pos"] * 1_000_000),
+                        int(r["cusum_neg"] * 1_000_000), r["alarm"])
+        for r in batch
+    }
+    got = {
+        r["event_id"]: (r["cusum_pos_u"], r["cusum_neg_u"], r["alarm"])
+        for r in got_rows
+    }
+    assert got == want
+    # the boundary really exercised HALF_UP: the very first event's
+    # positive side is 1 microunit, not 0 (5e-07 rounds UP)
+    assert got[0][0] == 1
+
+
 def test_cusum_stream_validates_args(spark, tmp_path):
     import pytest as _pytest
 

@@ -686,6 +686,46 @@ def test_acf_short_series_and_validation(spark):
         acf_by_group(df, "g", "h", "v", max_lag=0)
 
 
+def test_acf_zero_variance_group_emits_null(spark):
+    """A constant series has Σc² = 0; with ANSI on (Spark 4 default)
+    the unguarded division threw DIVIDE_BY_ZERO while the DuckDB
+    oracle returned NULL — round-9 ADVICE.  Both the single-row and
+    constant-many-rows shapes must emit NULL acf at every lag."""
+    from bigdatamigratecloud_spark.operators.temporal import acf_by_group
+
+    rows = [("one", 0, 7)] + [("flat", i, 3) for i in range(10)] + [
+        ("live", i, v) for i, v in enumerate([1, 5, 2, 8])
+    ]
+    df = spark.createDataFrame(rows, "g string, h long, v long")
+    got = acf_by_group(df, "g", "h", "v", max_lag=3).collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], {})[r["lag"]] = r["acf"]
+    assert all(v is None for v in by_g["one"].values())
+    assert all(v is None for v in by_g["flat"].values())
+    assert by_g["live"][1] is not None
+
+
+def test_acf_survives_int64_overflowing_products(spark):
+    """With n·v ≈ 3e9 the squared centered values pass int64; the
+    DECIMAL(38,0) widening must keep the sums exact (round-9 ADVICE:
+    BIGINT products overflowed under ANSI)."""
+    from bigdatamigratecloud_spark.operators.temporal import acf_by_group
+
+    big = 3_000_000_000  # n * v lands near 9e18 > int64 when squared
+    vals = [big, 0, big, 0, big, 0]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "g string, h long, v long"
+    )
+    got = {r["lag"]: r["acf"] for r in acf_by_group(df, "g", "h", "v", max_lag=2).collect()}
+    n, s = len(vals), sum(vals)
+    c = [n * v - s for v in vals]
+    den = sum(x * x for x in c)
+    for k in (1, 2):
+        num = sum(c[t] * c[t + k] for t in range(n - k))
+        assert got[k] == float(num) / float(den), k
+
+
 # ------------------------------------------------------------------ OLS
 
 def test_trend_ols_exact_line_and_replica(spark):
