@@ -196,13 +196,33 @@ def _parse_warc_stream(fh, source_file: str) -> Iterator[tuple]:
         )
 
 
+_WARC_BATCH_ROWS = 256
+
+
+def _batched_frames(fh, source_file: str, batch_rows: int = _WARC_BATCH_ROWS):
+    """Parse a WARC byte stream and yield pandas frames of at most
+    ``batch_rows`` records — the shared memory bound of every WARC
+    reader (mounted, object-store, and streaming): at most one batch
+    of parsed rows is resident per task regardless of archive size."""
+    import pandas as pd
+
+    out = []
+    for rec in _parse_warc_stream(fh, source_file):
+        out.append(rec)
+        if len(out) >= batch_rows:
+            yield pd.DataFrame(out, columns=WARC_SCHEMA.names)
+            out = []
+    if out:
+        yield pd.DataFrame(out, columns=WARC_SCHEMA.names)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC source: ``path`` is a directory (or glob) of ``*.warc.gz``
     (or plain ``*.warc``) files; returns WARC_SCHEMA rows.  One file =
     one task (the Common Crawl unit of parallelism); each task STREAMS
-    its file — gzip members decode incrementally and only one record
-    is resident at a time, so a 1 GB archive costs ~1 record of
-    executor memory, not 1 GB."""
+    its file — gzip members decode incrementally and only one
+    256-record batch is resident at a time, so a 1 GB archive costs
+    ~1 batch of executor memory, not 1 GB."""
     pattern = path if any(c in path for c in "*?[") else os.path.join(path, "*.warc*")
     files = sorted(f for f in glob.glob(pattern) if not f.endswith(".tmp"))
     if not files:
@@ -212,29 +232,25 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def parse(batches):
-        import pandas as pd
-
         for pdf in batches:
             for p in pdf["path"]:
                 opener = gzip.open if p.endswith(".gz") else open
-                out = []
                 with opener(p, "rb") as fh:
-                    for rec in _parse_warc_stream(fh, os.path.basename(p)):
-                        out.append(rec)
-                        if len(out) >= 256:
-                            yield pd.DataFrame(out, columns=WARC_SCHEMA.names)
-                            out = []
-                if out:
-                    yield pd.DataFrame(out, columns=WARC_SCHEMA.names)
+                    yield from _batched_frames(fh, os.path.basename(p))
 
     return paths.mapInPandas(parse, WARC_SCHEMA)
 
 
 def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
     """Object-store fallback: route the bytes through Spark's
-    ``binaryFile`` source (whole file in memory — fine for sharded
-    archives, not for single 1 GB monoliths) so any Hadoop-visible URI
-    works without a local mount."""
+    ``binaryFile`` source so any Hadoop-visible URI works without a
+    local mount.  ``binaryFile`` necessarily holds the COMPRESSED blob
+    per task (that is the source's contract), but nothing beyond it:
+    decompression is incremental (``gzip.GzipFile`` over the buffer,
+    never ``gzip.decompress``'s full expansion) and records leave in
+    256-row batches via the shared helper — so a 1 GB monolith costs
+    ~1 GB compressed + one batch, not compressed + decompressed + all
+    parsed rows at once."""
     import io
 
     bf = spark.read.format("binaryFile").load(
@@ -242,16 +258,11 @@ def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
     )
 
     def parse(batches):
-        import pandas as pd
-
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if p.endswith(".gz"):
-                    data = gzip.decompress(data)
-                rows = list(_parse_warc_stream(io.BytesIO(data), os.path.basename(p)))
-                if rows:
-                    yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
+                buf = io.BytesIO(bytes(content))
+                fh = gzip.GzipFile(fileobj=buf) if p.endswith(".gz") else buf
+                yield from _batched_frames(fh, os.path.basename(p))
 
     return bf.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 
@@ -278,16 +289,11 @@ def stream_warc(spark: SparkSession, landing_dir: str, max_files_per_trigger: in
     )
 
     def parse(batches):
-        import pandas as pd
-
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if p.endswith(".gz"):
-                    data = gzip.decompress(data)
-                rows = list(_parse_warc_stream(io.BytesIO(data), os.path.basename(p)))
-                if rows:
-                    yield pd.DataFrame(rows, columns=WARC_SCHEMA.names)
+                buf = io.BytesIO(bytes(content))
+                fh = gzip.GzipFile(fileobj=buf) if p.endswith(".gz") else buf
+                yield from _batched_frames(fh, os.path.basename(p))
 
     return bf.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
 

@@ -86,6 +86,41 @@ def test_binary_fallback_parity(spark, fixture_dir):
     assert a == b
 
 
+def test_batched_frames_bounds_resident_rows():
+    """The shared batching helper must yield <=256-row frames — the
+    per-task memory bound of all three WARC readers (round-9 VERDICT:
+    read_warc_binary used to materialize a whole archive's records)."""
+    import io
+
+    data = b"".join(
+        _record(b"http://m.example/%d" % i, b"p%d" % i) for i in range(600)
+    )
+    sizes = [len(f) for f in warc._batched_frames(io.BytesIO(data), "m.warc")]
+    assert sizes == [256, 256, 88]
+
+
+def test_binary_fallback_many_records_chunked_parity(spark, tmp_path):
+    """A >2-batch gzip archive through read_warc_binary: streamed
+    decompression + chunked yield must reproduce read_warc exactly."""
+    d = str(tmp_path / "many")
+    os.makedirs(d)
+    recs = [
+        _record(b"http://m.example/%d" % i, b"payload-%d" % i) for i in range(600)
+    ]
+    with open(os.path.join(d, "m.warc.gz"), "wb") as fh:
+        for r in recs:  # CC convention: one member per record
+            fh.write(gzip.compress(r))
+    a = sorted(
+        (r.target_uri, bytes(r.payload))
+        for r in warc.read_warc(spark, d).collect()
+    )
+    b = sorted(
+        (r.target_uri, bytes(r.payload))
+        for r in warc.read_warc_binary(spark, d).collect()
+    )
+    assert a == b and len(a) == 600
+
+
 def test_roundtrip_preserves_bytes_and_headers(spark, tmp_path):
     rows = [
         (f"http://x/{i}", bytes([i, 13, 10, 0, 255]) * 3, {"X-K": f"v{i}"})
