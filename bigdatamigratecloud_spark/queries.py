@@ -4033,6 +4033,60 @@ def s13h_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13i_column_mapping",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                            o_totalprice
+                     FROM orders WHERE o_orderkey % 7 = 0),
+       delta AS (SELECT o_orderkey, o_custkey,
+                        o_totalprice * 2 AS price
+                 FROM base WHERE o_orderkey % 3 = 0)
+       SELECT b.o_orderkey, b.o_custkey,
+              CAST(COALESCE(d.price, b.o_totalprice) AS DOUBLE) AS price
+       FROM base b LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey""",
+)
+def s13i_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 COLUMN MAPPING (round 10): rename and drop as metadata-only
+    commits on an :class:`AcidTable` (the Delta/Iceberg pattern: files
+    store stable PHYSICAL names; the logical->physical map lives in the
+    manifest schema).  o_totalprice renames to ``price`` and
+    o_orderstatus drops — zero files rewritten — then a post-rename
+    MERGE writes new-generation files; the final read resolves BOTH
+    file generations through the mapping.  The oracle replays the
+    reprice as a left join.  At 100 TB a rename is an O(1) log append
+    instead of a full-table rewrite (sources/acid_table.py
+    rename_column/drop_column)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_acid_")
+    try:
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") % 7 == 0
+        ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        t = AcidTable.create(spark, root + "/orders", o, key_cols=["o_orderkey"])
+        t.rename_column("o_totalprice", "price")
+        t.drop_column("o_orderstatus")
+        delta = (
+            t.snapshot()
+            .where(F.col("o_orderkey") % 3 == 0)
+            .withColumn("price", F.col("price") * 2)
+        )
+        # materialize the delta before merging (it reads the files the
+        # COW merge is about to replace)
+        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        t.merge(delta, ["o_orderkey"])
+        out = t.snapshot().select(
+            "o_orderkey", "o_custkey", F.col("price").cast("double").alias("price")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e
@@ -6850,9 +6904,11 @@ def n6_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n6_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N6 (round 9): retrieval EVALUATION — reciprocal rank and
     recall@10 of the batch BM25 run against deterministic qrels (docs
-    containing ALL the query's terms).  Both metrics are single integer
-    divisions — engine-exact; nDCG's libm log2 is deliberately out of
-    the oracle contract (operators/retrieval.ir_metrics)."""
+    containing the query's HEAD term — the only corpus-present term in
+    every batch query; the synthetic vocab lacks the tail terms, so an
+    all-terms qrel set would be empty).  Both metrics are single
+    integer divisions — engine-exact; nDCG's libm log2 is deliberately
+    out of the oracle contract (operators/retrieval.ir_metrics)."""
     from .operators.retrieval import ir_metrics
 
     docs = load_table(spark, sf_dir, "documents")

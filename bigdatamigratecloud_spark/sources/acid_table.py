@@ -365,6 +365,46 @@ class AcidTable:
     def _manifest_adds(m: dict) -> list[dict]:
         return list(m.get("add") or m.get("files") or [])
 
+    # ------------------------------------------------- column mapping
+
+    @staticmethod
+    def _physical_name(field) -> str:
+        """The field's stable STORAGE name (Delta/Iceberg column-mapping
+        pattern): parquet files always carry physical names, so rename
+        and drop are metadata-only commits — the logical->physical map
+        lives in the manifest schema's per-field metadata.  Fields
+        without the key (every pre-mapping table, and every column
+        present at create()) store under their logical name."""
+        return (field.metadata or {}).get("physical_name", field.name)
+
+    @classmethod
+    def _physical_schema(cls, schema):
+        """``schema`` with each top-level field renamed to its physical
+        name — the shape the parquet files actually have."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(cls._physical_name(f), f.dataType, f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+
+    def _read_data(self, schema, sources: Sequence[str]) -> DataFrame:
+        """Read data files through a version's PHYSICAL schema, then
+        project back to that version's logical names.  Files predating
+        an add-columns commit NULL-backfill (a late column's physical
+        name never appears in them); columns dropped at this version
+        are simply absent from ``schema``, so the scan prunes them.
+        When no field is renamed this is exactly the plain schema read
+        (no extra projection node)."""
+        phys = self._physical_schema(schema)
+        df = self.spark.read.schema(phys).parquet(*sources)
+        pairs = [(self._physical_name(f), f.name) for f in schema.fields]
+        if all(p == n for p, n in pairs):
+            return df
+        return df.select(*[F.col(f"`{p}`").alias(n) for p, n in pairs])
+
     def _read_checkpoint_entries(self, version: int) -> list[dict]:
         """Driver-side materialization of one checkpoint's entries
         (bounded by file count — the maintenance/inspection cost class,
@@ -503,14 +543,29 @@ class AcidTable:
 
     # --------------------------------------------------------------- data
 
-    def _write_data_files(self, df: DataFrame, stats_cols: Sequence[str]) -> list[dict]:
+    def _write_data_files(
+        self, df: DataFrame, stats_cols: Sequence[str], schema=None
+    ) -> list[dict]:
         """Write df as immutable files under a fresh commit dir; return
         file entries ``{path, rows, stats:{col:{min,max}}}``.
+
+        ``schema`` (the version's logical schema, when the caller has a
+        manifest) routes the write through column mapping: columns are
+        renamed logical->physical before writing and stats are keyed by
+        PHYSICAL name, so file layout and stats keys stay stable across
+        renames.  ``None`` (create/overwrite, which define a fresh
+        schema from the df itself) writes the df's own names.
 
         Stats come from ONE scan of the newly written files grouped by
         ``input_file_name`` — the delta-sized data just written, never
         the table (the collect is one row per file in THIS commit).
         """
+        if schema is not None:
+            mapping = {f.name: self._physical_name(f) for f in schema.fields}
+            renames = {n: p for n, p in mapping.items() if n != p and n in df.columns}
+            if renames:
+                df = df.withColumnsRenamed(renames)
+            stats_cols = [mapping.get(c, c) for c in stats_cols]
         commit_dir = f"data/{uuid.uuid4().hex}"
         out = os.path.join(self.root, commit_dir)
         df.write.mode("errorifexists").parquet(out)
@@ -645,8 +700,9 @@ class AcidTable:
             # read through the MANIFEST schema, not the files': after an
             # add-columns commit the old (unrewritten) files lack the new
             # columns, and the explicit schema makes the parquet reader
-            # NULL-backfill them
-            return self.spark.read.schema(schema).parquet(*files)
+            # NULL-backfill them; _read_data also resolves renamed/
+            # dropped columns through the physical-name mapping
+            return self._read_data(schema, files)
         abs_root = os.path.abspath(self.root)
         ext_roots: list[str] = []
         if n_external > 0:
@@ -666,7 +722,7 @@ class AcidTable:
                 # an external path outside the standard layout (or an
                 # absurd root fan-out): the glob cannot cover it — use
                 # the explicit list rather than silently dropping rows
-                return self.spark.read.schema(schema).parquet(*self._paths(v))
+                return self._read_data(schema, self._paths(v))
         # every root that contributes entries MUST have its data dir:
         # a missing one (source table vacuumed/moved) would make its
         # glob silently drop rows — fall back to the explicit path read,
@@ -676,9 +732,9 @@ class AcidTable:
         for r in needed:
             ddir = os.path.join(r, "data")
             if not os.path.isdir(ddir):
-                return self.spark.read.schema(schema).parquet(*self._paths(v))
+                return self._read_data(schema, self._paths(v))
             globs.append(os.path.join(ddir, "*", "*.parquet"))
-        raw = self.spark.read.schema(schema).parquet(*globs)
+        raw = self._read_data(schema, globs)
         # key = the file's normalized ABSOLUTE path (scheme stripped);
         # entries normalize the same way (relative paths anchored at
         # this table's root).  The glob may match files from removed
@@ -726,17 +782,19 @@ class AcidTable:
         # ('1997-01-01T00:00:00' vs file stat '1997-01-01') would
         # otherwise out-compare a stat it chronologically equals and
         # prune a file whose rows match the bound at midnight
-        col_types = {
-            f.name: f.dataType.simpleString() for f in _ST.fromJson(m["schema"]).fields
-        }
+        scan_schema = _ST.fromJson(m["schema"])
+        col_types = {f.name: f.dataType.simpleString() for f in scan_schema.fields}
+        # stats are keyed by PHYSICAL name (stable across renames)
+        stats_key = {f.name: self._physical_name(f) for f in scan_schema.fields}
         ent = self._entries_frame(v)
         keep = F.lit(True)
         for col, (lo, hi) in ranges.items():
             t = col_types.get(col)
             nlo = _prune_bound(lo, t) if lo is not None else None
             nhi = _prune_bound(hi, t) if hi is not None else None
-            smin = F.get_json_object("stats", f"$.{col}.min")
-            smax = F.get_json_object("stats", f"$.{col}.max")
+            sk = stats_key.get(col, col)
+            smin = F.get_json_object("stats", f"$.{sk}.min")
+            smax = F.get_json_object("stats", f"$.{sk}.max")
             if t in _INT_TYPES:
                 smin_c, smax_c = smin.cast("bigint"), smax.cast("bigint")
                 lo_l = F.lit(int(nlo)) if nlo is not None else None
@@ -772,8 +830,8 @@ class AcidTable:
 
         if not kept:
             return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
-        df = self.spark.read.schema(StructType.fromJson(m["schema"])).parquet(
-            *[os.path.join(self.root, p) for p in sorted(kept)]
+        df = self._read_data(
+            scan_schema, [os.path.join(self.root, p) for p in sorted(kept)]
         )
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -842,9 +900,11 @@ class AcidTable:
                 return self.spark.createDataFrame([], schema)
             # read through the from-version's schema: files predating an
             # add-columns commit NULL-backfill, files written after it
-            # project down — the diff always compares the same columns
-            return self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in paths]
+            # project down — the diff always compares the same columns,
+            # and physical names (stable across renames) resolve files
+            # written on either side of a rename commit
+            return self._read_data(
+                schema, [os.path.join(self.root, p) for p in paths]
             ).select(*cols)
 
         # key-only tables: compare a constant marker (a key either exists
@@ -921,7 +981,11 @@ class AcidTable:
         m0 = self._read_manifest(base)
         if self._txn_already_applied(m0, txn):
             return base
-        new_files = self._write_data_files(df, m0["key_cols"])
+        from pyspark.sql.types import StructType as _AST
+
+        new_files = self._write_data_files(
+            df, m0["key_cols"], schema=_AST.fromJson(m0["schema"])
+        )
         for _ in range(max_retries):
             head = self.latest_version()
             m = self._read_manifest(head)
@@ -968,6 +1032,7 @@ class AcidTable:
         probe_col: str,
         key_type: str,
         recompute_frac: float | None,
+        stats_key: str | None = None,
     ) -> tuple[list[str], int, list[str] | None]:
         """Which data files can contain any of ``keys_df``'s keys, by
         joining the keys against the checkpointed entries frame's
@@ -977,11 +1042,12 @@ class AcidTable:
         flagged.  Returns ``(touched, total_files, all_paths)`` where
         ``all_paths`` is non-None only when ``recompute_frac`` is given
         and exceeded (the caller should then prefer a full recompute)."""
+        sk = stats_key or probe_col
         ent = self._entries_frame(head).persist()
         try:
             total_files = ent.count()
-            smin = F.get_json_object("stats", f"$.{probe_col}.min")
-            smax = F.get_json_object("stats", f"$.{probe_col}.max")
+            smin = F.get_json_object("stats", f"$.{sk}.min")
+            smax = F.get_json_object("stats", f"$.{sk}.max")
             unranged = [
                 r["path"] for r in ent.where(smin.isNull()).select("path").collect()
             ]
@@ -1065,26 +1131,30 @@ class AcidTable:
                 "dedupe the delta (e.g. keep latest) before merging"
             )
 
-        touched, total_files, all_paths = self._probe_touched(
-            head, delta, probe_col, dict(delta.dtypes)[probe_col], recompute_frac
-        )
-
-        delta_keys = delta.select(*keys).dropDuplicates(keys)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
+        stats_key = {
+            f.name: self._physical_name(f) for f in schema.fields
+        }.get(probe_col, probe_col)
+        touched, total_files, all_paths = self._probe_touched(
+            head, delta, probe_col, dict(delta.dtypes)[probe_col], recompute_frac,
+            stats_key=stats_key,
+        )
+
+        delta_keys = delta.select(*keys).dropDuplicates(keys)
         if all_paths is not None:
             # recompute: the COW path would rewrite nearly everything
             # anyway; one clean range-partitioned pass wins (and resets
             # the layout so the NEXT narrow delta prunes well again)
-            snap = self.spark.read.schema(schema).parquet(*all_paths)
+            snap = self._read_data(schema, all_paths)
             merged = snap.join(delta_keys, keys, "left_anti").unionByName(
                 delta, allowMissingColumns=True
             )
             merged = merged.repartitionByRange(
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
-            files = self._write_data_files(merged, m["key_cols"])
+            files = self._write_data_files(merged, m["key_cols"], schema=schema)
             return self._commit(
                 {
                     "version": head + 1,
@@ -1100,8 +1170,8 @@ class AcidTable:
         if touched:
             # manifest schema, not file schema: files predating an
             # add-columns commit NULL-backfill the late columns
-            affected = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in touched]
+            affected = self._read_data(
+                schema, [os.path.join(self.root, p) for p in touched]
             )
             # allowMissingColumns: after an add-columns evolution a delta
             # carrying the pre-evolution shape NULL-fills the late columns
@@ -1113,7 +1183,7 @@ class AcidTable:
             )
         else:
             merged = delta
-        new_files = self._write_data_files(merged, m["key_cols"])
+        new_files = self._write_data_files(merged, m["key_cols"], schema=schema)
         manifest = {
             "version": head + 1,
             "operation": "merge",
@@ -1124,7 +1194,8 @@ class AcidTable:
             "txns": self._merged_txns(m, txn),
         }
         return self._commit_cow_with_rebase(
-            manifest, delta_keys, probe_col, dict(delta.dtypes)[probe_col], txn
+            manifest, delta_keys, probe_col, dict(delta.dtypes)[probe_col], txn,
+            stats_key=stats_key,
         )
 
     def _commit_cow_with_rebase(
@@ -1134,6 +1205,7 @@ class AcidTable:
         probe_col: str,
         key_type: str,
         txn: tuple[str, int] | None,
+        stats_key: str | None = None,
     ) -> int:
         """Publish a COW manifest with optimistic concurrency and LOGICAL
         conflict detection (the Delta model): a lost publish race rebases
@@ -1155,7 +1227,8 @@ class AcidTable:
                 if self._txn_already_applied(m2, txn):
                     return new_head
                 if self._appends_conflict(
-                    manifest["version"] - 1, new_head, keys_df, probe_col, key_type
+                    manifest["version"] - 1, new_head, keys_df, probe_col, key_type,
+                    stats_key=stats_key,
                 ):
                     raise
                 manifest = {
@@ -1172,6 +1245,7 @@ class AcidTable:
         keys_df: DataFrame,
         probe_col: str,
         key_type: str,
+        stats_key: str | None = None,
     ) -> bool:
         """True unless every commit in (base_head, new_head] is a pure
         append whose files' [min,max] stats on ``probe_col`` contain NO
@@ -1189,8 +1263,9 @@ class AcidTable:
         if not appended:
             return False
         rows = []
+        sk = stats_key or probe_col
         for e in appended:
-            st = (e.get("stats") or {}).get(probe_col)
+            st = (e.get("stats") or {}).get(sk)
             if not st or st.get("min") is None:
                 return True  # no stats: cannot prove disjointness
             rows.append((str(_range_scalar(st["min"])), str(_range_scalar(st["max"]))))
@@ -1260,17 +1335,20 @@ class AcidTable:
             .select(*keys)
             .dropDuplicates(keys)
         )
+        stats_key = {
+            f.name: self._physical_name(f) for f in schema.fields
+        }.get(probe_col, probe_col)
         touched, total_files, all_paths = self._probe_touched(
             head, change_keys, probe_col, dict(change_keys.dtypes)[probe_col],
-            recompute_frac,
+            recompute_frac, stats_key=stats_key,
         )
         if all_paths is not None:
-            snap = self.spark.read.schema(schema).parquet(*all_paths)
+            snap = self._read_data(schema, all_paths)
             merged = snap.join(change_keys, keys, "left_anti").unionByName(ups)
             merged = merged.repartitionByRange(
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
-            files = self._write_data_files(merged, m["key_cols"])
+            files = self._write_data_files(merged, m["key_cols"], schema=schema)
             return self._commit(
                 {
                     "version": head + 1,
@@ -1283,13 +1361,13 @@ class AcidTable:
                 }
             )
         if touched:
-            affected = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in touched]
+            affected = self._read_data(
+                schema, [os.path.join(self.root, p) for p in touched]
             )
             merged = affected.join(change_keys, keys, "left_anti").unionByName(ups)
         else:
             merged = ups
-        new_files = self._write_data_files(merged, m["key_cols"])
+        new_files = self._write_data_files(merged, m["key_cols"], schema=schema)
         # same rebase-over-disjoint-appends concurrency as merge
         return self._commit_cow_with_rebase(
             {
@@ -1305,6 +1383,7 @@ class AcidTable:
             probe_col,
             dict(change_keys.dtypes)[probe_col],
             txn,
+            stats_key=stats_key,
         )
 
     def restore(self, version: int) -> int:
@@ -1424,7 +1503,7 @@ class AcidTable:
         all_paths = self._paths(head)
         if all_paths:
             hit_rows = (
-                self.spark.read.schema(schema).parquet(*all_paths)
+                self._read_data(schema, all_paths)
                 .where(predicate)
                 .select(F.input_file_name().alias("__file"))
                 .distinct()
@@ -1451,10 +1530,10 @@ class AcidTable:
             # where the predicate evaluates to NULL matches neither the
             # delete nor its bare negation — it must be KEPT, not
             # silently dropped from the rewrite
-            kept = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, p) for p in hit]
+            kept = self._read_data(
+                schema, [os.path.join(self.root, p) for p in hit]
             ).where(f"({predicate}) IS NOT TRUE")
-            new_files = self._write_data_files(kept, m["key_cols"])
+            new_files = self._write_data_files(kept, m["key_cols"], schema=schema)
         return self._commit(
             {
                 "version": head + 1,
@@ -1478,8 +1557,14 @@ class AcidTable:
         name -> Spark type DDL string (e.g. ``{"score": "double"}``).
 
         At 100 TB this is the difference between an O(1) log append and
-        rewriting the table to add a column."""
-        from pyspark.sql.types import StructType, _parse_datatype_string
+        rewriting the table to add a column.
+
+        Each added column gets a FRESH physical storage name
+        (``c_<hex>``, recorded in the field metadata): if a column of
+        the same logical name was previously dropped, old files still
+        carry its physical column, and reusing the name would resurrect
+        the stale values (the Delta/Iceberg column-mapping hazard)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
         head = self._head()
         m = self._read_manifest(head)
@@ -1488,12 +1573,97 @@ class AcidTable:
         for name, ddl in new_cols.items():
             if name in existing:
                 raise ValueError(f"column {name!r} already exists")
-            schema = schema.add(name, _parse_datatype_string(ddl), True)
+            schema = StructType(
+                [
+                    *schema.fields,
+                    StructField(
+                        name,
+                        _parse_datatype_string(ddl),
+                        True,
+                        {"physical_name": f"c_{uuid.uuid4().hex[:12]}"},
+                    ),
+                ]
+            )
         return self._commit(
             {
                 "version": head + 1,
                 "operation": "add-columns",
                 "schema": schema.jsonValue(),
+                "key_cols": m["key_cols"],
+                "add": [],
+                "remove": [],
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Schema evolution: RENAME a column as a METADATA-ONLY commit —
+        no data file is rewritten.  The field keeps its stable physical
+        storage name (defaulting to its creation-time name), so every
+        existing file resolves through the mapping; readers of the new
+        version see ``new``, time travel to older versions still shows
+        ``old``.  Renaming a key column updates ``key_cols`` in place —
+        merge/scan pruning keeps working because stats are keyed by the
+        physical name, which does not change."""
+        from pyspark.sql.types import StructField, StructType
+
+        head = self._head()
+        m = self._read_manifest(head)
+        schema = StructType.fromJson(m["schema"])
+        names = {f.name for f in schema.fields}
+        if old not in names:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md.setdefault("physical_name", f.name)
+                fields.append(StructField(new, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "rename-column",
+                "schema": StructType(fields).jsonValue(),
+                "key_cols": [new if k == old else k for k in m["key_cols"]],
+                "add": [],
+                "remove": [],
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Schema evolution: DROP a column as a METADATA-ONLY commit —
+        no data file is rewritten.  The physical column stays in the
+        old files but is pruned from every read of the new version
+        (the scan schema simply omits it); time travel to older
+        versions still shows it.  Re-adding the same logical name later
+        is safe because :meth:`add_columns` assigns a fresh physical
+        name.  Key columns cannot be dropped (they drive file stats and
+        merge pruning); drop them from ``key_cols`` via a rewrite
+        operation instead."""
+        from pyspark.sql.types import StructType
+
+        head = self._head()
+        m = self._read_manifest(head)
+        schema = StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"column {name!r} does not exist")
+        if name in m["key_cols"]:
+            raise ValueError(f"column {name!r} is a key column; cannot drop")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "drop-column",
+                "schema": StructType(
+                    [f for f in schema.fields if f.name != name]
+                ).jsonValue(),
                 "key_cols": m["key_cols"],
                 "add": [],
                 "remove": [],
@@ -1525,7 +1695,11 @@ class AcidTable:
             )
         else:
             snap = snap.repartition(target_files)
-        files = self._write_data_files(snap, key_cols)
+        from pyspark.sql.types import StructType as _CST
+
+        files = self._write_data_files(
+            snap, key_cols, schema=_CST.fromJson(m["schema"])
+        )
         return self._commit(
             {
                 "version": head + 1,
@@ -1596,7 +1770,11 @@ class AcidTable:
         )
         # stats must cover the z columns too, or scan() cannot prune on them
         stats_cols = list(dict.fromkeys([*m["key_cols"], *zcols]))
-        files = self._write_data_files(clustered, stats_cols)
+        from pyspark.sql.types import StructType as _ZST
+
+        files = self._write_data_files(
+            clustered, stats_cols, schema=_ZST.fromJson(m["schema"])
+        )
         return self._commit(
             {
                 "version": head + 1,

@@ -539,6 +539,94 @@ def test_add_columns_metadata_only_evolution(spark, tmp_path):
     assert t.snapshot().where("score IS NULL").count() == 99
 
 
+def test_rename_column_metadata_only(spark, tmp_path):
+    """rename_column: O(1) metadata commit — files untouched, old files
+    resolve through the stable physical name, time travel keeps the old
+    name, and the table stays writable (append + merge) after the
+    rename, including on a renamed KEY column."""
+    base = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    files_before = {e["path"] for e in t.entries(0)}
+
+    v = t.rename_column("v", "value")
+    m = t._read_manifest(v)
+    assert m["operation"] == "rename-column"
+    assert {e["path"] for e in t.entries(v)} == files_before  # nothing rewritten
+
+    snap = t.snapshot()
+    assert snap.columns == ["id", "value"]
+    assert snap.where("value = id * 2").count() == 100  # old files resolve
+    assert t.snapshot(0).columns == ["id", "v"]  # time travel: old name
+
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "value")
+
+    # writable after rename: merge uses the NEW name; rewritten files
+    # store the physical (original) name so both generations coexist
+    t.merge(spark.createDataFrame([(5, 999)], "id: long, value: long"), ["id"])
+    assert t.snapshot().where("id = 5").first()["value"] == 999
+    assert t.snapshot().where("value = id * 2").count() == 99
+
+    # rename a KEY column: key_cols follows, merge pruning still works
+    v2 = t.rename_column("id", "pk")
+    assert t._read_manifest(v2)["key_cols"] == ["pk"]
+    t.merge(spark.createDataFrame([(7, 777)], "pk: long, value: long"), ["pk"])
+    got = {r["pk"]: r["value"] for r in t.snapshot().where("pk IN (5, 7)").collect()}
+    assert got == {5: 999, 7: 777}
+    # stats-pruned scan on the renamed key still prunes + answers right
+    df, info = t.scan({"pk": (7, 7)})
+    assert [r["pk"] for r in df.collect()] == [7]
+
+
+def test_drop_column_and_safe_readd(spark, tmp_path):
+    """drop_column: metadata-only; the dropped values disappear from
+    reads but survive in time travel; re-adding the same logical name
+    gets a FRESH physical column, so the old values do NOT resurrect."""
+    base = spark.range(0, 50).withColumn("v", F.col("id") * 2).withColumn(
+        "tag", F.concat(F.lit("t"), F.col("id"))
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    files_before = {e["path"] for e in t.entries(0)}
+
+    v = t.drop_column("tag")
+    assert {e["path"] for e in t.entries(v)} == files_before
+    assert t.snapshot().columns == ["id", "v"]
+    assert t.snapshot(0).columns == ["id", "v", "tag"]  # time travel
+    assert t.snapshot(0).where("tag = 't3'").count() == 1
+
+    with pytest.raises(ValueError, match="key column"):
+        t.drop_column("id")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("tag")
+
+    # re-add the same logical name: fresh physical name, all NULL —
+    # the 50 old 't<n>' values must NOT come back
+    t.add_columns({"tag": "string"})
+    snap = t.snapshot()
+    assert snap.columns == ["id", "v", "tag"]
+    assert snap.where("tag IS NOT NULL").count() == 0
+    # and it is independently writable
+    t.merge(spark.createDataFrame([(3, 6, "fresh")], "id: long, v: long, tag: string"), ["id"])
+    assert t.snapshot().where("tag IS NOT NULL").count() == 1
+
+
+def test_rename_then_changes_feed(spark, tmp_path):
+    """changes() across a rename commit: both sides of the diff read
+    through the from-version's logical names via the shared physical
+    mapping."""
+    base = spark.range(0, 20).withColumn("v", F.col("id") * 2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.rename_column("v", "value")
+    t.merge(spark.createDataFrame([(3, 333), (99, 990)], "id: long, value: long"), ["id"])
+    feed = t.changes(1)  # from the post-rename version
+    got = {(r["id"], r["_change_type"]): r["value"] for r in feed.collect()}
+    assert got[(99, "insert")] == 990
+    assert got[(3, "update_preimage")] == 6
+    assert got[(3, "update_postimage")] == 333
+
+
 def test_change_feed_spans_schema_evolution(spark, tmp_path):
     """changes() across an add_columns commit: pre-evolution files
     NULL-backfill through the from-version schema, and a merge whose
