@@ -35,6 +35,23 @@ HEADLINE = [
     "x7_skew_salted_distinct",
 ]
 
+# corpus / LLM-pipeline set: the expensive non-relational shapes
+# (minhash->band->cluster dedup, the multi-stage curation chain,
+# training-corpus assembly, batch BM25 retrieval, sequence packing,
+# web-pipeline capstone) — timed separately so a regression in the
+# 200+ non-headline registry entries shows up in BENCH_r*.json
+# round-over-round, not only in BASELINE.md prose probes.  Reported
+# under "corpus"/"corpus_total"; "value" stays headline-only so the
+# baseline gate comparison is unchanged.
+CORPUS = [
+    "n1_dedup_clusters_minhash",
+    "n5_curation_pipeline",
+    "n5_training_corpus",
+    "n6_bm25_batch",
+    "n5_pack_chunks",
+    "n5_web_pipeline",
+]
+
 
 def main() -> None:
     from bigdatamigratecloud_spark import queries as q
@@ -47,23 +64,31 @@ def main() -> None:
     # analogue of a warm cluster's buffer cache / DuckDB's buffer pool),
     # and warm the JVM so per-query numbers measure the plan
     register_views(spark, SF_DIR)
-    for t in ("lineitem", "orders", "customer", "supplier", "events", "part", "nation", "region"):
+    for t in ("lineitem", "orders", "customer", "supplier", "events", "part",
+              "nation", "region", "documents"):
         spark.table(t).cache().count()
     q.QUERIES["q6_revenue_forecast"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = q.QUERIES[name]
-        # best of 3: the first run pays codegen/JIT compilation of this
-        # query's operators (a per-plan constant, not a data cost) and the
-        # second often still catches tiered-compilation tail; the best
-        # measures the steady-state plan the cluster would run
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    def run_set(names: list[str], repeats: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = q.QUERIES[name]
+            # best of N: the first run pays codegen/JIT compilation of this
+            # query's operators (a per-plan constant, not a data cost) and
+            # the second often still catches tiered-compilation tail; the
+            # best measures the steady-state plan the cluster would run
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    times = run_set(HEADLINE, 3)
+    # corpus shapes are seconds-each: best-of-2 keeps the whole bench
+    # inside the driver's budget while still shedding first-run codegen
+    corpus = run_set(CORPUS, 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -77,6 +102,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "corpus": corpus,
+                "corpus_total": round(sum(corpus.values()), 3),
                 "sf": sf_val,
             }
         )

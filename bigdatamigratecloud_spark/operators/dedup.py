@@ -538,11 +538,23 @@ def minhash_neardup(
     Jaccard rerank of candidates only.  At 100 TB the rerank join touches
     candidate docs only, not the full corpus cross-product; degenerate
     buckets are capped by the shared hot-bucket guard (the rerank still
-    verifies every emitted pair exactly)."""
+    verifies every emitted pair exactly).
+
+    The two mid-pipeline frames are MATERIALIZED (localCheckpoint):
+    ``sigs`` (k longs per doc) and the candidate-restricted shingle
+    stream.  Without this, the signature pipeline and the upstream
+    ``df`` plan (often a whole curation chain) re-execute once per
+    consumer — sigs feeds 8 band stages, the shingle stream feeds three
+    rerank joins — and with AQE over a cached/derived source the
+    re-planning multiplied one corpus pass into ~900 stage jobs
+    (measured 300 s vs 13 s on the sf0.1 pipeline).  Both frames are
+    output-sized (docs x k ints; candidate shingles), never
+    corpus-quadratic, so the eager cut is safe at any scale."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, portable)
+    sigs = sigs.localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(
         sigs, bands, num_hashes // bands, portable, max_bucket, hot_policy
-    )
+    ).localCheckpoint(eager=True)
     # rerank restricted to CANDIDATES: semi-join the shingle stream down
     # to docs appearing in some candidate pair, then count intersections
     # per candidate pair.  (Calling jaccard_pairs over the whole corpus
@@ -553,7 +565,11 @@ def minhash_neardup(
         .unionByName(cands.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = shingles_df(df, id_col, text_col, n).join(ids, "id", "left_semi")
+    sh = (
+        shingles_df(df, id_col, text_col, n)
+        .join(ids, "id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
@@ -610,7 +626,10 @@ def jaccard_join_prefix(
     threshold (the oracle states exactly that)."""
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError(f"min_jaccard={min_jaccard}: need 0 < t <= 1")
-    sh = shingles_df(df, id_col, text_col, n)
+    # one corpus tokenization, materialized: the shingle stream feeds
+    # the frequency pass, the prefix build, AND the 3-way rerank — the
+    # same multi-consumer re-execution minhash_neardup documents
+    sh = shingles_df(df, id_col, text_col, n).localCheckpoint(eager=True)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = sh.join(freq, "shingle")
     lists = ranked.groupBy("id").agg(
@@ -634,6 +653,7 @@ def jaccard_join_prefix(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
     )
     # exact rerank over CANDIDATE docs only (same shape as the minhash
     # rerank: semi-join the shingle stream down, count intersections)
@@ -701,7 +721,11 @@ def minhash_dedup_incremental(
     doc is a near-dup — same pair-local rule as n2_embedding_dedup, not
     transitive clustering).  Batch and corpus ids must be disjoint."""
     rows_per_band = num_hashes // bands
-    sig_b = minhash_signatures(batch, id_col, text_col, n, num_hashes, portable)
+    # batch signatures feed the cross join AND the intra candidates —
+    # materialize once (k longs per batch doc; see minhash_neardup)
+    sig_b = minhash_signatures(
+        batch, id_col, text_col, n, num_hashes, portable
+    ).localCheckpoint(eager=True)
     sig_c = (
         corpus_sigs
         if corpus_sigs is not None
@@ -786,7 +810,11 @@ def minhash_dedup_incremental(
             )
         )
 
-    sh_b = shingles_df(batch, id_col, text_col, n)
+    # sh_b feeds both reranks (cross and intra, twice each); the corpus
+    # stream stays LAZY — exact_jaccard semi-joins it down to candidate
+    # docs before any aggregation, so the full corpus is never
+    # materialized (the point of the incremental path)
+    sh_b = shingles_df(batch, id_col, text_col, n).localCheckpoint(eager=True)
     sh_c = shingles_df(corpus, id_col, text_col, n)
     cross_dup = (
         exact_jaccard(cross, "bid", "cid", sh_b, sh_c)
@@ -1117,7 +1145,9 @@ def simhash_neardup(
         )
     band_bits = 15 if portable else 16
     mask = (1 << band_bits) - 1
-    sigs = simhash64(df, id_col, text_col, portable)
+    # one long per doc, materialized: the guard's count/tag/rep joins
+    # consume the banded frame several times (see minhash_neardup)
+    sigs = simhash64(df, id_col, text_col, portable).localCheckpoint(eager=True)
     bands = sigs.select(
         "id",
         "simhash",

@@ -51,10 +51,18 @@ def get_spark(app_name: str = "bigdatamigratecloud_spark", cpus: int | None = No
         .config("spark.driver.memory", driver_mem)
         # fixed, fully pre-touched heap: every heap page is faulted at
         # startup (a few seconds against warmed backing) instead of
-        # stalling queries when the heap lazily grows
+        # stalling queries when the heap lazily grows.
+        # ReservedCodeCacheSize: the JDK default (240 MB) fills after a
+        # few hundred distinct whole-stage-codegen plans (a long bench /
+        # oracle-sweep session), at which point HotSpot DISABLES the JIT
+        # ("CodeHeap 'non-profiled nmethods' is full") and everything
+        # after runs interpreted at ~10x cost — measured 300 s vs 33 s
+        # on the minhash->CC pipeline.  1 GB holds the full 250-entry
+        # sweep; long-lived cluster executors want the same setting.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
