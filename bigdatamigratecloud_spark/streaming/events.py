@@ -166,6 +166,73 @@ def sliding_rollup_stream(
     )
 
 
+def lateness_stats(query) -> list[dict]:
+    """Per-micro-batch LATENESS / STATE observability for a streaming
+    query — the no-silent-caps rule applied to streams (the batch-side
+    analogue is ``lsh_bucket_stats``): one dict per completed batch with
+    the batch's input-row count, the watermark it ran with, its min/max
+    event time, a ``late_input_seen`` flag (some input arrived behind
+    the watermark), and per-state-operator state sizes / updates /
+    watermark-drop counts.
+
+    Semantics this surfaces (pinned EMPIRICALLY by tests on pyspark
+    4.1 — more permissive than the classic watermark doctrine):
+
+    - windowed AGGREGATIONS do not silently discard late input: a row
+      behind the watermark still produces a (late) partial aggregate
+      downstream, and dedup (``dropDuplicates`` /
+      ``dropDuplicatesWithinWatermark``) likewise admits-and-emits a
+      late row rather than dropping it.  ``late_input_seen`` flags such
+      batches so a pipeline can route or reconcile late emissions;
+    - when the engine DOES drop at the state store (stream-stream
+      interval joins past the join window, state eviction), the count
+      lands in ``dropped_by_watermark`` (summed over the batch's
+      operators) instead of disappearing.
+
+    Reads ``query.recentProgress`` only — no plan change, no extra
+    action; call it after (or during) the run.  Driver memory is
+    bounded by ``spark.sql.streaming.numRecentProgressUpdates``
+    (default 100 batches).  Caveat: multi-watermark queries (stream-
+    stream joins) report only the global watermark in ``eventTime``,
+    without per-batch min/max — ``late_input_seen`` stays False there;
+    the drop counters still populate."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    def _ts(s: str | None):
+        if not s:
+            return None
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
+
+    out: list[dict] = []
+    for pr in query.recentProgress:
+        pj = pr if isinstance(pr, dict) else _json.loads(pr.json)
+        ev = pj.get("eventTime") or {}
+        wm, mn = _ts(ev.get("watermark")), _ts(ev.get("min"))
+        ops = pj.get("stateOperators") or []
+        out.append(
+            {
+                "batch_id": pj["batchId"],
+                "input_rows": pj.get("numInputRows", 0),
+                "watermark": ev.get("watermark"),
+                "event_min": ev.get("min"),
+                "event_max": ev.get("max"),
+                "late_input_seen": bool(
+                    wm is not None and mn is not None and mn < wm
+                ),
+                "state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+                "state_rows_updated": sum(o.get("numRowsUpdated", 0) for o in ops),
+                "dropped_by_watermark": sum(
+                    o.get("numRowsDroppedByWatermark", 0) for o in ops
+                ),
+                "operators": [o.get("operatorName") for o in ops],
+            }
+        )
+    return out
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, await_seconds: float = 60.0
 ) -> None:

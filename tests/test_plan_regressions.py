@@ -49,6 +49,41 @@ def test_scan_filter_projection_pushdown(spark, sf_dir):
     }
 
 
+def test_multifile_layout_pushdown_and_no_repartition_guard(spark, sf_dir, tmp_path):
+    """Round 10: the single-file fixture layout is a local-mode artifact;
+    this pins the engine's behavior on the REAL multi-file shape.  A
+    many-files copy of lineitem must (a) not trip load_table's
+    parallelism guard (no repartition node over the scan), (b) keep
+    filter pushdown + column pruning at the scan, (c) arrive already
+    parallel (scan partitions > 1)."""
+    import os
+
+    from bigdatamigratecloud_spark.catalog import _scan_parallelism_deficit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    mf_dir = str(tmp_path / "mf")
+    out = os.path.join(mf_dir, "lineitem.parquet")
+    # deterministic 8-file layout (write_sized_parquet would emit one
+    # file at this tiny SF; its sizing behavior has its own tests)
+    li.repartition(8).write.parquet(out)
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_files > 1  # genuinely multi-file
+    assert not _scan_parallelism_deficit(out)  # guard no-ops on dirs
+
+    df = load_table(spark, mf_dir, "lineitem").where(
+        F.col("l_quantity") > 45
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "Exchange" not in plan  # no guard repartition, no shuffle
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:200]
+    scan_cols = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scan_cols and {
+        c.split("#")[0] for c in scan_cols.group(1).split(",")
+    } == {"l_orderkey", "l_quantity"}
+    assert df.rdd.getNumPartitions() > 1  # scan-level parallelism
+
+
 def test_dim_lookup_broadcasts_no_fact_shuffle(spark, sf_dir):
     plan = _plan(q.QUERIES["j1_dim_lookup"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 2

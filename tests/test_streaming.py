@@ -575,6 +575,62 @@ def test_cusum_stream_equals_batch_across_batches(spark, tmp_path):
     assert any(a for _, _, a in got.values())  # the drift really alarms
 
 
+def test_lateness_stats_flags_late_batch_and_pins_no_silent_drop(spark, tmp_path):
+    """lateness_stats (round 10): per-batch lateness/state counters from
+    recentProgress.  Pins the pyspark-4.1 semantics the docstring
+    states: a row behind the watermark is NOT silently discarded by a
+    windowed aggregation — it emits a late partial aggregate — and the
+    batch that carried it is flagged late_input_seen."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.streaming.events import (
+        hourly_rollup_stream,
+        lateness_stats,
+        stream_events,
+    )
+
+    d = str(tmp_path / "late_landing")
+
+    def mk(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, t long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    mk([(i, 100_000 + i * 3600, 1, "a", 1.0, "{}") for i in range(4)])
+    # one event ~25 h behind the advanced watermark, one on-time
+    mk([(9, 10_000, 1, "a", 1.0, "{}"), (10, 115_000, 1, "a", 1.0, "{}")])
+
+    got = []
+    q = (
+        hourly_rollup_stream(
+            stream_events(spark, d, max_files_per_trigger=1), watermark="1 hour"
+        )
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + f"/_ckpt_{uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    stats = lateness_stats(q)
+
+    assert [s["batch_id"] for s in stats] == sorted(s["batch_id"] for s in stats)
+    by_late = [s for s in stats if s["late_input_seen"]]
+    assert len(by_late) == 1 and by_late[0]["input_rows"] == 2  # the planted batch
+    assert all(s["state_rows"] >= 0 and s["operators"] for s in stats)
+    # no-silent-drop: the late event's hour window IS emitted downstream
+    late_hours = [r for r in got if str(r["hour"]).startswith("1970-01-01 02")]
+    assert len(late_hours) == 1 and late_hours[0]["n_events"] == 1
+    # engine reported no state-store drops for this shape
+    assert all(s["dropped_by_watermark"] == 0 for s in stats)
+
+
 def test_cusum_stream_decimal_boundary_equals_batch(spark, tmp_path):
     """Increments landing exactly on a 1e-6 HALF_UP boundary (e.g.
     dev = 5e-07) must round identically in the stream's Python Decimal
