@@ -44,7 +44,8 @@ def check_suite(df: DataFrame, rules: list[dict]) -> DataFrame:
     aggs = []
     meta = []  # (rule_id, rule, column, threshold, pass_fn(metric))
     for i, r in enumerate(rules):
-        t = r["type"]
+        t = r.get("type")  # .get: a missing key hits the ValueError below
+        # with the supported list instead of a bare KeyError
         name = f"__m{i}"
         if t == "not_null":
             aggs.append(

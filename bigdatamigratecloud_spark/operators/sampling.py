@@ -926,6 +926,12 @@ def equidepth_histogram(
     row = df.agg(
         F.percentile(F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("b")
     ).first()
+    if row["b"] is None:
+        # percentile over zero non-NULL values — surface it instead of
+        # the raw NoneType iteration error (round-10 adversarial sweep)
+        raise ValueError(
+            f"equidepth_histogram: {value_col!r} has no non-NULL values"
+        )
     bounds = [float(b) for b in row["b"]]
     bucket = F.lit(0)
     for b in bounds:

@@ -31,14 +31,20 @@ MULTI_LABEL_SUFFIXES = (
 
 def url_parts(url: Column | str) -> Column:
     """Struct(scheme, host, port, path, query) from a URL string —
-    one regexp family, entirely JVM-side.  Host is lowercased; missing
-    parts are empty strings (port NULL when absent).  Userinfo
+    one regexp family, entirely JVM-side.  Host is lowercased and
+    trailing dots are stripped (``example.com.`` is the same authority
+    as ``example.com``; without the strip a trailing-dot FQDN would
+    defeat :func:`registered_domain` — whose label regexes cannot match
+    an empty final label — and therefore BYPASS the blocklist filter).
+    Missing parts are empty strings (port NULL when absent).  Userinfo
     (``user:pass@``) is stripped from the host."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     hostport = F.regexp_extract(authority, r"^(?:[^@]*@)?(.*)$", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract(hostport, r"^([^:]*)", 1), r"\.+$", "")
+    )
     port_s = F.regexp_extract(hostport, r":(\d+)$", 1)
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
@@ -127,9 +133,13 @@ def url_blocklist_filter(
 ) -> DataFrame:
     """Drop rows whose REGISTERED DOMAIN appears in ``blocklist``
     (one column, ``domain_col``) — the UT1/Gopher-style domain gate.
-    Broadcast anti-join: one corpus scan, no shuffle of the corpus."""
+    Broadcast anti-join: one corpus scan, no shuffle of the corpus.
+    Blocklist entries are normalized like hosts (lowercase, trailing
+    dots stripped) so ``Example.COM.`` still blocks ``example.com``."""
     dom = registered_domain(url_parts(F.col(url_col))["host"])
-    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom")).distinct()
+    bl = blocklist.select(
+        F.regexp_replace(F.lower(F.col(domain_col)), r"\.+$", "").alias("__bl_dom")
+    ).distinct()
     return (
         df.withColumn("__dom", dom)
         .join(

@@ -8889,7 +8889,8 @@ def _url_fixture_sql() -> str:
        hp AS (SELECT *, regexp_extract(auth, '^(?:[^@]*@)?(.*)$', 1) AS hostport
               FROM p),
        parts AS (SELECT doc_id, url, scheme,
-                   lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+                   lower(regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                                        '\\.+$', '')) AS host,
                    regexp_extract(hostport, ':(\\d+)$', 1) AS port_s,
                    regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,

@@ -1447,6 +1447,19 @@ def test_equidepth_histogram_skew_robust(spark):
     assert max(got.values()) <= 60  # no bucket swallows everything
 
 
+def test_equidepth_histogram_degenerate_inputs_raise_clearly(spark):
+    """Round-10 adversarial sweep: empty / all-NULL inputs crashed with
+    a raw NoneType iteration; they must raise a named error instead."""
+    from bigdatamigratecloud_spark.operators.sampling import equidepth_histogram
+
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        equidepth_histogram(empty, "v")
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        equidepth_histogram(allnull, "v")
+
+
 # ---------------------------------------------------------- link extract
 
 def test_extract_links_hrefs_positions_and_anchor_text(spark):

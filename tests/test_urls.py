@@ -71,3 +71,29 @@ def test_blocklist_filter(spark):
     kept = urls.url_blocklist_filter(df, bl)
     assert sorted(r.id for r in kept.collect()) == [1, 4]
     assert "target_uri" in kept.columns and "__dom" not in kept.columns
+
+
+def test_trailing_dot_fqdn_cannot_bypass_blocklist(spark):
+    """Round-10 adversarial fix: 'http://blocked.net./x' is the same
+    authority as blocked.net (RFC 1034 root-dot form), but the label
+    regexes in registered_domain cannot match an empty final label, so
+    before the host normalization the domain came back '' and the row
+    sailed through the blocklist."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.blocked.net./x"),     # trailing-dot FQDN
+            (2, "http://blocked.net.../y"),          # pathological multi-dot
+            (3, "https://keep.example.com./ok"),     # trailing dot, not blocked
+        ],
+        "id long, target_uri string",
+    )
+    bl = spark.createDataFrame([("blocked.net.",)], "domain string")  # dotted entry too
+    kept = urls.url_blocklist_filter(df, bl)
+    assert sorted(r.id for r in kept.collect()) == [3]
+    # parse side: host has no trailing dot, registered domain resolves
+    p = df.select(urls.url_parts(F.col("target_uri")).alias("p")).collect()
+    assert [r.p.host for r in p] == ["evil.blocked.net", "blocked.net", "keep.example.com"]
+    doms = df.select(
+        urls.registered_domain(urls.url_parts(F.col("target_uri"))["host"]).alias("d")
+    ).collect()
+    assert [r.d for r in doms] == ["blocked.net", "blocked.net", "example.com"]
