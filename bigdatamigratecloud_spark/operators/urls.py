@@ -147,3 +147,151 @@ def url_blocklist_filter(
         )
         .drop("__dom")
     )
+
+
+def robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt documents into a RULES frame
+    ``(host, agent, rule, path_prefix)`` with rule in
+    {'allow', 'disallow'} — the crawl-politeness stage every web
+    pipeline runs between URL extraction and fetch/filter (RFC 9309).
+
+    Grammar handled: ``User-agent`` / ``Allow`` / ``Disallow`` lines,
+    ``#`` comments (full-line and trailing), case-insensitive field
+    names, CRLF, and the contiguous-User-agent-run rule (several
+    ``User-agent`` lines immediately above a rule block ALL govern it).
+    Empty ``Disallow:`` lines (the classic allow-all idiom) parse to no
+    rule.  Path matching downstream is PREFIX-ONLY: ``*``/``$``
+    wildcard patterns are out of scope, documented exactly like the
+    public-suffix heuristic — deterministic and coarser, never
+    silently wrong about lines it does parse.
+
+    Shape + exactness: posexplode the line array, ONE window pass —
+    a rule line's governing User-agent run is
+    ``last(ua_run_id) IGNORE NULLS`` over line position (ua_run_id =
+    the count of rule lines before the UA line, so contiguous UA lines
+    share a run) — then an equi-join of rule lines to UA lines on
+    (host, run).  Windows are per-host (a robots.txt is KB-sized);
+    everything is engine-shared string/window ops, so the oracle
+    replays the parse verbatim."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    field = F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+    typed = lines.select(
+        "host",
+        "pos",
+        field.alias("field"),
+        value.alias("value"),
+    ).where(F.col("field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_rule = F.col("field").isin("allow", "disallow")
+    n_rules_before = F.coalesce(
+        F.sum(is_rule.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    runs = typed.select(
+        "host",
+        "pos",
+        "field",
+        "value",
+        F.when(F.col("field") == "user-agent", n_rules_before).alias("ua_run"),
+    ).withColumn(
+        "gov_run", F.last("ua_run", ignorenulls=True).over(w)
+    )
+    uas = (
+        runs.where(F.col("field") == "user-agent")
+        .select("host", F.col("ua_run").alias("run"), F.lower("value").alias("agent"))
+        .where(F.col("agent") != "")
+        .distinct()
+    )
+    rules = runs.where(
+        (F.col("field") != "user-agent") & (F.col("value") != "") & F.col("gov_run").isNotNull()
+    ).select("host", F.col("gov_run").alias("run"), F.col("field").alias("rule"), F.col("value").alias("path_prefix"))
+    # every DECLARED group also emits a zero-length allow: it matches
+    # every path but loses every longest-match tie, so it changes no
+    # verdict — it exists to record group existence, making an
+    # empty-Disallow (allow-all) group still govern its agent
+    # exclusively instead of falling back to the '*' group (RFC 9309
+    # group selection)
+    declared = uas.select(
+        "host", "agent", F.lit("allow").alias("rule"), F.lit("").alias("path_prefix")
+    ).distinct()
+    return (
+        rules.join(uas, ["host", "run"])
+        .select("host", "agent", "rule", "path_prefix")
+        .unionByName(declared)
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "target_uri",
+) -> DataFrame:
+    """Keep the rows of ``urls`` that ``agent`` may fetch under
+    ``rules`` (:func:`robots_rules` output) — RFC 9309 group selection
+    and longest-match evaluation, prefix-only:
+
+    - group: a host's rules for the EXACT agent govern exclusively when
+      any exist; otherwise the ``*`` group; a host with neither (or no
+      robots.txt at all) allows everything;
+    - match: among the group's rules whose path_prefix is a prefix of
+      the URL path (empty path matches as '/'), the LONGEST prefix
+      wins; allow beats disallow on equal length; no match = allowed.
+
+    Shape: rules are blocklist-sized — broadcast; ONE corpus scan, a
+    per-URL rank window bounded by the URL's matching-rule count.  All
+    string ops engine-shared, so the gate is oracle-replayable."""
+    a = str(agent).lower()
+    parts = url_parts(F.col(url_col))
+    base = urls.withColumn("__host", parts["host"]).withColumn(
+        "__path", F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"])
+    )
+    grp = rules.withColumn("__agent", F.lower("agent"))
+    # exclusive group selection: exact-agent rules win the whole host
+    hosts_with_exact = grp.where(F.col("__agent") == a).select("host").distinct()
+    exact = grp.where(F.col("__agent") == a).join(
+        hosts_with_exact, "host", "left_semi"
+    )
+    star = grp.where(F.col("__agent") == "*").join(
+        hosts_with_exact, "host", "left_anti"
+    )
+    eff = exact.unionByName(star).select(
+        F.col("host").alias("__rhost"), "rule", "path_prefix"
+    )
+    from pyspark.sql import Window
+
+    cand = base.join(
+        F.broadcast(eff),
+        (F.col("__host") == F.col("__rhost"))
+        & F.col("__path").startswith(F.col("path_prefix")),
+        "left",
+    )
+    w = Window.partitionBy(*[F.col(c) for c in urls.columns]).orderBy(
+        F.length("path_prefix").desc(),
+        # allow beats disallow at equal prefix length
+        F.when(F.col("rule") == "allow", 0).otherwise(1).asc(),
+    )
+    ranked = cand.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.where(
+            (F.col("__rn") == 1)
+            & ((F.col("rule").isNull()) | (F.col("rule") == "allow"))
+        )
+        .select(*urls.columns)
+    )

@@ -8801,13 +8801,16 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = tempfile.mkdtemp(prefix="bdmc_webpipe_")
     try:
+        # 16 archives: the gzip member-per-record writes are Python-side
+        # CPU, so archive count = write AND read parallelism (4 archives
+        # left 3/4 of the cores idle for the slowest bench stage)
         wsrc.write_warc(
             docs.select(
                 F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
                     "target_uri"
                 ),
                 F.encode(F.col("text"), "UTF-8").alias("payload"),
-            ).repartition(4),
+            ).repartition(16),
             d,
             warc_type="resource",
             content_type="text/plain",
@@ -8836,6 +8839,11 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("repetition") <= 0.2)
             )
             .select("doc_id", "text")
+            # materialize the gate survivors ONCE: this frame feeds the
+            # near-dup signatures, the rerank shingles, and the final
+            # anti-join — without the cut each consumer re-runs the
+            # whole WARC parse + gate chain (a Python mapInPandas scan)
+            .localCheckpoint(eager=True)
         )
         pairs = _dedup.minhash_neardup(surv0, min_jaccard=0.2, portable=True)
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -8946,6 +8954,152 @@ def n4_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = _urls.url_blocklist_filter(parsed, bl, url_col="url")
     return kept.select("doc_id", "scheme", "host", "port", "domain", "norm_url")
+
+
+
+
+_ROBOTS_COM = """# .com policy
+User-agent: *
+Disallow: /p/1
+Allow: /p/12
+
+User-agent: ccbot
+Disallow: /
+"""
+
+_ROBOTS_COUK = """User-agent: ccbot
+User-agent: gptbot
+Disallow: /p/
+
+User-agent: *
+Disallow:
+"""
+
+
+def _robots_parse_sql() -> str:
+    """DuckDB CTE chain replaying operators/urls.robots_rules over the
+    per-host robots fixtures (lockstep unnest for line positions, the
+    rule-count window for UA runs, last_value IGNORE NULLS for the
+    governing run) — exposes CTE ``rb_rules(host, agent, rule,
+    path_prefix)``."""
+    return f"""rb AS (SELECT host,
+               CASE WHEN host LIKE '%.co.uk' THEN '{_ROBOTS_COUK}'
+                    ELSE '{_ROBOTS_COM}' END AS txt
+          FROM (SELECT DISTINCT host FROM parts)),
+       rb_lines AS (SELECT host,
+               unnest(range(1, len(string_split_regex(txt, '\\r?\\n')) + 1)) AS pos,
+               unnest(string_split_regex(txt, '\\r?\\n')) AS raw
+          FROM rb),
+       rb_typed AS (SELECT host, pos,
+               lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS field,
+               trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS value
+          FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS l
+                FROM rb_lines)
+          WHERE lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+                IN ('user-agent', 'allow', 'disallow')),
+       rb_runs AS (SELECT host, pos, field, value,
+               CASE WHEN field = 'user-agent' THEN COALESCE(SUM(
+                 CASE WHEN field IN ('allow','disallow') THEN 1 END)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               END AS ua_run
+          FROM rb_typed),
+       rb_gov AS (SELECT *, last_value(ua_run IGNORE NULLS)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gov_run
+          FROM rb_runs),
+       rb_uas AS (SELECT DISTINCT host, ua_run AS run, lower(value) AS agent
+          FROM rb_gov WHERE field = 'user-agent' AND value <> ''),
+       rb_rules AS (
+          SELECT r.host, u.agent, r.field AS rule, r.value AS path_prefix
+          FROM rb_gov r JOIN rb_uas u ON u.host = r.host AND u.run = r.gov_run
+          WHERE r.field <> 'user-agent' AND r.value <> ''
+          UNION
+          SELECT host, agent, 'allow', '' FROM rb_uas)"""
+
+
+def _robots_gate_sql(agent: str) -> str:
+    """DuckDB replay of operators/urls.robots_gate for one agent over
+    CTEs ``parts`` (doc_id, host, path) and ``rb_rules`` — emits the
+    kept doc_ids (group exclusivity via EXISTS, longest prefix wins,
+    allow beats disallow on ties)."""
+    return f"""SELECT doc_id FROM (
+         SELECT p.doc_id,
+                ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                    ORDER BY len(e.path_prefix) DESC,
+                             CASE WHEN e.rule = 'allow' THEN 0 ELSE 1 END) AS rn,
+                e.rule
+         FROM (SELECT doc_id, host,
+                      CASE WHEN path = '' THEN '/' ELSE path END AS path
+               FROM parts) p
+         LEFT JOIN (
+             SELECT host, rule, path_prefix FROM rb_rules
+             WHERE agent = '{agent}'
+               AND EXISTS (SELECT 1 FROM rb_rules r2
+                           WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
+             UNION ALL
+             SELECT host, rule, path_prefix FROM rb_rules
+             WHERE agent = '*'
+               AND NOT EXISTS (SELECT 1 FROM rb_rules r2
+                               WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
+         ) e ON e.host = p.host AND starts_with(p.path, e.path_prefix))
+       WHERE rn = 1 AND (rule IS NULL OR rule = 'allow')"""
+
+
+@query(
+    "n4_robots_gate",
+    f"""WITH u AS (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents),
+       hp AS (SELECT doc_id, url,
+               regexp_extract(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '^(?:[^@]*@)?(.*)$', 1) AS hostport
+          FROM u),
+       parts AS (SELECT doc_id,
+               lower(regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                                    '\\.+$', '')) AS host,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          FROM hp),
+       {_robots_parse_sql()}
+       SELECT 'star' AS gate_agent, doc_id FROM ({_robots_gate_sql('*')})
+       UNION ALL
+       SELECT 'ccbot', doc_id FROM ({_robots_gate_sql('ccbot')})
+       ORDER BY gate_agent, doc_id""",
+)
+def n4_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 10): robots.txt PARSE + GATE — the crawl-politeness
+    stage between URL extraction and fetch/filter (RFC 9309 subset:
+    User-agent/Allow/Disallow, comments, CRLF, contiguous multi-agent
+    runs, empty-Disallow allow-all groups; prefix-only matching, group
+    exclusivity, longest-match with allow winning ties).  Two agents
+    gate the same deterministic URL fixture against per-host robots
+    fixtures: '*' exercises the longest-match allow override
+    (/p/12* re-allowed under a /p/1 disallow) and the allow-all group;
+    'ccbot' exercises exclusive groups (full block on .com hosts,
+    /p/ block on .co.uk).  Parse is one posexplode + one window pass;
+    the gate broadcasts the rules — both replayed verbatim in SQL
+    (operators/urls.robots_rules/robots_gate)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    us = docs.select("doc_id", F.expr(_url_fixture_sql()).alias("url"))
+    host = _urls.url_parts(F.col("url"))["host"]
+    robots = (
+        us.select(host.alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("host").endswith(".co.uk"), F.lit(_ROBOTS_COUK))
+            .otherwise(F.lit(_ROBOTS_COM))
+            .alias("robots_txt"),
+        )
+    )
+    rules = _urls.robots_rules(robots)
+    out = None
+    for label, agent in (("star", "*"), ("ccbot", "ccbot")):
+        kept = _urls.robots_gate(us, rules, agent, url_col="url").select(
+            F.lit(label).alias("gate_agent"), "doc_id"
+        )
+        out = kept if out is None else out.unionByName(kept)
+    return out.orderBy("gate_agent", "doc_id")
 
 
 @query(

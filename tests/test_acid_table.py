@@ -612,6 +612,23 @@ def test_drop_column_and_safe_readd(spark, tmp_path):
     assert t.snapshot().where("tag IS NOT NULL").count() == 1
 
 
+def test_rename_keeps_parquet_pushdown(spark, tmp_path):
+    """The logical->physical projection _read_data adds must stay
+    transparent to Catalyst: a filter on the RENAMED column must reach
+    the parquet scan as a pushed filter on the PHYSICAL name."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(0, 1000).withColumn("v", F.col("id") * 2),
+        key_cols=["id"],
+    )
+    t.rename_column("v", "value")
+    df = t.snapshot().where(F.col("value") > 100).select("id", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1][:120] if "PushedFilters:" in plan else ""
+    assert "GreaterThan(v,100)" in pushed, plan[:800]
+    assert df.count() == 949
+
+
 def test_rename_then_changes_feed(spark, tmp_path):
     """changes() across a rename commit: both sides of the diff read
     through the from-version's logical names via the shared physical

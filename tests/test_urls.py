@@ -97,3 +97,66 @@ def test_trailing_dot_fqdn_cannot_bypass_blocklist(spark):
         urls.registered_domain(urls.url_parts(F.col("target_uri"))["host"]).alias("d")
     ).collect()
     assert [r.d for r in doms] == ["blocked.net", "blocked.net", "example.com"]
+
+
+def test_robots_rules_grammar(spark):
+    """robots.txt parse: comments, CRLF, multi-UA runs, empty Disallow
+    (group existence without rules), case-insensitive fields."""
+    txt = (
+        "# header comment\r\n"
+        "User-Agent: *\r\n"
+        "Disallow: /a/  # trailing comment\r\n"
+        "ALLOW: /a/b/\r\n"
+        "\r\n"
+        "User-agent: BotOne\r\n"
+        "User-agent: bottwo\r\n"
+        "Disallow: /\r\n"
+        "\r\n"
+        "User-agent: freebot\r\n"
+        "Disallow:\r\n"
+    )
+    rules = urls.robots_rules(
+        spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    )
+    got = {(r.agent, r.rule, r.path_prefix) for r in rules.collect()}
+    assert ("*", "disallow", "/a/") in got
+    assert ("*", "allow", "/a/b/") in got
+    assert ("botone", "disallow", "/") in got and ("bottwo", "disallow", "/") in got
+    # empty Disallow parses to NO path rule, but the group still exists
+    assert ("freebot", "allow", "") in got
+    assert not any(a == "freebot" and p != "" for a, _, p in got)
+
+
+def test_robots_gate_semantics(spark):
+    """Longest-match allow override, exclusive groups, allow-all group,
+    hosts without robots, and the no-rules default."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /p/1\n"
+        "Allow: /p/12\n"
+        "\n"
+        "User-agent: ccbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: freebot\n"
+        "Disallow:\n"
+    )
+    rules = urls.robots_rules(
+        spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    )
+    us = spark.createDataFrame(
+        [
+            (1, "http://h.example/p/1x"),    # disallowed for *
+            (2, "http://h.example/p/12y"),   # longest-match allow wins
+            (3, "http://h.example/ok"),      # no rule matches -> allowed
+            (4, "http://other.example/p/1"), # no robots -> allowed
+        ],
+        "id long, target_uri string",
+    )
+    assert sorted(r.id for r in urls.robots_gate(us, rules, "*").collect()) == [2, 3, 4]
+    # exclusive group: ccbot ignores the * rules entirely
+    assert sorted(r.id for r in urls.robots_gate(us, rules, "CCBot").collect()) == [4]
+    # allow-all group governs exclusively (does NOT fall back to *)
+    assert sorted(r.id for r in urls.robots_gate(us, rules, "freebot").collect()) == [1, 2, 3, 4]
+    # unknown agent uses the * group
+    assert sorted(r.id for r in urls.robots_gate(us, rules, "nobody").collect()) == [2, 3, 4]
