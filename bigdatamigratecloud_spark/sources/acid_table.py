@@ -1569,10 +1569,13 @@ class AcidTable:
         head = self._head()
         m = self._read_manifest(head)
         schema = StructType.fromJson(m["schema"])
-        existing = {f.name for f in schema.fields}
+        existing = {f.name.lower() for f in schema.fields}
         for name, ddl in new_cols.items():
-            if name in existing:
+            # case-insensitive: Spark's default resolution would make a
+            # same-name-different-case pair ambiguous everywhere
+            if name.lower() in existing:
                 raise ValueError(f"column {name!r} already exists")
+            existing.add(name.lower())
             schema = StructType(
                 [
                     *schema.fields,
@@ -1613,7 +1616,10 @@ class AcidTable:
         names = {f.name for f in schema.fields}
         if old not in names:
             raise ValueError(f"column {old!r} does not exist")
-        if new in names:
+        # case-INSENSITIVE collision check: Spark resolves column names
+        # case-insensitively by default, so a table with both `id` and
+        # `ID` would make every downstream reference ambiguous
+        if new.lower() in {n.lower() for n in names if n != old}:
             raise ValueError(f"column {new!r} already exists")
         fields = []
         for f in schema.fields:

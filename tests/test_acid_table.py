@@ -612,6 +612,44 @@ def test_drop_column_and_safe_readd(spark, tmp_path):
     assert t.snapshot().where("tag IS NOT NULL").count() == 1
 
 
+def test_rename_add_reject_case_insensitive_collisions(spark, tmp_path):
+    """Spark resolves column names case-insensitively by default, so a
+    table holding both `v` and `V` is ambiguous everywhere — rename and
+    add_columns must reject the collision; a pure case-change rename of
+    the SAME column stays legal."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(0, 10).withColumn("v", F.col("id") * 2),
+        key_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "ID")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns({"V": "long"})
+    t.rename_column("v", "V")  # case-change of itself is fine
+    assert t.snapshot().columns == ["id", "V"]
+    assert t.snapshot().where("V = id * 2").count() == 10
+
+
+def test_clone_preserves_column_mapping(spark, tmp_path):
+    """A shallow clone of a renamed table must resolve the source's
+    files through the copied logical->physical mapping."""
+    t = AcidTable.create(
+        spark, str(tmp_path / "src"),
+        spark.range(0, 20).withColumn("v", F.col("id") * 3),
+        key_cols=["id"],
+    )
+    t.rename_column("v", "value")
+    clone = t.clone_to(str(tmp_path / "fork"))
+    snap = clone.snapshot()
+    assert snap.columns == ["id", "value"]
+    assert snap.where("value = id * 3").count() == 20
+    # and the clone can keep evolving independently
+    clone.rename_column("value", "metric")
+    assert clone.snapshot().columns == ["id", "metric"]
+    assert t.snapshot().columns == ["id", "value"]  # source untouched
+
+
 def test_rename_keeps_parquet_pushdown(spark, tmp_path):
     """The logical->physical projection _read_data adds must stay
     transparent to Catalyst: a filter on the RENAMED column must reach
