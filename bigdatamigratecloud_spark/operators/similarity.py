@@ -1535,11 +1535,25 @@ def jl_project(
     matrix lives in the plan), shortlist in the small space, rerank the
     shortlist with full-width vectors — the full-width corpus is only
     touched for candidates.
+
+    Guards (round-10 sweep): d_out must be >= 1 (a 0-wide projection
+    silently shortlists garbage), and a row whose vector length is not
+    ``dim`` raises at runtime instead of emitting the silently-NULL
+    coordinates zip_with would produce on a length mismatch.
     """
+    if d_out < 1:
+        raise ValueError(f"d_out must be >= 1, got {d_out}")
     planes = _hyperplanes(dim, d_out, seed)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     coords = [_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes]
-    return df.withColumn(out_col, F.array(*coords))
+    return df.withColumn(
+        out_col,
+        F.when(F.size(F.col(vec_col)) == dim, F.array(*coords)).otherwise(
+            F.raise_error(
+                F.lit(f"jl_project: vector length != dim={dim}")
+            )
+        ),
+    )
 
 
 def jl_project_broadcast(

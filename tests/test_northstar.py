@@ -1135,3 +1135,24 @@ def test_pca_power_validates_args(spark):
         pca_power(df, iters=0)
     with _pytest.raises(ValueError):
         pca_power(df, q_scale=100)  # not a power of two
+
+
+def test_jl_project_guards_degenerate_inputs(spark):
+    """Round-10 sweep: d_out=0 used to emit empty projections and a
+    dim mismatch emitted silently-NULL coordinates; both now fail
+    loudly."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkException
+
+    from bigdatamigratecloud_spark.operators.similarity import jl_project
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="d_out"):
+        jl_project(vecs, dim=2, d_out=0)
+    with _pytest.raises(PySparkException):
+        jl_project(vecs, dim=5, d_out=4).collect()
+    # the guard is inert on correct input
+    ok = jl_project(vecs, dim=2, d_out=4).collect()
+    assert len(ok[0]["jl"]) == 4 and all(x is not None for x in ok[0]["jl"])
