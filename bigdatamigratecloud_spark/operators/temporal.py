@@ -216,30 +216,53 @@ def funnel(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    per_occurrence: bool = False,
 ) -> DataFrame:
-    """Sequential conversion FUNNEL (round 9): per user, the earliest
-    strictly-ordered chain step1 < step2 < ... with every later step
-    inside ``window_us`` of the user's step-1 time; returns (step,
-    event_type, users) — the users-reached count per stage.
+    """Sequential conversion FUNNEL (round 9): per user, a strictly-
+    ordered chain step1 < step2 < ... with every later step inside
+    ``window_us`` of the chain's step-1 time; returns (step,
+    event_type, users) — the DISTINCT-users-reached count per stage.
+
+    Two attribution modes:
+
+    - ``per_occurrence=False`` (default): the chain may only start at
+      the user's EARLIEST step-1 event (the round-9 semantics — cheap,
+      one start per user, but a user whose first attempt expires and
+      who later converts from a fresh start does NOT count);
+    - ``per_occurrence=True``: the chain may start at ANY step-1
+      occurrence (the re-attempt window semantics of production funnel
+      tools) — a user counts at stage k iff SOME start completes k
+      steps.  Greedy earliest-next-step per start is exact for this
+      existence question: for a fixed start, taking the earliest valid
+      next event maximizes the remaining slack.
 
     Shape: per stage one type-filtered min() aggregation joined back on
     the USER key — k-1 user-keyed equi-joins for a k-step funnel, each
     map-side-combinable, never a self-cross of events; at 100 TB the
     per-stage frames shrink monotonically (conversion), so every join
     after the first is against a smaller right side (AQE broadcasts
-    the tail stages)."""
+    the tail stages).  per_occurrence multiplies the chain-frame rows
+    by the user's step-1 occurrence count (bounded by that user's
+    event history, never by the corpus)."""
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
     t = _epoch_us(F.col(ts_col))
     ev = df.select(
         F.col(user_col).alias("u"), F.col(type_col).alias("et"), t.alias("tu")
     )
-    cur = (
-        ev.filter(F.col("et") == steps[0])
-        .groupBy("u")
-        .agg(F.min("tu").alias("t1"))
-        .withColumn("tprev", F.col("t1"))
-    )
+    firsts = ev.filter(F.col("et") == steps[0])
+    if per_occurrence:
+        cur = (
+            firsts.select("u", F.col("tu").alias("t1"))
+            .distinct()
+            .withColumn("tprev", F.col("t1"))
+        )
+    else:
+        cur = (
+            firsts.groupBy("u")
+            .agg(F.min("tu").alias("t1"))
+            .withColumn("tprev", F.col("t1"))
+        )
     stage_frames = [cur]
     for s in steps[1:]:
         nxt = (
@@ -259,7 +282,7 @@ def funnel(
         c = frame.agg(
             F.lit(i + 1).cast("int").alias("step"),
             F.lit(s).alias("event_type"),
-            F.count(F.lit(1)).alias("users"),
+            F.count_distinct(F.col("u")).alias("users"),
         )
         out = c if out is None else out.unionByName(c)
     return out

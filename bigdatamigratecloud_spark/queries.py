@@ -9192,6 +9192,44 @@ def e2_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e2b_funnel_retry",
+    """WITH s1 AS (SELECT DISTINCT user_id AS u, epoch_us(ts) AS t1
+              FROM events WHERE event_type = 'view'),
+       s2 AS (SELECT e.user_id AS u, s1.t1, min(epoch_us(e.ts)) AS tprev
+              FROM events e JOIN s1 ON s1.u = e.user_id
+              WHERE e.event_type = 'click'
+                AND epoch_us(e.ts) > s1.t1
+                AND epoch_us(e.ts) <= s1.t1 + 259200000000
+              GROUP BY 1, 2),
+       s3 AS (SELECT e.user_id AS u, s2.t1, min(epoch_us(e.ts)) AS tprev
+              FROM events e JOIN s2 ON s2.u = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND epoch_us(e.ts) > s2.tprev
+                AND epoch_us(e.ts) <= s2.t1 + 259200000000
+              GROUP BY 1, 2)
+       SELECT 1 AS step, 'view' AS event_type,
+              CAST(count(DISTINCT u) AS BIGINT) AS users FROM s1
+       UNION ALL
+       SELECT 2, 'click', CAST(count(DISTINCT u) AS BIGINT) FROM s2
+       UNION ALL
+       SELECT 3, 'purchase', CAST(count(DISTINCT u) AS BIGINT) FROM s3""",
+)
+def e2b_funnel_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 events family (round 10): the RE-ATTEMPT funnel — a chain may
+    start at ANY view occurrence (production funnel-tool attribution),
+    so a user whose first attempt expires but who later converts from a
+    fresh view still counts; users = distinct users with SOME start
+    completing the stage.  Greedy earliest-next-step per start is exact
+    for the existence question; chain rows fan out by the user's
+    step-1 occurrence count only (operators/temporal.funnel
+    per_occurrence=True)."""
+    from .operators.temporal import funnel
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel(ev, ["view", "click", "purchase"], per_occurrence=True)
+
+
+@query(
     "e3_cohort_retention",
     """WITH first AS (SELECT user_id AS u,
                 date_trunc('week', min(ts)) AS cohort_week

@@ -467,6 +467,38 @@ def test_funnel_semantics(spark):
         funnel(df, ["view"])
 
 
+def test_funnel_per_occurrence_reattempt(spark):
+    """Round 10: per_occurrence=True lets a chain start at ANY step-1
+    event — the user whose FIRST attempt expires but who converts from
+    a later fresh start counts, where the default (earliest-start-only)
+    semantics misses them."""
+    import datetime
+
+    from bigdatamigratecloud_spark.operators.temporal import funnel
+
+    H = 3_600_000_000
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        # u1: first view's window (72h) expires with no click; a second
+        # view at 100h starts a fresh chain that fully converts
+        (1, "view", 0), (1, "view", 100), (1, "click", 101), (1, "purchase", 102),
+        # u2: converts only from the earliest view — both modes count it
+        (2, "view", 0), (2, "click", 1), (2, "purchase", 2),
+        # u3: clicks at 80h — outside EVERY view window (single view)
+        (3, "view", 0), (3, "click", 80),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, base + datetime.timedelta(hours=h)) for u, t, h in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+    steps = ["view", "click", "purchase"]
+    default = {r.step: r.users for r in funnel(df, steps, window_us=72 * H).collect()}
+    retry = {r.step: r.users for r in funnel(
+        df, steps, window_us=72 * H, per_occurrence=True).collect()}
+    assert default == {1: 3, 2: 1, 3: 1}  # u1's late conversion invisible
+    assert retry == {1: 3, 2: 2, 3: 2}    # u1 counts via the re-attempt
+
+
 def test_cohort_retention_semantics(spark):
     from bigdatamigratecloud_spark.operators.temporal import cohort_retention
     import datetime
