@@ -699,3 +699,76 @@ def test_cusum_prefix_identity_equals_recursion(vals, target, slack):
         mn = p if mn is None else min(mn, p)
         out.append(p - min(Decimal(0), mn))
     assert out == rec
+
+
+# ------------------------------------------------------------- robots.txt
+
+def _robots_reference_parse(host: str, txt: str) -> set[tuple]:
+    """Independent pure-Python replica of operators/urls.robots_rules
+    (line scan with explicit UA-run state instead of window functions)."""
+    import re as _re
+
+    out: set[tuple] = set()
+    run_agents: list[str] = []
+    in_ua_run = False
+    for raw in _re.split(r"\r?\n", txt):
+        line = _re.sub(r"#.*$", "", raw).strip()
+        m = _re.match(r"^([^:]+):(.*)$", line)
+        if not m:
+            continue
+        field, value = m.group(1).strip().lower(), m.group(2).strip()
+        if field == "user-agent":
+            if not in_ua_run:
+                run_agents, in_ua_run = [], True
+            if value:
+                run_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_ua_run = False
+            if value:
+                for a in run_agents:
+                    out.add((host, a, field, value))
+    # group existence marker (zero-length allow) for every declared agent
+    seen_agents = set()
+    in_ua_run = False
+    for raw in _re.split(r"\r?\n", txt):
+        line = _re.sub(r"#.*$", "", raw).strip()
+        m = _re.match(r"^([^:]+):(.*)$", line)
+        if not m:
+            continue
+        field, value = m.group(1).strip().lower(), m.group(2).strip()
+        if field == "user-agent" and value:
+            seen_agents.add(value.lower())
+    for a in seen_agents:
+        out.add((host, a, "allow", ""))
+    return out
+
+
+_ROBOTS_LINES = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["User-agent: *", "User-agent: botA", "USER-AGENT: botB",
+             "Disallow: /a/", "Disallow: /a/b", "Allow: /a/b/c",
+             "Disallow:", "Allow: /x", "# comment", "", "   ",
+             "Disallow: /q/  # trailing", "Crawl-delay: 5", "junk line"]
+        ),
+    ),
+    min_size=0, max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_ROBOTS_LINES, st.sampled_from(["\n", "\r\n"]))
+def test_robots_rules_matches_reference_parser(spark, lines, sep):
+    """The window-function parse must agree with an independent
+    stateful line-scan reference on randomized robots.txt documents
+    (UA runs, comments, junk fields, blank lines, CRLF)."""
+    from bigdatamigratecloud_spark.operators import urls
+
+    txt = sep.join(lines)
+    got = {
+        (r.host, r.agent, r.rule, r.path_prefix)
+        for r in urls.robots_rules(
+            spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+        ).collect()
+    }
+    assert got == _robots_reference_parse("h.example", txt)
