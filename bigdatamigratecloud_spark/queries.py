@@ -6090,7 +6090,12 @@ def n5_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 53 == 0)
     corpus = docs.filter(F.col("doc_id") % 53 != 0)
-    clean = _dedup.ngram_decontaminate(corpus, bench, n=8)
+    # materialize the decontaminated survivors once: the frame feeds the
+    # near-dup signatures, the rerank shingles, and the cluster join —
+    # without the cut each consumer re-runs the 8-gram probe join
+    clean = _dedup.ngram_decontaminate(corpus, bench, n=8).localCheckpoint(
+        eager=True
+    )
     pairs = _dedup.minhash_neardup(clean, min_jaccard=0.2, portable=True)
     kept = dedup_clusters(clean, pairs, id_col="doc_id").filter(F.col("is_kept") == 1)
     split = deterministic_split(kept, "doc_id", {"train": 0.9, "val": 0.1})
