@@ -153,6 +153,11 @@ def _connected_components_star(e: DataFrame, max_iter: int) -> DataFrame:
     :func:`connected_components`).  At the fixed point the edge set IS
     the answer: a star forest {(v, c)} whose centers c are their
     components' minimum ids."""
+    # materialize the edge list ONCE: its lineage is typically a whole
+    # near-dup pipeline (signatures -> LSH join -> rerank), and both the
+    # node universe and the canonical edge set below would otherwise
+    # re-execute it (the label algorithm's `sym` discipline)
+    e = e.localCheckpoint(eager=True)
     # the node universe up front: self-loop-only and isolated-edge nodes
     # must still appear in the output even though canonicalization drops
     # their edges
