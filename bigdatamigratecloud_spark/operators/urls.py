@@ -254,9 +254,13 @@ def robots_gate(
       the URL path (empty path matches as '/'), the LONGEST prefix
       wins; allow beats disallow on equal length; no match = allowed.
 
-    Shape: rules are blocklist-sized — broadcast; ONE corpus scan, a
-    per-URL rank window bounded by the URL's matching-rule count.  All
-    string ops engine-shared, so the gate is oracle-replayable."""
+    Shape (100 TB): the per-host effective rule set is aggregated into
+    ONE array per host (rules frames are blocklist-sized) and
+    BROADCAST-joined onto the corpus; the verdict is a narrow
+    filter + sort over that per-row array — the corpus is scanned once
+    and NEVER shuffled (the earlier rank-window form shuffled on the
+    full row).  All string/array ops engine-shared, so the gate is
+    oracle-replayable."""
     a = str(agent).lower()
     parts = url_parts(F.col(url_col))
     base = urls.withColumn("__host", parts["host"]).withColumn(
@@ -271,27 +275,36 @@ def robots_gate(
     star = grp.where(F.col("__agent") == "*").join(
         hosts_with_exact, "host", "left_anti"
     )
-    eff = exact.unionByName(star).select(
-        F.col("host").alias("__rhost"), "rule", "path_prefix"
-    )
-    from pyspark.sql import Window
-
-    cand = base.join(
-        F.broadcast(eff),
-        (F.col("__host") == F.col("__rhost"))
-        & F.col("__path").startswith(F.col("path_prefix")),
-        "left",
-    )
-    w = Window.partitionBy(*[F.col(c) for c in urls.columns]).orderBy(
-        F.length("path_prefix").desc(),
-        # allow beats disallow at equal prefix length
-        F.when(F.col("rule") == "allow", 0).otherwise(1).asc(),
-    )
-    ranked = cand.withColumn("__rn", F.row_number().over(w))
-    return (
-        ranked.where(
-            (F.col("__rn") == 1)
-            & ((F.col("rule").isNull()) | (F.col("rule") == "allow"))
+    # one row per host: its rules as an array of (sort_key, rule)
+    # structs — sort_key = (-len(prefix), allow-first) so the array min
+    # IS the longest-match verdict with allow winning length ties
+    eff = (
+        exact.unionByName(star)
+        .groupBy(F.col("host").alias("__rhost"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    (-F.length("path_prefix")).alias("nlen"),
+                    F.when(F.col("rule") == "allow", 0)
+                    .otherwise(1)
+                    .alias("kind"),
+                    F.col("path_prefix").alias("prefix"),
+                )
+            ).alias("__rules")
         )
-        .select(*urls.columns)
     )
+    joined = base.join(
+        F.broadcast(eff), F.col("__host") == F.col("__rhost"), "left"
+    )
+    path = F.col("__path")
+    matches = F.filter(
+        F.coalesce(F.col("__rules"), F.array().cast(
+            "array<struct<nlen:int,kind:int,prefix:string>>"
+        )),
+        lambda r: path.startswith(r["prefix"]),
+    )
+    # F.get (0-based) is NULL on an empty array even under ANSI mode,
+    # where element_at would throw INVALID_ARRAY_INDEX
+    best = F.get(F.array_sort(matches), 0)
+    allowed = best.isNull() | (best["kind"] == 0)
+    return joined.where(allowed).select(*urls.columns)
