@@ -631,6 +631,53 @@ def test_lateness_stats_flags_late_batch_and_pins_no_silent_drop(spark, tmp_path
     assert all(s["dropped_by_watermark"] == 0 for s in stats)
 
 
+def test_lateness_stats_on_multi_watermark_join(spark, tmp_path):
+    """lateness_stats over a stream-stream interval join: the
+    multi-watermark caveat (no per-batch event min/max -> the late flag
+    stays False) must hold without error, state/drop counters parse,
+    and the join output is unaffected."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.streaming.events import (
+        interval_join_stream,
+        lateness_stats,
+        stream_events,
+    )
+
+    d = str(tmp_path / "lj_landing")
+
+    def mk(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, t long, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id", F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    mk([(1, 100_000, 7, "purchase", 5.0, "{}"), (2, 100_900, 7, "click", 0.0, "{}")])
+    mk([(4, 10_000, 7, "purchase", 9.0, "{}"), (5, 110_500, 7, "click", 0.0, "{}")])
+
+    got = []
+    s = stream_events(spark, d, max_files_per_trigger=1)
+    q = (
+        interval_join_stream(s, s, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + f"/_ckpt_{uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    stats = lateness_stats(q)
+    assert stats and all(isinstance(s["dropped_by_watermark"], int) for s in stats)
+    assert any(s["operators"] for s in stats)  # the join's state op reported
+    assert all(s["late_input_seen"] is False for s in stats)  # documented caveat
+    assert sorted((r["click_id"], r["purchase_value"]) for r in got) == [(2, 5.0)]
+
+
 def test_cusum_stream_decimal_boundary_equals_batch(spark, tmp_path):
     """Increments landing exactly on a 1e-6 HALF_UP boundary (e.g.
     dev = 5e-07) must round identically in the stream's Python Decimal
