@@ -1536,10 +1536,14 @@ def jl_project(
     shortlist with full-width vectors — the full-width corpus is only
     touched for candidates.
 
-    Guards (round-10 sweep): d_out must be >= 1 (a 0-wide projection
-    silently shortlists garbage), and a row whose vector length is not
-    ``dim`` raises at runtime instead of emitting the silently-NULL
-    coordinates zip_with would produce on a length mismatch.
+    Guards (round-10 sweep, NULL case round-11): d_out must be >= 1 (a
+    0-wide projection silently shortlists garbage); a row whose vector
+    length is not ``dim`` raises at runtime instead of emitting the
+    silently-NULL coordinates zip_with would produce on a length
+    mismatch; a NULL vector projects to NULL (corpora legitimately
+    carry rows with no embedding — the guard must not convert them
+    into a job failure, and ``F.size(NULL)`` is NULL so the equality
+    branch alone would route them to the error arm).
     """
     if d_out < 1:
         raise ValueError(f"d_out must be >= 1, got {d_out}")
@@ -1548,7 +1552,9 @@ def jl_project(
     coords = [_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes]
     return df.withColumn(
         out_col,
-        F.when(F.size(F.col(vec_col)) == dim, F.array(*coords)).otherwise(
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("array<double>"))
+        .when(F.size(F.col(vec_col)) == dim, F.array(*coords))
+        .otherwise(
             F.raise_error(
                 F.lit(f"jl_project: vector length != dim={dim}")
             )

@@ -2349,7 +2349,8 @@ def e8_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ON hc.event_type = a.event_type AND hc.h = a.h),
        st AS (SELECT event_type, count(*) AS n, SUM(v) AS s
               FROM dense GROUP BY 1),
-       c AS (SELECT d.event_type, d.h, st.n, st.n * d.v - st.s AS c
+       c AS (SELECT d.event_type, d.h, st.n,
+                    CAST(st.n AS HUGEINT) * d.v - st.s AS c
              FROM dense d JOIN st USING (event_type)),
        led AS (SELECT event_type, n, c,
                      LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS l1,

@@ -1156,3 +1156,11 @@ def test_jl_project_guards_degenerate_inputs(spark):
     # the guard is inert on correct input
     ok = jl_project(vecs, dim=2, d_out=4).collect()
     assert len(ok[0]["jl"]) == 4 and all(x is not None for x in ok[0]["jl"])
+    # round-11 (ADVICE): a NULL vector must project to NULL, not hit
+    # the length-mismatch error arm (F.size(NULL) is NULL, so the
+    # equality branch alone would route NULL rows to raise_error)
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["jl"] for r in jl_project(with_null, dim=2, d_out=4).collect()}
+    assert rows[2] is None and len(rows[1]) == 4
