@@ -164,10 +164,9 @@ def robots_rules(
     names, CRLF, and the contiguous-User-agent-run rule (several
     ``User-agent`` lines immediately above a rule block ALL govern it).
     Empty ``Disallow:`` lines (the classic allow-all idiom) parse to no
-    rule.  Path matching downstream is PREFIX-ONLY: ``*``/``$``
-    wildcard patterns are out of scope, documented exactly like the
-    public-suffix heuristic — deterministic and coarser, never
-    silently wrong about lines it does parse.
+    rule.  ``path_prefix`` carries the RAW pattern including ``*`` /
+    ``$`` wildcards; :func:`robots_gate` compiles and matches them
+    (RFC 9309 §2.2.3, round 11).
 
     Shape + exactness: posexplode the line array, ONE window pass —
     a rule line's governing User-agent run is
@@ -237,6 +236,54 @@ def robots_rules(
     )
 
 
+def compile_robots_pattern(pattern: Column | str) -> Column:
+    """Compile one robots.txt path pattern (RFC 9309 §2.2.3) to
+    ``struct(wild int, rx string)``:
+
+    - ``*`` matches any character sequence; a trailing ``$`` anchors
+      the end of the path (a ``$`` anywhere else is a literal octet —
+      the behavior of Google's reference matcher);
+    - ``wild`` = 1 iff the pattern contains ``*`` or ends with ``$``
+      (plain patterns keep the cheap ``startswith`` fast path in
+      :func:`robots_gate`);
+    - ``rx`` = ``^`` + the pattern with regex metacharacters escaped
+      and ``*`` -> ``.*`` (+ ``$`` when anchored), restricted to
+      syntax Java regex and DuckDB RE2 share so the oracle replays the
+      compilation verbatim (:func:`compile_robots_pattern_sql`).
+
+    Pure string expressions — at gate time this runs once per RULE on
+    the broadcast-bound rules frame, never per corpus row."""
+    p = F.col(pattern) if isinstance(pattern, str) else pattern
+    anchored = p.endswith("$")
+    body = F.when(anchored, p.substr(F.lit(1), F.length(p) - F.lit(1))).otherwise(p)
+    escaped = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.struct(
+        (p.contains("*") | anchored).cast("int").alias("wild"),
+        rx.alias("rx"),
+    )
+
+
+def compile_robots_pattern_sql(p: str) -> tuple[str, str]:
+    """DuckDB twin of :func:`compile_robots_pattern` — returns the
+    ``(wild, rx)`` SQL expression pair over pattern expression ``p``.
+    RE2 replacement syntax differs from Java's (``\\1`` + 'g' flag vs
+    ``$1`` global-by-default) but both produce the identical compiled
+    regex, which itself uses only shared syntax."""
+    wild = f"(contains({p}, '*') OR {p} LIKE '%$')"
+    body = f"CASE WHEN {p} LIKE '%$' THEN substr({p}, 1, len({p}) - 1) ELSE {p} END"
+    rx = (
+        "'^' || replace(regexp_replace(" + body + ", "
+        r"'([.\[\]{}()+?^$|\\])', '\\\1', 'g'), '*', '.*') "
+        f"|| CASE WHEN {p} LIKE '%$' THEN '$' ELSE '' END"
+    )
+    return wild, rx
+
+
 def robots_gate(
     urls: DataFrame,
     rules: DataFrame,
@@ -245,22 +292,30 @@ def robots_gate(
 ) -> DataFrame:
     """Keep the rows of ``urls`` that ``agent`` may fetch under
     ``rules`` (:func:`robots_rules` output) — RFC 9309 group selection
-    and longest-match evaluation, prefix-only:
+    and longest-match evaluation, with full ``*`` / ``$`` wildcard
+    pattern support (round 11):
 
     - group: a host's rules for the EXACT agent govern exclusively when
       any exist; otherwise the ``*`` group; a host with neither (or no
       robots.txt at all) allows everything;
-    - match: among the group's rules whose path_prefix is a prefix of
-      the URL path (empty path matches as '/'), the LONGEST prefix
-      wins; allow beats disallow on equal length; no match = allowed.
+    - match: among the group's rules whose pattern matches the URL path
+      (prefix for plain patterns; compiled regex for patterns with
+      ``*`` / trailing ``$`` — :func:`compile_robots_pattern`; empty
+      path matches as '/'), the rule with the LONGEST raw pattern wins
+      (RFC 9309 "most specific match" measured in pattern octets,
+      wildcards counted as written — Google's reference behavior);
+      allow beats disallow on equal length; no match = allowed.
 
     Shape (100 TB): the per-host effective rule set is aggregated into
     ONE array per host (rules frames are blocklist-sized) and
     BROADCAST-joined onto the corpus; the verdict is a narrow
     filter + sort over that per-row array — the corpus is scanned once
     and NEVER shuffled (the earlier rank-window form shuffled on the
-    full row).  All string/array ops engine-shared, so the gate is
-    oracle-replayable."""
+    full row).  Patterns compile once per rule pre-broadcast; plain
+    rules (the overwhelming majority in real robots.txt) keep the
+    regex-free ``startswith`` path, so only (row x wildcard-rule)
+    pairs pay a regex evaluation.  All string/array ops engine-shared,
+    so the gate is oracle-replayable."""
     a = str(agent).lower()
     parts = url_parts(F.col(url_col))
     base = urls.withColumn("__host", parts["host"]).withColumn(
@@ -276,8 +331,10 @@ def robots_gate(
         hosts_with_exact, "host", "left_anti"
     )
     # one row per host: its rules as an array of (sort_key, rule)
-    # structs — sort_key = (-len(prefix), allow-first) so the array min
-    # IS the longest-match verdict with allow winning length ties
+    # structs — sort_key = (-len(raw pattern), allow-first) so the
+    # array min IS the longest-match verdict with allow winning length
+    # ties; wild/rx carry the compiled pattern for the match test
+    compiled = compile_robots_pattern(F.col("path_prefix"))
     eff = (
         exact.unionByName(star)
         .groupBy(F.col("host").alias("__rhost"))
@@ -289,6 +346,8 @@ def robots_gate(
                     .otherwise(1)
                     .alias("kind"),
                     F.col("path_prefix").alias("prefix"),
+                    compiled["wild"].alias("wild"),
+                    compiled["rx"].alias("rx"),
                 )
             ).alias("__rules")
         )
@@ -299,9 +358,11 @@ def robots_gate(
     path = F.col("__path")
     matches = F.filter(
         F.coalesce(F.col("__rules"), F.array().cast(
-            "array<struct<nlen:int,kind:int,prefix:string>>"
+            "array<struct<nlen:int,kind:int,prefix:string,wild:int,rx:string>>"
         )),
-        lambda r: path.startswith(r["prefix"]),
+        lambda r: F.when(r["wild"] == 1, F.rlike(path, r["rx"])).otherwise(
+            path.startswith(r["prefix"])
+        ),
     )
     # F.get (0-based) is NULL on an empty array even under ANSI mode,
     # where element_at would throw INVALID_ARRAY_INDEX

@@ -8968,6 +8968,8 @@ _ROBOTS_COM = """# .com policy
 User-agent: *
 Disallow: /p/1
 Allow: /p/12
+Disallow: /p/*7/$
+Allow: /p/*77/$
 
 User-agent: ccbot
 Disallow: /
@@ -8976,6 +8978,7 @@ Disallow: /
 _ROBOTS_COUK = """User-agent: ccbot
 User-agent: gptbot
 Disallow: /p/
+Allow: /p/*0/$
 
 User-agent: *
 Disallow:
@@ -9027,8 +9030,10 @@ def _robots_parse_sql() -> str:
 def _robots_gate_sql(agent: str) -> str:
     """DuckDB replay of operators/urls.robots_gate for one agent over
     CTEs ``parts`` (doc_id, host, path) and ``rb_rules`` — emits the
-    kept doc_ids (group exclusivity via EXISTS, longest prefix wins,
-    allow beats disallow on ties)."""
+    kept doc_ids (group exclusivity via EXISTS, RFC 9309 ``*``/``$``
+    wildcard compilation via operators/urls.compile_robots_pattern_sql,
+    longest raw pattern wins, allow beats disallow on ties)."""
+    wild, rx = _urls.compile_robots_pattern_sql("path_prefix")
     return f"""SELECT doc_id FROM (
          SELECT p.doc_id,
                 ROW_NUMBER() OVER (PARTITION BY p.doc_id
@@ -9039,16 +9044,21 @@ def _robots_gate_sql(agent: str) -> str:
                       CASE WHEN path = '' THEN '/' ELSE path END AS path
                FROM parts) p
          LEFT JOIN (
-             SELECT host, rule, path_prefix FROM rb_rules
-             WHERE agent = '{agent}'
-               AND EXISTS (SELECT 1 FROM rb_rules r2
-                           WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
-             UNION ALL
-             SELECT host, rule, path_prefix FROM rb_rules
-             WHERE agent = '*'
-               AND NOT EXISTS (SELECT 1 FROM rb_rules r2
-                               WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
-         ) e ON e.host = p.host AND starts_with(p.path, e.path_prefix))
+             SELECT host, rule, path_prefix, {wild} AS wild, {rx} AS rx
+             FROM (
+               SELECT host, rule, path_prefix FROM rb_rules
+               WHERE agent = '{agent}'
+                 AND EXISTS (SELECT 1 FROM rb_rules r2
+                             WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
+               UNION ALL
+               SELECT host, rule, path_prefix FROM rb_rules
+               WHERE agent = '*'
+                 AND NOT EXISTS (SELECT 1 FROM rb_rules r2
+                                 WHERE r2.host = rb_rules.host AND r2.agent = '{agent}')
+             )
+         ) e ON e.host = p.host
+            AND (CASE WHEN e.wild THEN regexp_matches(p.path, e.rx)
+                      ELSE starts_with(p.path, e.path_prefix) END))
        WHERE rn = 1 AND (rule IS NULL OR rule = 'allow')"""
 
 
@@ -9073,18 +9083,23 @@ def _robots_gate_sql(agent: str) -> str:
        ORDER BY gate_agent, doc_id""",
 )
 def n4_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4 (round 10): robots.txt PARSE + GATE — the crawl-politeness
-    stage between URL extraction and fetch/filter (RFC 9309 subset:
+    """N4 (rounds 10-11): robots.txt PARSE + GATE — the crawl-politeness
+    stage between URL extraction and fetch/filter (RFC 9309:
     User-agent/Allow/Disallow, comments, CRLF, contiguous multi-agent
-    runs, empty-Disallow allow-all groups; prefix-only matching, group
-    exclusivity, longest-match with allow winning ties).  Two agents
-    gate the same deterministic URL fixture against per-host robots
-    fixtures: '*' exercises the longest-match allow override
-    (/p/12* re-allowed under a /p/1 disallow) and the allow-all group;
+    runs, empty-Disallow allow-all groups; group exclusivity,
+    longest-raw-pattern match with allow winning ties, and full
+    ``*``/``$`` WILDCARD patterns — round 11).  Two agents gate the
+    same deterministic URL fixture against per-host robots fixtures:
+    '*' exercises the longest-match allow override (/p/12 re-allowed
+    under a /p/1 disallow), wildcard-over-literal precedence
+    (/p/*7/$ len-7 disallow beats the /p/12 len-5 allow for id 127)
+    and a wildcard-vs-wildcard override (/p/*77/$ re-allows);
     'ccbot' exercises exclusive groups (full block on .com hosts,
-    /p/ block on .co.uk).  Parse is one posexplode + one window pass;
-    the gate broadcasts the rules — both replayed verbatim in SQL
-    (operators/urls.robots_rules/robots_gate)."""
+    /p/ block on .co.uk with an anchored /p/*0/$ re-allow).  Parse is
+    one posexplode + one window pass; the gate compiles each pattern
+    once pre-broadcast (plain rules keep the regex-free startswith
+    path) — both replayed verbatim in SQL
+    (operators/urls.robots_rules/robots_gate/compile_robots_pattern)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     us = docs.select("doc_id", F.expr(_url_fixture_sql()).alias("url"))
     host = _urls.url_parts(F.col("url"))["host"]

@@ -160,3 +160,105 @@ def test_robots_gate_semantics(spark):
     assert sorted(r.id for r in urls.robots_gate(us, rules, "freebot").collect()) == [1, 2, 3, 4]
     # unknown agent uses the * group
     assert sorted(r.id for r in urls.robots_gate(us, rules, "nobody").collect()) == [2, 3, 4]
+
+
+def _ref_robots_match(pattern: str, path: str) -> bool:
+    """Pure-Python RFC 9309 pattern matcher (greedy leftmost token
+    walk, the algorithm of Google's reference matcher) — deliberately
+    NOT regex-based so the property test checks the regex compilation
+    in compile_robots_pattern against independent semantics."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    segs = body.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    if len(segs) == 1:
+        return path == segs[0] if anchored else True
+    pos = len(segs[0])
+    for s in segs[1:-1]:
+        i = path.find(s, pos)
+        if i < 0:
+            return False
+        pos = i + len(s)
+    last = segs[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    return path.find(last, pos) >= 0
+
+
+def test_robots_gate_wildcards(spark):
+    """RFC 9309 * / $ patterns (round 11): mid-pattern *, trailing $
+    anchor, literal mid-pattern $, regex-metachar escaping, and
+    longest-RAW-pattern precedence between wildcard and plain rules."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /p/1\n"
+        "Allow: /p/12\n"
+        "Disallow: /p/*7/$\n"
+        "Allow: /p/*77/$\n"
+        "Disallow: /exact$\n"
+        "Disallow: /a.b\n"
+        "Disallow: /lit$eral\n"
+    )
+    rules = urls.robots_rules(
+        spark.createDataFrame([("h.example", txt)], "host string, robots_txt string")
+    )
+    us = spark.createDataFrame(
+        [
+            (1, "http://h.example/p/127/"),   # /p/*7/$ (7) beats Allow /p/12 (5)
+            (2, "http://h.example/p/177/"),   # /p/*77/$ (8) re-allows
+            (3, "http://h.example/p/7/"),     # wildcard matches zero chars
+            (4, "http://h.example/p/70/"),    # $ anchor: not .../7/<end>
+            (5, "http://h.example/exact"),    # anchored exact hit
+            (6, "http://h.example/exactly"),  # anchor prevents prefix block
+            (7, "http://h.example/aXb"),      # '.' escaped: must NOT match
+            (8, "http://h.example/a.b"),      # literal '.' hit
+            (9, "http://h.example/lit$eral"), # mid-pattern $ is literal
+            (10, "http://h.example/ok"),
+        ],
+        "id long, target_uri string",
+    )
+    kept = sorted(r.id for r in urls.robots_gate(us, rules, "*").collect())
+    assert kept == [2, 4, 6, 7, 10]
+
+
+def test_robots_wildcard_property(spark):
+    """Batched randomized property: for seeded random (pattern, path)
+    pairs over a nasty alphabet (wildcards, anchors, regex metachars),
+    the Spark gate verdict, the DuckDB oracle compilation
+    (compile_robots_pattern_sql + regexp_matches), and the independent
+    pure-Python token-walk matcher all agree."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(1109)
+    pat_alpha = "/ab7*$.[()|\\"
+    path_alpha = "/ab7.[()|\\"
+    cases = []
+    for i in range(300):
+        pattern = "/" + "".join(rng.choice(pat_alpha) for _ in range(rng.randint(0, 6)))
+        path = "/" + "".join(rng.choice(path_alpha) for _ in range(rng.randint(0, 6)))
+        cases.append((i, pattern, path))
+    # one gate call: one host per case, a single disallow rule each ->
+    # kept iff the pattern does NOT match the path
+    rules = spark.createDataFrame(
+        [(f"h{i}.example", "*", "disallow", p) for i, p, _ in cases],
+        "host string, agent string, rule string, path_prefix string",
+    )
+    us = spark.createDataFrame(
+        [(i, f"http://h{i}.example{path}") for i, _, path in cases],
+        "id long, target_uri string",
+    )
+    kept = {r.id for r in urls.robots_gate(us, rules, "*").collect()}
+    wild, rx = urls.compile_robots_pattern_sql("p")
+    con = duckdb.connect()
+    for i, pattern, path in cases:
+        want = _ref_robots_match(pattern, path)
+        assert (i not in kept) == want, (pattern, path, i in kept)
+        (duck,) = con.execute(
+            f"SELECT CASE WHEN {wild} THEN regexp_matches(?, {rx})"
+            f" ELSE starts_with(?, p) END FROM (SELECT ? AS p)",
+            [path, path, pattern],
+        ).fetchone()
+        assert duck == want, ("duckdb", pattern, path, duck, want)
