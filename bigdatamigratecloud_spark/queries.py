@@ -4088,6 +4088,71 @@ def s13i_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13j_convert_in_place",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 5 = 0),
+       delta AS (SELECT o_orderkey, o_custkey,
+                        o_totalprice * 2 AS price
+                 FROM base WHERE o_orderkey % 3 = 0),
+       merged AS (SELECT b.o_orderkey, b.o_custkey,
+                         CAST(COALESCE(d.price, b.o_totalprice) AS DOUBLE)
+                             AS price
+                  FROM base b LEFT JOIN delta d
+                    ON d.o_orderkey = b.o_orderkey)
+       SELECT o_orderkey, o_custkey, price FROM merged
+       WHERE o_orderkey BETWEEN 1000 AND 20000""",
+)
+def s13j_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 CONVERT-in-place (round 11): adopt a plain parquet directory
+    as an :class:`AcidTable` version 0 with a METADATA-ONLY commit — no
+    data file moved or rewritten, per-file key stats collected by ONE
+    distributed job and written straight to the version-0 checkpoint
+    (the file list never enters the Python driver) — then run the
+    post-migration lifecycle on it: a COW MERGE (rewrites land under
+    the table's own root, adopted references drop), and a stats-PRUNED
+    scan() range read of the result.  The oracle replays the reprice as
+    a left join + BETWEEN.  At 100 TB this is the first operation a
+    real migration performs: adopting a petabyte parquet lake costs one
+    metadata job, not a rewrite (sources/acid_table.py
+    import_existing)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_convert_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+        )
+        # the pre-migration lake: a plain range-partitioned parquet dir
+        base.repartitionByRange(4, "o_orderkey").write.parquet(root + "/lake")
+        t = AcidTable.import_existing(
+            spark, root + "/lake", key_cols=["o_orderkey"]
+        )
+        t.rename_column("o_totalprice", "price")
+        delta = (
+            t.snapshot()
+            .where(F.col("o_orderkey") % 3 == 0)
+            .withColumn("price", F.col("price") * 2)
+        )
+        # materialize the delta before merging (it reads the files the
+        # COW merge is about to replace)
+        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        t.merge(delta, ["o_orderkey"])
+        pruned, _info = t.scan({"o_orderkey": (1000, 20000)})
+        out = pruned.select(
+            "o_orderkey", "o_custkey", F.col("price").cast("double").alias("price")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

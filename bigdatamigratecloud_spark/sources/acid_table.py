@@ -650,6 +650,96 @@ class AcidTable:
         )
         return t
 
+    @classmethod
+    def import_existing(
+        cls,
+        spark: SparkSession,
+        root: str,
+        source_dir: str | None = None,
+        key_cols: Sequence[str] = (),
+        checkpoint_interval: int = 10,
+    ) -> "AcidTable":
+        """CONVERT-in-place (Delta's ``CONVERT TO DELTA``): adopt an
+        existing parquet directory as version 0 WITHOUT moving, copying,
+        or rewriting any data file — the first operation a real
+        migration at scale performs.  ``source_dir`` defaults to
+        ``root`` itself (true in-place convert: the log lands at
+        ``<dir>/_log`` beside the adopted files); pass a different dir
+        to adopt files that live elsewhere (clone-style).
+
+        Metadata-only and DISTRIBUTED end to end: one Spark job scans
+        the source once, aggregates per-file row counts and min/max
+        stats for ``key_cols`` grouped by ``input_file_name()``, and
+        writes the resulting entries frame directly as the version-0
+        CHECKPOINT parquet (the clone_to machinery) — the file list
+        never materializes in the Python driver, so a 10^6-file table
+        converts with an O(1) driver footprint and zero data bytes
+        copied.  Adopted files are referenced by ABSOLUTE path (the
+        clone convention): vacuum never deletes them (it only prunes
+        under ``<root>/data/``), COW merge/delete rewrites land under
+        this table's own root and simply drop the adopted references,
+        and time travel to version 0 keeps working until the caller
+        removes the source files themselves.
+
+        Stats land in the same JSON shape ``create()`` writes
+        ({col: {min,max}}, dates/timestamps as ISO strings) so
+        :meth:`scan` stats-pruning and :meth:`merge` file probing work
+        on the adopted table immediately."""
+        t = cls(spark, root, checkpoint_interval=checkpoint_interval)
+        if t.latest_version() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        src_abs = os.path.abspath(source_dir if source_dir is not None else root)
+        df = spark.read.parquet(src_abs)
+        typed = dict(df.dtypes)
+        cols = [c for c in key_cols if typed.get(c) in cls._STATS_TYPES]
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
+        # input_file_name is a file: URI (percent-encoded); decode back
+        # to the absolute filesystem path the read paths expect
+        grouped = df.groupBy(
+            F.url_decode(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            ).alias("path")
+        ).agg(*aggs)
+        if cols:
+            stats = F.to_json(
+                F.struct(
+                    *[
+                        F.struct(
+                            _iso_stat(F.col(f"__min_{c}"), typed[c]).alias("min"),
+                            _iso_stat(F.col(f"__max_{c}"), typed[c]).alias("max"),
+                        ).alias(c)
+                        for c in cols
+                    ]
+                )
+            )
+        else:
+            stats = F.lit("{}")
+        ent = grouped.select("path", "rows", stats.alias("stats"))
+        owner = uuid.uuid4().hex
+        t._write_owned_checkpoint(0, ent, owner)
+        try:
+            t._publish(
+                {
+                    "version": 0,
+                    "operation": "convert",
+                    "source": src_abs,
+                    "schema": df.schema.jsonValue(),
+                    "key_cols": list(key_cols),
+                    "reset": True,
+                    "add": [],
+                    "checkpoint_owner": owner,
+                    "txns": {},
+                }
+            )
+        except ConcurrentWriteError as e:
+            # owner-unique staging dir: only ever removes OUR staged set
+            shutil.rmtree(t._checkpoint_dir(0, owner), ignore_errors=True)
+            raise FileExistsError(f"table already exists at {root}") from e
+        t._advance_hint(0)
+        return t
+
     # Above this many resolved files, snapshot() stops materializing the
     # path list in the Python driver and switches to the distributed
     # read (glob scan + semi-join against the entries frame).  Class
@@ -1935,3 +2025,22 @@ def _json_scalar(v):
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     return v
+
+
+def _iso_stat(c, dtype: str):
+    """COLUMN twin of :func:`_json_scalar` for the distributed stats
+    build in :meth:`AcidTable.import_existing`: render date/timestamp
+    stats as the exact ISO strings ``datetime.isoformat()`` produces
+    (microseconds omitted when zero), so adopted-table stats compare
+    identically to ``create()``-written stats in :meth:`AcidTable.scan`
+    / merge pruning.  Non-temporal types pass through (to_json renders
+    them as native JSON scalars, the same shape json.dump gives)."""
+    if dtype == "date":
+        return F.date_format(c, "yyyy-MM-dd")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+        micros = F.date_format(c, "SSSSSS")
+        return F.when(
+            micros == "000000", base
+        ).otherwise(F.concat(base, F.lit("."), micros))
+    return c

@@ -1393,3 +1393,111 @@ def test_clone_loser_cleanup_spares_winner(spark, tmp_path):
     # ...and the winner's committed file set is intact afterwards
     reopened = AcidTable(spark, dest_root)
     assert sorted(r["id"] for r in reopened.snapshot().collect()) == list(range(25))
+
+
+# ------------------------------------------------- convert-in-place
+
+
+def test_import_existing_in_place_metadata_only(spark, tmp_path):
+    """CONVERT-in-place: adopting a plain parquet dir moves/rewrites NO
+    data file (paths + mtimes identical), the snapshot equals the plain
+    read, and the log lands beside the adopted files."""
+    import glob
+    import os
+
+    root = str(tmp_path / "plain")
+    base = spark.range(0, 500).withColumn("v", F.col("id") * 2)
+    base.repartition(4).write.parquet(root)
+    before = sorted(glob.glob(root + "/*.parquet"))
+    mtimes = {p: os.path.getmtime(p) for p in before}
+    t = AcidTable.import_existing(spark, root, key_cols=["id"])
+    after = sorted(glob.glob(root + "/*.parquet"))
+    assert after == before and all(os.path.getmtime(p) == mtimes[p] for p in after)
+    assert os.path.isdir(os.path.join(root, "_log"))
+    assert {tuple(r) for r in t.snapshot().collect()} == {
+        tuple(r) for r in base.collect()
+    }
+    # re-converting an existing table refuses
+    with pytest.raises(FileExistsError):
+        AcidTable.import_existing(spark, root, key_cols=["id"])
+
+
+def test_import_existing_stats_prune_and_scan(spark, tmp_path):
+    """Adopted per-file min/max stats drive scan() skipping exactly like
+    create()-written stats: a range-partitioned source prunes to a
+    strict subset of files."""
+    root = str(tmp_path / "ranged")
+    base = spark.range(0, 10_000).withColumn("v", F.col("id") % 97)
+    base.repartitionByRange(8, "id").write.parquet(root)
+    t = AcidTable.import_existing(spark, root, key_cols=["id"])
+    df, info = t.scan({"id": (100, 200)})
+    assert info["files_total"] == 8 and info["files_read"] < 8
+    assert sorted(r["id"] for r in df.collect()) == list(range(100, 201))
+
+
+def test_import_existing_merge_time_travel_vacuum(spark, tmp_path):
+    """Post-convert lifecycle: COW merge rewrites land under the table's
+    own root and drop adopted references (never unlinking the adopted
+    files), version 0 stays time-travelable, and vacuum only ever
+    deletes under <root>/data/."""
+    import glob
+    import os
+
+    root = str(tmp_path / "life")
+    base = spark.range(0, 300).withColumn("v", F.col("id"))
+    base.repartition(3).write.parquet(root)
+    adopted = sorted(glob.glob(root + "/*.parquet"))
+    t = AcidTable.import_existing(spark, root, key_cols=["id"])
+    delta = spark.range(0, 300, 10).withColumn("v", F.col("id") * 100)
+    t.merge(spark.createDataFrame(delta.collect(), delta.schema), ["id"])
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert got[20] == 2000 and got[21] == 21 and len(got) == 300
+    assert all(os.path.exists(p) for p in adopted)
+    # v0 unchanged
+    assert {tuple(r) for r in t.snapshot(0).collect()} == {
+        tuple(r) for r in base.collect()
+    }
+    # vacuum with keep_last=1 drops v0 resolution but NEVER the adopted
+    # files themselves (they live outside <root>/data/)
+    deleted = t.vacuum(keep_last=1, retain_seconds=0.0)
+    assert all(os.path.exists(p) for p in adopted)
+    assert all(d.startswith("data/") for d in deleted)
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert got[20] == 2000 and len(got) == 300
+
+
+def test_import_existing_external_source_and_timestamp_stats(spark, tmp_path):
+    """Adopting a dir OTHER than the table root (clone-style), with
+    timestamp key stats rendered in the exact isoformat create() uses
+    (microseconds omitted when zero) so mixed create/convert tables
+    compare stats consistently."""
+    import json
+
+    src = str(tmp_path / "src")
+    df = spark.sql(
+        "SELECT id, timestamp'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id) AS ts,"
+        " timestamp'2024-01-02 03:04:05.123456' AS ts_us FROM range(0, 10)"
+    )
+    df.coalesce(1).write.parquet(src)
+    t = AcidTable.import_existing(
+        spark, str(tmp_path / "tbl"), source_dir=src, key_cols=["ts", "ts_us"]
+    )
+    (ent,) = t.entries()
+    assert ent["path"].startswith("/") and ent["rows"] == 10
+    assert ent["stats"]["ts"]["min"] == "2024-01-02T03:04:05"
+    assert ent["stats"]["ts"]["max"] == "2024-01-02T03:04:14"
+    assert ent["stats"]["ts_us"]["min"] == "2024-01-02T03:04:05.123456"
+    assert {tuple(r) for r in t.snapshot().collect()} == {
+        tuple(r) for r in df.collect()
+    }
+
+
+def test_import_existing_no_key_cols(spark, tmp_path):
+    """No key_cols: stats degrade to '{}' (scan reads everything,
+    conservatively) but the table is fully functional."""
+    root = str(tmp_path / "nokeys")
+    spark.range(0, 50).write.parquet(root)
+    t = AcidTable.import_existing(spark, root)
+    (e,) = [x for x in t.entries()][:1] or [None]
+    assert all(x["stats"] == {} for x in t.entries())
+    assert t.snapshot().count() == 50
