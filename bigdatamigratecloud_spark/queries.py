@@ -9189,6 +9189,89 @@ def n4_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_url_gate",
+    f"""WITH u AS (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents),
+       hp AS (SELECT doc_id, url,
+               regexp_extract(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '^(?:[^@]*@)?(.*)$', 1) AS hostport
+          FROM u),
+       parts0 AS (SELECT doc_id,
+               lower(regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                                    '\\.+$', '')) AS host,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          FROM hp),
+       parts AS (SELECT * FROM parts0
+                 WHERE {_urls.registered_domain_sql('host')}
+                       NOT IN ('example2.com', 'example5.co.uk')),
+       {_robots_parse_sql()}
+       SELECT doc_id FROM ({_robots_gate_sql('*')})
+       ORDER BY doc_id""",
+)
+def stream_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9+N4 composed (round 11): the URL-POLITENESS stage of the
+    crawl chain running CONTINUOUSLY — WARC archives land in a
+    directory, stream through parse → domain-blocklist anti-join →
+    robots.txt gate (RFC 9309, incl. the round-11 wildcard rules) as
+    micro-batches, into a memory sink.  Both gates are STATELESS over
+    the stream: the blocklist and the per-host effective-rule arrays
+    are static frames broadcast into every micro-batch (stream-static
+    joins), so the streaming plan IS the batch plan and the finished
+    stream must equal the batch oracle exactly — the last batch gate in
+    the curation chain without a streaming twin, closing §2.9 parity
+    for the web pipeline (operators/urls.url_blocklist_filter/
+    robots_gate over sources/warc.stream_warc)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources import warc as wsrc
+    from .streaming.events import run_stream_to_memory
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select(
+        F.expr(_url_fixture_sql()).alias("target_uri"),
+        F.encode(F.lit("x"), "UTF-8").alias("payload"),
+    )
+    # static frames for the gates: blocklist + per-host robots rules
+    # (hosts enumerated from the static fixture, like n4_robots_gate)
+    bl = spark.createDataFrame(
+        [("example2.com",), ("example5.co.uk",)], "domain string"
+    )
+    host = _urls.url_parts(F.expr(_url_fixture_sql()))["host"]
+    robots = (
+        docs.select(host.alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("host").endswith(".co.uk"), F.lit(_ROBOTS_COUK))
+            .otherwise(F.lit(_ROBOTS_COM))
+            .alias("robots_txt"),
+        )
+    )
+    rules = _urls.robots_rules(robots)
+    landing = tempfile.mkdtemp(prefix="bdmc_urlgate_stream_")
+    qname = f"stream_{uuid.uuid4().hex[:8]}_urlgate"
+    try:
+        # 4 archive shards = 4 micro-batches (maxFilesPerTrigger=1)
+        wsrc.write_warc(out.repartition(4), landing)
+        recs = wsrc.stream_warc(spark, landing).select("target_uri")
+        kept = _urls.url_blocklist_filter(recs, bl, url_col="target_uri")
+        gated = _urls.robots_gate(kept, rules, "*", url_col="target_uri")
+        ids = gated.select(
+            F.regexp_extract("target_uri", r"[?&]q=(\d+)", 1)
+            .cast("long")
+            .alias("doc_id")
+        )
+        run_stream_to_memory(ids, qname)
+        got = spark.table(qname)
+        return spark.createDataFrame(got.collect(), got.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+
+
+@query(
     "n1_url_dedup",
     """WITH u AS (SELECT doc_id,
               'https://www.example' || CAST(doc_id % 7 AS STRING) || '.com' ||
