@@ -69,26 +69,39 @@ def main() -> None:
         spark.table(t).cache().count()
     q.QUERIES["q6_revenue_forecast"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    def run_set(names: list[str], repeats: int) -> dict[str, float]:
-        out: dict[str, float] = {}
+    def run_set(
+        names: list[str], repeats: int
+    ) -> tuple[dict[str, float], dict[str, float]]:
+        """(best, median) seconds per query over ``repeats`` runs.
+
+        Best of N: the first run pays codegen/JIT compilation of this
+        query's operators (a per-plan constant, not a data cost) and
+        the second often still catches tiered-compilation tail; the
+        best measures the steady-state plan the cluster would run.
+        The MEDIAN is emitted alongside (round-10 variance guard): a
+        plan regression moves best and median together, host noise
+        moves only the spread — recording both lets round-over-round
+        comparison separate the two mechanically."""
+        best_out: dict[str, float] = {}
+        med_out: dict[str, float] = {}
         for name in names:
             fn = q.QUERIES[name]
-            # best of N: the first run pays codegen/JIT compilation of this
-            # query's operators (a per-plan constant, not a data cost) and
-            # the second often still catches tiered-compilation tail; the
-            # best measures the steady-state plan the cluster would run
-            best = float("inf")
+            runs = []
             for _ in range(repeats):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
-        return out
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            best_out[name] = round(runs[0], 3)
+            mid = len(runs) // 2
+            med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+            med_out[name] = round(med, 3)
+        return best_out, med_out
 
-    times = run_set(HEADLINE, 3)
+    times, times_median = run_set(HEADLINE, 3)
     # corpus shapes are seconds-each: best-of-2 keeps the whole bench
     # inside the driver's budget while still shedding first-run codegen
-    corpus = run_set(CORPUS, 2)
+    corpus, corpus_median = run_set(CORPUS, 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -102,8 +115,11 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "queries_median": times_median,
                 "corpus": corpus,
+                "corpus_median": corpus_median,
                 "corpus_total": round(sum(corpus.values()), 3),
+                "runs": {"headline": 3, "corpus": 2},
                 "sf": sf_val,
             }
         )
