@@ -684,7 +684,12 @@ class AcidTable:
         Stats land in the same JSON shape ``create()`` writes
         ({col: {min,max}}, dates/timestamps as ISO strings) so
         :meth:`scan` stats-pruning and :meth:`merge` file probing work
-        on the adopted table immediately."""
+        on the adopted table immediately.
+
+        Hive-PARTITIONED sources are refused loudly (round-11 sweep):
+        their partition values live in directory names, not the files,
+        and adopting the files directly would silently NULL those
+        columns on every snapshot read."""
         t = cls(spark, root, checkpoint_interval=checkpoint_interval)
         if t.latest_version() is not None:
             raise FileExistsError(f"table already exists at {root}")
@@ -719,6 +724,28 @@ class AcidTable:
         ent = grouped.select("path", "rows", stats.alias("stats"))
         owner = uuid.uuid4().hex
         t._write_owned_checkpoint(0, ent, owner)
+        # FAIL CLOSED on hive-partitioned sources (round-11 sweep): the
+        # partition columns live in directory names, not in the files,
+        # so the snapshot's per-file schema read would silently NULL
+        # them for every row.  Detect `col=val` path segments from the
+        # just-staged checkpoint — a file-count-sized read, not a second
+        # corpus scan — before publishing anything.
+        n_part = (
+            spark.read.parquet(t._checkpoint_dir(0, owner))
+            .where(F.col("path").rlike("/[^/]+=[^/]*/"))
+            .limit(1)
+            .count()
+        )
+        if n_part:
+            shutil.rmtree(t._checkpoint_dir(0, owner), ignore_errors=True)
+            raise NotImplementedError(
+                "import_existing: source directory is hive-partitioned "
+                "(col=val path segments) — partition values live in "
+                "directory names, not in the parquet files, so adopting "
+                "the files directly would silently NULL the partition "
+                "columns.  Rewrite the source flat (or adopt each leaf "
+                "partition directory as its own table) first."
+            )
         try:
             t._publish(
                 {
