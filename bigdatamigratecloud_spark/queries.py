@@ -4153,6 +4153,59 @@ def s13j_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13k_partitioned_convert",
+    """SELECT o_orderkey, o_custkey, o_orderpriority,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders
+       WHERE o_orderkey % 3 = 0
+         AND o_orderpriority IN ('2-HIGH', '4-NOT SPECIFIED')""",
+)
+def s13k_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 CONVERT of a HIVE-PARTITIONED lake (round 11): adopt a
+    directory partitioned by o_orderpriority — the values live in
+    ``col=val`` directory names, not the files — metadata-only.  The
+    manifest marks the column ``partition_from_path``; every read
+    re-derives the value from the file path per row (files the table
+    writes itself later carry it physically and win the coalesce), and
+    each file gets min=max stats on the partition column in the same
+    one-pass job, so the scan() range read below does hive-style
+    PARTITION PRUNING on the adopted layout (strictly fewer files than
+    the table, pinned in test_acid_table).  '4-NOT SPECIFIED' makes the
+    dir name carry a space — URI-encoded by input_file_name, decoded
+    exactly (sources/acid_table.py import_existing/_read_data)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_pconvert_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 3 == 0)
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        )
+        base.write.partitionBy("o_orderpriority").parquet(root + "/lake")
+        t = AcidTable.import_existing(
+            spark, root + "/lake", key_cols=["o_orderkey"]
+        )
+        hi, _ = t.scan({"o_orderpriority": ("2-HIGH", "2-HIGH")})
+        ns, _ = t.scan(
+            {"o_orderpriority": ("4-NOT SPECIFIED", "4-NOT SPECIFIED")}
+        )
+        out = hi.unionByName(ns).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

@@ -397,9 +397,48 @@ class AcidTable:
         name never appears in them); columns dropped at this version
         are simply absent from ``schema``, so the scan prunes them.
         When no field is renamed this is exactly the plain schema read
-        (no extra projection node)."""
+        (no extra projection node).
+
+        PARTITION-from-path fields (hive-partitioned sources adopted by
+        :meth:`import_existing`, marked ``partition_from_path`` in the
+        field metadata): the value lives in the file's directory name
+        (``col=val``), not in the file, so the schema read NULL-fills
+        it — each such column coalesces the physical column (present in
+        files this table wrote itself, e.g. post-merge rewrites) with
+        the value parsed from ``input_file_name`` (a narrow per-row
+        expression, no join).  Hive percent-escaping is decoded and
+        ``__HIVE_DEFAULT_PARTITION__`` maps to NULL."""
+        import re as _re
+
         phys = self._physical_schema(schema)
         df = self.spark.read.schema(phys).parquet(*sources)
+        part_fields = [
+            f
+            for f in schema.fields
+            if (f.metadata or {}).get("partition_from_path")
+        ]
+        if part_fields:
+            fname = _percent_decode(F.input_file_name())
+            for f in part_fields:
+                p = self._physical_name(f)
+                # DEEPEST occurrence (F.get is NULL-safe on empty): a
+                # same-named `col=val` dir above the adopted root can
+                # never shadow the real partition dir
+                arr = F.regexp_extract_all(
+                    fname, F.lit("/" + _re.escape(p) + "=([^/]*)/"), F.lit(1)
+                )
+                raw = F.get(arr, F.size(arr) - 1)
+                val = (
+                    F.when(
+                        raw.isNull()
+                        | (raw == "")
+                        | (raw == "__HIVE_DEFAULT_PARTITION__"),
+                        F.lit(None),
+                    )
+                    .otherwise(_percent_decode(raw))
+                    .cast(f.dataType)
+                )
+                df = df.withColumn(p, F.coalesce(F.col(f"`{p}`"), val))
         pairs = [(self._physical_name(f), f.name) for f in schema.fields]
         if all(p == n for p, n in pairs):
             return df
@@ -686,24 +725,57 @@ class AcidTable:
         :meth:`scan` stats-pruning and :meth:`merge` file probing work
         on the adopted table immediately.
 
-        Hive-PARTITIONED sources are refused loudly (round-11 sweep):
-        their partition values live in directory names, not the files,
-        and adopting the files directly would silently NULL those
-        columns on every snapshot read."""
+        Hive-PARTITIONED sources adopt natively (round 11): the
+        partition columns Spark inferred from ``col=val`` directory
+        names are marked ``partition_from_path`` in the manifest schema
+        — reads re-derive each value from the file path per row (see
+        :meth:`_read_data`; files this table writes itself afterwards
+        carry the column physically and win the coalesce) — and every
+        partition column gets min=max per-file stats in the same pass,
+        so :meth:`scan` gives hive-style PARTITION PRUNING on the
+        adopted layout for free."""
+        import re as _re
+
         t = cls(spark, root, checkpoint_interval=checkpoint_interval)
         if t.latest_version() is not None:
             raise FileExistsError(f"table already exists at {root}")
         src_abs = os.path.abspath(source_dir if source_dir is not None else root)
         df = spark.read.parquet(src_abs)
         typed = dict(df.dtypes)
-        cols = [c for c in key_cols if typed.get(c) in cls._STATS_TYPES]
+        # hive partition detection: ONE file path (a limit-1 job — every
+        # leaf of a valid hive layout shares the same partition dirs,
+        # Spark's own discovery already errored otherwise), parsed
+        # RELATIVE to the source root so `col=val` dirs ABOVE it can
+        # never masquerade as partitions
+        one = df.select(F.input_file_name().alias("p")).limit(1).first()
+        one_path = _percent_decode_py(one["p"]) if one is not None else ""
+        rel = one_path[len(src_abs):] if one_path.startswith(src_abs) else one_path
+        # segment split, not a regex scan: adjacent partition dirs SHARE
+        # their '/' delimiter, so non-overlapping regex matches would
+        # miss every other nesting level (/region=../sub=../ -> region)
+        part_names = [
+            s.split("=", 1)[0]
+            for s in rel.split("/")[:-1]  # drop the filename
+            if "=" in s and not s.startswith("=")
+        ]
+        unknown = [p for p in part_names if p not in typed]
+        if unknown:
+            raise ValueError(
+                f"import_existing: path partition dirs {unknown} do not "
+                "match any column Spark inferred — inconsistent layout"
+            )
+        cols = [
+            c
+            for c in dict.fromkeys([*key_cols, *part_names])
+            if typed.get(c) in cls._STATS_TYPES
+        ]
         aggs = [F.count(F.lit(1)).alias("rows")]
         for c in cols:
             aggs += [F.min(c).alias(f"__min_{c}"), F.max(c).alias(f"__max_{c}")]
         # input_file_name is a file: URI (percent-encoded); decode back
         # to the absolute filesystem path the read paths expect
         grouped = df.groupBy(
-            F.url_decode(
+            _percent_decode(
                 F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
             ).alias("path")
         ).agg(*aggs)
@@ -724,36 +796,25 @@ class AcidTable:
         ent = grouped.select("path", "rows", stats.alias("stats"))
         owner = uuid.uuid4().hex
         t._write_owned_checkpoint(0, ent, owner)
-        # FAIL CLOSED on hive-partitioned sources (round-11 sweep): the
-        # partition columns live in directory names, not in the files,
-        # so the snapshot's per-file schema read would silently NULL
-        # them for every row.  Detect `col=val` path segments from the
-        # just-staged checkpoint — a file-count-sized read, not a second
-        # corpus scan — before publishing anything.
-        n_part = (
-            spark.read.parquet(t._checkpoint_dir(0, owner))
-            .where(F.col("path").rlike("/[^/]+=[^/]*/"))
-            .limit(1)
-            .count()
-        )
-        if n_part:
-            shutil.rmtree(t._checkpoint_dir(0, owner), ignore_errors=True)
-            raise NotImplementedError(
-                "import_existing: source directory is hive-partitioned "
-                "(col=val path segments) — partition values live in "
-                "directory names, not in the parquet files, so adopting "
-                "the files directly would silently NULL the partition "
-                "columns.  Rewrite the source flat (or adopt each leaf "
-                "partition directory as its own table) first."
-            )
+        from pyspark.sql.types import StructField, StructType
+
+        fields = []
+        for f in df.schema.fields:
+            if f.name in part_names:
+                md = dict(f.metadata or {})
+                md["partition_from_path"] = True
+                fields.append(StructField(f.name, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
         try:
             t._publish(
                 {
                     "version": 0,
                     "operation": "convert",
                     "source": src_abs,
-                    "schema": df.schema.jsonValue(),
+                    "schema": StructType(fields).jsonValue(),
                     "key_cols": list(key_cols),
+                    "partition_cols": part_names,
                     "reset": True,
                     "add": [],
                     "checkpoint_owner": owner,
@@ -2052,6 +2113,24 @@ def _json_scalar(v):
     if isinstance(v, (datetime.date, datetime.datetime)):
         return v.isoformat()
     return v
+
+
+def _percent_decode(c):
+    """Percent-decode a COLUMN (file-URI paths from ``input_file_name``,
+    hive-escaped partition dir values) without the ``+``-to-space
+    mangling of plain URL decoding: java.net.URLDecoder (behind
+    ``F.url_decode``) treats ``+`` as an encoded space, but in file
+    paths and hive dir names ``+`` is a literal character — protect it
+    as ``%2B`` first so only real ``%XX`` escapes decode."""
+    return F.url_decode(F.replace(c, F.lit("+"), F.lit("%2B")))
+
+
+def _percent_decode_py(s: str) -> str:
+    """Driver-side twin of :func:`_percent_decode` for single paths,
+    with the file-URI scheme prefix stripped."""
+    from urllib.parse import unquote
+
+    return unquote(re.sub("^file:(//)?", "", s))
 
 
 def _iso_stat(c, dtype: str):

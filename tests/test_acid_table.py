@@ -1503,26 +1503,86 @@ def test_import_existing_no_key_cols(spark, tmp_path):
     assert t.snapshot().count() == 50
 
 
-def test_import_existing_refuses_hive_partitioned_source(spark, tmp_path):
-    """Round-11 sweep: a hive-partitioned source would silently NULL
-    its partition columns on every snapshot read (the values live in
-    directory names, not the files) — the convert must fail closed,
-    publish nothing, and leave no staged checkpoint behind."""
+def test_import_existing_hive_partitioned_adopts_natively(spark, tmp_path):
+    """Round 11: a hive-partitioned source adopts WITHOUT rewriting —
+    partition values re-derive from file paths on every read (the
+    column is absent from the files), snapshot equals the plain read,
+    and the per-file min=max partition stats give scan() hive-style
+    partition pruning."""
+    src = str(tmp_path / "part_src")
+    base = spark.range(0, 400).select(
+        "id", (F.col("id") % 4).cast("int").alias("p"), (F.col("id") * 3).alias("v")
+    )
+    base.write.partitionBy("p").parquet(src)
+    t = AcidTable.import_existing(
+        spark, str(tmp_path / "part_tbl"), source_dir=src, key_cols=["id"]
+    )
+    assert {tuple(r) for r in t.snapshot().select("id", "p", "v").collect()} == {
+        tuple(r) for r in base.collect()
+    }
+    df, info = t.scan({"p": (2, 2)})
+    assert info["files_read"] < info["files_total"] and df.count() == 100
+    # post-adopt lifecycle: COW merge (new files carry p physically and
+    # win the coalesce), rename of the partition column, compact
+    t.merge(
+        spark.createDataFrame([(8, 1, 999), (401, 0, 1000)], "id long, p int, v long"),
+        ["id"],
+    )
+    got = {r["id"]: (r["p"], r["v"]) for r in t.snapshot().collect()}
+    assert got[8] == (1, 999) and got[401] == (0, 1000) and got[9] == (1, 27)
+    t.rename_column("p", "bucket")
+    df, info = t.scan({"bucket": (2, 2)})
+    assert info["files_read"] < info["files_total"]
+    t.compact(target_files=2)
+    got = {r["id"]: r["bucket"] for r in t.snapshot().collect()}
+    assert got[10] == 2 and len(got) == 401
+
+
+def test_import_existing_partitioned_specials(spark, tmp_path):
+    """Round 11: multi-level partitions with hostile values — spaces
+    (URI-encoded by input_file_name), literal '%' (hive-escaped on
+    disk, then URI re-encoded), literal '+' (must NOT decode to a
+    space), NULL (__HIVE_DEFAULT_PARTITION__), a date-typed partition
+    column, and a `col=val` directory ABOVE the adopted root that must
+    never masquerade as a partition."""
     import os
 
-    src = str(tmp_path / "part_src")
-    spark.range(0, 40).select("id", (F.col("id") % 4).alias("p")).write.partitionBy(
-        "p"
-    ).parquet(src)
-    root = str(tmp_path / "part_tbl")
-    with pytest.raises(NotImplementedError, match="hive-partitioned"):
-        AcidTable.import_existing(spark, root, source_dir=src, key_cols=["id"])
-    t = AcidTable(spark, root)
-    assert t.latest_version() is None
-    log_dir = os.path.join(root, "_log")
-    assert not os.path.isdir(log_dir) or not any(
-        "checkpoint" in n for n in os.listdir(log_dir)
+    src = str(tmp_path / "p2")
+    b2 = spark.createDataFrame(
+        [(1, "us east", "x+y", 10), (2, "eu%zone", None, 20), (3, "us east", "x+y", 30)],
+        "id long, region string, sub string, v long",
     )
+    b2.write.partitionBy("region", "sub").parquet(src)
+    t2 = AcidTable.import_existing(
+        spark, str(tmp_path / "t2"), source_dir=src, key_cols=["id"]
+    )
+    rows = {r["id"]: (r["region"], r["sub"]) for r in t2.snapshot().collect()}
+    assert rows == {1: ("us east", "x+y"), 2: ("eu%zone", None), 3: ("us east", "x+y")}
+    # date-typed partition column prunes through string-ISO stats
+    src3 = str(tmp_path / "p3")
+    b3 = spark.sql(
+        "SELECT id, DATE'2024-03-01' + CAST(id % 3 AS INT) AS d FROM range(0, 30)"
+    )
+    b3.write.partitionBy("d").parquet(src3)
+    t3 = AcidTable.import_existing(
+        spark, str(tmp_path / "t3"), source_dir=src3, key_cols=["id"]
+    )
+    assert {tuple(r) for r in t3.snapshot().collect()} == {
+        tuple(r) for r in b3.collect()
+    }
+    df3, info3 = t3.scan({"d": ("2024-03-02", "2024-03-02")})
+    assert info3["files_read"] < info3["files_total"] and df3.count() == 10
+    # shadow safety: adopt a source nested under a col=val parent dir
+    shadow = str(tmp_path / "v=99")
+    os.makedirs(shadow)
+    src4 = os.path.join(shadow, "inner")
+    spark.range(0, 10).select(
+        "id", (F.col("id") % 2).cast("int").alias("v")
+    ).write.partitionBy("v").parquet(src4)
+    t4 = AcidTable.import_existing(
+        spark, str(tmp_path / "t4"), source_dir=src4, key_cols=["id"]
+    )
+    assert sorted({r["v"] for r in t4.snapshot().collect()}) == [0, 1]
 
 
 def test_import_existing_percent_encoded_filenames(spark, tmp_path):
