@@ -236,6 +236,95 @@ def robots_rules(
     )
 
 
+def robots_directives(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse the NON-RULE robots.txt directives into
+    ``(host, agent, directive, value)``:
+
+    - ``crawl-delay`` (the de-facto politeness extension every major
+      crawler honors): GROUP-scoped — attributed to the contiguous
+      ``User-agent`` run governing it, exactly like Allow/Disallow in
+      :func:`robots_rules`.  Here EVERY non-UA, non-sitemap line
+      advances the run counter (a ``Disallow`` between two UA lines
+      ends the first group), so a crawl-delay after another group's
+      rules is never mis-attributed to an earlier agent.
+    - ``sitemap`` (group-INDEPENDENT per the sitemaps.org protocol and
+      RFC 9309 §2.2.4's treatment of other records): emitted with
+      ``agent = NULL`` — it applies to the whole host.
+
+    Values stay strings (crawl-delay casts cleanly downstream).  Same
+    shape as the rules parse: one posexplode + ONE per-host window
+    pass, engine-shared ops only, so the oracle replays it verbatim."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    field = F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+    value = F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+    typed = lines.select(
+        "host", "pos", field.alias("field"), value.alias("value")
+    ).where(
+        F.col("field").isin(
+            "user-agent", "allow", "disallow", "crawl-delay", "sitemap"
+        )
+    )
+    sitemaps = (
+        typed.where((F.col("field") == "sitemap") & (F.col("value") != ""))
+        .select(
+            "host",
+            F.lit(None).cast("string").alias("agent"),
+            F.lit("sitemap").alias("directive"),
+            F.col("value").alias("value"),
+        )
+        .distinct()
+    )
+    grouped = typed.where(F.col("field") != "sitemap")
+    w = Window.partitionBy("host").orderBy("pos")
+    is_rule = F.col("field") != "user-agent"
+    n_rules_before = F.coalesce(
+        F.sum(is_rule.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    runs = grouped.select(
+        "host",
+        "pos",
+        "field",
+        "value",
+        F.when(F.col("field") == "user-agent", n_rules_before).alias("ua_run"),
+    ).withColumn("gov_run", F.last("ua_run", ignorenulls=True).over(w))
+    uas = (
+        runs.where(F.col("field") == "user-agent")
+        .select("host", F.col("ua_run").alias("run"), F.lower("value").alias("agent"))
+        .where(F.col("agent") != "")
+        .distinct()
+    )
+    delays = (
+        runs.where(
+            (F.col("field") == "crawl-delay")
+            & (F.col("value") != "")
+            & F.col("gov_run").isNotNull()
+        )
+        .select("host", F.col("gov_run").alias("run"), F.col("value"))
+        .join(uas, ["host", "run"])
+        .select(
+            "host", "agent", F.lit("crawl-delay").alias("directive"), "value"
+        )
+        .distinct()
+    )
+    return delays.unionByName(sitemaps)
+
+
 def compile_robots_pattern(pattern: Column | str) -> Column:
     """Compile one robots.txt path pattern (RFC 9309 §2.2.3) to
     ``struct(wild int, rx string)``:

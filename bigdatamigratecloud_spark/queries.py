@@ -9088,18 +9088,25 @@ Disallow: /p/1
 Allow: /p/12
 Disallow: /p/*7/$
 Allow: /p/*77/$
+Crawl-delay: 2
 
 User-agent: ccbot
 Disallow: /
+Crawl-delay: 10
+
+Sitemap: https://www.example.com/sitemap.xml
 """
 
 _ROBOTS_COUK = """User-agent: ccbot
 User-agent: gptbot
 Disallow: /p/
 Allow: /p/*0/$
+Crawl-delay: 1.5
 
 User-agent: *
 Disallow:
+
+Sitemap: https://www.example.co.uk/sitemap_index.xml
 """
 
 
@@ -9239,6 +9246,97 @@ def n4_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = kept if out is None else out.unionByName(kept)
     return out.orderBy("gate_agent", "doc_id")
+
+
+def _robots_directives_sql() -> str:
+    """DuckDB CTE chain replaying operators/urls.robots_directives over
+    the per-host robots fixtures — crawl-delay group attribution where
+    EVERY non-UA, non-sitemap line advances the run counter, sitemaps
+    host-global with a NULL agent."""
+    return f"""rb AS (SELECT host,
+               CASE WHEN host LIKE '%.co.uk' THEN '{_ROBOTS_COUK}'
+                    ELSE '{_ROBOTS_COM}' END AS txt
+          FROM (SELECT DISTINCT host FROM parts)),
+       rb_lines AS (SELECT host,
+               unnest(range(1, len(string_split_regex(txt, '\\r?\\n')) + 1)) AS pos,
+               unnest(string_split_regex(txt, '\\r?\\n')) AS raw
+          FROM rb),
+       rb_typed AS (SELECT host, pos,
+               lower(trim(regexp_extract(l, '^([^:]+):', 1))) AS field,
+               trim(regexp_extract(l, '^[^:]+:(.*)$', 1)) AS value
+          FROM (SELECT host, pos, trim(regexp_replace(raw, '#.*$', '')) AS l
+                FROM rb_lines)
+          WHERE lower(trim(regexp_extract(l, '^([^:]+):', 1)))
+                IN ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')),
+       rb_site AS (SELECT DISTINCT host, CAST(NULL AS VARCHAR) AS agent,
+                          'sitemap' AS directive, value
+          FROM rb_typed WHERE field = 'sitemap' AND value <> ''),
+       rb_g AS (SELECT * FROM rb_typed WHERE field <> 'sitemap'),
+       rb_runs AS (SELECT host, pos, field, value,
+               CASE WHEN field = 'user-agent' THEN COALESCE(SUM(
+                 CASE WHEN field <> 'user-agent' THEN 1 END)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               END AS ua_run
+          FROM rb_g),
+       rb_gov AS (SELECT *, last_value(ua_run IGNORE NULLS)
+                 OVER (PARTITION BY host ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gov_run
+          FROM rb_runs),
+       rb_uas AS (SELECT DISTINCT host, ua_run AS run, lower(value) AS agent
+          FROM rb_gov WHERE field = 'user-agent' AND value <> ''),
+       rb_delays AS (SELECT DISTINCT r.host, u.agent,
+                            'crawl-delay' AS directive, r.value
+          FROM rb_gov r JOIN rb_uas u ON u.host = r.host AND u.run = r.gov_run
+          WHERE r.field = 'crawl-delay' AND r.value <> '')"""
+
+
+@query(
+    "n4_robots_directives",
+    f"""WITH u AS (SELECT doc_id, {_url_fixture_sql()} AS url FROM documents),
+       hp AS (SELECT doc_id, url,
+               regexp_extract(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                 '^(?:[^@]*@)?(.*)$', 1) AS hostport
+          FROM u),
+       parts AS (SELECT doc_id,
+               lower(regexp_replace(regexp_extract(hostport, '^([^:]*)', 1),
+                                    '\\.+$', '')) AS host,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+          FROM hp),
+       {_robots_directives_sql()}
+       SELECT host, agent, directive, value FROM rb_delays
+       UNION ALL
+       SELECT host, agent, directive, value FROM rb_site
+       ORDER BY host, directive, agent NULLS FIRST, value""",
+)
+def n4_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 (round 11): the NON-RULE robots.txt directives — per-group
+    ``Crawl-delay`` (the politeness knob a distributed fetcher feeds
+    its per-host rate limiter) and host-global ``Sitemap`` URLs (agent
+    NULL) — parsed with the same one-window-pass shape as the rules,
+    over the same per-host fixtures the gate uses.  Crawl-delay
+    attribution counts EVERY non-UA, non-sitemap line as a group
+    boundary, so a delay following another group's rules can never
+    leak to an earlier agent (operators/urls.robots_directives)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    us = docs.select("doc_id", F.expr(_url_fixture_sql()).alias("url"))
+    host = _urls.url_parts(F.col("url"))["host"]
+    robots = (
+        us.select(host.alias("host"))
+        .distinct()
+        .select(
+            "host",
+            F.when(F.col("host").endswith(".co.uk"), F.lit(_ROBOTS_COUK))
+            .otherwise(F.lit(_ROBOTS_COM))
+            .alias("robots_txt"),
+        )
+    )
+    return _urls.robots_directives(robots).orderBy(
+        "host", "directive", F.col("agent").asc_nulls_first(), "value"
+    )
+
 
 
 @query(

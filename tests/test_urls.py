@@ -301,3 +301,35 @@ def test_robots_duplicate_and_conflicting_agent_groups(spark):
     kept = sorted(r.id for r in urls.robots_gate(us, rules, "dupbot").collect())
     # /x: allow beats disallow on the length tie; /y blocked; /z unmatched
     assert kept == [1, 3]
+
+
+def test_robots_directives_attribution(spark):
+    """Crawl-delay is GROUP-scoped with strict run boundaries — a delay
+    after another group's rules never leaks to an earlier agent — and
+    sitemaps are host-global (agent NULL), deduplicated."""
+    txt = (
+        "User-agent: a\n"
+        "Disallow: /x\n"          # ends a's UA run
+        "User-agent: b\n"
+        "Crawl-delay: 5\n"        # belongs to b ONLY
+        "Sitemap: https://h.example/s1.xml\n"
+        "\n"
+        "User-agent: c\n"
+        "User-agent: d\n"         # contiguous run: both get the delay
+        "Crawl-delay: 2.5\n"
+        "Sitemap: https://h.example/s1.xml\n"  # duplicate -> one row
+    )
+    got = {
+        (r["host"], r["agent"], r["directive"], r["value"])
+        for r in urls.robots_directives(
+            spark.createDataFrame(
+                [("h.example", txt)], "host string, robots_txt string"
+            )
+        ).collect()
+    }
+    assert got == {
+        ("h.example", "b", "crawl-delay", "5"),
+        ("h.example", "c", "crawl-delay", "2.5"),
+        ("h.example", "d", "crawl-delay", "2.5"),
+        ("h.example", None, "sitemap", "https://h.example/s1.xml"),
+    }
