@@ -4206,6 +4206,62 @@ def s13k_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13l_overwrite_where",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                            o_totalprice
+                     FROM orders WHERE o_orderkey % 4 = 0)
+       SELECT o_orderkey, o_custkey, o_orderpriority,
+              CAST(CASE WHEN o_orderpriority = '2-HIGH'
+                        THEN o_totalprice * 2 ELSE o_totalprice END
+                   AS DOUBLE) AS price
+       FROM base""",
+)
+def s13l_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 replaceWhere (round 11): ATOMIC slice backfill — recompute
+    the '2-HIGH' priority slice (price doubled) and swap it in with ONE
+    ``overwrite_where`` commit; every other row carries forward through
+    untouched files (COW: only files straddling the predicate rewrite).
+    The backfill primitive at 100 TB — readers see the old slice or the
+    new one, never a mix, unlike a rewrite-in-place.  Replacement rows
+    are validated against the predicate (a stray row would silently
+    survive alongside what it replaced).  The oracle replays the
+    backfill as a CASE (sources/acid_table.py overwrite_where)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_rw_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 4 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        )
+        t = AcidTable.create(
+            spark, root + "/orders", base.repartition(4), key_cols=["o_orderkey"]
+        )
+        repl = (
+            t.snapshot()
+            .where(F.col("o_orderpriority") == "2-HIGH")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        # materialize before the COW swap reads the files it replaces
+        repl = spark.createDataFrame(repl.collect(), repl.schema)
+        t.overwrite_where(repl, "o_orderpriority = '2-HIGH'")
+        out = t.snapshot().select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

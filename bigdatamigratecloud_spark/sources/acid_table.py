@@ -1669,15 +1669,15 @@ class AcidTable:
         dest._advance_hint(0)
         return dest
 
-    def delete(self, predicate: str) -> int:
-        """COW delete: files are first FILTERED to those containing any
-        matching row (one pruned scan flags files via input_file_name);
-        only those are rewritten without the matching rows."""
-        head = self._head()
+    def _cow_remove_matching(
+        self, predicate: str, head: int, schema
+    ) -> tuple[list[str], list[dict]]:
+        """Shared COW core of :meth:`delete` / :meth:`overwrite_where`:
+        files are first FILTERED to those containing any row matching
+        ``predicate`` (one pruned scan flags files via
+        input_file_name); only those are rewritten without the matching
+        rows.  Returns (hit_paths_to_remove, rewrite_file_entries)."""
         m = self._read_manifest(head)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(m["schema"])
         all_paths = self._paths(head)
         if all_paths:
             hit_rows = (
@@ -1712,6 +1712,18 @@ class AcidTable:
                 schema, [os.path.join(self.root, p) for p in hit]
             ).where(f"({predicate}) IS NOT TRUE")
             new_files = self._write_data_files(kept, m["key_cols"], schema=schema)
+        return hit, new_files
+
+    def delete(self, predicate: str) -> int:
+        """COW delete: files are first FILTERED to those containing any
+        matching row (one pruned scan flags files via input_file_name);
+        only those are rewritten without the matching rows."""
+        head = self._head()
+        m = self._read_manifest(head)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        hit, new_files = self._cow_remove_matching(predicate, head, schema)
         return self._commit(
             {
                 "version": head + 1,
@@ -1721,6 +1733,57 @@ class AcidTable:
                 "add": new_files,
                 "remove": hit,
                 "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere``: atomically replace EXACTLY the rows
+        matching ``predicate`` with ``df`` — the backfill primitive at
+        100 TB (recompute one day / one partition / one tenant and swap
+        it in; readers see the old slice or the new one, never a mix,
+        and never a torn table like rewrite-in-place gives).
+
+        ``df`` is VALIDATED against the predicate first: a replacement
+        row outside the slice would otherwise survive ALONGSIDE the
+        data it was meant to replace — the classic silent-backfill
+        corruption Delta guards against (one delta-sized limit-1 job).
+
+        COW shape shared with :meth:`delete`: untouched files carry
+        forward implicitly; files straddling the predicate rewrite
+        without their matching rows; the commit is ONE manifest with
+        both the removes and the adds.  ``txn`` gives streaming sinks
+        the usual exactly-once replay guard."""
+        head = self._head()
+        m = self._read_manifest(head)
+        if self._txn_already_applied(m, txn):
+            return head
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        bad = df.where(f"({predicate}) IS NOT TRUE").limit(1).count()
+        if bad:
+            raise ValueError(
+                "overwrite_where: replacement rows exist outside the "
+                f"predicate {predicate!r} — they would silently survive "
+                "alongside the rows they were meant to replace"
+            )
+        hit, rewrite_files = self._cow_remove_matching(predicate, head, schema)
+        new_files = self._write_data_files(df, m["key_cols"], schema=schema)
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "overwrite-where",
+                "predicate": predicate,
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "add": rewrite_files + new_files,
+                "remove": hit,
+                "txns": self._merged_txns(m, txn),
             }
         )
 

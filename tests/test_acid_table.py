@@ -1664,3 +1664,66 @@ def test_clone_of_converted_and_renamed_table(spark, tmp_path):
     cl.merge(spark.createDataFrame([(7, 777)], "id long, z long"), ["id"])
     assert {r["id"]: r["z"] for r in cl.snapshot().collect()}[7] == 777
     assert {r["id"]: r["z"] for r in t.snapshot().collect()}[7] == 14
+
+
+# ------------------------------------------------- overwrite_where
+
+
+def test_overwrite_where_replaces_slice_atomically(spark, tmp_path):
+    """replaceWhere: exactly the matching rows swap for the new frame
+    in ONE commit; untouched files carry forward; NULL-predicate rows
+    are kept (three-valued logic); time travel shows the old slice."""
+    base = spark.range(0, 100).select(
+        "id", (F.col("id") % 5).alias("day"), (F.col("id") * 2).alias("v")
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartition(4), key_cols=["id"]
+    )
+    repl = spark.range(200, 210).select(
+        "id", F.lit(3).cast("long").alias("day"), F.lit(-1).cast("long").alias("v")
+    )
+    v = t.overwrite_where(repl, "day = 3")
+    got = t.snapshot()
+    assert got.where("day = 3").count() == 10
+    assert sorted(r["id"] for r in got.where("day = 3").collect()) == list(
+        range(200, 210)
+    )
+    # non-matching rows untouched (80 originals with day != 3)
+    assert got.where("day <> 3").count() == 80
+    assert got.count() == 90
+    # time travel to the pre-backfill version
+    assert t.snapshot(v - 1).where("day = 3").count() == 20
+    # one commit: history shows a single overwrite-where operation
+    ops = [h["operation"] for h in t.history()]
+    assert ops.count("overwrite-where") == 1
+
+
+def test_overwrite_where_validates_replacement_rows(spark, tmp_path):
+    """A replacement row OUTSIDE the predicate is refused loudly (it
+    would survive alongside the rows it was meant to replace), and the
+    txn guard makes replayed batches no-ops."""
+    base = spark.range(0, 50).select("id", (F.col("id") % 5).alias("day"))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    stray = spark.createDataFrame([(500, 4)], "id long, day long")
+    with pytest.raises(ValueError, match="outside the predicate"):
+        t.overwrite_where(stray, "day = 3")
+    repl = spark.createDataFrame([(500, 3)], "id long, day long")
+    v1 = t.overwrite_where(repl, "day = 3", txn=("backfill", 7))
+    # replay of the same batch: no-op, version unchanged
+    v2 = t.overwrite_where(repl, "day = 3", txn=("backfill", 7))
+    assert v2 == v1
+    assert t.snapshot().where("day = 3").count() == 1
+
+
+def test_overwrite_where_null_predicate_rows_kept(spark, tmp_path):
+    """Rows where the predicate is NULL match neither the removal nor
+    its negation — they must survive the rewrite."""
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, tag string"
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), base.coalesce(1), key_cols=["id"])
+    t.overwrite_where(
+        spark.createDataFrame([(10, "a")], "id long, tag string"), "tag = 'a'"
+    )
+    got = {(r["id"], r["tag"]) for r in t.snapshot().collect()}
+    assert got == {(10, "a"), (2, None), (3, "b")}
