@@ -617,3 +617,45 @@ def test_pca_power_gram_join_is_equi_join(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_robots_gate_broadcasts_rules_corpus_unshuffled(spark, sf_dir):
+    """The robots gate (wildcards included, round 11) must broadcast the
+    per-host effective-rule arrays and leave the corpus side unshuffled:
+    the only Exchanges in the plan belong to the (blocklist-sized) rules
+    aggregation, never to the corpus scan -> filter chain."""
+    from bigdatamigratecloud_spark.operators.urls import robots_gate, robots_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 5, F.lit(".example.com/p/"),
+            F.col("doc_id"), F.lit("/"),
+        ).alias("target_uri"),
+    )
+    rules = robots_rules(
+        spark.createDataFrame(
+            [(f"h{i}.example.com",
+              "User-agent: *\nDisallow: /p/1\nAllow: /p/*3/$\n")
+             for i in range(5)],
+            "host string, robots_txt string",
+        )
+    )
+    plan = _plan(robots_gate(docs, rules))
+    assert "BroadcastHashJoin" in plan
+    # documents scanned exactly once
+    assert plan.count("FileScan parquet") == 1
+    # the corpus PROBE branch (the ':-' subtree of the BroadcastHashJoin,
+    # scan -> projections -> join) must contain no Exchange; the rules
+    # side (blocklist-sized) may shuffle freely under its
+    # BroadcastExchange
+    lines = plan.splitlines()
+    bhj = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    probe = []
+    for l in lines[bhj + 1:]:
+        if l.lstrip().startswith(":"):
+            probe.append(l)
+        else:
+            break
+    assert probe and not any("Exchange" in l for l in probe), "\n".join(probe)
+    assert any("FileScan parquet" in l for l in probe)
