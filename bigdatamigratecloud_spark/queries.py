@@ -4262,6 +4262,102 @@ def s13l_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_acid_backfill",
+    """WITH base AS (SELECT o_orderkey, o_custkey,
+                            (o_orderkey // 6) % 4 AS day, o_totalprice
+                     FROM orders WHERE o_orderkey % 6 = 0)
+       SELECT o_orderkey, o_custkey, day,
+              CAST(CASE WHEN day = 0 THEN o_totalprice * 2
+                        WHEN day = 1 THEN o_totalprice * 3
+                        ELSE o_totalprice END AS DOUBLE) AS price
+       FROM base
+       WHERE day <> 3 AND NOT (day = 0 AND o_orderkey % 5 = 0)""",
+)
+def stream_acid_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + S13 composed (round 11): the streaming RECOMPUTE-AND-SWAP
+    pattern — each micro-batch carries whole corrected SLICES (days),
+    and the exactly-once sink lands it via one atomic
+    ``overwrite_where`` per batch (streaming/events.acid_backfill_sink)
+    instead of a row MERGE: rows DELETED from a corrected slice
+    disappear (batch 2 drops day-0 orders divisible by 5 — an upsert
+    can never do that), later corrections override earlier state, and a
+    replayed batch is a txn no-op.  Batch order is pinned with explicit
+    file mtimes (the file source orders by modification time); the
+    final snapshot must equal the batch CASE/WHERE oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import acid_backfill_sink
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 6 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            ((F.col("o_orderkey") / 6).cast("long") % 4).alias("day"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    rounds = [
+        base.where(F.col("day").isin(0, 1)),  # original days 0+1
+        base.where(F.col("day") == 2).unionByName(  # day 2 + corrected day 0
+            base.where(
+                (F.col("day") == 0) & (F.col("o_orderkey") % 5 != 0)
+            ).withColumn("price", F.col("price") * 2)
+        ),
+        base.where(F.col("day") == 1).withColumn(  # corrected day 1
+            "price", F.col("price") * 3
+        ),
+    ]
+    landing = tempfile.mkdtemp(prefix="bdmc_sbf_landing_")
+    troot = tempfile.mkdtemp(prefix="bdmc_sbf_target_")
+    target = troot + "/t"
+    try:
+        seen: set[str] = set()
+        for i, r in enumerate(rounds):
+            r.coalesce(1).write.mode("append").parquet(landing)
+            fresh = set(glob.glob(landing + "/*.parquet")) - seen
+            # pin batch ORDER: the file source sorts by mtime, and
+            # sequential writes can land inside one clock tick
+            for f in fresh:
+                os.utime(f, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+            seen |= fresh
+        sink = acid_backfill_sink(
+            target, "day", app_id="stream_acid_backfill", key_cols=["o_orderkey"]
+        )
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", landing + f"/_ckpt_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream did not finish in 300s")
+        t = AcidTable(spark, target)
+        head = t.latest_version()
+        # replay the last batch: exactly-once means NO new commit
+        sink(rounds[2], t.last_txn("stream_acid_backfill"))
+        assert t.latest_version() == head, "replayed batch must be a no-op"
+        out = t.snapshot().select("o_orderkey", "o_custkey", "day", "price")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(troot, ignore_errors=True)
+    return out
+
+
+@query(
     "n2_embedding_dedup",
     f"""WITH {_LSH_PAIRS_SQL}
        SELECT e.vec_id, e.label FROM embeddings e

@@ -308,6 +308,73 @@ def acid_merge_sink(
     return _apply
 
 
+def acid_backfill_sink(
+    table_root: str,
+    slice_col: str,
+    app_id: str,
+    key_cols: list[str] | None = None,
+):
+    """Exactly-once stream→ACID BACKFILL sink (round 11): a
+    ``foreachBatch`` function that lands each micro-batch by atomically
+    REPLACING the table slices the batch carries —
+    :meth:`AcidTable.overwrite_where` keyed on the batch's distinct
+    ``slice_col`` values — instead of merging row-by-row.
+
+    This is the streaming face of the recompute-and-swap pattern: a
+    late-data reprocessor or dimension-refresh stream emits WHOLE
+    corrected slices (a day, a tenant, a partition), and each batch
+    swaps its slices in one commit — readers see an old slice or a new
+    one, never a mix, and rows DELETED from a slice disappear (which a
+    MERGE upsert can never do).  The ``(app_id, batch_id)`` txn stamp
+    upgrades foreachBatch's at-least-once replay to exactly-once,
+    matching :func:`acid_merge_sink`; the first batch creates the
+    table, also txn-stamped.
+
+    The predicate is built from the batch's DISTINCT slice values (a
+    slice-count-sized collect — batches carry few slices by design;
+    values are SQL-quoted, numerics pass through) so the validation in
+    ``overwrite_where`` holds by construction."""
+
+    def _quote(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.acid_table import AcidTable
+
+        spark = batch_df.sparkSession
+        t = AcidTable(spark, table_root)
+        last = t.last_txn(app_id)
+        if last is not None and int(batch_id) <= last:
+            return  # replayed batch: its commit already landed
+        vals = [
+            r[slice_col]
+            for r in batch_df.select(slice_col).distinct().collect()
+        ]
+        if not vals:
+            return
+        if any(v is None for v in vals):
+            raise ValueError(
+                "acid_backfill_sink: NULL slice values cannot form a "
+                "replaceable predicate slice"
+            )
+        pred = f"{slice_col} IN ({', '.join(_quote(v) for v in sorted(vals))})"
+        body = batch_df
+        if t.latest_version() is None:
+            AcidTable.create(
+                spark,
+                table_root,
+                body,
+                key_cols=list(key_cols or [slice_col]),
+                txn=(app_id, int(batch_id)),
+            )
+        else:
+            t.overwrite_where(body, pred, txn=(app_id, int(batch_id)))
+
+    return _apply
+
+
 def minhash_index_sink(
     table_root: str,
     app_id: str,
