@@ -598,7 +598,35 @@ class AcidTable:
         Stats come from ONE scan of the newly written files grouped by
         ``input_file_name`` — the delta-sized data just written, never
         the table (the collect is one row per file in THIS commit).
+
+        Write-time SCHEMA ENFORCEMENT (round 11): when the caller has a
+        manifest schema, the frame must carry exactly its logical
+        columns with exactly its types — a divergent delta (``p long``
+        against a table's ``p int``) would otherwise write parquet that
+        only fails AT READ TIME with a physical-type mismatch, possibly
+        much later and for an unrelated reader.  Nullability is not
+        compared (parquet files don't constrain it here).
         """
+        if schema is not None:
+            want = {f.name: f.dataType.simpleString() for f in schema.fields}
+            got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            missing = sorted(set(want) - set(got))
+            extra = sorted(set(got) - set(want))
+            if missing or extra:
+                raise ValueError(
+                    f"write schema mismatch: missing columns {missing}, "
+                    f"unexpected columns {extra} (table schema: {sorted(want)})"
+                )
+            wrong = sorted(
+                f"{n}: table {want[n]} vs write {got[n]}"
+                for n in want
+                if want[n] != got[n]
+            )
+            if wrong:
+                raise ValueError(
+                    "write schema mismatch — these columns would write "
+                    "parquet that fails at read time: " + "; ".join(wrong)
+                )
         if schema is not None:
             mapping = {f.name: self._physical_name(f) for f in schema.fields}
             renames = {n: p for n, p in mapping.items() if n != p and n in df.columns}

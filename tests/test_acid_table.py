@@ -1727,3 +1727,30 @@ def test_overwrite_where_null_predicate_rows_kept(spark, tmp_path):
     )
     got = {(r["id"], r["tag"]) for r in t.snapshot().collect()}
     assert got == {(10, "a"), (2, None), (3, "b")}
+
+
+def test_write_time_schema_enforcement(spark, tmp_path):
+    """Round 11: a delta whose columns or types diverge from the table
+    schema is refused AT WRITE TIME — previously it wrote parquet that
+    only failed at read time with a physical-type mismatch (found by
+    the round-11 partitioned-adopt probe)."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(0, 20).select("id", (F.col("id") % 3).cast("int").alias("p")),
+        key_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="table int vs write bigint"):
+        t.append(spark.createDataFrame([(99, 1)], "id long, p long"))
+    with pytest.raises(ValueError, match="missing columns"):
+        t.merge(spark.createDataFrame([(99,)], "id long"), ["id"])
+    with pytest.raises(ValueError, match="unexpected columns"):
+        t.overwrite_where(
+            spark.createDataFrame([(99, 1, "x")], "id long, p int, q string"),
+            "p = 1",
+        )
+    # conforming writes still land (column order is irrelevant)
+    t.append(
+        spark.createDataFrame([(99, 1)], "id long, p int").select("p", "id")
+    )
+    assert t.snapshot().count() == 21
