@@ -268,6 +268,20 @@ class AcidTable:
         """
         os.makedirs(self._log_dir, exist_ok=True)
         version = manifest["version"]
+        # CHECK constraints are table PROPERTIES (round 11): they carry
+        # forward through every commit unless the commit sets them
+        # explicitly (add/drop constraint).  Inheriting here — the one
+        # choke point every commit passes through — means no operation
+        # (merge, restore, compact, schema evolution, ...) can silently
+        # drop them.  The parent manifest is the current head, which is
+        # never vacuum-pruned.
+        if "constraints" not in manifest and version > 0:
+            try:
+                parent_c = self._read_manifest(version - 1).get("constraints")
+            except FileNotFoundError:
+                parent_c = None
+            if parent_c:
+                manifest["constraints"] = parent_c
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1189,6 +1203,7 @@ class AcidTable:
             return base
         from pyspark.sql.types import StructType as _AST
 
+        self._enforce_constraints(df, m0, "append")
         new_files = self._write_data_files(
             df, m0["key_cols"], schema=_AST.fromJson(m0["schema"])
         )
@@ -1218,6 +1233,7 @@ class AcidTable:
         m = self._read_manifest(head)
         if self._txn_already_applied(m, txn):
             return head
+        self._enforce_constraints(df, m, "overwrite")
         files = self._write_data_files(df, m["key_cols"])
         return self._commit(
             {
@@ -1336,6 +1352,7 @@ class AcidTable:
                 f"merge delta contains duplicate rows for pk {keys}; "
                 "dedupe the delta (e.g. keep latest) before merging"
             )
+        self._enforce_constraints(delta, m, "merge delta")
 
         from pyspark.sql.types import StructType
 
@@ -1536,6 +1553,7 @@ class AcidTable:
                 f"apply_cdc feed contains duplicate upsert rows for pk {keys}; "
                 "a net changes() feed never does — compact the feed first"
             )
+        self._enforce_constraints(ups, m, "apply_cdc upserts")
         change_keys = (
             feed.where(F.col("_change_type") != "update_preimage")
             .select(*keys)
@@ -1686,6 +1704,8 @@ class AcidTable:
                     "reset": True,
                     "add": [],
                     "checkpoint_owner": owner,
+                    # table properties copy with the clone (Delta parity)
+                    "constraints": dict(m.get("constraints") or {}),
                     "txns": {},
                 }
             )
@@ -1800,6 +1820,7 @@ class AcidTable:
                 f"predicate {predicate!r} — they would silently survive "
                 "alongside the rows they were meant to replace"
             )
+        self._enforce_constraints(df, m, "overwrite_where replacement")
         hit, rewrite_files = self._cow_remove_matching(predicate, head, schema)
         new_files = self._write_data_files(df, m["key_cols"], schema=schema)
         return self._commit(
@@ -1864,6 +1885,88 @@ class AcidTable:
                 "key_cols": m["key_cols"],
                 "add": [],
                 "remove": [],
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def check_constraints(self, version: int | None = None) -> dict[str, str]:
+        """The table's CHECK constraints (name -> SQL expression) at a
+        version (default head)."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        return dict(self._read_manifest(v).get("constraints") or {})
+
+    def _enforce_constraints(self, df: DataFrame, m: dict, what: str) -> None:
+        """Refuse a write whose rows violate any CHECK constraint.
+        Delta semantics: a row violates when the expression is FALSE or
+        NULL (``IS NOT TRUE``).  One combined limit-1 job for the
+        common all-clear case; only on a hit does a per-constraint pass
+        run to name the offender."""
+        cons = m.get("constraints") or {}
+        if not cons:
+            return
+        combined = " OR ".join(f"(({e}) IS NOT TRUE)" for e in cons.values())
+        if not df.where(combined).limit(1).count():
+            return
+        for name, expr in sorted(cons.items()):
+            if df.where(f"({expr}) IS NOT TRUE").limit(1).count():
+                raise ValueError(
+                    f"{what} violates CHECK constraint {name!r}: {expr} "
+                    "(rows where the expression is false or NULL)"
+                )
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint (Delta's ``ADD CONSTRAINT``) as a
+        metadata-only commit.  EXISTING rows are validated first (one
+        limit-1 scan) — a constraint the current data violates is
+        refused, like Delta.  Every subsequent data-adding write
+        (append / merge / overwrite / overwrite_where / apply_cdc)
+        enforces it at WRITE time, and the constraint carries forward
+        through every operation — schema evolution, compaction,
+        restore, clone — until :meth:`drop_check_constraint`."""
+        head = self._head()
+        m = self._read_manifest(head)
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists: {cons[name]}")
+        snap = self.snapshot(head)
+        if snap.where(f"({expr}) IS NOT TRUE").limit(1).count():
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r}: existing rows "
+                f"violate {expr}"
+            )
+        cons[name] = expr
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "add-constraint",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "add": [],
+                "remove": [],
+                "constraints": cons,
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Drop a CHECK constraint (metadata-only commit)."""
+        head = self._head()
+        m = self._read_manifest(head)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"constraint {name!r} does not exist")
+        del cons[name]
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "drop-constraint",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "add": [],
+                "remove": [],
+                "constraints": cons,
                 "txns": self._merged_txns(m, None),
             }
         )

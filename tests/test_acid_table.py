@@ -1754,3 +1754,81 @@ def test_write_time_schema_enforcement(spark, tmp_path):
         spark.createDataFrame([(99, 1)], "id long, p int").select("p", "id")
     )
     assert t.snapshot().count() == 21
+
+
+# ------------------------------------------------- CHECK constraints
+
+
+def test_check_constraint_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (round 11): existing-row validation on add,
+    write-time refusal on append/merge/overwrite/overwrite_where/
+    apply_cdc (violation = expression FALSE or NULL, Delta semantics),
+    and the all-clear path stays cheap (one combined limit-1 job)."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1, 21).select("id", (F.col("id") * 10).alias("v")),
+        key_cols=["id"],
+    )
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_check_constraint("v_big", "v > 100")
+    t.add_check_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_check_constraint("v_pos", "v >= 0")
+    ok = spark.createDataFrame([(100, 1)], "id long, v long")
+    bad = spark.createDataFrame([(101, -5)], "id long, v long")
+    null_v = spark.createDataFrame([(102, None)], "id long, v long")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(null_v)  # NULL is a violation, like Delta
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge(bad, ["id"])
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite(bad)
+    with pytest.raises(ValueError, match="v_pos"):
+        t.overwrite_where(
+            spark.createDataFrame([(5, -1)], "id long, v long"), "id = 5"
+        )
+    feed = spark.createDataFrame(
+        [(101, -5, "insert")], "id long, v long, _change_type string"
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        t.apply_cdc(feed, ["id"])
+    t.append(ok)
+    assert t.snapshot().count() == 21
+    t.drop_check_constraint("v_pos")
+    t.append(bad)  # allowed once dropped
+    assert t.snapshot().where("v < 0").count() == 1
+
+
+def test_check_constraint_survives_every_operation(spark, tmp_path):
+    """Constraints are table PROPERTIES: they carry through schema
+    evolution, compaction, z-order, delete, restore, and copy with a
+    clone — inherited at the single _publish choke point so no commit
+    can silently drop them."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1, 51).select("id", (F.col("id") * 10).alias("v"),
+                                  (F.col("id") % 3).alias("x")),
+        key_cols=["id"],
+    )
+    t.add_check_constraint("v_pos", "v > 0")
+    t.append(spark.createDataFrame([(100, 1, 0)], "id long, v long, x long"))
+    t.merge(spark.createDataFrame([(5, 999, 1)], "id long, v long, x long"), ["id"])
+    t.delete("id = 7")
+    t.add_columns({"extra": "string"})
+    t.rename_column("x", "bucket")
+    t.drop_column("extra")
+    t.compact(target_files=2)
+    t.optimize_zorder(["id", "v"], target_files=2)
+    t.restore(t.latest_version() - 1)
+    assert t.check_constraints() == {"v_pos": "v > 0"}
+    bad = spark.createDataFrame([(200, -1, 0)], "id long, v long, bucket long")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(bad)
+    cl = t.clone_to(str(tmp_path / "fork"))
+    assert cl.check_constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        cl.append(bad)
