@@ -1832,3 +1832,34 @@ def test_check_constraint_survives_every_operation(spark, tmp_path):
     assert cl.check_constraints() == {"v_pos": "v > 0"}
     with pytest.raises(ValueError, match="v_pos"):
         cl.append(bad)
+
+
+def test_import_existing_partition_value_roundtrip_property(spark, tmp_path):
+    """Seeded property test: hostile partition values (hive-escaped
+    specials like '/', ':', '=', '#', spaces, '%', '+', unicode) must
+    round-trip the dir-name-encode -> URI-encode -> two-layer decode
+    chain exactly — the adopted snapshot equals the plain read."""
+    import random
+
+    rng = random.Random(1111)
+    alpha = "ab /:%=+#?*.é"
+    vals = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 6))).strip()
+         for _ in range(12)} - {""}
+    )
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, vals[i % len(vals)], i * 7) for i in range(60)],
+        "id long, part string, v long",
+    )
+    base.write.partitionBy("part").parquet(src)
+    # Spark itself must read its own layout back identically (sanity:
+    # the values survive hive escaping at all)
+    plain = {tuple(r) for r in spark.read.parquet(src).select("id", "part", "v").collect()}
+    t = AcidTable.import_existing(
+        spark, str(tmp_path / "tbl"), source_dir=src, key_cols=["id"]
+    )
+    adopted = {tuple(r) for r in t.snapshot().select("id", "part", "v").collect()}
+    assert adopted == plain
+    assert {r[1] for r in adopted} == {r[1] for r in
+                                       ((i, vals[i % len(vals)]) for i in range(60))}
