@@ -195,6 +195,7 @@ _ACID_OPS = st.lists(
         st.tuples(st.just("delete"), st.integers(0, 30)),
         st.tuples(st.just("restore"), st.integers(0, 99)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("replace"), st.integers(0, 999)),
         st.tuples(st.just("vacuum"), st.integers(1, 2)),
     ),
     min_size=3,
@@ -206,7 +207,8 @@ _ACID_OPS = st.lists(
 @settings(max_examples=5, deadline=None)
 @given(ops=_ACID_OPS)
 def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
-    """Any (merge|delete|restore|vacuum|compact)* sequence keeps
+    """Any (merge|delete|restore|vacuum|compact|overwrite_where)*
+    sequence keeps
     snapshot() readable and equal to a pure-Python replay of the same
     semantics — the log-replay contract that every maintenance op must
     preserve.  Restores only target still-resolvable versions (vacuum
@@ -236,6 +238,15 @@ def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
             ddf = spark.createDataFrame(sorted(delta.items()), "id long, v long")
             v = t.merge(ddf, pk_cols=["id"])
             model.update(delta)
+            states[v] = dict(model)
+        elif op == "replace":
+            # overwrite_where on a key slice: replace ids in [lo, lo+3)
+            lo = arg % 28
+            repl = {lo + k: arg * 1000 + k for k in range(3)}
+            rdf = spark.createDataFrame(sorted(repl.items()), "id long, v long")
+            v = t.overwrite_where(rdf, f"id >= {lo} AND id < {lo + 3}")
+            model = {i: x for i, x in model.items() if not (lo <= i < lo + 3)}
+            model.update(repl)
             states[v] = dict(model)
         elif op == "delete":
             v = t.delete(f"id >= {arg}")
