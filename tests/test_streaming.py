@@ -898,3 +898,71 @@ def test_lateness_stats_isolated_per_concurrent_query(spark, tmp_path):
     assert sum(1 for s in s2 if s["late_input_seen"]) == 1  # q2's planted batch
     assert {s["batch_id"] for s in s1} == set(range(len(s1)))
     assert {s["batch_id"] for s in s2} == set(range(len(s2)))
+
+
+def test_stream_url_gate_is_stateless(spark, tmp_path):
+    """The streaming URL/robots gate must run with ZERO state operators
+    (pure stream-static broadcast joins): state would mean the plan
+    regressed to a stream-stream join, which grows unbounded on a 24/7
+    crawl ingest."""
+    import uuid as _uuid
+
+    from bigdatamigratecloud_spark.operators import urls
+    from bigdatamigratecloud_spark.sources import warc
+
+    rules = urls.robots_rules(
+        spark.createDataFrame(
+            [("k.example", "User-agent: *\nDisallow: /p/*1/$\n")],
+            "host string, robots_txt string",
+        )
+    )
+    bl = spark.createDataFrame([("gone.example",)], "domain string")
+    out = spark.range(0, 20).select(
+        F.concat(F.lit("http://k.example/p/"), F.col("id"), F.lit("/")).alias(
+            "target_uri"
+        ),
+        F.encode(F.lit("x"), "UTF-8").alias("payload"),
+    )
+    d = str(tmp_path / "landing")
+    warc.write_warc(out.coalesce(1), d)
+    gated = urls.robots_gate(
+        urls.url_blocklist_filter(warc.stream_warc(spark, d), bl), rules, "*"
+    ).select("target_uri")
+    q = (
+        gated.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", d + f"/_ckpt_{_uuid.uuid4().hex[:6]}")
+        .start()
+    )
+    assert q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p]
+    assert progresses
+    for p in progresses:
+        assert not (p if isinstance(p, dict) else __import__("json").loads(p.json)).get(
+            "stateOperators"
+        ), "streaming URL gate must be stateless"
+
+
+def test_constraints_enforced_through_streaming_sinks(spark, tmp_path):
+    """A CHECK constraint on the target table must refuse a violating
+    micro-batch in acid_merge_sink (the batch fails loudly; the table
+    keeps its pre-batch state), since the sink routes through merge."""
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import acid_merge_sink
+
+    target = str(tmp_path / "t")
+    t = AcidTable.create(
+        spark,
+        target,
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"),
+        key_cols=["id"],
+    )
+    t.add_check_constraint("v_pos", "v > 0")
+    sink = acid_merge_sink(target, ["id"], app_id="cstream")
+    sink(spark.createDataFrame([(3, 30)], "id long, v long"), 0)
+    with _pytest.raises(ValueError, match="v_pos"):
+        sink(spark.createDataFrame([(4, -1)], "id long, v long"), 1)
+    got = {r["id"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
