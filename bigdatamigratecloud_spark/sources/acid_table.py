@@ -622,6 +622,22 @@ class AcidTable:
         compared (parquet files don't constrain it here).
         """
         if schema is not None:
+            # Delta parity: a frame MISSING a nullable non-key column
+            # NULL-fills it (after add_columns, existing pipelines that
+            # don't yet emit the new column keep working).  Missing KEY
+            # columns (they drive stats/pruning and PK semantics) and
+            # missing non-nullable columns still hard-fail below.
+            fillable = [
+                f
+                for f in schema.fields
+                if f.name not in df.columns
+                and f.nullable
+                and f.name not in set(stats_cols)
+            ]
+            if fillable:
+                df = df.withColumns(
+                    {f.name: F.lit(None).cast(f.dataType) for f in fillable}
+                )
             want = {f.name: f.dataType.simpleString() for f in schema.fields}
             got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
             missing = sorted(set(want) - set(got))
@@ -1212,6 +1228,21 @@ class AcidTable:
             m = self._read_manifest(head)
             if self._txn_already_applied(m, txn):
                 return head  # replayed batch landed concurrently
+            if (m.get("constraints") or {}) != (m0.get("constraints") or {}):
+                # a concurrent writer changed the CHECK constraints under
+                # this append — the rows were validated against the OLD
+                # set; re-enforce against the new head's set (on the
+                # already-written files, the exact bytes committing) or
+                # the constraint would be silently inherited unvalidated
+                self._enforce_constraints(
+                    self._read_data(
+                        _AST.fromJson(m["schema"]),
+                        [os.path.join(self.root, e["path"]) for e in new_files],
+                    ),
+                    m,
+                    "append (rebased onto concurrently changed constraints)",
+                )
+                m0 = m
             try:
                 return self._commit(
                     {
@@ -1634,6 +1665,13 @@ class AcidTable:
             "reset": True,
             "add": [],
             "checkpoint_owner": owner,
+            # restore METADATA with the data (Delta's RESTORE): the
+            # target version's constraints, not the current head's — a
+            # head constraint added after `version` was never validated
+            # against the restored rows, so inheriting it could publish
+            # head data that violates an "active" constraint.  Explicit
+            # (even when empty) so _publish's carry-forward never fires.
+            "constraints": dict(target.get("constraints") or {}),
             "txns": self._merged_txns(self._read_manifest(head), None),
         }
         try:

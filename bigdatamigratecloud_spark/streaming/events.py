@@ -336,9 +336,26 @@ def acid_backfill_sink(
     ``overwrite_where`` holds by construction."""
 
     def _quote(v) -> str:
+        # typed literals, not bare str(): a date slice rendered as
+        # `day IN (2024-01-01)` parses as integer arithmetic and fails
+        # with an AnalysisException instead of a date predicate
+        import datetime
+        import decimal
+
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
-        return str(v)
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, datetime.datetime):  # before date: subclass
+            return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
+        if isinstance(v, datetime.date):
+            return "DATE '" + v.isoformat() + "'"
+        if isinstance(v, (int, float, decimal.Decimal)):
+            return str(v)
+        raise TypeError(
+            "acid_backfill_sink: slice value of unsupported type "
+            f"{type(v).__name__!r} cannot form a replaceWhere predicate"
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..sources.acid_table import AcidTable

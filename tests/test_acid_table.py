@@ -1742,8 +1742,9 @@ def test_write_time_schema_enforcement(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="table int vs write bigint"):
         t.append(spark.createDataFrame([(99, 1)], "id long, p long"))
+    # a missing KEY column still hard-fails (it drives stats/pruning)
     with pytest.raises(ValueError, match="missing columns"):
-        t.merge(spark.createDataFrame([(99,)], "id long"), ["id"])
+        t.append(spark.createDataFrame([(1,)], "p int"))
     with pytest.raises(ValueError, match="unexpected columns"):
         t.overwrite_where(
             spark.createDataFrame([(99, 1, "x")], "id long, p int, q string"),
@@ -1754,6 +1755,27 @@ def test_write_time_schema_enforcement(spark, tmp_path):
         spark.createDataFrame([(99, 1)], "id long, p int").select("p", "id")
     )
     assert t.snapshot().count() == 21
+
+
+def test_write_null_fills_missing_nullable_nonkey_columns(spark, tmp_path):
+    """Delta parity (round 12, ADVICE): a frame missing a nullable
+    non-key column NULL-fills it instead of hard-failing — after
+    add_columns(), existing append/merge pipelines that don't yet emit
+    the new column keep working."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(0, 10).select("id", (F.col("id") % 3).cast("int").alias("p")),
+        key_cols=["id"],
+    )
+    t.add_columns({"score": "double"})
+    # append/merge in the PRE-evolution shape: score NULL-fills
+    t.append(spark.createDataFrame([(100, 1)], "id long, p int"))
+    t.merge(spark.createDataFrame([(0, 9)], "id long, p int"), ["id"])
+    snap = t.snapshot()
+    assert snap.count() == 11
+    assert snap.where("score IS NOT NULL").count() == 0
+    assert snap.where("id = 0").first()["p"] == 9
 
 
 # ------------------------------------------------- CHECK constraints
@@ -1863,3 +1885,63 @@ def test_import_existing_partition_value_roundtrip_property(spark, tmp_path):
     assert adopted == plain
     assert {r[1] for r in adopted} == {r[1] for r in
                                        ((i, vals[i % len(vals)]) for i in range(60))}
+
+
+def test_append_race_revalidates_concurrently_added_constraint(spark, tmp_path):
+    """Round 12 (ADVICE): an append that loses its publish race to an
+    add-constraint commit must re-enforce the NEW constraint set before
+    rebasing — otherwise the constraint is inherited into the manifest
+    while the appended rows were never validated against it."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1, 11).select("id", (F.col("id") * 10).alias("v")),
+        key_cols=["id"],
+    )
+    orig_commit = AcidTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, manifest):
+        # first publish attempt of the append: a concurrent writer adds
+        # a CHECK constraint first, so the append loses and must rebase
+        if manifest.get("operation") == "append" and not raced["done"]:
+            raced["done"] = True
+            other = AcidTable(spark, self.root)
+            other.add_check_constraint("v_pos", "v > 0")
+        return orig_commit(self, manifest)
+
+    bad = spark.createDataFrame([(100, -5)], "id long, v long")
+    try:
+        AcidTable._commit = racing_commit
+        with pytest.raises(ValueError, match="v_pos"):
+            t.append(bad)
+    finally:
+        AcidTable._commit = orig_commit
+    # the violating rows never landed; a clean append after still works
+    assert t.snapshot().where("v <= 0").count() == 0
+    raced["done"] = True
+    t.append(spark.createDataFrame([(101, 5)], "id long, v long"))
+    assert t.snapshot().count() == 11
+
+
+def test_restore_restores_target_versions_constraints(spark, tmp_path):
+    """Round 12 (ADVICE): RESTORE restores METADATA with the data — the
+    restored version's constraint set, not the current head's.  A
+    constraint added after the target version must not survive a
+    restore past it (its add-time validation never saw these rows)."""
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(1, 11).select("id", (F.col("id") - 5).alias("v")),
+        key_cols=["id"],
+    )  # v0 contains v <= 0 rows
+    t.delete("v <= 0")  # v1: only positive v remain
+    t.add_check_constraint("v_pos", "v > 0")  # v2: validated against v1
+    # restoring to v0 brings back rows that VIOLATE v_pos; the restored
+    # commit must therefore carry v0's (empty) constraint set
+    t.restore(0)
+    assert t.check_constraints() == {}
+    assert t.snapshot().count() == 10
+    # and restoring to a post-constraint version brings the constraint back
+    t.restore(2)
+    assert t.check_constraints() == {"v_pos": "v > 0"}

@@ -966,3 +966,36 @@ def test_constraints_enforced_through_streaming_sinks(spark, tmp_path):
         sink(spark.createDataFrame([(4, -1)], "id long, v long"), 1)
     got = {r["id"]: r["v"] for r in t.snapshot().collect()}
     assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_acid_backfill_sink_date_slices_and_unsupported_types(spark, tmp_path):
+    """Round 12 (ADVICE): the backfill sink's predicate builder renders
+    date/timestamp slice values as TYPED literals (DATE '...'), so the
+    docstring's 'replace a day' use case actually works — bare str()
+    rendered `day IN (2024-01-01)`, which Spark parses as integer
+    arithmetic.  Unsupported slice types fail with a clear TypeError."""
+    import datetime
+
+    import pytest as _pytest
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import acid_backfill_sink
+
+    root = str(tmp_path / "t")
+    sink = acid_backfill_sink(root, slice_col="day", app_id="bf")
+    d0, d1 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    sink(
+        spark.createDataFrame([(d0, 1, 10.0), (d1, 2, 20.0)],
+                              "day date, id long, v double"), 0
+    )
+    # batch 1 REPLACES the day-0 slice (drops id=1, lands id=3)
+    sink(spark.createDataFrame([(d0, 3, 30.0)], "day date, id long, v double"), 1)
+    got = {(r["day"], r["id"], r["v"]) for r in AcidTable(spark, root).snapshot().collect()}
+    assert got == {(d0, 3, 30.0), (d1, 2, 20.0)}
+    # a replayed batch is a txn no-op
+    sink(spark.createDataFrame([(d0, 9, 99.0)], "day date, id long, v double"), 1)
+    assert {r["id"] for r in AcidTable(spark, root).snapshot().collect()} == {2, 3}
+    # unsupported slice value types fail loudly, not with a parse error
+    bad = acid_backfill_sink(str(tmp_path / "t2"), slice_col="day", app_id="bf2")
+    with _pytest.raises(TypeError, match="unsupported type"):
+        bad(spark.createDataFrame([([1], 1)], "day array<int>, id long"), 0)
