@@ -4206,6 +4206,74 @@ def s13k_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13m_deletion_vectors",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 4 = 1),
+       afterdel AS (SELECT * FROM base WHERE NOT (o_orderkey % 1000 = 1)),
+       delta AS (SELECT o_orderkey, o_totalprice * 3 AS p3
+                 FROM afterdel WHERE o_orderkey % 500 = 9)
+       SELECT a.o_orderkey AS o_orderkey, a.o_custkey AS o_custkey,
+              CAST(COALESCE(d.p3, a.o_totalprice) AS DOUBLE) AS price
+       FROM afterdel a LEFT JOIN delta d ON d.o_orderkey = a.o_orderkey""",
+)
+def s13m_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 MERGE-ON-READ (round 12): a point DELETE and a narrow MERGE
+    both land as DELETION VECTORS — position-bitmap sidecars masking
+    rows at read time — with ZERO base data files rewritten (asserted
+    on the manifests: no ``remove`` actions, only ``dv`` actions; the
+    merge's delta rows land as new files).  The 100 TB GDPR-delete
+    path: a 10-row delete costs a KB sidecar, not a GB rewrite
+    (sources/acid_table.py `_mor_split`; Delta/Iceberg v2 position
+    deletes).  The oracle replays delete+merge as WHERE + LEFT JOIN."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_dv_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 4 == 1)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(4, "o_orderkey")
+        )
+        t = AcidTable.create(spark, root + "/orders", base, key_cols=["o_orderkey"])
+        t.delete("o_orderkey % 1000 = 1")
+        m1 = t._read_manifest(1)
+        if m1["remove"] or m1["add"] or not m1["dv"]:
+            raise AssertionError(
+                "point delete should be pure deletion-vector actions, got "
+                f"remove={m1['remove']} add={len(m1['add'])} dv={len(m1['dv'])}"
+            )
+        delta = (
+            t.snapshot()
+            .where(F.col("o_orderkey") % 500 == 9)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        )
+        # materialize before the merge masks the rows it reads from
+        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        # recompute_frac=1.0: the delta spans every file's range; force
+        # the per-file MOR decision instead of the reset recompute
+        t.merge(delta, ["o_orderkey"], recompute_frac=1.0)
+        m2 = t._read_manifest(2)
+        if m2["remove"] or not m2["dv"]:
+            raise AssertionError(
+                "narrow merge should mask via deletion vectors, got "
+                f"remove={m2['remove']} dv={len(m2['dv'])}"
+            )
+        out = t.snapshot().select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

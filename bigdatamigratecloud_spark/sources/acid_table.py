@@ -55,6 +55,23 @@ materializes the full stats list to decide what to read.
 - **Vacuum**: deletes data files no retained version references (a
   checkpoint is written at the new horizon first, so resolution never
   needs the pruned manifests).
+- **Merge-on-read DELETION VECTORS** (round 12, the Delta/Iceberg v2
+  position-delete model): a DELETE/MERGE whose matches in a file fall
+  below ``dv_frac`` of its live rows does NOT rewrite the file —
+  it writes the deleted ROW POSITIONS to a parquet sidecar under
+  ``<root>/dv/<commit-uuid>/`` (columns ``path, pos``) and records a
+  ``dv`` manifest action updating the entry's vector reference and
+  live-row count.  Reads anti-join ``_metadata.row_index`` against the
+  referenced vectors; at 100 TB a 10-row GDPR point delete from a 1 GB
+  file costs a KB-sized sidecar, not a 1 GB rewrite.  Vectors are
+  CUMULATIVE-REPLACEMENT: a file has at most ONE current vector, and a
+  new vector always contains every previously deleted position for
+  that file — which makes anti-joining the UNION of all currently
+  referenced vector dirs exact (an older dir still referenced by some
+  other file can only contribute a subset of this file's current
+  positions).  ``compact``/``optimize_zorder``/recompute materialize
+  vectors away (reset commits); ``changes`` treats a (path, dv)
+  identity change as churn so the CDF stays the exact logical diff.
 """
 
 from __future__ import annotations
@@ -69,7 +86,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_ENTRY_DDL = "path string, rows long, stats string"
+_ENTRY_DDL = "path string, rows long, stats string, dv string"
 _ISIN_MAX = 1000  # remove-sets beyond this become an anti-join, not a literal
 _INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_TYPES = {"float", "double"}
@@ -404,7 +421,9 @@ class AcidTable:
             ]
         )
 
-    def _read_data(self, schema, sources: Sequence[str]) -> DataFrame:
+    def _read_data(
+        self, schema, sources: Sequence[str], with_meta: bool = False
+    ) -> DataFrame:
         """Read data files through a version's PHYSICAL schema, then
         project back to that version's logical names.  Files predating
         an add-columns commit NULL-backfill (a late column's physical
@@ -412,6 +431,14 @@ class AcidTable:
         are simply absent from ``schema``, so the scan prunes them.
         When no field is renamed this is exactly the plain schema read
         (no extra projection node).
+
+        ``with_meta`` appends two ROW-IDENTITY columns from the parquet
+        reader's hidden ``_metadata`` struct: ``__file`` (the file's
+        normalized absolute path — scheme stripped, percent-decoded)
+        and ``__pos`` (the row's index WITHIN its file, stable across
+        reads and unaffected by predicate pushdown).  (path, pos) is
+        the identity deletion vectors anti-join on — the same identity
+        Delta's position deletes use.
 
         PARTITION-from-path fields (hive-partitioned sources adopted by
         :meth:`import_existing`, marked ``partition_from_path`` in the
@@ -426,6 +453,19 @@ class AcidTable:
 
         phys = self._physical_schema(schema)
         df = self.spark.read.schema(phys).parquet(*sources)
+        if with_meta:
+            # capture _metadata at the scan — later projections drop it
+            df = df.select(
+                "*",
+                _percent_decode(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"),
+                        r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+",
+                        "/",
+                    )
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         part_fields = [
             f
             for f in schema.fields
@@ -456,22 +496,115 @@ class AcidTable:
         pairs = [(self._physical_name(f), f.name) for f in schema.fields]
         if all(p == n for p, n in pairs):
             return df
-        return df.select(*[F.col(f"`{p}`").alias(n) for p, n in pairs])
+        meta = [F.col("__file"), F.col("__pos")] if with_meta else []
+        return df.select(*[F.col(f"`{p}`").alias(n) for p, n in pairs], *meta)
+
+    def _dv_frame(self, dv_dirs: Sequence[str]) -> DataFrame:
+        """Deleted-row identities ``(__file, __pos)`` across deletion-
+        vector sidecar dirs (absolute paths).  Each dir's RELATIVE file
+        paths anchor at that dir's OWN table root (``dirname(dirname)``
+        of the ``dv/<uuid>`` dir), so vectors inherited through a
+        shallow clone resolve against the source's files, not the
+        clone's root."""
+        frames = []
+        for d in sorted(set(dv_dirs)):
+            r = os.path.dirname(os.path.dirname(d))
+            frames.append(
+                self.spark.read.parquet(d).select(
+                    F.when(F.col("path").startswith("/"), F.col("path"))
+                    .otherwise(F.concat(F.lit(r + "/"), F.col("path")))
+                    .alias("__file"),
+                    F.col("pos").alias("__pos"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _abs_path(self, p: str) -> str:
+        return p if p.startswith("/") else os.path.join(os.path.abspath(self.root), p)
+
+    def _read_entries_data(
+        self, schema, entries: Sequence[dict], keep_meta: bool = False
+    ) -> DataFrame:
+        """Read resolved file ENTRIES (not bare paths) through a
+        version's schema, anti-applying each file's deletion vector —
+        THE one read path every snapshot/scan/rewrite consumer must use
+        once a table can carry vectors (a bare ``_read_data`` would
+        resurrect deleted rows).  Files without a vector read plain (no
+        metadata columns, no join — the common case stays the old
+        plan); files WITH one read with (``__file``, ``__pos``) row
+        identity and left-anti join the union of their referenced
+        vector dirs.  Anti-joining the UNION is exact because vectors
+        are cumulative-replacement (see the module docstring).
+
+        ``keep_meta`` keeps ``__file``/``__pos`` on the output for
+        callers that need row identity downstream (the DV writers)."""
+        plain = [e for e in entries if not e.get("dv")]
+        dvd = [e for e in entries if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                self._read_data(
+                    schema,
+                    [self._abs_path(e["path"]) for e in plain],
+                    with_meta=keep_meta,
+                )
+            )
+        if dvd:
+            df = self._read_data(
+                schema, [self._abs_path(e["path"]) for e in dvd], with_meta=True
+            )
+            dvf = self._dv_frame([self._abs_path(e["dv"]["path"]) for e in dvd])
+            df = df.join(dvf, ["__file", "__pos"], "left_anti")
+            if not keep_meta:
+                df = df.drop("__file", "__pos")
+            parts.append(df)
+        if not parts:
+            empty = self.spark.createDataFrame([], schema)
+            if keep_meta:
+                empty = empty.select(
+                    "*",
+                    F.lit(None).cast("string").alias("__file"),
+                    F.lit(None).cast("long").alias("__pos"),
+                )
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _ckpt_frame(self, ckpt_dir: str) -> DataFrame:
+        """A checkpoint's entries as the CURRENT 4-column shape —
+        checkpoints written before deletion vectors existed lack the
+        ``dv`` column and normalize to NULL (no vector)."""
+        df = self.spark.read.parquet(ckpt_dir)
+        if "dv" not in df.columns:
+            df = df.withColumn("dv", F.lit(None).cast("string"))
+        return df.select("path", "rows", "stats", "dv")
+
+    @staticmethod
+    def _entry_of_row(r) -> dict:
+        e = {
+            "path": r["path"],
+            "rows": r["rows"],
+            "stats": json.loads(r["stats"]) if r["stats"] else {},
+        }
+        if r["dv"]:
+            e["dv"] = json.loads(r["dv"])
+        return e
 
     def _read_checkpoint_entries(self, version: int) -> list[dict]:
         """Driver-side materialization of one checkpoint's entries
         (bounded by file count — the maintenance/inspection cost class,
         same as :meth:`entries`)."""
-        out = []
-        for r in self.spark.read.parquet(self._trusted_checkpoint_dir(version)).collect():
-            out.append(
-                {
-                    "path": r["path"],
-                    "rows": r["rows"],
-                    "stats": json.loads(r["stats"]) if r["stats"] else {},
-                }
-            )
-        return out
+        return [
+            self._entry_of_row(r)
+            for r in self._ckpt_frame(
+                self._trusted_checkpoint_dir(version)
+            ).collect()
+        ]
 
     def _apply_manifest(self, by_path: dict[str, dict], m: dict) -> dict[str, dict]:
         """Fold one manifest's actions (reset -> remove -> add) into a
@@ -484,7 +617,12 @@ class AcidTable:
         A manifest carrying ``checkpoint_owner`` is a checkpoint-backed
         commit (restore/clone at scale): its file set lives in the
         checkpoint parquet at its own version, not inline in the JSON —
-        replace the state with that checkpoint's entries."""
+        replace the state with that checkpoint's entries.
+
+        A ``dv`` action updates an EXISTING entry in place (new
+        deletion-vector reference + new live-row count) without
+        touching its data file — the merge-on-read analogue of Delta's
+        add-with-deletionVector re-add."""
         if m.get("checkpoint_owner"):
             return {e["path"]: e for e in self._read_checkpoint_entries(m["version"])}
         if m.get("reset") or "files" in m:
@@ -493,6 +631,10 @@ class AcidTable:
             by_path.pop(p, None)
         for e in self._manifest_adds(m):
             by_path[e["path"]] = e
+        for d in m.get("dv") or []:
+            prev = by_path.get(d["path"])
+            if prev is not None:
+                by_path[d["path"]] = {**prev, "rows": d["rows"], "dv": d["dv"]}
         return by_path
 
     def entries(self, version: int | None = None) -> list[dict]:
@@ -507,12 +649,8 @@ class AcidTable:
         ckpt_v, tail = self._resolve_walk(v)
         by_path: dict[str, dict] = {}
         if ckpt_v is not None:
-            for r in self.spark.read.parquet(self._trusted_checkpoint_dir(ckpt_v)).collect():
-                by_path[r["path"]] = {
-                    "path": r["path"],
-                    "rows": r["rows"],
-                    "stats": json.loads(r["stats"]) if r["stats"] else {},
-                }
+            for r in self._ckpt_frame(self._trusted_checkpoint_dir(ckpt_v)).collect():
+                by_path[r["path"]] = self._entry_of_row(r)
         for m in tail:
             by_path = self._apply_manifest(by_path, m)
         return sorted(by_path.values(), key=lambda e: e["path"])
@@ -525,44 +663,75 @@ class AcidTable:
         table size."""
         ckpt_v, tail = self._resolve_walk(version)
         if ckpt_v is not None:
-            base = self.spark.read.parquet(self._trusted_checkpoint_dir(ckpt_v)).select(
-                "path", "rows", "stats"
-            )
+            base = self._ckpt_frame(self._trusted_checkpoint_dir(ckpt_v))
         else:
             base = self.spark.createDataFrame([], _ENTRY_DDL)
-        removes: list[str] = []
-        adds: list[tuple] = []
+        removes: set[str] = set()
+        adds: dict[str, tuple] = {}
+        dvups: dict[str, tuple] = {}  # path -> (rows, dv_json) for BASE entries
         for m in tail:
             if m.get("checkpoint_owner"):
                 # checkpoint-backed commit: the file set IS that
                 # version's checkpoint parquet (distributed read)
-                base = self.spark.read.parquet(
-                    self._trusted_checkpoint_dir(m["version"])
-                ).select("path", "rows", "stats")
-                removes, adds = [], []
+                base = self._ckpt_frame(self._trusted_checkpoint_dir(m["version"]))
+                removes, adds, dvups = set(), {}, {}
                 continue
             if m.get("reset") or "files" in m:
                 base = self.spark.createDataFrame([], _ENTRY_DDL)
-                removes, adds = [], []
-            removes += list(m.get("remove") or [])
-            adds += [
-                (e["path"], e["rows"], json.dumps(e.get("stats") or {}))
-                for e in self._manifest_adds(m)
-            ]
-        gone = set(removes)
-        adds = [a for a in adds if a[0] not in gone]
+                removes, adds, dvups = set(), {}, {}
+            for p in m.get("remove") or []:
+                # ordering matters: a path added earlier in the TAIL and
+                # removed now dies; one removed from the BASE and
+                # re-added later must survive (the dv-era fold fixes the
+                # old all-removes-collapse that silently assumed paths
+                # are never re-added)
+                if p in adds:
+                    adds.pop(p)
+                else:
+                    removes.add(p)
+                dvups.pop(p, None)
+            for e in self._manifest_adds(m):
+                adds[e["path"]] = (
+                    e["path"],
+                    e["rows"],
+                    json.dumps(e.get("stats") or {}),
+                    json.dumps(e["dv"]) if e.get("dv") else None,
+                )
+            for d in m.get("dv") or []:
+                p = d["path"]
+                if p in adds:
+                    a = adds[p]
+                    adds[p] = (a[0], d["rows"], a[2], json.dumps(d["dv"]))
+                else:
+                    dvups[p] = (d["rows"], json.dumps(d["dv"]))
         out = base
         if removes:
-            if len(removes) <= _ISIN_MAX:
-                out = out.where(~F.col("path").isin(removes))
+            rm = sorted(removes)
+            if len(rm) <= _ISIN_MAX:
+                out = out.where(~F.col("path").isin(rm))
             else:
                 # a near-threshold COW merge can remove O(files) paths in
                 # one manifest — as an expression literal that bloats the
                 # plan, so large remove sets apply as an anti-join instead
-                rem = self.spark.createDataFrame([(p,) for p in removes], "path string")
+                rem = self.spark.createDataFrame([(p,) for p in rm], "path string")
                 out = out.join(rem, "path", "left_anti")
+        if dvups:
+            up = self.spark.createDataFrame(
+                [(p, r, dv) for p, (r, dv) in dvups.items()],
+                "path string, __urows long, __udv string",
+            )
+            out = out.join(up, "path", "left").select(
+                "path",
+                F.coalesce("__urows", "rows").alias("rows"),
+                "stats",
+                F.when(F.col("__urows").isNotNull(), F.col("__udv"))
+                .otherwise(F.col("dv"))
+                .alias("dv"),
+            )
         if adds:
-            out = out.unionByName(self.spark.createDataFrame(adds, _ENTRY_DDL))
+            out = out.unionByName(
+                self.spark.createDataFrame(list(adds.values()), _ENTRY_DDL)
+            )
         return out
 
     def _paths(self, version: int) -> list[str]:
@@ -851,7 +1020,9 @@ class AcidTable:
             )
         else:
             stats = F.lit("{}")
-        ent = grouped.select("path", "rows", stats.alias("stats"))
+        ent = grouped.select(
+            "path", "rows", stats.alias("stats"), F.lit(None).cast("string").alias("dv")
+        )
         owner = uuid.uuid4().hex
         t._write_owned_checkpoint(0, ent, owner)
         from pyspark.sql.types import StructField, StructType
@@ -892,6 +1063,14 @@ class AcidTable:
     # attribute so tests force the distributed path with a tiny value.
     DISTRIBUTED_READ_THRESHOLD = 10_000
 
+    # DELETE/MERGE matches at or below this fraction of a file's live
+    # rows take the merge-on-read path (deletion-vector sidecar) instead
+    # of a copy-on-write rewrite.  0 disables vectors (pure COW).  The
+    # trade: a vector costs one extra anti-join at read time but turns a
+    # point delete from an O(file) rewrite into an O(matches) sidecar —
+    # below ~20% of a file, the rewrite always loses.
+    DEFAULT_DV_FRAC = 0.2
+
     def snapshot(self, version: int | None = None) -> DataFrame:
         """The table as of ``version`` (default: latest).  Reads exactly
         the resolved file set — a concurrent commit cannot tear it.  A
@@ -921,7 +1100,7 @@ class AcidTable:
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
         schema = StructType.fromJson(self._read_manifest(v)["schema"])
-        ent = self._entries_frame(v).select("path")
+        ent = self._entries_frame(v).select("path", "dv")
         counts = ent.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("path").startswith("data/"), 0).otherwise(1)).alias(
@@ -932,13 +1111,20 @@ class AcidTable:
         if n_files == 0:
             return self.spark.createDataFrame([], schema)
         if n_files <= self.DISTRIBUTED_READ_THRESHOLD:
-            files = self._paths(v)
             # read through the MANIFEST schema, not the files': after an
             # add-columns commit the old (unrewritten) files lack the new
             # columns, and the explicit schema makes the parquet reader
-            # NULL-backfill them; _read_data also resolves renamed/
-            # dropped columns through the physical-name mapping
-            return self._read_data(schema, files)
+            # NULL-backfill them; _read_entries_data also resolves
+            # renamed/dropped columns through the physical-name mapping
+            # and anti-applies each file's deletion vector
+            rows = ent.collect()
+            return self._read_entries_data(
+                schema,
+                [
+                    {"path": r["path"], "dv": json.loads(r["dv"]) if r["dv"] else None}
+                    for r in rows
+                ],
+            )
         abs_root = os.path.abspath(self.root)
         ext_roots: list[str] = []
         if n_external > 0:
@@ -958,7 +1144,7 @@ class AcidTable:
                 # an external path outside the standard layout (or an
                 # absurd root fan-out): the glob cannot cover it — use
                 # the explicit list rather than silently dropping rows
-                return self._read_data(schema, self._paths(v))
+                return self._read_entries_data(schema, self.entries(v))
         # every root that contributes entries MUST have its data dir:
         # a missing one (source table vacuumed/moved) would make its
         # glob silently drop rows — fall back to the explicit path read,
@@ -968,26 +1154,34 @@ class AcidTable:
         for r in needed:
             ddir = os.path.join(r, "data")
             if not os.path.isdir(ddir):
-                return self._read_data(schema, self._paths(v))
+                return self._read_entries_data(schema, self.entries(v))
             globs.append(os.path.join(ddir, "*", "*.parquet"))
-        raw = self._read_data(schema, globs)
-        # key = the file's normalized ABSOLUTE path (scheme stripped);
-        # entries normalize the same way (relative paths anchored at
-        # this table's root).  The glob may match files from removed
-        # versions or concurrent commits, which the semi-join drops.
-        key = F.regexp_replace(
-            F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+", "/"
-        )
+        # __file = the file's normalized ABSOLUTE path; entries normalize
+        # the same way (relative paths anchored at this table's root).
+        # The glob may match files from removed versions or concurrent
+        # commits, which the semi-join drops.
+        raw = self._read_data(schema, globs, with_meta=True)
         live = ent.select(
             F.when(F.col("path").startswith("/"), F.col("path"))
             .otherwise(F.concat(F.lit(abs_root + "/"), F.col("path")))
-            .alias("__path")
+            .alias("__file")
         )
-        return (
-            raw.withColumn("__path", key)
-            .join(live, "__path", "left_semi")
-            .drop("__path")
-        )
+        raw = raw.join(live, "__file", "left_semi")
+        # deletion vectors at scale: the DISTINCT referenced vector dirs
+        # (bounded by dv-writing commits since the last compaction, not
+        # by file count) anti-join on the same (__file, __pos) identity;
+        # exact because vectors are cumulative-replacement
+        dv_dirs = [
+            r["d"]
+            for r in ent.where(F.col("dv").isNotNull())
+            .select(F.get_json_object("dv", "$.path").alias("d"))
+            .distinct()
+            .collect()
+        ]
+        if dv_dirs:
+            dvf = self._dv_frame([self._abs_path(d) for d in dv_dirs])
+            raw = raw.join(dvf, ["__file", "__pos"], "left_anti")
+        return raw.drop("__file", "__pos")
 
     def scan(
         self,
@@ -1058,7 +1252,10 @@ class AcidTable:
         ent = ent.persist()
         try:
             total = ent.count()
-            kept = [r["path"] for r in ent.where(keep).select("path").collect()]
+            kept = [
+                {"path": r["path"], "dv": json.loads(r["dv"]) if r["dv"] else None}
+                for r in ent.where(keep).select("path", "dv").collect()
+            ]
         finally:
             ent.unpersist()
         info = {"files_total": total, "files_read": len(kept), "version": v}
@@ -1066,8 +1263,8 @@ class AcidTable:
 
         if not kept:
             return self.spark.createDataFrame([], StructType.fromJson(m["schema"])), info
-        df = self._read_data(
-            scan_schema, [os.path.join(self.root, p) for p in sorted(kept)]
+        df = self._read_entries_data(
+            scan_schema, sorted(kept, key=lambda e: e["path"])
         )
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -1091,14 +1288,17 @@ class AcidTable:
         versions CANNOT contribute a change, so only files dropped
         since ``from_version`` (old side) and files added by
         ``to_version`` (new side) are read — the churn is computed by
-        anti-joining the two entries frames, so only the CHANGED paths
-        ever reach the driver.  COW merge/delete guarantee the prune is
-        sound: any row they touch lives in a rewritten (= not carried)
-        file.  Rows rewritten with identical values (COW copies sharing
-        a file with real changes) are filtered out by a null-safe
-        whole-row compare, so the feed is the LOGICAL diff.  Assumes
-        ``pk_cols`` (default: the table's ``key_cols``) are unique per
-        snapshot."""
+        joining the two entries frames, so only the CHANGED paths ever
+        reach the driver.  A file's identity here is (path, deletion
+        vector): a carried file whose VECTOR changed contributes its
+        masked rows as deletes/updates, read with each side's own
+        vector.  COW rewrite + MOR vectoring together guarantee the
+        prune is sound: any row an operation touches lives in a
+        rewritten file or under a changed vector.  Rows rewritten with
+        identical values (COW copies sharing a file with real changes)
+        are filtered out by a null-safe whole-row compare, so the feed
+        is the LOGICAL diff.  Assumes ``pk_cols`` (default: the table's
+        ``key_cols``) are unique per snapshot."""
         head = self._head()
         to_v = head if to_version is None else to_version
         mo = self._read_manifest(from_version)
@@ -1115,33 +1315,46 @@ class AcidTable:
         # version's entries frame (checkpoint read + tail replay) is
         # evaluated once, not once per anti-join
         fo = self._entries_frame(from_version).select(
-            "path", F.lit(True).alias("__o")
+            "path", F.col("dv").alias("__odv"), F.lit(True).alias("__o")
         )
-        fn = self._entries_frame(to_v).select("path", F.lit(True).alias("__n"))
+        fn = self._entries_frame(to_v).select(
+            "path", F.col("dv").alias("__ndv"), F.lit(True).alias("__n")
+        )
         churn = (
             fo.join(fn, "path", "full_outer")
-            .where(F.col("__o").isNull() | F.col("__n").isNull())
-            .select("path", "__o")
+            .where(
+                F.col("__o").isNull()
+                | F.col("__n").isNull()
+                | ~F.col("__odv").eqNullSafe(F.col("__ndv"))
+            )
+            .select("path", "__o", "__n", "__odv", "__ndv")
             .collect()
         )
-        removed = sorted(r["path"] for r in churn if r["__o"] is not None)
-        added = sorted(r["path"] for r in churn if r["__o"] is None)
+        removed = sorted(
+            ({"path": r["path"], "dv": json.loads(r["__odv"]) if r["__odv"] else None}
+             for r in churn if r["__o"] is not None),
+            key=lambda e: e["path"],
+        )
+        added = sorted(
+            ({"path": r["path"], "dv": json.loads(r["__ndv"]) if r["__ndv"] else None}
+             for r in churn if r["__n"] is not None),
+            key=lambda e: e["path"],
+        )
         if not removed and not added:
             return self.spark.createDataFrame([], out_schema)
         cols = [f.name for f in schema.fields]
         nonkey = [c for c in cols if c not in keys]
 
-        def _side(paths: list[str]) -> DataFrame:
-            if not paths:
+        def _side(entries: list[dict]) -> DataFrame:
+            if not entries:
                 return self.spark.createDataFrame([], schema)
             # read through the from-version's schema: files predating an
             # add-columns commit NULL-backfill, files written after it
             # project down — the diff always compares the same columns,
             # and physical names (stable across renames) resolve files
-            # written on either side of a rename commit
-            return self._read_data(
-                schema, [os.path.join(self.root, p) for p in paths]
-            ).select(*cols)
+            # written on either side of a rename commit; each side
+            # applies ITS OWN deletion vector
+            return self._read_entries_data(schema, entries).select(*cols)
 
         # key-only tables: compare a constant marker (a key either exists
         # in a snapshot or not — no update states are possible)
@@ -1286,26 +1499,42 @@ class AcidTable:
         key_type: str,
         recompute_frac: float | None,
         stats_key: str | None = None,
-    ) -> tuple[list[str], int, list[str] | None]:
+    ) -> tuple[list[dict], int, list[dict] | None]:
         """Which data files can contain any of ``keys_df``'s keys, by
         joining the keys against the checkpointed entries frame's
         [min,max] stats on ``probe_col`` — one keys-side aggregation,
         zero base-table I/O for skipped files, and only the HIT paths
         return to the driver.  Files without stats are conservatively
-        flagged.  Returns ``(touched, total_files, all_paths)`` where
-        ``all_paths`` is non-None only when ``recompute_frac`` is given
-        and exceeded (the caller should then prefer a full recompute)."""
+        flagged.  Returns ``(touched, total_files, all_entries)`` where
+        ``all_entries`` is non-None only when ``recompute_frac`` is
+        given and exceeded (the caller should then prefer a full
+        recompute).  Touched/all results are ENTRY dicts carrying each
+        file's live-row count and deletion-vector reference, so the
+        caller's rewrite path applies vectors and the MOR split can
+        compute match fractions."""
         sk = stats_key or probe_col
         ent = self._entries_frame(head).persist()
+
+        def _ent(r) -> dict:
+            e = {"path": r["path"], "rows": r["rows"]}
+            if r["dv"]:
+                e["dv"] = json.loads(r["dv"])
+            return e
+
         try:
             total_files = ent.count()
             smin = F.get_json_object("stats", f"$.{sk}.min")
             smax = F.get_json_object("stats", f"$.{sk}.max")
             unranged = [
-                r["path"] for r in ent.where(smin.isNull()).select("path").collect()
+                _ent(r)
+                for r in ent.where(smin.isNull())
+                .select("path", "rows", "dv")
+                .collect()
             ]
             ranged = ent.where(smin.isNotNull()).select(
                 "path",
+                "rows",
+                "dv",
                 smin.cast(key_type).alias("__min"),
                 smax.cast(key_type).alias("__max"),
             )
@@ -1316,28 +1545,30 @@ class AcidTable:
                     (F.col("__k") >= F.col("__min")) & (F.col("__k") <= F.col("__max")),
                     "inner",
                 )
-                .select("path")
+                .select("path", "rows", "dv")
                 .distinct()
                 .collect()
             )
-            touched = sorted({r["path"] for r in hits} | set(unranged))
-            all_paths = None
+            by_path = {r["path"]: _ent(r) for r in hits}
+            for e in unranged:
+                by_path[e["path"]] = e
+            touched = [by_path[p] for p in sorted(by_path)]
+            all_entries = None
             if (
                 recompute_frac is not None
                 and total_files
                 and len(touched) / total_files > recompute_frac
             ):
                 # recompute will read the full snapshot — recover the
-                # path list from the ALREADY-resolved cached frame
+                # entry list from the ALREADY-resolved cached frame
                 # instead of re-running the whole checkpoint+tail
-                # resolution via _paths()
-                all_paths = [
-                    os.path.join(self.root, r["path"])
-                    for r in ent.select("path").collect()
+                # resolution
+                all_entries = [
+                    _ent(r) for r in ent.select("path", "rows", "dv").collect()
                 ]
         finally:
             ent.unpersist()
-        return touched, total_files, all_paths
+        return touched, total_files, all_entries
 
     def merge(
         self,
@@ -1345,9 +1576,14 @@ class AcidTable:
         pk_cols: Sequence[str],
         txn: tuple[str, int] | None = None,
         recompute_frac: float = 0.6,
+        dv_frac: float | None = None,
     ) -> int:
-        """Copy-on-write MERGE: delta rows replace matching-PK rows,
-        unmatched delta rows insert.
+        """MERGE: delta rows replace matching-PK rows, unmatched delta
+        rows insert.  Touched files whose matched fraction falls below
+        ``dv_frac`` take the MERGE-ON-READ path (deletion vector masks
+        the replaced rows, the delta lands as new files — no base data
+        rewritten); the rest rewrite copy-on-write.  ``dv_frac=0``
+        forces pure COW.
 
         File pruning: a data file must be rewritten only if its stats
         range on ``pk_cols[0]`` can contain some delta key.  The probe
@@ -1391,17 +1627,18 @@ class AcidTable:
         stats_key = {
             f.name: self._physical_name(f) for f in schema.fields
         }.get(probe_col, probe_col)
-        touched, total_files, all_paths = self._probe_touched(
+        touched, total_files, all_entries = self._probe_touched(
             head, delta, probe_col, dict(delta.dtypes)[probe_col], recompute_frac,
             stats_key=stats_key,
         )
 
         delta_keys = delta.select(*keys).dropDuplicates(keys)
-        if all_paths is not None:
+        if all_entries is not None:
             # recompute: the COW path would rewrite nearly everything
             # anyway; one clean range-partitioned pass wins (and resets
-            # the layout so the NEXT narrow delta prunes well again)
-            snap = self._read_data(schema, all_paths)
+            # the layout — deletion vectors included — so the NEXT
+            # narrow delta prunes well again)
+            snap = self._read_entries_data(schema, all_entries)
             merged = snap.join(delta_keys, keys, "left_anti").unionByName(
                 delta, allowMissingColumns=True
             )
@@ -1421,12 +1658,19 @@ class AcidTable:
                 }
             )
 
+        frac = self.DEFAULT_DV_FRAC if dv_frac is None else dv_frac
+        empty, dv_actions, rewrite = ([], [], [])
         if touched:
+            empty, dv_actions, rewrite = self._mor_split(
+                schema,
+                touched,
+                lambda df: df.join(delta_keys, keys, "left_semi"),
+                frac,
+            )
+        if rewrite:
             # manifest schema, not file schema: files predating an
             # add-columns commit NULL-backfill the late columns
-            affected = self._read_data(
-                schema, [os.path.join(self.root, p) for p in touched]
-            )
+            affected = self._read_entries_data(schema, rewrite)
             # allowMissingColumns: after an add-columns evolution a delta
             # carrying the pre-evolution shape NULL-fills the late columns
             # (Delta MERGE full-row-replace semantics) — without it the
@@ -1436,6 +1680,8 @@ class AcidTable:
                 delta, allowMissingColumns=True
             )
         else:
+            # matched base rows (if any) were handled by deletion
+            # vectors / whole-file drops; the delta lands as new files
             merged = delta
         new_files = self._write_data_files(merged, m["key_cols"], schema=schema)
         manifest = {
@@ -1444,7 +1690,8 @@ class AcidTable:
             "schema": m["schema"],
             "key_cols": m["key_cols"],
             "add": new_files,
-            "remove": touched,
+            "remove": empty + [e["path"] for e in rewrite],
+            "dv": dv_actions,
             "txns": self._merged_txns(m, txn),
         }
         return self._commit_cow_with_rebase(
@@ -1545,6 +1792,7 @@ class AcidTable:
         pk_cols: Sequence[str] | None = None,
         txn: tuple[str, int] | None = None,
         recompute_frac: float = 0.6,
+        dv_frac: float | None = None,
     ) -> int:
         """Apply a row-level change feed (the output of :meth:`changes`
         on another table) to THIS table in ONE commit — the replication
@@ -1593,12 +1841,12 @@ class AcidTable:
         stats_key = {
             f.name: self._physical_name(f) for f in schema.fields
         }.get(probe_col, probe_col)
-        touched, total_files, all_paths = self._probe_touched(
+        touched, total_files, all_entries = self._probe_touched(
             head, change_keys, probe_col, dict(change_keys.dtypes)[probe_col],
             recompute_frac, stats_key=stats_key,
         )
-        if all_paths is not None:
-            snap = self._read_data(schema, all_paths)
+        if all_entries is not None:
+            snap = self._read_entries_data(schema, all_entries)
             merged = snap.join(change_keys, keys, "left_anti").unionByName(ups)
             merged = merged.repartitionByRange(
                 max(total_files, 1), probe_col
@@ -1615,10 +1863,17 @@ class AcidTable:
                     "txns": self._merged_txns(m, txn),
                 }
             )
+        frac = self.DEFAULT_DV_FRAC if dv_frac is None else dv_frac
+        empty, dv_actions, rewrite = ([], [], [])
         if touched:
-            affected = self._read_data(
-                schema, [os.path.join(self.root, p) for p in touched]
+            empty, dv_actions, rewrite = self._mor_split(
+                schema,
+                touched,
+                lambda df: df.join(change_keys, keys, "left_semi"),
+                frac,
             )
+        if rewrite:
+            affected = self._read_entries_data(schema, rewrite)
             merged = affected.join(change_keys, keys, "left_anti").unionByName(ups)
         else:
             merged = ups
@@ -1631,7 +1886,8 @@ class AcidTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "add": new_files,
-                "remove": touched,
+                "remove": empty + [e["path"] for e in rewrite],
+                "dv": dv_actions,
                 "txns": self._merged_txns(m, txn),
             },
             change_keys,
@@ -1710,12 +1966,36 @@ class AcidTable:
         abs_root = os.path.abspath(self.root)
         # absolute-path rewrite as a COLUMN transform over the entries
         # frame — already-absolute paths (a clone of a clone) pass
-        # through, mirroring os.path.join semantics
-        ent = self._entries_frame(v).withColumn(
-            "path",
-            F.when(
-                F.col("path").startswith("/"), F.col("path")
-            ).otherwise(F.concat(F.lit(abs_root + "/"), F.col("path"))),
+        # through, mirroring os.path.join semantics.  Deletion-vector
+        # references absolutize the same way: the clone must keep
+        # reading the SOURCE's sidecars until its own writes replace
+        # them (vector payload rows stay source-relative — _dv_frame
+        # anchors them at the sidecar dir's own root).
+        dvp = F.get_json_object("dv", "$.path")
+        abs_dvp = F.when(dvp.startswith("/"), dvp).otherwise(
+            F.concat(F.lit(abs_root + "/"), dvp)
+        )
+        ent = (
+            self._entries_frame(v)
+            .withColumn(
+                "path",
+                F.when(
+                    F.col("path").startswith("/"), F.col("path")
+                ).otherwise(F.concat(F.lit(abs_root + "/"), F.col("path"))),
+            )
+            .withColumn(
+                "dv",
+                F.when(F.col("dv").isNull(), F.lit(None).cast("string")).otherwise(
+                    F.to_json(
+                        F.struct(
+                            abs_dvp.alias("path"),
+                            F.get_json_object("dv", "$.deleted")
+                            .cast("long")
+                            .alias("deleted"),
+                        )
+                    )
+                ),
+            )
         )
         dest = AcidTable(
             self.spark,
@@ -1755,61 +2035,129 @@ class AcidTable:
         dest._advance_hint(0)
         return dest
 
-    def _cow_remove_matching(
-        self, predicate: str, head: int, schema
-    ) -> tuple[list[str], list[dict]]:
-        """Shared COW core of :meth:`delete` / :meth:`overwrite_where`:
-        files are first FILTERED to those containing any row matching
-        ``predicate`` (one pruned scan flags files via
-        input_file_name); only those are rewritten without the matching
-        rows.  Returns (hit_paths_to_remove, rewrite_file_entries)."""
-        m = self._read_manifest(head)
-        all_paths = self._paths(head)
-        if all_paths:
-            hit_rows = (
-                self._read_data(schema, all_paths)
-                .where(predicate)
-                .select(F.input_file_name().alias("__file"))
-                .distinct()
+    def _mor_split(
+        self,
+        schema,
+        entries: Sequence[dict],
+        match_rows,
+        dv_frac: float,
+    ):
+        """Merge-on-read core shared by delete / overwrite_where /
+        merge / apply_cdc.  ``match_rows(df) -> df`` filters a
+        row-identity read (``__file``/``__pos`` present, existing
+        vectors already applied) down to the rows being REMOVED.  One
+        scan of ``entries`` classifies every file by its live-match
+        fraction:
+
+        - 0 matches      -> CARRY: no manifest action at all (the probe
+          was conservative; previously such files were rewritten
+          byte-identically for nothing)
+        - all rows match -> EMPTY: pure ``remove`` action, no rewrite
+        - fraction <= ``dv_frac`` -> DELETION VECTOR: the matched
+          positions (unioned with the file's previous vector —
+          cumulative replacement) land in one new sidecar dir; the
+          manifest gets a ``dv`` action per file
+        - else           -> REWRITE: returned for the caller's COW pass
+
+        Returns ``(empty_paths, dv_actions, rewrite_entries)``."""
+        abs_root = os.path.abspath(self.root)
+        tdf = self._read_entries_data(schema, entries, keep_meta=True)
+        matches = match_rows(tdf).select("__file", "__pos").persist()
+        try:
+            counts = {
+                r["__file"]: r["cnt"]
+                for r in matches.groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()  # bounded by files CONTAINING matches
-            )
-        else:
-            hit_rows = []
-        # input_file_name returns file: URIs; manifest paths are either
-        # log-relative data/<commit>/<file> or ABSOLUTE (shallow-clone
-        # entries referencing another table's files) — map each entry
-        # through its resolved filesystem path so both forms match
-        # (suffix matching alone would silently no-op on clone entries)
-        from urllib.parse import unquote, urlparse
+            }
+            empty: list[str] = []
+            dv_files: list[tuple[str, dict, int]] = []
+            rewrite: list[dict] = []
+            for e in entries:
+                a = self._abs_path(e["path"])
+                mcount = counts.get(a, 0)
+                if mcount == 0:
+                    continue  # carried forward implicitly
+                if mcount >= e["rows"]:
+                    empty.append(e["path"])
+                elif dv_frac > 0 and mcount / e["rows"] <= dv_frac:
+                    dv_files.append((a, e, mcount))
+                else:
+                    rewrite.append(e)
+            dv_actions: list[dict] = []
+            if dv_files:
+                dv_rel = f"dv/{uuid.uuid4().hex}"
+                sel = self.spark.createDataFrame(
+                    [(a,) for a, _, _ in dv_files], "__file string"
+                )
+                pos_frames = [matches.join(F.broadcast(sel), "__file", "left_semi")]
+                # cumulative replacement: the new vector carries every
+                # PREVIOUSLY deleted position of each re-vectored file
+                olds = [(a, e) for a, e, _ in dv_files if e.get("dv")]
+                if olds:
+                    odv = self._dv_frame(
+                        [self._abs_path(e["dv"]["path"]) for _, e in olds]
+                    )
+                    osel = self.spark.createDataFrame(
+                        [(a,) for a, _ in olds], "__file string"
+                    )
+                    pos_frames.append(
+                        odv.join(F.broadcast(osel), "__file", "left_semi")
+                    )
+                allpos = pos_frames[0]
+                for f in pos_frames[1:]:
+                    allpos = allpos.unionByName(f)
+                # store each row keyed by the entry's MANIFEST path form
+                # (root-relative when under this root, absolute for
+                # clone-source files) so the table stays relocatable
+                manifest_path = F.when(
+                    F.col("__file").startswith(abs_root + "/"),
+                    F.col("__file").substr(F.lit(len(abs_root) + 2), F.length("__file")),
+                ).otherwise(F.col("__file"))
+                out = allpos.select(
+                    manifest_path.alias("path"), F.col("__pos").alias("pos")
+                ).repartition(max(1, min(len(dv_files), 32)), "path")
+                out.write.mode("errorifexists").parquet(
+                    os.path.join(self.root, dv_rel)
+                )
+                for _, e, mcount in dv_files:
+                    prior = (e.get("dv") or {}).get("deleted", 0)
+                    dv_actions.append(
+                        {
+                            "path": e["path"],
+                            "rows": e["rows"] - mcount,
+                            "dv": {"path": dv_rel, "deleted": prior + mcount},
+                        }
+                    )
+        finally:
+            matches.unpersist()
+        return empty, dv_actions, rewrite
 
-        by_abs = {
-            os.path.abspath(os.path.join(self.root, p)): p
-            for p in (e["path"] for e in self.entries(head))
-        }
-        resolved = {unquote(urlparse(r["__file"]).path) for r in hit_rows}
-        hit = sorted(by_abs[p] for p in resolved if p in by_abs)
-        new_files = []
-        if hit:
-            # IS NOT TRUE, not NOT(...): under three-valued logic a row
-            # where the predicate evaluates to NULL matches neither the
-            # delete nor its bare negation — it must be KEPT, not
-            # silently dropped from the rewrite
-            kept = self._read_data(
-                schema, [os.path.join(self.root, p) for p in hit]
-            ).where(f"({predicate}) IS NOT TRUE")
-            new_files = self._write_data_files(kept, m["key_cols"], schema=schema)
-        return hit, new_files
-
-    def delete(self, predicate: str) -> int:
-        """COW delete: files are first FILTERED to those containing any
-        matching row (one pruned scan flags files via input_file_name);
-        only those are rewritten without the matching rows."""
+    def delete(self, predicate: str, dv_frac: float | None = None) -> int:
+        """Merge-on-read DELETE: files where the matches fall below
+        ``dv_frac`` of live rows get a deletion-vector sidecar (no data
+        bytes rewritten — the 100 TB point-delete path); files above it
+        rewrite copy-on-write without the matching rows; fully-matched
+        files simply drop.  ``dv_frac=0`` forces pure COW."""
         head = self._head()
         m = self._read_manifest(head)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
-        hit, new_files = self._cow_remove_matching(predicate, head, schema)
+        frac = self.DEFAULT_DV_FRAC if dv_frac is None else dv_frac
+        empty, dv_actions, rewrite = self._mor_split(
+            schema, self.entries(head), lambda df: df.where(predicate), frac
+        )
+        new_files = []
+        if rewrite:
+            # IS NOT TRUE, not NOT(...): under three-valued logic a row
+            # where the predicate evaluates to NULL matches neither the
+            # delete nor its bare negation — it must be KEPT, not
+            # silently dropped from the rewrite
+            kept = self._read_entries_data(schema, rewrite).where(
+                f"({predicate}) IS NOT TRUE"
+            )
+            new_files = self._write_data_files(kept, m["key_cols"], schema=schema)
         return self._commit(
             {
                 "version": head + 1,
@@ -1817,7 +2165,8 @@ class AcidTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "add": new_files,
-                "remove": hit,
+                "remove": empty + [e["path"] for e in rewrite],
+                "dv": dv_actions,
                 "txns": self._merged_txns(m, None),
             }
         )
@@ -1827,6 +2176,7 @@ class AcidTable:
         df: DataFrame,
         predicate: str,
         txn: tuple[str, int] | None = None,
+        dv_frac: float | None = None,
     ) -> int:
         """Delta's ``replaceWhere``: atomically replace EXACTLY the rows
         matching ``predicate`` with ``df`` — the backfill primitive at
@@ -1859,7 +2209,16 @@ class AcidTable:
                 "alongside the rows they were meant to replace"
             )
         self._enforce_constraints(df, m, "overwrite_where replacement")
-        hit, rewrite_files = self._cow_remove_matching(predicate, head, schema)
+        frac = self.DEFAULT_DV_FRAC if dv_frac is None else dv_frac
+        empty, dv_actions, rewrite = self._mor_split(
+            schema, self.entries(head), lambda d: d.where(predicate), frac
+        )
+        rewrite_files = []
+        if rewrite:
+            kept = self._read_entries_data(schema, rewrite).where(
+                f"({predicate}) IS NOT TRUE"
+            )
+            rewrite_files = self._write_data_files(kept, m["key_cols"], schema=schema)
         new_files = self._write_data_files(df, m["key_cols"], schema=schema)
         return self._commit(
             {
@@ -1869,7 +2228,8 @@ class AcidTable:
                 "schema": m["schema"],
                 "key_cols": m["key_cols"],
                 "add": rewrite_files + new_files,
-                "remove": hit,
+                "remove": empty + [e["path"] for e in rewrite],
+                "dv": dv_actions,
                 "txns": self._merged_txns(m, txn),
             }
         )
@@ -2237,6 +2597,7 @@ class AcidTable:
         # newer manifests' actions in memory — not a full checkpoint
         # read per retained version
         live: set[str] = set()
+        live_dv: set[str] = set()
         retained = [v for v in self._versions_on_disk() if v >= horizon]
         state: dict[str, dict] = {}
         for i, v in enumerate(retained):
@@ -2245,6 +2606,9 @@ class AcidTable:
             else:
                 state = self._apply_manifest(state, self._read_manifest(v))
             live |= set(state)
+            live_dv |= {
+                e["dv"]["path"] for e in state.values() if e.get("dv")
+            }
         now = time.time()
         deleted = []
         data_root = os.path.join(self.root, "data")
@@ -2265,6 +2629,23 @@ class AcidTable:
                 deleted.append(rel)
             if not any(n.endswith(".parquet") for n in os.listdir(full_dir)):
                 shutil.rmtree(full_dir, ignore_errors=True)
+        # deletion-vector sidecar dirs referenced by NO retained version
+        # (files under this root only — clone-inherited vectors live
+        # under their source's root and are never touched, mirroring the
+        # data-file rule); the age guard protects a concurrent MOR
+        # writer that staged its vector but hasn't published yet
+        dv_root = os.path.join(self.root, "dv")
+        for d in os.listdir(dv_root) if os.path.isdir(dv_root) else []:
+            rel = os.path.join("dv", d)
+            full = os.path.join(dv_root, d)
+            if rel in live_dv or not os.path.isdir(full):
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except FileNotFoundError:
+                continue
+            if age >= retain_seconds:
+                shutil.rmtree(full, ignore_errors=True)
         for v in self._versions_on_disk():
             if v < horizon:
                 try:

@@ -281,11 +281,17 @@ def test_change_feed_semantics_and_pruning(spark, tmp_path):
     assert "delete" not in by_type
     # COW rewrite noise: the rewritten file held ~125 rows, only 10 changed
     assert c12.count() == 1 + 10 + 10
-    # pruning: files carried from v1 to v2 are not opened
-    m1 = {os.path.basename(p) for p in t.snapshot(1).inputFiles()}
-    m2 = {os.path.basename(p) for p in t.snapshot(2).inputFiles()}
-    carried = m1 & m2
-    assert carried, "merge should carry most files"
+    # pruning: files carried UNCHANGED (same path AND same deletion
+    # vector) from v1 to v2 are not opened; a carried file whose vector
+    # changed is churn and MUST be read
+    import json as _json
+
+    e1 = {e["path"]: _json.dumps(e.get("dv")) for e in t.entries(1)}
+    e2 = {e["path"]: _json.dumps(e.get("dv")) for e in t.entries(2)}
+    carried = {
+        os.path.basename(p) for p in e1 if p in e2 and e1[p] == e2[p]
+    }
+    assert carried, "merge should carry most files untouched"
     assert not ({os.path.basename(p) for p in c12.inputFiles()} & carried)
 
     # v3: delete a slice
@@ -1006,8 +1012,9 @@ def test_apply_cdc_replicates_source(spark, tmp_path):
 
 
 def test_apply_cdc_prunes_and_recomputes_like_merge(spark, tmp_path):
-    """Narrow feeds take the COW path and rewrite only files whose key
-    range is hit; a uniform feed flips to the reset recompute."""
+    """Narrow feeds take the merge-on-read path — only the hit range
+    file gets a deletion vector, zero data files rewritten; a uniform
+    feed flips to the reset recompute."""
     base = spark.range(0, 8000).repartitionByRange(8, "id").withColumn("v", F.lit(0))
     src = AcidTable.create(spark, str(tmp_path / "s"), base, key_cols=["id"])
     rep = AcidTable.create(spark, str(tmp_path / "r"), base, key_cols=["id"])
@@ -1015,8 +1022,9 @@ def test_apply_cdc_prunes_and_recomputes_like_merge(spark, tmp_path):
     v = rep.apply_cdc(src.changes(0, 1))
     m = rep._read_manifest(v)
     assert m["operation"] == "apply_cdc"
-    assert 0 < len(m["remove"]) < 8  # narrow: only the hit range file(s)
-    src.merge(spark.range(0, 8000, 100).withColumn("v", F.lit(2)), ["id"])
+    # narrow: 50 of 1000 rows in one range file -> vectored, not rewritten
+    assert m["remove"] == [] and 0 < len(m["dv"]) < 8
+    src.merge(spark.range(0, 8000, 10).withColumn("v", F.lit(2)), ["id"])
     v2 = rep.apply_cdc(src.changes(1, src.latest_version()))
     assert rep._read_manifest(v2)["operation"] == "apply_cdc-recompute"
     assert {tuple(r) for r in rep.snapshot().collect()} == {
@@ -1945,3 +1953,144 @@ def test_restore_restores_target_versions_constraints(spark, tmp_path):
     # and restoring to a post-constraint version brings the constraint back
     t.restore(2)
     assert t.check_constraints() == {"v_pos": "v > 0"}
+
+
+# ------------------------------------------------- deletion vectors
+
+
+def test_deletion_vector_point_delete_adds_no_data_file(spark, tmp_path):
+    """Round 12 headline: a 10-row delete from a large file writes NO
+    data file — only a position-vector sidecar — and the entry's
+    live-row count drops; reads mask the rows exactly."""
+    base = spark.range(0, 10_000).withColumn("v", F.col("id") * 2).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    data_files_before = {e["path"] for e in t.entries(0)}
+    t.delete("id >= 100 AND id < 110")
+    m = t._read_manifest(1)
+    assert m["add"] == [] and m["remove"] == []  # zero data churn
+    assert len(m["dv"]) == 1
+    e = t.entries(1)[0]
+    assert e["path"] in data_files_before  # same physical file
+    assert e["rows"] == 9_990 and e["dv"]["deleted"] == 10
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), e["dv"]["path"]))
+    snap = t.snapshot()
+    assert snap.count() == 9_990
+    assert snap.where("id >= 100 AND id < 110").count() == 0
+    # time travel still sees the pre-delete rows
+    assert t.snapshot(0).count() == 10_000
+
+
+def test_deletion_vectors_stack_cumulatively(spark, tmp_path):
+    """A second point delete on an already-vectored file REPLACES the
+    vector with a cumulative one (old positions carried forward), so a
+    single anti-join against current vectors is exact; history()'s row
+    accounting tracks the live count."""
+    base = spark.range(0, 1_000).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.delete("id < 10")
+    t.delete("id >= 990")  # second vector on the same file
+    e = t.entries(2)[0]
+    assert e["rows"] == 980 and e["dv"]["deleted"] == 20
+    got = t.snapshot()
+    assert got.count() == 980
+    assert got.where("id < 10 OR id >= 990").count() == 0
+    assert [h["num_rows"] for h in t.history()] == [1000, 990, 980]
+    # each version reads through ITS vector
+    assert t.snapshot(1).count() == 990
+    assert t.snapshot(1).where("id < 10").count() == 0
+    assert t.snapshot(1).where("id >= 990").count() == 10
+
+
+def test_merge_on_read_delete_then_merge_oracle_shape(spark, tmp_path):
+    """MERGE below the dv threshold masks the replaced rows and lands
+    the delta as new files — no base file rewritten — and the merged
+    snapshot equals the logical upsert."""
+    base = spark.range(0, 4_000).withColumn("v", F.lit(0)).repartitionByRange(4, "id")
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    files0 = {e["path"] for e in t.entries(0)}
+    delta = spark.range(500, 520).withColumn("v", F.lit(7))
+    t.merge(delta, ["id"])
+    m = t._read_manifest(1)
+    assert m["remove"] == [] and len(m["dv"]) == 1  # masked, not rewritten
+    assert files0 <= {e["path"] for e in t.entries(1)}  # all carried
+    snap = t.snapshot()
+    assert snap.count() == 4_000
+    assert snap.where("v = 7").count() == 20
+    assert {r["id"] for r in snap.where("v = 7").collect()} == set(range(500, 520))
+
+
+def test_compact_materializes_vectors_away(spark, tmp_path):
+    """OPTIMIZE erases every deletion vector: the compacted snapshot
+    has no dv refs, equals the masked read, and vacuum then drops the
+    orphaned vector sidecar dirs."""
+    base = spark.range(0, 2_000).withColumn("v", F.lit(0)).coalesce(2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.delete("id % 100 = 3")  # 20 rows over 2 files -> vectors
+    assert any(e.get("dv") for e in t.entries(1))
+    t.compact(target_files=2)
+    ents = t.entries(2)
+    assert all(not e.get("dv") for e in ents)
+    assert t.snapshot().count() == 1_980
+    # vacuum past the vectored version drops the now-unreferenced dv dir
+    deleted_dirs = os.listdir(os.path.join(str(tmp_path / "t"), "dv"))
+    assert deleted_dirs  # the sidecar existed
+    t.vacuum(keep_last=1, retain_seconds=0.0)
+    left = os.path.join(str(tmp_path / "t"), "dv")
+    assert not os.path.isdir(left) or os.listdir(left) == []
+    assert t.snapshot().count() == 1_980
+
+
+def test_deletion_vector_fully_deleted_file_drops(spark, tmp_path):
+    """A delete matching EVERY live row of a file is a pure remove
+    action — no vector, no rewrite."""
+    a = spark.range(0, 100).withColumn("v", F.lit(0)).coalesce(1)
+    b = spark.range(100, 1200).withColumn("v", F.lit(0)).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), a, key_cols=["id"])
+    t.append(b)
+    t.delete("id < 100")
+    m = t._read_manifest(2)
+    assert len(m["remove"]) == 1 and m["add"] == [] and m["dv"] == []
+    assert t.snapshot().count() == 1_100
+
+
+def test_deletion_vectors_on_shallow_clone_leave_source_intact(spark, tmp_path):
+    """A point delete on a clone vectors the SOURCE-owned file via a
+    clone-local sidecar; the source never changes, and compact
+    localizes the clone fully."""
+    base = spark.range(0, 1_000).withColumn("v", F.lit(0)).coalesce(1)
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["id"])
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.delete("id % 100 = 7")
+    e = clone.entries(1)[0]
+    assert os.path.isabs(e["path"])  # still the source's data file
+    assert e["dv"] and not os.path.isabs(e["dv"]["path"])  # clone-local vector
+    assert clone.snapshot().count() == 990
+    assert src.snapshot().count() == 1_000
+    # a clone OF the vectored clone inherits the vector by absolute ref
+    c2 = clone.clone_to(str(tmp_path / "clone2"))
+    assert c2.snapshot().count() == 990
+    clone.compact(target_files=1)
+    assert all(not e.get("dv") for e in clone.entries())
+    assert clone.snapshot().count() == 990
+
+
+def test_changes_exact_across_deletion_vectors(spark, tmp_path):
+    """The CDF stays the exact logical diff when the churn is a vector
+    change on a carried file (delete) and a mask+insert (merge)."""
+    base = spark.range(0, 1_000).withColumn("v", F.col("id") * 10).coalesce(1)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.delete("id >= 10 AND id < 15")  # v1: vector
+    c01 = t.changes(0, 1).collect()
+    assert {r["_change_type"] for r in c01} == {"delete"}
+    assert sorted(r["id"] for r in c01) == [10, 11, 12, 13, 14]
+    t.merge(spark.range(20, 25).withColumn("v", F.lit(-1)), ["id"])  # v2: mask+insert
+    c12 = t.changes(1, 2).collect()
+    by = {}
+    for r in c12:
+        by.setdefault(r["_change_type"], []).append(r["id"])
+    assert sorted(by["update_preimage"]) == [20, 21, 22, 23, 24]
+    assert sorted(by["update_postimage"]) == [20, 21, 22, 23, 24]
+    assert "insert" not in by and "delete" not in by
+    # full span composes
+    c02 = {(r["id"], r["_change_type"]) for r in t.changes(0, 2).collect()}
+    assert (12, "delete") in c02 and (22, "update_postimage") in c02
