@@ -4274,6 +4274,85 @@ def s13m_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_cdc_follow",
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                            o_totalprice
+                     FROM orders WHERE o_orderkey % 3 = 0),
+       merged AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+                         CASE WHEN o_orderkey % 900 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS p
+                  FROM base),
+       afterdel AS (SELECT * FROM merged WHERE NOT (o_orderkey % 500 = 0))
+       SELECT o_orderkey, o_custkey, o_orderpriority,
+              CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN p * 1.5
+                        ELSE p END AS DOUBLE) AS price
+       FROM afterdel""",
+)
+def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 + S13 (round 12): the STREAMING CHANGE-FEED SOURCE — a
+    replica follows the source AcidTable's commit log as micro-batches
+    (one idempotent ``apply_cdc`` commit per source version,
+    streaming/events.follow_changes), staying row-identical through a
+    MERGE, a masked point DELETE (deletion vectors on the source), and
+    an atomic ``overwrite_where`` backfill.  The txn ledger is the
+    stream offset: a replayed batch no-ops, a fresh follower resumes
+    from the ledger (both re-asserted inline here).  This is the Delta
+    ``readStream``-on-a-table primitive over the engine's own log; the
+    oracle replays the three operations as CASE/WHERE algebra."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import follow_changes
+
+    root = tempfile.mkdtemp(prefix="bdmc_cdcf_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 3 == 0)
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+            .repartitionByRange(4, "o_orderkey")
+        )
+        src = AcidTable.create(spark, root + "/src", base, key_cols=["o_orderkey"])
+        rep = AcidTable.create(spark, root + "/rep", base, key_cols=["o_orderkey"])
+        delta = (
+            src.snapshot()
+            .where(F.col("o_orderkey") % 900 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        src.merge(spark.createDataFrame(delta.collect(), delta.schema), ["o_orderkey"])
+        src.delete("o_orderkey % 500 = 0")
+        repl = (
+            src.snapshot()
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+        )
+        src.overwrite_where(
+            spark.createDataFrame(repl.collect(), repl.schema),
+            "o_orderpriority = '1-URGENT'",
+        )
+        applied = follow_changes(src, rep, "cdc", base_version=0)
+        if applied != [1, 2, 3]:
+            raise AssertionError(f"expected one micro-batch per commit, got {applied}")
+        # replay + drained-followup must both no-op (exactly-once)
+        v = rep.latest_version()
+        rep.apply_cdc(src.changes(1, 2), txn=("cdc", 2))
+        if rep.latest_version() != v or follow_changes(src, rep, "cdc") != []:
+            raise AssertionError("replayed/drained batch was not a no-op")
+        out = rep.snapshot().select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

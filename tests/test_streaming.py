@@ -999,3 +999,57 @@ def test_acid_backfill_sink_date_slices_and_unsupported_types(spark, tmp_path):
     bad = acid_backfill_sink(str(tmp_path / "t2"), slice_col="day", app_id="bf2")
     with _pytest.raises(TypeError, match="unsupported type"):
         bad(spark.createDataFrame([([1], 1)], "day array<int>, id long"), 0)
+
+
+def test_follow_changes_replicates_and_replays_idempotently(spark, tmp_path):
+    """Round 12: the commit-log follower applies each source version as
+    one idempotent micro-batch; a restarted follower resumes from the
+    txn ledger, replays no-op, and the replica tracks the source
+    through merge + delete + overwrite_where — including a masked
+    (deletion-vector) delete."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import follow_changes
+
+    base = spark.range(0, 2_000).withColumn(
+        "grp", (F.col("id") % 4).cast("int")
+    ).withColumn("v", F.col("id") * 10).repartitionByRange(4, "id")
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["id"])
+    rep = AcidTable.create(spark, str(tmp_path / "rep"), base, key_cols=["id"])
+
+    src.merge(spark.createDataFrame([(5, 1, -1), (3000, 2, -2)],
+                                    "id long, grp int, v long"), ["id"])
+    src.delete("id % 400 = 7")  # 5 rows -> deletion vectors on src
+    repl = (
+        src.snapshot().where("grp = 3").withColumn("v", F.lit(0).cast("long"))
+    )
+    repl = spark.createDataFrame(repl.collect(), repl.schema)
+    src.overwrite_where(repl, "grp = 3")
+
+    applied = follow_changes(src, rep, "cdc", base_version=0)
+    assert applied == [1, 2, 3]  # one micro-batch per source commit
+    assert rep.last_txn("cdc") == 3
+    s = {tuple(r) for r in src.snapshot().collect()}
+    assert {tuple(r) for r in rep.snapshot().collect()} == s
+    # drained: nothing more to apply; replay of an old batch no-ops
+    assert follow_changes(src, rep, "cdc") == []
+    v_before = rep.latest_version()
+    rep.apply_cdc(src.changes(1, 2), txn=("cdc", 2))  # explicit replay
+    assert rep.latest_version() == v_before
+    # a FRESH follower instance resumes from the ledger alone
+    src.append(spark.createDataFrame([(9000, 0, 1)], "id long, grp int, v long"))
+    rep2 = AcidTable(spark, str(tmp_path / "rep"))
+    assert follow_changes(src, rep2, "cdc") == [4]
+    assert {tuple(r) for r in rep2.snapshot().collect()} == {
+        tuple(r) for r in src.snapshot().collect()
+    }
+    # max_batches bounds a drain without losing the offset
+    src.delete("id = 0")
+    src.delete("id = 1")
+    assert follow_changes(src, rep2, "cdc", max_batches=1) == [5]
+    assert follow_changes(src, rep2, "cdc") == [6]
+    # fresh ledger without base_version fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="base_version"):
+        follow_changes(src, AcidTable(spark, str(tmp_path / "rep")), "other")
