@@ -4353,6 +4353,63 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13n_point_lookup_bloom",
+    """SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey % 5000 = 1""",
+)
+def s13n_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 BLOOM FILE STATS (round 12): orders keyed by an md5 hash —
+    the hash-scattered layout where every file's [min,max] spans the
+    whole key space and stats pruning is useless — gets per-file Bloom
+    membership bitmaps (``compute_bloom_stats``, the portable md5
+    double-hash from operators/bloom.py), and a point lookup of ~12
+    keys then reads only the files whose bitmap can contain a probe
+    (asserted inline: files_read < files_total).  False positives cost
+    a wasted read; false negatives cannot happen, so the result equals
+    the plain IN filter — which is exactly what the oracle checks
+    (the md5 key roundtrip is internal; DuckDB replays the keyset)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_bl_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+        ).repartition(8, "k")
+        t = AcidTable.create(spark, root + "/orders", base, key_cols=["k"])
+        t.compute_bloom_stats(["k"], m_bits=61_440, k=5)
+        keys = sorted(
+            r["o_orderkey"]
+            for r in orders.where(F.col("o_orderkey") % 5000 == 1)
+            .select("o_orderkey")
+            .collect()
+        )
+        probe = [hashlib.md5(str(x).encode()).hexdigest() for x in keys]
+        df, info = t.point_lookup("k", probe)
+        if not info["files_read"] < info["files_total"]:
+            raise AssertionError(
+                f"bloom stats should prune hash-scattered files: {info}"
+            )
+        out = df.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

@@ -292,13 +292,20 @@ class AcidTable:
         # (merge, restore, compact, schema evolution, ...) can silently
         # drop them.  The parent manifest is the current head, which is
         # never vacuum-pruned.
-        if "constraints" not in manifest and version > 0:
+        if version > 0 and (
+            "constraints" not in manifest or "bloom" not in manifest
+        ):
             try:
-                parent_c = self._read_manifest(version - 1).get("constraints")
+                parent = self._read_manifest(version - 1)
             except FileNotFoundError:
-                parent_c = None
-            if parent_c:
-                manifest["constraints"] = parent_c
+                parent = {}
+            if "constraints" not in manifest and parent.get("constraints"):
+                manifest["constraints"] = parent["constraints"]
+            # bloom file-stats property (round 12) inherits the same way;
+            # staleness is sound — files the sidecar doesn't cover are
+            # conservatively read by point_lookup
+            if "bloom" not in manifest and parent.get("bloom"):
+                manifest["bloom"] = parent["bloom"]
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1272,6 +1279,239 @@ class AcidTable:
             if hi is not None:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df, info
+
+    def compute_bloom_stats(
+        self,
+        cols: Sequence[str],
+        m_bits: int = 61_440,
+        k: int = 5,
+        salt: str = "bloom",
+    ) -> int:
+        """FILE-LEVEL BLOOM MEMBERSHIP stats (round 12): for
+        high-cardinality UNORDERED keys (doc GUIDs, content hashes)
+        per-file [min,max] stats prune nothing — every file's range
+        spans the key space.  This maintenance op scans the snapshot
+        ONCE, folds each file's values of each ``cols`` column into an
+        ``m_bits``-bit Bloom bitmap (the PORTABLE md5 double-hash from
+        operators/bloom.py, so an external engine can replay
+        membership bit-for-bit), and lands them as a sidecar parquet
+        under ``_bloom/<uuid>/`` plus a metadata-only commit recording
+        the table-level ``bloom`` property.  :meth:`point_lookup` then
+        prunes files whose bitmap provably lacks every probed value.
+
+        Sizing: ~10 bits per distinct value per file for ~1% false
+        positives (m_bits=61_440 covers ~6k values/file; scale up for
+        bigger files).  STALENESS IS SOUND: files written after this
+        commit have no bitmap row and are conservatively read; removed
+        files' rows are ignored (inner identity via the entries join).
+        Deletion-vector-masked rows are excluded from the build (fewer
+        false positives; never false negatives).
+
+        The property carries forward through every commit at the
+        ``_publish`` choke point (like CHECK constraints) until the
+        next ``compute_bloom_stats`` replaces it."""
+        from ..operators.bloom import (
+            BITS_PER_WORD,
+            MAX_WORDS,
+            _check_params,
+            _mask_array,
+            _positions,
+        )
+
+        _check_params(m_bits, k)
+        if m_bits > MAX_WORDS * BITS_PER_WORD:
+            raise ValueError("m_bits exceeds the sidecar word budget")
+        head = self._head()
+        m = self._read_manifest(head)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        phys = {f.name: self._physical_name(f) for f in schema.fields}
+        missing = sorted(set(cols) - set(phys))
+        if missing:
+            raise ValueError(f"bloom columns not in schema: {missing}")
+        abs_root = os.path.abspath(self.root)
+        n_words = m_bits // BITS_PER_WORD
+        df = self._read_entries_data(schema, self.entries(head), keep_meta=True)
+        frames = []
+        for c in cols:
+            pos = (
+                df.where(F.col(c).isNotNull())
+                .select(
+                    "__file",
+                    F.explode(
+                        F.array(*_positions(F.col(c), salt, m_bits, k, True))
+                    ).alias("pos"),
+                )
+            )
+            words = (
+                pos.select(
+                    "__file",
+                    F.floor(F.col("pos") / BITS_PER_WORD).cast("int").alias("w"),
+                    F.element_at(
+                        _mask_array(), (F.col("pos") % BITS_PER_WORD).cast("int") + 1
+                    ).alias("bit"),
+                )
+                .groupBy("__file", "w")
+                .agg(F.bit_or("bit").alias("word"))
+            )
+            # one fixed-width hex string per file: word i at chars
+            # [16i, 16i+16) — point_lookup addresses words by substring,
+            # so membership checks never parse the whole bitmap
+            hexes = (
+                words.groupBy("__file")
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("w", "word"))
+                    ).alias("wm")
+                )
+                .select(
+                    "__file",
+                    F.array_join(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(n_words - 1)),
+                            lambda i: F.lpad(
+                                F.hex(
+                                    F.coalesce(
+                                        F.element_at(F.col("wm"), i), F.lit(0)
+                                    )
+                                ),
+                                16,
+                                "0",
+                            ),
+                        ),
+                        "",
+                    ).alias("words"),
+                )
+                .withColumn("col", F.lit(phys[c]))
+            )
+            frames.append(hexes)
+        allb = frames[0]
+        for f in frames[1:]:
+            allb = allb.unionByName(f)
+        manifest_path = F.when(
+            F.col("__file").startswith(abs_root + "/"),
+            F.col("__file").substr(F.lit(len(abs_root) + 2), F.length("__file")),
+        ).otherwise(F.col("__file"))
+        rel = f"_bloom/{uuid.uuid4().hex}"
+        allb.select(manifest_path.alias("path"), "col", "words").repartition(
+            1
+        ).write.mode("errorifexists").parquet(os.path.join(self.root, rel))
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "bloom-stats",
+                "schema": m["schema"],
+                "key_cols": m["key_cols"],
+                "add": [],
+                "remove": [],
+                "bloom": {
+                    "dir": rel,
+                    "cols": [phys[c] for c in cols],
+                    "m_bits": m_bits,
+                    "k": k,
+                    "salt": salt,
+                    "built_at": head,
+                },
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    def point_lookup(
+        self,
+        col: str,
+        values: Sequence,
+        version: int | None = None,
+    ) -> tuple[DataFrame, dict]:
+        """Point-lookup read ``col IN values`` with TWO pruning layers:
+        per-file [min,max] containment (free), then Bloom membership
+        when :meth:`compute_bloom_stats` covered ``col`` — a file is
+        read only if SOME probed value passes both.  On unordered
+        high-cardinality keys min/max keeps everything and the bitmap
+        does the real work; Bloom false positives only cost a wasted
+        read (the exact ``IN`` re-filter runs on the survivors), false
+        negatives cannot happen.  The prune is a Spark filter over the
+        entries frame joined with the bitmap sidecar — only surviving
+        paths reach the driver.  Returns (DataFrame, info) with
+        ``files_total`` / ``files_read`` like :meth:`scan`."""
+        import hashlib
+
+        from ..operators.bloom import BITS_PER_WORD
+
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        m = self._read_manifest(v)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"column {col!r} not in schema")
+        values = list(values)
+        if not values:
+            raise ValueError("point_lookup needs at least one value")
+        sk = {f.name: self._physical_name(f) for f in schema.fields}[col]
+        col_type = {f.name: f.dataType.simpleString() for f in schema.fields}[col]
+        ent = self._entries_frame(v)
+        # layer 1: min/max containment, per probed value, OR'd
+        smin = F.get_json_object("stats", f"$.{sk}.min")
+        smax = F.get_json_object("stats", f"$.{sk}.max")
+        if col_type in _INT_TYPES:
+            smin_c, smax_c = smin.cast("bigint"), smax.cast("bigint")
+            lits = [F.lit(int(x)) for x in values]
+        elif col_type in _FLOAT_TYPES:
+            smin_c, smax_c = smin.cast("double"), smax.cast("double")
+            lits = [F.lit(float(x)) for x in values]
+        else:
+            smin_c, smax_c = smin, smax
+            lits = [F.lit(str(_range_scalar(x))) for x in values]
+        contains_any = F.lit(False)
+        for x in lits:
+            contains_any = contains_any | ((smin_c <= x) & (smax_c >= x))
+        keep = F.when(smin.isNull(), F.lit(True)).otherwise(contains_any)
+        # layer 2: Bloom membership (driver-computed bit positions —
+        # values are few by definition of a point lookup — checked as
+        # substring/conv expressions against the hex bitmap column)
+        bloom = m.get("bloom")
+        if bloom and sk in bloom["cols"]:
+            mb, kk, salt = bloom["m_bits"], bloom["k"], bloom["salt"]
+            bf = (
+                self.spark.read.parquet(os.path.join(self.root, bloom["dir"]))
+                .where(F.col("col") == sk)
+                .select("path", "words")
+            )
+            ent = ent.join(bf, "path", "left")
+            any_val = F.lit(False)
+            for x in values:
+                hx = hashlib.md5((str(x) + salt).encode()).hexdigest()
+                h1, h2 = int(hx[0:15], 16), int(hx[15:30], 16)
+                base, step = h1 % mb, h2 % (mb - 1) + 1
+                all_bits = F.lit(True)
+                for i in range(kk):
+                    p = (base + i * step) % mb
+                    w, b = p // BITS_PER_WORD, p % BITS_PER_WORD
+                    word = F.conv(
+                        F.substring("words", w * 16 + 1, 16), 16, 10
+                    ).cast("long")
+                    all_bits = all_bits & (word.bitwiseAND(F.lit(1 << b)) != 0)
+                any_val = any_val | all_bits
+            keep = keep & F.when(F.col("words").isNull(), F.lit(True)).otherwise(
+                any_val
+            )
+        ent = ent.persist()
+        try:
+            total = ent.count()
+            kept = [
+                {"path": r["path"], "dv": json.loads(r["dv"]) if r["dv"] else None}
+                for r in ent.where(keep).select("path", "dv").collect()
+            ]
+        finally:
+            ent.unpersist()
+        info = {"files_total": total, "files_read": len(kept), "version": v}
+        if not kept:
+            return self.spark.createDataFrame([], schema), info
+        df = self._read_entries_data(schema, sorted(kept, key=lambda e: e["path"]))
+        return df.where(F.col(col).isin(values)), info
 
     def changes(
         self,
@@ -2629,6 +2869,25 @@ class AcidTable:
                 deleted.append(rel)
             if not any(n.endswith(".parquet") for n in os.listdir(full_dir)):
                 shutil.rmtree(full_dir, ignore_errors=True)
+        # bloom-stats sidecar dirs referenced by NO retained manifest
+        # (the property rides on manifests, inherited at publish)
+        live_bloom = set()
+        for v in retained:
+            b = self._read_manifest(v).get("bloom")
+            if b:
+                live_bloom.add(b["dir"])
+        bloom_root = os.path.join(self.root, "_bloom")
+        for d in os.listdir(bloom_root) if os.path.isdir(bloom_root) else []:
+            rel = os.path.join("_bloom", d)
+            full = os.path.join(bloom_root, d)
+            if rel in live_bloom or not os.path.isdir(full):
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except FileNotFoundError:
+                continue
+            if age >= retain_seconds:
+                shutil.rmtree(full, ignore_errors=True)
         # deletion-vector sidecar dirs referenced by NO retained version
         # (files under this root only — clone-inherited vectors live
         # under their source's root and are never touched, mirroring the

@@ -2094,3 +2094,70 @@ def test_changes_exact_across_deletion_vectors(spark, tmp_path):
     # full span composes
     c02 = {(r["id"], r["_change_type"]) for r in t.changes(0, 2).collect()}
     assert (12, "delete") in c02 and (22, "update_postimage") in c02
+
+
+# ------------------------------------------------- bloom file stats
+
+
+def test_bloom_file_stats_prune_point_lookups(spark, tmp_path):
+    """Round 12: on hash-scattered keys min/max prunes nothing; after
+    compute_bloom_stats a point lookup reads at most the files that
+    can contain the probed values (no false negatives ever), new files
+    are conservatively read, and the property + sidecar survive
+    unrelated commits and vacuum."""
+    base = (
+        spark.range(0, 16_000)
+        .withColumn("k", F.md5(F.col("id").cast("string")))
+        .repartition(8, "k")
+        .select("k", "id", (F.col("id") * 2).alias("v"))
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["k"])
+    probe = [r["k"] for r in t.snapshot().where("id in (3, 777, 9000)").collect()]
+    _, info0 = t.point_lookup("k", probe)
+    assert info0["files_read"] == info0["files_total"] == 8  # min/max useless
+    t.compute_bloom_stats(["k"], m_bits=61_440, k=5)
+    df, info = t.point_lookup("k", probe)
+    assert info["files_read"] <= len(probe) < info["files_total"]
+    assert sorted(r["id"] for r in df.collect()) == [3, 777, 9000]
+    # a value not in the table: near-total prune, zero rows
+    _, miss = t.point_lookup("k", ["definitely-not-a-key"])
+    assert miss["files_read"] <= 1
+    # the property carries through unrelated commits (publish choke
+    # point) and new files are conservatively read
+    t.append(spark.createDataFrame([("zzz", 99_999, 0)], "k string, id long, v long"))
+    got, info2 = t.point_lookup("k", ["zzz"])
+    assert got.count() == 1 and info2["files_read"] == 1
+    # exact-lookup equivalence on a mixed present/missing probe set
+    mixed = probe + ["zzz", "nope"]
+    df3, _ = t.point_lookup("k", mixed)
+    want = {tuple(r) for r in t.snapshot().where(F.col("k").isin(mixed)).collect()}
+    assert {tuple(r) for r in df3.collect()} == want
+
+
+def test_bloom_stats_replaced_and_vacuumed(spark, tmp_path):
+    """Rebuilding bloom stats replaces the property; vacuum drops the
+    orphaned sidecar dir but keeps the referenced one."""
+    base = (
+        spark.range(0, 2_000)
+        .withColumn("k", F.md5(F.col("id").cast("string")))
+        .repartition(4, "k")
+        .select("k", "id")
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["k"])
+    t.compute_bloom_stats(["k"])
+    d1 = t._read_manifest(t.latest_version())["bloom"]["dir"]
+    t.compute_bloom_stats(["k"])  # rebuild -> new sidecar
+    d2 = t._read_manifest(t.latest_version())["bloom"]["dir"]
+    assert d1 != d2
+    # burn history so only the new property remains, then vacuum
+    t.compact(target_files=2)
+    t.compact(target_files=2)
+    t.compact(target_files=2)
+    t.vacuum(keep_last=2, retain_seconds=0.0)
+    root = str(tmp_path / "t")
+    assert not os.path.isdir(os.path.join(root, d1))
+    assert os.path.isdir(os.path.join(root, d2))
+    # lookups still work (stale-but-sound after the compactions)
+    probe = [r["k"] for r in t.snapshot().where("id = 42").collect()]
+    df, _ = t.point_lookup("k", probe)
+    assert df.count() == 1
