@@ -4410,6 +4410,135 @@ def s13n_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13o_schema_evolution",
+    """WITH base AS (SELECT o_orderkey,
+                            CAST(o_orderkey % 1000 AS INT) AS cents
+                     FROM orders WHERE o_orderkey % 2 = 0),
+       delta AS (SELECT o_orderkey,
+                        o_orderkey * 10000000000 AS cents_wide,
+                        'repriced' AS tag
+                 FROM base WHERE o_orderkey % 600 = 0)
+       SELECT b.o_orderkey AS o_orderkey,
+              CAST(COALESCE(d.cents_wide, b.cents) AS BIGINT) AS cents,
+              d.tag AS tag
+       FROM base b LEFT JOIN delta d ON d.o_orderkey = b.o_orderkey""",
+)
+def s13o_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 SCHEMA EVOLUTION + TYPE WIDENING (round 12), both
+    metadata-only: ``widen_column`` upgrades an int column to bigint
+    without rewriting a file (old int32 pages upcast at scan), then a
+    MERGE with ``schema_evolution=True`` lands values beyond int range
+    AND auto-adds a new ``tag`` column in the same commit — existing
+    files NULL-backfill it through a fresh physical name
+    (sources/acid_table.py widen_column/_evolve_schema; Delta's
+    type-widening + mergeSchema).  Zero-rewrite is asserted inline; the
+    oracle replays widen+merge as CAST + LEFT JOIN."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_se_")
+    try:
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 2 == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_orderkey") % 1000).cast("int").alias("cents"),
+            )
+            .repartitionByRange(4, "o_orderkey")
+        )
+        t = AcidTable.create(spark, root + "/t", base, key_cols=["o_orderkey"])
+        t.widen_column("cents", "bigint")
+        m1 = t._read_manifest(1)
+        if m1["add"] or m1["remove"]:
+            raise AssertionError("widen_column must be metadata-only")
+        delta = (
+            t.snapshot()
+            .where(F.col("o_orderkey") % 600 == 0)
+            .select(
+                "o_orderkey",
+                (F.col("o_orderkey") * 10_000_000_000).alias("cents"),
+                F.lit("repriced").alias("tag"),
+            )
+        )
+        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        t.merge(delta, ["o_orderkey"], schema_evolution=True)
+        out = t.snapshot().select("o_orderkey", "cents", "tag")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "s13p_incremental_optimize",
+    """SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey % 5 = 2
+       UNION ALL
+       SELECT o_orderkey + 100000000, o_custkey,
+              CAST(o_totalprice * 1.5 AS DOUBLE)
+       FROM orders WHERE o_orderkey % 5 = 2 AND o_orderkey % 3 = 0""",
+)
+def s13p_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 INCREMENTAL OPTIMIZE (round 12): after a full compaction
+    sets the maintenance watermark, later appends compact with
+    ``compact(incremental=True)`` — ONLY the post-watermark files are
+    read and rewritten (asserted inline: every pre-watermark file
+    carries, the remove set is exactly the fresh files), and the
+    logical snapshot is byte-identical, which is what the oracle
+    checks.  At 100 TB this is each maintenance window compacting its
+    own churn in O(churn) instead of re-clustering the bulk
+    (sources/acid_table.py compact, `last_optimize` watermark)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_io_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        base = (
+            orders.where(F.col("o_orderkey") % 5 == 2)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .repartitionByRange(4, "o_orderkey")
+        )
+        t = AcidTable.create(spark, root + "/t", base, key_cols=["o_orderkey"])
+        t.compact(target_files=4)  # watermark
+        bulk = {e["path"] for e in t.entries(t.latest_version())}
+        churn = (
+            orders.where(
+                (F.col("o_orderkey") % 5 == 2) & (F.col("o_orderkey") % 3 == 0)
+            )
+            .select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("o_totalprice") * 1.5).alias("o_totalprice"),
+            )
+        )
+        t.append(churn.repartition(6))
+        v = t.compact(target_files=1, incremental=True)
+        m = t._read_manifest(v)
+        if m["operation"] != "optimize-incremental" or (set(m["remove"]) & bulk):
+            raise AssertionError(
+                "incremental optimize must touch only post-watermark files"
+            )
+        if not bulk <= {e["path"] for e in t.entries(v)}:
+            raise AssertionError("pre-watermark files must carry unchanged")
+        out = t.snapshot().select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

@@ -293,7 +293,9 @@ class AcidTable:
         # drop them.  The parent manifest is the current head, which is
         # never vacuum-pruned.
         if version > 0 and (
-            "constraints" not in manifest or "bloom" not in manifest
+            "constraints" not in manifest
+            or "bloom" not in manifest
+            or "last_optimize" not in manifest
         ):
             try:
                 parent = self._read_manifest(version - 1)
@@ -306,6 +308,11 @@ class AcidTable:
             # conservatively read by point_lookup
             if "bloom" not in manifest and parent.get("bloom"):
                 manifest["bloom"] = parent["bloom"]
+            # incremental-OPTIMIZE watermark (round 12): the version of
+            # the last compaction, so `compact(incremental=True)` only
+            # touches files added after it
+            if "last_optimize" not in manifest and parent.get("last_optimize"):
+                manifest["last_optimize"] = parent["last_optimize"]
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1659,11 +1666,16 @@ class AcidTable:
         df: DataFrame,
         max_retries: int = 10,
         txn: tuple[str, int] | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """Append-only commit.  Commutes with concurrent appends, so a
         lost race rebases on the new head and retries.  The commit
         record is sized by THIS append's files — the table's existing
-        file list is never rewritten into the log."""
+        file list is never rewritten into the log.
+
+        ``schema_evolution=True``: extra frame columns auto-add to the
+        schema in this commit (see :meth:`merge`); a concurrent schema
+        change then aborts the rebase instead of clobbering it."""
         base = self.latest_version()
         if base is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1673,9 +1685,14 @@ class AcidTable:
         from pyspark.sql.types import StructType as _AST
 
         self._enforce_constraints(df, m0, "append")
-        new_files = self._write_data_files(
-            df, m0["key_cols"], schema=_AST.fromJson(m0["schema"])
-        )
+        wschema = _AST.fromJson(m0["schema"])
+        evolved_json = None
+        if schema_evolution:
+            evolved = self._evolve_schema(wschema, df)
+            if evolved is not wschema:
+                wschema = evolved
+                evolved_json = wschema.jsonValue()
+        new_files = self._write_data_files(df, m0["key_cols"], schema=wschema)
         for _ in range(max_retries):
             head = self.latest_version()
             m = self._read_manifest(head)
@@ -1696,12 +1713,21 @@ class AcidTable:
                     "append (rebased onto concurrently changed constraints)",
                 )
                 m0 = m
+            if evolved_json is not None and m["schema"] != self._read_manifest(
+                base
+            )["schema"]:
+                # an evolving append publishing over a concurrent schema
+                # change could clobber it (or be clobbered) — abort
+                # rather than guess a three-way schema merge
+                raise ConcurrentWriteError(
+                    "schema changed concurrently under a schema-evolving append"
+                )
             try:
                 return self._commit(
                     {
                         "version": head + 1,
                         "operation": "append",
-                        "schema": m["schema"],
+                        "schema": evolved_json or m["schema"],
                         "key_cols": m["key_cols"],
                         "add": new_files,
                         "remove": [],
@@ -1817,6 +1843,7 @@ class AcidTable:
         txn: tuple[str, int] | None = None,
         recompute_frac: float = 0.6,
         dv_frac: float | None = None,
+        schema_evolution: bool = False,
     ) -> int:
         """MERGE: delta rows replace matching-PK rows, unmatched delta
         rows insert.  Touched files whose matched fraction falls below
@@ -1824,6 +1851,12 @@ class AcidTable:
         the replaced rows, the delta lands as new files — no base data
         rewritten); the rest rewrite copy-on-write.  ``dv_frac=0``
         forces pure COW.
+
+        ``schema_evolution=True`` (Delta's ``mergeSchema``): EXTRA
+        delta columns auto-add to the table schema inside THIS commit
+        (nullable, fresh physical names) — existing files NULL-backfill
+        them at read time, nothing rewrites.  Off by default: a typo'd
+        column should fail loudly, not fork the schema.
 
         File pruning: a data file must be rewritten only if its stats
         range on ``pk_cols[0]`` can contain some delta key.  The probe
@@ -1864,6 +1897,11 @@ class AcidTable:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
+        if schema_evolution:
+            evolved = self._evolve_schema(schema, delta)
+            if evolved is not schema:
+                schema = evolved
+                m = {**m, "schema": schema.jsonValue()}
         stats_key = {
             f.name: self._physical_name(f) for f in schema.fields
         }.get(probe_col, probe_col)
@@ -1992,6 +2030,10 @@ class AcidTable:
         append whose files' [min,max] stats on ``probe_col`` contain NO
         key from ``keys_df``.  Conservative: missing stats or any
         non-append operation counts as a conflict."""
+        try:
+            base_schema = self._read_manifest(base_head)["schema"]
+        except FileNotFoundError:
+            return True
         appended = []
         for v in range(base_head + 1, new_head + 1):
             try:
@@ -1999,6 +2041,10 @@ class AcidTable:
             except FileNotFoundError:
                 return True
             if mv.get("operation") != "append" or mv.get("remove") or mv.get("reset"):
+                return True
+            if mv["schema"] != base_schema:
+                # a concurrent schema-evolving append: republishing our
+                # manifest would clobber its added columns — abort
                 return True
             appended.extend(mv.get("add", []))
         if not appended:
@@ -2527,6 +2573,99 @@ class AcidTable:
             }
         )
 
+    # widenings the parquet reader performs losslessly at scan time
+    # (probed on this Spark build; Delta's type-widening table feature
+    # allows the same set): the integer chain, float->double, and
+    # same-scale decimal precision growth
+    _INT_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint"]
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Type widening as a METADATA-ONLY commit — no data file is
+        rewritten (Delta's type-widening feature): the manifest schema
+        changes, and every existing file's narrower physical type
+        upcasts at read time (int32 pages read through a bigint schema
+        — verified native on this Spark build).  Allowed: the integer
+        chain (tinyint→smallint→int→bigint), float→double, and
+        decimal(p,s)→decimal(p',s) with p'>=p.  Anything else (lossy,
+        reordering, or cross-family) is refused — that's a rewrite,
+        not a metadata change.  Time travel keeps the old type; stats
+        min/max strings re-cast through the new type transparently."""
+        import re as _re
+
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        head = self._head()
+        m = self._read_manifest(head)
+        schema = StructType.fromJson(m["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(f"column {name!r} does not exist")
+        old = by_name[name].dataType.simpleString()
+        new = _parse_datatype_string(new_type).simpleString()
+        ok = False
+        if old in self._INT_WIDEN_ORDER and new in self._INT_WIDEN_ORDER:
+            ok = self._INT_WIDEN_ORDER.index(new) > self._INT_WIDEN_ORDER.index(old)
+        elif old == "float" and new == "double":
+            ok = True
+        else:
+            mo = _re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+            mn = _re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+            if mo and mn and mo.group(2) == mn.group(2):
+                ok = int(mn.group(1)) >= int(mo.group(1))
+        if not ok:
+            raise ValueError(
+                f"cannot widen {name!r} from {old} to {new}: only lossless "
+                "read-compatible widenings (int chain, float->double, "
+                "same-scale decimal precision) are metadata-only"
+            )
+        fields = [
+            StructField(
+                f.name,
+                _parse_datatype_string(new) if f.name == name else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+        return self._commit(
+            {
+                "version": head + 1,
+                "operation": "widen-column",
+                "schema": StructType(fields).jsonValue(),
+                "key_cols": m["key_cols"],
+                "add": [],
+                "remove": [],
+                "txns": self._merged_txns(m, None),
+            }
+        )
+
+    @staticmethod
+    def _evolve_schema(schema, df: DataFrame):
+        """Schema-evolution half of Delta's ``mergeSchema``: extend
+        ``schema`` with the frame's EXTRA columns (nullable, fresh
+        physical names so a previously dropped same-named column can
+        never resurrect).  Returns the (possibly unchanged) schema."""
+        from pyspark.sql.types import StructField, StructType
+
+        existing = {f.name.lower() for f in schema.fields}
+        extra = [f for f in df.schema.fields if f.name.lower() not in existing]
+        if not extra:
+            return schema
+        return StructType(
+            [
+                *schema.fields,
+                *[
+                    StructField(
+                        f.name,
+                        f.dataType,
+                        True,
+                        {"physical_name": f"c_{uuid.uuid4().hex[:12]}"},
+                    )
+                    for f in extra
+                ],
+            ]
+        )
+
     def check_constraints(self, version: int | None = None) -> dict[str, str]:
         """The table's CHECK constraints (name -> SQL expression) at a
         version (default head)."""
@@ -2687,7 +2826,7 @@ class AcidTable:
             }
         )
 
-    def compact(self, target_files: int) -> int:
+    def compact(self, target_files: int, incremental: bool = False) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         range-partitioned files (ranged on the first key column so the
         per-file min/max stats stay tight and merge/scan pruning keeps
@@ -2700,22 +2839,66 @@ class AcidTable:
         KB-sized files whose open/footer overhead dominates scans;
         periodic compaction restores scan bandwidth without blocking
         readers or writers (an optimistic-concurrency conflict on the
-        version simply retries the compaction later)."""
+        version simply retries the compaction later).
+
+        ``incremental=True`` (round 12): compact ONLY the files added
+        since the previous optimize (the ``last_optimize`` watermark
+        property, carried through every commit) — a steady-state
+        streaming sink compacts each maintenance window's churn in
+        O(churn), never re-reading the 100 TB bulk it already
+        compacted.  Files carried from before the watermark (their
+        deletion vectors included) stay byte-identical; the logical
+        snapshot is unchanged either way.  Falls back to a full
+        compact when there is no watermark or its version is already
+        vacuumed."""
+        from pyspark.sql.types import StructType as _CST
+
         head = self._head()
         m = self._read_manifest(head)
-        snap = self.snapshot(head)
         key_cols = m["key_cols"]
+        schema = _CST.fromJson(m["schema"])
+        if incremental:
+            lo = m.get("last_optimize")
+            old_paths: set[str] | None = None
+            if lo is not None:
+                try:
+                    old_paths = {e["path"] for e in self.entries(lo)}
+                except FileNotFoundError:
+                    old_paths = None  # watermark vacuumed away: full pass
+            if old_paths is not None:
+                fresh = [
+                    e for e in self.entries(head) if e["path"] not in old_paths
+                ]
+                if not fresh:
+                    return head  # nothing added since the last optimize
+                part = self._read_entries_data(schema, fresh)
+                if key_cols:
+                    part = part.repartitionByRange(
+                        target_files, key_cols[0]
+                    ).sortWithinPartitions(key_cols[0])
+                else:
+                    part = part.repartition(target_files)
+                files = self._write_data_files(part, key_cols, schema=schema)
+                return self._commit(
+                    {
+                        "version": head + 1,
+                        "operation": "optimize-incremental",
+                        "schema": m["schema"],
+                        "key_cols": key_cols,
+                        "add": files,
+                        "remove": [e["path"] for e in fresh],
+                        "last_optimize": head + 1,
+                        "txns": self._merged_txns(m, None),
+                    }
+                )
+        snap = self.snapshot(head)
         if key_cols:
             snap = snap.repartitionByRange(target_files, key_cols[0]).sortWithinPartitions(
                 key_cols[0]
             )
         else:
             snap = snap.repartition(target_files)
-        from pyspark.sql.types import StructType as _CST
-
-        files = self._write_data_files(
-            snap, key_cols, schema=_CST.fromJson(m["schema"])
-        )
+        files = self._write_data_files(snap, key_cols, schema=schema)
         return self._commit(
             {
                 "version": head + 1,
@@ -2724,6 +2907,7 @@ class AcidTable:
                 "key_cols": key_cols,
                 "reset": True,
                 "add": files,
+                "last_optimize": head + 1,
                 "txns": self._merged_txns(m, None),
             }
         )
@@ -2799,6 +2983,7 @@ class AcidTable:
                 "key_cols": m["key_cols"],
                 "reset": True,
                 "add": files,
+                "last_optimize": head + 1,
                 "txns": self._merged_txns(m, None),
             }
         )

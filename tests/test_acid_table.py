@@ -2161,3 +2161,147 @@ def test_bloom_stats_replaced_and_vacuumed(spark, tmp_path):
     probe = [r["k"] for r in t.snapshot().where("id = 42").collect()]
     df, _ = t.point_lookup("k", probe)
     assert df.count() == 1
+
+
+# --------------------------------------- type widening / schema evolution
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """Round 12: int->long (and float->double) widening is ONE metadata
+    commit — no file rewritten; old int32 pages read through the wide
+    schema, a wide delta then merges cleanly, and time travel keeps the
+    narrow type.  Lossy/cross-family changes are refused."""
+    base = spark.range(0, 1_000).select(
+        "id",
+        (F.col("id") % 100).cast("int").alias("cents"),
+        (F.col("id") / 7).cast("float").alias("ratio"),
+    )
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    files0 = {e["path"] for e in t.entries(0)}
+    t.widen_column("cents", "bigint")
+    t.widen_column("ratio", "double")
+    m = t._read_manifest(2)
+    assert m["add"] == [] and m["remove"] == []  # metadata-only
+    assert {e["path"] for e in t.entries(2)} == files0
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["cents"] == "bigint"
+    assert dict(snap.dtypes)["ratio"] == "double"
+    assert snap.where("cents = 42").count() == 10
+    # a delta that NEEDS the width merges (values beyond int range)
+    t.merge(
+        spark.createDataFrame(
+            [(5, 10_000_000_000, 0.5), (2000, -1, 0.25)],
+            "id long, cents bigint, ratio double",
+        ),
+        ["id"],
+    )
+    got = {r["id"]: r["cents"] for r in t.snapshot().where("id in (5, 2000)").collect()}
+    assert got == {5: 10_000_000_000, 2000: -1}
+    # time travel: version 0 still reads the narrow types
+    assert dict(t.snapshot(0).dtypes)["cents"] == "int"
+    # refusals: narrowing, cross-family, unknown column
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("cents", "int")
+    with pytest.raises(ValueError, match="cannot widen"):
+        t.widen_column("ratio", "string")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.widen_column("nope", "bigint")
+
+
+def test_merge_and_append_schema_evolution(spark, tmp_path):
+    """schema_evolution=True auto-adds extra source columns in the same
+    commit (NULL-backfilled in old files, fresh physical names); off by
+    default extras still fail loudly; stats pruning and the change feed
+    keep working across the evolution."""
+    base = spark.range(0, 2_000).withColumn("v", F.lit(0).cast("long"))
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartitionByRange(4, "id"), key_cols=["id"]
+    )
+    extra = spark.createDataFrame([(5, 1, "hot"), (9000, 2, "new")],
+                                  "id long, v long, tag string")
+    with pytest.raises(ValueError, match="unexpected columns"):
+        t.merge(extra, ["id"])
+    t.merge(extra, ["id"], schema_evolution=True)
+    snap = t.snapshot()
+    assert "tag" in snap.columns
+    assert snap.where("tag IS NOT NULL").count() == 2
+    assert snap.count() == 2_001
+    # old files never rewrote: dv/MOR merge carried them
+    assert {e["path"] for e in t.entries(0)} <= {e["path"] for e in t.entries(1)}
+    # append evolution too, and the pre-evolution writer keeps working
+    # (nullable non-key NULL-fill from the ADVICE fix composes)
+    t.append(spark.createDataFrame([(10_000, 3, "x", 1.5)],
+                                   "id long, v long, tag string, score double"),
+             schema_evolution=True)
+    t.append(spark.createDataFrame([(10_001, 4)], "id long, v long"))
+    snap = t.snapshot()
+    assert dict(snap.dtypes)["score"] == "double"
+    assert snap.where("id = 10001").first()["score"] is None
+    # time travel shows the pre-evolution schema
+    assert "tag" not in t.snapshot(0).columns
+    # change feed across the evolution boundary stays exact
+    feed = t.changes(1, t.latest_version())
+    assert {r["id"] for r in feed.where("_change_type = 'insert'").collect()} == {
+        10_000, 10_001,
+    }
+
+
+def test_dropped_then_evolved_same_name_never_resurrects(spark, tmp_path):
+    """Evolution assigns fresh physical names: re-adding a previously
+    dropped column name via merge evolution reads NULL from old files,
+    never the dropped column's stale values."""
+    base = spark.range(0, 100).withColumn("tag", F.lit("stale"))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    t.drop_column("tag")
+    t.merge(
+        spark.createDataFrame([(5, "fresh")], "id long, tag string"),
+        ["id"],
+        schema_evolution=True,
+    )
+    vals = {r["tag"] for r in t.snapshot().collect()}
+    assert vals == {None, "fresh"}
+
+
+def test_incremental_optimize_touches_only_new_files(spark, tmp_path):
+    """Round 12: compact(incremental=True) clusters only files added
+    after the last-optimize watermark — the already-compacted bulk is
+    neither read nor rewritten, the logical snapshot is unchanged, and
+    stats pruning holds on the fresh slice."""
+    base = spark.range(0, 8_000).withColumn("v", F.lit(0).cast("long"))
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartitionByRange(4, "id"), key_cols=["id"]
+    )
+    t.compact(target_files=4)  # v1: sets the watermark
+    bulk = {e["path"] for e in t.entries(1)}
+    # churn: three small appends land after the watermark
+    for i in range(3):
+        t.append(
+            spark.range(10_000 + i * 10, 10_010 + i * 10)
+            .withColumn("v", F.lit(1).cast("long"))
+            .coalesce(1)
+        )
+    before = {tuple(r) for r in t.snapshot().collect()}
+    v = t.compact(target_files=1, incremental=True)
+    m = t._read_manifest(v)
+    assert m["operation"] == "optimize-incremental"
+    # only the three appended files were removed; the bulk carried
+    assert len(m["remove"]) == 3 and not (set(m["remove"]) & bulk)
+    assert bulk <= {e["path"] for e in t.entries(v)}
+    # logical diff empty
+    assert {tuple(r) for r in t.snapshot().collect()} == before
+    # the compaction read ONLY the fresh files (inputFiles proxy: the
+    # rewritten slice's row count equals the appends)
+    fresh_rows = sum(e["rows"] for e in t.entries(v) if e["path"] not in bulk)
+    assert fresh_rows == 30
+    # an immediate second incremental pass is a no-op commit-wise
+    assert t.compact(target_files=1, incremental=True) == v
+    # stats pruning on the compacted slice still works
+    _, info = t.scan({"id": (10_000, 10_029)})
+    assert info["files_read"] == 1
+    # with no watermark (fresh table), incremental falls back to full
+    t2 = AcidTable.create(
+        spark, str(tmp_path / "t2"), spark.range(0, 100).withColumn("v", F.lit(0)),
+        key_cols=["id"],
+    )
+    v2 = t2.compact(target_files=1, incremental=True)
+    assert t2._read_manifest(v2)["operation"] == "optimize"
