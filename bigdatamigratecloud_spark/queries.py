@@ -43,6 +43,20 @@ ORACLES: dict[str, str] = {}
 SHARED_SQL: dict[str, str] = {}
 
 
+def _detach(df: DataFrame) -> DataFrame:
+    """Materialize a registry wrapper's result so the returned frame
+    cannot dangle on a temp dir the wrapper is about to delete.
+
+    HARNESS ARTIFACT, bounded by fixture size: registry entries that
+    roundtrip through the filesystem (WARC, ACID tables, IVF indexes)
+    build their state under ``tempfile.mkdtemp`` and must clean it up
+    before returning, but the driver collects the returned frame AFTER
+    the callable exits.  The underlying operators are fully
+    distributed — a production pipeline keeps the table/index alive
+    and would persist-then-cleanup instead of collecting."""
+    return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1307,7 +1321,7 @@ def s2b_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         validated = validate_staging(staged["customer"], cust.schema)
         valid, _quar = split_quarantine(validated)
         wide = pivot_from_staging(valid, cust.schema)
-        wide = spark.createDataFrame(wide.collect(), wide.schema)
+        wide = _detach(wide)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return wide
@@ -1763,7 +1777,7 @@ def s7_s8_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("size").cast("long").alias("n_bytes"),
             (F.col("size").cast("long") == F.col("size_back")).alias("size_match"),
         ).orderBy("id")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(media_dir, ignore_errors=True)
     return out
@@ -2022,7 +2036,7 @@ def x1_x5_pipeline_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = [(t, report.tables[t].rows_applied) for t in names]
         out = spark.createDataFrame(rows, "table_name string, rows_applied long")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(target, ignore_errors=True)
         import os as _os
@@ -2065,7 +2079,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream_events(spark, landing, max_files_per_trigger=1)
         run_stream_to_memory(hourly_rollup_stream(stream), qname)
         out = spark.table(qname)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -2129,7 +2143,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= 3)
             .select("wstart", "event_type", "n_events", "sum_value", "rk")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -2171,7 +2185,7 @@ def e2_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("event_date").alias("event_date"), "event_type", "n", "sum_value")
         )
-        res = spark.createDataFrame(res.collect(), res.schema)
+        res = _detach(res)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return res
@@ -2700,7 +2714,7 @@ def b1_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
@@ -2757,7 +2771,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream_events(spark, landing, max_files_per_trigger=1)
         run_stream_to_memory(sessionize(stream), qname)
         out = spark.table(qname)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -3733,7 +3747,7 @@ def s13c_acid_merge_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = per_version[0].unionByName(per_version[1]).orderBy("version")
         # materialize before the temp table directory disappears
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -3780,7 +3794,7 @@ def s13f_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert t._read_manifest(v)["operation"] == "restore"
         out = t.snapshot()
         # materialize before the temp table directory disappears
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -3838,7 +3852,7 @@ def s13d_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.merge(upd.unionByName(ins), ["c_custkey"])
         t.delete("c_custkey % 97 = 3 AND c_custkey % 50 <> 0")
         out = t.changes(0, 2)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -3912,7 +3926,7 @@ def s13e_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("cnt"),
             F.col("total").cast("double").alias("total"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -3975,7 +3989,7 @@ def s13g_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.delete("c_custkey % 97 = 3 AND c_custkey % 50 <> 0")
         replica.apply_cdc(t.changes(0, 2), txn=("replicator", 2))
         out = replica.snapshot()
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4027,7 +4041,7 @@ def s13h_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = side("source", src).unionByName(side("clone", clone)).orderBy(
             F.col("side").desc()
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4076,12 +4090,12 @@ def s13i_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize the delta before merging (it reads the files the
         # COW merge is about to replace)
-        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        delta = _detach(delta)
         t.merge(delta, ["o_orderkey"])
         out = t.snapshot().select(
             "o_orderkey", "o_custkey", F.col("price").cast("double").alias("price")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4140,13 +4154,13 @@ def s13j_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize the delta before merging (it reads the files the
         # COW merge is about to replace)
-        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        delta = _detach(delta)
         t.merge(delta, ["o_orderkey"])
         pruned, _info = t.scan({"o_orderkey": (1000, 20000)})
         out = pruned.select(
             "o_orderkey", "o_custkey", F.col("price").cast("double").alias("price")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4199,7 +4213,7 @@ def s13k_partitioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4252,7 +4266,7 @@ def s13m_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("o_totalprice", F.col("o_totalprice") * 3)
         )
         # materialize before the merge masks the rows it reads from
-        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        delta = _detach(delta)
         # recompute_frac=1.0: the delta spans every file's range; force
         # the per-file MOR decision instead of the reset recompute
         t.merge(delta, ["o_orderkey"], recompute_frac=1.0)
@@ -4267,7 +4281,7 @@ def s13m_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4321,7 +4335,7 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o_orderkey") % 900 == 0)
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         )
-        src.merge(spark.createDataFrame(delta.collect(), delta.schema), ["o_orderkey"])
+        src.merge(_detach(delta), ["o_orderkey"])
         src.delete("o_orderkey % 500 = 0")
         repl = (
             src.snapshot()
@@ -4329,7 +4343,7 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
         )
         src.overwrite_where(
-            spark.createDataFrame(repl.collect(), repl.schema),
+            _detach(repl),
             "o_orderpriority = '1-URGENT'",
         )
         applied = follow_changes(src, rep, "cdc", base_version=0)
@@ -4346,7 +4360,7 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4403,7 +4417,7 @@ def s13n_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4463,10 +4477,10 @@ def s13o_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("repriced").alias("tag"),
             )
         )
-        delta = spark.createDataFrame(delta.collect(), delta.schema)
+        delta = _detach(delta)
         t.merge(delta, ["o_orderkey"], schema_evolution=True)
         out = t.snapshot().select("o_orderkey", "cents", "tag")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4532,7 +4546,7 @@ def s13p_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4580,7 +4594,7 @@ def s13l_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         )
         # materialize before the COW swap reads the files it replaces
-        repl = spark.createDataFrame(repl.collect(), repl.schema)
+        repl = _detach(repl)
         t.overwrite_where(repl, "o_orderpriority = '2-HIGH'")
         out = t.snapshot().select(
             "o_orderkey",
@@ -4588,7 +4602,7 @@ def s13l_overwrite_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.col("o_totalprice").cast("double").alias("price"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -4683,7 +4697,7 @@ def stream_acid_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(rounds[2], t.last_txn("stream_acid_backfill"))
         assert t.latest_version() == head, "replayed batch must be a no-op"
         out = t.snapshot().select("o_orderkey", "o_custkey", "day", "price")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(troot, ignore_errors=True)
@@ -4746,7 +4760,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_stream_to_memory(deduped, qname)
         out = spark.table(qname)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -4800,7 +4814,7 @@ def stream_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -4867,7 +4881,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases = stream_events(spark, landing, max_files_per_trigger=1)
         run_stream_to_memory(interval_join_stream(clicks, purchases), qname)
         out = spark.table(qname)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
     return out
@@ -5803,7 +5817,7 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= 10)
             .select("query_id", "nbr_id", F.col("rank").cast("int").alias("rank"), "cosine")
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -5919,7 +5933,7 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_probe=3,
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -5999,7 +6013,7 @@ def ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ivf_index_write(emb, cents, d)
         out = ivf_index_stats(spark, d)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6046,7 +6060,7 @@ def ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_probe=3,
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6130,7 +6144,7 @@ def ann_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=3,
             metric="l2",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6189,7 +6203,7 @@ def ann_ivfpq_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= F.lit(0.6)
             ).alias("recall_ok"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6269,7 +6283,7 @@ def ann_ivf_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_probe=3,
             metric="ip",
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6372,7 +6386,7 @@ def _roundtrip_docs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             tf.write_orc(docs, d)
             back = tf.read_orc(spark, d, schema)
         out = back.select("doc_id", "text", "lang", "source", "n_chars")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -6463,7 +6477,7 @@ def s14_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("headers")["x-source"].alias("source"),
             F.col("headers")["x-n-chars"].cast("long").alias("n_chars"),
         )
-        return spark.createDataFrame(back.collect(), back.schema)
+        return _detach(back)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -6533,7 +6547,7 @@ def n4_warc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             wsrc.http_parts(F.col("payload")).alias("p"),
         ).select("doc_id", "p.http_status", F.col("p.body").alias("html"))
         ext = html_extract(back, keep_cols=("http_status",))
-        return spark.createDataFrame(ext.collect(), ext.schema)
+        return _detach(ext)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -6843,7 +6857,7 @@ def stream_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.read.parquet(target).select(
             "event_id", "user_id", "event_type", "value"
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(target.rsplit("/", 1)[0], ignore_errors=True)
@@ -6909,7 +6923,7 @@ def stream_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(ev.filter(F.col("event_id") >= 2500), t.last_txn("stream_acid_upsert"))
         assert t.latest_version() == head, "replayed batch must be a no-op"
         out = t.snapshot().select("event_id", "user_id", "event_type", "value")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(troot, ignore_errors=True)
@@ -6994,7 +7008,7 @@ def stream_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",", F.transform(F.col("sig"), lambda x: x.cast("string"))
             ).alias("sig_str"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(troot, ignore_errors=True)
@@ -8079,7 +8093,7 @@ def stream_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=10,
             n_probe=3,
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(iroot, ignore_errors=True)
@@ -8200,7 +8214,7 @@ def n2_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_index_write(corpus, cents, d)
         out = semantic_dedup_incremental(spark, batch, d, cents, threshold=0.9)
         out = out.select("vec_id", "label")
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out
@@ -8433,7 +8447,7 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _detach(out)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
         shutil.rmtree(oroot, ignore_errors=True)
@@ -9184,7 +9198,7 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext = html_extract(recs, keep_cols=("http_status",))
         run_stream_to_memory(ext, qname)
         got = spark.table(qname)
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _detach(got)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
 
@@ -9470,7 +9484,7 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids_csv"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _detach(out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -9902,7 +9916,7 @@ def stream_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_stream_to_memory(ids, qname)
         got = spark.table(qname)
-        return spark.createDataFrame(got.collect(), got.schema)
+        return _detach(got)
     finally:
         shutil.rmtree(landing, ignore_errors=True)
 

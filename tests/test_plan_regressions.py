@@ -659,3 +659,26 @@ def test_robots_gate_broadcasts_rules_corpus_unshuffled(spark, sf_dir):
             break
     assert probe and not any("Exchange" in l for l in probe), "\n".join(probe)
     assert any("FileScan parquet" in l for l in probe)
+
+
+def test_vector_free_snapshot_keeps_join_free_fast_path(spark, tmp_path):
+    """Round 12: the deletion-vector machinery must cost a vector-free
+    table NOTHING — its snapshot plan is a plain schema'd scan (no
+    row-identity columns, no anti-join, one FileScan); after a masked
+    delete exactly one anti-join appears; after compact the fast path
+    returns."""
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+
+    base = spark.range(0, 2_000).withColumn("v", F.lit(0).cast("long")).coalesce(2)
+    t = AcidTable.create(spark, str(tmp_path / "t"), base, key_cols=["id"])
+    plan0 = _plan(t.snapshot())
+    assert "LeftAnti" not in plan0 and "__pos" not in plan0
+    assert plan0.count("FileScan parquet") == 1
+    t.delete("id % 100 = 7")  # 20/2000 -> vectors
+    plan1 = _plan(t.snapshot())
+    # exactly one anti-join, and the tiny vector side BROADCASTS
+    assert plan1.count("LeftAnti") == 1 and "__pos" in plan1
+    assert "BroadcastHashJoin" in plan1
+    t.compact(target_files=2)  # materializes vectors away
+    plan2 = _plan(t.snapshot())
+    assert "LeftAnti" not in plan2 and "__pos" not in plan2
