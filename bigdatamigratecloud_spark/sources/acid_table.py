@@ -2879,17 +2879,43 @@ class AcidTable:
                 else:
                     part = part.repartition(target_files)
                 files = self._write_data_files(part, key_cols, schema=schema)
-                return self._commit(
-                    {
-                        "version": head + 1,
-                        "operation": "optimize-incremental",
-                        "schema": m["schema"],
-                        "key_cols": key_cols,
-                        "add": files,
-                        "remove": [e["path"] for e in fresh],
-                        "last_optimize": head + 1,
-                        "txns": self._merged_txns(m, None),
-                    }
+                base_head = head
+                for _ in range(10):
+                    try:
+                        return self._commit(
+                            {
+                                "version": head + 1,
+                                "operation": "optimize-incremental",
+                                "schema": m["schema"],
+                                "key_cols": key_cols,
+                                "add": files,
+                                "remove": [e["path"] for e in fresh],
+                                "last_optimize": head + 1,
+                                "txns": self._merged_txns(m, None),
+                            }
+                        )
+                    except ConcurrentWriteError:
+                        # OPTIMIZE never blocks ingest (Delta parity):
+                        # a pure concurrent APPEND commutes with
+                        # compacting pre-existing files — its new files
+                        # simply stay uncompacted until the next pass.
+                        # Anything touching existing entries (remove,
+                        # reset, a deletion-vector attach on a file we
+                        # just rewrote, a schema change) aborts.
+                        head = self._head()
+                        m = self._read_manifest(head)
+                        for v2 in range(base_head + 1, head + 1):
+                            mv = self._read_manifest(v2)
+                            if (
+                                mv.get("operation") != "append"
+                                or mv.get("remove")
+                                or mv.get("reset")
+                                or mv.get("dv")
+                                or mv["schema"] != m["schema"]
+                            ):
+                                raise
+                raise ConcurrentWriteError(
+                    "optimize-incremental lost 10 straight publish races"
                 )
         snap = self.snapshot(head)
         if key_cols:

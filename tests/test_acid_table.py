@@ -2305,3 +2305,50 @@ def test_incremental_optimize_touches_only_new_files(spark, tmp_path):
     )
     v2 = t2.compact(target_files=1, incremental=True)
     assert t2._read_manifest(v2)["operation"] == "optimize"
+
+
+def test_incremental_optimize_rebases_over_concurrent_append(spark, tmp_path):
+    """OPTIMIZE never blocks ingest: an incremental compaction losing
+    its publish race to a pure append rebases and lands; the append's
+    rows survive (uncompacted until the next pass)."""
+    base = spark.range(0, 1_000).withColumn("v", F.lit(0).cast("long"))
+    t = AcidTable.create(spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["id"])
+    t.compact(target_files=2)  # watermark
+    t.append(spark.range(5_000, 5_020).withColumn("v", F.lit(1).cast("long")).coalesce(1))
+    orig_commit = AcidTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, manifest):
+        if manifest.get("operation") == "optimize-incremental" and not raced["done"]:
+            raced["done"] = True
+            AcidTable(spark, self.root).append(
+                spark.range(6_000, 6_010).withColumn("v", F.lit(2).cast("long")).coalesce(1)
+            )
+        return orig_commit(self, manifest)
+
+    try:
+        AcidTable._commit = racing_commit
+        v = t.compact(target_files=1, incremental=True)
+    finally:
+        AcidTable._commit = orig_commit
+    assert t._read_manifest(v)["operation"] == "optimize-incremental"
+    snap = t.snapshot()
+    assert snap.count() == 1_030  # base + both appends, nothing lost
+    assert snap.where("v = 2").count() == 10
+    # and a DELETE racing the next incremental pass aborts it
+    t.append(spark.range(7_000, 7_005).withColumn("v", F.lit(3).cast("long")).coalesce(1))
+    raced2 = {"done": False}
+
+    def deleting_commit(self, manifest):
+        if manifest.get("operation") == "optimize-incremental" and not raced2["done"]:
+            raced2["done"] = True
+            AcidTable(spark, self.root).delete("id = 7001")
+        return orig_commit(self, manifest)
+
+    try:
+        AcidTable._commit = deleting_commit
+        with pytest.raises(ConcurrentWriteError):
+            t.compact(target_files=1, incremental=True)
+    finally:
+        AcidTable._commit = orig_commit
+    assert t.snapshot().where("id = 7001").count() == 0
