@@ -4370,7 +4370,10 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s13n_point_lookup_bloom",
     """SELECT o_orderkey, o_custkey,
               CAST(o_totalprice AS DOUBLE) AS price
-       FROM orders WHERE o_orderkey % 5000 = 1""",
+       FROM orders
+       WHERE o_orderkey IN (SELECT o_orderkey FROM orders
+                            WHERE o_orderkey % 5000 = 1
+                            ORDER BY o_orderkey LIMIT 3)""",
 )
 def s13n_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13 BLOOM FILE STATS (round 12): orders keyed by an md5 hash —
@@ -4399,13 +4402,18 @@ def s13n_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         ).repartition(8, "k")
         t = AcidTable.create(spark, root + "/orders", base, key_cols=["k"])
-        t.compute_bloom_stats(["k"], m_bits=61_440, k=5)
+        # auto-sized bitmap (~10 bits/row of the largest file): a fixed
+        # size saturates as SF grows and silently stops pruning
+        t.compute_bloom_stats(["k"], k=5)
+        # FIXED probe count regardless of SF: a point lookup is a few
+        # keys by definition — probing O(table) keys would legitimately
+        # occupy every file and prove nothing about pruning
         keys = sorted(
             r["o_orderkey"]
             for r in orders.where(F.col("o_orderkey") % 5000 == 1)
             .select("o_orderkey")
             .collect()
-        )
+        )[:3]
         probe = [hashlib.md5(str(x).encode()).hexdigest() for x in keys]
         df, info = t.point_lookup("k", probe)
         if not info["files_read"] < info["files_total"]:

@@ -1290,7 +1290,7 @@ class AcidTable:
     def compute_bloom_stats(
         self,
         cols: Sequence[str],
-        m_bits: int = 61_440,
+        m_bits: int | None = None,
         k: int = 5,
         salt: str = "bloom",
     ) -> int:
@@ -1306,9 +1306,13 @@ class AcidTable:
         the table-level ``bloom`` property.  :meth:`point_lookup` then
         prunes files whose bitmap provably lacks every probed value.
 
-        Sizing: ~10 bits per distinct value per file for ~1% false
-        positives (m_bits=61_440 covers ~6k values/file; scale up for
-        bigger files).  STALENESS IS SOUND: files written after this
+        Sizing: ``m_bits=None`` (default) AUTO-SIZES to ~10 bits per
+        row of the LARGEST file (~1% false positives at k=5; an
+        undersized bitmap saturates and silently stops pruning — the
+        failure mode the auto-size exists to prevent), rounded to the
+        60-bit word and capped at the sidecar word budget; pass an
+        explicit value to trade sidecar bytes against pruning power.
+        STALENESS IS SOUND: files written after this
         commit have no bitmap row and are conservatively read; removed
         files' rows are ignored (inner identity via the entries join).
         Deletion-vector-masked rows are excluded from the build (fewer
@@ -1325,11 +1329,16 @@ class AcidTable:
             _positions,
         )
 
+        head = self._head()
+        m = self._read_manifest(head)
+        entries = self.entries(head)
+        if m_bits is None:
+            max_rows = max((e["rows"] for e in entries), default=0)
+            words = max(64, -(-(max_rows * 10) // BITS_PER_WORD))
+            m_bits = min(words, MAX_WORDS) * BITS_PER_WORD
         _check_params(m_bits, k)
         if m_bits > MAX_WORDS * BITS_PER_WORD:
             raise ValueError("m_bits exceeds the sidecar word budget")
-        head = self._head()
-        m = self._read_manifest(head)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(m["schema"])
@@ -1339,7 +1348,7 @@ class AcidTable:
             raise ValueError(f"bloom columns not in schema: {missing}")
         abs_root = os.path.abspath(self.root)
         n_words = m_bits // BITS_PER_WORD
-        df = self._read_entries_data(schema, self.entries(head), keep_meta=True)
+        df = self._read_entries_data(schema, entries, keep_meta=True)
         frames = []
         for c in cols:
             pos = (
