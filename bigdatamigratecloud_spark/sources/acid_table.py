@@ -80,6 +80,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -292,11 +293,8 @@ class AcidTable:
         # (merge, restore, compact, schema evolution, ...) can silently
         # drop them.  The parent manifest is the current head, which is
         # never vacuum-pruned.
-        if version > 0 and (
-            "constraints" not in manifest
-            or "bloom" not in manifest
-            or "last_optimize" not in manifest
-        ):
+        parent: dict = {}
+        if version > 0:
             try:
                 parent = self._read_manifest(version - 1)
             except FileNotFoundError:
@@ -313,6 +311,22 @@ class AcidTable:
             # touches files added after it
             if "last_optimize" not in manifest and parent.get("last_optimize"):
                 manifest["last_optimize"] = parent["last_optimize"]
+        # IN-COMMIT TIMESTAMP (Delta 3.x in-commit timestamps): stamped
+        # at publish time and clamped to be strictly greater than the
+        # parent's, so the version->timestamp map is monotone even under
+        # clock skew between writers.  Always overwritten here — a
+        # rebased retry or a restore gets ITS OWN commit time, never the
+        # timestamp of the manifest it was derived from.  Pre-existing
+        # tables without the field fall back to manifest-file mtime in
+        # commit_timestamp().
+        pts = parent.get("timestamp")
+        if pts is None and version > 0:
+            try:
+                pts = os.path.getmtime(self._manifest_path(version - 1))
+            except OSError:
+                pts = None
+        now = time.time()
+        manifest["timestamp"] = now if pts is None else max(now, float(pts) + 1e-3)
         tmp = os.path.join(self._log_dir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -1085,8 +1099,13 @@ class AcidTable:
     # below ~20% of a file, the rewrite always loses.
     DEFAULT_DV_FRAC = 0.2
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (default: latest).  Reads exactly
+    def snapshot(
+        self, version: int | None = None, timestamp=None
+    ) -> DataFrame:
+        """The table as of ``version`` (default: latest), or as of
+        ``timestamp`` (epoch seconds / datetime / ISO string, resolved
+        through :meth:`version_at` — Delta's ``timestampAsOf``); the
+        two selectors are mutually exclusive.  Reads exactly
         the resolved file set — a concurrent commit cannot tear it.  A
         version whose commits deleted every row has an empty file list;
         that is a valid (empty) table, not a read error.
@@ -1110,6 +1129,10 @@ class AcidTable:
         <root>/data/<commit>/<file> layout) use the explicit list."""
         from pyspark.sql.types import StructType
 
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("snapshot: pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         v = self.latest_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.root}")
@@ -1531,9 +1554,11 @@ class AcidTable:
 
     def changes(
         self,
-        from_version: int,
+        from_version: int | None = None,
         to_version: int | None = None,
         pk_cols: Sequence[str] | None = None,
+        from_timestamp=None,
+        to_timestamp=None,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (the Delta CDF /
         Iceberg changelog read): every logical difference as a row
@@ -1554,7 +1579,20 @@ class AcidTable:
         identical values (COW copies sharing a file with real changes)
         are filtered out by a null-safe whole-row compare, so the feed
         is the LOGICAL diff.  Assumes ``pk_cols`` (default: the table's
-        ``key_cols``) are unique per snapshot."""
+        ``key_cols``) are unique per snapshot.  Either endpoint may be
+        given as a timestamp instead of a version (Delta CDF's
+        ``startingTimestamp``/``endingTimestamp``), resolved through
+        :meth:`version_at`."""
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise ValueError("changes: from_version OR from_timestamp")
+            from_version = self.version_at(from_timestamp)
+        if to_timestamp is not None:
+            if to_version is not None:
+                raise ValueError("changes: to_version OR to_timestamp")
+            to_version = self.version_at(to_timestamp)
+        if from_version is None:
+            raise ValueError("changes: pass from_version or from_timestamp")
         head = self._head()
         to_v = head if to_version is None else to_version
         mo = self._read_manifest(from_version)
@@ -1646,6 +1684,47 @@ class AcidTable:
             .select(*cols, "_change_type")
         )
 
+    def commit_timestamp(self, version: int) -> float:
+        """Epoch seconds the commit became visible.  Prefers the
+        manifest's in-commit ``timestamp`` field (monotone by
+        construction — see ``_publish``); tables written before the
+        field existed fall back to the manifest file's mtime, the same
+        degradation Delta applies to pre-in-commit-timestamp logs."""
+        m = self._read_manifest(version)
+        ts = m.get("timestamp")
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(self._manifest_path(version))
+
+    def version_at(self, timestamp) -> int:
+        """TIMESTAMP->VERSION resolution (Delta's ``timestampAsOf``):
+        the latest retained version whose commit time is <= the given
+        instant.  ``timestamp`` is epoch seconds, a ``datetime``/
+        ``date``, or an ISO-8601 string.  Raises if the instant
+        predates the earliest RETAINED commit (older manifests may be
+        past the vacuum horizon) — asking for "the table before it
+        existed" is an error, not an empty table.  mtime-fallback
+        timestamps are folded through a running max so the walk is
+        monotone even for legacy logs."""
+        ts = _epoch_seconds(timestamp)
+        versions = self._versions_on_disk()
+        if not versions:
+            raise FileNotFoundError(f"no committed version at {self.root}")
+        best: int | None = None
+        eff = float("-inf")
+        for v in versions:
+            eff = max(eff, self.commit_timestamp(v))
+            if eff <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {timestamp!r} predates the earliest retained "
+                f"commit (version {versions[0]} at epoch {eff})"
+            )
+        return best
+
     def history(self) -> list[dict]:
         """Commit log, oldest RETAINED first: version/operation/file and
         row counts.  One forward replay over the retained manifests
@@ -1664,6 +1743,8 @@ class AcidTable:
                 {
                     "version": v,
                     "operation": m["operation"],
+                    "timestamp": m.get("timestamp")
+                    or os.path.getmtime(self._manifest_path(v)),
                     "num_files": len(state),
                     "num_rows": sum(e["rows"] for e in state.values()),
                 }
@@ -2192,14 +2273,22 @@ class AcidTable:
             stats_key=stats_key,
         )
 
-    def restore(self, version: int) -> int:
-        """RESTORE TABLE TO VERSION: publish a new commit whose file set
+    def restore(self, version: int | None = None, timestamp=None) -> int:
+        """RESTORE TABLE TO VERSION (or TO TIMESTAMP, resolved through
+        :meth:`version_at` — exactly one selector): publish a new
+        commit whose file set
         (and schema) is exactly that of ``version`` — a metadata-only
         rollback, no data file read or written (Delta's RESTORE).  The
         rolled-back history stays retained and time-travelable; the
         restore itself is one more commit, so it is undoable the same
         way.  Requires ``version`` to still be resolvable (not past a
         vacuum horizon)."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("restore: pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        if version is None:
+            raise ValueError("restore: pass a version or a timestamp")
         head = self._head()
         target = self._read_manifest(version)
         new_v = head + 1
@@ -3154,6 +3243,26 @@ class AcidTable:
                 if age >= retain_seconds:
                     shutil.rmtree(d, ignore_errors=True)
         return sorted(deleted)
+
+
+def _epoch_seconds(ts) -> float:
+    """Coerce a time-travel selector to epoch seconds.  Accepts a
+    number (epoch seconds), ``datetime``/``date`` (naive values are
+    LOCAL time, matching how ``time.time()`` stamps land on this
+    clock), or an ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(ts, bool):
+        raise TypeError(f"not a timestamp: {ts!r}")
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        return ts.timestamp()
+    if isinstance(ts, _dt.date):
+        return _dt.datetime.combine(ts, _dt.time.min).timestamp()
+    raise TypeError(f"not a timestamp: {ts!r}")
 
 
 def _prune_bound(v, col_type: str | None):

@@ -2352,3 +2352,86 @@ def test_incremental_optimize_rebases_over_concurrent_append(spark, tmp_path):
     finally:
         AcidTable._commit = orig_commit
     assert t.snapshot().where("id = 7001").count() == 0
+
+
+def test_in_commit_timestamps_monotone_and_resolvable(spark, tmp_path):
+    """Every commit carries a monotone in-commit timestamp; version_at
+    resolves instants with Delta timestampAsOf semantics (latest
+    version at-or-before; before-first is an error, future is head)."""
+    import time
+
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(10).withColumn("v", F.col("id")),
+        key_cols=["id"],
+    )
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    t.delete("id < 3")
+    ts = [h["timestamp"] for h in t.history()]
+    assert ts == sorted(ts) and len(set(ts)) == 3
+    for v in range(3):
+        assert t.version_at(t.commit_timestamp(v)) == v
+        assert t.version_at(t.commit_timestamp(v) + 1e-4) == v
+    assert t.version_at(time.time() + 3600) == 2
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(ts[0] - 1.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.snapshot(version=1, timestamp=ts[1])
+    # restore is its own commit with its own (later) instant
+    rv = t.restore(timestamp=ts[1])
+    assert t.commit_timestamp(rv) > ts[2]
+
+
+def test_timestamp_selectors_match_version_selectors(spark, tmp_path):
+    """snapshot/changes by timestamp are exactly their by-version
+    twins, including datetime and ISO-string selector forms."""
+    import datetime
+
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(100).withColumn("v", F.lit(0).cast("long")),
+        key_cols=["id"],
+    )
+    t.append(spark.range(100, 150).withColumn("v", F.lit(1).cast("long")))
+    t.delete("id % 10 = 0")
+    ts1 = t.commit_timestamp(1)
+    by_ts = t.snapshot(timestamp=ts1)
+    by_v = t.snapshot(1)
+    assert by_ts.exceptAll(by_v).count() == 0
+    assert by_v.exceptAll(by_ts).count() == 0
+    feed_ts = t.changes(from_timestamp=ts1, to_timestamp=t.commit_timestamp(2))
+    feed_v = t.changes(1, 2)
+    key = lambda r: (r["id"], r["_change_type"])  # noqa: E731
+    assert sorted(feed_ts.collect(), key=key) == sorted(feed_v.collect(), key=key)
+    # datetime and ISO-string forms resolve identically to the float
+    dt = datetime.datetime.fromtimestamp(ts1)
+    assert t.version_at(dt) == 1
+    assert t.version_at(dt.isoformat()) == 1
+    with pytest.raises(TypeError):
+        t.version_at(object())
+
+
+def test_commit_timestamp_mtime_fallback_for_legacy_manifests(spark, tmp_path):
+    """A pre-round-12 manifest without the timestamp field degrades to
+    file mtime, and version_at stays monotone via its running max."""
+    import json
+
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.range(10).withColumn("v", F.col("id")),
+        key_cols=["id"],
+    )
+    t.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    p = t._manifest_path(0)
+    m = json.load(open(p))
+    stamped = m.pop("timestamp")
+    json.dump(m, open(p + ".tmp", "w"))
+    os.replace(p + ".tmp", p)
+    fb = t.commit_timestamp(0)
+    assert fb == os.path.getmtime(p) and fb != stamped
+    # mtime (now) is AFTER v1's in-commit stamp: the running max keeps
+    # resolution sound — v1 still resolves at its own instant
+    assert t.version_at(t.commit_timestamp(1) + 3600) == 1
