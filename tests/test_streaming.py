@@ -1053,3 +1053,85 @@ def test_follow_changes_replicates_and_replays_idempotently(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="base_version"):
         follow_changes(src, AcidTable(spark, str(tmp_path / "rep")), "other")
+
+
+def test_follow_aggregate_maintains_view_incrementally(spark, tmp_path):
+    """The maintained count/sum view equals a from-scratch GROUP BY
+    after merge/delete/append churn; new groups appear, zeroed groups
+    vanish; replays and drained followers no-op via the txn ledger."""
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import (
+        follow_aggregate,
+        seed_aggregate,
+    )
+
+    base = (
+        spark.range(600)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", F.col("k") % 5)
+        .withColumn("x", (F.col("k") % 40).cast("decimal(18,2)"))
+    )
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["k"])
+    agg = seed_aggregate(src, str(tmp_path / "mv"), "mv", ["g"], ["x"])
+    assert agg.last_txn("mv") == 0
+    upd = (
+        src.snapshot()
+        .where("k % 50 = 0")
+        .withColumn("x", (F.col("x") * 3).cast("decimal(18,2)"))
+    )
+    src.merge(spark.createDataFrame(upd.collect(), upd.schema), ["k"])
+    src.delete("k % 7 = 0")
+    src.append(
+        spark.range(900, 960)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", F.lit(77).cast("long"))
+        .withColumn("x", F.lit(2).cast("decimal(18,2)"))
+    )
+    # rate-limited drain: one batch, then the rest
+    assert follow_aggregate(src, agg, "mv", ["g"], ["x"], max_batches=1) == [1]
+    assert follow_aggregate(src, agg, "mv", ["g"], ["x"]) == [2, 3]
+    assert follow_aggregate(src, agg, "mv", ["g"], ["x"]) == []
+    direct = src.snapshot().groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("x").alias("sum_x")
+    )
+    mv = agg.snapshot()
+    assert mv.exceptAll(direct).count() == 0
+    assert direct.exceptAll(mv).count() == 0
+    assert mv.where("g = 77").count() == 1
+    # zero the new group out: its view row must be deleted
+    src.delete("g = 77")
+    follow_aggregate(src, agg, "mv", ["g"], ["x"])
+    assert agg.snapshot().where("g = 77").count() == 0
+
+
+def test_follow_aggregate_guards(spark, tmp_path):
+    """Fresh ledger without a seed is an error; a view that doesn't
+    correspond to the claimed base_version raises on negative count
+    instead of publishing garbage."""
+    import pytest
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import follow_aggregate
+
+    base = (
+        spark.range(50)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", F.col("k") % 3)
+        .withColumn("x", F.lit(1).cast("decimal(18,2)"))
+    )
+    src = AcidTable.create(spark, str(tmp_path / "src"), base, key_cols=["k"])
+    empty_view = AcidTable.create(
+        spark,
+        str(tmp_path / "mv"),
+        spark.createDataFrame(
+            [], "g long, cnt long, sum_x decimal(28,2)"
+        ),
+        key_cols=["g"],
+    )
+    with pytest.raises(ValueError, match="fresh ledger"):
+        follow_aggregate(src, empty_view, "mv", ["g"], ["x"])
+    # claim the view (empty) matches version 0, then delete rows: the
+    # signed deltas drive counts negative -> corruption error
+    src.delete("k < 10")
+    with pytest.raises(ValueError, match="negative"):
+        follow_aggregate(src, empty_view, "mv", ["g"], ["x"], base_version=0)
