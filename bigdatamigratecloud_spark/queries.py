@@ -4367,6 +4367,103 @@ def stream_cdc_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_agg_follow",
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders WHERE o_orderkey % 3 = 0),
+       merged AS (
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderkey % 600 = 0
+                     THEN CAST(price * 2 AS DECIMAL(18,2))
+                     ELSE price END AS price
+         FROM base),
+       afterdel AS (SELECT * FROM merged WHERE NOT (o_orderkey % 450 = 0)),
+       appended AS (
+         SELECT * FROM afterdel
+         UNION ALL
+         SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+                CAST(price + 10 AS DECIMAL(18,2)) AS price
+         FROM (SELECT o_orderkey, o_custkey,
+                      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders WHERE o_orderkey % 3 = 1))
+       SELECT o_custkey, COUNT(*) AS cnt,
+              CAST(SUM(price) AS DOUBLE) AS total
+       FROM appended GROUP BY o_custkey""",
+)
+def stream_agg_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW over the change feed (round 12):
+    a per-customer count/sum view is SEEDED once, then maintained
+    through a merge + delete + append on the source by
+    ``follow_aggregate`` — each batch signs that commit's row-level
+    diff (+insert/postimage, -delete/preimage), reduces it to
+    per-group deltas, and lands ONE idempotent apply_cdc commit; a
+    replayed batch no-ops via the txn ledger.  O(churn) per commit at
+    100 TB, never a source rescan; sums ride an exact decimal so the
+    incremental state is BIT-equal to a from-scratch GROUP BY, which
+    is asserted inline (symmetric difference) before the oracle
+    re-derives the same end state in SQL (streaming/events.py
+    follow_aggregate; Delta Live Tables / Materialize semantics)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import follow_aggregate, seed_aggregate
+
+    root = tempfile.mkdtemp(prefix="bdmc_mv_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        base = (
+            orders.where(F.col("o_orderkey") % 3 == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            )
+            .repartitionByRange(4, "o_orderkey")
+        )
+        src = AcidTable.create(spark, root + "/src", base, key_cols=["o_orderkey"])
+        agg = seed_aggregate(src, root + "/mv", "mv", ["o_custkey"], ["price"])
+        delta = (
+            src.snapshot()
+            .where(F.col("o_orderkey") % 600 == 0)
+            .withColumn("price", (F.col("price") * 2).cast("decimal(18,2)"))
+        )
+        src.merge(_detach(delta), ["o_orderkey"])
+        src.delete("o_orderkey % 450 = 0")
+        src.append(
+            orders.where(F.col("o_orderkey") % 3 == 1).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("o_totalprice").cast("decimal(18,2)") + 10)
+                .cast("decimal(18,2)")
+                .alias("price"),
+            )
+        )
+        if follow_aggregate(src, agg, "mv", ["o_custkey"], ["price"]) != [1, 2, 3]:
+            raise AssertionError("follower must drain exactly versions 1..3")
+        if follow_aggregate(src, agg, "mv", ["o_custkey"], ["price"]) != []:
+            raise AssertionError("replay must be a no-op")
+        mv = agg.snapshot()
+        direct = (
+            src.snapshot()
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("sum_price"))
+        )
+        if mv.exceptAll(direct).count() or direct.exceptAll(mv).count():
+            raise AssertionError("incremental view diverged from direct GROUP BY")
+        out = mv.select(
+            "o_custkey",
+            "cnt",
+            F.col("sum_price").cast("double").alias("total"),
+        )
+        out = _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13n_point_lookup_bloom",
     """SELECT o_orderkey, o_custkey,
               CAST(o_totalprice AS DOUBLE) AS price
@@ -4558,6 +4655,72 @@ def s13p_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "s13q_time_travel_ts",
+    """SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS price
+       FROM orders WHERE o_orderkey % 4 IN (0, 2)""",
+)
+def s13q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 TIMESTAMP TIME TRAVEL (round 12): every commit carries a
+    monotone IN-COMMIT TIMESTAMP (Delta 3.x in-commit timestamps,
+    stamped and clock-skew-clamped at the publish choke point), and
+    ``snapshot(timestamp=)`` / ``restore(timestamp=)`` /
+    ``changes(from_timestamp=)`` resolve instants to versions via
+    ``version_at`` — the audit/debug primitive ("the table as of
+    yesterday 09:00") that version numbers alone can't give an
+    operator.  Here: create + append + delete, then read back AS OF
+    the append's commit instant — the later delete must be invisible
+    (the oracle is the pre-delete state); the change feed FROM that
+    instant must be pure deletes; and RESTORE TO TIMESTAMP must
+    reproduce the travelled snapshot exactly (asserted by symmetric
+    difference).  Reference analogue: package re-export against a
+    prior state (XML:774-798), keyed by time instead of version."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_ts_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+
+        def _slice(mod: int) -> DataFrame:
+            return (
+                orders.where(F.col("o_orderkey") % 4 == mod)
+                .select("o_orderkey", "o_custkey", "o_totalprice")
+                .repartitionByRange(4, "o_orderkey")
+            )
+
+        t = AcidTable.create(spark, root + "/t", _slice(0), key_cols=["o_orderkey"])
+        t.append(_slice(2))
+        t.delete("o_orderkey % 600 = 0")
+        ts1 = t.commit_timestamp(1)
+        if t.version_at(ts1) != 1 or t.version_at(t.commit_timestamp(2)) != 2:
+            raise AssertionError("version_at must resolve each commit instant")
+        feed = t.changes(from_timestamp=ts1)
+        bad = feed.where(F.col("_change_type") != "delete").count()
+        if bad or feed.count() == 0:
+            raise AssertionError("feed from the append instant must be pure deletes")
+        tv = t.snapshot(timestamp=ts1).select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        tv = _detach(tv)
+        t.restore(timestamp=ts1)
+        head = t.snapshot().select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+        if head.exceptAll(tv).count() or tv.exceptAll(head).count():
+            raise AssertionError("RESTORE TO TIMESTAMP must equal the travelled snapshot")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return tv
 
 
 @query(
