@@ -1236,3 +1236,4 @@ def sorted_neighborhood_pairs(
         "key_a",
         F.col("__b.k").alias("key_b"),
     )
+

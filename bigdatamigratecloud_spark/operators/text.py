@@ -525,6 +525,124 @@ def hot_span_scrub(
     return _rebuild_scrubbed(toks_df, covered, id_col)
 
 
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+    min_count: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup with a canonical survivor — the closest
+    member of this family to Lee et al. 2022's ExactSubstr
+    (arXiv:2107.06499): every ``min_len``-token window occurring >=
+    ``min_count`` times in the corpus — INCLUDING repeats inside one
+    document — is duplicated, and every occurrence except the
+    lexicographically-first (id, position) one is cut.  Returns
+    ``(id_col, text_col cleaned, n_tokens, n_removed)``.
+
+    Family map (each axis differs in exactly one semantic):
+    - :func:`hot_span_scrub` — occurrence threshold, removes EVERY
+      occurrence (no canonical copy survives);
+    - :func:`corpus_span_dedup` — DISTINCT-DOCUMENT threshold with a
+      canonical survivor: within-doc repetition alone never triggers;
+    - this — occurrence threshold WITH a canonical survivor: the
+      paper's semantic, where a doc repeating its own boilerplate is
+      deduplicated against itself too.
+
+    Scale shape (100 TB): windows shuffle once by a 60-bit hash of the
+    window text (fixed-width key; :func:`~..dedup.portable_hash60`
+    when ``portable`` so DuckDB replays the marking bit-for-bit); ONE
+    window spec yields both the occurrence count and the canonical
+    rank; marked windows then merge into maximal covered intervals
+    per document (gaps-and-islands over the doc partition) BEFORE
+    touching tokens, so coverage never explodes ``min_len`` positions
+    per hit — overlapping marked windows collapse to one interval and
+    survivors fall out of a doc-keyed anti-join.  Not idempotent by
+    design: cutting spans creates new adjacencies (the paper re-runs
+    to fixpoint).  Pathological boilerplate (one window repeated 10^8
+    times) skews the hash shuffle — raise ``min_len`` or pre-scrub
+    with :func:`line_dedup`."""
+    from pyspark.sql import Window as W
+
+    from .dedup import portable_hash60
+
+    L = int(min_len)
+    if L < 2:
+        raise ValueError("min_len must be >= 2")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    tk = docs.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tk"))
+    n = F.size("__tk")
+    gram = F.concat_ws(" ", F.slice(F.col("__tk"), F.col("__i"), L))
+    ghash = portable_hash60(gram) if portable else F.xxhash64(gram)
+    w = (
+        tk.where(n >= L)
+        .select(
+            "__id",
+            "__tk",
+            F.explode(F.sequence(F.lit(1), n - L + 1)).alias("__i"),
+        )
+        .select("__id", "__i", ghash.alias("__gh"))
+    )
+    part = W.partitionBy("__gh")
+    marked = (
+        w.withColumn("__cnt", F.count(F.lit(1)).over(part))
+        .withColumn("__rn", F.row_number().over(part.orderBy("__id", "__i")))
+        .where((F.col("__cnt") >= min_count) & (F.col("__rn") > 1))
+        .select("__id", F.col("__i").alias("__s"), (F.col("__i") + L - 1).alias("__e"))
+    )
+    seq = W.partitionBy("__id").orderBy("__s", "__e")
+    spans = (
+        marked.withColumn(
+            "__pmax", F.max("__e").over(seq.rowsBetween(W.unboundedPreceding, -1))
+        )
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__pmax").isNull() | (F.col("__s") > F.col("__pmax") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__grp", F.sum("__brk").over(seq.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("__id", "__grp")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .select("__id", "__s", "__e")
+    )
+    toks_pos = tk.select("__id", F.posexplode("__tk").alias("__p0", "__t"))
+    kept = toks_pos.join(
+        spans,
+        (toks_pos["__id"] == spans["__id"])
+        & (toks_pos["__p0"] + 1 >= spans["__s"])
+        & (toks_pos["__p0"] + 1 <= spans["__e"]),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p0", "__t"))),
+                lambda x: x["__t"],
+            ),
+        ).alias("__clean")
+    )
+    removed = spans.groupBy("__id").agg(
+        F.sum(F.col("__e") - F.col("__s") + 1).alias("__rm")
+    )
+    return (
+        tk.select("__id", n.alias("n_tokens"))
+        .join(cleaned, "__id", "left")
+        .join(removed, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text_col),
+            "n_tokens",
+            F.coalesce(F.col("__rm"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_doc_freq: int = 2,

@@ -570,6 +570,67 @@ def n1_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "n1_substring_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       w0 AS (SELECT doc_id, toks, unnest(range(1, len(toks)-8+2)) AS i
+              FROM t WHERE len(toks) >= 8),
+       w AS (SELECT doc_id, i,
+                    ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),
+                                    1, 15))::BIGINT AS gh
+             FROM w0),
+       r AS (SELECT doc_id, i,
+                    count(*) OVER (PARTITION BY gh) AS cnt,
+                    row_number() OVER (PARTITION BY gh
+                                       ORDER BY doc_id, i) AS rn
+             FROM w),
+       marked AS (SELECT doc_id, i AS s, i + 7 AS e
+                  FROM r WHERE cnt > 1 AND rn > 1),
+       pm AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS pmax
+              FROM marked),
+       br AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax + 1
+                             THEN 1 ELSE 0 END AS brk FROM pm),
+       gr AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS grp FROM br),
+       spans AS (SELECT doc_id, min(s) AS s, max(e) AS e
+                 FROM gr GROUP BY doc_id, grp),
+       tok AS (SELECT doc_id, unnest(toks) AS tkn,
+                      unnest(range(1, len(toks)+1)) AS p
+               FROM t),
+       kept AS (SELECT k.* FROM tok k
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = k.doc_id
+                                    AND k.p BETWEEN s.s AND s.e)),
+       cleaned AS (SELECT doc_id, string_agg(tkn, ' ' ORDER BY p) AS txt
+                   FROM kept GROUP BY doc_id),
+       rm AS (SELECT doc_id, sum(e - s + 1) AS rmv FROM spans GROUP BY doc_id)
+       SELECT t.doc_id, coalesce(c.txt, '') AS text,
+              CAST(len(t.toks) AS BIGINT) AS n_tokens,
+              CAST(coalesce(rm.rmv, 0) AS BIGINT) AS n_removed
+       FROM t
+       LEFT JOIN cleaned c USING (doc_id)
+       LEFT JOIN rm USING (doc_id)""",
+)
+def n1_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 EXACT SUBSTRING dedup (Lee et al. 2022): cut every >=8-token
+    span that occurs elsewhere in the corpus, keeping the first
+    occurrence by (doc_id, position).  One hash-keyed shuffle marks
+    duplicated windows; gaps-and-islands merges them into maximal
+    covered intervals per doc; survivors re-assemble ordered.  The
+    md5-prefix window hash makes the marking decision replayable
+    bit-for-bit in DuckDB.  Completes the span-dedup family —
+    n5_hot_span_scrub removes every occurrence, n5_corpus_span_dedup
+    thresholds on distinct docs; this is the paper's semantic, where a
+    doc's own repeated boilerplate dedups against itself too
+    (operators/text.py substring_dedup)."""
+    from .operators.text import substring_dedup
+
+    out = substring_dedup(load_table(spark, sf_dir, "documents"), min_len=8)
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+
+
+@query(
     "n2_jaccard_neardup",
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
        sh AS (SELECT doc_id,

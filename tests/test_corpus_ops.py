@@ -1906,3 +1906,70 @@ def test_oov_rate_entry_semantics(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
+
+
+def test_substring_dedup_within_doc_and_canonical(spark):
+    """substring_dedup (round 12) vs its siblings: occurrence-count
+    threshold WITH a canonical survivor — within-doc repetition IS
+    deduplicated (corpus_span_dedup's distinct-doc gate would skip
+    it), and the first (doc_id, pos) occurrence survives
+    (hot_span_scrub would cut it too)."""
+    from bigdatamigratecloud_spark.operators.text import substring_dedup
+
+    shared = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma {shared}"),
+            (3, f"{shared} delta {shared}"),
+            (4, "solo solo solo solo solo solo solo solo solo solo"),
+            (5, "entirely unique content here is this"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in substring_dedup(docs, min_len=4).collect()
+    }
+    # doc 1 holds the canonical copy: untouched
+    assert out[1]["text"] == f"alpha {shared} beta"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "gamma" and out[2]["n_removed"] == 4
+    # doc 3: both its occurrences are non-canonical -> both cut
+    assert out[3]["text"] == "delta" and out[3]["n_removed"] == 8
+    # doc 4: 'solo'x10 self-repeats; windows 2..7 duplicate window 1.
+    # Coverage [2,10] leaves exactly the first window's first token...
+    # island merge: marked windows start at 2..7 covering [2,10] ->
+    # tokens 1 survives
+    assert out[4]["text"] == "solo" and out[4]["n_removed"] == 9
+    assert out[5]["n_removed"] == 0
+    assert out[5]["n_tokens"] == 6
+
+
+def test_substring_dedup_interval_merge_and_short_docs(spark):
+    """Overlapping marked windows merge into one maximal interval
+    (n_removed counts each token once); docs shorter than min_len are
+    untouched; a full later-duplicate doc empties out."""
+    from bigdatamigratecloud_spark.operators.text import substring_dedup
+
+    long = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [(1, long), (2, long), (3, "tiny doc"), (4, f"x {long} y {long} z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs, min_len=4).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 10
+    assert out[3]["text"] == "tiny doc" and out[3]["n_removed"] == 0
+    # doc 4 embeds the span twice: both occurrences are non-canonical,
+    # the seams survive
+    assert out[4]["text"] == "x y z" and out[4]["n_removed"] == 20
+    # removed-token accounting is consistent with the rebuilt text
+    for r in out.values():
+        kept = 0 if r["text"] == "" else len(r["text"].split(" "))
+        assert kept + r["n_removed"] == r["n_tokens"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        substring_dedup(docs, min_len=1)
+    with _pytest.raises(ValueError):
+        substring_dedup(docs, min_count=1)
