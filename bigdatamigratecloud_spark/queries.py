@@ -4785,6 +4785,60 @@ def s13q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13r_generated_columns",
+    """SELECT event_id, user_id, value,
+              CAST(ts AS DATE) AS event_date
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+         AND ts <= TIMESTAMP '2024-01-14 18:00:00'""",
+)
+def s13r_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 GENERATED COLUMNS + derived-predicate pruning (round 12,
+    Delta GENERATED ALWAYS AS): ``event_date`` is declared as
+    ``CAST(ts AS DATE)`` at create — computed on every write,
+    validated when supplied, and carrying per-file stats.  A scan
+    whose range touches only the SOURCE column ``ts`` then prunes on
+    the DERIVED ``event_date`` interval (the expression is on the
+    monotone whitelist; bounds are evaluated by Spark itself so they
+    match the stats' semantics exactly) — asserted inline: the table
+    has NO ts stats (key stats are event_id), yet files_read <
+    files_total.  This is how a 100 TB event table partitioned by a
+    generated date column answers raw-timestamp range queries without
+    the caller knowing the partitioning exists
+    (sources/acid_table.py create/_apply_generated/scan)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_gc_")
+    try:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "value")
+            .repartitionByRange(8, "ts")
+        )
+        t = AcidTable.create(
+            spark,
+            root + "/t",
+            ev,
+            key_cols=["event_id"],
+            generated={"event_date": "CAST(ts AS DATE)"},
+        )
+        out, info = t.scan(
+            {"ts": ("2024-01-10 06:00:00", "2024-01-14 18:00:00")}
+        )
+        if info["files_read"] >= info["files_total"]:
+            raise AssertionError(
+                f"derived-predicate pruning must skip files, got {info}"
+            )
+        out = _detach(out.select("event_id", "user_id", "value", "event_date"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

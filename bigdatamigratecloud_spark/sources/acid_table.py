@@ -301,6 +301,10 @@ class AcidTable:
                 parent = {}
             if "constraints" not in manifest and parent.get("constraints"):
                 manifest["constraints"] = parent["constraints"]
+            # generated-column map (round 12) is a table property with
+            # the same carry-forward contract
+            if "generated" not in manifest and parent.get("generated"):
+                manifest["generated"] = parent["generated"]
             # bloom file-stats property (round 12) inherits the same way;
             # staleness is sound — files the sidecar doesn't cover are
             # conservatively read by point_lookup
@@ -793,8 +797,32 @@ class AcidTable:
 
     # --------------------------------------------------------------- data
 
+    def _apply_generated(self, df: DataFrame, gen: dict | None) -> DataFrame:
+        """GENERATED COLUMNS (Delta semantics) at the write boundary:
+        a generated column ABSENT from the frame is computed from its
+        expression; one PRESENT is validated against it (one combined
+        limit-1 probe over the delta — a writer supplying values that
+        contradict the generation expression would poison every
+        downstream derived-predicate prune, so it hard-fails)."""
+        if not gen:
+            return df
+        mismatch = None
+        for c, expr in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(expr))
+            else:
+                bad = ~F.col(c).eqNullSafe(F.expr(expr))
+                mismatch = bad if mismatch is None else (mismatch | bad)
+        if mismatch is not None and df.where(mismatch).limit(1).count():
+            raise ValueError(
+                "generated-column mismatch: supplied values contradict the "
+                f"generation expressions {sorted(gen)} — drop the column(s) "
+                "from the write and let the table compute them"
+            )
+        return df
+
     def _write_data_files(
-        self, df: DataFrame, stats_cols: Sequence[str], schema=None
+        self, df: DataFrame, stats_cols: Sequence[str], schema=None, generated=None
     ) -> list[dict]:
         """Write df as immutable files under a fresh commit dir; return
         file entries ``{path, rows, stats:{col:{min,max}}}``.
@@ -817,7 +845,19 @@ class AcidTable:
         only fails AT READ TIME with a physical-type mismatch, possibly
         much later and for an unrelated reader.  Nullability is not
         compared (parquet files don't constrain it here).
+
+        ``generated`` (the manifest's generated-column map, when the
+        table has one) computes/validates those columns FIRST — before
+        enforcement, so a frame legitimately missing them never trips
+        the null-fill — and always joins ``stats_cols``, so every
+        commit's files (including compaction rewrites) carry the
+        per-file [min,max] that derived-predicate pruning reads.
         """
+        if generated:
+            df = self._apply_generated(df, generated)
+            stats_cols = list(stats_cols) + [
+                c for c in generated if c not in stats_cols
+            ]
         if schema is not None:
             # Delta parity: a frame MISSING a nullable non-key column
             # NULL-fills it (after add_columns, existing pipelines that
@@ -923,25 +963,45 @@ class AcidTable:
         key_cols: Sequence[str] = (),
         checkpoint_interval: int = 10,
         txn: tuple[str, int] | None = None,
+        generated: dict | None = None,
     ) -> "AcidTable":
         """Create version 0 from df.  ``key_cols`` drive per-file stats
         (and therefore merge-time file pruning).  ``txn`` records an
         idempotent writer transaction for the creating batch, so a
         streaming sink whose FIRST batch creates the table is replay-
-        safe like every later batch."""
+        safe like every later batch.
+
+        ``generated`` maps column -> SQL expression (Delta GENERATED
+        ALWAYS AS): the column is computed from the expression on THIS
+        and every later write (or validated, if the writer supplies
+        it), materialized physically, given per-file stats, and — for
+        whitelisted monotone expressions like ``CAST(ts AS DATE)`` —
+        used by :meth:`scan` to DERIVE a pruning predicate from a
+        range on the source column (Delta's generated-column partition
+        pruning)."""
         t = cls(spark, root, checkpoint_interval=checkpoint_interval)
-        files = t._write_data_files(df, key_cols)
-        t._commit(
-            {
-                "version": 0,
-                "operation": "create",
-                "schema": df.schema.jsonValue(),
-                "key_cols": list(key_cols),
-                "reset": True,
-                "add": files,
-                "txns": {} if txn is None else {str(txn[0]): int(txn[1])},
-            }
-        )
+        if generated:
+            overlap = sorted(set(generated) & set(df.columns))
+            if overlap:
+                raise ValueError(
+                    f"generated columns {overlap} already exist in the "
+                    "create frame — supply either the expression or the "
+                    "data, not both"
+                )
+            df = t._apply_generated(df, generated)
+        files = t._write_data_files(df, key_cols, generated=generated)
+        manifest = {
+            "version": 0,
+            "operation": "create",
+            "schema": df.schema.jsonValue(),
+            "key_cols": list(key_cols),
+            "reset": True,
+            "add": files,
+            "txns": {} if txn is None else {str(txn[0]): int(txn[1])},
+        }
+        if generated:
+            manifest["generated"] = dict(generated)
+        t._commit(manifest)
         return t
 
     @classmethod
@@ -1251,6 +1311,31 @@ class AcidTable:
         # prune a file whose rows match the bound at midnight
         scan_schema = _ST.fromJson(m["schema"])
         col_types = {f.name: f.dataType.simpleString() for f in scan_schema.fields}
+        # GENERATED-COLUMN derived predicates (round 12, Delta's
+        # generated-column partition pruning): a range on a SOURCE
+        # column implies a range on any generated column whose
+        # expression is on the monotone whitelist — f non-decreasing
+        # means rows with src in [lo,hi] have f(src) in [f(lo),f(hi)],
+        # so the derived interval prunes on the generated column's
+        # per-file stats (which every write records) even though the
+        # caller never mentioned it.  Bounds are evaluated by SPARK
+        # ITSELF on a one-row frame, so timezone/truncation semantics
+        # match the stats bit-for-bit; an unevaluable bound degrades
+        # to an open side (prunes less, never wrong).
+        gen = m.get("generated") or {}
+        if gen:
+            ranges = dict(ranges)
+            for gcol, gexpr in gen.items():
+                if gcol in ranges:
+                    continue
+                src = _monotone_source(gexpr)
+                if not src or src not in ranges:
+                    continue
+                lo, hi = ranges[src]
+                glo = self._eval_generated(gexpr, src, col_types.get(src), lo)
+                ghi = self._eval_generated(gexpr, src, col_types.get(src), hi)
+                if glo is not None or ghi is not None:
+                    ranges[gcol] = (glo, ghi)
         # stats are keyed by PHYSICAL name (stable across renames)
         stats_key = {f.name: self._physical_name(f) for f in scan_schema.fields}
         ent = self._entries_frame(v)
@@ -1309,6 +1394,22 @@ class AcidTable:
             if hi is not None:
                 df = df.filter(F.col(col) <= F.lit(hi))
         return df, info
+
+    def _eval_generated(self, expr: str, src: str, src_type: str | None, bound):
+        """Evaluate a generated-column expression at one source bound,
+        using Spark itself (session timezone, cast/truncation rules)
+        so derived pruning bounds agree exactly with file stats.
+        Returns None (open side) when the bound is None or the
+        evaluation fails."""
+        if bound is None:
+            return None
+        try:
+            one = self.spark.range(1).select(
+                F.lit(str(bound)).cast(src_type or "string").alias(src)
+            )
+            return one.select(F.expr(expr).alias("__v")).first()["__v"]
+        except Exception:  # noqa: BLE001 — derivation is an optimization
+            return None
 
     def compute_bloom_stats(
         self,
@@ -1782,7 +1883,9 @@ class AcidTable:
             if evolved is not wschema:
                 wschema = evolved
                 evolved_json = wschema.jsonValue()
-        new_files = self._write_data_files(df, m0["key_cols"], schema=wschema)
+        new_files = self._write_data_files(
+            df, m0["key_cols"], schema=wschema, generated=m0.get("generated")
+        )
         for _ in range(max_retries):
             head = self.latest_version()
             m = self._read_manifest(head)
@@ -1833,8 +1936,11 @@ class AcidTable:
         m = self._read_manifest(head)
         if self._txn_already_applied(m, txn):
             return head
+        df = self._apply_generated(df, m.get("generated"))
         self._enforce_constraints(df, m, "overwrite")
-        files = self._write_data_files(df, m["key_cols"])
+        files = self._write_data_files(
+            df, m["key_cols"], generated=m.get("generated")
+        )
         return self._commit(
             {
                 "version": head + 1,
@@ -1983,6 +2089,11 @@ class AcidTable:
                 "dedupe the delta (e.g. keep latest) before merging"
             )
         self._enforce_constraints(delta, m, "merge delta")
+        # generated columns compute on the delta HERE, not just at the
+        # write: the rewrite path unions delta rows with existing-file
+        # rows (allowMissingColumns), which would NULL-fill an absent
+        # generated column and trip validation on the mixed frame
+        delta = self._apply_generated(delta, m.get("generated"))
 
         from pyspark.sql.types import StructType
 
@@ -2013,7 +2124,9 @@ class AcidTable:
             merged = merged.repartitionByRange(
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
-            files = self._write_data_files(merged, m["key_cols"], schema=schema)
+            files = self._write_data_files(
+                merged, m["key_cols"], schema=schema, generated=m.get("generated")
+            )
             return self._commit(
                 {
                     "version": head + 1,
@@ -2051,7 +2164,9 @@ class AcidTable:
             # matched base rows (if any) were handled by deletion
             # vectors / whole-file drops; the delta lands as new files
             merged = delta
-        new_files = self._write_data_files(merged, m["key_cols"], schema=schema)
+        new_files = self._write_data_files(
+            merged, m["key_cols"], schema=schema, generated=m.get("generated")
+        )
         manifest = {
             "version": head + 1,
             "operation": "merge",
@@ -2201,7 +2316,8 @@ class AcidTable:
         cols = [f.name for f in schema.fields]
         ups = feed.where(
             F.col("_change_type").isin("insert", "update_postimage")
-        ).select(*cols)
+        )
+        ups = self._apply_generated(ups, m.get("generated")).select(*cols)
         dup = ups.groupBy(*keys).count().where("count > 1").limit(1).count()
         if dup:
             raise ValueError(
@@ -2227,7 +2343,9 @@ class AcidTable:
             merged = merged.repartitionByRange(
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
-            files = self._write_data_files(merged, m["key_cols"], schema=schema)
+            files = self._write_data_files(
+                merged, m["key_cols"], schema=schema, generated=m.get("generated")
+            )
             return self._commit(
                 {
                     "version": head + 1,
@@ -2253,7 +2371,9 @@ class AcidTable:
             merged = affected.join(change_keys, keys, "left_anti").unionByName(ups)
         else:
             merged = ups
-        new_files = self._write_data_files(merged, m["key_cols"], schema=schema)
+        new_files = self._write_data_files(
+            merged, m["key_cols"], schema=schema, generated=m.get("generated")
+        )
         # same rebase-over-disjoint-appends concurrency as merge
         return self._commit_cow_with_rebase(
             {
@@ -2312,6 +2432,7 @@ class AcidTable:
             # head data that violates an "active" constraint.  Explicit
             # (even when empty) so _publish's carry-forward never fires.
             "constraints": dict(target.get("constraints") or {}),
+            "generated": dict(target.get("generated") or {}),
             "txns": self._merged_txns(self._read_manifest(head), None),
         }
         try:
@@ -2541,7 +2662,9 @@ class AcidTable:
             kept = self._read_entries_data(schema, rewrite).where(
                 f"({predicate}) IS NOT TRUE"
             )
-            new_files = self._write_data_files(kept, m["key_cols"], schema=schema)
+            new_files = self._write_data_files(
+                kept, m["key_cols"], schema=schema, generated=m.get("generated")
+            )
         return self._commit(
             {
                 "version": head + 1,
@@ -2602,8 +2725,12 @@ class AcidTable:
             kept = self._read_entries_data(schema, rewrite).where(
                 f"({predicate}) IS NOT TRUE"
             )
-            rewrite_files = self._write_data_files(kept, m["key_cols"], schema=schema)
-        new_files = self._write_data_files(df, m["key_cols"], schema=schema)
+            rewrite_files = self._write_data_files(
+                kept, m["key_cols"], schema=schema, generated=m.get("generated")
+            )
+        new_files = self._write_data_files(
+            df, m["key_cols"], schema=schema, generated=m.get("generated")
+        )
         return self._commit(
             {
                 "version": head + 1,
@@ -2976,7 +3103,9 @@ class AcidTable:
                     ).sortWithinPartitions(key_cols[0])
                 else:
                     part = part.repartition(target_files)
-                files = self._write_data_files(part, key_cols, schema=schema)
+                files = self._write_data_files(
+                    part, key_cols, schema=schema, generated=m.get("generated")
+                )
                 base_head = head
                 for _ in range(10):
                     try:
@@ -3022,7 +3151,9 @@ class AcidTable:
             )
         else:
             snap = snap.repartition(target_files)
-        files = self._write_data_files(snap, key_cols, schema=schema)
+        files = self._write_data_files(
+            snap, key_cols, schema=schema, generated=m.get("generated")
+        )
         return self._commit(
             {
                 "version": head + 1,
@@ -3097,7 +3228,10 @@ class AcidTable:
         from pyspark.sql.types import StructType as _ZST
 
         files = self._write_data_files(
-            clustered, stats_cols, schema=_ZST.fromJson(m["schema"])
+            clustered,
+            stats_cols,
+            schema=_ZST.fromJson(m["schema"]),
+            generated=m.get("generated"),
         )
         return self._commit(
             {
@@ -3243,6 +3377,32 @@ class AcidTable:
                 if age >= retain_seconds:
                     shutil.rmtree(d, ignore_errors=True)
         return sorted(deleted)
+
+
+_GEN_MONOTONE = [
+    re.compile(r"^cast\(\s*(\w+)\s+as\s+date\s*\)$", re.IGNORECASE),
+    re.compile(r"^to_date\(\s*(\w+)\s*\)$", re.IGNORECASE),
+    re.compile(
+        r"^date_trunc\(\s*'(?:year|quarter|month|week|day|dd|hour|minute)'\s*,"
+        r"\s*(\w+)\s*\)$",
+        re.IGNORECASE,
+    ),
+    re.compile(r"^year\(\s*(\w+)\s*\)$", re.IGNORECASE),
+]
+
+
+def _monotone_source(expr: str) -> str | None:
+    """The source column of a generated-column expression that is
+    provably NON-DECREASING in it (the whitelist Delta uses for
+    generated-column partition pruning: date casts/truncations and
+    year()).  month()/day() are NOT monotone across year boundaries
+    and stay off the list.  None = don't derive."""
+    e = " ".join(expr.strip().split())
+    for rx in _GEN_MONOTONE:
+        mt = rx.match(e)
+        if mt:
+            return mt.group(1)
+    return None
 
 
 def _epoch_seconds(ts) -> float:

@@ -2406,7 +2406,11 @@ def test_timestamp_selectors_match_version_selectors(spark, tmp_path):
     key = lambda r: (r["id"], r["_change_type"])  # noqa: E731
     assert sorted(feed_ts.collect(), key=key) == sorted(feed_v.collect(), key=key)
     # datetime and ISO-string forms resolve identically to the float
-    dt = datetime.datetime.fromtimestamp(ts1)
+    # (fromtimestamp FLOORS to µs, which can land just before the
+    # stamp — round UP to the next µs so the instant is at-or-after)
+    import math
+
+    dt = datetime.datetime.fromtimestamp(math.ceil(ts1 * 1e6) / 1e6)
     assert t.version_at(dt) == 1
     assert t.version_at(dt.isoformat()) == 1
     with pytest.raises(TypeError):
@@ -2435,3 +2439,111 @@ def test_commit_timestamp_mtime_fallback_for_legacy_manifests(spark, tmp_path):
     # mtime (now) is AFTER v1's in-commit stamp: the running max keeps
     # resolution sound — v1 still resolves at its own instant
     assert t.version_at(t.commit_timestamp(1) + 3600) == 1
+
+
+def test_generated_columns_compute_validate_and_prune(spark, tmp_path):
+    """GENERATED ALWAYS AS: absent column computes on every write
+    path, a contradictory supplied value hard-fails, the map is a
+    carried table property, and a source-column range prunes via the
+    DERIVED generated-column interval (no source stats exist)."""
+    import datetime
+
+    base = (
+        spark.range(1_000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "ts",
+            (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(hours=F.col("k"))),
+        )
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        AcidTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            base.withColumn("d", F.lit(None).cast("date")),
+            key_cols=["k"],
+            generated={"d": "CAST(ts AS DATE)"},
+        )
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.repartitionByRange(8, "ts"),
+        key_cols=["k"],
+        generated={"d": "CAST(ts AS DATE)"},
+    )
+    assert "d" in t.snapshot().columns
+    assert t.snapshot().where("d IS NULL").count() == 0
+    # scan on ts only: key stats are k, so any pruning is via derived d
+    out, info = t.scan({"ts": ("2024-01-10 00:00:00", "2024-01-12 23:00:00")})
+    assert info["files_read"] < info["files_total"]
+    assert out.count() == base.where(
+        (F.col("ts") >= "2024-01-10 00:00:00") & (F.col("ts") <= "2024-01-12 23:00:00")
+    ).count()
+    # append computes; merge computes (both COW and recompute paths)
+    t.append(
+        spark.createDataFrame(
+            [(5_000, datetime.datetime(2024, 6, 1, 8, 0))], "k long, ts timestamp"
+        )
+    )
+    assert str(t.snapshot().where("k = 5000").first()["d"]) == "2024-06-01"
+    t.merge(
+        spark.createDataFrame(
+            [(5_001, datetime.datetime(2024, 6, 2, 8, 0))], "k long, ts timestamp"
+        ),
+        ["k"],
+        recompute_frac=1.0,
+    )
+    assert str(t.snapshot().where("k = 5001").first()["d"]) == "2024-06-02"
+    # a supplied value contradicting the expression is rejected
+    with pytest.raises(ValueError, match="generated-column mismatch"):
+        t.append(
+            spark.createDataFrame(
+                [(5_002, datetime.datetime(2024, 6, 3, 8, 0), datetime.date(1999, 1, 1))],
+                "k long, ts timestamp, d date",
+            )
+        )
+    # a supplied value AGREEING with the expression is accepted
+    t.append(
+        spark.createDataFrame(
+            [(5_003, datetime.datetime(2024, 6, 4, 8, 0), datetime.date(2024, 6, 4))],
+            "k long, ts timestamp, d date",
+        )
+    )
+    # property carries through delete + compact, and compact keeps
+    # generated stats so pruning survives the rewrite
+    t.delete("k = 5000")
+    t.compact(target_files=4)
+    assert t._read_manifest(t.latest_version()).get("generated") == {
+        "d": "CAST(ts AS DATE)"
+    }
+    _, info2 = t.scan({"ts": ("2024-01-10 00:00:00", "2024-01-12 23:00:00")})
+    assert info2["files_read"] < info2["files_total"]
+
+
+def test_generated_columns_monotone_whitelist(spark, tmp_path):
+    """Only provably-monotone expressions derive pruning bounds:
+    month() is not monotone across years and must NOT derive (scan
+    falls back to reading every file — conservative, never wrong)."""
+    from bigdatamigratecloud_spark.sources.acid_table import _monotone_source
+
+    assert _monotone_source("CAST(ts AS DATE)") == "ts"
+    assert _monotone_source("to_date( ts )") == "ts"
+    assert _monotone_source("date_trunc('month', ts)") == "ts"
+    assert _monotone_source("YEAR(ts)") == "ts"
+    assert _monotone_source("month(ts)") is None
+    assert _monotone_source("day(ts)") is None
+    assert _monotone_source("CAST(ts AS STRING)") is None
+    base = spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "ts", (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(days=F.col("k")))
+    )
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.repartitionByRange(4, "ts"),
+        key_cols=["k"],
+        generated={"m": "month(ts)"},
+    )
+    out, info = t.scan({"ts": ("2024-02-01 00:00:00", "2024-02-10 00:00:00")})
+    # month() derives nothing: every file read, result still exact
+    assert info["files_read"] == info["files_total"]
+    assert out.count() == 10
