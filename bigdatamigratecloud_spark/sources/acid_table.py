@@ -172,9 +172,33 @@ class AcidTable:
         versions = [int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()]
         return max(versions) if versions else None
 
+    #: READER-REQUIRED table features this engine build understands
+    #: (Delta's readerFeatures protocol): a feature lands in the
+    #: manifest when first used and LATCHES (never auto-drops, even
+    #: across restore — Delta semantics), and a reader that doesn't
+    #: know one of a table's features must refuse to read rather than
+    #: silently misread (ignoring deletion vectors resurrects deleted
+    #: rows; ignoring column mapping reads the wrong columns; ignoring
+    #: path-partition derivation returns NULL partition values).
+    #: Writer-optional metadata (bloom sidecars, generated maps,
+    #: optimize watermarks) is deliberately NOT gated: a reader that
+    #: ignores it is merely slower, never wrong.
+    SUPPORTED_READER_FEATURES = frozenset(
+        {"deletion-vectors", "column-mapping", "partition-from-path"}
+    )
+
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        unknown = set(m.get("features") or ()) - self.SUPPORTED_READER_FEATURES
+        if unknown:
+            raise RuntimeError(
+                f"table at {self.root} requires reader features "
+                f"{sorted(unknown)} this engine build does not support — "
+                "refusing to read rather than return wrong results; "
+                "upgrade the engine to open this table"
+            )
+        return m
 
     def _head(self) -> int:
         """Latest version, or a clean FileNotFoundError for a
@@ -323,6 +347,24 @@ class AcidTable:
         # timestamp of the manifest it was derived from.  Pre-existing
         # tables without the field fall back to manifest-file mtime in
         # commit_timestamp().
+        # reader-feature derivation (round 12): features are computed
+        # from what the commit actually CONTAINS at this one choke
+        # point — no write path can introduce a gated structure without
+        # advertising it — unioned with the parent's set (latched).
+        feats = set(parent.get("features") or ()) | set(
+            manifest.get("features") or ()
+        )
+        if manifest.get("dv"):
+            feats.add("deletion-vectors")
+        for fld in (manifest.get("schema") or {}).get("fields", ()):
+            md = fld.get("metadata") or {}
+            pn = md.get("physical_name")
+            if pn and pn != fld.get("name"):
+                feats.add("column-mapping")
+            if md.get("partition_from_path"):
+                feats.add("partition-from-path")
+        if feats:
+            manifest["features"] = sorted(feats)
         pts = parent.get("timestamp")
         if pts is None and version > 0:
             try:
@@ -2529,6 +2571,12 @@ class AcidTable:
                     "checkpoint_owner": owner,
                     # table properties copy with the clone (Delta parity)
                     "constraints": dict(m.get("constraints") or {}),
+                    "generated": dict(m.get("generated") or {}),
+                    # the cloned file set can reference structures (e.g.
+                    # deletion vectors) only visible in the source's
+                    # checkpoint, so the source's reader features copy
+                    # explicitly — derivation alone can't see them
+                    "features": sorted(set(m.get("features") or ())),
                     "txns": {},
                 }
             )

@@ -2547,3 +2547,62 @@ def test_generated_columns_monotone_whitelist(spark, tmp_path):
     # month() derives nothing: every file read, result still exact
     assert info["files_read"] == info["files_total"]
     assert out.count() == 10
+
+
+def test_reader_features_latch_and_gate(spark, tmp_path):
+    """Reader-required features (Delta readerFeatures): derived at the
+    publish choke point from what the commit contains, latched across
+    every later commit (restore included), copied by clones, and an
+    UNKNOWN feature makes every read refuse loudly instead of
+    returning wrong results."""
+    import json
+
+    base = spark.range(200).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["k"]
+    )
+    assert "features" not in t._read_manifest(0)
+    t.delete("k = 7")  # masked via deletion vector
+    assert t._read_manifest(t.latest_version()).get("features") == [
+        "deletion-vectors"
+    ]
+    t.rename_column("v", "val")
+    feats = t._read_manifest(t.latest_version())["features"]
+    assert feats == ["column-mapping", "deletion-vectors"]
+    # latched: a plain append (no dv, mapping already in schema) keeps both
+    t.append(spark.range(500, 510).withColumnRenamed("id", "k").withColumn(
+        "val", F.col("k") * 2
+    ))
+    assert t._read_manifest(t.latest_version())["features"] == feats
+    # restore to pre-feature version 0 still carries the latch
+    t.restore(0)
+    assert t._read_manifest(t.latest_version())["features"] == feats
+    # clones copy the source's features (their v0 references the
+    # source checkpoint where the structures live)
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c._read_manifest(0)["features"] == feats
+    # unknown future feature -> fail-closed on every read path
+    head = t.latest_version()
+    p = t._manifest_path(head)
+    m = json.load(open(p))
+    m["features"] = feats + ["future-row-tracking"]
+    json.dump(m, open(p + ".tmp", "w"))
+    os.replace(p + ".tmp", p)
+    t2 = AcidTable(spark, str(tmp_path / "t"))
+    with pytest.raises(RuntimeError, match="future-row-tracking"):
+        t2.snapshot()
+    with pytest.raises(RuntimeError, match="refusing to read"):
+        t2.history()
+
+
+def test_reader_features_partition_from_path(spark, tmp_path):
+    """A hive-partition adoption advertises partition-from-path: a
+    reader that can't re-derive values from paths must not open it."""
+    src = str(tmp_path / "lake")
+    spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "part", (F.col("k") % 3).cast("string")
+    ).write.partitionBy("part").parquet(src)
+    t = AcidTable.import_existing(spark, src, key_cols=["k"])
+    assert "partition-from-path" in t._read_manifest(0)["features"]
