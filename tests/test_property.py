@@ -223,14 +223,24 @@ def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
     root = tempfile.mkdtemp(prefix="acid_prop_")
     base = {i: i * 10 for i in range(12)}
     df = spark.createDataFrame(sorted(base.items()), "id long, v long")
-    t = AcidTable.create(spark, root + "/t", df.repartition(3), key_cols=["id"])
+    # round 12: a generated column rides EVERY op of the sequence — no
+    # write path may land a row where it diverges from its expression
+    t = AcidTable.create(
+        spark,
+        root + "/t",
+        df.repartition(3),
+        key_cols=["id"],
+        generated={"g": "v * 2"},
+    )
     states = {0: dict(base)}  # committed version -> expected rows
     model = dict(base)
     min_restorable = 0
 
     def check():
-        got = sorted((r["id"], r["v"]) for r in t.snapshot().collect())
+        snap = t.snapshot()
+        got = sorted((r["id"], r["v"]) for r in snap.collect())
         assert got == sorted(model.items()), (got, sorted(model.items()))
+        assert snap.where("g IS NULL OR g != v * 2").count() == 0
 
     for op, arg in ops:
         if op == "merge":
@@ -268,6 +278,22 @@ def test_acid_any_op_sequence_matches_replayed_model(ops, spark):
             head = max(states)
             min_restorable = max(min_restorable, head - arg + 1)
         check()
+    # round-12 closing invariants over the whole surviving log:
+    # every retained commit's instant resolves back to itself, a
+    # timestamp-travelled snapshot equals the recorded model state,
+    # and the head's reader features contain every retained commit's
+    # (latched, never dropped)
+    head = t.latest_version()
+    retained = [v for v in sorted(states) if v >= min_restorable]
+    for v in retained:
+        assert t.version_at(t.commit_timestamp(v)) == v
+    probe = retained[len(retained) // 2]
+    tv = t.snapshot(timestamp=t.commit_timestamp(probe))
+    got = sorted((r["id"], r["v"]) for r in tv.collect())
+    assert got == sorted(states[probe].items())
+    head_feats = set(t._read_manifest(head).get("features") or ())
+    for v in retained:
+        assert set(t._read_manifest(v).get("features") or ()) <= head_feats
 
 
 @settings(max_examples=40, deadline=None)
