@@ -4839,6 +4839,65 @@ def s13r_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s13s_identity_columns",
+    """WITH a AS (SELECT o_orderkey, o_custkey FROM orders
+                  WHERE o_orderkey % 3 = 0),
+       b AS (SELECT o_orderkey, o_custkey FROM orders
+             WHERE o_orderkey % 3 = 1),
+       na AS (SELECT count(*) AS n FROM a)
+       SELECT o_orderkey, o_custkey,
+              CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rid
+       FROM a
+       UNION ALL
+       SELECT b.o_orderkey, b.o_custkey,
+              CAST((SELECT n FROM na)
+                   + row_number() OVER (ORDER BY b.o_orderkey) AS BIGINT)
+                   AS rid
+       FROM b""",
+)
+def s13s_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 IDENTITY COLUMNS (round 12, Delta GENERATED BY DEFAULT AS
+    IDENTITY made deterministic): ``rid`` is allocated hwm+1..hwm+n
+    densely per insert batch, ordered by the batch-unique key — the
+    create takes 1..n, the append CONTINUES from the latched
+    high-water mark, and the whole allocation is the hierarchical
+    distributed prefix sum (operators/sampling.global_running_sum:
+    no single-partition window over anything batch-sized), so DuckDB
+    replays it as row_number() OVER (ORDER BY key) exactly.  Restore
+    latches the mark (rolled-back ids never re-issue) and a racing
+    allocation aborts as a metadata conflict — both pinned in
+    test_acid_table (sources/acid_table.py _assign_identity)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+
+    root = tempfile.mkdtemp(prefix="bdmc_id_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+
+        def _slice(mod: int) -> DataFrame:
+            return (
+                orders.where(F.col("o_orderkey") % 3 == mod)
+                .select("o_orderkey", "o_custkey")
+                .repartition(4)
+            )
+
+        t = AcidTable.create(
+            spark,
+            root + "/t",
+            _slice(0),
+            key_cols=["o_orderkey"],
+            identity={"rid": "o_orderkey"},
+        )
+        t.append(_slice(1))
+        out = _detach(t.snapshot().select("o_orderkey", "o_custkey", "rid"))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13l_overwrite_where",
     """WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority,
                             o_totalprice

@@ -329,6 +329,12 @@ class AcidTable:
             # the same carry-forward contract
             if "generated" not in manifest and parent.get("generated"):
                 manifest["generated"] = parent["generated"]
+            # identity allocation state (round 12): carried so the
+            # high-water mark LATCHES across every commit — including
+            # restore, so rolling back never re-issues the rolled-back
+            # rows' ids (Delta identity semantics)
+            if "identity" not in manifest and parent.get("identity"):
+                manifest["identity"] = parent["identity"]
             # bloom file-stats property (round 12) inherits the same way;
             # staleness is sound — files the sidecar doesn't cover are
             # conservatively read by point_lookup
@@ -863,6 +869,48 @@ class AcidTable:
             )
         return df
 
+    def _assign_identity(
+        self, df: DataFrame, ident: dict
+    ) -> tuple[DataFrame, dict]:
+        """IDENTITY allocation for one insert batch: each identity
+        column gets ``hwm + 1 .. hwm + n`` DENSELY, ordered by its
+        declared ``order_by`` column — which must be integral,
+        non-negative, and unique within the batch, making the
+        assignment DETERMINISTIC (same batch, same ids — replayable by
+        an external engine as ``row_number() OVER (ORDER BY ...)``).
+
+        Scale shape: the rank is the hierarchical distributed prefix
+        sum (:func:`~..operators.sampling.global_running_sum`) — no
+        single-partition window over anything that grows with the
+        batch.  Returns (df with ids, {col: batch_row_count})."""
+        from ..operators.sampling import global_running_sum
+
+        counts: dict[str, int] = {}
+        n = None
+        for c, spec in ident.items():
+            ob = spec["order_by"]
+            if ob not in df.columns:
+                raise ValueError(
+                    f"identity column {c!r}: order_by column {ob!r} missing"
+                )
+            dup = df.groupBy(ob).count().where("count > 1").limit(1).count()
+            if dup:
+                raise ValueError(
+                    f"identity column {c!r}: order_by column {ob!r} must be "
+                    "unique within the batch (ties would make the "
+                    "assignment nondeterministic)"
+                )
+            if n is None:
+                n = df.count()
+            ranked = global_running_sum(
+                df.withColumn("__one", F.lit(1)), ob, "__one", out="__idrank"
+            )
+            df = ranked.withColumn(
+                c, (F.col("__idrank") + F.lit(int(spec["hwm"]) + 1)).cast("long")
+            ).drop("__one", "__idrank")
+            counts[c] = int(n)
+        return df, counts
+
     def _write_data_files(
         self, df: DataFrame, stats_cols: Sequence[str], schema=None, generated=None
     ) -> list[dict]:
@@ -1006,6 +1054,7 @@ class AcidTable:
         checkpoint_interval: int = 10,
         txn: tuple[str, int] | None = None,
         generated: dict | None = None,
+        identity: dict | None = None,
     ) -> "AcidTable":
         """Create version 0 from df.  ``key_cols`` drive per-file stats
         (and therefore merge-time file pruning).  ``txn`` records an
@@ -1020,8 +1069,34 @@ class AcidTable:
         whitelisted monotone expressions like ``CAST(ts AS DATE)`` —
         used by :meth:`scan` to DERIVE a pruning predicate from a
         range on the source column (Delta's generated-column partition
-        pruning)."""
+        pruning).
+
+        ``identity`` maps column -> ``order_by`` column (Delta
+        GENERATED BY DEFAULT AS IDENTITY, made DETERMINISTIC): on this
+        create and on every :meth:`append`, the column is allocated
+        ``hwm+1..hwm+n`` densely, ordered by the (integral,
+        non-negative, batch-unique) order column via the hierarchical
+        distributed prefix sum.  The high-water mark is a latched
+        table property — restore never re-issues rolled-back ids, and
+        an append racing another allocation aborts with a metadata
+        conflict instead of issuing duplicates.  MERGE/apply_cdc
+        upserts carry explicit identity values at the caller's
+        responsibility (the BY DEFAULT semantic)."""
         t = cls(spark, root, checkpoint_interval=checkpoint_interval)
+        ident_prop = None
+        if identity:
+            overlap = sorted(set(identity) & set(df.columns))
+            if overlap:
+                raise ValueError(
+                    f"identity columns {overlap} already exist in the create "
+                    "frame — they are allocated by the table"
+                )
+            ident_prop = {
+                c: {"order_by": ob, "hwm": 0} for c, ob in identity.items()
+            }
+            df, counts = t._assign_identity(df, ident_prop)
+            for c in ident_prop:
+                ident_prop[c]["hwm"] = counts[c]
         if generated:
             overlap = sorted(set(generated) & set(df.columns))
             if overlap:
@@ -1043,6 +1118,8 @@ class AcidTable:
         }
         if generated:
             manifest["generated"] = dict(generated)
+        if ident_prop:
+            manifest["identity"] = ident_prop
         t._commit(manifest)
         return t
 
@@ -1917,6 +1994,21 @@ class AcidTable:
             return base
         from pyspark.sql.types import StructType as _AST
 
+        ident = m0.get("identity") or {}
+        new_ident = None
+        if ident:
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity columns {supplied} are allocated by the table "
+                    "on append — remove them from the frame (use merge to "
+                    "carry explicit values)"
+                )
+            df, counts = self._assign_identity(df, ident)
+            new_ident = {
+                c: {**spec, "hwm": int(spec["hwm"]) + counts[c]}
+                for c, spec in ident.items()
+            }
         self._enforce_constraints(df, m0, "append")
         wschema = _AST.fromJson(m0["schema"])
         evolved_json = None
@@ -1957,18 +2049,28 @@ class AcidTable:
                 raise ConcurrentWriteError(
                     "schema changed concurrently under a schema-evolving append"
                 )
-            try:
-                return self._commit(
-                    {
-                        "version": head + 1,
-                        "operation": "append",
-                        "schema": evolved_json or m["schema"],
-                        "key_cols": m["key_cols"],
-                        "add": new_files,
-                        "remove": [],
-                        "txns": self._merged_txns(m, txn),
-                    }
+            if ident and (m.get("identity") or {}) != (m0.get("identity") or {}):
+                # a concurrent commit moved the identity high-water mark:
+                # the ids this batch allocated from the OLD mark would
+                # duplicate the winner's — Delta-style metadata conflict,
+                # abort instead of issuing duplicate ids
+                raise ConcurrentWriteError(
+                    "identity allocation conflict: another writer consumed "
+                    "ids concurrently — retry the append"
                 )
+            commit_manifest = {
+                "version": head + 1,
+                "operation": "append",
+                "schema": evolved_json or m["schema"],
+                "key_cols": m["key_cols"],
+                "add": new_files,
+                "remove": [],
+                "txns": self._merged_txns(m, txn),
+            }
+            if new_ident is not None:
+                commit_manifest["identity"] = new_ident
+            try:
+                return self._commit(commit_manifest)
             except ConcurrentWriteError:
                 continue
         raise ConcurrentWriteError(f"append lost {max_retries} straight races")

@@ -2606,3 +2606,85 @@ def test_reader_features_partition_from_path(spark, tmp_path):
     ).write.partitionBy("part").parquet(src)
     t = AcidTable.import_existing(spark, src, key_cols=["k"])
     assert "partition-from-path" in t._read_manifest(0)["features"]
+
+
+def test_identity_columns_allocation_and_guards(spark, tmp_path):
+    """Identity allocation: dense 1..n by order key at create, append
+    continues from the latched mark, explicit supply and duplicate
+    order keys are rejected, restore never re-issues rolled-back ids,
+    and a racing allocation aborts as a metadata conflict."""
+    base = spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 3
+    )
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.repartition(4),
+        key_cols=["k"],
+        identity={"rid": "k"},
+    )
+    rows = {r["k"]: r["rid"] for r in t.snapshot().collect()}
+    assert sorted(rows.values()) == list(range(1, 101))
+    assert rows[0] == 1 and rows[99] == 100
+    t.append(
+        spark.range(200, 250)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k"))
+        .repartition(3)
+    )
+    rows = {r["k"]: r["rid"] for r in t.snapshot().collect()}
+    assert rows[200] == 101 and rows[249] == 150
+    with pytest.raises(ValueError, match="allocated by the table"):
+        t.append(
+            spark.createDataFrame([(300, 0, 999)], "k long, v long, rid long")
+        )
+    with pytest.raises(ValueError, match="unique within the batch"):
+        t.append(
+            spark.createDataFrame([(301, 0), (301, 1)], "k long, v long")
+        )
+    with pytest.raises(ValueError, match="already exist"):
+        AcidTable.create(
+            spark,
+            str(tmp_path / "bad"),
+            base.withColumn("rid", F.lit(0).cast("long")),
+            key_cols=["k"],
+            identity={"rid": "k"},
+        )
+    # restore latches the mark
+    t.restore(0)
+    t.append(
+        spark.range(500, 510)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k"))
+        .coalesce(1)
+    )
+    got = sorted(r["rid"] for r in t.snapshot().where("k >= 500").collect())
+    assert got == list(range(151, 161))
+    # racing allocation -> metadata conflict, never duplicate ids
+    orig_commit = AcidTable._commit
+    raced = {"done": False}
+
+    def racing_commit(self, manifest):
+        if manifest.get("operation") == "append" and not raced["done"]:
+            raced["done"] = True
+            AcidTable(spark, self.root).append(
+                spark.range(900, 905)
+                .withColumnRenamed("id", "k")
+                .withColumn("v", F.col("k"))
+                .coalesce(1)
+            )
+        return orig_commit(self, manifest)
+
+    try:
+        AcidTable._commit = racing_commit
+        with pytest.raises(ConcurrentWriteError, match="identity allocation"):
+            t.append(
+                spark.range(950, 955)
+                .withColumnRenamed("id", "k")
+                .withColumn("v", F.col("k"))
+                .coalesce(1)
+            )
+    finally:
+        AcidTable._commit = orig_commit
+    ids = [r["rid"] for r in t.snapshot().collect()]
+    assert len(ids) == len(set(ids))
