@@ -3201,6 +3201,71 @@ class AcidTable:
             }
         )
 
+    def _optimize_incremental(
+        self, cluster, head: int, m: dict, schema, op: str
+    ) -> int | None:
+        """Shared skeleton of INCREMENTAL maintenance (compact and
+        z-order): select the files added since the ``last_optimize``
+        watermark, rewrite only them through ``cluster(df) ->
+        (clustered_df, stats_cols)``, and publish with the
+        rebase-over-pure-appends retry loop (OPTIMIZE never blocks
+        ingest — Delta parity; anything touching existing entries
+        aborts).  Returns the committed version, ``head`` when nothing
+        is fresh, or None when there is no resolvable watermark (the
+        caller falls back to its full pass)."""
+        lo = m.get("last_optimize")
+        old_paths: set[str] | None = None
+        if lo is not None:
+            try:
+                old_paths = {e["path"] for e in self.entries(lo)}
+            except FileNotFoundError:
+                old_paths = None  # watermark vacuumed away: full pass
+        if old_paths is None:
+            return None
+        fresh = [e for e in self.entries(head) if e["path"] not in old_paths]
+        if not fresh:
+            return head  # nothing added since the last optimize
+        part, stats_cols = cluster(self._read_entries_data(schema, fresh))
+        files = self._write_data_files(
+            part, stats_cols, schema=schema, generated=m.get("generated")
+        )
+        base_head = head
+        for _ in range(10):
+            try:
+                return self._commit(
+                    {
+                        "version": head + 1,
+                        "operation": op,
+                        "schema": m["schema"],
+                        "key_cols": m["key_cols"],
+                        "add": files,
+                        "remove": [e["path"] for e in fresh],
+                        "last_optimize": head + 1,
+                        "txns": self._merged_txns(m, None),
+                    }
+                )
+            except ConcurrentWriteError:
+                # OPTIMIZE never blocks ingest (Delta parity): a pure
+                # concurrent APPEND commutes with compacting
+                # pre-existing files — its new files simply stay
+                # uncompacted until the next pass.  Anything touching
+                # existing entries (remove, reset, a deletion-vector
+                # attach on a file we just rewrote, a schema change)
+                # aborts.
+                head = self._head()
+                m = self._read_manifest(head)
+                for v2 in range(base_head + 1, head + 1):
+                    mv = self._read_manifest(v2)
+                    if (
+                        mv.get("operation") != "append"
+                        or mv.get("remove")
+                        or mv.get("reset")
+                        or mv.get("dv")
+                        or mv["schema"] != m["schema"]
+                    ):
+                        raise
+        raise ConcurrentWriteError(f"{op} lost 10 straight publish races")
+
     def compact(self, target_files: int, incremental: bool = False) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         range-partitioned files (ranged on the first key column so the
@@ -3233,67 +3298,23 @@ class AcidTable:
         key_cols = m["key_cols"]
         schema = _CST.fromJson(m["schema"])
         if incremental:
-            lo = m.get("last_optimize")
-            old_paths: set[str] | None = None
-            if lo is not None:
-                try:
-                    old_paths = {e["path"] for e in self.entries(lo)}
-                except FileNotFoundError:
-                    old_paths = None  # watermark vacuumed away: full pass
-            if old_paths is not None:
-                fresh = [
-                    e for e in self.entries(head) if e["path"] not in old_paths
-                ]
-                if not fresh:
-                    return head  # nothing added since the last optimize
-                part = self._read_entries_data(schema, fresh)
+
+            def _cluster(part: DataFrame) -> tuple[DataFrame, list]:
                 if key_cols:
-                    part = part.repartitionByRange(
-                        target_files, key_cols[0]
-                    ).sortWithinPartitions(key_cols[0])
-                else:
-                    part = part.repartition(target_files)
-                files = self._write_data_files(
-                    part, key_cols, schema=schema, generated=m.get("generated")
-                )
-                base_head = head
-                for _ in range(10):
-                    try:
-                        return self._commit(
-                            {
-                                "version": head + 1,
-                                "operation": "optimize-incremental",
-                                "schema": m["schema"],
-                                "key_cols": key_cols,
-                                "add": files,
-                                "remove": [e["path"] for e in fresh],
-                                "last_optimize": head + 1,
-                                "txns": self._merged_txns(m, None),
-                            }
-                        )
-                    except ConcurrentWriteError:
-                        # OPTIMIZE never blocks ingest (Delta parity):
-                        # a pure concurrent APPEND commutes with
-                        # compacting pre-existing files — its new files
-                        # simply stay uncompacted until the next pass.
-                        # Anything touching existing entries (remove,
-                        # reset, a deletion-vector attach on a file we
-                        # just rewrote, a schema change) aborts.
-                        head = self._head()
-                        m = self._read_manifest(head)
-                        for v2 in range(base_head + 1, head + 1):
-                            mv = self._read_manifest(v2)
-                            if (
-                                mv.get("operation") != "append"
-                                or mv.get("remove")
-                                or mv.get("reset")
-                                or mv.get("dv")
-                                or mv["schema"] != m["schema"]
-                            ):
-                                raise
-                raise ConcurrentWriteError(
-                    "optimize-incremental lost 10 straight publish races"
-                )
+                    return (
+                        part.repartitionByRange(
+                            target_files, key_cols[0]
+                        ).sortWithinPartitions(key_cols[0]),
+                        key_cols,
+                    )
+                return part.repartition(target_files), key_cols
+
+            v = self._optimize_incremental(
+                _cluster, head, m, schema, "optimize-incremental"
+            )
+            if v is not None:
+                return v
+            # no resolvable watermark: fall through to the full pass
         snap = self.snapshot(head)
         if key_cols:
             snap = snap.repartitionByRange(target_files, key_cols[0]).sortWithinPartitions(
@@ -3322,15 +3343,27 @@ class AcidTable:
         zcols: Sequence[str],
         target_files: int,
         bits: int = 16,
+        incremental: bool = False,
     ) -> int:
         """OPTIMIZE ZORDER BY: rewrite the snapshot clustered on the
         Morton interleave of ``zcols`` (integer/date/timestamp columns),
         so per-file min/max stats become tight on EVERY listed column
         and ``scan`` prunes hyper-rectangle predicates (see
         operators/layout.py).  Normalization bounds come from one
-        min/max aggregation over the snapshot — the stats pass a real
-        OPTIMIZE does first.  One range shuffle, same cost as any global
-        sort; the key is dropped before write.
+        min/max aggregation over the rows being clustered — the stats
+        pass a real OPTIMIZE does first.  One range shuffle, same cost
+        as any global sort; the key is dropped before write.
+
+        ``incremental=True`` (round 12): z-cluster ONLY the files added
+        since the ``last_optimize`` watermark — the steady-state form
+        for an append-mostly table whose bulk is already clustered.
+        The churn clusters among itself with churn-local normalization
+        bounds (per-file stats stay exact either way — bounds affect
+        only how the fresh rows pack together, and the next full pass
+        re-normalizes globally); pre-watermark files stay
+        byte-identical.  Falls back to a full pass when there is no
+        resolvable watermark.  Same rebase-over-pure-appends loop as
+        incremental compact: OPTIMIZE never blocks ingest.
 
         Measured trade-off (BASELINE.md round-4b probe): clustering on
         non-PK columns scrambles each file's PK range, so MERGE-on-PK
@@ -3339,12 +3372,14 @@ class AcidTable:
         receive narrow PK deltas range-partitioned on the PK
         (``compact``); merge's adaptive recompute path is the safety
         net when a delta's keys spread uniformly over the key space."""
+        from pyspark.sql.types import StructType as _ZST
+
         from ..operators.layout import zorder_key
 
         head = self._head()
         m = self._read_manifest(head)
-        snap = self.snapshot(head)
-        typed = dict(snap.dtypes)
+        schema = _ZST.fromJson(m["schema"])
+        typed = {f.name: f.dataType.simpleString() for f in schema.fields}
 
         def _as_long(c: str):
             t = typed[c]
@@ -3352,35 +3387,47 @@ class AcidTable:
                 return F.datediff(F.col(c).cast("date"), F.to_date(F.lit("1970-01-01")))
             return F.col(c).cast("long")
 
-        aggs = []
-        for c in zcols:
-            aggs += [F.min(_as_long(c)).alias(f"__lo_{c}"), F.max(_as_long(c)).alias(f"__hi_{c}")]
-        b = snap.agg(*aggs).first()
-        if any(b[f"__lo_{c}"] is None for c in zcols):
-            raise ValueError(
-                "optimize_zorder on an empty snapshot (or all-NULL z column): "
-                "nothing to cluster"
+        def _cluster(df: DataFrame) -> tuple[DataFrame, list]:
+            aggs = []
+            for c in zcols:
+                aggs += [
+                    F.min(_as_long(c)).alias(f"__lo_{c}"),
+                    F.max(_as_long(c)).alias(f"__hi_{c}"),
+                ]
+            b = df.agg(*aggs).first()
+            if any(b[f"__lo_{c}"] is None for c in zcols):
+                raise ValueError(
+                    "optimize_zorder on an empty snapshot (or all-NULL z "
+                    "column): nothing to cluster"
+                )
+            specs = []
+            for c in zcols:
+                lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+                if hi == lo:
+                    hi = lo + 1  # constant column: degenerate but valid range
+                specs.append((_as_long(c), int(lo), int(hi)))
+            clustered = (
+                df.withColumn("__zkey", zorder_key(specs, bits=bits))
+                .repartitionByRange(target_files, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
             )
-        specs = []
-        for c in zcols:
-            lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
-            if hi == lo:
-                hi = lo + 1  # constant column: degenerate but valid range
-            specs.append((_as_long(c), int(lo), int(hi)))
-        clustered = (
-            snap.withColumn("__zkey", zorder_key(specs, bits=bits))
-            .repartitionByRange(target_files, "__zkey")
-            .sortWithinPartitions("__zkey")
-            .drop("__zkey")
-        )
-        # stats must cover the z columns too, or scan() cannot prune on them
-        stats_cols = list(dict.fromkeys([*m["key_cols"], *zcols]))
-        from pyspark.sql.types import StructType as _ZST
+            # stats must cover the z columns too, or scan() cannot
+            # prune on them
+            return clustered, list(dict.fromkeys([*m["key_cols"], *zcols]))
 
+        if incremental:
+            v = self._optimize_incremental(
+                _cluster, head, m, schema, "optimize-zorder-incremental"
+            )
+            if v is not None:
+                return v
+            # no resolvable watermark: fall through to the full pass
+        clustered, stats_cols = _cluster(self.snapshot(head))
         files = self._write_data_files(
             clustered,
             stats_cols,
-            schema=_ZST.fromJson(m["schema"]),
+            schema=schema,
             generated=m.get("generated"),
         )
         return self._commit(

@@ -2688,3 +2688,44 @@ def test_identity_columns_allocation_and_guards(spark, tmp_path):
         AcidTable._commit = orig_commit
     ids = [r["rid"] for r in t.snapshot().collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_incremental_zorder_clusters_only_fresh_files(spark, tmp_path):
+    """optimize_zorder(incremental=True): after a full z-order sets the
+    watermark, later appends re-cluster in O(churn) — pre-watermark
+    files carry byte-identical, the remove set is exactly the fresh
+    files, the logical snapshot is unchanged, and hyper-rectangle
+    pruning works on the freshly clustered slice too."""
+    base = (
+        spark.range(2_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("x", (F.col("k") * 37) % 1000)
+        .withColumn("y", (F.col("k") * 91) % 1000)
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartition(4), key_cols=["k"]
+    )
+    t.optimize_zorder(["x", "y"], target_files=8)  # watermark
+    bulk = {e["path"] for e in t.entries(t.latest_version())}
+    # immediate incremental pass: nothing fresh -> no-op, same head
+    head = t.latest_version()
+    assert t.optimize_zorder(["x", "y"], target_files=4, incremental=True) == head
+    churn = (
+        spark.range(10_000, 10_600)
+        .withColumnRenamed("id", "k")
+        .withColumn("x", (F.col("k") * 37) % 1000)
+        .withColumn("y", (F.col("k") * 91) % 1000)
+    )
+    t.append(churn.repartition(6))
+    before = sorted((r["k"], r["x"], r["y"]) for r in t.snapshot().collect())
+    v = t.optimize_zorder(["x", "y"], target_files=2, incremental=True)
+    mv = t._read_manifest(v)
+    assert mv["operation"] == "optimize-zorder-incremental"
+    assert not (set(mv["remove"]) & bulk), "bulk files must not be touched"
+    assert bulk <= {e["path"] for e in t.entries(v)}
+    after = sorted((r["k"], r["x"], r["y"]) for r in t.snapshot().collect())
+    assert after == before
+    # the fresh slice is clustered: a tight (x, y) box reads fewer
+    # than all files
+    _, info = t.scan({"x": (0, 120), "y": (0, 120)})
+    assert info["files_read"] < info["files_total"]
