@@ -1106,7 +1106,14 @@ class AcidTable:
                     "data, not both"
                 )
             df = t._apply_generated(df, generated)
-        files = t._write_data_files(df, key_cols, generated=generated)
+        # generated columns were just computed (supply is rejected
+        # above) — skip _write_data_files' re-validation probe, a
+        # second full-frame scan at 100 TB, but keep them in the
+        # stats set for derived pruning
+        stats_cols = list(key_cols) + [
+            c for c in (generated or {}) if c not in key_cols
+        ]
+        files = t._write_data_files(df, stats_cols)
         manifest = {
             "version": 0,
             "operation": "create",
@@ -2080,10 +2087,15 @@ class AcidTable:
         m = self._read_manifest(head)
         if self._txn_already_applied(m, txn):
             return head
-        df = self._apply_generated(df, m.get("generated"))
+        # compute/validate generated columns HERE (the manifest schema
+        # below must include them) and skip _write_data_files'
+        # re-validation — a second full-frame probe at 100 TB
+        gen = m.get("generated") or {}
+        df = self._apply_generated(df, gen)
         self._enforce_constraints(df, m, "overwrite")
         files = self._write_data_files(
-            df, m["key_cols"], generated=m.get("generated")
+            df,
+            list(m["key_cols"]) + [c for c in gen if c not in m["key_cols"]],
         )
         return self._commit(
             {
