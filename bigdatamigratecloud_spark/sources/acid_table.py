@@ -3455,11 +3455,23 @@ class AcidTable:
             }
         )
 
-    def vacuum(self, keep_last: int = 2, retain_seconds: float = 3600.0) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 2,
+        retain_seconds: float = 3600.0,
+        dry_run: bool = False,
+    ) -> list[str]:
         """Drop data files referenced by NO retained version (the last
         ``keep_last``) and prune older manifests + checkpoints.  Returns
         the deleted file paths.  Irreversible: time travel past the
         horizon stops working, which is the point.
+
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN): return the data
+        files a real vacuum would delete under the same horizon and
+        retention window, with ZERO side effects — no checkpoint
+        written, nothing unlinked, no manifest pruned.  The
+        look-before-you-leap step an operator runs before an
+        irreversible horizon move.
 
         Before any manifest is pruned, a checkpoint is written AT the
         new horizon so later resolutions never need the deleted log
@@ -3477,7 +3489,7 @@ class AcidTable:
             return []
         horizon = max(0, head - keep_last + 1)
         will_prune_log = any(v < horizon for v in self._versions_on_disk())
-        if will_prune_log and horizon > 0:
+        if will_prune_log and horizon > 0 and not dry_run:
             # resolution anchor for every retained version — written
             # while the about-to-be-pruned manifests still exist (an
             # INVALID dir at the horizon — e.g. an orphan from a crashed
@@ -3517,10 +3529,15 @@ class AcidTable:
                     continue
                 if age < retain_seconds:
                     continue  # possibly an unpublished concurrent commit
-                os.unlink(full)
+                if not dry_run:
+                    os.unlink(full)
                 deleted.append(rel)
-            if not any(n.endswith(".parquet") for n in os.listdir(full_dir)):
+            if not dry_run and not any(
+                n.endswith(".parquet") for n in os.listdir(full_dir)
+            ):
                 shutil.rmtree(full_dir, ignore_errors=True)
+        if dry_run:
+            return sorted(deleted)
         # bloom-stats sidecar dirs referenced by NO retained manifest
         # (the property rides on manifests, inherited at publish)
         live_bloom = set()

@@ -2729,3 +2729,31 @@ def test_incremental_zorder_clusters_only_fresh_files(spark, tmp_path):
     # than all files
     _, info = t.scan({"x": (0, 120), "y": (0, 120)})
     assert info["files_read"] < info["files_total"]
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    """vacuum(dry_run=True) returns exactly what the real vacuum then
+    deletes, with zero side effects: no file removed, no manifest
+    pruned, no checkpoint written, and time travel still works."""
+    base = spark.range(100).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k")
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["k"]
+    )
+    t.overwrite(base.withColumn("v", F.col("k") * 2).coalesce(2))
+    t.overwrite(base.withColumn("v", F.col("k") * 3).coalesce(2))
+    manifests_before = t._versions_on_disk()
+    candidates = t.vacuum(keep_last=1, retain_seconds=0.0, dry_run=True)
+    assert candidates, "two overwritten versions must yield candidates"
+    # zero side effects: all files still present, log untouched,
+    # pre-horizon time travel still resolves
+    for rel in candidates:
+        assert os.path.exists(os.path.join(str(tmp_path / "t"), rel))
+    assert t._versions_on_disk() == manifests_before
+    assert t.snapshot(0).count() == 100
+    # the real vacuum deletes exactly the reported set
+    deleted = t.vacuum(keep_last=1, retain_seconds=0.0)
+    assert sorted(deleted) == candidates
+    for rel in candidates:
+        assert not os.path.exists(os.path.join(str(tmp_path / "t"), rel))
