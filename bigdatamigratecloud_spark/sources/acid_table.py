@@ -1952,6 +1952,38 @@ class AcidTable:
             )
         return best
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of the table's operational state —
+        head version, created/last-modified instants, file and row
+        counts, and every table property (key columns, CHECK
+        constraints, generated/identity maps, reader features, bloom
+        sidecar, optimize watermark).  File/row counts come from one
+        aggregation over the checkpointed entries frame, so the call
+        is O(metadata), never a data scan."""
+        head = self._head()
+        m = self._read_manifest(head)
+        versions = self._versions_on_disk()
+        agg = self._entries_frame(head).agg(
+            F.count(F.lit(1)).alias("nf"), F.sum("rows").alias("nr")
+        ).first()
+        return {
+            "location": self.root,
+            "version": head,
+            "earliest_retained_version": versions[0] if versions else None,
+            "created_at": self.commit_timestamp(versions[0]) if versions else None,
+            "last_modified": self.commit_timestamp(head),
+            "num_files": int(agg["nf"]),
+            "num_rows": int(agg["nr"] or 0),
+            "key_cols": list(m.get("key_cols") or ()),
+            "constraints": dict(m.get("constraints") or {}),
+            "generated": dict(m.get("generated") or {}),
+            "identity": dict(m.get("identity") or {}),
+            "features": list(m.get("features") or ()),
+            "bloom": (m.get("bloom") or {}).get("dir"),
+            "last_optimize": m.get("last_optimize"),
+            "checkpoint_interval": self.checkpoint_interval,
+        }
+
     def history(self) -> list[dict]:
         """Commit log, oldest RETAINED first: version/operation/file and
         row counts.  One forward replay over the retained manifests

@@ -2757,3 +2757,31 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert sorted(deleted) == candidates
     for rel in candidates:
         assert not os.path.exists(os.path.join(str(tmp_path / "t"), rel))
+
+
+def test_detail_reports_operational_state(spark, tmp_path):
+    """detail() is the DESCRIBE DETAIL surface: counts from metadata
+    (no data scan), every table property, and sane instants."""
+    base = spark.range(60).withColumnRenamed("id", "k").withColumn(
+        "ts",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(hours=F.col("k"))),
+    )
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.coalesce(3),
+        key_cols=["k"],
+        generated={"d": "CAST(ts AS DATE)"},
+    )
+    t.add_check_constraint("k_nonneg", "k >= 0")
+    t.delete("k = 5")  # deletion vector -> feature + row count drop
+    d = t.detail()
+    assert d["version"] == t.latest_version()
+    assert d["num_rows"] == 59
+    assert d["num_files"] == 3
+    assert d["key_cols"] == ["k"]
+    assert d["constraints"] == {"k_nonneg": "k >= 0"}
+    assert d["generated"] == {"d": "CAST(ts AS DATE)"}
+    assert d["features"] == ["deletion-vectors"]
+    assert d["created_at"] <= d["last_modified"]
+    assert d["bloom"] is None and d["last_optimize"] is None
