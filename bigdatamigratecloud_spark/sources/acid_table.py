@@ -912,7 +912,12 @@ class AcidTable:
         return df, counts
 
     def _write_data_files(
-        self, df: DataFrame, stats_cols: Sequence[str], schema=None, generated=None
+        self,
+        df: DataFrame,
+        stats_cols: Sequence[str],
+        schema=None,
+        generated=None,
+        validate_generated: bool = True,
     ) -> list[dict]:
         """Write df as immutable files under a fresh commit dir; return
         file entries ``{path, rows, stats:{col:{min,max}}}``.
@@ -944,7 +949,17 @@ class AcidTable:
         per-file [min,max] that derived-predicate pruning reads.
         """
         if generated:
-            df = self._apply_generated(df, generated)
+            if validate_generated:
+                df = self._apply_generated(df, generated)
+            else:
+                # TABLE-SOURCED rows (maintenance rewrites, merge unions
+                # whose delta was validated at entry): the values were
+                # validated when they first entered the table, so skip
+                # the mismatch probe — a full-frame scan at 100 TB —
+                # and only compute a column a rewrite frame may lack
+                for c, expr in generated.items():
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.expr(expr))
             stats_cols = list(stats_cols) + [
                 c for c in generated if c not in stats_cols
             ]
@@ -2119,6 +2134,26 @@ class AcidTable:
         m = self._read_manifest(head)
         if self._txn_already_applied(m, txn):
             return head
+        # identity tables: an overwrite is a full-replacement insert
+        # batch — allocate fresh ids continuing from the LATCHED mark
+        # (Delta identity never resets), rejecting supplied values like
+        # append; without this the commit's df-derived schema would
+        # silently drop the identity column while the property carries
+        # forward, bricking every later append
+        ident = m.get("identity") or {}
+        new_ident = None
+        if ident:
+            supplied = sorted(set(ident) & set(df.columns))
+            if supplied:
+                raise ValueError(
+                    f"identity columns {supplied} are allocated by the table "
+                    "on overwrite — remove them from the frame"
+                )
+            df, counts = self._assign_identity(df, ident)
+            new_ident = {
+                c: {**spec, "hwm": int(spec["hwm"]) + counts[c]}
+                for c, spec in ident.items()
+            }
         # compute/validate generated columns HERE (the manifest schema
         # below must include them) and skip _write_data_files'
         # re-validation — a second full-frame probe at 100 TB
@@ -2129,17 +2164,18 @@ class AcidTable:
             df,
             list(m["key_cols"]) + [c for c in gen if c not in m["key_cols"]],
         )
-        return self._commit(
-            {
-                "version": head + 1,
-                "operation": "overwrite",
-                "schema": df.schema.jsonValue(),
-                "key_cols": m["key_cols"],
-                "reset": True,
-                "add": files,
-                "txns": self._merged_txns(m, txn),
-            }
-        )
+        manifest = {
+            "version": head + 1,
+            "operation": "overwrite",
+            "schema": df.schema.jsonValue(),
+            "key_cols": m["key_cols"],
+            "reset": True,
+            "add": files,
+            "txns": self._merged_txns(m, txn),
+        }
+        if new_ident is not None:
+            manifest["identity"] = new_ident
+        return self._commit(manifest)
 
     def _probe_touched(
         self,
@@ -2313,7 +2349,11 @@ class AcidTable:
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
             files = self._write_data_files(
-                merged, m["key_cols"], schema=schema, generated=m.get("generated")
+                merged,
+                m["key_cols"],
+                schema=schema,
+                generated=m.get("generated"),
+                validate_generated=False,
             )
             return self._commit(
                 {
@@ -2353,7 +2393,11 @@ class AcidTable:
             # vectors / whole-file drops; the delta lands as new files
             merged = delta
         new_files = self._write_data_files(
-            merged, m["key_cols"], schema=schema, generated=m.get("generated")
+            merged,
+            m["key_cols"],
+            schema=schema,
+            generated=m.get("generated"),
+            validate_generated=False,
         )
         manifest = {
             "version": head + 1,
@@ -2532,7 +2576,11 @@ class AcidTable:
                 max(total_files, 1), probe_col
             ).sortWithinPartitions(probe_col)
             files = self._write_data_files(
-                merged, m["key_cols"], schema=schema, generated=m.get("generated")
+                merged,
+                m["key_cols"],
+                schema=schema,
+                generated=m.get("generated"),
+                validate_generated=False,
             )
             return self._commit(
                 {
@@ -2560,7 +2608,11 @@ class AcidTable:
         else:
             merged = ups
         new_files = self._write_data_files(
-            merged, m["key_cols"], schema=schema, generated=m.get("generated")
+            merged,
+            m["key_cols"],
+            schema=schema,
+            generated=m.get("generated"),
+            validate_generated=False,
         )
         # same rebase-over-disjoint-appends concurrency as merge
         return self._commit_cow_with_rebase(
@@ -2718,6 +2770,7 @@ class AcidTable:
                     # table properties copy with the clone (Delta parity)
                     "constraints": dict(m.get("constraints") or {}),
                     "generated": dict(m.get("generated") or {}),
+                    "identity": dict(m.get("identity") or {}),
                     # the cloned file set can reference structures (e.g.
                     # deletion vectors) only visible in the source's
                     # checkpoint, so the source's reader features copy
@@ -2857,7 +2910,11 @@ class AcidTable:
                 f"({predicate}) IS NOT TRUE"
             )
             new_files = self._write_data_files(
-                kept, m["key_cols"], schema=schema, generated=m.get("generated")
+                kept,
+                m["key_cols"],
+                schema=schema,
+                generated=m.get("generated"),
+                validate_generated=False,
             )
         return self._commit(
             {
@@ -2920,7 +2977,11 @@ class AcidTable:
                 f"({predicate}) IS NOT TRUE"
             )
             rewrite_files = self._write_data_files(
-                kept, m["key_cols"], schema=schema, generated=m.get("generated")
+                kept,
+                m["key_cols"],
+                schema=schema,
+                generated=m.get("generated"),
+                validate_generated=False,
             )
         new_files = self._write_data_files(
             df, m["key_cols"], schema=schema, generated=m.get("generated")
@@ -3269,9 +3330,19 @@ class AcidTable:
         fresh = [e for e in self.entries(head) if e["path"] not in old_paths]
         if not fresh:
             return head  # nothing added since the last optimize
-        part, stats_cols = cluster(self._read_entries_data(schema, fresh))
+        res = cluster(self._read_entries_data(schema, fresh))
+        if res is None:
+            # the fresh slice is un-clusterable (e.g. all-NULL z
+            # column): leave it for a later pass rather than crash a
+            # healthy maintenance job
+            return head
+        part, stats_cols = res
         files = self._write_data_files(
-            part, stats_cols, schema=schema, generated=m.get("generated")
+            part,
+            stats_cols,
+            schema=schema,
+            generated=m.get("generated"),
+            validate_generated=False,
         )
         base_head = head
         for _ in range(10):
@@ -3367,7 +3438,11 @@ class AcidTable:
         else:
             snap = snap.repartition(target_files)
         files = self._write_data_files(
-            snap, key_cols, schema=schema, generated=m.get("generated")
+            snap,
+            key_cols,
+            schema=schema,
+            generated=m.get("generated"),
+            validate_generated=False,
         )
         return self._commit(
             {
@@ -3440,10 +3515,8 @@ class AcidTable:
                 ]
             b = df.agg(*aggs).first()
             if any(b[f"__lo_{c}"] is None for c in zcols):
-                raise ValueError(
-                    "optimize_zorder on an empty snapshot (or all-NULL z "
-                    "column): nothing to cluster"
-                )
+                # no usable bounds: empty frame or an all-NULL z column
+                return None
             specs = []
             for c in zcols:
                 lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
@@ -3467,12 +3540,19 @@ class AcidTable:
             if v is not None:
                 return v
             # no resolvable watermark: fall through to the full pass
-        clustered, stats_cols = _cluster(self.snapshot(head))
+        res = _cluster(self.snapshot(head))
+        if res is None:
+            raise ValueError(
+                "optimize_zorder: no usable bounds — the snapshot is empty "
+                "or every z column is entirely NULL"
+            )
+        clustered, stats_cols = res
         files = self._write_data_files(
             clustered,
             stats_cols,
             schema=schema,
             generated=m.get("generated"),
+            validate_generated=False,
         )
         return self._commit(
             {

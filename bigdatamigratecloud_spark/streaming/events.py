@@ -1010,10 +1010,12 @@ def follow_aggregate(
     was tampered with and raises.
 
     ``sum_cols`` should be EXACT types (integers / decimals — cast a
-    float column to decimal upstream): group-delta maintenance is only
-    bit-reproducible when addition is associative.  Group keys must be
-    non-null (they are the view's primary key).  Seed the view with
-    :func:`seed_aggregate`, which also stamps ``base_version``."""
+    float column to decimal upstream) and NON-NULL: SQL's SUM ignores
+    NULLs while delta arithmetic propagates them, so a NULL-valued row
+    would silently diverge the view — both the seed and every batch
+    REJECT NULL sum values loudly (coalesce upstream).  Group keys
+    must be non-null (they are the view's primary key).  Seed the view
+    with :func:`seed_aggregate`, which also stamps ``base_version``."""
     last = agg.last_txn(app_id)
     if last is None:
         if base_version is None:
@@ -1043,6 +1045,12 @@ def follow_aggregate(
                     F.sum(F.col(c) * F.col("__w")).alias(f"__d_{c}")
                     for c in sum_cols
                 ],
+                *[
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                        f"__null_{c}"
+                    )
+                    for c in sum_cols
+                ],
             )
             # a version whose churn nets out for a group (COW copies)
             # still reaches here with all-zero deltas; keep them — the
@@ -1053,7 +1061,23 @@ def follow_aggregate(
         j = delta.join(cur, group_cols, "left")
         ncnt = F.coalesce(F.col("cnt"), F.lit(0)) + F.col("__dcnt")
         upd = j.withColumn("__ncnt", ncnt)
-        if upd.where(F.col("__ncnt") < 0).limit(1).count():
+        null_pred = None
+        for c in sum_cols:
+            p = F.col(f"__null_{c}") > 0
+            null_pred = p if null_pred is None else (null_pred | p)
+        bad = upd.where(
+            (F.col("__ncnt") < 0) | null_pred if null_pred is not None
+            else (F.col("__ncnt") < 0)
+        ).limit(1).first()
+        if bad is not None:
+            if null_pred is not None and any(
+                (bad[f"__null_{c}"] or 0) > 0 for c in sum_cols
+            ):
+                raise ValueError(
+                    "follow_aggregate: NULL sum-column value in the churn — "
+                    "SQL SUM ignores NULLs while delta arithmetic propagates "
+                    "them; coalesce the column upstream"
+                )
             raise ValueError(
                 "follow_aggregate: a group's maintained count went negative — "
                 "the view does not correspond to this source/base_version"
@@ -1096,6 +1120,16 @@ def seed_aggregate(
 
     v = source.latest_version() if version is None else version
     snap = source.snapshot(v)
+    null_pred = None
+    for c in sum_cols:
+        p = F.col(c).isNull()
+        null_pred = p if null_pred is None else (null_pred | p)
+    if null_pred is not None and snap.where(null_pred).limit(1).count():
+        raise ValueError(
+            "seed_aggregate: NULL sum-column value in the source — the "
+            "incremental maintenance contract requires non-null sum "
+            "columns (coalesce upstream)"
+        )
     seeded = snap.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("cnt"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],

@@ -2785,3 +2785,81 @@ def test_detail_reports_operational_state(spark, tmp_path):
     assert d["features"] == ["deletion-vectors"]
     assert d["created_at"] <= d["last_modified"]
     assert d["bloom"] is None and d["last_optimize"] is None
+
+
+def test_identity_survives_overwrite_and_clone(spark, tmp_path):
+    """Round-12 review fixes: overwrite on an identity table allocates
+    fresh ids from the latched mark (never drops the column from the
+    schema), and a clone carries the identity property so its appends
+    keep allocating."""
+    base = spark.range(50).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k")
+    )
+    t = AcidTable.create(
+        spark,
+        str(tmp_path / "t"),
+        base.coalesce(2),
+        key_cols=["k"],
+        identity={"rid": "k"},
+    )
+    with pytest.raises(ValueError, match="allocated by the table"):
+        t.overwrite(base.withColumn("rid", F.lit(1).cast("long")))
+    t.overwrite(
+        spark.range(200, 220).withColumnRenamed("id", "k").withColumn(
+            "v", F.col("k")
+        ).coalesce(1)
+    )
+    got = sorted(r["rid"] for r in t.snapshot().collect())
+    assert got == list(range(51, 71))  # continues past the create's 1..50
+    # appends after the overwrite keep working (schema kept rid)
+    t.append(
+        spark.range(300, 305).withColumnRenamed("id", "k").withColumn(
+            "v", F.col("k")
+        ).coalesce(1)
+    )
+    assert sorted(
+        r["rid"] for r in t.snapshot().where("k >= 300").collect()
+    ) == list(range(71, 76))
+    c = t.clone_to(str(tmp_path / "c"))
+    assert c._read_manifest(0).get("identity", {}).get("rid", {}).get("hwm") == 75
+    c.append(
+        spark.range(400, 403).withColumnRenamed("id", "k").withColumn(
+            "v", F.col("k")
+        ).coalesce(1)
+    )
+    ids = [r["rid"] for r in c.snapshot().collect()]
+    assert len(ids) == len(set(ids))
+    assert sorted(r["rid"] for r in c.snapshot().where("k >= 400").collect()) == [
+        76,
+        77,
+        78,
+    ]
+
+
+def test_incremental_zorder_skips_unclusterable_churn(spark, tmp_path):
+    """An all-NULL z-column churn batch must not crash the maintenance
+    job: the incremental pass leaves it for later; only the FULL pass
+    on a truly unusable snapshot raises."""
+    base = spark.range(200).withColumnRenamed("id", "k").withColumn(
+        "x", (F.col("k") * 7 % 100).cast("long")
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["k"]
+    )
+    t.optimize_zorder(["x"], target_files=4)
+    head = t.latest_version()
+    t.append(
+        spark.range(900, 910)
+        .withColumnRenamed("id", "k")
+        .withColumn("x", F.lit(None).cast("long"))
+        .coalesce(1)
+    )
+    v = t.optimize_zorder(["x"], target_files=2, incremental=True)
+    assert v == t.latest_version() and v == head + 1  # append only, no crash
+    assert t.snapshot().count() == 210
+    allnull = spark.range(5).withColumnRenamed("id", "k").withColumn(
+        "x", F.lit(None).cast("long")
+    )
+    t2 = AcidTable.create(spark, str(tmp_path / "t2"), allnull, key_cols=["k"])
+    with pytest.raises(ValueError, match="no usable bounds"):
+        t2.optimize_zorder(["x"], target_files=1)

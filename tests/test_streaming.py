@@ -1135,3 +1135,39 @@ def test_follow_aggregate_guards(spark, tmp_path):
     src.delete("k < 10")
     with pytest.raises(ValueError, match="negative"):
         follow_aggregate(src, empty_view, "mv", ["g"], ["x"], base_version=0)
+
+
+def test_follow_aggregate_rejects_null_sum_values(spark, tmp_path):
+    """SQL SUM ignores NULLs while delta arithmetic propagates them, so
+    NULL sum values are rejected loudly at seed AND per batch instead
+    of silently diverging the view."""
+    import pytest
+
+    from bigdatamigratecloud_spark.sources.acid_table import AcidTable
+    from bigdatamigratecloud_spark.streaming.events import (
+        follow_aggregate,
+        seed_aggregate,
+    )
+
+    base = (
+        spark.range(40)
+        .withColumnRenamed("id", "k")
+        .withColumn("g", F.col("k") % 3)
+        .withColumn(
+            "x",
+            F.when(F.col("k") == 7, F.lit(None)).otherwise(F.lit(1)).cast(
+                "decimal(18,2)"
+            ),
+        )
+    )
+    src = AcidTable.create(spark, str(tmp_path / "bad"), base, key_cols=["k"])
+    with pytest.raises(ValueError, match="NULL sum-column"):
+        seed_aggregate(src, str(tmp_path / "mv0"), "mv", ["g"], ["x"])
+    clean = base.where("k != 7")
+    src2 = AcidTable.create(spark, str(tmp_path / "src"), clean, key_cols=["k"])
+    agg = seed_aggregate(src2, str(tmp_path / "mv"), "mv", ["g"], ["x"])
+    src2.append(
+        spark.createDataFrame([(100, 1, None)], "k long, g long, x decimal(18,2)")
+    )
+    with pytest.raises(ValueError, match="NULL sum-column"):
+        follow_aggregate(src2, agg, "mv", ["g"], ["x"])
