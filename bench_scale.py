@@ -12,9 +12,10 @@ keep/drop) end-to-end with a noop write at each scale.
 Round 12 adds the ACID metadata-layer probe: an AcidTable built from
 orders at ×1/×4/×16 rows (file count scaled with the data), then a
 FIXED-SIZE narrow MERGE (its cost must track the churn, not the
-table), the change feed for that merge, and an apply_cdc replication
-of it — the three ops whose 100 TB viability rests on file pruning
-and churn-sized manifests.  Table build time is excluded; only the
+table), the change feed for that merge, an apply_cdc replication
+of it, and a stats-pruned range scan of a fixed key slice — the ops
+whose 100 TB viability rests on file pruning and churn-sized
+manifests.  Table build time is excluded; only the
 operations are timed.
 
 Prints ONE JSON line:
@@ -101,6 +102,7 @@ def main() -> None:
         "merge_narrow": {},
         "changes": {},
         "apply_cdc": {},
+        "scan_prune": {},
     }
     acid_rows: dict[str, int] = {}
     aroot = tempfile.mkdtemp(prefix="bdmc_scale_acid_")
@@ -146,6 +148,17 @@ def main() -> None:
             t0 = time.perf_counter()
             r0.apply_cdc(t.changes(0, 1))
             acid_walls["apply_cdc"][f"x{mult}"] = round(time.perf_counter() - t0, 3)
+            # stats-pruned range scan of a FIXED key slice: the decision
+            # job runs over the entries frame and the read touches the
+            # same ~one file at every scale — "scan cost follows the
+            # answer, not the table"
+            bounds = delta.agg(
+                F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+            ).first()
+            t0 = time.perf_counter()
+            sdf, _info = t.scan({"o_orderkey": (bounds["lo"], bounds["hi"])})
+            sdf.write.format("noop").mode("overwrite").save()
+            acid_walls["scan_prune"][f"x{mult}"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(aroot, ignore_errors=True)
 
