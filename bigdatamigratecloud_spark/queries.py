@@ -4525,6 +4525,111 @@ def stream_agg_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_agg_follow_windowed",
+    """WITH base AS (
+         SELECT event_id, event_type,
+                date_trunc('hour', ts) AS bucket,
+                CAST(FLOOR(value * 1000) AS BIGINT) AS val_m
+         FROM events WHERE event_id % 2 = 0),
+       merged AS (
+         SELECT event_id, event_type, bucket,
+                CASE WHEN event_id % 700 = 0 THEN val_m * 3
+                     ELSE val_m END AS val_m
+         FROM base),
+       afterdel AS (SELECT * FROM merged WHERE NOT (event_id % 500 = 0)),
+       appended AS (
+         SELECT * FROM afterdel
+         UNION ALL
+         SELECT event_id + 100000000 AS event_id, event_type,
+                date_trunc('hour', ts) AS bucket,
+                CAST(FLOOR(value * 1000) AS BIGINT) + 7 AS val_m
+         FROM events WHERE event_id % 2 = 1)
+       SELECT event_type, bucket, COUNT(*) AS cnt,
+              SUM(val_m) AS total_m
+       FROM appended GROUP BY event_type, bucket""",
+)
+def stream_agg_follow_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME WINDOWED incremental rollup (round 12): the same
+    O(churn) materialized-view maintenance as ``stream_agg_follow``,
+    parameterized the way a streaming pipeline actually uses it —
+    grouped by (event_type, hourly bucket), the bucket being an
+    event-time truncation stored ON the source rows, so the follower
+    maintains a time-series rollup table through merge/delete/append
+    churn without ever rescanning the source.  Sums ride
+    ``floor(value*1000)`` as BIGINT: floor is bit-identical across
+    engines where a double->decimal cast's rounding is not, keeping
+    the incremental state value-exact vs DuckDB
+    (streaming/events.py follow_aggregate)."""
+    import shutil
+    import tempfile
+
+    from .sources.acid_table import AcidTable
+    from .streaming.events import follow_aggregate, seed_aggregate
+
+    root = tempfile.mkdtemp(prefix="bdmc_wmv_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+
+        def _rows(parity: int) -> DataFrame:
+            out = ev.where(F.col("event_id") % 2 == parity).select(
+                "event_id",
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                F.floor(F.col("value") * 1000).cast("bigint").alias("val_m"),
+            )
+            return out.repartitionByRange(4, "event_id")
+
+        src = AcidTable.create(
+            spark, root + "/src", _rows(0), key_cols=["event_id"]
+        )
+        agg = seed_aggregate(
+            src, root + "/mv", "wmv", ["event_type", "bucket"], ["val_m"]
+        )
+        delta = (
+            src.snapshot()
+            .where(F.col("event_id") % 700 == 0)
+            .withColumn("val_m", F.col("val_m") * 3)
+        )
+        src.merge(_detach(delta), ["event_id"])
+        src.delete("event_id % 500 = 0")
+        src.append(
+            ev.where(F.col("event_id") % 2 == 1).select(
+                (F.col("event_id") + 100_000_000).alias("event_id"),
+                "event_type",
+                F.date_trunc("hour", F.col("ts")).alias("bucket"),
+                (F.floor(F.col("value") * 1000).cast("bigint") + 7).alias(
+                    "val_m"
+                ),
+            )
+        )
+        drained = follow_aggregate(
+            src, agg, "wmv", ["event_type", "bucket"], ["val_m"]
+        )
+        if drained != [1, 2, 3] or follow_aggregate(
+            src, agg, "wmv", ["event_type", "bucket"], ["val_m"]
+        ):
+            raise AssertionError("windowed follower must drain 1..3 then no-op")
+        mv = agg.snapshot()
+        direct = (
+            src.snapshot()
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val_m").alias("sum_val_m"))
+        )
+        if mv.exceptAll(direct).count() or direct.exceptAll(mv).count():
+            raise AssertionError("windowed view diverged from direct GROUP BY")
+        out = mv.select(
+            "event_type",
+            "bucket",
+            "cnt",
+            F.col("sum_val_m").alias("total_m"),
+        )
+        out = _detach(out)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
     "s13n_point_lookup_bloom",
     """SELECT o_orderkey, o_custkey,
               CAST(o_totalprice AS DOUBLE) AS price

@@ -3381,11 +3381,21 @@ class AcidTable:
                         raise
         raise ConcurrentWriteError(f"{op} lost 10 straight publish races")
 
-    def compact(self, target_files: int, incremental: bool = False) -> int:
+    def compact(
+        self,
+        target_files: int | None = None,
+        target_rows_per_file: int | None = None,
+        incremental: bool = False,
+    ) -> int:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         range-partitioned files (ranged on the first key column so the
         per-file min/max stats stay tight and merge/scan pruning keeps
-        working).  Pure metadata swap for readers: the new manifest is
+        working).  Pass ``target_rows_per_file`` INSTEAD to size by
+        content — the operational knob at 100 TB, where "how many
+        files" is the wrong question and "how big should a file be" is
+        the right one: the file count is derived from the live row
+        count (manifest metadata for the full pass — no data scanned
+        to decide; one churn-sized count for the incremental pass).  Pure metadata swap for readers: the new manifest is
         one atomic commit, time travel to the pre-compact version still
         resolves the old files until vacuum.
 
@@ -3408,6 +3418,17 @@ class AcidTable:
         vacuumed."""
         from pyspark.sql.types import StructType as _CST
 
+        if (target_files is None) == (target_rows_per_file is None):
+            raise ValueError(
+                "compact: pass exactly one of target_files / "
+                "target_rows_per_file"
+            )
+        if target_rows_per_file is not None and target_rows_per_file < 1:
+            raise ValueError("compact: target_rows_per_file must be >= 1")
+
+        def _files_for(nrows: int) -> int:
+            return max(1, -(-int(nrows) // int(target_rows_per_file)))
+
         head = self._head()
         m = self._read_manifest(head)
         key_cols = m["key_cols"]
@@ -3415,14 +3436,19 @@ class AcidTable:
         if incremental:
 
             def _cluster(part: DataFrame) -> tuple[DataFrame, list]:
+                tf = (
+                    target_files
+                    if target_files is not None
+                    else _files_for(part.count())
+                )
                 if key_cols:
                     return (
                         part.repartitionByRange(
-                            target_files, key_cols[0]
+                            tf, key_cols[0]
                         ).sortWithinPartitions(key_cols[0]),
                         key_cols,
                     )
-                return part.repartition(target_files), key_cols
+                return part.repartition(tf), key_cols
 
             v = self._optimize_incremental(
                 _cluster, head, m, schema, "optimize-incremental"
@@ -3430,13 +3456,19 @@ class AcidTable:
             if v is not None:
                 return v
             # no resolvable watermark: fall through to the full pass
+        if target_files is not None:
+            tf = target_files
+        else:
+            # live row count from the entries frame — metadata only
+            total = self._entries_frame(head).agg(F.sum("rows")).first()[0]
+            tf = _files_for(total or 0)
         snap = self.snapshot(head)
         if key_cols:
-            snap = snap.repartitionByRange(target_files, key_cols[0]).sortWithinPartitions(
+            snap = snap.repartitionByRange(tf, key_cols[0]).sortWithinPartitions(
                 key_cols[0]
             )
         else:
-            snap = snap.repartition(target_files)
+            snap = snap.repartition(tf)
         files = self._write_data_files(
             snap,
             key_cols,

@@ -2863,3 +2863,36 @@ def test_incremental_zorder_skips_unclusterable_churn(spark, tmp_path):
     t2 = AcidTable.create(spark, str(tmp_path / "t2"), allnull, key_cols=["k"])
     with pytest.raises(ValueError, match="no usable bounds"):
         t2.optimize_zorder(["x"], target_files=1)
+
+
+def test_compact_by_target_rows_per_file(spark, tmp_path):
+    """compact(target_rows_per_file=...) derives the file count from
+    the LIVE row count (manifest metadata for the full pass; the fresh
+    slice's count for incremental) — the size-based operational knob."""
+    base = spark.range(1_000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k")
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.repartition(10), key_cols=["k"]
+    )
+    t.delete("k >= 900")  # live rows: 900
+    v = t.compact(target_rows_per_file=300)
+    assert len(t.entries(v)) == 3  # ceil(900/300)
+    assert t.snapshot().count() == 900
+    # incremental: sized by the churn only
+    t.append(
+        spark.range(5_000, 5_250)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k"))
+        .repartition(5)
+    )
+    v2 = t.compact(target_rows_per_file=100, incremental=True)
+    m = t._read_manifest(v2)
+    assert m["operation"] == "optimize-incremental"
+    assert len(m["add"]) == 3  # ceil(250/100) fresh files only
+    with pytest.raises(ValueError, match="exactly one"):
+        t.compact()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.compact(target_files=2, target_rows_per_file=10)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.compact(target_rows_per_file=0)
