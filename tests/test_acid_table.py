@@ -2896,3 +2896,23 @@ def test_compact_by_target_rows_per_file(spark, tmp_path):
         t.compact(target_files=2, target_rows_per_file=10)
     with pytest.raises(ValueError, match=">= 1"):
         t.compact(target_rows_per_file=0)
+
+
+def test_identity_assignment_plan_has_no_global_window(spark, tmp_path):
+    """The identity allocation inherits global_running_sum's scale
+    shape IN CONTEXT: the assigned frame's physical plan contains no
+    unpartitioned window over batch-sized data (the naive
+    row_number() OVER (ORDER BY ...) would)."""
+    from tests.test_corpus_ops import _window_partition_counts
+
+    base = spark.range(500).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k")
+    )
+    t = AcidTable.create(
+        spark, str(tmp_path / "t"), base.coalesce(2), key_cols=["k"]
+    )
+    ident = {"rid": {"order_by": "k", "hwm": 0}}
+    assigned, counts = t._assign_identity(base.repartition(4), ident)
+    assert counts == {"rid": 500}
+    parts = _window_partition_counts(assigned)
+    assert parts and parts.count(0) == 0
