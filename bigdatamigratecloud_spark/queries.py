@@ -4545,7 +4545,7 @@ def stream_agg_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 CAST(FLOOR(value * 1000) AS BIGINT) + 7 AS val_m
          FROM events WHERE event_id % 2 = 1)
        SELECT event_type, bucket, COUNT(*) AS cnt,
-              SUM(val_m) AS total_m
+              CAST(SUM(val_m) AS BIGINT) AS total_m
        FROM appended GROUP BY event_type, bucket""",
 )
 def stream_agg_follow_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
