@@ -58,6 +58,15 @@ def _small_star(e: DataFrame) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    return _small_star_canonical(c)
+
+
+def _small_star_canonical(c: DataFrame) -> DataFrame:
+    """Small-star over an ALREADY canonical edge frame (distinct,
+    strictly big→small oriented, loop-free) — exactly what
+    :func:`_large_star` emits.  Skipping the re-canonicalization
+    (greatest/least + distinct = one full exchange per round) on that
+    path cuts a round from ~6 exchanges to ~5 with identical output."""
     mn = c.groupBy("a").agg(F.min("b").alias("m"))
     return (
         c.join(mn, "a")
@@ -173,15 +182,21 @@ def _connected_components_star(e: DataFrame, max_iter: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # remember the edge count across rounds: cur's count is last round's
+    # nxt count, so equality needs ONE count job per round, not two
+    cur_n = cur.count()
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # _large_star's output is already canonical (distinct, strictly
+        # big→small), so the small-star round skips re-canonicalizing it
+        nxt = _small_star_canonical(_large_star(cur)).localCheckpoint(eager=True)
+        nxt_n = nxt.count()
         # set equality on two canonical distinct frames: same size and
         # nothing in nxt outside cur (both tiny actions on edge-sized
         # frames; the data never collects)
-        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+        if nxt_n == cur_n and nxt.exceptAll(cur).isEmpty():
             cur = nxt
             break
-        cur = nxt
+        cur, cur_n = nxt, nxt_n
     else:
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iter} "
