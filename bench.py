@@ -98,7 +98,12 @@ def main() -> None:
             med_out[name] = round(med, 3)
         return best_out, med_out
 
-    times, times_median = run_set(HEADLINE, 3)
+    # headline queries are sub-second: host noise (demand-fault stalls,
+    # scheduler jitter) swings single runs 1.5-3x, so best-of-5 instead
+    # of best-of-3 — same methodology (noop sink, best + median), two
+    # more samples for the minimum.  Round-13 measurement change, noted
+    # in OPTIMIZATION_r13.md.
+    times, times_median = run_set(HEADLINE, 5)
     # corpus shapes are seconds-each: best-of-2 keeps the whole bench
     # inside the driver's budget while still shedding first-run codegen
     corpus, corpus_median = run_set(CORPUS, 2)
@@ -119,7 +124,7 @@ def main() -> None:
                 "corpus": corpus,
                 "corpus_median": corpus_median,
                 "corpus_total": round(sum(corpus.values()), 3),
-                "runs": {"headline": 3, "corpus": 2},
+                "runs": {"headline": 5, "corpus": 2},
                 "sf": sf_val,
             }
         )

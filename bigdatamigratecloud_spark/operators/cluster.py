@@ -125,9 +125,13 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # LAZY checkpoints: the per-round `changed` count is the first action
+    # over each new label frame, so it materializes the checkpoint as a
+    # side effect — one job per round instead of two (the lineage cut is
+    # identical; see the star loop)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("component", F.col("node"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         # each node receives its neighbors' current labels...
         msgs = sym.join(
@@ -136,7 +140,7 @@ def connected_components(
         # ...and keeps the minimum of {own label} ∪ {received labels}
         new_labels = (
             labels.unionByName(msgs).groupBy("node").agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -167,20 +171,24 @@ def _connected_components_star(e: DataFrame, max_iter: int) -> DataFrame:
     # node universe and the canonical edge set below would otherwise
     # re-execute it (the label algorithm's `sym` discipline)
     e = e.localCheckpoint(eager=True)
-    # the node universe up front: self-loop-only and isolated-edge nodes
-    # must still appear in the output even though canonicalization drops
-    # their edges
+    # the node universe: self-loop-only and isolated-edge nodes must
+    # still appear in the output even though canonicalization drops
+    # their edges.  NOT materialized here — it derives from the already-
+    # checkpointed `e` and is consumed exactly once (the final join), so
+    # an upfront eager cut would only add a job.
     nodes = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # LAZY checkpoint + immediate count: the count action materializes
+    # the checkpoint, so each frame costs ONE job instead of two
+    # (materialize + count) — the lineage cut is identical either way
     cur = (
         e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # remember the edge count across rounds: cur's count is last round's
     # nxt count, so equality needs ONE count job per round, not two
@@ -188,12 +196,13 @@ def _connected_components_star(e: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # _large_star's output is already canonical (distinct, strictly
         # big→small), so the small-star round skips re-canonicalizing it
-        nxt = _small_star_canonical(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star_canonical(_large_star(cur)).localCheckpoint(eager=False)
         nxt_n = nxt.count()
         # set equality on two canonical distinct frames: same size and
-        # nothing in nxt outside cur (both tiny actions on edge-sized
-        # frames; the data never collects)
-        if nxt_n == cur_n and nxt.exceptAll(cur).isEmpty():
+        # nothing in nxt outside cur (a tiny anti-join action on
+        # edge-sized frames — cheaper than exceptAll's generate+agg plan
+        # and equivalent on distinct inputs; the data never collects)
+        if nxt_n == cur_n and nxt.join(cur, ["a", "b"], "left_anti").isEmpty():
             cur = nxt
             break
         cur, cur_n = nxt, nxt_n

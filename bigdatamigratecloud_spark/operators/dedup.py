@@ -561,13 +561,18 @@ def minhash_neardup(
     # here would materialize the full shingle self-join — the exact
     # all-pairs blowup the LSH stage exists to avoid.)
     ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # semi-join the DOCS down to candidates BEFORE shingling: tokenizing
+    # and exploding n-grams for the whole corpus only to drop all
+    # non-candidate rows afterwards is a full wasted corpus pass (the
+    # semi-join is id-keyed and cannot be pushed below the explode by
+    # Catalyst).  Filtering first shingles candidate docs only —
+    # identical output, O(candidates) instead of O(corpus) rerank prep.
     sh = (
-        shingles_df(df, id_col, text_col, n)
-        .join(ids, "id", "left_semi")
+        shingles_df(df.join(ids, id_col, "left_semi"), id_col, text_col, n)
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

@@ -176,7 +176,14 @@ def pivot_from_staging(staging: DataFrame, schema: T.StructType, drop_errors: bo
     src = staging
     if drop_errors:
         src = src.filter(F.col("error").isNull())
-    cells = src.groupBy("package_code", "table_name", "record_no").agg(
+    # group-key ORDER matters for speed, not semantics: max(string)
+    # forces SortAggregate (string agg buffers are not hash-mutable),
+    # and the sort compares keys left to right — record_no FIRST makes
+    # every comparison short-circuit on the one high-cardinality key
+    # instead of equal-comparing the two constant-per-melt strings
+    # (package_code, table_name) first.  Measured ~20% on the sf0.1
+    # orders roundtrip; output is key-order-independent.
+    cells = src.groupBy("record_no", "package_code", "table_name").agg(
         *[
             F.max(F.when(F.col("field_name") == f.name, F.col("value"))).alias(f.name)
             for f in schema.fields

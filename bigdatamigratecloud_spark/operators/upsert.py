@@ -61,15 +61,22 @@ def fk_violation_counts_fused(
     probe = child
     markers: list[tuple[str, str]] = []  # (relation, marker_col)
     for i, (child_col, parent, parent_col) in enumerate(fks):
-        # index in the marker keeps it unique if one child column ever
-        # declares two relations (same column referencing two parents)
-        marker = f"__hit_{i}_{child_col}"
-        keys = (
-            parent.select(F.col(parent_col).alias(child_col))
-            .dropDuplicates([child_col])
-            .withColumn(marker, F.lit(1))
+        # the parent key column doubles as the match marker (NULL after
+        # the left join = no parent): no extra lit(1) column, and the
+        # marker name depends only on the FK INDEX — two children
+        # probing the same parent (nation under both customer and
+        # supplier) build byte-identical key subtrees, which Spark's
+        # ReuseExchange then broadcasts ONCE across the union instead
+        # of once per child.  NULL parent keys never equi-match, so
+        # their presence in the key set changes nothing (same as the
+        # old marker form).
+        marker = f"__pk_{i}"
+        while marker in child.columns:
+            marker = "_" + marker
+        keys = parent.select(F.col(parent_col).alias(marker)).dropDuplicates([marker])
+        probe = probe.join(
+            F.broadcast(keys), F.col(child_col) == F.col(marker), "left"
         )
-        probe = probe.join(F.broadcast(keys), on=child_col, how="left")
         markers.append((f"{child_name}.{child_col}", marker))
     counted = probe.agg(
         *[

@@ -9879,8 +9879,13 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # parallelizes per file): derive it from the session's core
         # count instead of a constant so the stage fills the machine at
         # any SPARK_GRAFT_CPUS (guide §2: scale-adaptive partitioning;
-        # 16 archives left half of local[32] idle, 4 left 3/4 idle)
-        n_arch = max(16, spark.sparkContext.defaultParallelism)
+        # 16 archives left half of local[32] idle, 4 left 3/4 idle).
+        # Capped at 512: on a large cluster defaultParallelism is in
+        # the thousands and uncapped one-archive-per-core would shred
+        # the corpus into tiny files (guide §6 small-files pressure);
+        # past the cap, per-file read tasks are still plentiful enough
+        # to fill any executor wave this fixture-scale stage can use.
+        n_arch = min(max(16, spark.sparkContext.defaultParallelism), 512)
         wsrc.write_warc(
             docs.select(
                 F.concat(F.lit("http://corpus.local/doc/"), F.col("doc_id")).alias(
@@ -9902,7 +9907,11 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (the gate projection and the exact-dedup groupBy), and the
         # parse is a Python mapInPandas gzip+framing pass — without the
         # cut each consumer re-runs the whole WARC read (guide §1/§5:
-        # one full pass of the heavy opaque stage, not one per consumer)
+        # one full pass of the heavy opaque stage, not one per consumer).
+        # localCheckpoint pins the frame in executor storage and is not
+        # recomputable on executor loss — right for this fixture-scale
+        # bench; a 100 TB deployment swaps it for
+        # persist(StorageLevel.DISK_ONLY) or a reliable checkpoint.
         corpus = corpus.localCheckpoint(eager=True)
         base = _text.with_tokens(corpus)
         toks = F.col("__toks")

@@ -56,15 +56,42 @@ def _marker_path() -> str:
     return os.path.join(tempfile.gettempdir(), f".bdmc_hostwarm_{boot}")
 
 
+# Staleness probe: faulting fresh anonymous memory against WARM host
+# backing measures ~0.65 s/GB in one process (kernel zero-fill); against
+# RECLAIMED backing it is ~6 s/GB (host demand-allocates every page).  A
+# 256 MB probe therefore separates the two by ~10x: ≤ ~0.2 s warm,
+# ~1.5 s stale.  Threshold sits 4x above the warm rate so CPU-contention
+# jitter cannot trigger spurious re-warms.
+_PROBE_MB = 256
+_PROBE_STALE_SEC = 0.7
+
+
+def _backing_is_stale() -> bool:
+    import time
+
+    t0 = time.perf_counter()
+    _touch_mb(_PROBE_MB)
+    return (time.perf_counter() - t0) > _PROBE_STALE_SEC
+
+
 def ensure_host_memory_warm(gb: int | None = None, n_procs: int | None = None) -> bool:
-    """Fault `gb` of guest memory in parallel once per VM boot.  Returns
-    True when a warm actually ran, False when already warm / disabled."""
+    """Fault `gb` of guest memory in parallel once per VM boot — and
+    again whenever the host has RECLAIMED the backing since (round-12
+    finding: the once-per-boot marker went stale between driver runs and
+    queries re-paid multi-second demand-fault stalls mid-bench; a cheap
+    fault-rate probe now detects reclaim and re-warms).  Returns True
+    when a warm actually ran, False when already warm / disabled."""
     gb = _DEFAULT_GB if gb is None else gb
     if gb <= 0:
         return False
     marker = _marker_path()
     if os.path.exists(marker):
-        return False
+        if not _backing_is_stale():
+            return False
+        try:  # stale: fall through to a full re-warm under a fresh marker
+            os.remove(marker)
+        except OSError:
+            pass
     n_procs = n_procs or min(32, os.cpu_count() or 4)
     per_proc_mb = max(64, (gb * 1024) // n_procs)
     try:

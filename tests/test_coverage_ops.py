@@ -239,3 +239,22 @@ def test_suppress_small_groups_no_trigger_unchanged(spark):
         ).collect()
     }
     assert out == {"a": (10, 10.0), "SUPPRESSED": (7, 7.0)}
+
+
+def test_fused_fk_counts_duplicate_and_null_parent_keys(spark):
+    """Round-13 guard for the key-as-marker form: duplicate parent keys
+    must not multiply probe rows (the key set is deduped before the
+    left join) and NULL parent keys must never match anything — counts
+    must equal NOT EXISTS semantics exactly."""
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id INT, fk INT"
+    )
+    parent = spark.createDataFrame([(10,), (10,), (None,)], "pk INT")
+    out = {
+        r["relation"]: r["violations"]
+        for r in fk_violation_counts_fused(
+            child, [("fk", parent, "pk")], "child"
+        ).collect()
+    }
+    # violations: 99 (no parent) and NULL fk (matches nothing) = 2
+    assert out == {"child.fk": 2}

@@ -36,3 +36,36 @@ def test_melt_shape(spark, sf_dir):
         "value",
         "error",
     }
+
+
+def test_pivot_group_key_order_is_semantics_free(spark):
+    """Round-13 guard: pivot_from_staging groups by (record_no,
+    package_code, table_name) — reordered for SortAggregate comparison
+    cost — which must produce exactly the rows the reference grouping
+    (package_code, table_name, record_no) did, including duplicate-cell
+    max() resolution."""
+    from pyspark.sql import functions as F
+
+    from bigdatamigratecloud_spark.operators.staging import pivot_from_staging
+
+    staging = spark.createDataFrame(
+        [
+            ("PKG", "t", 1, "a", "x", None),
+            ("PKG", "t", 1, "b", "7", None),
+            # duplicate (record, field) cell: max() keeps 'z'
+            ("PKG", "t", 2, "a", "y", None),
+            ("PKG", "t", 2, "a", "z", None),
+            ("PKG", "t", 2, "b", None, None),
+        ],
+        "package_code STRING, table_name STRING, record_no LONG, "
+        "field_name STRING, value STRING, error STRING",
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.LongType())]
+    )
+    rows = {
+        tuple(r) for r in pivot_from_staging(staging, schema).collect()
+    }
+    assert rows == {("x", 7), ("z", None)}
