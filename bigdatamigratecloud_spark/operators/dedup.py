@@ -560,10 +560,11 @@ def minhash_neardup(
     # per candidate pair.  (Calling jaccard_pairs over the whole corpus
     # here would materialize the full shingle self-join — the exact
     # all-pairs blowup the LSH stage exists to avoid.)
-    ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .unionByName(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # no .distinct() on the id list: a LEFT SEMI join's build side
+    # dedupes inside the hash relation, so the exchange a distinct would
+    # add buys nothing (ids holds 2 rows per candidate pair — tiny)
+    ids = cands.select(F.col("id_a").alias(id_col)).unionByName(
+        cands.select(F.col("id_b").alias(id_col))
     )
     # semi-join the DOCS down to candidates BEFORE shingling: tokenizing
     # and exploding n-grams for the whole corpus only to drop all

@@ -225,18 +225,30 @@ def j5_fk_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst analysis of the 8-join union tree — a constant independent
     of data volume (execution is 0.24 s), so it vanishes at real scale.
     Best-of-7 evidence in the round-4 log; not a shuffle problem."""
-    from .operators.upsert import fk_violation_counts_fused
+    from .operators.upsert import fk_violation_counts_graph
 
-    out = None
-    for child_name, fks in FOREIGN_KEYS.items():
-        child = load_table(spark, sf_dir, child_name)
-        triples = [
-            (child_col, load_table(spark, sf_dir, parent_name), parent_col)
-            for child_col, parent_name, parent_col in fks
-        ]
-        part = fk_violation_counts_fused(child, triples, child_name)
-        out = part if out is None else out.unionByName(part)
-    return out
+    # one DataFrame object per table: fk_violation_counts_graph dedups
+    # parent key sets by object identity, so nation's key set is
+    # projected/deduped/broadcast once for its two referencing children
+    tables: dict[str, DataFrame] = {}
+
+    def tbl(name: str) -> DataFrame:
+        if name not in tables:
+            tables[name] = load_table(spark, sf_dir, name)
+        return tables[name]
+
+    children = [
+        (
+            child_name,
+            tbl(child_name),
+            [
+                (child_col, tbl(parent_name), parent_col)
+                for child_col, parent_name, parent_col in fks
+            ],
+        )
+        for child_name, fks in FOREIGN_KEYS.items()
+    ]
+    return fk_violation_counts_graph(children)
 
 
 # ---------------------------------------------------------------------------
@@ -9939,7 +9951,12 @@ def n5_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs = _dedup.minhash_neardup(surv0, min_jaccard=0.2, portable=True)
         drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-        surv = surv0.join(drops, "doc_id", "left_anti")
+        # materialize the near-dup SURVIVORS once: the packer's offsets
+        # builder runs a plan-build-time max() over this frame and the
+        # final write consumes it again — without the cut the whole
+        # exact-Jaccard rerank join chain re-executes for each (guide
+        # §1/§5, the surv0 discipline; survivor-sized, safe at scale)
+        surv = surv0.join(drops, "doc_id", "left_anti").localCheckpoint(eager=True)
         norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
         pre = surv.select(
             "doc_id",

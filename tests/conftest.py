@@ -107,6 +107,42 @@ SLOW_TESTS = {
     "test_streaming.py::test_cusum_stream_decimal_boundary_equals_batch",  # 8s
     "test_streaming.py::test_acid_backfill_sink_date_slices_and_unsupported_types",  # 8s
     "test_acid_table.py::test_shallow_clone_delete_hits_source_referenced_files",  # 8s
+    # 6-8 s band (first fast-tier run measured 15:27 — still over the
+    # <15 min target).  Three band members stay fast-tier deliberately:
+    # test_fused_fk_counts_match_per_relation_anti_joins and
+    # test_minhash_portable_same_pairs_as_fast_path guard round-13
+    # operator changes; test_no_oracle_emits_decimal_or_hugeint is the
+    # output-type contract's fast sibling.
+    "test_acid_table.py::test_reader_never_sees_torn_state",  # 8s
+    "test_streaming.py::test_cusum_stream_equals_batch_across_batches",  # 8s
+    "test_acid_table.py::test_restore_and_clone_are_checkpoint_backed",  # 8s
+    "test_acid_table.py::test_overwrite_where_null_predicate_rows_kept",  # 8s
+    "test_acid_table.py::test_identity_survives_overwrite_and_clone",  # 8s
+    "test_acid_table.py::test_incremental_optimize_touches_only_new_files",  # 7s
+    "test_acid_table.py::test_snapshot_distributed_read_multi_root_clone",  # 7s
+    "test_acid_table.py::test_change_feed_spans_schema_evolution",  # 7s
+    "test_acid_table.py::test_incremental_zorder_clusters_only_fresh_files",  # 7s
+    "test_acid_table.py::test_widen_column_metadata_only",  # 7s
+    "test_acid_table.py::test_merge_adaptive_recompute_on_uniform_delta",  # 7s
+    "test_acid_table.py::test_deletion_vectors_on_shallow_clone_leave_source_intact",  # 7s
+    "test_acid_table.py::test_timestamp_selectors_match_version_selectors",  # 7s
+    "test_acid_table.py::test_deletion_vectors_stack_cumulatively",  # 7s
+    "test_acid_table.py::test_changes_exact_across_deletion_vectors",  # 7s
+    "test_northstar.py::test_minhash_recall_vs_exact_jaccard",  # 7s
+    "test_acid_table.py::test_restore_metadata_only_rollback",  # 7s
+    "test_northstar.py::test_semantic_dedup_incremental_rules_and_pruning",  # 7s
+    "test_streaming.py::test_follow_aggregate_guards",  # 7s
+    "test_streaming.py::test_lateness_stats_on_multi_watermark_join",  # 7s
+    "test_acid_table.py::test_concurrent_appenders_stress",  # 6s
+    "test_acid_table.py::test_merge_prunes_untouched_files",  # 6s
+    "test_acid_table.py::test_mixed_appenders_and_merger_stress",  # 6s
+    "test_corpus_ops.py::test_global_running_sum_matches_global_window",  # 6s
+    "test_acid_table.py::test_bloom_stats_replaced_and_vacuumed",  # 6s
+    "test_streaming.py::test_lateness_stats_flags_late_batch_and_pins_no_silent_drop",  # 6s
+    "test_bpe.py::test_bpe_byte_level_train_and_segment",  # 6s
+    "test_acid_table.py::test_optimize_zorder_enables_multi_dim_pruning",  # 6s
+    "test_streaming.py::test_stream_url_gate_is_stateless",  # 6s
+    "test_acid_table.py::test_incremental_optimize_rebases_over_concurrent_append",  # 6s
 }
 
 

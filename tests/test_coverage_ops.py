@@ -258,3 +258,35 @@ def test_fused_fk_counts_duplicate_and_null_parent_keys(spark):
     }
     # violations: 99 (no parent) and NULL fk (matches nothing) = 2
     assert out == {"child.fk": 2}
+
+
+def test_fk_graph_counts_match_per_child_fused(spark):
+    """Round-13 guard for fk_violation_counts_graph: the one-aggregate
+    multi-child form must count exactly what per-child fused sweeps do,
+    including a parent key set SHARED by object identity between two
+    children and NULL/duplicate keys."""
+    from bigdatamigratecloud_spark.operators.upsert import (
+        fk_violation_counts_graph,
+    )
+
+    nation = spark.createDataFrame([(10,), (10,), (None,)], "pk INT")  # shared
+    region = spark.createDataFrame([(100,)], "pk INT")
+    cust = spark.createDataFrame([(1, 10), (2, 99), (3, None)], "id INT, fk INT")
+    supp = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 999)], "id INT, fk INT, fk_r INT"
+    )
+    out = {
+        r["relation"]: r["violations"]
+        for r in fk_violation_counts_graph(
+            [
+                ("cust", cust, [("fk", nation, "pk")]),
+                ("supp", supp, [("fk", nation, "pk"), ("fk_r", region, "pk")]),
+            ]
+        ).collect()
+    }
+    expect = {
+        "cust.fk": fk_violations(cust, "fk", nation, "pk").count(),
+        "supp.fk": fk_violations(supp, "fk", nation, "pk").count(),
+        "supp.fk_r": fk_violations(supp, "fk_r", region, "pk").count(),
+    }
+    assert out == expect == {"cust.fk": 2, "supp.fk": 0, "supp.fk_r": 1}

@@ -44,10 +44,8 @@ def _minhash_rerank_shingles(spark, sf_dir):
     docs = q.load_table(spark, sf_dir, "documents")
     sigs = _dedup.minhash_signatures(docs, portable=True).localCheckpoint(eager=True)
     cands = _dedup.minhash_lsh_candidates(sigs, 8, 4, True).localCheckpoint(eager=True)
-    ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+    ids = cands.select(F.col("id_a").alias("doc_id")).unionByName(
+        cands.select(F.col("id_b").alias("doc_id"))
     )
     return _dedup.shingles_df(docs.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3)
 
