@@ -408,11 +408,19 @@ def guarded_band_self_join(
     were degraded and by how much.  ``max_bucket=None`` disables the
     guard (the pre-round-9 behavior).
 
-    Scale shape: the counts frame is one row per distinct bucket; the
-    over-cap subset is tiny in practice, so with AQE on, the tag join
-    and the rep join both resolve to broadcasts at runtime.  Candidate
-    output is bounded by cold² per cold bucket + (m or cap²) per hot
-    bucket — never corpus-quadratic.
+    Scale shape: the banded frame is MATERIALIZED once (localCheckpoint)
+    — it is consumed by the bucket-stats aggregation, both sides of the
+    cold self-join and the hot-member scan, and callers routinely pass
+    it with a whole signature pipeline as lineage, which would otherwise
+    re-execute per consumer (measured: 12 copies of the banding subtree
+    in the pre-fusion plan, each re-running the upstream signatures when
+    they were not checkpointed).  Bucket count and star representative
+    (id + carried columns, via ``min_by``) come from ONE grouped
+    aggregation — one row per distinct bucket, map-side partials — whose
+    over-cap subset is tiny by construction and broadcast once; star hot
+    pairs are then a pure projection of the tagged members (no rep join
+    at all).  Candidate output is bounded by cold² per cold bucket +
+    (m or cap²) per hot bucket — never corpus-quadratic.
     """
     if hot_policy not in ("star", "sample"):
         raise ValueError(f"hot_policy={hot_policy!r}: expected 'star' or 'sample'")
@@ -436,31 +444,49 @@ def guarded_band_self_join(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         ).select(*pair_cols())
 
+    # materialize once: every consumer below (stats agg, cold a, cold b,
+    # hot members) would otherwise re-execute the banding AND its whole
+    # upstream lineage; the cut is banded-sized (id, band, bucket [+
+    # carries] per doc per band — same budget class as the signature
+    # checkpoints upstream), value-transparent
+    banded = banded.localCheckpoint(eager=True)
     if max_bucket is None:
         return self_join(banded).dropDuplicates(["id_a", "id_b"])
     if max_bucket < 2:
         raise ValueError(f"max_bucket={max_bucket}: must be >= 2 (or None to disable)")
 
-    cnts = banded.groupBy(band_col, key_col).agg(F.count(F.lit(1)).alias("__bcnt"))
-    hot_keys = cnts.filter(F.col("__bcnt") > max_bucket)
-    tagged = banded.join(hot_keys, [band_col, key_col], "left")
-    cold = tagged.filter(F.col("__bcnt").isNull()).drop("__bcnt")
-    hot = tagged.filter(F.col("__bcnt").isNotNull()).drop("__bcnt")
+    # ONE pass over the buckets: membership count + (star) the rep id and
+    # its carried columns — min_by is deterministic here because ids are
+    # unique within a (band, bucket)
+    aggs = [F.count(F.lit(1)).alias("__bcnt")]
+    if hot_policy == "star":
+        aggs.append(F.min(id_col).alias("__rep"))
+        if carry_cols:
+            aggs.append(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in carry_cols]), F.col(id_col)
+                ).alias("__repc")
+            )
+    stats = banded.groupBy(band_col, key_col).agg(*aggs)
+    hot_stats = stats.filter(F.col("__bcnt") > max_bucket)
+    tagged = banded.join(F.broadcast(hot_stats), [band_col, key_col], "left")
+    cold = tagged.filter(F.col("__bcnt").isNull()).select(*banded.columns)
     cold_pairs = self_join(cold)
     if hot_policy == "star":
-        reps = hot.groupBy(band_col, key_col).agg(F.min(id_col).alias("__rep"))
-        with_rep = hot.join(reps, [band_col, key_col])
-        rep_rows = with_rep.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
-        members = with_rep.filter(F.col(id_col) != F.col("__rep")).drop("__rep")
-        a, b = rep_rows.alias("a"), members.alias("b")
-        hot_pairs = a.join(
-            b,
-            (F.col(f"a.{band_col}") == F.col(f"b.{band_col}"))
-            & (F.col(f"a.{key_col}") == F.col(f"b.{key_col}")),
-        ).select(*pair_cols())
+        # rep-vs-member pairs WITHOUT a join: the rep id and its carries
+        # ride in on the broadcast stats row of each hot member
+        members = tagged.filter(
+            F.col("__bcnt").isNotNull() & (F.col(id_col) != F.col("__rep"))
+        )
+        cols = [F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")]
+        for c in carry_cols:
+            cols.append(F.col("__repc").getField(c).alias(f"{c}_a"))
+            cols.append(F.col(c).alias(f"{c}_b"))
+        hot_pairs = members.select(*cols)
     else:
         from pyspark.sql import Window
 
+        hot = tagged.filter(F.col("__bcnt").isNotNull()).select(*banded.columns)
         w = Window.partitionBy(band_col, key_col).orderBy(id_col)
         sampled = (
             hot.withColumn("__rn", F.row_number().over(w))
@@ -749,23 +775,44 @@ def minhash_dedup_incremental(
     if max_bucket is not None:
         if hot_policy not in ("star", "sample"):
             raise ValueError(f"hot_policy={hot_policy!r}: expected 'star' or 'sample'")
-        ccnt = bc.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__bcnt"))
+        # ONE pass over the corpus banding for count AND star rep: the
+        # hot buckets' representatives fall out of the same aggregation
+        # (min over a bucket's ids), so the star path never rescans the
+        # corpus-sized bc rows — the index side stays at two passes
+        # total (stats + tag) and is deliberately NOT materialized
+        # (pinning corpus x bands rows defeats the incremental point)
+        ccnt = bc.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bcnt"), F.min("id").alias("__rep")
+        )
         hot_keys = ccnt.filter(F.col("__bcnt") > max_bucket)
-        tagged = bc.join(hot_keys, ["band", "bucket"], "left")
-        bc_cold = tagged.filter(F.col("__bcnt").isNull()).drop("__bcnt")
-        bc_hot = tagged.filter(F.col("__bcnt").isNotNull()).drop("__bcnt")
         if hot_policy == "star":
-            bc_hot = bc_hot.groupBy("band", "bucket").agg(F.min("id").alias("id"))
+            bc_cold = (
+                bc.join(
+                    F.broadcast(hot_keys.select("band", "bucket")),
+                    ["band", "bucket"],
+                    "left_anti",
+                )
+            )
+            bc_hot = hot_keys.select(F.col("__rep").alias("id"), "band", "bucket")
         else:
             from pyspark.sql import Window
 
+            tagged = bc.join(
+                F.broadcast(hot_keys.select("band", "bucket", "__bcnt")),
+                ["band", "bucket"],
+                "left",
+            )
+            bc_cold = tagged.filter(F.col("__bcnt").isNull()).drop("__bcnt")
+            bc_hot = tagged.filter(F.col("__bcnt").isNotNull()).drop("__bcnt")
             w = Window.partitionBy("band", "bucket").orderBy("id")
             bc_hot = (
                 bc_hot.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= max_bucket)
                 .drop("__rn")
             )
-        bc = bc_cold.unionByName(bc_hot.select("id", "band", "bucket"))
+        bc = bc_cold.select("id", "band", "bucket").unionByName(
+            bc_hot.select("id", "band", "bucket")
+        )
     cross = (
         bb.alias("a")
         .join(

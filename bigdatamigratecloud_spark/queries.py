@@ -6132,7 +6132,13 @@ def n1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    corpus_sigs = _dedup.minhash_signatures(corpus, portable=True)
+    # the stored index is MATERIALIZED (a real deployment reads it from
+    # storage): left lazy, the op's two index consumers (bucket stats +
+    # hot-guard tag) would each re-run the whole corpus shingle->minhash
+    # pipeline — the exact recompute the incremental path exists to avoid
+    corpus_sigs = _dedup.minhash_signatures(corpus, portable=True).localCheckpoint(
+        eager=True
+    )
     return _dedup.minhash_dedup_incremental(
         batch, corpus, portable=True, corpus_sigs=corpus_sigs
     ).select("doc_id", "source")

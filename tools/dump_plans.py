@@ -50,8 +50,23 @@ def _minhash_rerank_shingles(spark, sf_dir):
     return _dedup.shingles_df(docs.join(ids, "doc_id", "left_semi"), "doc_id", "text", 3)
 
 
+def _minhash_lsh_stage(spark, sf_dir):
+    """The LSH candidate stage of minhash_neardup, rebuilt standalone
+    (it sits between two localCheckpoints inside the pipeline, so
+    neither the final query plan nor the rerank dump can show it): the
+    guarded band self-join over the checkpointed signatures.  Mirrors
+    operators/dedup.minhash_lsh_candidates as minhash_neardup calls it."""
+    from bigdatamigratecloud_spark import queries as q
+    from bigdatamigratecloud_spark.operators import dedup as _dedup
+
+    docs = q.load_table(spark, sf_dir, "documents")
+    sigs = _dedup.minhash_signatures(docs, portable=True).localCheckpoint(eager=True)
+    return _dedup.minhash_lsh_candidates(sigs, 8, 4, True)
+
+
 SUBSTAGES = {
     "minhash_rerank_shingles": _minhash_rerank_shingles,
+    "minhash_lsh_stage": _minhash_lsh_stage,
 }
 
 
