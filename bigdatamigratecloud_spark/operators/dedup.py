@@ -468,7 +468,14 @@ def guarded_band_self_join(
                 ).alias("__repc")
             )
     stats = banded.groupBy(band_col, key_col).agg(*aggs)
-    hot_stats = stats.filter(F.col("__bcnt") > max_bucket)
+    # materialize the over-cap subset: `tagged` is expanded once per
+    # consumer (cold self-join side a, side b, hot members — three plan
+    # copies), and each copy would re-run the full groupBy over the
+    # banded frame to rebuild this broadcast side.  hot_stats is tiny by
+    # construction (only buckets past the cap), so the cut costs one
+    # bucket-stats job and replaces two corpus-sized aggregation passes
+    # with scans of a few-row RDD
+    hot_stats = stats.filter(F.col("__bcnt") > max_bucket).localCheckpoint(eager=True)
     tagged = banded.join(F.broadcast(hot_stats), [band_col, key_col], "left")
     cold = tagged.filter(F.col("__bcnt").isNull()).select(*banded.columns)
     cold_pairs = self_join(cold)
@@ -780,11 +787,17 @@ def minhash_dedup_incremental(
         # (min over a bucket's ids), so the star path never rescans the
         # corpus-sized bc rows — the index side stays at two passes
         # total (stats + tag) and is deliberately NOT materialized
-        # (pinning corpus x bands rows defeats the incremental point)
+        # (pinning corpus x bands rows defeats the incremental point).
+        # The over-cap SUBSET, however, is materialized: it is consumed
+        # twice (broadcast guard probe + the hot-rep rows of the union),
+        # and left lazy each consumer re-runs the corpus-banding
+        # aggregation; the subset is a few rows by construction
         ccnt = bc.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bcnt"), F.min("id").alias("__rep")
         )
-        hot_keys = ccnt.filter(F.col("__bcnt") > max_bucket)
+        hot_keys = ccnt.filter(F.col("__bcnt") > max_bucket).localCheckpoint(
+            eager=True
+        )
         if hot_policy == "star":
             bc_cold = (
                 bc.join(
